@@ -1,0 +1,122 @@
+package graft.index
+
+import graft.geo.{BBox, Polygon, Proj}
+import org.scalatest.funsuite.AnyFunSuite
+
+class CellIndexSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(4242)
+  private def randLon(): Double = rnd.nextDouble() * 359.998 - 179.999
+  private def randLat(): Double = rnd.nextDouble() * 169.8 - 84.9
+
+  test("grid cell: encode/decode round trip (property)") {
+    for (_ <- 1 to 500) {
+      val lon = randLon(); val lat = randLat(); val lvl = rnd.nextInt(21)
+      val c = GridCell.encode(lon, lat, lvl)
+      assert(GridCell.level(c) === lvl)
+      assert(GridCell.cellBBox(c).containsPoint(lon, lat))
+    }
+  }
+
+  test("grid cell: resolution nesting (child within parent)") {
+    for (_ <- 1 to 300) {
+      val lon = randLon(); val lat = randLat(); val lvl = 1 + rnd.nextInt(20)
+      val c = GridCell.encode(lon, lat, lvl)
+      val p = GridCell.parent(c)
+      assert(GridCell.cellBBox(c).within(GridCell.cellBBox(p)))
+      assert(GridCell.children(p).contains(c))
+    }
+  }
+
+  test("grid cell: ring sizes and disjointness") {
+    val c = GridCell.encode(8.5, 50.5, 10)
+    assert(GridCell.ring(c, 0) === Array(c))
+    assert(GridCell.ring(c, 1).length === 8)
+    assert(GridCell.ring(c, 2).length === 16)
+    assert(GridCell.ring(c, 1).intersect(GridCell.ring(c, 2)).isEmpty)
+    assert(GridCell.kRing(c, 2).length === 25)
+  }
+
+  test("grid cell: ring wraps at dateline, clamps at poles") {
+    val cDate = GridCell.encode(179.99, 0.0, 8)
+    assert(GridCell.ring(cDate, 1).length === 8) // wrapped, none dropped
+    val cPole = GridCell.encode(0.0, 89.99, 8)
+    assert(GridCell.ring(cPole, 1).length === 5) // top row clamped away
+  }
+
+  test("grid cell: cover contains encoding cell of every inner point") {
+    val b = BBox(8.0, 9.0, 50.0, 51.0)
+    val cells = GridCell.cover(b, 8).toSet
+    for (_ <- 1 to 200) {
+      val lon = 8.0 + rnd.nextDouble(); val lat = 50.0 + rnd.nextDouble()
+      assert(cells.contains(GridCell.encode(lon, lat, 8)))
+    }
+  }
+
+  test("hex cell: encode/decode center is in same cell (property)") {
+    for (_ <- 1 to 500) {
+      val lon = randLon(); val lat = randLat(); val res = rnd.nextInt(13)
+      val c = HexCell.encode(lon, lat, res)
+      val (clon, clat) = HexCell.centerLonLat(c)
+      assert(HexCell.encode(clon, clat, res) === c)
+    }
+  }
+
+  test("hex cell: point is nearest to its cell center (hex voronoi property)") {
+    for (_ <- 1 to 200) {
+      val lon = rnd.nextDouble() * 300 - 150
+      val lat = rnd.nextDouble() * 140 - 70
+      val res = 6
+      val c = HexCell.encode(lon, lat, res)
+      val (px, py) = Proj.lonLatToMercator(lon, lat)
+      val (cx, cy) = HexCell.centerMercator(c)
+      val dSelf = math.hypot(px - cx, py - cy)
+      for (nb <- HexCell.neighbors(c)) {
+        val (nx, ny) = HexCell.centerMercator(nb)
+        val dN = math.hypot(px - nx, py - ny)
+        assert(dN >= dSelf - 1e-6, s"point ($lon,$lat) closer to neighbor")
+      }
+    }
+  }
+
+  test("hex cell: ring sizes 6k, kRing 1+3k(k+1), distances correct") {
+    val c = HexCell.encode(8.5, 50.5, 7)
+    assert(HexCell.ring(c, 0) === Array(c))
+    for (k <- 1 to 4) {
+      val ring = HexCell.ring(c, k)
+      assert(ring.length === 6 * k)
+      assert(ring.forall(HexCell.gridDistance(c, _) == k))
+    }
+    assert(HexCell.kRing(c, 3).length === 1 + 3 * 3 * 4)
+    assert(HexCell.kRing(c, 3).distinct.length === HexCell.kRing(c, 3).length)
+  }
+
+  test("hex cell: neighbors are symmetric (property)") {
+    for (_ <- 1 to 200) {
+      val c = HexCell.encode(randLon(), randLat(), 7)
+      for (nb <- HexCell.neighbors(c))
+        assert(HexCell.neighbors(nb).contains(c))
+    }
+  }
+
+  test("hex cell: cover contains encoding cell of every inner point") {
+    val b = BBox(8.0, 9.5, 50.0, 51.0)
+    val cells = HexCell.cover(b, 7).toSet
+    for (_ <- 1 to 300) {
+      val lon = 8.0 + rnd.nextDouble() * 1.5; val lat = 50.0 + rnd.nextDouble()
+      assert(cells.contains(HexCell.encode(lon, lat, 7)), s"missing cell for ($lon,$lat)")
+    }
+    val poly = Polygon.box(b)
+    assert(HexCell.polygonCover(poly, 7).toSet === cells)
+  }
+
+  test("hex cell: boundary vertices surround the center") {
+    val c = HexCell.encode(8.5, 50.5, 7)
+    val verts = HexCell.boundaryLonLat(c)
+    assert(verts.length === 6)
+    val (clon, clat) = HexCell.centerLonLat(c)
+    val lonOk = verts.exists(_._1 < clon) && verts.exists(_._1 > clon)
+    val latOk = verts.exists(_._2 < clat) && verts.exists(_._2 > clat)
+    assert(lonOk && latOk)
+  }
+}
