@@ -1,13 +1,113 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.GraftFunctions
+import graft.joins.SpatialJoins
+import graft.pipeline.{Fixtures, Pages}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
+  *
+  * Every oracle-checked query is written so the Spark plan and the DuckDB
+  * SQL perform the SAME IEEE operations in the SAME order on every row:
+  * integer (micro-degree) LCG geocoding, one shared division to doubles,
+  * mirrored floor/cell arithmetic. Aggregates that must be exact use
+  * integer/count math, never order-dependent double sums.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: geocode pages by url hash (Catalyst expression), assign hex
+    * cells at res 7, count pages per cell. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftFunctions.register(spark)
+    val pages = Pages.pages(spark, "/root/testdata/sf0.001")
+    pages
+      .withColumn("geo", GraftFunctions.geocodeUrl(col("url")))
+      .withColumn("h3", GraftFunctions.h3Cell(col("geo.lon"), col("geo.lat"), lit(7)))
+      .groupBy(col("h3")).agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("min_doc"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- geocoding + tiling (the north-rule spine) ---
+    "geo_geocode" -> { (s, dir) =>
+      Pages.pages(s, dir).select("doc_id", "lon_udeg", "lat_udeg", "lon", "lat")
+    },
+
+    "geo_cells" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val p = Pages.pages(s, dir)
+      val c7 = GraftFunctions.gridCell(col("lon"), col("lat"), lit(Pages.TileLevel))
+      val c12 = GraftFunctions.gridCell(col("lon"), col("lat"), lit(Pages.FineLevel))
+      p.select(col("doc_id"),
+        GraftFunctions.gridX(c7).as("cell_x7"), GraftFunctions.gridY(c7).as("cell_y7"),
+        GraftFunctions.gridX(c12).as("cell_x12"), GraftFunctions.gridY(c12).as("cell_y12"))
+    },
+
+    "geo_cell_counts" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val p = Pages.pages(s, dir)
+      val c7 = GraftFunctions.gridCell(col("lon"), col("lat"), lit(Pages.TileLevel))
+      p.select(col("doc_id"),
+          (GraftFunctions.gridX(c7) * 128 + GraftFunctions.gridY(c7)).as("cell_key"))
+        .groupBy("cell_key")
+        .agg(count(lit(1)).as("n_pages"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    },
+
+    "geo_utm" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      Pages.pages(s, dir)
+        .select(col("doc_id"), GraftFunctions.utmEpsg(col("lat"), col("lon")).as("epsg"))
+    },
+
+    "geo_pip" -> { (s, dir) =>
+      val p = Pages.pages(s, dir).select("doc_id", "lon", "lat")
+      SpatialJoins.pipJoinBroadcast(p, Fixtures.polygons, "lon", "lat")
+        .groupBy("poly_id")
+        .agg(count(lit(1)).as("n_pages"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    },
+
+    "geo_pip_anti" -> { (s, dir) =>
+      val p = Pages.pages(s, dir).select("doc_id", "lon", "lat")
+      SpatialJoins.pipSemiJoin(p, Fixtures.polygons, "lon", "lat", invert = true)
+        .select("doc_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "geo_geocode" -> Pages.sqlWith(
+      "SELECT doc_id, lon_udeg, lat_udeg, lon, lat FROM pages"),
+
+    "geo_cells" -> Pages.sqlWith(
+      s"""SELECT doc_id,
+          ${Pages.sqlCellX(Pages.TileLevel)} AS cell_x7,
+          ${Pages.sqlCellY(Pages.TileLevel)} AS cell_y7,
+          ${Pages.sqlCellX(Pages.FineLevel)} AS cell_x12,
+          ${Pages.sqlCellY(Pages.FineLevel)} AS cell_y12
+        FROM pages"""),
+
+    "geo_cell_counts" -> Pages.sqlWith(
+      s"""SELECT ${Pages.sqlCellX(Pages.TileLevel)} * 128 + ${Pages.sqlCellY(Pages.TileLevel)} AS cell_key,
+          count(*) AS n_pages, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM pages GROUP BY 1"""),
+
+    "geo_utm" -> Pages.sqlWith(
+      """SELECT doc_id,
+          CAST(32000 + (CASE WHEN lat < 0 THEN 700 ELSE 600 END)
+               + CAST(floor((lon + 180.0) / 6.0 + 1.0) AS INTEGER) AS INTEGER) AS epsg
+        FROM pages"""),
+
+    "geo_pip" -> Pages.sqlWith(
+      s"""SELECT CAST(poly_id AS BIGINT) AS poly_id, count(*) AS n_pages,
+          min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM pages JOIN ${Fixtures.sqlRectValues}
+          ON lon >= x_min AND lon <= x_max AND lat >= y_min AND lat <= y_max
+        GROUP BY 1"""),
+
+    "geo_pip_anti" -> Pages.sqlWith(
+      s"""SELECT doc_id FROM pages p WHERE NOT EXISTS (
+          SELECT 1 FROM ${Fixtures.sqlRectValues}
+          WHERE p.lon >= x_min AND p.lon <= x_max AND p.lat >= y_min AND p.lat <= y_max)""")
+  )
 }

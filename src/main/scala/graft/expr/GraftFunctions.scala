@@ -1,0 +1,37 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Registers the engine's Catalyst expressions as SQL functions and exposes
+  * typed Column wrappers. Registration is idempotent per session.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("h3_cell", es => H3CellExpr(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("grid_cell", es => GridCellExpr(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("grid_x", es => GridXExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("grid_y", es => GridYExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("h3_kring", es => KRingExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("grid_kring", es => GridKRingExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("utm_epsg", es => UtmEpsgExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("geocode_url", es => GeocodeUrl(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("reproject_point", es => ReprojectPointExpr(es), "scala_udf")
+  }
+
+  def h3Cell(lon: Column, lat: Column, res: Column): Column =
+    call_function("h3_cell", lon.cast("double"), lat.cast("double"), res.cast("int"))
+  def gridCell(lon: Column, lat: Column, level: Column): Column =
+    call_function("grid_cell", lon.cast("double"), lat.cast("double"), level.cast("int"))
+  def gridX(cell: Column): Column = call_function("grid_x", cell)
+  def gridY(cell: Column): Column = call_function("grid_y", cell)
+  def h3KRing(cell: Column, k: Column): Column = call_function("h3_kring", cell, k.cast("int"))
+  def gridKRing(cell: Column, k: Column): Column = call_function("grid_kring", cell, k.cast("int"))
+  def utmEpsg(lat: Column, lon: Column): Column =
+    call_function("utm_epsg", lat.cast("double"), lon.cast("double"))
+  def geocodeUrl(url: Column): Column = call_function("geocode_url", url)
+  def reprojectPoint(x: Column, y: Column, src: Column, dst: Column): Column =
+    call_function("reproject_point", x, y, src, dst)
+}

@@ -1,0 +1,170 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geo.Proj
+import graft.index.{GridCell, HexCell}
+
+/** Static-call shims for codegen: Scala objects expose static forwarders,
+  * so generated Java can call these directly.
+  */
+object GeoFun {
+  def hexCell(lon: Double, lat: Double, res: Int): Long = HexCell.encode(lon, lat, res)
+  def gridCell(lon: Double, lat: Double, level: Int): Long = GridCell.encode(lon, lat, level)
+  def gridX(cell: Long): Long = GridCell.x(cell)
+  def gridY(cell: Long): Long = GridCell.y(cell)
+  def utmEpsg(lat: Double, lon: Double): Int = Proj.utmEpsg(lat, lon)
+
+  /** FNV-1a 64-bit over UTF-8 bytes — the deterministic url hash behind
+    * [[GeocodeUrl]] (public algorithm; stable across JVMs).
+    */
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Deterministic url → microdegree lon. 10% of urls (hash bucket 0 of 10)
+    * land in one of 8 hot cities with bounded jitter — models the skewed
+    * geography of web content and exercises AQE skew handling downstream.
+    */
+  private val hotLon = Array(2350000L, -73990000L, 139690000L, -0128000L, 116400000L, 77210000L, -46630000L, 151210000L)
+  private val hotLat = Array(48850000L, 40730000L, 35690000L, 51510000L, 39900000L, 28610000L, -23550000L, -33870000L)
+
+  def geocodeLonUdeg(url: UTF8String): Long = {
+    val h = fnv64(url.getBytes)
+    val pos = h & Long.MaxValue
+    if (pos % 10 == 0) hotLon(((pos / 10) % 8).toInt) + (pos % 20000) - 10000
+    else (pos % 360000000L) - 180000000L
+  }
+
+  def geocodeLatUdeg(url: UTF8String): Long = {
+    val h = fnv64(url.getBytes) * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L
+    val pos = h & Long.MaxValue
+    val lonPos = fnv64(url.getBytes) & Long.MaxValue
+    if (lonPos % 10 == 0) hotLat(((lonPos / 10) % 8).toInt) + (pos % 20000) - 10000
+    else (pos % 170000000L) - 85000000L
+  }
+}
+
+/** `h3_cell(lon, lat, res)` → Long hex cell id (graft.index.HexCell). */
+case class H3CellExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lon: Any, lat: Any, res: Any): Any =
+    GeoFun.hexCell(lon.asInstanceOf[Double], lat.asInstanceOf[Double], res.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, res) => s"graft.expr.GeoFun.hexCell($lon, $lat, $res)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** `grid_cell(lon, lat, level)` → Long quadtree cell id (graft.index.GridCell). */
+case class GridCellExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lon: Any, lat: Any, level: Any): Any =
+    GeoFun.gridCell(lon.asInstanceOf[Double], lat.asInstanceOf[Double], level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, lvl) => s"graft.expr.GeoFun.gridCell($lon, $lat, $lvl)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** `grid_x(cell)` / `grid_y(cell)` → column / row of a quadtree cell. */
+case class GridXExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(cell: Any): Any = GeoFun.gridX(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.GeoFun.gridX($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class GridYExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(cell: Any): Any = GeoFun.gridY(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.GeoFun.gridY($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `h3_kring(cell, k)` → array<long> of all hex cells within grid distance k. */
+case class KRingExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(cell: Any, k: Any): Any =
+    new GenericArrayData(HexCell.kRing(cell.asInstanceOf[Long], k.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** `grid_kring(cell, k)` → array<long> of quadtree cells within Chebyshev k. */
+case class GridKRingExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(cell: Any, k: Any): Any =
+    new GenericArrayData(GridCell.kRing(cell.asInstanceOf[Long], k.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** `utm_epsg(lat, lon)` → Int EPSG code.
+  * Reference: buteo/utils/utils_projection.py:808-811.
+  */
+case class UtmEpsgExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(lat: Any, lon: Any): Any =
+    GeoFun.utmEpsg(lat.asInstanceOf[Double], lon.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon) => s"graft.expr.GeoFun.utmEpsg($lat, $lon)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** `geocode_url(url)` → struct(lon double, lat double): deterministic
+  * hash-geocode of a web page url (north-rule derived column; the page
+  * `text` is never touched). Skewed by design — see GeoFun.geocodeLonUdeg.
+  */
+case class GeocodeUrl(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    StructType(Seq(StructField("lon", DoubleType, nullable = false),
+                   StructField("lat", DoubleType, nullable = false)))
+  override def nullSafeEval(url: Any): Any = {
+    val u = url.asInstanceOf[UTF8String]
+    InternalRow(GeoFun.geocodeLonUdeg(u) / 1000000.0, GeoFun.geocodeLatUdeg(u) / 1000000.0)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `reproject_point(x, y, srcEpsg, dstEpsg)` → struct(x double, y double).
+  * Reference: buteo/utils/utils_projection.py:701-766.
+  */
+case class ReprojectPointExpr(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType =
+    StructType(Seq(StructField("x", DoubleType, nullable = false),
+                   StructField("y", DoubleType, nullable = false)))
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val (x, y) = Proj.reprojectPoint(
+        vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+        vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int])
+      InternalRow(x, y)
+    }
+  }
+  override def foldable: Boolean = children.forall(_.foldable)
+  protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+}
