@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.GraftFunctions
-import graft.joins.SpatialJoins
+import graft.joins.{KnnJoin, SpatialJoins}
 import graft.pipeline.{Fixtures, Pages}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
@@ -72,8 +72,53 @@ object SparkEntry {
       val p = Pages.pages(s, dir).select("doc_id", "lon", "lat")
       SpatialJoins.pipSemiJoin(p, Fixtures.polygons, "lon", "lat", invert = true)
         .select("doc_id")
+    },
+
+    "geo_knn" -> { (s, dir) =>
+      val pts = Pages.pages(s, dir)
+        .select(col("doc_id").as("id"), col("lon_udeg").as("x"), col("lat_udeg").as("y"))
+      val probes = pts.filter(col("id") < 100)
+      KnnJoin.knnBroadcastProbes(pts, probes, k = 3)
+    },
+
+    "geo_align_bbox" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      // per-doc target bbox on a 0.25 lattice (exact binary fractions),
+      // snapped to the unit grid anchored at (0, 100).
+      val p = Pages.pages(s, dir)
+        .withColumn("tx0", (col("doc_id") % 89) * lit(0.25) - lit(10.0))
+        .withColumn("tx1", col("tx0") + (col("doc_id") % 13 + 1) * lit(0.25))
+        .withColumn("ty0", (col("doc_id") % 71) * lit(0.25) - lit(8.0))
+        .withColumn("ty1", col("ty0") + (col("doc_id") % 7 + 1) * lit(0.25))
+      val a = GraftFunctions.alignBBox(lit(0.0), lit(100.0),
+        col("tx0"), col("tx1"), col("ty0"), col("ty1"), lit(1.0), lit(-1.0))
+      p.select(col("doc_id"), a.getField("x_min").as("ax0"), a.getField("x_max").as("ax1"),
+        a.getField("y_min").as("ay0"), a.getField("y_max").as("ay1"))
+    },
+
+    "geo_pixel_offsets" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val p = Pages.pages(s, dir)
+        .withColumn("tx0", (col("doc_id") % 89) * lit(0.25) - lit(10.0))
+        .withColumn("tx1", col("tx0") + (col("doc_id") % 13 + 1) * lit(0.25))
+        .withColumn("ty0", (col("doc_id") % 71) * lit(0.25) - lit(8.0))
+        .withColumn("ty1", col("ty0") + (col("doc_id") % 7 + 1) * lit(0.25))
+      val o = GraftFunctions.pixelOffsets(lit(-16.0), lit(0.25), lit(32.0), lit(-0.25),
+        col("tx0"), col("tx1"), col("ty0"), col("ty1"))
+      p.select(col("doc_id"), o.getField("x_start").as("x_start"),
+        o.getField("y_start").as("y_start"), o.getField("x_size").as("x_size"),
+        o.getField("y_size").as("y_size"))
     }
   )
+
+  /** SQL snippets shared by the bbox-lattice oracle queries. */
+  private val sqlTargetBBox =
+    """, tgt AS (SELECT doc_id,
+         (doc_id % 89) * 0.25 - 10.0 AS tx0,
+         (doc_id % 89) * 0.25 - 10.0 + (doc_id % 13 + 1) * 0.25 AS tx1,
+         (doc_id % 71) * 0.25 - 8.0 AS ty0,
+         (doc_id % 71) * 0.25 - 8.0 + (doc_id % 7 + 1) * 0.25 AS ty1
+       FROM pages)"""
 
   def oracleSql: Map[String, String] = Map(
     "geo_geocode" -> Pages.sqlWith(
@@ -108,6 +153,33 @@ object SparkEntry {
     "geo_pip_anti" -> Pages.sqlWith(
       s"""SELECT doc_id FROM pages p WHERE NOT EXISTS (
           SELECT 1 FROM ${Fixtures.sqlRectValues}
-          WHERE p.lon >= x_min AND p.lon <= x_max AND p.lat >= y_min AND p.lat <= y_max)""")
+          WHERE p.lon >= x_min AND p.lon <= x_max AND p.lat >= y_min AND p.lat <= y_max)"""),
+
+    "geo_knn" -> Pages.sqlWith(
+      """SELECT query_id, neighbor_id, dist2, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT p.doc_id AS query_id, t.doc_id AS neighbor_id,
+            (p.lon_udeg - t.lon_udeg) * (p.lon_udeg - t.lon_udeg)
+              + (p.lat_udeg - t.lat_udeg) * (p.lat_udeg - t.lat_udeg) AS dist2,
+            row_number() OVER (PARTITION BY p.doc_id ORDER BY
+              (p.lon_udeg - t.lon_udeg) * (p.lon_udeg - t.lon_udeg)
+                + (p.lat_udeg - t.lat_udeg) * (p.lat_udeg - t.lat_udeg), t.doc_id) AS rank
+          FROM pages p JOIN pages t ON t.doc_id <> p.doc_id
+          WHERE p.doc_id < 100) WHERE rank <= 3"""),
+
+    "geo_align_bbox" -> Pages.sqlWith(sqlTargetBBox +
+      """ SELECT doc_id,
+          0.0 + floor((tx0 - 0.0) / 1.0) * 1.0 AS ax0,
+          0.0 + ceil((tx1 - 0.0) / 1.0) * 1.0 AS ax1,
+          100.0 + ceil((ty0 - 100.0) / -1.0) * -1.0 AS ay0,
+          100.0 + floor((ty1 - 100.0) / -1.0) * -1.0 AS ay1
+        FROM tgt"""),
+
+    "geo_pixel_offsets" -> Pages.sqlWith(sqlTargetBBox +
+      """ SELECT doc_id,
+          CAST(round((tx0 - -16.0) / 0.25) AS INTEGER) AS x_start,
+          CAST(round((ty1 - 32.0) / -0.25) AS INTEGER) AS y_start,
+          CAST(abs(round((tx1 - tx0) / 0.25)) AS INTEGER) AS x_size,
+          CAST(abs(round((ty0 - ty1) / -0.25)) AS INTEGER) AS y_size
+        FROM tgt""")
   )
 }

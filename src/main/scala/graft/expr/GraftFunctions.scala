@@ -19,7 +19,21 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("utm_epsg", es => UtmEpsgExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("geocode_url", es => GeocodeUrl(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("reproject_point", es => ReprojectPointExpr(es), "scala_udf")
+    reg.createOrReplaceTempFunction("align_bbox", es => AlignBBoxExpr(es), "scala_udf")
+    reg.createOrReplaceTempFunction("pixel_offsets", es => PixelOffsetsExpr(es), "scala_udf")
   }
+
+  /** align_bbox(refXMin, refYMax, tXMin, tXMax, tYMin, tYMax, pw, ph) →
+    * struct(x_min, x_max, y_min, y_max)
+    */
+  def alignBBox(args: Column*): Column =
+    call_function("align_bbox", args.map(_.cast("double")): _*)
+
+  /** pixel_offsets(originX, pxW, originY, pxH, x0, x1, y0, y1) →
+    * struct(x_start, y_start, x_size, y_size)
+    */
+  def pixelOffsets(args: Column*): Column =
+    call_function("pixel_offsets", args.map(_.cast("double")): _*)
 
   def h3Cell(lon: Column, lat: Column, res: Column): Column =
     call_function("h3_cell", lon.cast("double"), lat.cast("double"), res.cast("int"))
