@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.GraftFunctions
+import graft.geo.{BBox, Polygon}
 import graft.joins.{KnnJoin, SpatialJoins}
 import graft.pipeline.{Fixtures, Pages}
+import graft.tiles.{RasterSpec, TileOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
   *
@@ -28,6 +30,33 @@ object SparkEntry {
       .withColumn("h3", GraftFunctions.h3Cell(col("geo.lon"), col("geo.lat"), lit(7)))
       .groupBy(col("h3")).agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("min_doc"))
   }
+
+  /** Deterministic synthetic raster shared with the DuckDB range() oracles:
+    * 256×256, 2 bands, quarter-degree pixels, origin (0, 64), tile 64 —
+    * v(x,y,b) = (x*7 + y*13 + b*5) % 97. All grid math lands on exact
+    * binary fractions so center-in tests can never straddle an FP tie.
+    */
+  val rasterSpec: RasterSpec =
+    RasterSpec(0.0, 64.0, 0.25, -0.25, 256, 256, 64, 2)
+  private def rasterValue(x: Int, y: Int, b: Int): Double =
+    ((x * 7 + y * 13 + b * 5) % 97).toDouble
+  private val sqlPx =
+    """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+         CAST(b AS INTEGER) AS band,
+         CAST((x*7 + y*13 + b*5) % 97 AS DOUBLE) AS v,
+         0.0 + (x + 0.5) * 0.25 AS gx, 64.0 + (y + 0.5) * -0.25 AS gy
+       FROM range(256) r1(x), range(256) r2(y), range(2) r3(b))"""
+  private val clipRect = BBox(10.5, 40.25, 20.0, 50.5)
+  /** (zone_id, xMin, xMax, yMin, yMax) in raster geo coords. */
+  private val zoneRects: Seq[(Long, Double, Double, Double, Double)] = Seq(
+    (1L, 0.0, 16.0, 48.0, 64.0), (2L, 16.0, 48.0, 16.0, 48.0),
+    (3L, 48.0, 64.0, 0.0, 16.0), (4L, 8.25, 55.75, 30.5, 33.25),
+    (5L, 62.0, 70.0, 60.0, 70.0)) // partially outside the raster
+  private def zonePolys = zoneRects.map { case (id, x0, x1, y0, y1) =>
+    (id, Polygon.box(BBox(x0, x1, y0, y1))) }
+  private val sqlZones = zoneRects
+    .map { case (id, x0, x1, y0, y1) => s"($id, $x0, $x1, $y0, $y1)" }
+    .mkString("(VALUES ", ", ", ") AS zones(zone, zx0, zx1, zy0, zy1)")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- geocoding + tiling (the north-rule spine) ---
@@ -108,6 +137,38 @@ object SparkEntry {
       p.select(col("doc_id"), o.getField("x_start").as("x_start"),
         o.getField("y_start").as("y_start"), o.getField("x_size").as("x_size"),
         o.getField("y_size").as("y_size"))
+    },
+
+    // --- raster / tile engine (buteo clip/resample/zonal/convolve parity) ---
+    "raster_tile_stats" -> { (s, _) =>
+      TileOps.tileStats(TileOps.createRaster(s, rasterSpec)(rasterValue))
+    },
+
+    "raster_resample" -> { (s, _) =>
+      val down = TileOps.resampleNearest(TileOps.createRaster(s, rasterSpec)(rasterValue), 4)
+      TileOps.toPixels(down, rasterSpec.tileSize / 4)
+    },
+
+    "raster_clip" -> { (s, _) =>
+      val clipped = TileOps.clip(TileOps.createRaster(s, rasterSpec)(rasterValue),
+        Polygon.box(clipRect))
+      TileOps.tileStats(clipped).filter(col("n_px") > 0)
+    },
+
+    "raster_zonal" -> { (s, _) =>
+      TileOps.zonalStats(TileOps.createRaster(s, rasterSpec)(rasterValue), zonePolys)
+    },
+
+    "raster_convolve_sum" -> { (s, _) =>
+      val conv = TileOps.convolve(TileOps.createRaster(s, rasterSpec)(rasterValue),
+        radius = 1, method = "sum")
+      TileOps.toPixels(conv, rasterSpec.tileSize)
+    },
+
+    "raster_convolve_median" -> { (s, _) =>
+      val conv = TileOps.convolve(TileOps.createRaster(s, rasterSpec)(rasterValue),
+        radius = 1, method = "median")
+      TileOps.toPixels(conv, rasterSpec.tileSize)
     }
   )
 
@@ -180,6 +241,45 @@ object SparkEntry {
           CAST(round((ty1 - 32.0) / -0.25) AS INTEGER) AS y_start,
           CAST(abs(round((tx1 - tx0) / 0.25)) AS INTEGER) AS x_size,
           CAST(abs(round((ty0 - ty1) / -0.25)) AS INTEGER) AS y_size
-        FROM tgt""")
+        FROM tgt"""),
+
+    "raster_tile_stats" -> (sqlPx +
+      """ SELECT CAST(x // 64 AS INTEGER) AS cell_x, CAST(y // 64 AS INTEGER) AS cell_y,
+          band, min(v) AS vmin, max(v) AS vmax,
+          CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS vsum, CAST(count(*) AS BIGINT) AS n_px
+        FROM px GROUP BY 1, 2, 3"""),
+
+    "raster_resample" -> (sqlPx +
+      """ SELECT CAST(x // 4 AS INTEGER) AS x, CAST(y // 4 AS INTEGER) AS y, band, v
+        FROM px WHERE x % 4 = 2 AND y % 4 = 2"""),
+
+    "raster_clip" -> (sqlPx +
+      """ SELECT CAST(x // 64 AS INTEGER) AS cell_x, CAST(y // 64 AS INTEGER) AS cell_y,
+          band, min(v) AS vmin, max(v) AS vmax,
+          CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS vsum, CAST(count(*) AS BIGINT) AS n_px
+        FROM px
+        WHERE gx >= 10.5 AND gx <= 40.25 AND gy >= 20.0 AND gy <= 50.5
+        GROUP BY 1, 2, 3"""),
+
+    "raster_zonal" -> (sqlPx +
+      s""" SELECT CAST(zone AS BIGINT) AS zone, band, CAST(count(*) AS BIGINT) AS n_px,
+          CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS vsum, min(v) AS vmin, max(v) AS vmax
+        FROM px JOIN $sqlZones
+          ON gx >= zx0 AND gx <= zx1 AND gy >= zy0 AND gy <= zy1
+        GROUP BY 1, 2"""),
+
+    "raster_convolve_sum" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band, sum(b.v) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY 1, 2, 3"""),
+
+    "raster_convolve_median" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band, median(b.v) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY 1, 2, 3""")
   )
 }
