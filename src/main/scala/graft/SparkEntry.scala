@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
 import graft.joins.{KnnJoin, SpatialJoins}
+import graft.ops.{Dedup, Events, Similarity, TextOps}
 import graft.pipeline.{Fixtures, Pages}
 import graft.tiles.{RasterSpec, TileOps}
 
@@ -57,6 +58,26 @@ object SparkEntry {
   private val sqlZones = zoneRects
     .map { case (id, x0, x1, y0, y1) => s"($id, $x0, $x1, $y0, $y1)" }
     .mkString("(VALUES ", ", ", ") AS zones(zone, zx0, zx1, zy0, zy1)")
+
+  /** Shared oracle CTEs for the text/dedup family. */
+  private val sqlToks =
+    """WITH toks AS (SELECT doc_id, tok FROM
+         (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         WHERE tok <> ''),
+       dtoks AS (SELECT DISTINCT doc_id, tok FROM toks),
+       sizes AS (SELECT doc_id, count(*) AS n_toks FROM dtoks GROUP BY doc_id)"""
+
+  private def sqlMinhashSig(k: Int): String = {
+    val mins = (1 to k).map(i => s"min(md5('$i:' || tok)) AS s$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM dtoks GROUP BY doc_id)"
+  }
+
+  private def documentsOf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddingsOf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def eventsOf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- geocoding + tiling (the north-rule spine) ---
@@ -169,7 +190,40 @@ object SparkEntry {
       val conv = TileOps.convolve(TileOps.createRaster(s, rasterSpec)(rasterValue),
         radius = 1, method = "median")
       TileOps.toPixels(conv, rasterSpec.tileSize)
-    }
+    },
+
+    // --- text analysis (training-data pipeline ops) ---
+    "text_stats" -> { (s, dir) => TextOps.textStats(documentsOf(s, dir)) },
+    "text_quality" -> { (s, dir) => TextOps.qualityScore(documentsOf(s, dir)) },
+    "text_langid" -> { (s, dir) => TextOps.langId(documentsOf(s, dir)) },
+    "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(documentsOf(s, dir)) },
+
+    // north-rule invariant: text reaches the sink byte-identical (hash of the
+    // html-encoded carry equals hash of the source text)
+    "text_identity" -> { (s, dir) =>
+      Pages.pages(s, dir).select(col("url"), md5(col("html")).as("text_md5"))
+    },
+
+    // --- deduplication ---
+    "dedup_exact" -> { (s, dir) => Dedup.exact(documentsOf(s, dir)) },
+    "dedup_minhash_sig" -> { (s, dir) => Dedup.minhashSignature(documentsOf(s, dir), k = 8) },
+    "dedup_lsh_pairs" -> { (s, dir) =>
+      Dedup.minhashLshPairs(documentsOf(s, dir), k = 8, bands = 4, threshold = 0.5)
+    },
+    "dedup_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardSimilarPairs(documentsOf(s, dir), threshold = 0.8)
+    },
+    "dedup_simhash" -> { (s, dir) => Dedup.simhash16(documentsOf(s, dir)) },
+
+    // --- similarity search ---
+    "ann_topk" -> { (s, dir) => Similarity.annTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5) },
+    "ann_cosine" -> { (s, dir) => Similarity.cosineTopK(embeddingsOf(s, dir), probeMaxId = 20, k = 5) },
+    "ann_lsh" -> { (s, dir) => Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 8, k = 5) },
+
+    // --- event streams ---
+    "events_hourly" -> { (s, dir) => Events.hourlyWindows(eventsOf(s, dir)) },
+    "events_sessionize" -> { (s, dir) => Events.sessionize(eventsOf(s, dir)) },
+    "events_typestats" -> { (s, dir) => Events.typeStats(eventsOf(s, dir)) }
   )
 
   /** SQL snippets shared by the bbox-lattice oracle queries. */
@@ -280,6 +334,153 @@ object SparkEntry {
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
           AND b.y BETWEEN a.y - 1 AND a.y + 1
-        GROUP BY 1, 2, 3""")
+        GROUP BY 1, 2, 3"""),
+
+    "text_stats" -> (sqlToks +
+      """ SELECT d.doc_id, length(d.text) AS n_chars,
+          COALESCE(tc.n_tokens, 0) AS n_tokens,
+          COALESCE(tc.n_distinct, 0) AS n_distinct,
+          length(d.text) - length(replace(d.text, ' ', '')) AS n_spaces
+        FROM documents d LEFT JOIN
+          (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+           FROM toks GROUP BY doc_id) tc USING (doc_id)"""),
+
+    "text_quality" -> (sqlToks +
+      """ SELECT d.doc_id,
+          CAST(COALESCE(tc.n_tokens, 0) AS DOUBLE) / (CAST(length(d.text) AS DOUBLE) + 1.0) AS density,
+          CAST(COALESCE(tc.n_distinct, 0) AS DOUBLE) / (CAST(COALESCE(tc.n_tokens, 0) AS DOUBLE) + 1.0) AS distinct_ratio
+        FROM documents d LEFT JOIN
+          (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+           FROM toks GROUP BY doc_id) tc USING (doc_id)"""),
+
+    "text_langid" ->
+      """WITH cnts AS (SELECT doc_id, lang,
+           (length(text) - length(replace(text, 'the', ''))) // 3 AS c_en,
+           (length(text) - length(replace(text, 'der', ''))) // 3 AS c_de,
+           (length(text) - length(replace(text, 'les', ''))) // 3 AS c_fr,
+           (length(text) - length(replace(text, 'los', ''))) // 3 AS c_es,
+           (length(text) - length(replace(text, 'spark', ''))) // 5 AS c_zh
+         FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN c_zh > GREATEST(c_en, c_de, c_fr, c_es) THEN 'zh'
+               WHEN c_es > GREATEST(c_en, c_de, c_fr) THEN 'es'
+               WHEN c_fr > GREATEST(c_en, c_de) THEN 'fr'
+               WHEN c_de > c_en THEN 'de'
+               ELSE 'en' END AS pred_lang,
+          GREATEST(c_en, c_de, c_fr, c_es, c_zh) AS n_markers
+        FROM cnts""",
+
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(replace(text, ' ', '')) AS fp FROM documents",
+
+    "text_identity" -> Pages.sqlWith(
+      "SELECT url, md5(text) AS text_md5 FROM pages"),
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs,
+         min(doc_id) AS canonical FROM documents GROUP BY 1""",
+
+    "dedup_minhash_sig" -> (sqlToks + ", " + sqlMinhashSig(8) +
+      " SELECT * FROM sig"),
+
+    "dedup_lsh_pairs" -> (sqlToks + ", " + sqlMinhashSig(8) +
+      """, bands AS (
+          SELECT doc_id, 0 AS band, md5(s1 || s2) AS key FROM sig UNION ALL
+          SELECT doc_id, 1, md5(s3 || s4) FROM sig UNION ALL
+          SELECT doc_id, 2, md5(s5 || s6) FROM sig UNION ALL
+          SELECT doc_id, 3, md5(s7 || s8) FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN dtoks ta ON ta.doc_id = c.doc_a
+          JOIN dtoks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+          GROUP BY 1, 2)
+        SELECT c.doc_a, c.doc_b, CAST(COALESCE(i.i, 0) AS BIGINT) AS inter,
+          CAST(na.n_toks + nb.n_toks - COALESCE(i.i, 0) AS BIGINT) AS union_n,
+          CAST(COALESCE(i.i, 0) AS DOUBLE)
+            / CAST(na.n_toks + nb.n_toks - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes na ON na.doc_id = c.doc_a
+        JOIN sizes nb ON nb.doc_id = c.doc_b
+        WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+            / CAST(na.n_toks + nb.n_toks - COALESCE(i.i, 0) AS DOUBLE) >= 0.5"""),
+
+    "dedup_jaccard_pairs" -> (sqlToks +
+      """, inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS inter,
+          CAST(na.n_toks + nb.n_toks - i.i AS BIGINT) AS union_n,
+          CAST(i.i AS DOUBLE) / CAST(na.n_toks + nb.n_toks - i.i AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+        WHERE CAST(i.i AS DOUBLE) / CAST(na.n_toks + nb.n_toks - i.i AS DOUBLE) >= 0.8"""),
+
+    "dedup_simhash" -> (sqlToks + simhashOracleTail),
+
+    "ann_topk" -> annTopKOracle,
+
+    "events_hourly" ->
+      """SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS win,
+         event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents_sum,
+         min(event_id) AS min_ev, max(event_id) AS max_ev
+       FROM events GROUP BY 1, 2""",
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT user_id,
+           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+           FROM e)
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id""",
+
+    "events_typestats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents_sum,
+         CAST(sum(CAST(substr(props, 7, length(props) - 7) AS INTEGER)) AS BIGINT) AS k_sum,
+         min(CAST(substr(props, 7, length(props) - 7) AS INTEGER)) AS k_min,
+         max(CAST(substr(props, 7, length(props) - 7) AS INTEGER)) AS k_max
+       FROM events GROUP BY 1"""
   )
+
+  /** Generated DuckDB tail for the 16-bit simhash oracle (hex-digit value
+    * via strpos; bit b via integer division parity; majority vote sign).
+    */
+  private def simhashOracleTail: String = {
+    val hv = (1 to 4).map(p =>
+      s"(strpos('0123456789abcdef', substr(md5(tok), $p, 1)) - 1) * ${math.pow(16, 4 - p).toLong}")
+      .mkString(" + ")
+    val bitSums = (0 until 16).map(b =>
+      s"sum(CASE WHEN (hv // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val assemble = (0 until 16).map(b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s""", hvt AS (SELECT doc_id, $hv AS hv FROM toks),
+       bits AS (SELECT doc_id, $bitSums FROM hvt GROUP BY doc_id)
+       SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits"""
+  }
+
+  /** Generated DuckDB oracle for quantized-dot-product top-k (64 dims). */
+  private def annTopKOracle: String = {
+    val dot = (1 to 64).map(i => s"a.q[$i] * b.q[$i]").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       FROM embeddings),
+       scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST($dot AS BIGINT) AS score
+         FROM q a JOIN q b ON b.vec_id <> a.vec_id
+         WHERE a.vec_id < 50),
+       ranked AS (SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+       FROM ranked WHERE rank <= 5"""
+  }
 }

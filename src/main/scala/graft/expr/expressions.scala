@@ -41,20 +41,23 @@ object GeoFun {
   private val hotLon = Array(2350000L, -73990000L, 139690000L, -0128000L, 116400000L, 77210000L, -46630000L, 151210000L)
   private val hotLat = Array(48850000L, 40730000L, 35690000L, 51510000L, 39900000L, 28610000L, -23550000L, -33870000L)
 
-  def geocodeLonUdeg(url: UTF8String): Long = {
+  /** One-pass geocode: returns packed (lonUdeg, latUdeg). Hashes the url
+    * exactly once (hot path of the 10^12-row tiling job).
+    */
+  def geocodeUdeg(url: UTF8String): (Long, Long) = {
     val h = fnv64(url.getBytes)
     val pos = h & Long.MaxValue
-    if (pos % 10 == 0) hotLon(((pos / 10) % 8).toInt) + (pos % 20000) - 10000
-    else (pos % 360000000L) - 180000000L
+    val h2 = h * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L
+    val pos2 = h2 & Long.MaxValue
+    if (pos % 10 == 0) {
+      val city = ((pos / 10) % 8).toInt
+      (hotLon(city) + (pos % 20000) - 10000, hotLat(city) + (pos2 % 20000) - 10000)
+    } else
+      ((pos % 360000000L) - 180000000L, (pos2 % 170000000L) - 85000000L)
   }
 
-  def geocodeLatUdeg(url: UTF8String): Long = {
-    val h = fnv64(url.getBytes) * 0x9e3779b97f4a7c15L + 0x165667b19e3779f9L
-    val pos = h & Long.MaxValue
-    val lonPos = fnv64(url.getBytes) & Long.MaxValue
-    if (lonPos % 10 == 0) hotLat(((lonPos / 10) % 8).toInt) + (pos % 20000) - 10000
-    else (pos % 170000000L) - 85000000L
-  }
+  def geocodeLonUdeg(url: UTF8String): Long = geocodeUdeg(url)._1
+  def geocodeLatUdeg(url: UTF8String): Long = geocodeUdeg(url)._2
 }
 
 /** `h3_cell(lon, lat, res)` → Long hex cell id (graft.index.HexCell). */
@@ -141,8 +144,8 @@ case class GeocodeUrl(child: Expression) extends UnaryExpression with CodegenFal
     StructType(Seq(StructField("lon", DoubleType, nullable = false),
                    StructField("lat", DoubleType, nullable = false)))
   override def nullSafeEval(url: Any): Any = {
-    val u = url.asInstanceOf[UTF8String]
-    InternalRow(GeoFun.geocodeLonUdeg(u) / 1000000.0, GeoFun.geocodeLatUdeg(u) / 1000000.0)
+    val (lonU, latU) = GeoFun.geocodeUdeg(url.asInstanceOf[UTF8String])
+    InternalRow(lonU / 1000000.0, latU / 1000000.0)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-corpus pipelines: exact, MinHash+LSH,
+  * n-gram Jaccard, SimHash. All hashing is md5-based so every stage is
+  * reproducible in any engine (the DuckDB oracles run the same md5 math);
+  * every join is either an equi-join on a hash key (shuffle on the dup key
+  * only) or an inverted-index join — nothing quadratic in the corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest. Returns one row per
+    * distinct content with the canonical (min) doc and the dup count.
+    * At 10^12 rows this is a single map-side-combined shuffle on a
+    * 16-byte key.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("text_md5"))
+      .groupBy("text_md5")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
+
+  /** MinHash signature, K permutations: sig_k = min over tokens of
+    * md5(k ':' token). Using the md5 hex string itself as the hash value
+    * keeps the whole scheme engine-portable (lexicographic min over a
+    * uniformly distributed digest is a valid MinHash family).
+    */
+  def minhashSignature(docs: DataFrame, k: Int): DataFrame = {
+    val toks = TextOps.tokenTable(docs).distinct()
+    val aggs = (1 to k).map(i =>
+      min(md5(encode(concat(lit(s"$i:"), col("tok")), "UTF-8"))).as(s"s$i"))
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the K-signature into `bands` groups of
+    * rows-per-band, hash each band, self-join on (band index, band key).
+    * Pairs are then verified with EXACT token-set Jaccard — LSH only
+    * prunes, never decides. Returns (doc_a, doc_b, inter, union_n,
+    * jaccard) for verified pairs with jaccard >= threshold.
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = minhashSignature(docs, k)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (1 to rows).map(r => col(s"s${b * rows + r}"))
+      struct(lit(b).as("band"), md5(encode(concat(parts: _*), "UTF-8")).as("key"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(docs, cand).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact token-set Jaccard for given candidate pairs. */
+  def verifyJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val toks = TextOps.tokenTable(docs).distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val inter = pairs
+      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(toks.as("tb"), col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na.n_toks") + col("nb.n_toks") - col("inter")).as("union_n"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_n").cast("double"))
+  }
+
+  /** Exact all-pairs Jaccard >= threshold via the token inverted index:
+    * docs sharing zero tokens have jaccard 0, so joining on shared tokens
+    * is lossless. The shuffle key is the token — the scalable exact
+    * formulation (prune hot tokens upstream if needed).
+    */
+  def jaccardSimilarPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = TextOps.tokenTable(docs).distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na.n_toks") + col("nb.n_toks") - col("inter")).as("union_n"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_n").cast("double"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over whitespace tokens (duplicates kept): token hash =
+    * first 4 hex chars of md5(token); bit b of the fingerprint is the
+    * majority vote of token-hash bits (sum of ±1; ties → 0).
+    */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokenTable(docs) // duplicates kept
+    def hexDigit(p: Int): Column =
+      expr(s"instr('0123456789abcdef', substr(md5(tok), $p, 1)) - 1")
+    val hv = hexDigit(1) * 4096 + hexDigit(2) * 256 + hexDigit(3) * 16 + hexDigit(4)
+    val withH = toks.withColumn("hv", hv.cast("long"))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(floor(col("hv") / math.pow(2, b).toLong) % 2 === 1, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    withH.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+}

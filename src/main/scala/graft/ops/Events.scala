@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table. Time is handled as
+  * integer microseconds (`unix_micros` / DuckDB `epoch_us`) for exact
+  * cross-engine parity; money-ish doubles are quantized per-row before
+  * integer summing so aggregation order can't leak ulps.
+  *
+  * The same transforms run under Structured Streaming (readStream +
+  * watermark on ts); see graft.streaming.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type: counts + exact value sums
+    * (value quantized to cents per row).
+    */
+  def hourlyWindows(events: DataFrame): DataFrame =
+    events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("win", floor(col("us") / lit(3600000000L)))
+      .withColumn("cents", round(col("value") * lit(100.0)).cast("long"))
+      .groupBy("win", "event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        min("event_id").as("min_ev"), max("event_id").as("max_ev"))
+
+  /** Sessionization: per-user event gaps > 30 minutes start a new session.
+    * Returns per-user session/event counts. Window over (user, time) —
+    * the shuffle is on user_id; state is O(1) per row (lag).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev", lag("us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** Per-type value stats with json-ish prop extraction (props is
+    * '{"k": NN}'): exact integer parse both engines via substring.
+    */
+  def typeStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", expr("CAST(substr(props, 7, length(props) - 7) AS INT)"))
+      .withColumn("cents", round(col("value") * lit(100.0)).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
+}

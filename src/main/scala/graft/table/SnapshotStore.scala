@@ -1,0 +1,126 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot/manifest layer over plain parquet directories
+  * (no Iceberg jar ships in /opt/spark/jars — SURVEY.md §7).
+  *
+  * Table layout:
+  * {{{
+  *   root/data/bucket=<id>/part-....parquet  — partition payloads
+  *   root/_snapshots/v<00001>.json       — immutable snapshot manifests
+  *   root/_snapshots/CURRENT             — pointer file, atomically replaced
+  * }}}
+  *
+  * A snapshot lists every completed partition with per-partition lineage
+  * (which input snapshot produced it) and row/byte metrics. Commits are
+  * atomic: manifest written to a temp file then moved into place, CURRENT
+  * swapped last (ATOMIC_MOVE). A killed job resumes by diffing the
+  * partition universe against the last snapshot — only missing partitions
+  * are recomputed (north rule: "resumes mid-tiling").
+  */
+final case class PartitionMeta(bucket: Int, rows: Long, bytes: Long,
+                               lineage: String, files: Seq[String])
+
+final case class Snapshot(version: Int, parent: Int, timestampMs: Long,
+                          partitions: Map[Int, PartitionMeta]) {
+  def doneBuckets: Set[Int] = partitions.keySet
+}
+
+class SnapshotStore(val root: String) {
+  private val snapDir = Paths.get(root, "_snapshots")
+  private val dataDir = Paths.get(root, "data")
+  Files.createDirectories(snapDir)
+  Files.createDirectories(dataDir)
+
+  def dataPath(bucket: Int): String = s"$root/data/bucket=$bucket"
+
+  def current(): Option[Snapshot] = {
+    val cur = snapDir.resolve("CURRENT")
+    if (!Files.exists(cur)) None
+    else {
+      val v = new String(Files.readAllBytes(cur), "UTF-8").trim.toInt
+      Some(readSnapshot(v))
+    }
+  }
+
+  def readSnapshot(version: Int): Snapshot =
+    parse(new String(Files.readAllBytes(snapDir.resolve(f"v$version%05d.json")), "UTF-8"))
+
+  /** Commit: previous snapshot's partitions + the newly completed ones. */
+  def commit(newParts: Seq[PartitionMeta]): Snapshot = {
+    val prev = current()
+    val version = prev.map(_.version + 1).getOrElse(1)
+    val merged = prev.map(_.partitions).getOrElse(Map.empty) ++
+      newParts.map(p => p.bucket -> p).toMap
+    val snap = Snapshot(version, prev.map(_.version).getOrElse(0),
+      System.currentTimeMillis(), merged)
+    val tmp = Files.createTempFile(snapDir, "tmp", ".json")
+    Files.write(tmp, render(snap).getBytes("UTF-8"))
+    Files.move(tmp, snapDir.resolve(f"v$version%05d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val curTmp = Files.createTempFile(snapDir, "cur", ".tmp")
+    Files.write(curTmp, version.toString.getBytes("UTF-8"))
+    Files.move(curTmp, snapDir.resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+
+  /** Buckets still missing from the latest snapshot. */
+  def pending(universe: Seq[Int]): Seq[Int] = {
+    val done = current().map(_.doneBuckets).getOrElse(Set.empty)
+    universe.filterNot(done)
+  }
+
+  /** Collect (rows from caller, bytes+files from disk) for a bucket. */
+  def partitionMeta(bucket: Int, rows: Long, lineage: String): PartitionMeta = {
+    val dir = Paths.get(dataPath(bucket))
+    val files =
+      if (Files.exists(dir))
+        Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      else Seq.empty[Path]
+    PartitionMeta(bucket, rows, files.map(Files.size).sum, lineage,
+      files.map(_.getFileName.toString).sorted)
+  }
+
+  // --- minimal JSON (flat, schema-known; no external deps) ---
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def render(s: Snapshot): String = {
+    val parts = s.partitions.toSeq.sortBy(_._1).map { case (_, p) =>
+      s"""{"bucket":${p.bucket},"rows":${p.rows},"bytes":${p.bytes},""" +
+        s""""lineage":${q(p.lineage)},"files":[${p.files.map(q).mkString(",")}]}"""
+    }.mkString(",")
+    s"""{"version":${s.version},"parent":${s.parent},"timestampMs":${s.timestampMs},""" +
+      s""""partitions":[$parts]}"""
+  }
+
+  private def parse(js: String): Snapshot = {
+    def intField(src: String, name: String): Long = {
+      val m = ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(src)
+      m.get.group(1).toLong
+    }
+    def strField(src: String, name: String): String = {
+      val m = ("\"" + name + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(src)
+      m.get.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    val partsBlock = js.substring(js.indexOf("\"partitions\":[") + 14, js.lastIndexOf("]"))
+    val partRe = "\\{[^{}]*\\}".r
+    val parts = partRe.findAllIn(partsBlock).map { pj =>
+      val filesBlock = pj.substring(pj.indexOf("\"files\":[") + 9, pj.lastIndexOf("]"))
+      val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(filesBlock)
+        .map(_.group(1)).toSeq
+      val pm = PartitionMeta(intField(pj, "bucket").toInt, intField(pj, "rows"),
+        intField(pj, "bytes"), strField(pj, "lineage"), files)
+      pm.bucket -> pm
+    }.toMap
+    Snapshot(intField(js, "version").toInt, intField(js, "parent").toInt,
+      intField(js, "timestampMs"), parts)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.table
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SnapshotSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("snapstore").toString
+
+  private def input = {
+    spark.range(1000).select(
+      col("id"),
+      pmod(col("id"), lit(8)).cast("int").as("bucket"),
+      (col("id") * 3).as("value"))
+  }
+
+  test("snapshot store: commit, read back, lineage + metrics") {
+    val store = new SnapshotStore(freshRoot())
+    assert(store.current().isEmpty)
+    val s1 = store.commit(Seq(PartitionMeta(0, 10, 100, "in@v1", Seq("a.parquet"))))
+    assert(s1.version === 1 && s1.doneBuckets === Set(0))
+    val s2 = store.commit(Seq(PartitionMeta(1, 20, 200, "in@v1", Seq("b.parquet"))))
+    assert(s2.version === 2 && s2.doneBuckets === Set(0, 1))
+    val re = store.readSnapshot(2)
+    assert(re.partitions(1).rows === 20)
+    assert(re.partitions(0).lineage === "in@v1")
+    assert(store.pending(0 until 4) === Seq(2, 3))
+  }
+
+  test("checkpointed writer: full run commits all buckets with row metrics") {
+    val store = new SnapshotStore(freshRoot())
+    val (snap, computed) = new CheckpointedWriter(store, "src@test").run(
+      input, numBuckets = 8, bucketsPerCommit = 3)
+    assert(computed === 8)
+    assert(snap.doneBuckets === (0 until 8).toSet)
+    assert(snap.partitions.values.map(_.rows).sum === 1000)
+    assert(snap.partitions.values.forall(_.bytes > 0))
+    val readBack = spark.read.parquet(s"${store.root}/data")
+    assert(readBack.count() === 1000)
+  }
+
+  test("kill mid-run resumes from snapshot, recomputing only missing buckets") {
+    val store = new SnapshotStore(freshRoot())
+    val w = new CheckpointedWriter(store, "src@test")
+    // killed after 1 commit (3 of 8 buckets done)
+    val (_, c1) = w.run(input, 8, 3, failAfterCommits = 1)
+    assert(c1 === 3)
+    assert(store.current().get.doneBuckets.size === 3)
+    // resume: only the 5 missing buckets are computed
+    val (snap, c2) = w.run(input, 8, 3)
+    assert(c2 === 5)
+    assert(snap.doneBuckets === (0 until 8).toSet)
+    // resumed table equals a one-shot run
+    val oneShotStore = new SnapshotStore(freshRoot())
+    new CheckpointedWriter(oneShotStore, "src@test").run(input, 8, 3)
+    val a = spark.read.parquet(s"${store.root}/data")
+      .select("id", "value").orderBy("id").collect().toSeq
+    val b = spark.read.parquet(s"${oneShotStore.root}/data")
+      .select("id", "value").orderBy("id").collect().toSeq
+    assert(a === b)
+    // version history: 1 commit from run A + 2 from resume
+    assert(store.current().get.version === 3)
+  }
+}
