@@ -8,7 +8,7 @@ import graft.geo.{BBox, Polygon}
 import graft.joins.{KnnJoin, SpatialJoins}
 import graft.ops.{Dedup, Events, Similarity, TextOps}
 import graft.pipeline.{Fixtures, Pages}
-import graft.tiles.{RasterSpec, TileOps}
+import graft.tiles.{RasterSpec, TileOps, TileOps2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
   *
@@ -192,6 +192,49 @@ object SparkEntry {
       TileOps.toPixels(conv, rasterSpec.tileSize)
     },
 
+    // --- align / morphology / stack / timeseries ---
+    "raster_align" -> { (s, _) =>
+      // source grid is offset from the reference by a non-tile-multiple
+      val srcSpec = RasterSpec(3.0, 61.0, 0.25, -0.25, 192, 192, 64, 1)
+      val src = TileOps.createRaster(s, srcSpec)((x, y, _) => ((x * 11 + y * 3) % 89).toDouble)
+      TileOps.tileStats(TileOps2.align(src, rasterSpec.copy(bands = 1)))
+        .filter(col("n_px") > 0)
+    },
+
+    "raster_erode" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.erode(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1), rasterSpec.tileSize)
+    },
+
+    "raster_open" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.open(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1), rasterSpec.tileSize)
+    },
+
+    "raster_stack" -> { (s, _) =>
+      val a = TileOps.createRaster(s, rasterSpec)(rasterValue)
+      val b = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
+        (x, y, _) => ((x * 11 + y * 3) % 89).toDouble)
+      TileOps.tileStats(TileOps2.stack(Seq(a, b)))
+    },
+
+    "raster_timeslope" -> { (s, _) =>
+      val spec4 = rasterSpec.copy(bands = 4)
+      val r = TileOps.createRaster(s, spec4)(
+        (x, y, b) => ((x * 5 + y * 3 + b * b * 7) % 53).toDouble)
+      TileOps.toPixels(TileOps2.timeSlope(r, 4), rasterSpec.tileSize)
+    },
+
+    "raster_reproject" -> { (s, _) =>
+      // 4326 → 3857 nearest inverse-mapping; rows-only driver check (trig
+      // differs across engines) — exactness covered by TileSpec ScalaTest
+      val src = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
+        (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
+      val dst = RasterSpec(0.0, 9000000.0, 30000.0, -30000.0, 240, 240, 60, 1, crs = 3857)
+      TileOps.tileStats(TileOps2.reproject(src, rasterSpec.copy(bands = 1), dst))
+        .filter(col("n_px") > 0)
+    },
+
     // --- text analysis (training-data pipeline ops) ---
     "text_stats" -> { (s, dir) => TextOps.textStats(documentsOf(s, dir)) },
     "text_quality" -> { (s, dir) => TextOps.qualityScore(documentsOf(s, dir)) },
@@ -335,6 +378,59 @@ object SparkEntry {
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY 1, 2, 3"""),
+
+    "raster_align" ->
+      """WITH refpx AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           0.0 + (x + 0.5) * 0.25 AS gx, 64.0 + (y + 0.5) * -0.25 AS gy
+         FROM range(256) r1(x), range(256) r2(y)),
+        sampled AS (SELECT x, y,
+           CAST(floor((gx - 3.0) / 0.25) AS INTEGER) AS sc,
+           CAST(floor((gy - 61.0) / -0.25) AS INTEGER) AS sr
+         FROM refpx),
+        vals AS (SELECT x, y, CAST((sc * 11 + sr * 3) % 89 AS DOUBLE) AS v
+         FROM sampled WHERE sc >= 0 AND sc < 192 AND sr >= 0 AND sr < 192)
+        SELECT CAST(x // 64 AS INTEGER) AS cell_x, CAST(y // 64 AS INTEGER) AS cell_y,
+          0 AS band, min(v) AS vmin, max(v) AS vmax,
+          CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS vsum, CAST(count(*) AS BIGINT) AS n_px
+        FROM vals GROUP BY 1, 2""",
+
+    "raster_erode" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band, min(b.v) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY 1, 2, 3"""),
+
+    "raster_open" -> (sqlPx +
+      """, ero AS (SELECT a.x, a.y, a.band, min(b.v) AS v
+          FROM px a JOIN px b
+            ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+            AND b.y BETWEEN a.y - 1 AND a.y + 1
+          GROUP BY 1, 2, 3)
+        SELECT a.x, a.y, a.band, max(b.v) AS v
+        FROM ero a JOIN ero b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY 1, 2, 3"""),
+
+    "raster_stack" -> (sqlPx +
+      """, px2 AS (SELECT x, y, band, v FROM px UNION ALL
+          SELECT CAST(x AS INTEGER), CAST(y AS INTEGER), 2 AS band,
+            CAST((x * 11 + y * 3) % 89 AS DOUBLE) AS v
+          FROM range(256) r1(x), range(256) r2(y))
+        SELECT CAST(x // 64 AS INTEGER) AS cell_x, CAST(y // 64 AS INTEGER) AS cell_y,
+          band, min(v) AS vmin, max(v) AS vmax,
+          CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS vsum, CAST(count(*) AS BIGINT) AS n_px
+        FROM px2 GROUP BY 1, 2, 3"""),
+
+    "raster_timeslope" ->
+      """WITH px4 AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST(b AS INTEGER) AS band,
+           CAST((x*5 + y*3 + b*b*7) % 53 AS DOUBLE) AS v
+         FROM range(256) r1(x), range(256) r2(y), range(4) r3(b)),
+        sums AS (SELECT x, y, sum(band * v) AS sty, sum(v) AS sy
+         FROM px4 GROUP BY x, y)
+        SELECT x, y, 0 AS band, (4.0 * sty - 6.0 * sy) / 20.0 AS v FROM sums""",
 
     "text_stats" -> (sqlToks +
       """ SELECT d.doc_id, length(d.text) AS n_chars,

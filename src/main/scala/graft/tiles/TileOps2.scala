@@ -1,0 +1,209 @@
+package graft.tiles
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.geo.{BBox, GeoTransform, Proj}
+
+/** Second tranche of tile algebra: align, reproject, morphology, band
+  * stack, per-pixel time-series regression.
+  */
+object TileOps2 {
+  import TileOps.tileEnc
+
+  /** Align: re-map every source tile onto the reference grid `ref`
+    * (same CRS), nearest-neighbor, producing tiles OF THE REFERENCE GRID.
+    * The reference semantics chain reproject→empty-on-ref-grid→warp
+    * (reference: buteo/raster/align.py:39-213, grid targets :137-145,
+    * empty dest :172-184). Spark shape: source tiles are exploded to the
+    * reference cells they overlap (pure pixel-offset math —
+    * bbox/operations.py:19-95), shuffled once on the target cell id, and
+    * assembled per reference tile. Align ≡ hash-partition by target cell
+    * (SURVEY.md §3.2).
+    */
+  def align(tiles: Dataset[Tile], ref: RasterSpec): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .flatMap { t =>
+        // reference cells overlapped by this tile's bbox
+        val tb = t.bbox
+        val rb = ref.bbox
+        if (!tb.intersects(rb)) Iterator.empty
+        else {
+          val gt = ref.geot
+          val (px0, py0) = gt.geoToPixel(tb.xMin, tb.yMax) // top-left
+          val (px1, py1) = gt.geoToPixel(tb.xMax, tb.yMin) // bottom-right
+          val cx0 = math.max(0, px0 / ref.tileSize)
+          val cx1 = math.min(ref.tilesX - 1, px1 / ref.tileSize)
+          val cy0 = math.max(0, py0 / ref.tileSize)
+          val cy1 = math.min(ref.tilesY - 1, py1 / ref.tileSize)
+          for {
+            cx <- (cx0 to cx1).iterator
+            cy <- (cy0 to cy1).iterator
+          } yield ((cx, cy, t.band), t)
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), Tile)]) =>
+        val (cx, cy, band) = key
+        val pieces = it.map(_._2).toArray
+        val w = ref.tileW(cx); val h = ref.tileH(cy)
+        val (ox, oy) = ref.tileOrigin(cx, cy)
+        val out = Array.fill(w * h)(ref.nodata)
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            // reference pixel center → source pixel (nearest)
+            val gx = ox + (c + 0.5) * ref.pxW
+            val gy = oy + (r + 0.5) * ref.pxH
+            var i = 0
+            var done = false
+            while (i < pieces.length && !done) {
+              val p = pieces(i)
+              val sc = math.floor((gx - p.originX) / p.pxW).toInt
+              val sr = math.floor((gy - p.originY) / p.pxH).toInt
+              if (sc >= 0 && sc < p.w && sr >= 0 && sr < p.h) {
+                out(r * w + c) = p.pixels(sr * p.w + sc)
+                done = true
+              }
+              i += 1
+            }
+            c += 1
+          }
+          r += 1
+        }
+        Tile(cx, cy, band, w, h, ox, oy, ref.pxW, ref.pxH, out, ref.nodata, ref.crs)
+      }
+  }
+
+  /** Reproject: inverse-mapping nearest resample onto a target grid in a
+    * different CRS — for each target pixel center, inverse-project to the
+    * source CRS and sample (reference: buteo/raster/reproject.py:61-210;
+    * `copy_if_same` short-circuit at :158-159 honored here).
+    * Requires the source raster spec to locate contributing tiles.
+    */
+  def reproject(tiles: Dataset[Tile], src: RasterSpec, dst: RasterSpec): Dataset[Tile] = {
+    if (src.crs == dst.crs) return align(tiles, dst) // no-op elision analog
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .flatMap { t =>
+        // project source tile bbox corners into dst CRS, find dst cells
+        val tb = t.bbox
+        val pb = Proj.reprojectBBox(tb, src.crs, dst.crs)
+        if (!pb.intersects(dst.bbox)) Iterator.empty
+        else {
+          val gt = dst.geot
+          val (px0, py0) = gt.geoToPixel(pb.xMin, pb.yMax)
+          val (px1, py1) = gt.geoToPixel(pb.xMax, pb.yMin)
+          val cx0 = math.max(0, px0 / dst.tileSize)
+          val cx1 = math.min(dst.tilesX - 1, px1 / dst.tileSize)
+          val cy0 = math.max(0, py0 / dst.tileSize)
+          val cy1 = math.min(dst.tilesY - 1, py1 / dst.tileSize)
+          for {
+            cx <- (cx0 to cx1).iterator
+            cy <- (cy0 to cy1).iterator
+          } yield ((cx, cy, t.band), t)
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), Tile)]) =>
+        val (cx, cy, band) = key
+        val pieces = it.map(_._2).toArray
+        val w = dst.tileW(cx); val h = dst.tileH(cy)
+        val (ox, oy) = dst.tileOrigin(cx, cy)
+        val out = Array.fill(w * h)(dst.nodata)
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            val gx = ox + (c + 0.5) * dst.pxW
+            val gy = oy + (r + 0.5) * dst.pxH
+            val (sx, sy) = Proj.reprojectPoint(gx, gy, dst.crs, src.crs)
+            var i = 0
+            var done = false
+            while (i < pieces.length && !done) {
+              val p = pieces(i)
+              val sc = math.floor((sx - p.originX) / p.pxW).toInt
+              val sr = math.floor((sy - p.originY) / p.pxH).toInt
+              if (sc >= 0 && sc < p.w && sr >= 0 && sr < p.h) {
+                out(r * w + c) = p.pixels(sr * p.w + sc)
+                done = true
+              }
+              i += 1
+            }
+            c += 1
+          }
+          r += 1
+        }
+        Tile(cx, cy, band, w, h, ox, oy, dst.pxW, dst.pxH, out, dst.nodata, dst.crs)
+      }
+  }
+
+  /** Morphology via the convolution primitive (reference:
+    * buteo/array/morphology.py:15-359 — erode=min, dilate=max,
+    * open/close = two passes).
+    */
+  def erode(tiles: Dataset[Tile], radius: Int): Dataset[Tile] =
+    TileOps.convolve(tiles, radius, "min")
+  def dilate(tiles: Dataset[Tile], radius: Int): Dataset[Tile] =
+    TileOps.convolve(tiles, radius, "max")
+  def open(tiles: Dataset[Tile], radius: Int): Dataset[Tile] =
+    dilate(erode(tiles, radius), radius)
+  def close(tiles: Dataset[Tile], radius: Int): Dataset[Tile] =
+    erode(dilate(tiles, radius), radius)
+
+  /** Band stack: concatenate aligned rasters along the band axis with
+    * band renumbering (reference: buteo/core_raster/core_raster_stack.py:24-90).
+    * Narrow op — a union plus a band-offset projection.
+    */
+  def stack(rasters: Seq[Dataset[Tile]]): Dataset[Tile] = {
+    require(rasters.nonEmpty)
+    val spark = rasters.head.sparkSession
+    import spark.implicits._
+    val withOffsets = rasters.zipWithIndex
+    // band counts must be known; compute offsets from max band + 1 per input
+    val counts = rasters.map(_.map(_.band).distinct().collect().max + 1)
+    val offsets = counts.scanLeft(0)(_ + _)
+    withOffsets.map { case (ds, i) =>
+      val off = offsets(i)
+      ds.map(t => t.copy(band = t.band + off))
+    }.reduce(_ union _)
+  }
+
+  /** Per-pixel least-squares slope along the band (time) axis —
+    * slope = (nΣty − ΣtΣy) / (nΣt² − (Σt)²), t = band index.
+    * Reference: buteo/array/timeseries.py:8-47. Narrow per cell: bands of
+    * one cell meet in one group (shuffle on cell id only).
+    */
+  def timeSlope(tiles: Dataset[Tile], nBands: Int): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val n = nBands.toDouble
+    val sumT = (0 until nBands).map(_.toDouble).sum
+    val sumT2 = (0 until nBands).map(t => t.toDouble * t).sum
+    val denom = n * sumT2 - sumT * sumT
+    tiles
+      .groupByKey(t => (t.cellX, t.cellY))
+      .mapGroups { (key: (Int, Int), it: Iterator[Tile]) =>
+        val bands = it.toArray.sortBy(_.band)
+        val t0 = bands.head
+        val out = new Array[Double](t0.pixels.length)
+        var i = 0
+        while (i < out.length) {
+          var sumTY = 0.0; var sumY = 0.0
+          var b = 0
+          while (b < bands.length) {
+            val v = bands(b).pixels(i)
+            sumTY += b * v; sumY += v
+            b += 1
+          }
+          out(i) = (n * sumTY - sumT * sumY) / denom
+          i += 1
+        }
+        t0.copy(band = 0, pixels = out)
+      }
+  }
+}
