@@ -263,6 +263,19 @@ object SparkEntry {
     "ann_cosine" -> { (s, dir) => Similarity.cosineTopK(embeddingsOf(s, dir), probeMaxId = 20, k = 5) },
     "ann_lsh" -> { (s, dir) => Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 8, k = 5) },
 
+    // --- overlap merge (tiled-prediction reassembly) ---
+    "patch_merge_wmedian" -> { (s, _) =>
+      // three overlapping prediction passes per pixel, weights 1..3
+      val preds = s.range(64L * 64L * 3L).select(
+        (col("id") % 64).cast("int").as("x"),
+        ((col("id") / 64) % 64).cast("int").as("y"),
+        (col("id") / (64 * 64)).cast("int").as("o"))
+        .select(col("x"), col("y"),
+          ((col("x") * 3 + col("y") * 5 + col("o") * col("o") * 11) % 31).cast("double").as("v"),
+          (col("o") + 1).cast("double").as("weight"))
+      graft.ops.Merging.mergeWeightedMedian(preds)
+    },
+
     // --- event streams ---
     "events_hourly" -> { (s, dir) => Events.hourlyWindows(eventsOf(s, dir)) },
     "events_sessionize" -> { (s, dir) => Events.sessionize(eventsOf(s, dir)) },
@@ -519,6 +532,23 @@ object SparkEntry {
     "dedup_simhash" -> (sqlToks + simhashOracleTail),
 
     "ann_topk" -> annTopKOracle,
+
+    "patch_merge_wmedian" ->
+      """WITH preds AS (SELECT CAST(x_t.id % 64 AS INTEGER) AS x,
+           CAST((x_t.id // 64) % 64 AS INTEGER) AS y,
+           CAST((x_t.id // 4096) AS INTEGER) AS o
+         FROM range(12288) x_t(id)),
+        pv AS (SELECT x, y,
+           CAST((x * 3 + y * 5 + o * o * 11) % 31 AS DOUBLE) AS v,
+           CAST(o + 1 AS DOUBLE) AS weight FROM preds),
+        cum AS (SELECT x, y, v, weight,
+           sum(weight) OVER (PARTITION BY x, y ORDER BY v, weight
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           sum(weight) OVER (PARTITION BY x, y) AS tw
+         FROM pv)
+        SELECT x, y, min(v) FILTER (WHERE cw * 2.0 >= tw) AS v_merged,
+          CAST(count(*) AS BIGINT) AS n_preds
+        FROM cum GROUP BY x, y""",
 
     "events_hourly" ->
       """SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS win,
