@@ -263,6 +263,42 @@ object SparkEntry {
     "ann_cosine" -> { (s, dir) => Similarity.cosineTopK(embeddingsOf(s, dir), probeMaxId = 20, k = 5) },
     "ann_lsh" -> { (s, dir) => Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 8, k = 5) },
 
+    // --- more convolution methods / rasterize / band ops ---
+    "raster_convolve_variance" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "variance"), rasterSpec.tileSize)
+    },
+    "raster_convolve_mode" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "mode"), rasterSpec.tileSize)
+    },
+    "raster_rasterize" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.rasterize(s, rasterSpec.copy(bands = 1), zonePolys),
+        rasterSpec.tileSize).filter(col("v") =!= lit(rasterSpec.nodata))
+    },
+    "raster_band_select" -> { (s, _) =>
+      TileOps.tileStats(TileOps.createRaster(s, rasterSpec)(rasterValue)
+        .filter((t: graft.tiles.Tile) => t.band == 1))
+    },
+
+    // --- scalers / ML prep ---
+    "scaler_minmax" -> { (s, dir) =>
+      graft.ops.Scalers.minMax(documentsOf(s, dir).select("doc_id", "n_chars"),
+        "n_chars", "scaled").select("doc_id", "scaled")
+    },
+    "scaler_standardize" -> { (s, dir) =>
+      graft.ops.Scalers.standardize(documentsOf(s, dir).select("doc_id", "n_chars"),
+        "n_chars", "z").select("doc_id", "z")
+    },
+    "encode_latlng" -> { (s, dir) =>
+      graft.ops.Scalers.encodeLatLng(Pages.pages(s, dir), "lat", "lon")
+        .select("doc_id", "lat_sin", "lat_cos", "lng_sin", "lng_cos")
+    },
+    "split_by_hash" -> { (s, dir) =>
+      graft.ops.Scalers.splitByHash(documentsOf(s, dir), "doc_id", 80, 10)
+        .groupBy("split").agg(count(lit(1)).as("n"))
+    },
+
     // --- overlap merge (tiled-prediction reassembly) ---
     "patch_merge_wmedian" -> { (s, _) =>
       // three overlapping prediction passes per pixel, weights 1..3
@@ -532,6 +568,53 @@ object SparkEntry {
     "dedup_simhash" -> (sqlToks + simhashOracleTail),
 
     "ann_topk" -> annTopKOracle,
+
+    "raster_convolve_variance" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band,
+          (sum(b.v * b.v) - sum(b.v) * sum(b.v) / count(*)) / count(*) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY 1, 2, 3"""),
+
+    "raster_convolve_mode" -> (sqlPx +
+      """, freq AS (SELECT a.x, a.y, a.band, b.v, count(*) AS cnt
+          FROM px a JOIN px b
+            ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+            AND b.y BETWEEN a.y - 1 AND a.y + 1
+          GROUP BY 1, 2, 3, 4),
+        ranked AS (SELECT x, y, band, v,
+          row_number() OVER (PARTITION BY x, y, band ORDER BY cnt DESC, v ASC) AS rn
+          FROM freq)
+        SELECT x, y, band, v FROM ranked WHERE rn = 1"""),
+
+    "raster_rasterize" -> (sqlPx.replace("range(2) r3(b)", "range(1) r3(b)") +
+      s""" SELECT x, y, band, CAST(min(zone) AS DOUBLE) AS v
+        FROM px JOIN $sqlZones
+          ON gx >= zx0 AND gx <= zx1 AND gy >= zy0 AND gy <= zy1
+        GROUP BY 1, 2, 3"""),
+
+    "raster_band_select" -> (sqlPx +
+      """ SELECT CAST(x // 64 AS INTEGER) AS cell_x, CAST(y // 64 AS INTEGER) AS cell_y,
+          band, min(v) AS vmin, max(v) AS vmax,
+          CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS vsum, CAST(count(*) AS BIGINT) AS n_px
+        FROM px WHERE band = 1 GROUP BY 1, 2, 3"""),
+
+    "scaler_minmax" ->
+      """WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+        SELECT doc_id,
+          (CAST(n_chars AS DOUBLE) - CAST(mn AS DOUBLE))
+            / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) AS scaled
+        FROM documents CROSS JOIN s""",
+
+    "scaler_standardize" ->
+      """WITH s AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS sv,
+           CAST(sum(n_chars * n_chars) AS DOUBLE) AS s2,
+           CAST(count(*) AS DOUBLE) AS n FROM documents)
+        SELECT doc_id,
+          (CAST(n_chars AS DOUBLE) - sv / n)
+            / sqrt((s2 - sv * sv / n) / n) AS z
+        FROM documents CROSS JOIN s""",
 
     "patch_merge_wmedian" ->
       """WITH preds AS (SELECT CAST(x_t.id % 64 AS INTEGER) AS x,

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Global feature scalers — two-pass: one aggregate job computes the
+  * statistics (integer sums where possible, so they are exact and
+  * order-independent), a broadcast join applies them per row
+  * (reference: buteo/ai/scalers.py:11-392).
+  */
+object Scalers {
+
+  /** Min-max scale an integer column to [0, 1]. */
+  def minMax(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val stats = df.agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(outCol,
+        (col(valueCol).cast("double") - col("__mn").cast("double")) /
+          (col("__mx").cast("double") - col("__mn").cast("double")))
+      .drop("__mn", "__mx")
+  }
+
+  /** Standardize an integer column: z = (v − μ) / σ with
+    * σ² = (Σv² − (Σv)²/n)/n computed from exact integer sums (population
+    * variance — matches the reference's np.std default).
+    */
+  def standardize(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.agg(
+      sum(v).cast("double").as("__s"),
+      sum(v * v).cast("double").as("__s2"),
+      count(lit(1)).cast("double").as("__n"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__mu", col("__s") / col("__n"))
+      .withColumn("__var", (col("__s2") - col("__s") * col("__s") / col("__n")) / col("__n"))
+      .withColumn(outCol, (v.cast("double") - col("__mu")) / sqrt(col("__var")))
+      .drop("__s", "__s2", "__n", "__mu", "__var")
+  }
+
+  /** Truncate + rescale: clamp to [lo, hi] then min-max over the clamp
+    * bounds (reference: buteo/ai/scalers.py truncate variant).
+    */
+  def truncate(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+               outCol: String): DataFrame =
+    df.withColumn(outCol,
+      (least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi)) - lit(lo)) /
+        lit(hi - lo))
+
+  /** Cyclical lat/lng encoding → (lat_sin, lat_cos, lng_sin, lng_cos)
+    * (reference: buteo/array/coordinate_encoding.py:10-225 — lat mapped
+    * over [-90,90] → [0,1] half-cycle, lng over [-180,180) full cycle).
+    */
+  def encodeLatLng(df: DataFrame, latCol: String, lonCol: String): DataFrame = {
+    val latNorm = (col(latCol) + lit(90.0)) / lit(180.0)
+    val lonNorm = (col(lonCol) + lit(180.0)) / lit(360.0)
+    df.withColumn("lat_sin", sin(latNorm * lit(math.Pi)))
+      .withColumn("lat_cos", cos(latNorm * lit(math.Pi)))
+      .withColumn("lng_sin", sin(lonNorm * lit(2 * math.Pi)))
+      .withColumn("lng_cos", cos(lonNorm * lit(2 * math.Pi)))
+  }
+
+  /** Deterministic stratified train/val/test split by hash of an id —
+    * reproducible (no RNG state), stratification implicit in the uniform
+    * hash (reference: buteo/ai/selection.py:11-240).
+    */
+  def splitByHash(df: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame = {
+    val bucket = pmod(xxhash64(col(idCol)), lit(100))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}

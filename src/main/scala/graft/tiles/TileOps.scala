@@ -242,17 +242,48 @@ object TileOps {
                   }
                   dy += 1
                 }
+                // s2 accumulated alongside s for the moment-based methods
+                var s2 = 0.0
+                var j = 0
+                while (j < n) { s2 += buf(j) * buf(j); j += 1 }
+                val center = pad((row + r) * pw + (colI + r))
                 out(row * ct.w + colI) = method match {
                   case _ if n == 0 => ct.nodata
                   case "sum" => s
                   case "mean" => s / n
                   case "max" => mx
                   case "min" => mn
+                  case "roughness" => mx - mn // reference: dem roughness
+                  case "variance" => (s2 - s * s / n) / n
+                  case "std" => math.sqrt((s2 - s * s / n) / n)
+                  case "zscore" => // center relative to hood (σ=0 → 0)
+                    if (center.isNaN || center == ct.nodata) ct.nodata
+                    else {
+                      val v = (s2 - s * s / n) / n
+                      if (v == 0.0) 0.0 else (center - s / n) / math.sqrt(v)
+                    }
+                  case "tpi" => // center minus mean of the other neighbors
+                    if (center.isNaN || center == ct.nodata) ct.nodata
+                    else if (n <= 1) 0.0
+                    else center - (s - center) / (n - 1)
                   case "median" =>
                     val sorted = java.util.Arrays.copyOf(buf, n)
                     java.util.Arrays.sort(sorted)
                     if (n % 2 == 1) sorted(n / 2)
                     else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+                  case "mode" => // most frequent; ties → smallest value
+                    val sorted = java.util.Arrays.copyOf(buf, n)
+                    java.util.Arrays.sort(sorted)
+                    var best = sorted(0); var bestCnt = 1
+                    var cur = sorted(0); var curCnt = 1
+                    var k = 1
+                    while (k < n) {
+                      if (sorted(k) == cur) curCnt += 1
+                      else { cur = sorted(k); curCnt = 1 }
+                      if (curCnt > bestCnt) { best = cur; bestCnt = curCnt }
+                      k += 1
+                    }
+                    best
                   case m => throw new IllegalArgumentException(s"unknown method: $m")
                 }
                 colI += 1

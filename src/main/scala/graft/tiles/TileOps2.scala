@@ -142,6 +142,43 @@ object TileOps2 {
       }
   }
 
+  /** Rasterize: burn polygon ids into a raster grid — pixel centers inside
+    * a polygon take the smallest matching burn value, others stay nodata
+    * (reference: buteo/vector/rasterize.py:31-217, burn at :200-215;
+    * center-in = ALL_TOUCHED off). Polygon set is broadcast via R-tree;
+    * the scan is a narrow pass over generated tiles.
+    */
+  def rasterize(spark: org.apache.spark.sql.SparkSession, spec: RasterSpec,
+                polys: Seq[(Long, graft.geo.Polygon)]): Dataset[Tile] = {
+    val polyArr = polys.toArray
+    val tree = graft.geo.RTree.build(polyArr.map(_._2.bbox))
+    val bc = spark.sparkContext.broadcast((polyArr, tree))
+    TileOps.createRaster(spark, spec) { (_, _, _) => 0.0 }
+      .map { t =>
+        val (ps, tr) = bc.value
+        val out = Array.fill(t.pixels.length)(t.nodata)
+        var r = 0
+        while (r < t.h) {
+          var c = 0
+          while (c < t.w) {
+            val (gx, gy) = t.pixelCenter(c, r)
+            val cand = tr.queryPoint(gx, gy)
+            var best = Long.MaxValue
+            var i = 0
+            while (i < cand.length) {
+              val (id, p) = ps(cand(i))
+              if (id < best && p.contains(gx, gy)) best = id
+              i += 1
+            }
+            if (best != Long.MaxValue) out(r * t.w + c) = best.toDouble
+            c += 1
+          }
+          r += 1
+        }
+        t.copy(pixels = out)
+      }
+  }
+
   /** Morphology via the convolution primitive (reference:
     * buteo/array/morphology.py:15-359 — erode=min, dilate=max,
     * open/close = two passes).
