@@ -72,6 +72,64 @@ object SparkEntry {
     s"sig AS (SELECT doc_id, $mins FROM dtoks GROUP BY doc_id)"
   }
 
+  /** Deterministic vector fixture: 200 rectangles on an integer lattice,
+    * WKT built by string concat (so the WKT parser is exercised on the
+    * Spark side while the oracle reproduces the arithmetic directly).
+    */
+  private def vectorFeatures(s: SparkSession): DataFrame = {
+    val f = s.range(200).select(
+      col("id").as("fid"),
+      concat(lit("c"), (col("id") % 5).cast("string")).as("klass"),
+      ((col("id") % 20) * 4).cast("int").as("x0"),
+      ((col("id") / 20).cast("long") * 5).cast("int").as("y0"),
+      (col("id") % 3 + 1).cast("int").as("w"),
+      (col("id") % 4 + 1).cast("int").as("h"))
+    f.withColumn("wkt", rectWkt(col("x0"), col("y0"), col("w"), col("h")))
+  }
+
+  private def vectorQueries(s: SparkSession): DataFrame = {
+    val q = s.range(10).select(
+      col("id").as("qid"),
+      (col("id") * 8).cast("int").as("x0"),
+      (col("id") * 4).cast("int").as("y0"),
+      lit(6).as("w"), lit(7).as("h"))
+    q.withColumn("wkt", rectWkt(col("x0"), col("y0"), col("w"), col("h")))
+  }
+
+  private def vectorMulti(s: SparkSession): DataFrame =
+    s.range(50).select(col("id").as("fid"),
+      when(col("id") % 2 === 0,
+        concat(lit("MULTIPOLYGON((("),
+          rectRing((col("id") % 20) * 4, col("id") * 2, lit(2), lit(2)), lit(")))")))
+        .otherwise(
+          concat(lit("MULTIPOLYGON((("),
+            rectRing((col("id") % 20) * 4, col("id") * 2, lit(2), lit(2)),
+            lit(")),(("),
+            rectRing((col("id") % 20) * 4 + 100, col("id") * 2, lit(3), lit(1)),
+            lit(")))"))).as("wkt"))
+
+  private def rectRing(x0: org.apache.spark.sql.Column, y0: org.apache.spark.sql.Column,
+                       w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) = {
+    val x1 = (x0 + w).cast("string"); val y1 = (y0 + h).cast("string")
+    val xs = x0.cast("string"); val ys = y0.cast("string")
+    concat(xs, lit(" "), ys, lit(", "), x1, lit(" "), ys, lit(", "),
+      x1, lit(" "), y1, lit(", "), xs, lit(" "), y1, lit(", "), xs, lit(" "), ys)
+  }
+
+  private def rectWkt(x0: org.apache.spark.sql.Column, y0: org.apache.spark.sql.Column,
+                      w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =
+    concat(lit("POLYGON(("), rectRing(x0, y0, w, h), lit("))"))
+
+  /** Shared oracle CTEs for the vector fixture. */
+  private val sqlFeats =
+    """feats AS (SELECT id AS fid, 'c' || CAST(id % 5 AS VARCHAR) AS klass,
+         CAST((id % 20) * 4 AS INTEGER) AS x0, CAST((id // 20) * 5 AS INTEGER) AS y0,
+         CAST(id % 3 + 1 AS INTEGER) AS w, CAST(id % 4 + 1 AS INTEGER) AS h
+       FROM range(200) t(id))"""
+  private val sqlQueries =
+    """qs AS (SELECT id AS qid, CAST(id * 8 AS INTEGER) AS x0,
+         CAST(id * 4 AS INTEGER) AS y0, 6 AS w, 7 AS h FROM range(10) t(id))"""
+
   private def documentsOf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddingsOf(s: SparkSession, dir: String): DataFrame =
@@ -262,6 +320,28 @@ object SparkEntry {
     "ann_topk" -> { (s, dir) => Similarity.annTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5) },
     "ann_cosine" -> { (s, dir) => Similarity.cosineTopK(embeddingsOf(s, dir), probeMaxId = 20, k = 5) },
     "ann_lsh" -> { (s, dir) => Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 8, k = 5) },
+
+    // --- vector layer (WKT geometry, attribute ops, vector-vector join) ---
+    "vector_wkt_info" -> { (s, _) =>
+      graft.ops.VectorOps.withGeomInfo(vectorFeatures(s), "wkt")
+        .select("fid", "klass", "area", "x_min", "x_max", "y_min", "y_max")
+    },
+    "vector_extract_attr" -> { (s, _) =>
+      graft.ops.VectorOps.extractByAttribute(vectorFeatures(s), "klass", Seq("c1", "c3"))
+        .select("fid", "klass")
+    },
+    "vector_dissolve" -> { (s, _) =>
+      graft.ops.VectorOps.dissolveByAttribute(vectorFeatures(s), "klass", "wkt")
+    },
+    "vector_join_intersect" -> { (s, _) =>
+      graft.ops.VectorOps.intersectJoin(vectorFeatures(s), vectorQueries(s), "wkt", "fid", "qid")
+        .groupBy(col("match_fid").as("qid"))
+        .agg(count(lit(1)).as("n_feats"), min("fid").as("min_fid"), max("fid").as("max_fid"))
+    },
+    "vector_multipart" -> { (s, _) =>
+      graft.ops.VectorOps.multipartToSingle(vectorMulti(s), "wkt", "fid")
+        .groupBy("fid").agg(count(lit(1)).as("n_parts"))
+    },
 
     // --- more convolution methods / rasterize / band ops ---
     "raster_convolve_variance" -> { (s, _) =>
@@ -568,6 +648,35 @@ object SparkEntry {
     "dedup_simhash" -> (sqlToks + simhashOracleTail),
 
     "ann_topk" -> annTopKOracle,
+
+    "vector_wkt_info" -> (s"WITH $sqlFeats" +
+      """ SELECT fid, klass, CAST(w * h AS DOUBLE) AS area,
+          CAST(x0 AS DOUBLE) AS x_min, CAST(x0 + w AS DOUBLE) AS x_max,
+          CAST(y0 AS DOUBLE) AS y_min, CAST(y0 + h AS DOUBLE) AS y_max
+        FROM feats"""),
+
+    "vector_extract_attr" -> (s"WITH $sqlFeats" +
+      " SELECT fid, klass FROM feats WHERE klass IN ('c1', 'c3')"),
+
+    "vector_dissolve" -> (s"WITH $sqlFeats" +
+      """ SELECT klass, CAST(count(*) AS BIGINT) AS n_features,
+          CAST(min(x0) AS DOUBLE) AS x_min, CAST(max(x0 + w) AS DOUBLE) AS x_max,
+          CAST(min(y0) AS DOUBLE) AS y_min, CAST(max(y0 + h) AS DOUBLE) AS y_max,
+          CAST(sum(w * h) AS DOUBLE) AS total_area
+        FROM feats GROUP BY klass"""),
+
+    "vector_join_intersect" -> (s"WITH $sqlFeats, $sqlQueries" +
+      """ SELECT q.qid, CAST(count(*) AS BIGINT) AS n_feats,
+          min(f.fid) AS min_fid, max(f.fid) AS max_fid
+        FROM feats f JOIN qs q
+          ON f.x0 <= q.x0 + q.w AND f.x0 + f.w >= q.x0
+          AND f.y0 <= q.y0 + q.h AND f.y0 + f.h >= q.y0
+        GROUP BY 1"""),
+
+    "vector_multipart" ->
+      """SELECT id AS fid,
+         CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_parts
+       FROM range(50) t(id)""",
 
     "raster_convolve_variance" -> (sqlPx +
       """ SELECT a.x, a.y, a.band,
