@@ -361,6 +361,20 @@ object SparkEntry {
         .filter((t: graft.tiles.Tile) => t.band == 1))
     },
 
+    "raster_distance" -> { (s, _) =>
+      // Chebyshev distance (bound 3) to pixels with value 0
+      val r = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
+        (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
+      TileOps.toPixels(graft.tiles.TileOps3.distanceTransform(r, 0.0, 3), rasterSpec.tileSize)
+    },
+
+    "raster_fill" -> { (s, _) =>
+      // nodata holes where v%97==0, one inverse-distance fill pass
+      val r = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
+        (x, y, _) => { val v = (x * 7 + y * 13) % 97; if (v == 0) -9999.0 else v.toDouble })
+      TileOps.toPixels(graft.tiles.TileOps3.fillNearest(r, 1), rasterSpec.tileSize)
+    },
+
     // --- scalers / ML prep ---
     "scaler_minmax" -> { (s, dir) =>
       graft.ops.Scalers.minMax(documentsOf(s, dir).select("doc_id", "n_chars"),
@@ -390,6 +404,13 @@ object SparkEntry {
           ((col("x") * 3 + col("y") * 5 + col("o") * col("o") * 11) % 31).cast("double").as("v"),
           (col("o") + 1).cast("double").as("weight"))
       graft.ops.Merging.mergeWeightedMedian(preds)
+    },
+
+    // --- multimodal binary columns (stubbed decode, real plumbing) ---
+    "mm_features" -> { (s, dir) =>
+      val pages = Pages.pages(s, dir).select("doc_id", "html")
+      graft.ops.Multimodal.extractFeatures(pages, "doc_id", "html")
+        .select("doc_id", "byte_len", "head_sum")
     },
 
     // --- event streams ---
@@ -709,6 +730,31 @@ object SparkEntry {
           CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS vsum, CAST(count(*) AS BIGINT) AS n_px
         FROM px WHERE band = 1 GROUP BY 1, 2, 3"""),
 
+    "raster_distance" ->
+      """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           0 AS band, CAST((x*7 + y*13) % 97 AS DOUBLE) AS v
+         FROM range(256) r1(x), range(256) r2(y))
+        SELECT a.x, a.y, a.band,
+          CAST(COALESCE(min(CASE WHEN b.v = 0
+            THEN GREATEST(ABS(b.x - a.x), ABS(b.y - a.y)) END), 4) AS DOUBLE) AS v
+        FROM px a LEFT JOIN px b
+          ON b.x BETWEEN a.x - 3 AND a.x + 3 AND b.y BETWEEN a.y - 3 AND a.y + 3
+        GROUP BY 1, 2, 3""",
+
+    "raster_fill" ->
+      """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           0 AS band,
+           CASE WHEN (x*7 + y*13) % 97 = 0 THEN -9999.0
+                ELSE CAST((x*7 + y*13) % 97 AS DOUBLE) END AS v
+         FROM range(256) r1(x), range(256) r2(y))
+        SELECT a.x, a.y, a.band,
+          CASE WHEN a.v <> -9999.0 THEN a.v
+               ELSE COALESCE(sum(b.v) FILTER (WHERE b.v <> -9999.0)
+                 / count(*) FILTER (WHERE b.v <> -9999.0), -9999.0) END AS v
+        FROM px a LEFT JOIN px b
+          ON b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY a.x, a.y, a.band, a.v""",
+
     "scaler_minmax" ->
       """WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
         SELECT doc_id,
@@ -741,6 +787,11 @@ object SparkEntry {
         SELECT x, y, min(v) FILTER (WHERE cw * 2.0 >= tw) AS v_merged,
           CAST(count(*) AS BIGINT) AS n_preds
         FROM cum GROUP BY x, y""",
+
+    "mm_features" -> Pages.sqlWith(
+      " SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, CAST(" +
+        (1 to 16).map(i => s"COALESCE(ascii(substr(text, $i, 1)), 0)").mkString(" + ") +
+        " AS BIGINT) AS head_sum FROM pages"),
 
     "events_hourly" ->
       """SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS win,

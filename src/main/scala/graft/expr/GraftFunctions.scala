@@ -21,6 +21,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("reproject_point", es => ReprojectPointExpr(es), "scala_udf")
     reg.createOrReplaceTempFunction("align_bbox", es => AlignBBoxExpr(es), "scala_udf")
     reg.createOrReplaceTempFunction("pixel_offsets", es => PixelOffsetsExpr(es), "scala_udf")
+    reg.createOrReplaceTempFunction("st_contains_point",
+      es => graft.plans.StContainsPoint(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("cover_cells",
+      es => graft.plans.CoverCellsExpr(es(0), es(1)), "scala_udf")
   }
 
   /** align_bbox(refXMin, refYMax, tXMin, tXMax, tYMin, tYMax, pw, ph) →

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: images/audio/video ride along as opaque `binary`
+  * columns with typed metadata. The decode step is STUBBED (no imaging
+  * libraries in this container) with a deterministic byte-level feature
+  * extractor; everything Spark-side — schema, batched partition
+  * processing, feature shapes — is real and tested. Swap `decodeStub`
+  * for a JNI/libray decoder and nothing else changes.
+  */
+object Multimodal {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("head_sum", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** STUB decoder: deterministic features straight from the bytes —
+    * length, sum of the first 16 bytes, and an 8-dim "embedding" of
+    * byte-bucket frequencies. A real decoder (image resize / audio
+    * frame-sample) drops in here with the same batch shape.
+    */
+  def decodeStub(id: Long, bytes: Array[Byte]): Row = {
+    var headSum = 0L
+    var i = 0
+    while (i < math.min(16, bytes.length)) { headSum += bytes(i) & 0xff; i += 1 }
+    val hist = new Array[Float](8)
+    i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) / 32) += 1.0f; i += 1 }
+    Row(id, bytes.length.toLong, headSum, hist.toSeq)
+  }
+
+  /** Batched feature extraction over a binary column — one partition at a
+    * time (the JVM analog of mapInPandas batches: the decoder sees an
+    * iterator of records, can amortize model/codec init per partition).
+    */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long"), col(binCol)).rdd.mapPartitions { it =>
+      // per-partition decoder init would go here (codec/model handle)
+      it.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.GraftFunctions
+
+class SpatialJoinRuleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fixtures(): Unit = {
+    GraftFunctions.register(spark)
+    spark.range(2000).selectExpr(
+      "id",
+      "(cast(id * 1103515245 % 360000000 as double) / 1000000.0) - 180.0 AS lon",
+      "(cast(id * 2654435761 % 170000000 as double) / 1000000.0) - 85.0 AS lat")
+      .createOrReplaceTempView("points")
+    spark.createDataFrame(Seq(
+      (1L, "POLYGON((0 0, 60 0, 60 40, 0 40, 0 0))"),
+      (2L, "POLYGON((-120 -50, -20 -50, -20 30, -120 30, -120 -50))"),
+      (3L, "POLYGON((100 10, 170 10, 170 80, 100 80, 100 10))")))
+      .toDF("poly_id", "wkt")
+      .createOrReplaceTempView("polys")
+  }
+
+  test("st_contains_point join is rewritten to a cover-cell equi-join") {
+    fixtures()
+    val q = spark.sql(
+      """SELECT poly_id, count(*) AS n FROM points p JOIN polys g
+         ON st_contains_point(g.wkt, p.lon, p.lat) GROUP BY poly_id""")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"),
+      s"spatial join not rewritten:\n$physical")
+    // correctness: equals a straight-Scala evaluation of the same predicate
+    val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = spark.sql("SELECT * FROM points").collect().flatMap { r =>
+      val lon = r.getDouble(1); val lat = r.getDouble(2)
+      Seq(
+        (1L, lon >= 0 && lon <= 60 && lat >= 0 && lat <= 40),
+        (2L, lon >= -120 && lon <= -20 && lat >= -50 && lat <= 30),
+        (3L, lon >= 100 && lon <= 170 && lat >= 10 && lat <= 80)
+      ).filter(_._2).map(_._1)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got === expect)
+    assert(got.values.sum > 100, "fixture should produce joins")
+  }
+
+  test("flipped operand order also rewrites") {
+    fixtures()
+    val q = spark.sql(
+      """SELECT poly_id, count(*) AS n FROM polys g JOIN points p
+         ON st_contains_point(g.wkt, p.lon, p.lat) GROUP BY poly_id""")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"))
+    assert(q.collect().map(_.getLong(1)).sum > 100)
+  }
+}
