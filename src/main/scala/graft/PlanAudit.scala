@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the physical plans of the performance-critical queries so plan
+  * regressions (lost pushdown, surprise nested-loop joins, broken codegen
+  * spans) are visible. Run: sbt "runMain graft.PlanAudit".
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val interesting = Seq("geo_pip", "geo_cell_counts", "geo_knn", "dedup_lsh_pairs",
+      "ann_topk", "raster_convolve_sum", "events_sessionize")
+    interesting.foreach { name =>
+      println(s"\n========== $name ==========")
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.explain("formatted")
+    }
+    // the tiling pipeline plan
+    println("\n========== tiling pipeline (pages->geocode->h3) ==========")
+    graft.pipeline.Pipeline.tilePages(
+      graft.pipeline.Pipeline.synthPages(spark, 1000, 4), 7).explain("formatted")
+    spark.stop()
+  }
+}

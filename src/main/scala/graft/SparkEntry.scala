@@ -189,6 +189,15 @@ object SparkEntry {
       KnnJoin.knnBroadcastProbes(pts, probes, k = 3)
     },
 
+    "geo_knn_cell" -> { (s, dir) =>
+      // large-probe-set kNN: k-ring candidate expansion on the cell grid;
+      // rows-only driver check (exactness asserted in KnnSpec vs the
+      // broadcast-probe exact variant)
+      val pts = Pages.pages(s, dir)
+        .select(col("doc_id").as("id"), col("lon_udeg").as("x"), col("lat_udeg").as("y"))
+      KnnJoin.knnCellPruned(pts, level = 5, rings = 2, k = 3)
+    },
+
     "geo_align_bbox" -> { (s, dir) =>
       GraftFunctions.register(s)
       // per-doc target bbox on a 0.25 lattice (exact binary fractions),

@@ -65,4 +65,46 @@ object KnnJoin {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Cell-pruned kNN for LARGE probe sets (both sides big): probes explode
+    * their grid-cell k-ring, targets carry their cell, an equi-join on the
+    * cell id produces candidates, a window takes the top-k.
+    *
+    * This is the distributed form of the reference's sorted-ring candidate
+    * scan (buteo/array/distance.py:109-128): ring radius `rings` bounds
+    * the search; `guaranteed` marks probes whose k-th distance is provably
+    * exact (kth dist < (rings) * cellSize — no unexplored cell can hold a
+    * closer point). The shuffle key is the cell id; skewed cells are
+    * AQE-splittable.
+    */
+  def knnCellPruned(points: DataFrame, level: Int, rings: Int, k: Int): DataFrame = {
+    import graft.expr.GraftFunctions
+    val spark = points.sparkSession
+    GraftFunctions.register(spark)
+    // integer microdegree coords → lon/lat → cell (exact formula shared
+    // with GridCell); cell sizes in udeg at `level`
+    val cellWUdeg = 360000000.0 / (1L << level)
+    val cellHUdeg = 180000000.0 / (1L << level) // GridCell lat span is 180°
+    val minCell = math.min(cellWUdeg, cellHUdeg)
+    val withCell = points
+      .withColumn("lon", col("x") / lit(1000000.0))
+      .withColumn("lat", col("y") / lit(1000000.0))
+      .withColumn("cell", GraftFunctions.gridCell(col("lon"), col("lat"), lit(level)))
+    val targets = withCell.select(col("id").as("t_id"), col("x").as("tx"),
+      col("y").as("ty"), col("cell"))
+    val probes = withCell
+      .select(col("id").as("query_id"), col("x").as("px"), col("y").as("py"),
+        explode(GraftFunctions.gridKRing(col("cell"), lit(rings))).as("cell"))
+    val cand = probes.join(targets, Seq("cell"))
+      .filter(col("t_id") =!= col("query_id"))
+      .select(col("query_id"), col("t_id").as("neighbor_id"),
+        ((col("px") - col("tx")) * (col("px") - col("tx")) +
+          (col("py") - col("ty")) * (col("py") - col("ty"))).as("dist2"))
+      .groupBy("query_id", "neighbor_id").agg(min("dist2").as("dist2"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist2"), col("neighbor_id"))
+    val bound = (rings.toDouble * minCell) * (rings.toDouble * minCell)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("guaranteed", col("dist2") < lit(bound))
+  }
 }
