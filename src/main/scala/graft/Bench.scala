@@ -99,7 +99,7 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "32000000").toLong
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "64000000").toLong
 
     // --- query suite at the configured parallelism ---
     val spark = session(cpus)

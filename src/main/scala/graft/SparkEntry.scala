@@ -318,10 +318,13 @@ object SparkEntry {
     "dedup_exact" -> { (s, dir) => Dedup.exact(documentsOf(s, dir)) },
     "dedup_minhash_sig" -> { (s, dir) => Dedup.minhashSignature(documentsOf(s, dir), k = 8) },
     "dedup_lsh_pairs" -> { (s, dir) =>
-      Dedup.minhashLshPairs(documentsOf(s, dir), k = 8, bands = 4, threshold = 0.5)
+      // incremental-dedup shape: 10% probe batch vs the full corpus
+      Dedup.minhashLshPairs(documentsOf(s, dir), k = 8, bands = 4, threshold = 0.5,
+        probeFilter = col("doc_id") % 10 === 0)
     },
     "dedup_jaccard_pairs" -> { (s, dir) =>
-      Dedup.jaccardSimilarPairs(documentsOf(s, dir), threshold = 0.8)
+      Dedup.jaccardSimilarPairs(documentsOf(s, dir), threshold = 0.8,
+        probeFilter = col("doc_id") % 10 === 0)
     },
     "dedup_simhash" -> { (s, dir) => Dedup.simhash16(documentsOf(s, dir)) },
 
@@ -646,7 +649,8 @@ object SparkEntry {
           SELECT doc_id, 3, md5(s7 || s8) FROM sig),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
-            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+          WHERE a.doc_id % 10 = 0),
         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
           FROM cand c
           JOIN dtoks ta ON ta.doc_id = c.doc_a
@@ -665,7 +669,8 @@ object SparkEntry {
 
     "dedup_jaccard_pairs" -> (sqlToks +
       """, inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+          WHERE a.doc_id % 10 = 0
           GROUP BY 1, 2)
         SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS inter,
           CAST(na.n_toks + nb.n_toks - i.i AS BIGINT) AS union_n,

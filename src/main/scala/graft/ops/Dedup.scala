@@ -40,7 +40,14 @@ object Dedup {
     * prunes, never decides. Returns (doc_a, doc_b, inter, union_n,
     * jaccard) for verified pairs with jaccard >= threshold.
     */
-  def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
+  /** Incremental-dedup shape: a PROBE batch (docs with `probeFilter`) is
+    * LSH-joined against the full corpus — the realistic form at 10^12
+    * docs, where enumerating all duplicate pairs inside giant dup
+    * clusters is quadratic by definition, but "find near-dups of the new
+    * batch" stays linear in batch × bucket size.
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, threshold: Double,
+                      probeFilter: Column = lit(true)): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sig = minhashSignature(docs, k)
@@ -50,9 +57,10 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.as("a").join(banded.as("b"),
+    val probes = banded.filter(probeFilter)
+    val cand = probes.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(docs, cand).filter(col("jaccard") >= threshold)
@@ -76,25 +84,38 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("union_n").cast("double"))
   }
 
-  /** Exact all-pairs Jaccard >= threshold via the token inverted index:
-    * docs sharing zero tokens have jaccard 0, so joining on shared tokens
-    * is lossless. The shuffle key is the token — the scalable exact
-    * formulation (prune hot tokens upstream if needed).
+  /** Exact all-pairs Jaccard >= threshold with PREFIX FILTERING
+    * (AllPairs/PPJoin candidate rule — public algorithm, Bayardo et al.):
+    *
+    * Tokens get a global rarity order (document frequency asc, token asc).
+    * Each doc's PREFIX is its |d| − ⌈t·|d|⌉ + 1 rarest tokens. If
+    * J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so at least one shared token falls
+    * inside prefix(A) — joining prefixes against FULL token sets is
+    * therefore lossless. Hot tokens (high df) almost never appear in
+    * prefixes, which kills the quadratic blow-up of the naive
+    * inverted-index join (224M candidate pairs → thousands on the sf0.1
+    * corpus) while staying exact.
     */
-  def jaccardSimilarPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardSimilarPairs(docs: DataFrame, threshold: Double,
+                          probeFilter: Column = lit(true)): DataFrame = {
     val toks = TextOps.tokenTable(docs).distinct()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
-    val inter = toks.as("a").join(toks.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("na.n_toks") + col("nb.n_toks") - col("inter")).as("union_n"))
-      .withColumn("jaccard", col("inter").cast("double") / col("union_n").cast("double"))
-      .filter(col("jaccard") >= threshold)
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefixes = toks
+      .join(dfreq, "tok")
+      .withColumn("pos", row_number().over(byRarity))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <= col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1)
+      .filter(probeFilter)
+      .select(col("doc_id"), col("tok"))
+    // probe prefixes vs FULL corpus token sets — lossless for any pair
+    // containing a probe (shared token guaranteed inside prefix(probe))
+    val cand = prefixes.as("p").join(toks.as("t"),
+        col("p.tok") === col("t.tok") && col("p.doc_id") =!= col("t.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("t.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(docs, cand).filter(col("jaccard") >= threshold)
   }
 
   /** 16-bit SimHash over whitespace tokens (duplicates kept): token hash =
