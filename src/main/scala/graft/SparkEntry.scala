@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
 import graft.joins.{KnnJoin, SpatialJoins}
-import graft.ops.{Dedup, Events, Similarity, TextOps}
+import graft.ops.{Dedup, Events, Relational, Similarity, TextOps}
 import graft.pipeline.{Fixtures, Pages}
 import graft.tiles.{RasterSpec, TileOps, TileOps2}
 
@@ -332,6 +332,68 @@ object SparkEntry {
     "ann_topk" -> { (s, dir) => Similarity.annTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5) },
     "ann_cosine" -> { (s, dir) => Similarity.cosineTopK(embeddingsOf(s, dir), probeMaxId = 20, k = 5) },
     "ann_lsh" -> { (s, dir) => Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 8, k = 5) },
+
+    // --- resampling variants / robust slope / DEM / more hood methods ---
+    "raster_resample_avg" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.resampleAverage(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 4), rasterSpec.tileSize / 4)
+    },
+    "raster_resample_bilinear" -> { (s, _) =>
+      val spec = rasterSpec.copy(width = 128, height = 128, bands = 1, tileSize = 32)
+      TileOps.toPixels(TileOps2.resampleBilinear(
+        TileOps.createRaster(s, spec)(rasterValue), 2), spec.tileSize * 2)
+    },
+    "raster_theilsen" -> { (s, _) =>
+      val spec4 = rasterSpec.copy(bands = 4)
+      val r = TileOps.createRaster(s, spec4)(
+        (x, y, b) => ((x * 5 + y * 3 + b * b * 7) % 53).toDouble)
+      TileOps.toPixels(TileOps2.theilSenSlope(r, 4), rasterSpec.tileSize)
+    },
+    "raster_dem_gradients" -> { (s, _) =>
+      val spec = rasterSpec.copy(bands = 1)
+      val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      TileOps.toPixels(TileOps2.hornGradients(dem), rasterSpec.tileSize)
+    },
+    "raster_convolve_quantile" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "quantile25"), rasterSpec.tileSize)
+    },
+    "raster_convolve_occurrences" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "occurrences"), rasterSpec.tileSize)
+    },
+
+    // --- salted aggregation (hot-cell skew handling, north rule) ---
+    "geo_cell_counts_salted" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val p = Pages.pages(s, dir)
+      val c12 = GraftFunctions.gridCell(col("lon"), col("lat"), lit(Pages.FineLevel))
+      val salted = p.select(
+          (GraftFunctions.gridX(c12) * 4096 + GraftFunctions.gridY(c12)).as("cell_key"),
+          pmod(col("doc_id"), lit(8)).as("salt"))
+        .groupBy("cell_key", "salt").agg(count(lit(1)).as("pn"))
+      salted.groupBy("cell_key").agg(sum("pn").as("n_pages"))
+    },
+
+    // --- relational analytics (TPC-H-style) ---
+    "tpch_q1" -> { (s, dir) =>
+      Relational.pricingSummary(s.read.parquet(s"$dir/lineitem.parquet"))
+    },
+    "tpch_q3" -> { (s, dir) =>
+      Relational.topOrdersByRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"))
+    },
+    "tpch_q5" -> { (s, dir) =>
+      Relational.revenuePerNation(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"))
+    },
 
     // --- vector layer (WKT geometry, attribute ops, vector-vector join) ---
     "vector_wkt_info" -> { (s, _) =>
@@ -684,6 +746,91 @@ object SparkEntry {
 
     "ann_topk" -> annTopKOracle,
 
+    "raster_resample_avg" -> (sqlPx +
+      """ SELECT CAST(x // 4 AS INTEGER) AS x, CAST(y // 4 AS INTEGER) AS y, band,
+          sum(v) / 16.0 AS v
+        FROM px GROUP BY 1, 2, 3"""),
+
+    "raster_resample_bilinear" ->
+      ("""WITH tgt AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           (x + 0.5) / 2 - 0.5 AS sx, (y + 0.5) / 2 - 0.5 AS sy
+         FROM range(256) r1(x), range(256) r2(y)),
+        c AS (SELECT x, y, sx, sy,
+           CAST(floor(sx) AS INTEGER) AS x0, CAST(floor(sy) AS INTEGER) AS y0,
+           sx - floor(sx) AS fx, sy - floor(sy) AS fy
+         FROM tgt)
+        SELECT x, y, 0 AS band,""" +
+        bilerpSql("x0", "y0", "fx", "fy") + " AS v FROM c"),
+
+    "raster_theilsen" ->
+      """WITH px4 AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST(b AS INTEGER) AS band,
+           CAST((x*5 + y*3 + b*b*7) % 53 AS DOUBLE) AS v
+         FROM range(256) r1(x), range(256) r2(y), range(4) r3(b)),
+        piv AS (SELECT x, y,
+           max(CASE WHEN band = 0 THEN v END) AS v0,
+           max(CASE WHEN band = 1 THEN v END) AS v1,
+           max(CASE WHEN band = 2 THEN v END) AS v2,
+           max(CASE WHEN band = 3 THEN v END) AS v3
+         FROM px4 GROUP BY x, y),
+        sl AS (SELECT x, y, unnest([(v1 - v0) / 1.0, (v2 - v0) / 2.0, (v3 - v0) / 3.0,
+           (v2 - v1) / 1.0, (v3 - v1) / 2.0, (v3 - v2) / 1.0]) AS s
+         FROM piv)
+        SELECT x, y, 0 AS band, median(s) AS v FROM sl GROUP BY x, y""",
+
+    "raster_dem_gradients" -> demGradOracle,
+
+    "raster_convolve_quantile" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band, quantile_cont(b.v, 0.25) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY 1, 2, 3"""),
+
+    "raster_convolve_occurrences" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band,
+          CAST(count(*) FILTER (WHERE b.v = a.v) AS DOUBLE) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY a.x, a.y, a.band, a.v"""),
+
+    "geo_cell_counts_salted" -> Pages.sqlWith(
+      s"""SELECT ${Pages.sqlCellX(Pages.FineLevel)} * 4096 + ${Pages.sqlCellY(Pages.FineLevel)} AS cell_key,
+          CAST(count(*) AS BIGINT) AS n_pages
+        FROM pages GROUP BY 1"""),
+
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS BIGINT) AS sum_qty_q,
+         CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS BIGINT) AS sum_base_q,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_disc_q,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_charge_q,
+         CAST(count(*) AS BIGINT) AS n
+       FROM lineitem WHERE l_quantity < 30
+       GROUP BY 1, 2""",
+
+    "tpch_q3" ->
+      """WITH rev AS (SELECT l_orderkey,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_q
+         FROM lineitem GROUP BY 1)
+        SELECT rev.l_orderkey AS orderkey, rev.revenue_q, c.c_mktsegment, o.o_orderpriority
+        FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY rev.revenue_q DESC, orderkey LIMIT 10""",
+
+    "tpch_q5" ->
+      """SELECT r.r_name, n.n_name,
+         CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_q,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY 1, 2""",
+
     "vector_wkt_info" -> (s"WITH $sqlFeats" +
       """ SELECT fid, klass, CAST(w * h AS DOUBLE) AS area,
           CAST(x0 AS DOUBLE) AS x_min, CAST(x0 + w AS DOUBLE) AS x_max,
@@ -833,6 +980,38 @@ object SparkEntry {
          max(CAST(substr(props, 7, length(props) - 7) AS INTEGER)) AS k_max
        FROM events GROUP BY 1"""
   )
+
+  /** Bilinear sample in DuckDB mirroring TileOps2.resampleBilinear ops
+    * exactly: clamped source lookup of v(x,y) = (x*7 + y*13) % 97 on the
+    * 128×128 source.
+    */
+  private def bilerpSql(x0: String, y0: String, fx: String, fy: String): String = {
+    def vv(xs: String, ys: String) =
+      s"CAST((LEAST(GREATEST($xs, 0), 127) * 7 + LEAST(GREATEST($ys, 0), 127) * 13) % 97 AS DOUBLE)"
+    val top = s"(${vv(x0, y0)} * (1.0 - $fx) + ${vv(s"$x0 + 1", y0)} * $fx)"
+    val bot = s"(${vv(x0, s"$y0 + 1")} * (1.0 - $fx) + ${vv(s"$x0 + 1", s"$y0 + 1")} * $fx)"
+    s"($top * (1.0 - $fy) + $bot * $fy)"
+  }
+
+  /** Horn-gradient oracle: 8 clamped-neighbor terms over the synthetic
+    * DEM z(x,y) = (x*3 + y*5) % 41, px 0.25 — band 0 = dz/dx, band 1 = dz/dy.
+    */
+  private def demGradOracle: String = {
+    def z(dx: Int, dy: Int): String =
+      s"""(CASE WHEN x + ($dx) BETWEEN 0 AND 255 AND y + ($dy) BETWEEN 0 AND 255
+         THEN CAST(((x + ($dx)) * 3 + (y + ($dy)) * 5) % 41 AS DOUBLE)
+         ELSE CAST((x * 3 + y * 5) % 41 AS DOUBLE) END)"""
+    val (a, b, c) = (z(-1, -1), z(0, -1), z(1, -1))
+    val (d, f) = (z(-1, 0), z(1, 0))
+    val (g, h, i) = (z(-1, 1), z(0, 1), z(1, 1))
+    s"""WITH base AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
+        FROM range(256) r1(x), range(256) r2(y))
+      SELECT x, y, 0 AS band,
+        (($c + 2.0 * $f + $i) - ($a + 2.0 * $d + $g)) / (8.0 * 0.25) AS v FROM base
+      UNION ALL
+      SELECT x, y, 1 AS band,
+        (($g + 2.0 * $h + $i) - ($a + 2.0 * $b + $c)) / (8.0 * 0.25) AS v FROM base"""
+  }
 
   /** Generated DuckDB tail for the 16-bit simhash oracle (hex-digit value
     * via strpos; bit b via integer division parity; majority vote sign).

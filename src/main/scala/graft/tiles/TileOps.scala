@@ -178,29 +178,32 @@ object TileOps {
     * `method`: sum | mean | max | min | median (subset of the reference's
     * 19; the dispatch structure admits the rest).
     */
-  def convolve(tiles: Dataset[Tile], radius: Int, method: String,
-               weight: (Int, Int) => Double = (_, _) => 1.0): Dataset[Tile] = {
+  implicit val padEnc: org.apache.spark.sql.Encoder[(Tile, Array[Double], Int, Int)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+  /** Halo exchange: each tile is shipped to itself + its 8 neighbors;
+    * every surviving center tile is returned with its (w+2r)×(h+2r)
+    * padded plane (NaN = outside raster). The shared stencil primitive
+    * behind convolve / bilinear / DEM gradients.
+    */
+  def convolvePad(tiles: Dataset[Tile], radius: Int): Dataset[(Tile, Array[Double], Int, Int)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val r = radius
     tiles
       .flatMap { t =>
-        // ship tile to all 9 stencil destinations
         for (dx <- -1 to 1; dy <- -1 to 1)
           yield ((t.cellX + dx, t.cellY + dy, t.band), t)
       }
       .groupByKey(_._1)
       .flatMapGroups { (key: (Int, Int, Int), it: Iterator[((Int, Int, Int), Tile)]) =>
-        val (cx, cy, band) = key
-        val _ = band
+        val (cx, cy, _) = key
         val pieces = it.map(_._2).toArray
-        val center = pieces.find(t => t.cellX == cx && t.cellY == cy)
-        center match {
+        pieces.find(t => t.cellX == cx && t.cellY == cy) match {
           case None => Iterator.empty // halo destination with no center tile
           case Some(ct) =>
             val pw = ct.w + 2 * r; val ph = ct.h + 2 * r
-            val pad = Array.fill(pw * ph)(Double.NaN) // NaN = absent (outside raster)
-            // paste each piece into padded plane coordinates
+            val pad = Array.fill(pw * ph)(Double.NaN)
             pieces.foreach { p =>
               // piece origin in padded coords; left/top neighbors abut the
               // center at -p.w/-p.h (their own size), right/bottom at ct.w/ct.h
@@ -220,6 +223,17 @@ object TileOps {
                 rr += 1
               }
             }
+            Iterator.single((ct, pad, pw, ph))
+        }
+      }
+  }
+
+  def convolve(tiles: Dataset[Tile], radius: Int, method: String,
+               weight: (Int, Int) => Double = (_, _) => 1.0): Dataset[Tile] = {
+    val r = radius
+    convolvePad(tiles, radius)
+      .map { case (ct, pad, pw, ph) =>
+        {
             val out = new Array[Double](ct.w * ct.h)
             val buf = new Array[Double]((2 * r + 1) * (2 * r + 1))
             var row = 0
@@ -271,6 +285,20 @@ object TileOps {
                     java.util.Arrays.sort(sorted)
                     if (n % 2 == 1) sorted(n / 2)
                     else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+                  case "quantile25" => // linear interpolation (quantile_cont)
+                    val sorted = java.util.Arrays.copyOf(buf, n)
+                    java.util.Arrays.sort(sorted)
+                    val pos = 0.25 * (n - 1)
+                    val lo = math.floor(pos).toInt
+                    val hi = math.min(lo + 1, n - 1)
+                    sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+                  case "occurrences" => // hood values equal to the center
+                    if (center.isNaN || center == ct.nodata) ct.nodata
+                    else {
+                      var cnt = 0; var j2 = 0
+                      while (j2 < n) { if (buf(j2) == center) cnt += 1; j2 += 1 }
+                      cnt.toDouble
+                    }
                   case "mode" => // most frequent; ties → smallest value
                     val sorted = java.util.Arrays.copyOf(buf, n)
                     java.util.Arrays.sort(sorted)
@@ -290,9 +318,9 @@ object TileOps {
               }
               row += 1
             }
-            Iterator.single(ct.copy(pixels = out))
+            ct.copy(pixels = out)
         }
-      }
+      }(tileEnc)
   }
 
   /** Flatten tiles to (x, y, band, v) global pixel rows (for compact

@@ -210,6 +210,159 @@ object TileOps2 {
     }.reduce(_ union _)
   }
 
+  /** Average (box) downsample by an integer factor dividing the tile
+    * size: each target pixel is the mean of its factor×factor source
+    * block — narrow, no shuffle (resample enum entry 'average',
+    * reference: utils_translate.py:293-344).
+    */
+  def resampleAverage(tiles: Dataset[Tile], factor: Int): Dataset[Tile] = {
+    tiles.map { t =>
+      val w2 = t.w / factor; val h2 = t.h / factor
+      val out = new Array[Double](w2 * h2)
+      val n = (factor * factor).toDouble
+      var r = 0
+      while (r < h2) {
+        var c = 0
+        while (c < w2) {
+          var s = 0.0
+          var dy = 0
+          while (dy < factor) {
+            var dx = 0
+            while (dx < factor) {
+              s += t.pixels((r * factor + dy) * t.w + (c * factor + dx))
+              dx += 1
+            }
+            dy += 1
+          }
+          out(r * w2 + c) = s / n
+          c += 1
+        }
+        r += 1
+      }
+      Tile(t.cellX, t.cellY, t.band, w2, h2, t.originX, t.originY,
+        t.pxW * factor, t.pxH * factor, out, t.nodata, t.crs)
+    }
+  }
+
+  /** Bilinear UPsample by an integer factor (tile-local with one halo
+    * exchange for the right/bottom edge samples — resample enum entry
+    * 'bilinear'). Target pixel centers interpolate the 4 surrounding
+    * source pixel centers; edge pixels clamp (GDAL edge semantics).
+    */
+  def resampleBilinear(tiles: Dataset[Tile], factor: Int): Dataset[Tile] = {
+    // pad each tile with its right/bottom/diag neighbors' first row/col
+    val padded = TileOps.convolvePad(tiles, 1)
+    padded.map { case (t, pad, pw, ph) =>
+      val w2 = t.w * factor; val h2 = t.h * factor
+      val out = new Array[Double](w2 * h2)
+      var r = 0
+      while (r < h2) {
+        var c = 0
+        while (c < w2) {
+          // source coordinate of target center, in source pixel units
+          val sx = (c + 0.5) / factor - 0.5
+          val sy = (r + 0.5) / factor - 0.5
+          val x0 = math.floor(sx).toInt; val y0 = math.floor(sy).toInt
+          val fx = sx - x0; val fy = sy - y0
+          def at(x: Int, y: Int): Double = {
+            // raster-edge clamp is PER AXIS: a NaN pad cell means that
+            // direction leaves the raster — clamp only the offending axis
+            // (the other axis may still live in a neighbor tile's halo)
+            val v = pad((y + 1) * pw + (x + 1))
+            if (!v.isNaN) return v
+            val cx = math.max(0, math.min(t.w - 1, x))
+            val cy = math.max(0, math.min(t.h - 1, y))
+            val vx = pad((y + 1) * pw + (cx + 1))
+            if (!vx.isNaN) return vx
+            val vy = pad((cy + 1) * pw + (x + 1))
+            if (!vy.isNaN) return vy
+            t.pixels(cy * t.w + cx)
+          }
+          val top = at(x0, y0) * (1.0 - fx) + at(x0 + 1, y0) * fx
+          val bot = at(x0, y0 + 1) * (1.0 - fx) + at(x0 + 1, y0 + 1) * fx
+          out(r * w2 + c) = top * (1.0 - fy) + bot * fy
+          c += 1
+        }
+        r += 1
+      }
+      Tile(t.cellX, t.cellY, t.band, w2, h2, t.originX, t.originY,
+        t.pxW / factor, t.pxH / factor, out, t.nodata, t.crs)
+    }(TileOps.tileEnc)
+  }
+
+  /** Theil–Sen-style robust slope: median of pairwise slopes along the
+    * band (time) axis (reference: buteo/array/timeseries.py:50-113 —
+    * outlier-robust alternative to OLS). Bounded band count → exact
+    * in-group compute, one shuffle on the cell id.
+    */
+  def theilSenSlope(tiles: Dataset[Tile], nBands: Int): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .groupByKey(t => (t.cellX, t.cellY))
+      .mapGroups { (_: (Int, Int), it: Iterator[Tile]) =>
+        val bands = it.toArray.sortBy(_.band)
+        val t0 = bands.head
+        val nPairs = nBands * (nBands - 1) / 2
+        val slopes = new Array[Double](nPairs)
+        val out = new Array[Double](t0.pixels.length)
+        var i = 0
+        while (i < out.length) {
+          var k = 0
+          var a = 0
+          while (a < nBands) {
+            var b = a + 1
+            while (b < nBands) {
+              slopes(k) = (bands(b).pixels(i) - bands(a).pixels(i)) / (b - a).toDouble
+              k += 1; b += 1
+            }
+            a += 1
+          }
+          java.util.Arrays.sort(slopes)
+          out(i) =
+            if (nPairs % 2 == 1) slopes(nPairs / 2)
+            else (slopes(nPairs / 2 - 1) + slopes(nPairs / 2)) / 2.0
+          i += 1
+        }
+        t0.copy(band = 0, pixels = out)
+      }
+  }
+
+  /** Horn's 3×3 gradients for DEM analytics: per pixel
+    * dz/dx = ((c+2f+i) − (a+2d+g)) / (8·pxW),
+    * dz/dy = ((g+2h+i) − (a+2b+c)) / (8·|pxH|)
+    * (reference: buteo/raster/dem.py:16-132 delegates to
+    * gdal.DEMProcessing — Horn 1981 is the public formula). Edge pixels
+    * clamp missing neighbors to the center (deterministic, documented).
+    * Returns two bands: band 0 = dz/dx, band 1 = dz/dy — slope/aspect/
+    * hillshade are scalar trig over these.
+    */
+  def hornGradients(tiles: Dataset[Tile]): Dataset[Tile] = {
+    val padded = TileOps.convolvePad(tiles, 1)
+    padded.flatMap { case (t, pad, pw, ph) =>
+      val gx = new Array[Double](t.pixels.length)
+      val gy = new Array[Double](t.pixels.length)
+      var r = 0
+      while (r < t.h) {
+        var c = 0
+        while (c < t.w) {
+          def at(dx: Int, dy: Int): Double = {
+            val v = pad((r + 1 + dy) * pw + (c + 1 + dx))
+            if (v.isNaN) t.pixels(r * t.w + c) else v
+          }
+          val (a, b2, cc) = (at(-1, -1), at(0, -1), at(1, -1))
+          val (d, f) = (at(-1, 0), at(1, 0))
+          val (g, h2, i2) = (at(-1, 1), at(0, 1), at(1, 1))
+          gx(r * t.w + c) = ((cc + 2.0 * f + i2) - (a + 2.0 * d + g)) / (8.0 * t.pxW)
+          gy(r * t.w + c) = ((g + 2.0 * h2 + i2) - (a + 2.0 * b2 + cc)) / (8.0 * math.abs(t.pxH))
+          c += 1
+        }
+        r += 1
+      }
+      Iterator(t.copy(band = 0, pixels = gx), t.copy(band = 1, pixels = gy))
+    }(TileOps.tileEnc)
+  }
+
   /** Per-pixel least-squares slope along the band (time) axis —
     * slope = (nΣty − ΣtΣy) / (nΣt² − (Σt)²), t = band index.
     * Reference: buteo/array/timeseries.py:8-47. Narrow per cell: bands of
