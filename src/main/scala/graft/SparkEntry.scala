@@ -189,6 +189,16 @@ object SparkEntry {
       KnnJoin.knnBroadcastProbes(pts, probes, k = 3)
     },
 
+    "geo_s2_cells" -> { (s, dir) =>
+      // cube-face quadtree assignment (rows-only: the projection uses trig;
+      // exactness pinned by CellIndexSpec properties)
+      GraftFunctions.register(s)
+      Pages.pages(s, dir)
+        .select(col("doc_id"),
+          GraftFunctions.s2Cell(col("lon"), col("lat"), lit(10)).as("s2"))
+        .groupBy("s2").agg(count(lit(1)).as("n_pages"), min("doc_id").as("min_doc"))
+    },
+
     "geo_knn_cell" -> { (s, dir) =>
       // large-probe-set kNN: k-ring candidate expansion on the cell grid;
       // rows-only driver check (exactness asserted in KnnSpec vs the

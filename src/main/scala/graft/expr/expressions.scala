@@ -72,6 +72,21 @@ case class H3CellExpr(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+/** `s2_cell(lon, lat, level)` → Long cube-face quadtree cell id
+  * (graft.index.S2Cell).
+  */
+case class S2CellExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lon: Any, lat: Any, level: Any): Any =
+    graft.index.S2Cell.encode(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, lvl) => s"graft.index.S2Cell.encode($lon, $lat, $lvl)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
 /** `grid_cell(lon, lat, level)` → Long quadtree cell id (graft.index.GridCell). */
 case class GridCellExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {

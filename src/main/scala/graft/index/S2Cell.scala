@@ -1,0 +1,152 @@
+package graft.index
+
+import graft.geo.BBox
+
+/** S2-style cube-face quadtree cell index, implemented from the published
+  * S2 geometry construction (cube face selection by dominant axis, the
+  * quadratic u↔s transform, Morton-ordered i/j within a face). Cell ids
+  * pack `(face, level, morton(i, j))` into one Long.
+  *
+  * This is the second index family the north rule names next to the hex
+  * cells in [[HexCell]] — exact integer arithmetic per face; v1 scope is
+  * encode/decode/parent/children/containment + envelope cover (cross-face
+  * neighbor walks are staged).
+  *
+  * Layout: bits 61..63 = face (0..5), bits 56..60 = level (0..27),
+  * bits 0..55 = morton(i, j) at `level` bits each.
+  */
+object S2Cell {
+  val MaxLevel = 27
+
+  /** lon/lat degrees → unit-sphere xyz. */
+  private def toXyz(lon: Double, lat: Double): (Double, Double, Double) = {
+    val phi = math.toRadians(lat)
+    val theta = math.toRadians(lon)
+    val cosPhi = math.cos(phi)
+    (cosPhi * math.cos(theta), cosPhi * math.sin(theta), math.sin(phi))
+  }
+
+  /** Face (0..5) by dominant axis: 0:+x 1:+y 2:+z 3:-x 4:-y 5:-z. */
+  private def face(x: Double, y: Double, z: Double): Int = {
+    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+    if (ax >= ay && ax >= az) { if (x >= 0) 0 else 3 }
+    else if (ay >= az) { if (y >= 0) 1 else 4 }
+    else { if (z >= 0) 2 else 5 }
+  }
+
+  /** (u, v) in [-1, 1] on the given face. */
+  private def faceUv(f: Int, x: Double, y: Double, z: Double): (Double, Double) = f match {
+    case 0 => (y / x, z / x)
+    case 1 => (-x / y, z / y)
+    case 2 => (-x / z, -y / z)
+    case 3 => (z / x, y / x)     // x < 0
+    case 4 => (z / y, -x / y)    // y < 0
+    case 5 => (-y / z, -x / z)   // z < 0
+  }
+
+  private def uvToXyz(f: Int, u: Double, v: Double): (Double, Double, Double) = f match {
+    case 0 => (1, u, v)
+    case 1 => (-u, 1, v)
+    case 2 => (-u, -v, 1)
+    case 3 => (-1, -v, -u)
+    case 4 => (v, -1, -u)
+    case 5 => (v, u, -1)
+  }
+
+  /** S2 quadratic projection u → s in [0, 1] (published formula). */
+  def uvToSt(u: Double): Double =
+    if (u >= 0) 0.5 * math.sqrt(1.0 + 3.0 * u)
+    else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * u)
+
+  def stToUv(s: Double): Double =
+    if (s >= 0.5) (1.0 / 3.0) * (4.0 * s * s - 1.0)
+    else (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+
+  def encode(lon: Double, lat: Double, level: Int): Long = {
+    require(level >= 0 && level <= MaxLevel, s"level out of range: $level")
+    val (x, y, z) = toXyz(lon, lat)
+    val f = face(x, y, z)
+    val (u, v) = faceUv(f, x, y, z)
+    val n = 1L << level
+    def toIj(w: Double): Long =
+      math.min(n - 1, math.max(0L, math.floor(uvToSt(w) * n).toLong))
+    pack(f, toIj(u), toIj(v), level)
+  }
+
+  def pack(f: Int, i: Long, j: Long, level: Int): Long =
+    (f.toLong << 61) | (level.toLong << 56) | interleave(i) | (interleave(j) << 1)
+
+  def face(cell: Long): Int = ((cell >>> 61) & 0x7).toInt
+  def level(cell: Long): Int = ((cell >>> 56) & 0x1f).toInt
+  def i(cell: Long): Long = deinterleave(cell & 0x00ffffffffffffffL)
+  def j(cell: Long): Long = deinterleave((cell & 0x00ffffffffffffffL) >>> 1)
+
+  def parent(cell: Long): Long = {
+    val l = level(cell)
+    require(l > 0, "face cell has no parent")
+    pack(face(cell), i(cell) >> 1, j(cell) >> 1, l - 1)
+  }
+
+  def children(cell: Long): Array[Long] = {
+    val l = level(cell); val ci = i(cell) << 1; val cj = j(cell) << 1
+    Array(pack(face(cell), ci, cj, l + 1), pack(face(cell), ci + 1, cj, l + 1),
+      pack(face(cell), ci, cj + 1, l + 1), pack(face(cell), ci + 1, cj + 1, l + 1))
+  }
+
+  /** Center of the cell in (lon, lat) degrees. */
+  def centerLonLat(cell: Long): (Double, Double) = {
+    val l = level(cell); val n = (1L << l).toDouble
+    val u = stToUv((i(cell) + 0.5) / n)
+    val v = stToUv((j(cell) + 0.5) / n)
+    val (x, y, z) = uvToXyz(face(cell), u, v)
+    (math.toDegrees(math.atan2(y, x)),
+      math.toDegrees(math.atan2(z, math.sqrt(x * x + y * y))))
+  }
+
+  /** True if (lon, lat) encodes into `cell` (or a descendant of it). */
+  def contains(cell: Long, lon: Double, lat: Double): Boolean = {
+    val c = encode(lon, lat, level(cell))
+    c == cell
+  }
+
+  /** Cells at `level` covering a lon/lat envelope — superset via center
+    * sampling + parent dedup (mirrors HexCell.cover's strategy; exactness
+    * comes from the downstream refine, not the cover).
+    */
+  def cover(b: BBox, lvl: Int): Array[Long] = {
+    val set = new scala.collection.mutable.LinkedHashSet[Long]()
+    val steps = 24
+    var yi = 0
+    while (yi <= steps) {
+      val lat = b.yMin + (b.yMax - b.yMin) * yi / steps
+      var xi = 0
+      while (xi <= steps) {
+        val lon = b.xMin + (b.xMax - b.xMin) * xi / steps
+        set += encode(lon, lat, lvl)
+        xi += 1
+      }
+      yi += 1
+    }
+    set.toArray
+  }
+
+  private def interleave(v: Long): Long = {
+    var x = v & 0x0fffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  private def deinterleave(v: Long): Long = {
+    var x = v & 0x5555555555555555L
+    x = (x | (x >> 1)) & 0x3333333333333333L
+    x = (x | (x >> 2)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x >> 4)) & 0x00ff00ff00ff00ffL
+    x = (x | (x >> 8)) & 0x0000ffff0000ffffL
+    x = (x | (x >> 16)) & 0x00000000ffffffffL
+    x
+  }
+}

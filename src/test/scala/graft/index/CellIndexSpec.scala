@@ -110,6 +110,46 @@ class CellIndexSpec extends AnyFunSuite {
     assert(HexCell.polygonCover(poly, 7).toSet === cells)
   }
 
+  test("s2 cell: encode/decode round trip via center (property)") {
+    for (_ <- 1 to 500) {
+      val lon = randLon(); val lat = randLat(); val lvl = rnd.nextInt(20)
+      val c = S2Cell.encode(lon, lat, lvl)
+      assert(S2Cell.level(c) === lvl)
+      assert(S2Cell.contains(c, lon, lat))
+      val (clon, clat) = S2Cell.centerLonLat(c)
+      assert(S2Cell.encode(clon, clat, lvl) === c, s"center re-encode at ($lon,$lat,$lvl)")
+    }
+  }
+
+  test("s2 cell: resolution nesting (child of parent)") {
+    for (_ <- 1 to 300) {
+      val lon = randLon(); val lat = randLat(); val lvl = 1 + rnd.nextInt(19)
+      val c = S2Cell.encode(lon, lat, lvl)
+      val p = S2Cell.parent(c)
+      assert(S2Cell.children(p).contains(c))
+      assert(S2Cell.encode(lon, lat, lvl - 1) === p)
+    }
+  }
+
+  test("s2 cell: six faces partition the sphere (sampled)") {
+    val faces = scala.collection.mutable.Set[Int]()
+    for (_ <- 1 to 2000) {
+      val c = S2Cell.encode(randLon(), randLat(), 10)
+      faces += S2Cell.face(c)
+      assert(S2Cell.face(c) >= 0 && S2Cell.face(c) <= 5)
+    }
+    assert(faces.size >= 5) // poles are rare in the lat range; 5-6 faces seen
+  }
+
+  test("s2 cell: cover contains encoding cell of inner points") {
+    val b = graft.geo.BBox(8.0, 9.5, 50.0, 51.0)
+    val cells = S2Cell.cover(b, 10).toSet
+    for (_ <- 1 to 200) {
+      val lon = 8.0 + rnd.nextDouble() * 1.5; val lat = 50.0 + rnd.nextDouble()
+      assert(cells.contains(S2Cell.encode(lon, lat, 10)), s"missing ($lon,$lat)")
+    }
+  }
+
   test("hex cell: boundary vertices surround the center") {
     val c = HexCell.encode(8.5, 50.5, 7)
     val verts = HexCell.boundaryLonLat(c)
