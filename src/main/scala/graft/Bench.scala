@@ -120,7 +120,7 @@ object Bench {
     // level (sandbox timing is noisy — min approximates capacity). ---
     val Array(nCores, n4Cores) = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8")
       .split(",").map(_.trim.toInt)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val runs = (1 to reps).flatMap { _ =>
       Seq(nCores -> spawnTiling(nCores, benchPages),
           n4Cores -> spawnTiling(n4Cores, benchPages))

@@ -373,6 +373,25 @@ object SparkEntry {
         TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "occurrences"), rasterSpec.tileSize)
     },
 
+    "raster_convolve_sigmalee" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "sigma_lee"), rasterSpec.tileSize)
+    },
+
+    "raster_shift" -> { (s, _) =>
+      val shifted = TileOps2.shift(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 3.0, -2.0)
+      shifted.select(col("cellX").as("cell_x"), col("cellY").as("cell_y"),
+        col("band"), col("originX").as("origin_x"), col("originY").as("origin_y"))
+    },
+
+    "raster_border" -> { (s, _) =>
+      val src = rasterSpec.copy(bands = 1)
+      val (bordered, ex) = TileOps2.addBorder(
+        TileOps.createRaster(s, src)(rasterValue), src, borderPx = 8, value = 7.0)
+      TileOps.toPixels(bordered, ex.tileSize)
+    },
+
     // --- salted aggregation (hot-cell skew handling, north rule) ---
     "geo_cell_counts_salted" -> { (s, dir) =>
       GraftFunctions.register(s)
@@ -804,6 +823,36 @@ object SparkEntry {
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY a.x, a.y, a.band, a.v"""),
+
+    "raster_convolve_sigmalee" -> (sqlPx +
+      """, stats AS (SELECT a.x, a.y, a.band, a.v AS cv,
+          CAST(count(*) AS BIGINT) AS n, sum(b.v) AS s, sum(b.v * b.v) AS s2
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY a.x, a.y, a.band, a.v)
+        SELECT st.x, st.y, st.band,
+          sum(b.v) FILTER (WHERE abs(b.v - st.cv) <= 2.0 * sqrt((st.s2 - st.s * st.s / st.n) / st.n))
+            / count(*) FILTER (WHERE abs(b.v - st.cv) <= 2.0 * sqrt((st.s2 - st.s * st.s / st.n) / st.n)) AS v
+        FROM stats st JOIN px b
+          ON b.band = st.band AND b.x BETWEEN st.x - 1 AND st.x + 1
+          AND b.y BETWEEN st.y - 1 AND st.y + 1
+        GROUP BY st.x, st.y, st.band, st.cv, st.n, st.s, st.s2"""),
+
+    "raster_shift" -> (sqlPx.replace("range(256) r1(x), range(256) r2(y)", "range(4) r1(x), range(4) r2(y)") +
+      """ SELECT x AS cell_x, y AS cell_y, band,
+          0.0 + x * 64 * 0.25 + 3.0 AS origin_x,
+          64.0 + y * 64 * -0.25 + -2.0 AS origin_y
+        FROM px"""),
+
+    "raster_border" ->
+      """WITH ex AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
+         FROM range(272) r1(x), range(272) r2(y))
+        SELECT x, y, 0 AS band,
+          CASE WHEN x - 8 BETWEEN 0 AND 255 AND y - 8 BETWEEN 0 AND 255
+               THEN CAST(((x - 8) * 7 + (y - 8) * 13) % 97 AS DOUBLE)
+               ELSE 7.0 END AS v
+        FROM ex""",
 
     "geo_cell_counts_salted" -> Pages.sqlWith(
       s"""SELECT ${Pages.sqlCellX(Pages.FineLevel)} * 4096 + ${Pages.sqlCellY(Pages.FineLevel)} AS cell_key,

@@ -292,6 +292,19 @@ object TileOps {
                     val lo = math.floor(pos).toInt
                     val hi = math.min(lo + 1, n - 1)
                     sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+                  case "sigma_lee" => // speckle filter: mean of hood values
+                    // within 2σ of the center (σ over the full hood)
+                    if (center.isNaN || center == ct.nodata) ct.nodata
+                    else {
+                      val sig = math.sqrt((s2 - s * s / n) / n)
+                      val lim = 2.0 * sig
+                      var cnt = 0; var acc = 0.0; var j3 = 0
+                      while (j3 < n) {
+                        if (math.abs(buf(j3) - center) <= lim) { acc += buf(j3); cnt += 1 }
+                        j3 += 1
+                      }
+                      if (cnt == 0) center else acc / cnt
+                    }
                   case "occurrences" => // hood values equal to the center
                     if (center.isNaN || center == ct.nodata) ct.nodata
                     else {

@@ -142,6 +142,33 @@ object TileOps2 {
       }
   }
 
+  /** Georeference-only shift: move every tile's origin by (dx, dy) —
+    * metadata op, no pixel movement (reference: buteo/raster/shift.py:67-69).
+    */
+  def shift(tiles: Dataset[Tile], dx: Double, dy: Double): Dataset[Tile] =
+    tiles.map(t => t.copy(originX = t.originX + dx, originY = t.originY + dy))(TileOps.tileEnc)
+
+  /** Constant border: expand the grid by `borderPx` pixels on every side,
+    * filling the new ring with `value` (reference:
+    * buteo/raster/borders.py:30-127). Built on align: the expanded grid is
+    * just another reference grid; outside-source pixels arrive as nodata
+    * and are re-valued.
+    */
+  def addBorder(tiles: Dataset[Tile], src: RasterSpec, borderPx: Int,
+                value: Double): (Dataset[Tile], RasterSpec) = {
+    val ex = src.copy(
+      originX = src.originX - borderPx * src.pxW,
+      originY = src.originY - borderPx * src.pxH,
+      width = src.width + 2 * borderPx, height = src.height + 2 * borderPx,
+      tileSize = src.tileSize + (2 * borderPx * src.tileSize) / src.width)
+    val aligned = align(tiles, ex)
+    val out = aligned.map { t =>
+      val px = t.pixels.map(v => if (v == t.nodata) value else v)
+      t.copy(pixels = px)
+    }(TileOps.tileEnc)
+    (out, ex)
+  }
+
   /** Rasterize: burn polygon ids into a raster grid — pixel centers inside
     * a polygon take the smallest matching burn value, others stay nodata
     * (reference: buteo/vector/rasterize.py:31-217, burn at :200-215;
