@@ -378,6 +378,11 @@ object SparkEntry {
         TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "sigma_lee"), rasterSpec.tileSize)
     },
 
+    "raster_convolve_mad" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "mad"), rasterSpec.tileSize)
+    },
+
     "raster_shift" -> { (s, _) =>
       val shifted = TileOps2.shift(
         TileOps.createRaster(s, rasterSpec)(rasterValue), 3.0, -2.0)
@@ -838,6 +843,18 @@ object SparkEntry {
           ON b.band = st.band AND b.x BETWEEN st.x - 1 AND st.x + 1
           AND b.y BETWEEN st.y - 1 AND st.y + 1
         GROUP BY st.x, st.y, st.band, st.cv, st.n, st.s, st.s2"""),
+
+    "raster_convolve_mad" -> (sqlPx +
+      """, med AS (SELECT a.x, a.y, a.band, median(b.v) AS m
+          FROM px a JOIN px b
+            ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+            AND b.y BETWEEN a.y - 1 AND a.y + 1
+          GROUP BY 1, 2, 3)
+        SELECT med.x, med.y, med.band, median(abs(b.v - med.m)) AS v
+        FROM med JOIN px b
+          ON b.band = med.band AND b.x BETWEEN med.x - 1 AND med.x + 1
+          AND b.y BETWEEN med.y - 1 AND med.y + 1
+        GROUP BY med.x, med.y, med.band, med.m"""),
 
     "raster_shift" -> (sqlPx.replace("range(256) r1(x), range(256) r2(y)", "range(4) r1(x), range(4) r2(y)") +
       """ SELECT x AS cell_x, y AS cell_y, band,

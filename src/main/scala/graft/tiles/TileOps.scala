@@ -292,6 +292,17 @@ object TileOps {
                     val lo = math.floor(pos).toInt
                     val hi = math.min(lo + 1, n - 1)
                     sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+                  case "mad" => // median absolute deviation around the hood median
+                    val sorted = java.util.Arrays.copyOf(buf, n)
+                    java.util.Arrays.sort(sorted)
+                    val med = if (n % 2 == 1) sorted(n / 2)
+                      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+                    val devs = new Array[Double](n)
+                    var jm = 0
+                    while (jm < n) { devs(jm) = math.abs(buf(jm) - med); jm += 1 }
+                    java.util.Arrays.sort(devs)
+                    if (n % 2 == 1) devs(n / 2)
+                    else (devs(n / 2 - 1) + devs(n / 2)) / 2.0
                   case "sigma_lee" => // speckle filter: mean of hood values
                     // within 2σ of the center (σ over the full hood)
                     if (center.isNaN || center == ct.nodata) ct.nodata
