@@ -501,6 +501,19 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"))
     },
 
+    // --- tiled inference lifecycle (predict_array analog) ---
+    "raster_predict_merge" -> { (s, _) =>
+      val spec = rasterSpec.copy(bands = 1)
+      val tiles = TileOps.createRaster(s, spec)(rasterValue)
+      // stub model: reads the patch at a pass-shifted location (a real
+      // model consumes the same padded plane); NaN (outside raster) → -1
+      graft.tiles.Predict.predictAndMerge(tiles, spec.tileSize, radius = 1, passes = 2) {
+        (pad, pw, x, y) =>
+          val v = pad(y * pw + x)
+          if (v.isNaN) -1.0 else v
+      }
+    },
+
     // --- overlap merge (tiled-prediction reassembly) ---
     "patch_merge_wmedian" -> { (s, _) =>
       // three overlapping prediction passes per pixel, weights 1..3
@@ -1007,6 +1020,18 @@ object SparkEntry {
           (CAST(n_chars AS DOUBLE) - sv / n)
             / sqrt((s2 - sv * sv / n) / n) AS z
         FROM documents CROSS JOIN s""",
+
+    "raster_predict_merge" ->
+      // pass 0 reads (x, y); pass 1 reads (x+1, y+1) or -1 outside; merge
+      // = lower median of two equal-weight predictions = the smaller one
+      """WITH base AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST((x*7 + y*13) % 97 AS DOUBLE) AS v0,
+           CASE WHEN x + 1 <= 255 AND y + 1 <= 255
+                THEN CAST(((x+1)*7 + (y+1)*13) % 97 AS DOUBLE) ELSE -1.0 END AS v1
+         FROM range(256) r1(x), range(256) r2(y))
+        SELECT x, y, 0 AS band, LEAST(v0, v1) AS v_merged,
+          CAST(2 AS BIGINT) AS n_preds
+        FROM base""",
 
     "patch_merge_wmedian" ->
       """WITH preds AS (SELECT CAST(x_t.id % 64 AS INTEGER) AS x,
