@@ -505,12 +505,14 @@ object SparkEntry {
     "raster_predict_merge" -> { (s, _) =>
       val spec = rasterSpec.copy(bands = 1)
       val tiles = TileOps.createRaster(s, spec)(rasterValue)
-      // stub model: reads the patch at a pass-shifted location (a real
-      // model consumes the same padded plane); NaN (outside raster) → -1
-      graft.tiles.Predict.predictAndMerge(tiles, spec.tileSize, radius = 1, passes = 2) {
-        (pad, pw, x, y) =>
-          val v = pad(y * pw + x)
-          if (v.isNaN) -1.0 else v
+      // stand-in model: pixel value + a patch-position-dependent term
+      // (a real model predicts from the patch crop, so its output varies
+      // with the pixel's position inside the pass's patch). Pass-shifted
+      // grids + edge-distance weights + weighted-median merge per the
+      // reference lifecycle (prediction.py:103-181).
+      graft.tiles.Predict.predictAndMerge(tiles, spec, radius = 1, passes = 2,
+        edgeDistance = 2) { (pad, pw, px, py, relX, relY) =>
+          pad(py * pw + px) + ((relX * 5 + relY * 3) % 11)
       }
     },
 
@@ -1022,16 +1024,38 @@ object SparkEntry {
         FROM documents CROSS JOIN s""",
 
     "raster_predict_merge" ->
-      // pass 0 reads (x, y); pass 1 reads (x+1, y+1) or -1 outside; merge
-      // = lower median of two equal-weight predictions = the smaller one
-      """WITH base AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
-           CAST((x*7 + y*13) % 97 AS DOUBLE) AS v0,
-           CASE WHEN x + 1 <= 255 AND y + 1 <= 255
-                THEN CAST(((x+1)*7 + (y+1)*13) % 97 AS DOUBLE) ELSE -1.0 END AS v1
-         FROM range(256) r1(x), range(256) r2(y))
-        SELECT x, y, 0 AS band, LEAST(v0, v1) AS v_merged,
-          CAST(2 AS BIGINT) AS n_preds
-        FROM base""",
+      // mirrors Predict.predictAndMerge exactly: pass 0 grid at 0, pass 1
+      // at 32 covering [32,224)²; per-pass value = pixel + f(rel pos);
+      // weight = quantized edge-distance kernel (ts=64, edge=2); merge =
+      // lower weighted median (smaller value wins iff its weight >= other)
+      """WITH wq AS (SELECT ry, rx,
+           CAST(round(
+             CASE WHEN (4 - ABS(GREATEST(2 - ry, 0) + GREATEST(3 - (64 - ry), 0)
+                            + GREATEST(2 - rx, 0) + GREATEST(3 - (64 - rx), 0))) / 4.0 <= 0.0
+                  THEN 0.0000001
+                  ELSE (4 - ABS(GREATEST(2 - ry, 0) + GREATEST(3 - (64 - ry), 0)
+                            + GREATEST(2 - rx, 0) + GREATEST(3 - (64 - rx), 0))) / 4.0
+             END * 100000000.0) AS BIGINT) AS w
+         FROM range(64) a(ry), range(64) b(rx)),
+        base AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           (x*7 + y*13) % 97 AS pv,
+           CAST(x % 64 AS INTEGER) AS r0x, CAST(y % 64 AS INTEGER) AS r0y,
+           (x >= 32 AND x < 224 AND y >= 32 AND y < 224) AS cov1,
+           CAST((x - 32) % 64 AS INTEGER) AS r1x, CAST((y - 32) % 64 AS INTEGER) AS r1y
+         FROM range(256) r1(x), range(256) r2(y)),
+        scored AS (SELECT b.x, b.y, b.cov1,
+           CAST(b.pv + (b.r0x * 5 + b.r0y * 3) % 11 AS DOUBLE) AS v0, w0.w AS w0,
+           CAST(b.pv + (b.r1x * 5 + b.r1y * 3) % 11 AS DOUBLE) AS v1, w1.w AS w1
+         FROM base b
+         JOIN wq w0 ON w0.ry = b.r0y AND w0.rx = b.r0x
+         LEFT JOIN wq w1 ON b.cov1 AND w1.ry = b.r1y AND w1.rx = b.r1x)
+        SELECT x, y, 0 AS band,
+          CASE WHEN NOT cov1 THEN v0
+               WHEN v0 = v1 THEN v0
+               WHEN v0 < v1 THEN (CASE WHEN w0 >= w1 THEN v0 ELSE v1 END)
+               ELSE (CASE WHEN w1 >= w0 THEN v1 ELSE v0 END) END AS v_merged,
+          CAST(CASE WHEN cov1 THEN 2 ELSE 1 END AS BIGINT) AS n_preds
+        FROM scored""",
 
     "patch_merge_wmedian" ->
       """WITH preds AS (SELECT CAST(x_t.id % 64 AS INTEGER) AS x,

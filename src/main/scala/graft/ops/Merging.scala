@@ -20,8 +20,10 @@ object Merging {
     */
   val weightedMedian: Aggregator[(Double, Double), Seq[(Double, Double)], Double] =
     new Aggregator[(Double, Double), Seq[(Double, Double)], Double] {
-      def zero: Seq[(Double, Double)] = Seq.empty
-      def reduce(b: Seq[(Double, Double)], a: (Double, Double)): Seq[(Double, Double)] = b :+ a
+      def zero: Seq[(Double, Double)] = List.empty
+      // prepend: O(1) on List (order is irrelevant — finish sorts);
+      // append was O(n) per row → O(n²) per group at high overlap
+      def reduce(b: Seq[(Double, Double)], a: (Double, Double)): Seq[(Double, Double)] = a +: b
       def merge(a: Seq[(Double, Double)], b: Seq[(Double, Double)]): Seq[(Double, Double)] = a ++ b
       def finish(buf: Seq[(Double, Double)]): Double = {
         if (buf.isEmpty) return Double.NaN

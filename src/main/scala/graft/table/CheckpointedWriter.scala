@@ -34,9 +34,9 @@ class CheckpointedWriter(store: SnapshotStore, lineage: String) {
           .write.mode("overwrite")
           .partitionBy("bucket")
           .parquet(s"${storeRoot}/data")
-        val counts = sub.groupBy("bucket").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val metas = group.map(b => store.partitionMeta(b, counts.getOrElse(b, 0L), lineage))
+        // row counts come from the written files' parquet footers
+        // (driver-side metadata reads) — no second aggregate job
+        val metas = group.map(b => store.partitionMeta(b, lineage))
         store.commit(metas)
         commits += 1
         computed += group.size
