@@ -257,9 +257,16 @@ object SparkEntry {
       TileOps.zonalStats(TileOps.createRaster(s, rasterSpec)(rasterValue), zonePolys)
     },
 
+    "raster_zonal_full" -> { (s, _) =>
+      graft.tiles.Zonal.zonalStatsFull(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), zonePolys)
+    },
+
     "raster_convolve_sum" -> { (s, _) =>
+      // raw (unnormalised) all-ones kernel; edges renormalize weights back
+      // to the kernel total (reference base.py:153-156) → sum*9/n
       val conv = TileOps.convolve(TileOps.createRaster(s, rasterSpec)(rasterValue),
-        radius = 1, method = "sum")
+        radius = 1, method = "sum", normalised = false)
       TileOps.toPixels(conv, rasterSpec.tileSize)
     },
 
@@ -292,7 +299,7 @@ object SparkEntry {
       val a = TileOps.createRaster(s, rasterSpec)(rasterValue)
       val b = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
         (x, y, _) => ((x * 11 + y * 3) % 89).toDouble)
-      TileOps.tileStats(TileOps2.stack(Seq(a, b)))
+      TileOps.tileStats(TileOps2.stack(Seq(a -> rasterSpec.bands, b -> 1)))
     },
 
     "raster_timeslope" -> { (s, _) =>
@@ -341,7 +348,10 @@ object SparkEntry {
     // --- similarity search ---
     "ann_topk" -> { (s, dir) => Similarity.annTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5) },
     "ann_cosine" -> { (s, dir) => Similarity.cosineTopK(embeddingsOf(s, dir), probeMaxId = 20, k = 5) },
-    "ann_lsh" -> { (s, dir) => Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 8, k = 5) },
+    "ann_lsh" -> { (s, dir) =>
+      Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 16, k = 5,
+        bands = 2, capPerBucket = 128)
+    },
 
     // --- resampling variants / robust slope / DEM / more hood methods ---
     "raster_resample_avg" -> { (s, _) =>
@@ -369,8 +379,52 @@ object SparkEntry {
         TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "quantile25"), rasterSpec.tileSize)
     },
     "raster_convolve_occurrences" -> { (s, _) =>
+      // center-value occurrence count (our extension; the reference's
+      // occurrences matches func_value — covered by raster_convolve_feather)
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "occurrences"), rasterSpec.tileSize)
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "occurrences_center"), rasterSpec.tileSize)
+    },
+
+    "raster_convolve_mean" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "mean"), rasterSpec.tileSize)
+    },
+
+    "raster_convolve_contrast" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "contrast",
+        normalised = false), rasterSpec.tileSize)
+    },
+
+    "raster_convolve_zscore" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "zscore"), rasterSpec.tileSize)
+    },
+
+    "raster_convolve_zscore_mad" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "zscore_mad"), rasterSpec.tileSize)
+    },
+
+    "raster_convolve_roughness" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "roughness"), rasterSpec.tileSize)
+    },
+
+    "raster_convolve_tri" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "tri"), rasterSpec.tileSize)
+    },
+
+    "raster_convolve_tpi" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "tpi"), rasterSpec.tileSize)
+    },
+
+    "raster_convolve_feather" -> { (s, _) =>
+      TileOps.toPixels(TileOps.convolve(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "feather",
+        funcValue = 0.0), rasterSpec.tileSize)
     },
 
     "raster_convolve_sigmalee" -> { (s, _) =>
@@ -481,6 +535,15 @@ object SparkEntry {
       val r = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
         (x, y, _) => { val v = (x * 7 + y * 13) % 97; if (v == 0) -9999.0 else v.toDouble })
       TileOps.toPixels(graft.tiles.TileOps3.fillNearest(r, 1), rasterSpec.tileSize)
+    },
+
+    // --- vectorize (raster → constant-value regions; buteo vectorize.py) ---
+    "raster_vectorize" -> { (s, _) =>
+      // diagonal stripes: v = (x+y)/64 → 8 non-rectangular 4-connected
+      // regions, each spanning many tiles (exercises the cross-tile merge)
+      val spec = rasterSpec.copy(bands = 1)
+      val r = TileOps.createRaster(s, spec)((x, y, _) => ((x + y) / 64).toDouble)
+      graft.tiles.Vectorize.vectorize(r, spec)
     },
 
     // --- scalers / ML prep ---
@@ -638,8 +701,10 @@ object SparkEntry {
           ON gx >= zx0 AND gx <= zx1 AND gy >= zy0 AND gy <= zy1
         GROUP BY 1, 2"""),
 
+    "raster_zonal_full" -> zonalFullOracle,
+
     "raster_convolve_sum" -> (sqlPx +
-      """ SELECT a.x, a.y, a.band, sum(b.v) AS v
+      """ SELECT a.x, a.y, a.band, (sum(b.v) * 9.0) / count(*) AS v
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
           AND b.y BETWEEN a.y - 1 AND a.y + 1
@@ -830,11 +895,24 @@ object SparkEntry {
     "raster_dem_gradients" -> demGradOracle,
 
     "raster_convolve_quantile" -> (sqlPx +
-      """ SELECT a.x, a.y, a.band, quantile_cont(b.v, 0.25) AS v
-        FROM px a JOIN px b
-          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
-          AND b.y BETWEEN a.y - 1 AND a.y + 1
-        GROUP BY 1, 2, 3"""),
+      // the reference's weighted-quantile with equal weights interpolates
+      // at position q*n - 0.5 (funcs.py:115-130), not quantile_cont's
+      // q*(n-1)
+      """, hood AS (SELECT a.x, a.y, a.band,
+            list(b.v ORDER BY b.v) AS vs, CAST(count(*) AS INTEGER) AS n
+          FROM px a JOIN px b
+            ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+            AND b.y BETWEEN a.y - 1 AND a.y + 1
+          GROUP BY 1, 2, 3)
+        SELECT x, y, band,
+          CASE WHEN 0.25 * n - 0.5 <= 0 THEN vs[1]
+               WHEN 0.25 * n - 0.5 >= n - 1 THEN vs[n]
+               ELSE vs[CAST(floor(0.25 * n - 0.5) AS INTEGER) + 1]
+                 + (vs[CAST(floor(0.25 * n - 0.5) AS INTEGER) + 2]
+                    - vs[CAST(floor(0.25 * n - 0.5) AS INTEGER) + 1])
+                   * ((0.25 * n - 0.5) - floor(0.25 * n - 0.5))
+          END AS v
+        FROM hood"""),
 
     "raster_convolve_occurrences" -> (sqlPx +
       """ SELECT a.x, a.y, a.band,
@@ -845,19 +923,95 @@ object SparkEntry {
         GROUP BY a.x, a.y, a.band, a.v"""),
 
     "raster_convolve_sigmalee" -> (sqlPx +
-      """, stats AS (SELECT a.x, a.y, a.band, a.v AS cv,
+      // reference sigma-lee (funcs.py:202-242): select |v| >= σ (first
+      // attempt's criterion — later attempts only re-count), mean of the
+      // selection; fall back to the hood mean if nothing selects
+      """, stats AS (SELECT a.x, a.y, a.band,
           CAST(count(*) AS BIGINT) AS n, sum(b.v) AS s, sum(b.v * b.v) AS s2
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
           AND b.y BETWEEN a.y - 1 AND a.y + 1
-        GROUP BY a.x, a.y, a.band, a.v)
+        GROUP BY a.x, a.y, a.band)
         SELECT st.x, st.y, st.band,
-          sum(b.v) FILTER (WHERE abs(b.v - st.cv) <= 2.0 * sqrt((st.s2 - st.s * st.s / st.n) / st.n))
-            / count(*) FILTER (WHERE abs(b.v - st.cv) <= 2.0 * sqrt((st.s2 - st.s * st.s / st.n) / st.n)) AS v
+          COALESCE(
+            sum(b.v) FILTER (WHERE abs(b.v) >= sqrt((st.s2 - st.s * st.s / st.n) / st.n))
+              / count(*) FILTER (WHERE abs(b.v) >= sqrt((st.s2 - st.s * st.s / st.n) / st.n)),
+            st.s / st.n) AS v
         FROM stats st JOIN px b
           ON b.band = st.band AND b.x BETWEEN st.x - 1 AND st.x + 1
           AND b.y BETWEEN st.y - 1 AND st.y + 1
-        GROUP BY st.x, st.y, st.band, st.cv, st.n, st.s, st.s2"""),
+        GROUP BY st.x, st.y, st.band, st.n, st.s, st.s2"""),
+
+    "raster_convolve_mean" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band, sum(b.v) / count(*) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY 1, 2, 3"""),
+
+    "raster_convolve_contrast" -> (sqlPx +
+      // |max(v·w) - min(v/(w+1e-7))| with raw uniform weights w=1
+      // (funcs.py:100-111)
+      """ SELECT a.x, a.y, a.band,
+          abs(max(b.v) * 1.0 - min(b.v) / (1.0 + 1e-7)) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY 1, 2, 3"""),
+
+    "raster_convolve_zscore" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band,
+          (a.v - sum(b.v) / count(*))
+            / sqrt((sum(b.v * b.v) - sum(b.v) * sum(b.v) / count(*)) / count(*)) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY a.x, a.y, a.band, a.v"""),
+
+    "raster_convolve_zscore_mad" -> (sqlPx +
+      """, med AS (SELECT a.x, a.y, a.band, a.v AS cv, median(b.v) AS m
+          FROM px a JOIN px b
+            ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+            AND b.y BETWEEN a.y - 1 AND a.y + 1
+          GROUP BY 1, 2, 3, 4)
+        SELECT med.x, med.y, med.band,
+          (med.cv - med.m) / (median(abs(b.v - med.m)) * CAST(1.4826 AS DOUBLE)) AS v
+        FROM med JOIN px b
+          ON b.band = med.band AND b.x BETWEEN med.x - 1 AND med.x + 1
+          AND b.y BETWEEN med.y - 1 AND med.y + 1
+        GROUP BY med.x, med.y, med.band, med.cv, med.m"""),
+
+    "raster_convolve_roughness" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band, max(abs(b.v - a.v)) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY a.x, a.y, a.band, a.v"""),
+
+    "raster_convolve_tri" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band, sum(abs(b.v - a.v)) / (count(*) - 1) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY a.x, a.y, a.band, a.v"""),
+
+    "raster_convolve_tpi" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band,
+          abs(a.v - (sum(b.v) - a.v) / (count(*) - 1)) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY a.x, a.y, a.band, a.v"""),
+
+    "raster_convolve_feather" -> (sqlPx +
+      // Σw[v==0] normalized twice: by present count (edge renorm of the
+      // normalized kernel) and by hood size (funcs.py:76-97 normalise)
+      """ SELECT a.x, a.y, a.band,
+          (CAST(count(*) FILTER (WHERE b.v = 0.0) AS DOUBLE) / count(*)) / count(*) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY 1, 2, 3"""),
 
     "raster_convolve_mad" -> (sqlPx +
       """, med AS (SELECT a.x, a.y, a.band, median(b.v) AS m
@@ -1007,6 +1161,19 @@ object SparkEntry {
           ON b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY a.x, a.y, a.band, a.v""",
 
+    "raster_vectorize" ->
+      // each diagonal stripe is exactly one 4-connected region, so the
+      // per-region rows equal the per-value aggregates
+      """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST((x + y) // 64 AS DOUBLE) AS v
+         FROM range(256) r1(x), range(256) r2(y))
+        SELECT 0 AS band, v,
+          CAST(min(y * 256 + x) AS BIGINT) AS region_key,
+          CAST(count(*) AS BIGINT) AS n_px,
+          CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+          CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+        FROM px GROUP BY v""",
+
     "scaler_minmax" ->
       """WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
         SELECT doc_id,
@@ -1105,6 +1272,72 @@ object SparkEntry {
          max(CAST(substr(props, 7, length(props) - 7) AS INTEGER)) AS k_max
        FROM events GROUP BY 1"""
   )
+
+  /** np.percentile('linear') from a cumulative value histogram, mirroring
+    * Zonal.histQuantile's exact IEEE ops: pos = q·(n−1); value-at-index i
+    * = min v with cum > i; interpolate when pos is fractional. Expects
+    * rows (v, cnt, cume, n) grouped by zone/band.
+    */
+  private def histQuantileSql(q: String): String = {
+    val pos = s"CAST($q AS DOUBLE) * (n - 1)"
+    val flo = s"floor($pos)"
+    def at(i: String) = s"min(v) FILTER (WHERE cume > $i)"
+    s"""CASE WHEN $pos - $flo = 0 THEN ${at(flo)}
+        ELSE ${at(flo)} + (${at(s"($flo) + 1")} - ${at(flo)}) * ($pos - $flo) END"""
+  }
+
+  /** Oracle for the full 21-stat zonal enum (Zonal.zonalStatsFull): power
+    * sums for moments, histogram quantiles per histQuantileSql, deviation
+    * histogram for mad, count-desc/value-asc mode.
+    */
+  private def zonalFullOracle: String = sqlPx +
+    s""", zpx AS (SELECT CAST(zone AS BIGINT) AS zone, band, v
+        FROM px JOIN $sqlZones
+          ON gx >= zx0 AND gx <= zx1 AND gy >= zy0 AND gy <= zy1),
+      base AS (SELECT zone, band, CAST(count(*) AS BIGINT) AS n,
+         min(v) AS vmin, max(v) AS vmax,
+         CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(v * v AS BIGINT)) AS DOUBLE) AS s2,
+         CAST(sum(CAST(v * v * v AS BIGINT)) AS DOUBLE) AS s3,
+         CAST(sum(CAST(v * v * v * v AS BIGINT)) AS DOUBLE) AS s4
+       FROM zpx GROUP BY 1, 2),
+      mom AS (SELECT *, s1 / n AS mean, (s2 - s1 * s1 / n) / n AS variance FROM base),
+      mom2 AS (SELECT *, sqrt(variance) AS std FROM mom),
+      hist AS (SELECT zone, band, v, CAST(count(*) AS BIGINT) AS cnt
+       FROM zpx GROUP BY 1, 2, 3),
+      cum AS (SELECT h.zone, h.band, h.v, h.cnt,
+         sum(h.cnt) OVER (PARTITION BY h.zone, h.band ORDER BY h.v) AS cume, b.n
+       FROM hist h JOIN base b USING (zone, band)),
+      qs AS (SELECT zone, band,
+         ${histQuantileSql("0.5")} AS median, ${histQuantileSql("0.02")} AS q02,
+         ${histQuantileSql("0.25")} AS q1, ${histQuantileSql("0.75")} AS q3,
+         ${histQuantileSql("0.98")} AS q98
+       FROM cum GROUP BY zone, band, n),
+      devh AS (SELECT h.zone, h.band, abs(h.v - q.median) AS d,
+         CAST(sum(h.cnt) AS BIGINT) AS cnt
+       FROM hist h JOIN qs q USING (zone, band) GROUP BY 1, 2, 3),
+      devcum AS (SELECT d.zone, d.band, d.d AS v, d.cnt,
+         sum(d.cnt) OVER (PARTITION BY d.zone, d.band ORDER BY d.d) AS cume, b.n
+       FROM devh d JOIN base b USING (zone, band)),
+      madq AS (SELECT zone, band, ${histQuantileSql("0.5")} AS mad
+       FROM devcum GROUP BY zone, band, n),
+      modeq AS (SELECT zone, band, v AS mode FROM (
+         SELECT zone, band, v,
+           row_number() OVER (PARTITION BY zone, band ORDER BY cnt DESC, v ASC) AS rn
+         FROM hist) WHERE rn = 1)
+      SELECT m.zone, m.band, m.n AS n_px, m.vmin, m.vmax, m.s1 AS vsum,
+        m.vmax - m.vmin AS vrange, m.mean, m.variance, m.std,
+        (m.s3 / m.n - 3.0 * m.mean * (m.s2 / m.n) + 2.0 * m.mean * m.mean * m.mean)
+          / (m.std * m.std * m.std) AS skew,
+        (m.s4 / m.n - 4.0 * m.mean * (m.s3 / m.n) + 6.0 * m.mean * m.mean * (m.s2 / m.n)
+           - 3.0 * m.mean * m.mean * m.mean * m.mean)
+          / (m.variance * m.variance) AS kurtosis,
+        q.median, q.q02, q.q1, q.q3, q.q98, q.q3 - q.q1 AS iqr,
+        d.mad, mo.mode,
+        m.mean / m.std AS snr, m.variance / (m.mean * m.mean) AS eff,
+        m.std / m.mean AS cv
+      FROM mom2 m JOIN qs q USING (zone, band) JOIN madq d USING (zone, band)
+      JOIN modeq mo USING (zone, band)"""
 
   /** Bilinear sample in DuckDB mirroring TileOps2.resampleBilinear ops
     * exactly: clamped source lookup of v(x,y) = (x*7 + y*13) % 97 on the

@@ -63,27 +63,53 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN (scale path): random-hyperplane signatures from the
-    * quantized vectors — sign of dot with deterministic ±1 pattern vectors
-    * (seeded by dimension index parity mixes). Neighbor candidates share a
-    * signature bucket; exact re-score inside buckets. Approximate recall,
-    * exact scoring — rows-only check.
+    * quantized vectors — sign of dot with deterministic ±1 pattern
+    * vectors. The sign bit comes from bit 16 of a Knuth multiplicative
+    * mix of (dim, plane) — NOT the low bit, whose parity collapses to
+    * parity(i+p) and degenerates every even/odd plane to the same
+    * hyperplane (ADVICE r1).
+    *
+    * Scale shape (replaces the round-1 full per-bucket self-join, a
+    * O(bucket²) hot-bucket killer):
+    *  - the signature is split into `bands`; candidates share ANY band
+    *    key (multi-probe banding → recall without giant buckets),
+    *  - the index side of each band bucket is CAPPED at `capPerBucket`
+    *    members (deterministic: lowest vec_ids), so a hot bucket costs
+    *    O(bucket × cap), never O(bucket²). Approximate recall, exact
+    *    scoring — rows-only check.
     */
-  def lshBucketTopK(embeddings: DataFrame, numPlanes: Int, k: Int): DataFrame = {
+  def lshBucketTopK(embeddings: DataFrame, numPlanes: Int, k: Int,
+                    bands: Int = 2, capPerBucket: Int = 128): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val rowsPerBand = numPlanes / bands
     val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
-    // plane p weight for dim i = +1 if md5-ish mix parity, else -1 (deterministic)
-    val sigBits = (0 until numPlanes).map { p =>
+    def planeBit(p: Int): Column = {
       val signed = aggregate(
         zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
-          (x, i) => when(pmod(i * lit(2654435761L) + lit(p * 40503L), lit(2)) === 0, x).otherwise(-x)),
+          (x, i) => when(
+            pmod(floor((i * lit(2654435761L) + lit(p * 40503L + 11L)) / lit(65536L)), lit(2)) === 0,
+            x).otherwise(-x)),
         lit(0L), (acc, v) => acc + v)
-      when(signed > 0, lit(1L << p)).otherwise(lit(0L))
+      when(signed > 0, lit(1L)).otherwise(lit(0L))
     }
-    val bucketed = q.withColumn("bucket", sigBits.reduce(_ + _))
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+    val bandKeys = (0 until bands).map { b =>
+      val bits = (0 until rowsPerBand).map(r => planeBit(b * rowsPerBand + r) * lit(1L << r))
+      struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
+    }
+    val banded = q
+      .withColumn("bk", explode(array(bandKeys: _*)))
+      .select(col("vec_id"), col("q"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // index side: deterministic cap per (band, key)
+    val wCap = Window.partitionBy("band", "key").orderBy("vec_id")
+    val idx = banded.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= capPerBucket).drop("rn")
+    val scored = banded.as("a").join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
         dotQ(col("a.q"), col("b.q")).as("score"))
+      .distinct() // same pair from two bands has the same exact score
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

@@ -228,123 +228,224 @@ object TileOps {
       }
   }
 
+  /** Neighborhood convolution over the halo-exchanged padded planes with
+    * the reference's full 19-method enum (Hood.scala; reference
+    * buteo/array/convolution/base.py:443-462, funcs.py:12-391).
+    *
+    * Method dispatch is resolved to an int ONCE before the pixel loop.
+    * Two kernel paths:
+    *  - `weight == null` (uniform all-ones kernel): integer-exact factored
+    *    formulas — the DuckDB-oracle path. `normalised` picks the kernel
+    *    total (1.0 vs hood size) used by the sum/occurrence methods'
+    *    edge renormalization (base.py:153-156).
+    *  - explicit `weight`: the faithful per-element weighted formulas —
+    *    values and weights tracked separately, never pre-multiplied
+    *    (funcs.py semantics; checked by ScalaTest fixtures).
+    *
+    * `funcValue` feeds quantile (the q), occurrences and feather (the
+    * matched value), mirroring the reference's func_value parameter.
+    */
   def convolve(tiles: Dataset[Tile], radius: Int, method: String,
-               weight: (Int, Int) => Double = (_, _) => 1.0): Dataset[Tile] = {
+               weight: (Int, Int) => Double = null,
+               funcValue: Double = 0.5,
+               normalised: Boolean = true): Dataset[Tile] = {
     val r = radius
-    convolvePad(tiles, radius)
-      .map { case (ct, pad, pw, ph) =>
-        {
-            val out = new Array[Double](ct.w * ct.h)
-            val buf = new Array[Double]((2 * r + 1) * (2 * r + 1))
-            var row = 0
-            while (row < ct.h) {
-              var colI = 0
-              while (colI < ct.w) {
-                var n = 0; var s = 0.0; var mx = Double.MinValue; var mn = Double.MaxValue
-                var dy = -r
-                while (dy <= r) {
-                  var dx = -r
-                  while (dx <= r) {
-                    val v = pad((row + r + dy) * pw + (colI + r + dx))
-                    if (!v.isNaN && v != ct.nodata) {
-                      val wv = v * weight(dx, dy)
-                      buf(n) = wv; n += 1; s += wv
-                      if (wv > mx) mx = wv
-                      if (wv < mn) mn = wv
-                    }
-                    dx += 1
-                  }
-                  dy += 1
-                }
-                // s2 accumulated alongside s for the moment-based methods
-                var s2 = 0.0
-                var j = 0
-                while (j < n) { s2 += buf(j) * buf(j); j += 1 }
-                val center = pad((row + r) * pw + (colI + r))
-                out(row * ct.w + colI) = method match {
-                  case _ if n == 0 => ct.nodata
-                  case "sum" => s
-                  case "mean" => s / n
-                  case "max" => mx
-                  case "min" => mn
-                  case "roughness" => mx - mn // reference: dem roughness
-                  case "variance" => (s2 - s * s / n) / n
-                  case "std" => math.sqrt((s2 - s * s / n) / n)
-                  case "zscore" => // center relative to hood (σ=0 → 0)
-                    if (center.isNaN || center == ct.nodata) ct.nodata
-                    else {
-                      val v = (s2 - s * s / n) / n
-                      if (v == 0.0) 0.0 else (center - s / n) / math.sqrt(v)
-                    }
-                  case "tpi" => // center minus mean of the other neighbors
-                    if (center.isNaN || center == ct.nodata) ct.nodata
-                    else if (n <= 1) 0.0
-                    else center - (s - center) / (n - 1)
-                  case "median" =>
-                    val sorted = java.util.Arrays.copyOf(buf, n)
-                    java.util.Arrays.sort(sorted)
-                    if (n % 2 == 1) sorted(n / 2)
-                    else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
-                  case "quantile25" => // linear interpolation (quantile_cont)
-                    val sorted = java.util.Arrays.copyOf(buf, n)
-                    java.util.Arrays.sort(sorted)
-                    val pos = 0.25 * (n - 1)
-                    val lo = math.floor(pos).toInt
-                    val hi = math.min(lo + 1, n - 1)
-                    sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
-                  case "mad" => // median absolute deviation around the hood median
-                    val sorted = java.util.Arrays.copyOf(buf, n)
-                    java.util.Arrays.sort(sorted)
-                    val med = if (n % 2 == 1) sorted(n / 2)
-                      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
-                    val devs = new Array[Double](n)
-                    var jm = 0
-                    while (jm < n) { devs(jm) = math.abs(buf(jm) - med); jm += 1 }
-                    java.util.Arrays.sort(devs)
-                    if (n % 2 == 1) devs(n / 2)
-                    else (devs(n / 2 - 1) + devs(n / 2)) / 2.0
-                  case "sigma_lee" => // speckle filter: mean of hood values
-                    // within 2σ of the center (σ over the full hood)
-                    if (center.isNaN || center == ct.nodata) ct.nodata
-                    else {
-                      val sig = math.sqrt((s2 - s * s / n) / n)
-                      val lim = 2.0 * sig
-                      var cnt = 0; var acc = 0.0; var j3 = 0
-                      while (j3 < n) {
-                        if (math.abs(buf(j3) - center) <= lim) { acc += buf(j3); cnt += 1 }
-                        j3 += 1
-                      }
-                      if (cnt == 0) center else acc / cnt
-                    }
-                  case "occurrences" => // hood values equal to the center
-                    if (center.isNaN || center == ct.nodata) ct.nodata
-                    else {
-                      var cnt = 0; var j2 = 0
-                      while (j2 < n) { if (buf(j2) == center) cnt += 1; j2 += 1 }
-                      cnt.toDouble
-                    }
-                  case "mode" => // most frequent; ties → smallest value
-                    val sorted = java.util.Arrays.copyOf(buf, n)
-                    java.util.Arrays.sort(sorted)
-                    var best = sorted(0); var bestCnt = 1
-                    var cur = sorted(0); var curCnt = 1
-                    var k = 1
-                    while (k < n) {
-                      if (sorted(k) == cur) curCnt += 1
-                      else { cur = sorted(k); curCnt = 1 }
-                      if (curCnt > bestCnt) { best = cur; bestCnt = curCnt }
-                      k += 1
-                    }
-                    best
-                  case m => throw new IllegalArgumentException(s"unknown method: $m")
-                }
-                colI += 1
-              }
-              row += 1
-            }
-            ct.copy(pixels = out)
+    val (mid, qOverride) = Hood.methodId(method)
+    val q = if (!qOverride.isNaN) qOverride else funcValue
+    val side = 2 * r + 1
+    val hoodSize = side * side
+    val kernel: Array[Double] =
+      if (weight == null) null
+      else {
+        val k = new Array[Double](hoodSize)
+        var i = 0
+        var dy = -r
+        while (dy <= r) {
+          var dx = -r
+          while (dx <= r) { k(i) = weight(dx, dy); i += 1; dx += 1 }
+          dy += 1
         }
-      }(tileEnc)
+        if (normalised) {
+          val t = k.sum
+          if (t != 0.0) { var j = 0; while (j < hoodSize) { k(j) /= t; j += 1 } }
+        }
+        k
+      }
+    val kernelTotal =
+      if (kernel == null) { if (normalised) 1.0 else hoodSize.toDouble }
+      else kernel.sum
+    val fv = funcValue
+
+    convolvePad(tiles, radius).map { case (ct, pad, pw, _) =>
+      val out = new Array[Double](ct.w * ct.h)
+      val buf = new Array[Double](hoodSize)   // values (never pre-weighted)
+      val wbuf = new Array[Double](hoodSize)  // kernel weights of present values
+      val work = new Array[Double](hoodSize)  // sort scratch
+      val nodata = ct.nodata
+      var row = 0
+      while (row < ct.h) {
+        var colI = 0
+        while (colI < ct.w) {
+          // gather present (in-raster, non-nodata) neighbors
+          var n = 0; var s = 0.0; var s2 = 0.0
+          var mx = Double.MinValue; var mn = Double.MaxValue
+          var centerIdx = -1
+          var missing = false
+          var ki = 0
+          var dy = -r
+          while (dy <= r) {
+            var dx = -r
+            while (dx <= r) {
+              val v = pad((row + r + dy) * pw + (colI + r + dx))
+              if (!v.isNaN && v != nodata) {
+                buf(n) = v
+                if (kernel != null) wbuf(n) = kernel(ki)
+                if (dx == 0 && dy == 0) centerIdx = n
+                n += 1; s += v; s2 += v * v
+                if (v > mx) mx = v
+                if (v < mn) mn = v
+              } else missing = true
+              dx += 1
+            }
+            dy += 1
+          }
+          val center = pad((row + r) * pw + (colI + r))
+          val centerOk = centerIdx >= 0
+
+          def sortedVals(): Array[Double] = {
+            System.arraycopy(buf, 0, work, 0, n)
+            java.util.Arrays.sort(work, 0, n)
+            work
+          }
+
+          out(row * ct.w + colI) =
+            if (n == 0) nodata
+            else if (kernel != null) {
+              // faithful weighted path; edge renormalization scales the
+              // present weights back to the kernel total
+              if (missing) {
+                var sw = 0.0; var j = 0
+                while (j < n) { sw += wbuf(j); j += 1 }
+                if (sw != 0.0) {
+                  val f = kernelTotal / sw
+                  j = 0
+                  while (j < n) { wbuf(j) *= f; j += 1 }
+                }
+              }
+              mid match {
+                case Hood.Sum => Hood.weightedSum(buf, wbuf, n)
+                case Hood.Max => Hood.weightedMax(buf, wbuf, n)
+                case Hood.Min => Hood.weightedMin(buf, wbuf, n)
+                case Hood.Mean => Hood.weightedMean(buf, wbuf, n)
+                case Hood.Median => Hood.weightedQuantile(buf, wbuf, n, 0.5)
+                case Hood.Variance => Hood.weightedVariance(buf, wbuf, n)
+                case Hood.Std => Hood.weightedStd(buf, wbuf, n)
+                case Hood.Contrast => Hood.weightedContrast(buf, wbuf, n)
+                case Hood.Mode => Hood.weightedMode(buf, wbuf, n)
+                case Hood.Mad => Hood.weightedMad(buf, wbuf, n)
+                case Hood.ZScore =>
+                  if (!centerOk) nodata else Hood.weightedZScore(buf, wbuf, n, centerIdx)
+                case Hood.ZScoreMad =>
+                  if (!centerOk) nodata else Hood.weightedZScoreMad(buf, wbuf, n, centerIdx)
+                case Hood.SigmaLee => Hood.weightedSigmaLee(buf, wbuf, n)
+                case Hood.Quantile => Hood.weightedQuantile(buf, wbuf, n, q)
+                case Hood.Occurrences => Hood.weightedOccurrences(buf, wbuf, n, fv, normalise = false)
+                case Hood.Feather => Hood.weightedOccurrences(buf, wbuf, n, fv, normalise = true)
+                case Hood.Roughness =>
+                  if (!centerOk) nodata else Hood.weightedRoughness(buf, wbuf, n, centerIdx)
+                case Hood.Tri =>
+                  if (!centerOk) nodata else Hood.weightedTri(buf, wbuf, n, centerIdx)
+                case Hood.Tpi =>
+                  if (!centerOk) nodata else Hood.weightedTpi(buf, wbuf, n, centerIdx)
+                case Hood.OccurrencesCenter =>
+                  if (!centerOk) nodata
+                  else { var c = 0; var j = 0; while (j < n) { if (buf(j) == center) c += 1; j += 1 }; c.toDouble }
+              }
+            } else mid match {
+              // uniform-kernel fast path: factored, integer-exact formulas
+              // (same IEEE ops as the DuckDB oracles)
+              case Hood.Sum => s * kernelTotal / n
+              case Hood.Max => mx
+              case Hood.Min => mn
+              case Hood.Mean => s / n
+              case Hood.Median => Hood.refQuantileSorted(sortedVals(), n, 0.5)
+              case Hood.Variance => (s2 - s * s / n) / n
+              case Hood.Std => math.sqrt((s2 - s * s / n) / n)
+              case Hood.Contrast =>
+                // reference formula is only scale-sane for raw weights;
+                // uniform weight value = kernelTotal / hoodSize
+                val wu = kernelTotal / hoodSize
+                math.abs(mx * wu - mn / (wu + 1e-7))
+              case Hood.Mode => Hood.modeSorted(sortedVals(), n)
+              case Hood.Mad =>
+                val sv = sortedVals()
+                val med = Hood.refQuantileSorted(sv, n, 0.5)
+                var j = 0
+                while (j < n) { sv(j) = math.abs(buf(j) - med); j += 1 }
+                java.util.Arrays.sort(sv, 0, n)
+                Hood.refQuantileSorted(sv, n, 0.5)
+              case Hood.ZScore =>
+                if (!centerOk) nodata
+                else (center - s / n) / math.sqrt((s2 - s * s / n) / n)
+              case Hood.ZScoreMad =>
+                if (!centerOk) nodata
+                else {
+                  val sv = sortedVals()
+                  val med = Hood.refQuantileSorted(sv, n, 0.5)
+                  var j = 0
+                  while (j < n) { sv(j) = math.abs(buf(j) - med); j += 1 }
+                  java.util.Arrays.sort(sv, 0, n)
+                  val mad = Hood.refQuantileSorted(sv, n, 0.5)
+                  (center - med) / (mad * 1.4826)
+                }
+              case Hood.SigmaLee =>
+                // selection {v: |v| >= σ}, mean of selected (Hood doc)
+                val std = math.sqrt((s2 - s * s / n) / n)
+                var cnt = 0; var acc = 0.0; var j = 0
+                while (j < n) {
+                  if (buf(j) >= std || buf(j) <= -std) { acc += buf(j); cnt += 1 }
+                  j += 1
+                }
+                if (cnt == 0 || cnt * 5 < Hood.sigmaLeeKs(n)) s * kernelTotal / n
+                else acc / cnt
+              case Hood.Quantile => Hood.refQuantileSorted(sortedVals(), n, q)
+              case Hood.Occurrences =>
+                var c = 0; var j = 0
+                while (j < n) { if (buf(j) == fv) c += 1; j += 1 }
+                c.toDouble * kernelTotal / n
+              case Hood.Feather =>
+                var c = 0; var j = 0
+                while (j < n) { if (buf(j) == fv) c += 1; j += 1 }
+                (c.toDouble * kernelTotal / n) / n
+              case Hood.Roughness =>
+                if (!centerOk) nodata
+                else {
+                  var m = 0.0; var j = 0
+                  while (j < n) { val d = math.abs(buf(j) - center); if (d > m) m = d; j += 1 }
+                  m
+                }
+              case Hood.Tri =>
+                if (!centerOk) nodata
+                else if (n <= 1) 0.0
+                else {
+                  var acc = 0.0; var j = 0
+                  while (j < n) { acc += math.abs(buf(j) - center); j += 1 }
+                  acc / (n - 1)
+                }
+              case Hood.Tpi =>
+                if (!centerOk) nodata
+                else if (n <= 1) 0.0
+                else math.abs(center - (s - center) / (n - 1))
+              case Hood.OccurrencesCenter =>
+                if (!centerOk) nodata
+                else { var c = 0; var j = 0; while (j < n) { if (buf(j) == center) c += 1; j += 1 }; c.toDouble }
+            }
+          colI += 1
+        }
+        row += 1
+      }
+      ct.copy(pixels = out)
+    }(tileEnc)
   }
 
   /** Flatten tiles to (x, y, band, v) global pixel rows (for compact

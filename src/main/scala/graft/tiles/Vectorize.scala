@@ -1,0 +1,164 @@
+package graft.tiles
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Raster → polygons per constant-value region — the reference's
+  * vectorize (reference: buteo/raster/vectorize.py:25-72, which delegates
+  * to gdal.Polygonize at :64: 4-connected regions of equal pixel value,
+  * no mask).
+  *
+  * Distributed shape (no driver-side pixel work):
+  *  1. per-tile connected components (union-find over the tile's pixels,
+  *     4-connectivity) → one provisional REGION row per tile component,
+  *     labeled by its minimum global pixel index (deterministic);
+  *  2. tile-boundary adjacency: each tile emits its 4 edge rows; a
+  *     groupBy on the shared-edge key pairs up 4-adjacent equal-value
+  *     pixels from both sides → label-graph EDGES (tiny relative to
+  *     pixels: one node per tile-local region);
+  *  3. cross-tile merge: iterative min-label propagation over the label
+  *     graph (Pregel-style supersteps on DataFrames) until fixpoint —
+  *     converges in O(region-graph diameter) rounds, each one small
+  *     shuffle of the label table;
+  *  4. final per-region aggregate: value, pixel count, pixel-space bbox,
+  *     region key (global min pixel index).
+  *
+  * Polygon RINGS are not materialized — the region decomposition (which
+  * pixels belong to which polygon, i.e. gdal.Polygonize's equivalence
+  * classes) plus bbox/count is the queryable output; ring tracing is a
+  * per-region local pass that can be layered on later.
+  */
+object Vectorize {
+
+  /** Per-region rows: (band, v, region_key, n_px, x_min, x_max, y_min,
+    * y_max). `region_key` = min global pixel index (y*width + x) of the
+    * region — stable across any partitioning.
+    */
+  def vectorize(tiles: Dataset[Tile], spec: RasterSpec, maxIters: Int = 32): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val ts = spec.tileSize
+    val W = spec.width.toLong; val H = spec.height.toLong
+
+    // --- 1+2: per-tile union-find; emit components + boundary rows ---
+    // component: (label, band, v, nPx, xMin, xMax, yMin, yMax)
+    // boundary:  (edgeKey, pos, label, v)  — edgeKey identifies the shared
+    //            tile edge; pos the pixel position along it
+    val perTile = tiles.flatMap { t =>
+      val w = t.w; val h = t.h
+      val parent = Array.tabulate(w * h)(identity)
+      def find(a: Int): Int = {
+        var x = a
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      def union(a: Int, b: Int): Unit = {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val px = t.pixels
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val i = r * w + c
+          if (c + 1 < w && px(i) == px(i + 1)) union(i, i + 1)
+          if (r + 1 < h && px(i) == px(i + w)) union(i, i + w)
+          c += 1
+        }
+        r += 1
+      }
+      val baseX = t.cellX.toLong * ts; val baseY = t.cellY.toLong * ts
+      val bandOff = t.band.toLong * W * H
+      def globalLabel(i: Int): Long = {
+        val root = find(i)
+        bandOff + (baseY + root / w) * W + (baseX + root % w)
+      }
+      // aggregate per root
+      val agg = collection.mutable.HashMap.empty[Int, (Long, Long, Long, Long, Long)]
+      var i = 0
+      while (i < w * h) {
+        val root = find(i)
+        val gx = baseX + i % w; val gy = baseY + i / w
+        agg.get(root) match {
+          case None => agg(root) = (1L, gx, gx, gy, gy)
+          case Some((n, x0, x1, y0, y1)) =>
+            agg(root) = (n + 1, math.min(x0, gx), math.max(x1, gx),
+              math.min(y0, gy), math.max(y1, gy))
+        }
+        i += 1
+      }
+      val comps = agg.iterator.map { case (root, (n, x0, x1, y0, y1)) =>
+        (0, globalLabel(root), t.band, px(root), n, x0, x1, y0, y1, 0L, 0L)
+      }
+      // boundary rows: kind=1; reuse the tuple shape
+      // (kind, label, band, v, _, _, _, _, _, edgeKey, pos)
+      def edgeKey(vertical: Boolean, ex: Long, ey: Long): Long =
+        ((ex * 1048576L + ey) * 2L + (if (vertical) 1L else 0L)) * 8L + t.band
+      val bounds = collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Double, Long, Long, Long, Long, Long, Long, Long)]
+      var rr = 0
+      while (rr < h) { // left edge (vertical edge at x = cellX) and right
+        val li = rr * w
+        bounds += ((1, globalLabel(li), t.band, px(li), 0L, 0L, 0L, 0L, 0L,
+          edgeKey(vertical = true, t.cellX.toLong, t.cellY.toLong), baseY + rr))
+        val ri = rr * w + (w - 1)
+        bounds += ((1, globalLabel(ri), t.band, px(ri), 0L, 0L, 0L, 0L, 0L,
+          edgeKey(vertical = true, t.cellX.toLong + 1L, t.cellY.toLong), baseY + rr))
+        rr += 1
+      }
+      var cc = 0
+      while (cc < w) { // top edge (horizontal at y = cellY) and bottom
+        bounds += ((1, globalLabel(cc), t.band, px(cc), 0L, 0L, 0L, 0L, 0L,
+          edgeKey(vertical = false, t.cellX.toLong, t.cellY.toLong), baseX + cc))
+        val bi = (h - 1) * w + cc
+        bounds += ((1, globalLabel(bi), t.band, px(bi), 0L, 0L, 0L, 0L, 0L,
+          edgeKey(vertical = false, t.cellX.toLong, t.cellY.toLong + 1L), baseX + cc))
+        cc += 1
+      }
+      comps ++ bounds.iterator
+    }.toDF("kind", "label", "band", "v", "n_px", "x_min", "x_max", "y_min", "y_max",
+      "edge_key", "pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val comps = perTile.filter(col("kind") === 0)
+      .select("label", "band", "v", "n_px", "x_min", "x_max", "y_min", "y_max")
+    // pair the two sides of each shared edge: equal (edge_key, pos) rows
+    // from adjacent tiles with equal value → label-graph edge
+    val b = perTile.filter(col("kind") === 1).select("label", "v", "edge_key", "pos")
+    val edges = b.as("a").join(b.as("bb"),
+        col("a.edge_key") === col("bb.edge_key") && col("a.pos") === col("bb.pos") &&
+          col("a.label") < col("bb.label") && col("a.v") === col("bb.v"))
+      .select(col("a.label").as("src"), col("bb.label").as("dst"))
+      .distinct()
+
+    // --- 3: min-label propagation to fixpoint ---
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = comps.select(col("label"), col("label").as("comp"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val viaNeighbors = sym.join(labels, sym("dst") === labels("label"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(viaNeighbors, labels("label") === viaNeighbors("src"), "left")
+        .select(labels("label"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), col("n.label") === col("o.label"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      it += 1
+    }
+
+    // --- 4: final aggregate per connected component ---
+    comps.join(labels, "label")
+      .groupBy(col("band"), col("comp"))
+      .agg(min(col("v")).as("v"), // constant within a component
+        sum(col("n_px")).as("n_px"),
+        min(col("x_min")).as("x_min"), max(col("x_max")).as("x_max"),
+        min(col("y_min")).as("y_min"), max(col("y_max")).as("y_max"),
+        min(col("label")).as("region_key"))
+      .select(col("band"), col("v"), col("region_key"), col("n_px"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.tiles
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.geo.{Polygon, RTree}
+
+/** Full zonal-statistics enum — the reference's 21-stat list
+  * (reference: buteo/vector/zonal_statistics.py:35-63 — count, range,
+  * min, max, sum, mean, var, std, skew, kurtosis, median, iqr, q02, q98,
+  * q1, q3, mad, mode, snr, eff, cv; active-path subset mean/median/std/
+  * min/max/sum at buteo/raster/zonal_statistics.py:29-60).
+  *
+  * Distribution shape: pixels never shuffle. Each tile builds LOCAL
+  * per-(zone, value) histograms against the broadcast zone R-tree; one
+  * shuffle aggregates histograms per (zone, band, value); a second tiny
+  * groupBy folds each zone's histogram into all 21 statistics at once.
+  * Order statistics (median/quantiles/mad/mode) are EXACT because they
+  * are computed from the full value histogram — the right plan when the
+  * value domain is bounded (categorical/integral rasters; for unbounded
+  * continuous payloads swap the histogram for percentile_approx).
+  *
+  * Moment statistics come from exact integer power sums (Σv..Σv⁴);
+  * quantiles use linear interpolation at q·(n−1) (np.percentile
+  * 'linear', the reference's numpy semantics).
+  */
+final case class ZonalFullRow(
+    zone: Long, band: Int, n_px: Long, vmin: Double, vmax: Double,
+    vsum: Double, vrange: Double, mean: Double, variance: Double,
+    std: Double, skew: Double, kurtosis: Double, median: Double,
+    q02: Double, q1: Double, q3: Double, q98: Double, iqr: Double,
+    mad: Double, mode: Double, snr: Double, eff: Double, cv: Double)
+
+object Zonal {
+
+  /** value-at-index over a cumulative histogram: first v with cum > i. */
+  private def at(vs: Array[Double], cum: Array[Long], i: Long): Double = {
+    var j = 0
+    while (cum(j) <= i) j += 1
+    vs(j)
+  }
+
+  /** np.percentile 'linear': interpolate at q·(n−1). */
+  private def histQuantile(vs: Array[Double], cum: Array[Long], n: Long, q: Double): Double = {
+    val pos = q * (n - 1)
+    val lo = math.floor(pos).toLong
+    val frac = pos - lo
+    val vlo = at(vs, cum, lo)
+    if (frac == 0.0) vlo else vlo + (at(vs, cum, lo + 1) - vlo) * frac
+  }
+
+  def zonalStatsFull(tiles: Dataset[Tile], zones: Seq[(Long, Polygon)]): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val zoneArr = zones.toArray
+    val tree = RTree.build(zoneArr.map(_._2.bbox))
+    val bc = spark.sparkContext.broadcast((zoneArr, tree))
+
+    // per-tile local histograms → (zone, band, v, cnt)
+    val hist = tiles.flatMap { t =>
+      val (zs, tr) = bc.value
+      val tb = t.bbox
+      val cand = tr.query(tb.xMin, tb.xMax, tb.yMin, tb.yMax)
+      val m = collection.mutable.HashMap.empty[(Long, Double), Long]
+      var ci = 0
+      while (ci < cand.length) {
+        val (zid, zp) = zs(cand(ci))
+        var r = 0
+        while (r < t.h) {
+          var c = 0
+          while (c < t.w) {
+            val v = t.pixels(r * t.w + c)
+            if (v != t.nodata) {
+              val (gx, gy) = t.pixelCenter(c, r)
+              if (zp.contains(gx, gy)) {
+                val k = (zid, v)
+                m(k) = m.getOrElse(k, 0L) + 1L
+              }
+            }
+            c += 1
+          }
+          r += 1
+        }
+        ci += 1
+      }
+      m.iterator.map { case ((zid, v), cnt) => (zid, t.band, v, cnt) }
+    }.toDF("zone", "band", "v", "cnt")
+      .groupBy("zone", "band", "v").agg(sum("cnt").as("cnt"))
+
+    // fold each zone's histogram into the full stat row
+    hist.as[(Long, Int, Double, Long)]
+      .groupByKey { case (zone, band, _, _) => (zone, band) }
+      .mapGroups { (key: (Long, Int), it: Iterator[(Long, Int, Double, Long)]) =>
+        val (zone, band) = key
+        val rows = it.toArray.sortBy(_._3)
+        val vs = rows.map(_._3)
+        val cnts = rows.map(_._4)
+        val cum = cnts.scanLeft(0L)(_ + _).drop(1)
+        val n = cum.last
+        var s1 = 0.0; var s2 = 0.0; var s3 = 0.0; var s4 = 0.0
+        var i = 0
+        while (i < vs.length) {
+          val v = vs(i); val c = cnts(i).toDouble
+          val v2 = v * v
+          s1 += c * v; s2 += c * v2; s3 += c * v2 * v; s4 += c * v2 * v2
+          i += 1
+        }
+        val vmin = vs.head; val vmax = vs.last
+        val mean = s1 / n
+        val variance = (s2 - s1 * s1 / n) / n
+        val std = math.sqrt(variance)
+        val m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+        val skew = m3 / (std * std * std)
+        val m4 = s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n) -
+          3.0 * mean * mean * mean * mean
+        val kurtosis = m4 / (variance * variance)
+        val median = histQuantile(vs, cum, n, 0.5)
+        val q02 = histQuantile(vs, cum, n, 0.02)
+        val q1 = histQuantile(vs, cum, n, 0.25)
+        val q3 = histQuantile(vs, cum, n, 0.75)
+        val q98 = histQuantile(vs, cum, n, 0.98)
+        // mad: weighted median of |v - median| over the deviation histogram
+        val devAgg = collection.mutable.HashMap.empty[Double, Long]
+        i = 0
+        while (i < vs.length) {
+          val d = math.abs(vs(i) - median)
+          devAgg(d) = devAgg.getOrElse(d, 0L) + cnts(i)
+          i += 1
+        }
+        val devRows = devAgg.toArray.sortBy(_._1)
+        val dvs = devRows.map(_._1)
+        val dcum = devRows.map(_._2).scanLeft(0L)(_ + _).drop(1)
+        val mad = histQuantile(dvs, dcum, n, 0.5)
+        // mode: highest count, ties → smallest value
+        var mode = vs(0); var bestCnt = cnts(0)
+        i = 1
+        while (i < vs.length) {
+          if (cnts(i) > bestCnt) { bestCnt = cnts(i); mode = vs(i) }
+          i += 1
+        }
+        ZonalFullRow(zone, band, n, vmin, vmax, s1, vmax - vmin, mean,
+          variance, std, skew, kurtosis, median, q02, q1, q3, q98, q3 - q1,
+          mad, mode, mean / std, variance / (mean * mean), std / mean)
+      }
+      .toDF()
+  }
+}

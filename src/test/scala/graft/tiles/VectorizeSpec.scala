@@ -1,0 +1,53 @@
+package graft.tiles
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorizeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("disconnected same-value regions stay separate (4-connectivity)") {
+    // 32×32, tiles of 8: two 4×4 squares of value 1 on a 0 background,
+    // placed so each square straddles a tile boundary
+    val spec = RasterSpec(0.0, 32.0, 1.0, -1.0, 32, 32, 8, 1)
+    def inSquare(x: Int, y: Int, x0: Int, y0: Int): Boolean =
+      x >= x0 && x < x0 + 4 && y >= y0 && y < y0 + 4
+    val tiles = TileOps.createRaster(spark, spec)((x, y, _) =>
+      if (inSquare(x, y, 6, 6) || inSquare(x, y, 20, 14)) 1.0 else 0.0)
+    val out = Vectorize.vectorize(tiles, spec).collect()
+      .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2)
+    // background is one connected region (squares don't cut it), + 2 squares
+    assert(out.length == 3)
+    val squares = out.filter(_._1 == 1.0)
+    assert(squares.length == 2)
+    assert(squares.forall(_._3 == 16L))
+    val bg = out.filter(_._1 == 0.0)
+    assert(bg.length == 1 && bg.head._3 == 32L * 32 - 32)
+    // region keys: min pixel index of each square: (6,6) → 6*32+6; (20,14)
+    assert(squares.map(_._2).toSet == Set(6L * 32 + 6, 14L * 32 + 20))
+  }
+
+  test("diagonal stripes merge across tiles into one region per value") {
+    val spec = RasterSpec(0.0, 64.0, 1.0, -1.0, 64, 64, 16, 1)
+    val tiles = TileOps.createRaster(spark, spec)((x, y, _) => ((x + y) / 16).toDouble)
+    val out = Vectorize.vectorize(tiles, spec).collect()
+    assert(out.length == 8) // (x+y) in [0,126] → stripes 0..7
+    assert(out.map(_.getLong(3)).sum == 64L * 64)
+  }
+
+  test("vertical band edges pair correctly (bbox of merged region)") {
+    val spec = RasterSpec(0.0, 16.0, 1.0, -1.0, 16, 16, 4, 1)
+    // vertical halves: x<8 → 0, else 1 — each half spans 2×4 tiles
+    val tiles = TileOps.createRaster(spark, spec)((x, _, _) => if (x < 8) 0.0 else 1.0)
+    val out = Vectorize.vectorize(tiles, spec).collect()
+      .map(r => (r.getDouble(1), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((0.0, 0L, 7L, 0L, 15L), (1.0, 8L, 15L, 0L, 15L)))
+  }
+}
