@@ -363,6 +363,30 @@ object SparkEntry {
       TileOps.toPixels(TileOps2.resampleBilinear(
         TileOps.createRaster(s, spec)(rasterValue), 2), spec.tileSize * 2)
     },
+    "raster_resample_mode" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.resampleBlock(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 4, "mode"), rasterSpec.tileSize / 4)
+    },
+    "raster_resample_median" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.resampleBlock(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 4, "median"), rasterSpec.tileSize / 4)
+    },
+    "raster_resample_rms" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.resampleBlock(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 4, "rms"), rasterSpec.tileSize / 4)
+    },
+    "raster_tophat" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.tophat(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1), rasterSpec.tileSize)
+    },
+    "raster_bothat" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.bothat(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1), rasterSpec.tileSize)
+    },
+    "raster_morph_diff" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.morphDifference(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1), rasterSpec.tileSize)
+    },
     "raster_theilsen" -> { (s, _) =>
       val spec4 = rasterSpec.copy(bands = 4)
       val r = TileOps.createRaster(s, spec4)(
@@ -495,6 +519,19 @@ object SparkEntry {
     "vector_dissolve" -> { (s, _) =>
       graft.ops.VectorOps.dissolveByAttribute(vectorFeatures(s), "klass", "wkt")
     },
+    "vector_dissolve_union" -> { (s, _) =>
+      // overlapping rects (w=4 on a 3-step lattice) so the union is a real
+      // geometric merge, not a sum of areas
+      val f = s.range(60).select(
+        col("id"),
+        concat(lit("u"), (col("id") % 3).cast("string")).as("klass"),
+        ((col("id") % 10) * 3).cast("int").as("x0"),
+        ((col("id") / 10).cast("long") * 2).cast("int").as("y0"),
+        lit(4).as("w"), lit(3).as("h"))
+        .withColumn("wkt", rectWkt(col("x0"), col("y0"), col("w"), col("h")))
+      graft.ops.VectorOps.dissolveUnion(f, "klass", "wkt")
+        .select("klass", "n_features", "union_area", "x_min", "x_max", "y_min", "y_max")
+    },
     "vector_join_intersect" -> { (s, _) =>
       graft.ops.VectorOps.intersectJoin(vectorFeatures(s), vectorQueries(s), "wkt", "fid", "qid")
         .groupBy(col("match_fid").as("qid"))
@@ -503,6 +540,56 @@ object SparkEntry {
     "vector_multipart" -> { (s, _) =>
       graft.ops.VectorOps.multipartToSingle(vectorMulti(s), "wkt", "fid")
         .groupBy("fid").agg(count(lit(1)).as("n_parts"))
+    },
+    "vector_fix_geometry" -> { (s, _) =>
+      // defect cycle: 0 valid CCW, 1 reversed (CW), 2 duplicated vertex,
+      // 3 unclosed ring — repair must normalize all to a 4-pt CCW ring
+      val f = s.range(120).select(
+        col("id").as("fid"),
+        ((col("id") % 15) * 5).cast("int").as("x0"),
+        ((col("id") / 15).cast("long") * 6).cast("int").as("y0"),
+        (col("id") % 3 + 2).cast("int").as("w"),
+        (col("id") % 4 + 1).cast("int").as("h"))
+      val xs = col("x0").cast("string"); val ys = col("y0").cast("string")
+      val x1 = (col("x0") + col("w")).cast("string")
+      val y1 = (col("y0") + col("h")).cast("string")
+      def pt(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        concat(a, lit(" "), b)
+      val defect = f.withColumn("wkt",
+        when(col("fid") % 4 === 0, rectWkt(col("x0"), col("y0"), col("w"), col("h")))
+          .when(col("fid") % 4 === 1, concat(lit("POLYGON(("),
+            pt(xs, ys), lit(", "), pt(xs, y1), lit(", "), pt(x1, y1), lit(", "),
+            pt(x1, ys), lit(", "), pt(xs, ys), lit("))")))
+          .when(col("fid") % 4 === 2, concat(lit("POLYGON(("),
+            pt(xs, ys), lit(", "), pt(x1, ys), lit(", "), pt(x1, ys), lit(", "),
+            pt(x1, y1), lit(", "), pt(xs, y1), lit(", "), pt(xs, ys), lit("))")))
+          .otherwise(concat(lit("POLYGON(("),
+            pt(xs, ys), lit(", "), pt(x1, ys), lit(", "), pt(x1, y1), lit(", "),
+            pt(xs, y1), lit("))"))))
+      graft.ops.VectorOps.fixGeometry(defect, "fid", "wkt")
+        .select("fid", "was_valid", "n_rings", "n_pts", "area")
+    },
+    "vector_join_concave" -> { (s, _) =>
+      // concave L-shaped features vs rect probes: exercises the general
+      // (non-convex) intersect refine — a probe inside the L's notch
+      // overlaps the bbox but NOT the polygon
+      val f = s.range(80).select(
+        col("id").as("fid"),
+        ((col("id") % 10) * 6).cast("int").as("x0"),
+        ((col("id") / 10).cast("long") * 8).cast("int").as("y0"))
+      def c(e: org.apache.spark.sql.Column) = e.cast("string")
+      val lWkt = concat(lit("POLYGON(("),
+        c(col("x0")), lit(" "), c(col("y0")), lit(", "),
+        c(col("x0") + 4), lit(" "), c(col("y0")), lit(", "),
+        c(col("x0") + 4), lit(" "), c(col("y0") + 2), lit(", "),
+        c(col("x0") + 2), lit(" "), c(col("y0") + 2), lit(", "),
+        c(col("x0") + 2), lit(" "), c(col("y0") + 6), lit(", "),
+        c(col("x0")), lit(" "), c(col("y0") + 6), lit(", "),
+        c(col("x0")), lit(" "), c(col("y0")), lit("))"))
+      val feats = f.withColumn("wkt", lWkt)
+      graft.ops.VectorOps.intersectJoin(feats, vectorQueries(s), "wkt", "fid", "qid")
+        .groupBy(col("match_fid").as("qid"))
+        .agg(count(lit(1)).as("n_feats"), min("fid").as("min_fid"), max("fid").as("max_fid"))
     },
 
     // --- more convolution methods / rasterize / band ops ---
@@ -876,6 +963,60 @@ object SparkEntry {
         SELECT x, y, 0 AS band,""" +
         bilerpSql("x0", "y0", "fx", "fy") + " AS v FROM c"),
 
+    "raster_resample_mode" -> (sqlPx +
+      """, freq AS (SELECT CAST(x // 4 AS INTEGER) AS x, CAST(y // 4 AS INTEGER) AS y,
+          band, v, count(*) AS cnt
+        FROM px GROUP BY 1, 2, 3, 4)
+        SELECT x, y, band, v FROM (
+          SELECT x, y, band, v,
+            row_number() OVER (PARTITION BY x, y, band ORDER BY cnt DESC, v ASC) AS rn
+          FROM freq) WHERE rn = 1"""),
+
+    "raster_resample_median" -> (sqlPx +
+      """ SELECT CAST(x // 4 AS INTEGER) AS x, CAST(y // 4 AS INTEGER) AS y, band,
+          median(v) AS v
+        FROM px GROUP BY 1, 2, 3"""),
+
+    "raster_resample_rms" -> (sqlPx +
+      """ SELECT CAST(x // 4 AS INTEGER) AS x, CAST(y // 4 AS INTEGER) AS y, band,
+          sqrt(sum(v * v) / count(*)) AS v
+        FROM px GROUP BY 1, 2, 3"""),
+
+    "raster_tophat" -> (sqlPx +
+      """, ero AS (SELECT a.x, a.y, a.band, min(b.v) AS v
+          FROM px a JOIN px b
+            ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+            AND b.y BETWEEN a.y - 1 AND a.y + 1
+          GROUP BY 1, 2, 3),
+        opened AS (SELECT a.x, a.y, a.band, max(b.v) AS v
+          FROM ero a JOIN ero b
+            ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+            AND b.y BETWEEN a.y - 1 AND a.y + 1
+          GROUP BY 1, 2, 3)
+        SELECT p.x, p.y, p.band, p.v - o.v AS v
+        FROM px p JOIN opened o ON o.x = p.x AND o.y = p.y AND o.band = p.band"""),
+
+    "raster_bothat" -> (sqlPx +
+      """, dil AS (SELECT a.x, a.y, a.band, max(b.v) AS v
+          FROM px a JOIN px b
+            ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+            AND b.y BETWEEN a.y - 1 AND a.y + 1
+          GROUP BY 1, 2, 3),
+        closed AS (SELECT a.x, a.y, a.band, min(b.v) AS v
+          FROM dil a JOIN dil b
+            ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+            AND b.y BETWEEN a.y - 1 AND a.y + 1
+          GROUP BY 1, 2, 3)
+        SELECT p.x, p.y, p.band, c.v - p.v AS v
+        FROM px p JOIN closed c ON c.x = p.x AND c.y = p.y AND c.band = p.band"""),
+
+    "raster_morph_diff" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band, max(b.v) - min(b.v) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY 1, 2, 3"""),
+
     "raster_theilsen" ->
       """WITH px4 AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
            CAST(b AS INTEGER) AS band,
@@ -1092,6 +1233,38 @@ object SparkEntry {
           CAST(sum(w * h) AS DOUBLE) AS total_area
         FROM feats GROUP BY klass"""),
 
+    "vector_dissolve_union" ->
+      // exact rect-union area via slab sweep: x-slabs between consecutive
+      // distinct x boundaries; per slab, union length of active
+      // y-intervals (gaps-and-islands with a running max)
+      """WITH feats AS (SELECT id, 'u' || CAST(id % 3 AS VARCHAR) AS klass,
+           CAST((id % 10) * 3 AS INTEGER) AS x0, CAST((id // 10) * 2 AS INTEGER) AS y0,
+           4 AS w, 3 AS h FROM range(60) t(id)),
+        bounds AS (SELECT DISTINCT klass, x0 AS x FROM feats
+          UNION SELECT DISTINCT klass, x0 + w FROM feats),
+        slabs AS (SELECT klass, x AS xs,
+            lead(x) OVER (PARTITION BY klass ORDER BY x) AS xe FROM bounds),
+        active AS (SELECT s.klass, s.xs, s.xe, f.y0, f.y0 + f.h AS y1
+          FROM slabs s JOIN feats f
+            ON f.klass = s.klass AND f.x0 <= s.xs AND f.x0 + f.w >= s.xe
+          WHERE s.xe IS NOT NULL),
+        sw AS (SELECT klass, xs, xe, y0, y1,
+            max(y1) OVER (PARTITION BY klass, xs ORDER BY y0, y1
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          FROM active),
+        contrib AS (SELECT klass, xs, xe,
+            GREATEST(y1 - GREATEST(y0, COALESCE(prev_max, y0)), 0) AS len
+          FROM sw)
+        SELECT c.klass, f.n_features,
+          CAST(CAST(sum((c.xe - c.xs) * c.len) AS BIGINT) AS DOUBLE) AS union_area,
+          f.x_min, f.x_max, f.y_min, f.y_max
+        FROM contrib c JOIN (
+          SELECT klass, CAST(count(*) AS BIGINT) AS n_features,
+            CAST(min(x0) AS DOUBLE) AS x_min, CAST(max(x0 + w) AS DOUBLE) AS x_max,
+            CAST(min(y0) AS DOUBLE) AS y_min, CAST(max(y0 + h) AS DOUBLE) AS y_max
+          FROM feats GROUP BY klass) f USING (klass)
+        GROUP BY c.klass, f.n_features, f.x_min, f.x_max, f.y_min, f.y_max""",
+
     "vector_join_intersect" -> (s"WITH $sqlFeats, $sqlQueries" +
       """ SELECT q.qid, CAST(count(*) AS BIGINT) AS n_feats,
           min(f.fid) AS min_fid, max(f.fid) AS max_fid
@@ -1104,6 +1277,30 @@ object SparkEntry {
       """SELECT id AS fid,
          CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_parts
        FROM range(50) t(id)""",
+
+    "vector_fix_geometry" ->
+      """WITH feats AS (SELECT id AS fid,
+           CAST(id % 3 + 2 AS INTEGER) AS w, CAST(id % 4 + 1 AS INTEGER) AS h
+         FROM range(120) t(id))
+        SELECT fid, fid % 4 = 0 AS was_valid, CAST(1 AS BIGINT) AS n_rings,
+          CAST(4 AS BIGINT) AS n_pts, CAST(w * h AS DOUBLE) AS area
+        FROM feats""",
+
+    "vector_join_concave" ->
+      // each L decomposes into two rects; closed-set intersects(L, q) ⇔
+      // either rect overlaps q
+      """WITH lf AS (SELECT id AS fid, CAST((id % 10) * 6 AS INTEGER) AS x0,
+           CAST((id // 10) * 8 AS INTEGER) AS y0 FROM range(80) t(id)),
+        rects AS (SELECT fid, x0, y0, x0 + 4 AS x1, y0 + 2 AS y1 FROM lf
+          UNION ALL SELECT fid, x0, y0 + 2, x0 + 2, y0 + 6 FROM lf),
+        qs AS (SELECT id AS qid, CAST(id * 8 AS INTEGER) AS x0,
+           CAST(id * 4 AS INTEGER) AS y0, 6 AS w, 7 AS h FROM range(10) t(id)),
+        hits AS (SELECT DISTINCT q.qid, r.fid FROM rects r JOIN qs q
+          ON r.x0 <= q.x0 + q.w AND r.x1 >= q.x0
+          AND r.y0 <= q.y0 + q.h AND r.y1 >= q.y0)
+        SELECT qid, CAST(count(*) AS BIGINT) AS n_feats,
+          min(fid) AS min_fid, max(fid) AS max_fid
+        FROM hits GROUP BY qid""",
 
     "raster_convolve_variance" -> (sqlPx +
       """ SELECT a.x, a.y, a.band,

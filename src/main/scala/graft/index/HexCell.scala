@@ -147,6 +147,54 @@ object HexCell {
     set.flatMap(c => c +: neighbors(c).toSeq).toArray
   }
 
-  def polygonCover(p: Polygon, resolution: Int): Array[Long] =
-    cover(p.bbox, resolution)
+  /** Cover cells pruned to the POLYGON, not just its bbox (reference
+    * analog: the R-tree prunes to geometry in buteo/vector/intersect.py:51).
+    * Keep a bbox-cover cell iff its center lies inside the polygon or
+    * within ~1.6 hex sizes of a polygon edge (conservative: the padding
+    * exceeds the hex circumradius, so every intersecting cell survives —
+    * property-tested in CellIndexSpec). Cuts the cover-cell count for
+    * large polygons from O(bboxArea) to O(polygonArea + perimeter).
+    */
+  def polygonCover(p: Polygon, resolution: Int): Array[Long] = {
+    val all = cover(p.bbox, resolution)
+    val s = sizeAt(resolution)
+    val pad = 1.6 * s
+    // polygon rings projected to hex (mercator) space once
+    val rings = p.rings.map { r =>
+      val m = new Array[Double](r.length)
+      var i = 0
+      while (i < r.length) {
+        val (mx, my) = Proj.lonLatToMercator(r(i), r(i + 1))
+        m(i) = mx; m(i + 1) = my
+        i += 2
+      }
+      m
+    }
+    def distToEdgesLe(cx: Double, cy: Double, lim: Double): Boolean = {
+      val lim2 = lim * lim
+      rings.exists { ring =>
+        val n = ring.length / 2
+        var i = 0
+        var hit = false
+        while (i < n && !hit) {
+          val j = (i + 1) % n
+          val ax = ring(2 * i); val ay = ring(2 * i + 1)
+          val bx = ring(2 * j); val by = ring(2 * j + 1)
+          val dx = bx - ax; val dy = by - ay
+          val len2 = dx * dx + dy * dy
+          val t = if (len2 == 0.0) 0.0
+            else math.max(0.0, math.min(1.0, ((cx - ax) * dx + (cy - ay) * dy) / len2))
+          val px = ax + t * dx - cx; val py = ay + t * dy - cy
+          if (px * px + py * py <= lim2) hit = true
+          i += 1
+        }
+        hit
+      }
+    }
+    all.filter { c =>
+      val (mx, my) = centerMercator(c)
+      val (lon, lat) = Proj.mercatorToLonLat(mx, my)
+      p.contains(lon, lat) || distToEdgesLe(mx, my, pad)
+    }
+  }
 }

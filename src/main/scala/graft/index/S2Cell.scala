@@ -109,19 +109,29 @@ object S2Cell {
     c == cell
   }
 
-  /** Cells at `level` covering a lon/lat envelope — superset via center
-    * sampling + parent dedup (mirrors HexCell.cover's strategy; exactness
-    * comes from the downstream refine, not the cover).
+  /** Cells at `level` covering a lon/lat envelope via center sampling.
+    * Sample density SCALES WITH THE CELL SIZE at the requested level
+    * (≳2 samples per cell edge; a fixed lattice under-covered fine
+    * levels — ADVICE r1), capped at 2048 steps per axis; the result can
+    * still be a slight under-estimate for cells clipped to slivers at
+    * the bbox edge or when the cap binds, so treat it as a candidate
+    * PRUNE for a downstream exact refine, never as an exact cover.
     */
   def cover(b: BBox, lvl: Int): Array[Long] = {
     val set = new scala.collection.mutable.LinkedHashSet[Long]()
-    val steps = 24
+    // angular cell edge at this level is ~90°/2^lvl on a face (±50% from
+    // the quadratic s↔t stretching); sample at ≤ half that
+    val cellDeg = 90.0 / (1L << lvl).toDouble
+    def stepsFor(span: Double): Int =
+      math.max(24, math.min(2048, math.ceil(span / (cellDeg * 0.4)).toInt))
+    val sx = stepsFor(b.xMax - b.xMin)
+    val sy = stepsFor(b.yMax - b.yMin)
     var yi = 0
-    while (yi <= steps) {
-      val lat = b.yMin + (b.yMax - b.yMin) * yi / steps
+    while (yi <= sy) {
+      val lat = b.yMin + (b.yMax - b.yMin) * yi / sy
       var xi = 0
-      while (xi <= steps) {
-        val lon = b.xMin + (b.xMax - b.xMin) * xi / steps
+      while (xi <= sx) {
+        val lon = b.xMin + (b.xMax - b.xMin) * xi / sx
         set += encode(lon, lat, lvl)
         xi += 1
       }

@@ -45,6 +45,45 @@ object VectorOps {
         min("y_min").as("y_min"), max("y_max").as("y_max"),
         sum("area").as("total_area"))
 
+  /** Exact geometric dissolve — ST_Union(geom) GROUP BY attr (reference:
+    * buteo/vector/dissolve.py:101-116). Per-group union runs locally via
+    * RectUnion (exact for rectilinear polygons; same per-group shape as
+    * the reference's SQLite ST_Union); groups distribute across the
+    * cluster. Returns per class: feature count, exact union area
+    * (shoelace over the assembled rings — any ring-tracing bug shows up
+    * against the slab-sweep oracle), ring/vertex counts, bbox, and the
+    * union MULTIPOLYGON WKT.
+    */
+  def dissolveUnion(df: DataFrame, attrCol: String, wktCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(attrCol).cast("string"), col(wktCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (k: String, it: Iterator[(String, String)]) =>
+        val polys = it.map(p => Wkt.parsePolygon(p._2)).toSeq
+        val u = graft.geo.RectUnion.union(polys)
+        var x0 = Double.MaxValue; var x1 = Double.MinValue
+        var y0 = Double.MaxValue; var y1 = Double.MinValue
+        u.rings.foreach { r =>
+          var i = 0
+          while (i < r.length) {
+            if (r(i) < x0) x0 = r(i); if (r(i) > x1) x1 = r(i)
+            if (r(i + 1) < y0) y0 = r(i + 1); if (r(i + 1) > y1) y1 = r(i + 1)
+            i += 2
+          }
+        }
+        val wkt = u.rings.map { r =>
+          val pts = (0 until r.length by 2).map(i => s"${r(i)} ${r(i + 1)}")
+          "((" + (pts :+ pts.head).mkString(", ") + "))"
+        }.mkString("MULTIPOLYGON(", ", ", ")")
+        (k, polys.size.toLong, u.area, u.nRings.toLong, u.nVertices.toLong,
+          x0, x1, y0, y1, wkt)
+      }
+      .toDF("klass", "n_features", "union_area", "n_rings", "n_vertices",
+        "x_min", "x_max", "y_min", "y_max", "union_wkt")
+  }
+
   /** Merge layers (reference: core_vector_merge.py:24-123). */
   def mergeLayers(layers: Seq[DataFrame]): DataFrame =
     layers.reduce(_ unionByName _)
@@ -77,9 +116,13 @@ object VectorOps {
       .drop("__m")
   }
 
-  /** Exact intersects for polygons whose shells are convex (covers the
-    * engine's rectangle/hex fixtures): any vertex of one inside the
-    * other, or any edge pair crossing.
+  /** General exact ST_Intersects for valid polygons (concave shells
+    * included — reference SQLite ST_INTERSECTS semantics,
+    * buteo/vector/intersect.py:63-65): any shell-edge pair intersecting
+    * (proper crossings, T-touches, AND collinear overlaps), or any vertex
+    * of one inside/on the other (hole-aware containment covers the
+    * fully-contained case: with no edge intersections, one vertex inside
+    * implies the whole polygon inside, by the Jordan curve theorem).
     */
   private[ops] def polygonsIntersect(a: Polygon, b: Polygon): Boolean = {
     if (!a.bbox.intersects(b.bbox)) return false
@@ -94,7 +137,7 @@ object VectorOps {
       if (a.contains(rb(i), rb(i + 1))) return true
       i += 2
     }
-    // edge crossings (covers overlap without vertex containment)
+    // edge intersections (covers overlap without vertex containment)
     segmentsCross(ra, rb)
   }
 
@@ -117,16 +160,84 @@ object VectorOps {
     false
   }
 
+  /** Segment intersection INCLUDING touches and collinear overlap
+    * (classic orientation + on-segment tests).
+    */
   private def segInt(x1: Double, y1: Double, x2: Double, y2: Double,
                      x3: Double, y3: Double, x4: Double, y4: Double): Boolean = {
     def d(ax: Double, ay: Double, bx: Double, by: Double, cx: Double, cy: Double) =
       (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    def on(ax: Double, ay: Double, bx: Double, by: Double, px: Double, py: Double) =
+      px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+        py >= math.min(ay, by) && py <= math.max(ay, by)
     val d1 = d(x3, y3, x4, y4, x1, y1)
     val d2 = d(x3, y3, x4, y4, x2, y2)
     val d3 = d(x1, y1, x2, y2, x3, y3)
     val d4 = d(x1, y1, x2, y2, x4, y4)
-    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
-      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
+    (d1 == 0 && on(x3, y3, x4, y4, x1, y1)) ||
+      (d2 == 0 && on(x3, y3, x4, y4, x2, y2)) ||
+      (d3 == 0 && on(x1, y1, x2, y2, x3, y3)) ||
+      (d4 == 0 && on(x1, y1, x2, y2, x4, y4))
+  }
+
+  /** Ring repair — the engine's MakeValid analog (reference:
+    * buteo/core_vector/core_vector_fixgeometry.py:16-141, which applies
+    * OGR MakeValid per feature and drops unfixable rows): per ring, strip
+    * the closing duplicate, drop consecutive duplicate vertices, drop
+    * degenerate (<3 distinct points) rings, and re-orient (shell CCW,
+    * holes CW). Self-crossing shells are beyond v1 repair (dropped, like
+    * the reference's unfixable rows). Returns per feature:
+    * (id, was_valid, n_rings, n_pts, area, fixed_wkt); features whose
+    * shell degenerates are dropped.
+    */
+  def fixGeometry(df: DataFrame, idCol: String, wktCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wktCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (fid, wkt) =>
+        val poly = Wkt.parsePolygon(wkt)
+        var valid = true
+        val fixedRings = poly.rings.zipWithIndex.flatMap { case (ring, idx) =>
+          val pts = (0 until ring.length by 2).map(i => (ring(i), ring(i + 1)))
+          val closed = pts.length > 1 && pts.head == pts.last
+          if (!closed) valid = false // WKT rings must repeat the first point
+          val open = if (closed) pts.dropRight(1) else pts
+          // drop consecutive duplicates (wrap-around included)
+          val dedup = collection.mutable.ArrayBuffer.empty[(Double, Double)]
+          open.foreach { p => if (dedup.isEmpty || dedup.last != p) dedup += p }
+          if (dedup.length > 1 && dedup.head == dedup.last) dedup.remove(dedup.length - 1)
+          if (dedup.length != open.length) valid = false
+          if (dedup.length < 3) { valid = false; None }
+          else {
+            val flat = new Array[Double](dedup.length * 2)
+            dedup.zipWithIndex.foreach { case ((x, y), o) =>
+              flat(2 * o) = x; flat(2 * o + 1) = y
+            }
+            val sa = graft.geo.PIP.signedArea(flat)
+            val wantCcw = idx == 0
+            if ((sa > 0) != wantCcw) {
+              valid = false
+              val rev = new Array[Double](flat.length)
+              var i = 0
+              while (i < flat.length) {
+                rev(i) = flat(flat.length - 2 - i); rev(i + 1) = flat(flat.length - 1 - i)
+                i += 2
+              }
+              Some(rev)
+            } else Some(flat)
+          }
+        }
+        if (fixedRings.isEmpty) Iterator.empty
+        else {
+          val fixed = Polygon(fixedRings)
+          Iterator.single((fid, valid, fixedRings.length.toLong,
+            fixedRings.map(_.length / 2).sum.toLong, Wkt.area(fixed), Wkt.toWkt(fixed)))
+        }
+      }
+      .toDF("fid", "was_valid", "n_rings", "n_pts", "area", "fixed_wkt")
   }
 
   /** Multipart → singlepart: explode MULTIPOLYGON into per-part rows

@@ -219,6 +219,90 @@ object TileOps2 {
   def close(tiles: Dataset[Tile], radius: Int): Dataset[Tile] =
     erode(dilate(tiles, radius), radius)
 
+  /** Elementwise combine of two aligned tile datasets (same grid): one
+    * equi-join on the tile key, no pixel shuffle.
+    */
+  def tileZip(a: Dataset[Tile], b: Dataset[Tile])(f: (Double, Double) => Double): Dataset[Tile] =
+    a.as("a").joinWith(b.as("b"), org.apache.spark.sql.functions.expr(
+        "a.cellX = b.cellX AND a.cellY = b.cellY AND a.band = b.band"))
+      .map { case (ta, tb) =>
+        val out = new Array[Double](ta.pixels.length)
+        var i = 0
+        while (i < out.length) { out(i) = f(ta.pixels(i), tb.pixels(i)); i += 1 }
+        ta.copy(pixels = out)
+      }(TileOps.tileEnc)
+
+  /** tophat = arr − open(arr) (reference: buteo/array/morphology.py:233-273). */
+  def tophat(tiles: Dataset[Tile], radius: Int): Dataset[Tile] =
+    tileZip(tiles, open(tiles, radius))(_ - _)
+
+  /** bothat = close(arr) − arr (reference: morphology.py:275-315). */
+  def bothat(tiles: Dataset[Tile], radius: Int): Dataset[Tile] =
+    tileZip(close(tiles, radius), tiles)(_ - _)
+
+  /** difference = dilate(arr) − erode(arr) (reference: morphology.py:317-359). */
+  def morphDifference(tiles: Dataset[Tile], radius: Int): Dataset[Tile] =
+    tileZip(dilate(tiles, radius), erode(tiles, radius))(_ - _)
+
+  /** Block downsample by an integer factor dividing the tile size with
+    * the remaining resample-enum aggregation kernels (reference enum:
+    * buteo/utils/utils_translate.py:293-344 — mode, min, max, median,
+    * q1, q3, sum, rms; nearest/average/bilinear live in their own
+    * methods; cubic/cubicspline/lanczos are staged). Narrow — each
+    * target tile derives from one source tile.
+    */
+  def resampleBlock(tiles: Dataset[Tile], factor: Int, method: String): Dataset[Tile] = {
+    val mid = method match {
+      case "min" => 0; case "max" => 1; case "median" => 2; case "q1" => 3
+      case "q3" => 4; case "sum" => 5; case "rms" => 6; case "mode" => 7
+      case "mean" | "average" => 8
+      case m => throw new IllegalArgumentException(s"unknown block resample: $m")
+    }
+    tiles.map { t =>
+      val w2 = t.w / factor; val h2 = t.h / factor
+      val out = new Array[Double](w2 * h2)
+      val buf = new Array[Double](factor * factor)
+      var r = 0
+      while (r < h2) {
+        var c = 0
+        while (c < w2) {
+          var n = 0; var s = 0.0; var s2 = 0.0
+          var mn = Double.MaxValue; var mx = Double.MinValue
+          var dy = 0
+          while (dy < factor) {
+            var dx = 0
+            while (dx < factor) {
+              val v = t.pixels((r * factor + dy) * t.w + (c * factor + dx))
+              buf(n) = v; n += 1; s += v; s2 += v * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              dx += 1
+            }
+            dy += 1
+          }
+          out(r * w2 + c) = mid match {
+            case 0 => mn
+            case 1 => mx
+            case 2 =>
+              java.util.Arrays.sort(buf, 0, n); Hood.refQuantileSorted(buf, n, 0.5)
+            case 3 =>
+              java.util.Arrays.sort(buf, 0, n); Hood.refQuantileSorted(buf, n, 0.25)
+            case 4 =>
+              java.util.Arrays.sort(buf, 0, n); Hood.refQuantileSorted(buf, n, 0.75)
+            case 5 => s
+            case 6 => math.sqrt(s2 / n)
+            case 7 => Hood.modeSorted(buf, n)
+            case 8 => s / n
+          }
+          c += 1
+        }
+        r += 1
+      }
+      Tile(t.cellX, t.cellY, t.band, w2, h2, t.originX, t.originY,
+        t.pxW * factor, t.pxH * factor, out, t.nodata, t.crs)
+    }(TileOps.tileEnc)
+  }
+
   /** Band stack: concatenate aligned rasters along the band axis with
     * band renumbering (reference: buteo/core_raster/core_raster_stack.py:24-90).
     * Narrow op — a union plus a band-offset projection.

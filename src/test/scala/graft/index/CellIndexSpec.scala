@@ -107,7 +107,38 @@ class CellIndexSpec extends AnyFunSuite {
       assert(cells.contains(HexCell.encode(lon, lat, 7)), s"missing cell for ($lon,$lat)")
     }
     val poly = Polygon.box(b)
-    assert(HexCell.polygonCover(poly, 7).toSet === cells)
+    val pc = HexCell.polygonCover(poly, 7).toSet
+    assert(pc.subsetOf(cells))
+    for (_ <- 1 to 300) {
+      val lon = 8.0 + rnd.nextDouble() * 1.5; val lat = 50.0 + rnd.nextDouble()
+      assert(pc.contains(HexCell.encode(lon, lat, 7)))
+    }
+  }
+
+  test("hex cell: polygonCover prunes to the geometry but still covers it") {
+    // tall L: bbox is 4°×4° but the polygon occupies ~40% of it
+    val l = Polygon(Array(Array(
+      8.0, 50.0, 12.0, 50.0, 12.0, 51.0, 9.0, 51.0, 9.0, 54.0, 8.0, 54.0)))
+    val bboxCover = HexCell.cover(l.bbox, 7).toSet
+    val pc = HexCell.polygonCover(l, 7).toSet
+    assert(pc.subsetOf(bboxCover))
+    assert(pc.size < bboxCover.size, s"no pruning: ${pc.size} vs ${bboxCover.size}")
+    // every point of the polygon still maps into the pruned cover
+    for (_ <- 1 to 500) {
+      val lon = 8.0 + rnd.nextDouble() * 4.0
+      val lat = 50.0 + rnd.nextDouble() * 4.0
+      if (l.contains(lon, lat))
+        assert(pc.contains(HexCell.encode(lon, lat, 7)), s"missing ($lon,$lat)")
+    }
+  }
+
+  test("s2 cell: cover density scales with level (fine levels not under-covered)") {
+    val b = BBox(8.0, 10.0, 50.0, 52.0)
+    val cells = S2Cell.cover(b, 12).toSet
+    for (_ <- 1 to 300) {
+      val lon = 8.2 + rnd.nextDouble() * 1.6; val lat = 50.2 + rnd.nextDouble() * 1.6
+      assert(cells.contains(S2Cell.encode(lon, lat, 12)), s"missing ($lon,$lat)")
+    }
   }
 
   test("s2 cell: encode/decode round trip via center (property)") {
