@@ -393,6 +393,27 @@ object SparkEntry {
         (x, y, b) => ((x * 5 + y * 3 + b * b * 7) % 53).toDouble)
       TileOps.toPixels(TileOps2.theilSenSlope(r, 4), rasterSpec.tileSize)
     },
+    "raster_sobel" -> { (s, _) =>
+      val spec = rasterSpec.copy(bands = 1)
+      TileOps.toPixels(TileOps2.sobelEdges(
+        TileOps.createRaster(s, spec)(rasterValue)), rasterSpec.tileSize)
+    },
+    "raster_unsharp" -> { (s, _) =>
+      TileOps.toPixels(TileOps2.unsharpMask(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, 0.5), rasterSpec.tileSize)
+    },
+    "raster_rgb_hsl" -> { (s, _) =>
+      val spec3 = rasterSpec.copy(bands = 3)
+      val rgb = TileOps.createRaster(s, spec3)(
+        (x, y, b) => ((x * 7 + y * 13 + b * 5) % 97).toDouble / 96.0)
+      TileOps.toPixels(TileOps2.rgbToHsl(rgb), rasterSpec.tileSize)
+    },
+    "mm_channel_reorder" -> { (s, dir) =>
+      // channel-first→last transpose of a quantized 4×4×4 "image" payload
+      val q = Similarity.quantize(col("embedding"))
+      val cl = graft.ops.ArrayOps.channelFirstToLast(q, 4, 4, 4)
+      embeddingsOf(s, dir).select(col("vec_id"), posexplode(cl).as(Seq("pos", "q")))
+    },
     "raster_dem_gradients" -> { (s, _) =>
       val spec = rasterSpec.copy(bands = 1)
       val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
@@ -641,6 +662,18 @@ object SparkEntry {
     "scaler_standardize" -> { (s, dir) =>
       graft.ops.Scalers.standardize(documentsOf(s, dir).select("doc_id", "n_chars"),
         "n_chars", "z").select("doc_id", "z")
+    },
+    "scaler_mad" -> { (s, dir) =>
+      graft.ops.Scalers.standardizeMad(documentsOf(s, dir).select("doc_id", "n_chars"),
+        "n_chars", "z_mad").select("doc_id", "z_mad")
+    },
+    "scaler_iqr" -> { (s, dir) =>
+      graft.ops.Scalers.scaleIqr(documentsOf(s, dir).select("doc_id", "n_chars"),
+        "n_chars", "z_iqr").select("doc_id", "z_iqr")
+    },
+    "scaler_range" -> { (s, dir) =>
+      graft.ops.Scalers.scaleToRange(documentsOf(s, dir).select("doc_id", "n_chars"),
+        "n_chars", 2.0, 7.0, "scaled").select("doc_id", "scaled")
     },
     "encode_latlng" -> { (s, dir) =>
       graft.ops.Scalers.encodeLatLng(Pages.pages(s, dir), "lat", "lon")
@@ -1387,6 +1420,40 @@ object SparkEntry {
             / sqrt((s2 - sv * sv / n) / n) AS z
         FROM documents CROSS JOIN s""",
 
+    "scaler_mad" -> (scalerHistCtes +
+      """ SELECT d.doc_id,
+          (CAST(d.n_chars AS DOUBLE) - q.med) / (mq.mad * CAST(1.4826 AS DOUBLE)) AS z_mad
+        FROM documents d CROSS JOIN q CROSS JOIN mq"""),
+
+    "scaler_iqr" -> (scalerHistCtes +
+      """ SELECT d.doc_id,
+          (CAST(d.n_chars AS DOUBLE) - q.med) / (q.q3 - q.q1) AS z_iqr
+        FROM documents d CROSS JOIN q"""),
+
+    "scaler_range" ->
+      """WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+        SELECT doc_id,
+          (CAST(n_chars AS DOUBLE) - CAST(mn AS DOUBLE))
+            / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) * 5.0 + 2.0 AS scaled
+        FROM documents CROSS JOIN s""",
+
+    "raster_sobel" -> sobelOracle,
+
+    "raster_unsharp" -> (sqlPx +
+      """ SELECT a.x, a.y, a.band, a.v + 0.5 * (a.v - sum(b.v) / count(*)) AS v
+        FROM px a JOIN px b
+          ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
+          AND b.y BETWEEN a.y - 1 AND a.y + 1
+        GROUP BY a.x, a.y, a.band, a.v"""),
+
+    "raster_rgb_hsl" -> rgbHslOracle,
+
+    "mm_channel_reorder" ->
+      """SELECT e.vec_id, CAST(gs.i AS INTEGER) AS pos,
+         CAST(round(CAST(e.embedding[((gs.i % 4) * 16) + ((gs.i - (gs.i % 4)) // 4) + 1]
+           AS DOUBLE) * 1000.0) AS BIGINT) AS q
+       FROM embeddings e, generate_series(0, 63) gs(i)""",
+
     "raster_predict_merge" ->
       // mirrors Predict.predictAndMerge exactly: pass 0 grid at 0, pass 1
       // at 32 covering [32,224)²; per-pass value = pixel + f(rel pos);
@@ -1535,6 +1602,77 @@ object SparkEntry {
         m.std / m.mean AS cv
       FROM mom2 m JOIN qs q USING (zone, band) JOIN madq d USING (zone, band)
       JOIN modeq mo USING (zone, band)"""
+
+  /** Shared histogram-quantile CTEs over documents.n_chars for the
+    * MAD/IQR scaler oracles (mirrors Scalers.exactQuantiles).
+    */
+  private def scalerHistCtes: String =
+    s"""WITH h AS (SELECT CAST(n_chars AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS cnt
+         FROM documents GROUP BY 1),
+       cum AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cume,
+          (SELECT CAST(sum(cnt) AS BIGINT) FROM h) AS n FROM h),
+       q AS (SELECT ${histQuantileSql("0.5")} AS med, ${histQuantileSql("0.25")} AS q1,
+          ${histQuantileSql("0.75")} AS q3 FROM cum GROUP BY n),
+       devg AS (SELECT abs(h.v - q.med) AS v, CAST(sum(h.cnt) AS BIGINT) AS cnt
+         FROM h CROSS JOIN q GROUP BY 1),
+       devcum AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cume,
+          (SELECT CAST(sum(cnt) AS BIGINT) FROM devg) AS n FROM devg),
+       mq AS (SELECT ${histQuantileSql("0.5")} AS mad FROM devcum GROUP BY n)"""
+
+  /** Sobel magnitude oracle over the 1-band fixture, mirroring
+    * TileOps2.sobelEdges (missing-neighbor fallback = center).
+    */
+  private def sobelOracle: String = {
+    def z(dx: Int, dy: Int): String =
+      s"""(CASE WHEN x + ($dx) BETWEEN 0 AND 255 AND y + ($dy) BETWEEN 0 AND 255
+         THEN CAST(((x + ($dx)) * 7 + (y + ($dy)) * 13) % 97 AS DOUBLE)
+         ELSE CAST((x * 7 + y * 13) % 97 AS DOUBLE) END)"""
+    val (a, b, c) = (z(-1, -1), z(0, -1), z(1, -1))
+    val (d, f) = (z(-1, 0), z(1, 0))
+    val (g, h, i) = (z(-1, 1), z(0, 1), z(1, 1))
+    s"""WITH base AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
+        FROM range(256) r1(x), range(256) r2(y))
+      SELECT x, y, 0 AS band,
+        sqrt((($a + 2.0 * $d + $g) - ($c + 2.0 * $f + $i))
+               * (($a + 2.0 * $d + $g) - ($c + 2.0 * $f + $i))
+             + (($a + 2.0 * $b + $c) - ($g + 2.0 * $h + $i))
+               * (($a + 2.0 * $b + $c) - ($g + 2.0 * $h + $i))) AS v
+      FROM base"""
+  }
+
+  /** RGB→HSL oracle mirroring TileOps2.rgbToHsl's exact op order
+    * (including the fmod-based numpy-modulo construction).
+    */
+  private def rgbHslOracle: String =
+    """WITH px3 AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+         CAST(b AS INTEGER) AS b,
+         CAST((x*7 + y*13 + b*5) % 97 AS DOUBLE) / 96.0 AS v
+       FROM range(256) r1(x), range(256) r2(y), range(3) r3(b)),
+      piv AS (SELECT x, y,
+         max(CASE WHEN b = 0 THEN v END) AS r,
+         max(CASE WHEN b = 1 THEN v END) AS g,
+         max(CASE WHEN b = 2 THEN v END) AS bl
+       FROM px3 GROUP BY x, y),
+      calc AS (SELECT x, y, r, g, bl,
+         GREATEST(r, g, bl) AS cmax, LEAST(r, g, bl) AS cmin,
+         GREATEST(r, g, bl) - LEAST(r, g, bl) AS delta,
+         (GREATEST(r, g, bl) + LEAST(r, g, bl)) / 2.0 AS l
+       FROM piv),
+      hs AS (SELECT x, y, l,
+         CASE WHEN delta = 0 THEN 0.0
+              ELSE delta / (1.0 - abs(2.0 * l - 1.0)) END AS s,
+         CASE WHEN delta = 0 THEN 0.0
+              ELSE (((CASE WHEN cmax = r THEN (((g - bl) / delta) % 6.0 + 6.0) % 6.0
+                           WHEN cmax = g THEN (bl - r) / delta + 2.0
+                           ELSE (r - g) / delta + 4.0 END) * 60.0) % 360.0 + 360.0)
+                   % 360.0 / 360.0
+         END AS h
+       FROM calc)
+      SELECT x, y, 0 AS band, LEAST(1.0, GREATEST(0.0, h)) AS v FROM hs
+      UNION ALL
+      SELECT x, y, 1 AS band, LEAST(1.0, GREATEST(0.0, s)) AS v FROM hs
+      UNION ALL
+      SELECT x, y, 2 AS band, LEAST(1.0, GREATEST(0.0, l)) AS v FROM hs"""
 
   /** Bilinear sample in DuckDB mirroring TileOps2.resampleBilinear ops
     * exactly: clamped source lookup of v(x,y) = (x*7 + y*13) % 97 on the

@@ -37,6 +37,53 @@ object Scalers {
       .drop("__s", "__s2", "__n", "__mu", "__var")
   }
 
+  /** Exact quantiles of an integer-valued column via a value histogram
+    * (np.quantile 'linear': interpolate at q·(n−1)). Two passes: the
+    * histogram aggregate distributes; only the (bounded-cardinality)
+    * value histogram reaches the driver — the standard global-scaler
+    * shape at any corpus size.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): Seq[Double] = {
+    val hist = df.groupBy(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("v")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val vs = hist.map(_._1)
+    val cum = hist.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    val n = cum.last
+    qs.map(q => graft.tiles.Zonal.histQuantilePublic(vs, cum, n, q))
+  }
+
+  /** MAD-standardize: (v − median) / (median(|v − median|)·1.4826)
+    * (reference: buteo/ai/scalers.py:112-160).
+    */
+  def standardizeMad(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val Seq(med) = exactQuantiles(df, valueCol, Seq(0.5))
+    val dev = df.select(abs(col(valueCol).cast("double") - lit(med)).as("__d"))
+    val Seq(madRaw) = exactQuantiles(dev, "__d", Seq(0.5))
+    df.withColumn(outCol,
+      (col(valueCol).cast("double") - lit(med)) / lit(madRaw * 1.4826))
+  }
+
+  /** IQR scale: (v − median) / (q3 − q1) (reference: scalers.py:165-224). */
+  def scaleIqr(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val Seq(q1, med, q3) = exactQuantiles(df, valueCol, Seq(0.25, 0.5, 0.75))
+    df.withColumn(outCol,
+      (col(valueCol).cast("double") - lit(med)) / lit(q3 - q1))
+  }
+
+  /** Rescale to [lo, hi]: minmax·(hi−lo)+lo (reference: scalers.py:262-340). */
+  def scaleToRange(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                   outCol: String): DataFrame = {
+    val stats = df.agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    df.crossJoin(broadcast(stats))
+      .withColumn(outCol,
+        (col(valueCol).cast("double") - col("__mn").cast("double")) /
+          (col("__mx").cast("double") - col("__mn").cast("double")) *
+          lit(hi - lo) + lit(lo))
+      .drop("__mn", "__mx")
+  }
+
   /** Truncate + rescale: clamp to [lo, hi] then min-max over the clamp
     * bounds (reference: buteo/ai/scalers.py truncate variant).
     */

@@ -240,6 +240,20 @@ object VectorOps {
       .toDF("fid", "was_valid", "n_rings", "n_pts", "area", "fixed_wkt")
   }
 
+  /** One output per attribute value — vector_split_by_attribute
+    * (reference: buteo/core_vector/core_vector_split.py:133): Spark's
+    * partitioned write IS the split (one directory per value; scales to
+    * any layer size, no driver loop).
+    */
+  def splitByAttribute(df: DataFrame, attrCol: String, outRoot: String): Unit =
+    df.write.mode("overwrite").partitionBy(attrCol).parquet(outRoot)
+
+  /** One output per feature — vector_split_by_feature (core_vector_split
+    * .py:19): partition by the feature id.
+    */
+  def splitByFeature(df: DataFrame, idCol: String, outRoot: String): Unit =
+    splitByAttribute(df, idCol, outRoot)
+
   /** Multipart → singlepart: explode MULTIPOLYGON into per-part rows
     * (reference: buteo/core_vector/conversion/multipart.py:58-166).
     */

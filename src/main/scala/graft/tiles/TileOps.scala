@@ -305,6 +305,7 @@ object TileOps {
                 if (v > mx) mx = v
                 if (v < mn) mn = v
               } else missing = true
+              ki += 1
               dx += 1
             }
             dy += 1

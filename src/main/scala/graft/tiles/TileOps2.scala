@@ -472,6 +472,149 @@ object TileOps2 {
     }(TileOps.tileEnc)
   }
 
+  /** Sobel edge detection: magnitude (and gradient bands) of the classic
+    * 3×3 gx/gy operators (reference: buteo/array/edge_detection.py:15-110
+    * with kernel_sobel radius 1 — kernels.py:382-451; the reference
+    * edge-pads the array, our missing-halo fallback is the center pixel,
+    * matching hornGradients' convention). Output band 0 = magnitude.
+    */
+  def sobelEdges(tiles: Dataset[Tile]): Dataset[Tile] = {
+    val padded = TileOps.convolvePad(tiles, 1)
+    padded.map { case (t, pad, pw, _) =>
+      val out = new Array[Double](t.pixels.length)
+      var r = 0
+      while (r < t.h) {
+        var c = 0
+        while (c < t.w) {
+          def at(dx: Int, dy: Int): Double = {
+            val v = pad((r + 1 + dy) * pw + (c + 1 + dx))
+            if (v.isNaN) t.pixels(r * t.w + c) else v
+          }
+          val (a, b2, cc) = (at(-1, -1), at(0, -1), at(1, -1))
+          val (d, f) = (at(-1, 0), at(1, 0))
+          val (g, h2, i2) = (at(-1, 1), at(0, 1), at(1, 1))
+          val gx = (a + 2.0 * d + g) - (cc + 2.0 * f + i2)
+          val gy = (a + 2.0 * b2 + cc) - (g + 2.0 * h2 + i2)
+          out(r * t.w + c) = math.sqrt(gx * gx + gy * gy)
+          c += 1
+        }
+        r += 1
+      }
+      t.copy(pixels = out)
+    }(TileOps.tileEnc)
+  }
+
+  /** Unsharp masking: v + amount·(v − blur(v)) with a 3×3 box blur —
+    * the reference's unsharp kernel semantics (kernels.py:343-380).
+    */
+  def unsharpMask(tiles: Dataset[Tile], radius: Int, amount: Double): Dataset[Tile] =
+    tileZip(tiles, TileOps.convolve(tiles, radius, "mean"))((v, m) => v + amount * (v - m))
+
+  /** Spatial label smoothing: kernel-weighted modal class over the
+    * neighborhood (reference: buteo/ai/spatial_label_smoothing.py:14 —
+    * class votes weighted by a distance kernel, argmax). With the default
+    * uniform kernel this is the hood mode; pass a kernel for weighted
+    * votes.
+    */
+  def labelSmooth(tiles: Dataset[Tile], radius: Int,
+                  weight: (Int, Int) => Double = null): Dataset[Tile] =
+    TileOps.convolve(tiles, radius, "mode", weight = weight)
+
+  /** P random fixed-size patches — deterministic seeded selection
+    * (reference: buteo/core_raster/core_raster_array.py:359-455). Plans
+    * as TakeOrderedAndProject over a hash order: no full sort, no driver
+    * pass.
+    */
+  def randomPatches(tiles: Dataset[Tile], n: Int, seed: Long): Dataset[Tile] = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    tiles.sort(xxhash64(col("cellX"), col("cellY"), col("band"), lit(seed)))
+      .limit(n)
+  }
+
+  /** Majority-vote common projection over input rasters (reference:
+    * buteo/raster/reproject.py:27-58) — ties break to the smaller EPSG.
+    */
+  def findCommonProjection(specs: Seq[RasterSpec]): Int =
+    specs.groupBy(_.crs).toSeq.maxBy { case (crs, g) => (g.size, -crs) }._1
+
+  /** RGB (bands 0,1,2; values normalized to [0,1]) → HSL, per pixel —
+    * exact port of the reference's conversion including its numpy-modulo
+    * hue wrap (reference: buteo/array/color.py:122-180). Bands of one
+    * cell meet in one group (shuffle on the cell key only).
+    */
+  def rgbToHsl(tiles: Dataset[Tile]): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .groupByKey(t => (t.cellX, t.cellY))
+      .flatMapGroups { (_: (Int, Int), it: Iterator[Tile]) =>
+        val bands = it.toArray.sortBy(_.band)
+        require(bands.length == 3, s"rgbToHsl needs 3 bands, got ${bands.length}")
+        val rT = bands(0); val gT = bands(1); val bT = bands(2)
+        val n = rT.pixels.length
+        val hA = new Array[Double](n); val sA = new Array[Double](n)
+        val lA = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val r = rT.pixels(i); val g = gT.pixels(i); val b = bT.pixels(i)
+          val cmax = math.max(r, math.max(g, b))
+          val cmin = math.min(r, math.min(g, b))
+          val delta = cmax - cmin
+          val l = (cmax + cmin) / 2.0
+          var h = 0.0; var s = 0.0
+          if (delta != 0.0) {
+            s = delta / (1.0 - math.abs(2.0 * l - 1.0))
+            val h0 =
+              if (cmax == r) (((g - b) / delta) % 6.0 + 6.0) % 6.0
+              else if (cmax == g) (b - r) / delta + 2.0
+              else (r - g) / delta + 4.0
+            h = ((h0 * 60.0) % 360.0 + 360.0) % 360.0
+            h = h / 360.0
+          }
+          hA(i) = math.min(1.0, math.max(0.0, h))
+          sA(i) = math.min(1.0, math.max(0.0, s))
+          lA(i) = math.min(1.0, math.max(0.0, l))
+          i += 1
+        }
+        Iterator(rT.copy(band = 0, pixels = hA), rT.copy(band = 1, pixels = sA),
+          rT.copy(band = 2, pixels = lA))
+      }(TileOps.tileEnc)
+  }
+
+  /** HSL → RGB (standard inverse; reference: color.py:20-118). */
+  def hslToRgb(tiles: Dataset[Tile]): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .groupByKey(t => (t.cellX, t.cellY))
+      .flatMapGroups { (_: (Int, Int), it: Iterator[Tile]) =>
+        val bands = it.toArray.sortBy(_.band)
+        require(bands.length == 3, s"hslToRgb needs 3 bands, got ${bands.length}")
+        val hT = bands(0); val sT = bands(1); val lT = bands(2)
+        val n = hT.pixels.length
+        val rA = new Array[Double](n); val gA = new Array[Double](n)
+        val bA = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val h = hT.pixels(i) * 360.0; val s = sT.pixels(i); val l = lT.pixels(i)
+          val c = (1.0 - math.abs(2.0 * l - 1.0)) * s
+          val x = c * (1.0 - math.abs((h / 60.0) % 2.0 - 1.0))
+          val m = l - c / 2.0
+          val (r0, g0, b0) =
+            if (h < 60) (c, x, 0.0)
+            else if (h < 120) (x, c, 0.0)
+            else if (h < 180) (0.0, c, x)
+            else if (h < 240) (0.0, x, c)
+            else if (h < 300) (x, 0.0, c)
+            else (c, 0.0, x)
+          rA(i) = r0 + m; gA(i) = g0 + m; bA(i) = b0 + m
+          i += 1
+        }
+        Iterator(hT.copy(band = 0, pixels = rA), hT.copy(band = 1, pixels = gA),
+          hT.copy(band = 2, pixels = bA))
+      }(TileOps.tileEnc)
+  }
+
   /** Per-pixel least-squares slope along the band (time) axis —
     * slope = (nΣty − ΣtΣy) / (nΣt² − (Σt)²), t = band index.
     * Reference: buteo/array/timeseries.py:8-47. Narrow per cell: bands of

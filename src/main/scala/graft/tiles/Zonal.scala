@@ -40,6 +40,10 @@ object Zonal {
     vs(j)
   }
 
+  /** Public access for other histogram-quantile users (Scalers). */
+  def histQuantilePublic(vs: Array[Double], cum: Array[Long], n: Long, q: Double): Double =
+    histQuantile(vs, cum, n, q)
+
   /** np.percentile 'linear': interpolate at q·(n−1). */
   private def histQuantile(vs: Array[Double], cum: Array[Long], n: Long, q: Double): Double = {
     val pos = q * (n - 1)
