@@ -22,11 +22,17 @@ object PlanAudit {
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)
       df.explain("formatted")
+      // simple mode shows the WholeStageCodegen spans as *(n) markers
+      println("-- codegen spans --")
+      df.explain(extended = false)
     }
     // the tiling pipeline plan
     println("\n========== tiling pipeline (pages->geocode->h3) ==========")
-    graft.pipeline.Pipeline.tilePages(
-      graft.pipeline.Pipeline.synthPages(spark, 1000, 4), 7).explain("formatted")
+    val tiled = graft.pipeline.Pipeline.tilePages(
+      graft.pipeline.Pipeline.synthPages(spark, 1000, 4), 7)
+    tiled.explain("formatted")
+    println("-- codegen spans --")
+    tiled.explain(extended = false)
     spark.stop()
   }
 }

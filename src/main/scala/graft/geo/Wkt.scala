@@ -83,4 +83,57 @@ object Wkt {
     }
     rings.mkString("POLYGON (", ", ", ")")
   }
+
+  /** GeoJSON Polygon geometry emit (closed rings) — the reference's
+    * GeoJSON conversions (reference: buteo/bbox/conversion.py:214,
+    * core_vector_write.py:496).
+    */
+  def toGeoJson(p: Polygon): String = {
+    val rings = p.rings.map { r =>
+      val pts = (r.grouped(2).map(a => s"[${a(0)},${a(1)}]").toSeq :+ s"[${r(0)},${r(1)}]")
+      pts.mkString("[", ",", "]")
+    }
+    rings.mkString("""{"type":"Polygon","coordinates":[""", ",", "]}")
+  }
+
+  /** Minimal GeoJSON Polygon parser (inverse of toGeoJson; exterior +
+    * holes). Accepts the geometry object form only.
+    */
+  def fromGeoJson(json: String): Polygon = {
+    val coordsIdx = json.indexOf("\"coordinates\"")
+    require(coordsIdx >= 0, "not a GeoJSON geometry: missing coordinates")
+    val start = json.indexOf('[', coordsIdx)
+    val end = json.lastIndexOf(']')
+    val body = json.substring(start + 1, end)
+    // split at depth-0 commas, bracket-aware
+    def splitBrackets(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var depth = 0; var st = 0
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '[' => depth += 1
+          case ']' => depth -= 1
+          case ',' if depth == 0 => out += s.substring(st, i); st = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      out += s.substring(st)
+      out.map(_.trim).toSeq
+    }
+    val rings = splitBrackets(body).map { ringStr =>
+      val t = ringStr.trim.stripPrefix("[").stripSuffix("]")
+      val pts = splitBrackets(t).map { pair =>
+        val pq = pair.trim.stripPrefix("[").stripSuffix("]").split(",")
+        (pq(0).trim.toDouble, pq(1).trim.toDouble)
+      }
+      val flat = new Array[Double](pts.length * 2)
+      pts.zipWithIndex.foreach { case ((x, y), i) =>
+        flat(2 * i) = x; flat(2 * i + 1) = y
+      }
+      flat
+    }
+    Polygon(rings.toArray)
+  }
 }

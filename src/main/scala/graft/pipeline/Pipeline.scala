@@ -57,13 +57,16 @@ object Pipeline {
       .groupBy(col("poly_id"), col("h3"))
       .agg(count(lit(1)).as("n_pages"))
       .withColumn("bucket", pmod(hash(col("h3")), lit(numBuckets)).cast("int"))
-    agg.persist()
+    // cache only when several commit groups will re-scan the aggregate;
+    // a single-group run consumes it exactly once (fused into the write)
+    val multiGroup = bucketsPerCommit < numBuckets
+    if (multiGroup) agg.persist()
     try {
       val store = new SnapshotStore(outRoot)
       val writer = new CheckpointedWriter(store, lineage = s"pages@res$res")
       val (snap, _) = writer.run(agg, numBuckets, bucketsPerCommit, failAfterCommits)
       val tiles = snap.partitions.values.map(_.rows).sum
       (snap, tiles)
-    } finally agg.unpersist()
+    } finally if (multiGroup) agg.unpersist()
   }
 }

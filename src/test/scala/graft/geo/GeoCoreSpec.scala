@@ -131,4 +131,21 @@ class GeoCoreSpec extends AnyFunSuite {
       assert(got === expect)
     }
   }
+
+  test("GeoJSON emit/parse round-trips polygons with holes") {
+    val p = Polygon(Array(
+      Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0),
+      Array(2.0, 2.0, 2.0, 4.0, 4.0, 4.0, 4.0, 2.0)))
+    val gj = Wkt.toGeoJson(p)
+    assert(gj.startsWith("""{"type":"Polygon","coordinates":["""))
+    val back = Wkt.fromGeoJson(gj)
+    assert(back.rings.length == 2)
+    // emitted rings are closed (first point repeated); geometry equal
+    assert(back.rings(0).take(8).toSeq == p.rings(0).toSeq)
+    assert(back.rings(1).take(8).toSeq == p.rings(1).toSeq)
+    assert(Wkt.area(back) == Wkt.area(p))
+    // and WKT of the parse matches the WKT of the source
+    assert(Wkt.toWkt(back) == Wkt.toWkt(p) ||
+      Wkt.area(Wkt.parsePolygon(Wkt.toWkt(back))) == Wkt.area(p))
+  }
 }

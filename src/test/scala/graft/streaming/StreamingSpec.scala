@@ -58,4 +58,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(total === docs.count())
     } finally q.stop()
   }
+
+  test("stateful sessionization (flatMapGroupsWithState) closes sessions like batch") {
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val stream = StreamOps.eventStream(spark,
+      stageDir("/root/testdata/sf0.001/events.parquet"), batch.schema)
+    val q = StreamOps.sessionizeStream(stream, gapSec = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch oracle: per user, split sorted event times at >gap; sessions
+      // closed WITHIN the stream are all but the final (still-open) one
+      val byUser = batch
+        .select(col("user_id").cast("long"),
+          unix_millis(col("ts").cast("timestamp")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).sorted }
+      val gapUs = 1800L * 1000L
+      val all = collection.mutable.Set.empty[(Long, Long, Long)]
+      val nonFinal = collection.mutable.Set.empty[(Long, Long, Long)]
+      byUser.foreach { case (u, times) =>
+        var start = times.head; var last = times.head; var n = 1L
+        val sessions = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        times.tail.foreach { t =>
+          if (t - last <= gapUs) { last = t; n += 1 }
+          else { sessions += ((u, start, n)); start = t; last = t; n = 1 }
+        }
+        sessions += ((u, start, n))
+        sessions.foreach(all += _)
+        sessions.dropRight(1).foreach(nonFinal += _)
+      }
+      assert(got.subsetOf(all), s"emitted a session batch never saw: ${got.diff(all).take(3)}")
+      assert(nonFinal.subsetOf(got), s"missing closed sessions: ${nonFinal.diff(got).take(3)}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
