@@ -363,6 +363,11 @@ object SparkEntry {
       TileOps.toPixels(TileOps2.resampleBilinear(
         TileOps.createRaster(s, spec)(rasterValue), 2), spec.tileSize * 2)
     },
+    "raster_resample_cubic" -> { (s, _) =>
+      val spec = rasterSpec.copy(width = 128, height = 128, bands = 1, tileSize = 32)
+      TileOps.toPixels(TileOps2.resampleCubic(
+        TileOps.createRaster(s, spec)(rasterValue), 2), spec.tileSize * 2)
+    },
     "raster_resample_mode" -> { (s, _) =>
       TileOps.toPixels(TileOps2.resampleBlock(
         TileOps.createRaster(s, rasterSpec)(rasterValue), 4, "mode"), rasterSpec.tileSize / 4)
@@ -996,6 +1001,8 @@ object SparkEntry {
         SELECT x, y, 0 AS band,""" +
         bilerpSql("x0", "y0", "fx", "fy") + " AS v FROM c"),
 
+    "raster_resample_cubic" -> cubicOracle,
+
     "raster_resample_mode" -> (sqlPx +
       """, freq AS (SELECT CAST(x // 4 AS INTEGER) AS x, CAST(y // 4 AS INTEGER) AS y,
           band, v, count(*) AS cnt
@@ -1602,6 +1609,40 @@ object SparkEntry {
         m.std / m.mean AS cv
       FROM mom2 m JOIN qs q USING (zone, band) JOIN madq d USING (zone, band)
       JOIN modeq mo USING (zone, band)"""
+
+  /** Catmull-Rom ×2 upsample oracle mirroring TileOps2.resampleCubic:
+    * separable 4×4 accumulation in the engine's exact op order; the
+    * factor-2 grid hits only fx, fy ∈ {0.25, 0.75}, whose kernel weights
+    * are exact binary fractions (polynomial eval == these literals
+    * bit-for-bit). Source: clamped v(x,y) = (x·7+y·13)%97 on 128×128.
+    */
+  private def cubicOracle: String = {
+    def z(xs: String, ys: String) =
+      s"CAST((LEAST(GREATEST($xs, 0), 127) * 7 + LEAST(GREATEST($ys, 0), 127) * 13) % 97 AS DOUBLE)"
+    // weights for dx = -1..2 at fx = 0.25 and fx = 0.75
+    val w25 = Seq("-0.0703125", "0.8671875", "0.2265625", "-0.0234375")
+    val w75 = Seq("-0.0234375", "0.2265625", "0.8671875", "-0.0703125")
+    def row(wx: Seq[String], dy: Int) = {
+      val terms = (-1 to 2).zip(wx).map { case (dx, w) =>
+        s"$w * ${z(s"x0 + ($dx)", s"y0 + ($dy)")}"
+      }
+      "(" + terms.mkString(" + ") + ")"
+    }
+    def full(wx: Seq[String], wy: Seq[String]) =
+      (-1 to 2).zip(wy).map { case (dy, w) => s"$w * ${row(wx, dy)}" }
+        .mkString(" + ")
+    s"""WITH tgt AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+         CAST((x // 2) - (1 - (x % 2)) AS INTEGER) AS x0,
+         CAST((y // 2) - (1 - (y % 2)) AS INTEGER) AS y0
+       FROM range(256) r1(x), range(256) r2(y))
+      SELECT x, y, 0 AS band,
+        CASE WHEN x % 2 = 1 AND y % 2 = 1 THEN ${full(w25, w25)}
+             WHEN x % 2 = 1 AND y % 2 = 0 THEN ${full(w25, w75)}
+             WHEN x % 2 = 0 AND y % 2 = 1 THEN ${full(w75, w25)}
+             ELSE ${full(w75, w75)}
+        END AS v
+      FROM tgt"""
+  }
 
   /** Shared histogram-quantile CTEs over documents.n_chars for the
     * MAD/IQR scaler oracles (mirrors Scalers.exactQuantiles).

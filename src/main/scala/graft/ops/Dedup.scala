@@ -121,7 +121,11 @@ object Dedup {
   def jaccardSimilarPairs(docs: DataFrame, threshold: Double,
                           probeFilter: Column = lit(true)): DataFrame = {
     val (toks, sizes) = tokenArtifacts(docs)
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // document frequencies: the VOCABULARY (distinct tokens), not the
+    // corpus — broadcastable at web scale after stop-word-level df
+    // trimming; broadcasting removes a full token-table shuffle from the
+    // rarity-rank join
+    val dfreq = broadcast(toks.groupBy("tok").agg(count(lit(1)).as("df")))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
     val prefixes = toks
       .join(dfreq, "tok")

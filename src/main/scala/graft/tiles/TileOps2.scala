@@ -472,6 +472,70 @@ object TileOps2 {
     }(TileOps.tileEnc)
   }
 
+  /** Catmull-Rom weight (GDAL 'cubic', a = −0.5). Exact binary-fraction
+    * output for binary-fraction |t| (the factor-2 upsample hits only
+    * t ∈ {±0.25, ±0.75, ±1.25, ±1.75}).
+    */
+  def cubicWeight(t: Double): Double = {
+    val a = -0.5
+    val at = math.abs(t)
+    if (at <= 1.0) ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0
+    else if (at < 2.0) (((at - 5.0) * at + 8.0) * at - 4.0) * a
+    else 0.0
+  }
+
+  /** Cubic (Catmull-Rom) UPsample by an integer factor — resample enum
+    * entry 'cubic' (reference: utils_translate.py:293-344; GDAL cubic
+    * a=−0.5). One radius-2 halo exchange; 4×4 source neighborhood per
+    * target pixel, separable row-then-column accumulation, per-axis edge
+    * clamp (same convention as resampleBilinear).
+    */
+  def resampleCubic(tiles: Dataset[Tile], factor: Int): Dataset[Tile] = {
+    val padded = TileOps.convolvePad(tiles, 2)
+    padded.map { case (t, pad, pw, _) =>
+      val w2 = t.w * factor; val h2 = t.h * factor
+      val out = new Array[Double](w2 * h2)
+      var r = 0
+      while (r < h2) {
+        var c = 0
+        while (c < w2) {
+          val sx = (c + 0.5) / factor - 0.5
+          val sy = (r + 0.5) / factor - 0.5
+          val x0 = math.floor(sx).toInt; val y0 = math.floor(sy).toInt
+          val fx = sx - x0; val fy = sy - y0
+          def at(x: Int, y: Int): Double = {
+            val v = pad((y + 2) * pw + (x + 2))
+            if (!v.isNaN) return v
+            val cx = math.max(0, math.min(t.w - 1, x))
+            val cy = math.max(0, math.min(t.h - 1, y))
+            val vx = pad((y + 2) * pw + (cx + 2))
+            if (!vx.isNaN) return vx
+            val vy = pad((cy + 2) * pw + (x + 2))
+            if (!vy.isNaN) return vy
+            t.pixels(cy * t.w + cx)
+          }
+          var acc = 0.0
+          var dy = -1
+          while (dy <= 2) {
+            var rowAcc = 0.0
+            var dx = -1
+            while (dx <= 2) {
+              rowAcc += cubicWeight(fx - dx) * at(x0 + dx, y0 + dy)
+              dx += 1
+            }
+            acc += cubicWeight(fy - dy) * rowAcc
+            dy += 1
+          }
+          out(r * w2 + c) = acc
+          c += 1
+        }
+        r += 1
+      }
+      Tile(t.cellX, t.cellY, t.band, w2, h2, t.originX, t.originY,
+        t.pxW / factor, t.pxH / factor, out, t.nodata, t.crs)
+    }(TileOps.tileEnc)
+  }
+
   /** Sobel edge detection: magnitude (and gradient bands) of the classic
     * 3×3 gx/gy operators (reference: buteo/array/edge_detection.py:15-110
     * with kernel_sobel radius 1 — kernels.py:382-451; the reference
