@@ -127,17 +127,29 @@ object Dedup {
     // rarity-rank join
     val dfreq = broadcast(toks.groupBy("tok").agg(count(lit(1)).as("df")))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
-    val prefixes = toks
+    // every token ranked by global rarity within its doc — the prefix
+    // filter AND the positional (PPJoin) bound both come from this table
+    val ranked = toks
       .join(dfreq, "tok")
       .withColumn("pos", row_number().over(byRarity))
       .join(sizes, "doc_id")
+      .select("doc_id", "tok", "pos", "n_toks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixes = ranked
       .filter(col("pos") <= col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1)
       .filter(probeFilter)
-      .select(col("doc_id"), col("tok"))
-    // probe prefixes vs FULL corpus token sets — lossless for any pair
-    // containing a probe (shared token guaranteed inside prefix(probe))
-    val cand = prefixes.as("p").join(toks.as("t"),
-        col("p.tok") === col("t.tok") && col("p.doc_id") =!= col("t.doc_id"))
+    // probe prefixes vs FULL ranked token sets — lossless for any pair
+    // containing a probe (the first shared token by global order lands in
+    // prefix(probe) and satisfies the positional bound). PPJoin positional
+    // pruning: overlap ≤ min(|A|−i, |B|−j)+1 for a shared token at ranks
+    // i/j, and J ≥ t needs overlap o with o ≥ t·(|A|+|B|−o) — the 1e-9
+    // slack keeps 1-ulp boundary cases (Xiao et al. PPJoin, public
+    // algorithm).
+    val maxO = least(col("p.n_toks") - col("p.pos"), col("t.n_toks") - col("t.pos")) + lit(1)
+    val cand = prefixes.as("p").join(ranked.as("t"),
+        col("p.tok") === col("t.tok") && col("p.doc_id") =!= col("t.doc_id") &&
+          maxO.cast("double") >=
+            lit(threshold) * (col("p.n_toks") + col("t.n_toks") - maxO) - lit(1e-9))
       .select(col("p.doc_id").as("doc_a"), col("t.doc_id").as("doc_b"))
       .distinct()
     verifyJaccardFrom(toks, sizes, cand).filter(col("jaccard") >= threshold)
