@@ -302,6 +302,15 @@ object SparkEntry {
       TileOps.tileStats(TileOps2.stack(Seq(a -> rasterSpec.bands, b -> 1)))
     },
 
+    "raster_mosaic" -> { (s, _) =>
+      // two rasters on different grids mosaicked onto the reference grid
+      // (mean of the overlapping contributions)
+      val refSpec = rasterSpec.copy(bands = 1)
+      val a = TileOps.createRaster(s, refSpec)(rasterValue)
+      val srcSpec = RasterSpec(3.0, 61.0, 0.25, -0.25, 192, 192, 64, 1)
+      val b = TileOps.createRaster(s, srcSpec)((x, y, _) => ((x * 11 + y * 3) % 89).toDouble)
+      TileOps.toPixels(TileOps2.mosaic(Seq(a, b), refSpec), refSpec.tileSize)
+    },
     "raster_timeslope" -> { (s, _) =>
       val spec4 = rasterSpec.copy(bands = 4)
       val r = TileOps.createRaster(s, spec4)(
@@ -885,6 +894,20 @@ object SparkEntry {
           band, min(v) AS vmin, max(v) AS vmax,
           CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS vsum, CAST(count(*) AS BIGINT) AS n_px
         FROM px2 GROUP BY 1, 2, 3"""),
+
+    "raster_mosaic" ->
+      // ref pixels always carry raster A; raster B contributes where the
+      // align sample (floor grid math, as in raster_align) lands in range
+      """WITH refpx AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST((x*7 + y*13) % 97 AS DOUBLE) AS va,
+           CAST(floor((0.0 + (x + 0.5) * 0.25 - 3.0) / 0.25) AS INTEGER) AS sc,
+           CAST(floor((64.0 + (y + 0.5) * -0.25 - 61.0) / -0.25) AS INTEGER) AS sr
+         FROM range(256) r1(x), range(256) r2(y))
+        SELECT x, y, 0 AS band,
+          CASE WHEN sc >= 0 AND sc < 192 AND sr >= 0 AND sr < 192
+               THEN (va + CAST((sc * 11 + sr * 3) % 89 AS DOUBLE)) / 2
+               ELSE va END AS v
+        FROM refpx""",
 
     "raster_timeslope" ->
       """WITH px4 AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,

@@ -72,22 +72,47 @@ case class CoverCellsExpr(left: Expression, right: Expression)
   * equi-key unlocks hash/sort-merge strategies + AQE instead of a
   * BroadcastNestedLoopJoin. Cover level from
   * `spark.graft.spatialJoin.level` (default 7).
+  *
+  * Handled forms: INNER (either operand order), LEFT SEMI / LEFT ANTI
+  * with the point side preserved, and composite AND conditions (the PIP
+  * predicate anywhere in the conjunction; other predicates ride along).
+  * EXISTS/NOT EXISTS subqueries are rewritten to joins by Spark only
+  * AFTER user optimizer rules run, so use explicit semi/anti join syntax
+  * (or the typed SpatialJoins API) for those shapes.
   */
 case class SpatialJoinRule(level: Int = 7) extends Rule[LogicalPlan] {
 
+  import org.apache.spark.sql.catalyst.plans.{JoinType, LeftAnti, LeftSemi}
+
+  /** Already-rewritten joins carry the marker cell columns. */
+  private def alreadyRewritten(l: LogicalPlan, r: LogicalPlan): Boolean =
+    (l.output ++ r.output).exists(a => a.name == "__p_cell" || a.name == "__g_cell")
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(l, r, Inner, Some(c @ StContainsPoint(wkt, x, y)), hint)
-        if wkt.references.subsetOf(r.outputSet) &&
-          x.references.subsetOf(l.outputSet) && y.references.subsetOf(l.outputSet) =>
-      rewrite(j, l, r, wkt, x, y, c, hint)
-    case j @ Join(l, r, Inner, Some(c @ StContainsPoint(wkt, x, y)), hint)
-        if wkt.references.subsetOf(l.outputSet) &&
-          x.references.subsetOf(r.outputSet) && y.references.subsetOf(r.outputSet) =>
-      // polygons on the left: mirror the rewrite
-      rewrite(j, r, l, wkt, x, y, c, hint, flipped = true)
+    case j @ Join(l, r, jt, Some(cond), hint)
+        if (jt == Inner || jt == LeftSemi || jt == LeftAnti) &&
+          !alreadyRewritten(l, r) =>
+      // exactly one PIP predicate anywhere in the AND-tree qualifies; any
+      // remaining predicates ride along into the rewritten condition
+      cond.collect { case s: StContainsPoint => s } match {
+        case Seq(pip @ StContainsPoint(wkt, x, y)) =>
+          if (wkt.references.subsetOf(r.outputSet) &&
+              x.references.subsetOf(l.outputSet) && y.references.subsetOf(l.outputSet))
+            rewrite(j, l, r, jt, wkt, x, y, cond, hint)
+          else if (jt == Inner &&
+              wkt.references.subsetOf(l.outputSet) &&
+              x.references.subsetOf(r.outputSet) && y.references.subsetOf(r.outputSet))
+            // polygons on the left: mirror the rewrite (inner only — for
+            // semi/anti the preserved side must stay unduplicated, and the
+            // cover-cell Generate duplicates the polygon side)
+            rewrite(j, r, l, jt, wkt, x, y, cond, hint, flipped = true)
+          else j
+        case _ => j
+      }
   }
 
   private def rewrite(j: Join, points: LogicalPlan, polys: LogicalPlan,
+                      joinType: JoinType,
                       wkt: Expression, x: Expression, y: Expression,
                       pred: Expression,
                       hint: JoinHint, flipped: Boolean = false): LogicalPlan = {
@@ -99,10 +124,12 @@ case class SpatialJoinRule(level: Int = 7) extends Rule[LogicalPlan] {
       Explode(CoverCellsExpr(wkt, Literal(level))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(gCell), child = polys)
+    // contains(point, poly) implies cell-cover equality, so conjoining the
+    // equi-key preserves inner AND existential (semi/anti) semantics
     val cond = And(EqualTo(cellAlias.toAttribute, gCell), pred)
     val joined =
-      if (flipped) Join(newPolys, newPoints, Inner, Some(cond), hint)
-      else Join(newPoints, newPolys, Inner, Some(cond), hint)
+      if (flipped) Join(newPolys, newPoints, joinType, Some(cond), hint)
+      else Join(newPoints, newPolys, joinType, Some(cond), hint)
     Project(j.output, joined)
   }
 }

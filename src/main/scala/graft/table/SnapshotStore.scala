@@ -67,6 +67,21 @@ class SnapshotStore(val root: String) {
     snap
   }
 
+  /** Time travel: the exact file set of a historical snapshot as a
+    * DataFrame (Iceberg-style `VERSION AS OF` — each snapshot manifest
+    * pins its partition files, so later overwrites of OTHER buckets never
+    * leak in; files rewritten in-place after the snapshot are of course
+    * gone — snapshot isolation here covers the bucket grain).
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, version: Int): org.apache.spark.sql.DataFrame = {
+    val snap = readSnapshot(version)
+    val paths = snap.partitions.values.toSeq.sortBy(_.bucket).flatMap { p =>
+      p.files.map(f => s"${dataPath(p.bucket)}/$f")
+    }
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Buckets still missing from the latest snapshot. */
   def pending(universe: Seq[Int]): Seq[Int] = {
     val done = current().map(_.doneBuckets).getOrElse(Set.empty)

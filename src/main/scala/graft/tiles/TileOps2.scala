@@ -472,6 +472,55 @@ object TileOps2 {
     }(TileOps.tileEnc)
   }
 
+  /** Mosaic: combine overlapping rasters onto one reference grid —
+    * per-pixel mean/min/max/sum over the non-nodata contributions
+    * (reference: buteo/raster/mosaic.py is an EMPTY stub — these are the
+    * semantics its docstring promises; SURVEY §2.4). Each source aligns
+    * to the reference grid (one shuffle each), then one groupBy on the
+    * tile key combines per pixel.
+    */
+  def mosaic(rasters: Seq[Dataset[Tile]], ref: RasterSpec,
+             method: String = "mean"): Dataset[Tile] = {
+    val mid = method match {
+      case "mean" => 0; case "min" => 1; case "max" => 2; case "sum" => 3
+      case m => throw new IllegalArgumentException(s"unknown mosaic method: $m")
+    }
+    val spark = rasters.head.sparkSession
+    import spark.implicits._
+    rasters.map(align(_, ref)).reduce(_ union _)
+      .groupByKey(t => (t.cellX, t.cellY, t.band))
+      .mapGroups { (_: (Int, Int, Int), it: Iterator[Tile]) =>
+        val pieces = it.toArray
+        val t0 = pieces.head
+        val out = new Array[Double](t0.pixels.length)
+        var i = 0
+        while (i < out.length) {
+          var n = 0; var s = 0.0
+          var mn = Double.MaxValue; var mx = Double.MinValue
+          var p = 0
+          while (p < pieces.length) {
+            val v = pieces(p).pixels(i)
+            if (v != pieces(p).nodata) {
+              n += 1; s += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            p += 1
+          }
+          out(i) =
+            if (n == 0) ref.nodata
+            else mid match {
+              case 0 => s / n
+              case 1 => mn
+              case 2 => mx
+              case 3 => s
+            }
+          i += 1
+        }
+        t0.copy(pixels = out, nodata = ref.nodata)
+      }
+  }
+
   /** Catmull-Rom weight (GDAL 'cubic', a = −0.5). Exact binary-fraction
     * output for binary-fraction |t| (the factor-2 upsample hits only
     * t ∈ {±0.25, ±0.75, ±1.25, ±1.75}).

@@ -63,4 +63,56 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
       !physical.contains("CartesianProduct"))
     assert(q.collect().map(_.getLong(1)).sum > 100)
   }
+
+  test("composite AND condition rewrites and keeps the extra predicate") {
+    fixtures()
+    val q = spark.sql(
+      """SELECT poly_id, count(*) AS n FROM points p JOIN polys g
+         ON st_contains_point(g.wkt, p.lon, p.lat) AND p.id % 2 = 0
+         GROUP BY poly_id""")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"),
+      s"composite spatial join not rewritten:\n$physical")
+    val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = spark.sql("SELECT * FROM points WHERE id % 2 = 0").collect().flatMap { r =>
+      val lon = r.getDouble(1); val lat = r.getDouble(2)
+      Seq(
+        (1L, lon >= 0 && lon <= 60 && lat >= 0 && lat <= 40),
+        (2L, lon >= -120 && lon <= -20 && lat >= -50 && lat <= 30),
+        (3L, lon >= 100 && lon <= 170 && lat >= 10 && lat <= 80)
+      ).filter(_._2).map(_._1)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got === expect)
+  }
+
+  test("left-semi and left-anti spatial joins rewrite and partition the points") {
+    fixtures()
+    // explicit semi/anti join syntax: EXISTS subqueries only become joins
+    // AFTER user optimizer rules run (Spark's RewriteSubquery batch), so
+    // the rewrite targets the join form
+    val semi = spark.sql(
+      """SELECT count(*) FROM points p LEFT SEMI JOIN polys g
+         ON st_contains_point(g.wkt, p.lon, p.lat)""")
+    val anti = spark.sql(
+      """SELECT count(*) FROM points p LEFT ANTI JOIN polys g
+         ON st_contains_point(g.wkt, p.lon, p.lat)""")
+    for (q <- Seq(semi, anti)) {
+      val physical = q.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin") &&
+        !physical.contains("CartesianProduct"),
+        s"semi/anti spatial join not rewritten:\n$physical")
+    }
+    val nSemi = semi.collect()(0).getLong(0)
+    val nAnti = anti.collect()(0).getLong(0)
+    assert(nSemi + nAnti == 2000L)
+    // oracle: direct per-point evaluation
+    val inAny = spark.sql("SELECT * FROM points").collect().count { r =>
+      val lon = r.getDouble(1); val lat = r.getDouble(2)
+      (lon >= 0 && lon <= 60 && lat >= 0 && lat <= 40) ||
+        (lon >= -120 && lon <= -20 && lat >= -50 && lat <= 30) ||
+        (lon >= 100 && lon <= 170 && lat >= 10 && lat <= 80)
+    }
+    assert(nSemi == inAny.toLong)
+  }
 }

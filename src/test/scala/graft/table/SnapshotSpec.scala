@@ -70,4 +70,21 @@ class SnapshotSpec extends AnyFunSuite {
     // version history: 1 commit from run A + 2 from resume
     assert(store.current().get.version === 3)
   }
+
+  test("time travel: readVersion pins each snapshot's exact file set") {
+    val store = new SnapshotStore(freshRoot())
+    val w = new CheckpointedWriter(store, "src@test")
+    w.run(input, 8, 3, failAfterCommits = 1) // v1: buckets 0..2
+    val v1 = store.current().get.version
+    w.run(input, 8, 3) // v2, v3: the rest
+    val v3 = store.current().get.version
+    val n1 = store.readVersion(spark, v1).count()
+    val n3 = store.readVersion(spark, v3).count()
+    assert(n1 === input.filter(col("bucket") < 3).count())
+    assert(n3 === 1000L)
+    // historical snapshot rows equal the data of exactly its buckets
+    val ids1 = store.readVersion(spark, v1).select("id").collect().map(_.getLong(0)).toSet
+    val expect1 = input.filter(col("bucket") < 3).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === expect1)
+  }
 }
