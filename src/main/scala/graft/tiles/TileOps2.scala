@@ -472,6 +472,58 @@ object TileOps2 {
     }(TileOps.tileEnc)
   }
 
+  /** Reduce across the band (channel) axis per pixel — the reference's
+    * convolve_array_channels (reference: buteo/array/convolution/base.py
+    * :236-410; pinned by tests_array/test_array_convolution.py:89-119).
+    * Output is a single band 0. Nodata values are skipped; all-nodata
+    * pixels stay nodata.
+    */
+  def bandReduce(tiles: Dataset[Tile], method: String = "mean"): Dataset[Tile] = {
+    val mid = method match {
+      case "sum" => 0; case "mean" => 1; case "min" => 2; case "max" => 3
+      case "median" => 4
+      case m => throw new IllegalArgumentException(s"unknown band reduce: $m")
+    }
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .groupByKey(t => (t.cellX, t.cellY))
+      .mapGroups { (_: (Int, Int), it: Iterator[Tile]) =>
+        val bands = it.toArray.sortBy(_.band)
+        val t0 = bands.head
+        val out = new Array[Double](t0.pixels.length)
+        val buf = new Array[Double](bands.length)
+        var i = 0
+        while (i < out.length) {
+          var n = 0; var s = 0.0
+          var mn = Double.MaxValue; var mx = Double.MinValue
+          var b = 0
+          while (b < bands.length) {
+            val v = bands(b).pixels(i)
+            if (v != bands(b).nodata) {
+              buf(n) = v; n += 1; s += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            b += 1
+          }
+          out(i) =
+            if (n == 0) t0.nodata
+            else mid match {
+              case 0 => s
+              case 1 => s / n
+              case 2 => mn
+              case 3 => mx
+              case 4 =>
+                java.util.Arrays.sort(buf, 0, n)
+                Hood.refQuantileSorted(buf, n, 0.5)
+            }
+          i += 1
+        }
+        t0.copy(band = 0, pixels = out)
+      }
+  }
+
   /** Mosaic: combine overlapping rasters onto one reference grid —
     * per-pixel mean/min/max/sum over the non-nodata contributions
     * (reference: buteo/raster/mosaic.py is an EMPTY stub — these are the
