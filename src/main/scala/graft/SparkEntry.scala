@@ -428,6 +428,12 @@ object SparkEntry {
       val cl = graft.ops.ArrayOps.channelFirstToLast(q, 4, 4, 4)
       embeddingsOf(s, dir).select(col("vec_id"), posexplode(cl).as(Seq("pos", "q")))
     },
+    "raster_theilsen_robust" -> { (s, _) =>
+      val spec4 = rasterSpec.copy(bands = 4)
+      val r = TileOps.createRaster(s, spec4)(
+        (x, y, b) => ((x * 5 + y * 3 + b * b * 7) % 53).toDouble)
+      TileOps.toPixels(TileOps2.theilSenRobustSlope(r, 4), rasterSpec.tileSize)
+    },
     "raster_dem_gradients" -> { (s, _) =>
       val spec = rasterSpec.copy(bands = 1)
       val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
@@ -1095,6 +1101,32 @@ object SparkEntry {
            (v2 - v1) / 1.0, (v3 - v1) / 2.0, (v3 - v2) / 1.0]) AS s
          FROM piv)
         SELECT x, y, 0 AS band, median(s) AS v FROM sl GROUP BY x, y""",
+
+    "raster_theilsen_robust" ->
+      // median -> mad_std mask -> median of kept (timeseries.py:50-113);
+      // all-masked pixels fall back to 0 (np.ma.median(...).filled(0))
+      """WITH px4 AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST(b AS INTEGER) AS band,
+           CAST((x*5 + y*3 + b*b*7) % 53 AS DOUBLE) AS v
+         FROM range(256) r1(x), range(256) r2(y), range(4) r3(b)),
+        piv AS (SELECT x, y,
+           max(CASE WHEN band = 0 THEN v END) AS v0,
+           max(CASE WHEN band = 1 THEN v END) AS v1,
+           max(CASE WHEN band = 2 THEN v END) AS v2,
+           max(CASE WHEN band = 3 THEN v END) AS v3
+         FROM px4 GROUP BY x, y),
+        sl AS (SELECT x, y, unnest([(v1 - v0) / 1.0, (v2 - v0) / 2.0, (v3 - v0) / 3.0,
+           (v2 - v1) / 1.0, (v3 - v1) / 2.0, (v3 - v2) / 1.0]) AS s
+         FROM piv),
+        med AS (SELECT x, y, median(s) AS m FROM sl GROUP BY x, y),
+        mad AS (SELECT sl.x, sl.y,
+           CAST(1.4826 AS DOUBLE) * median(abs(sl.s - med.m)) AS ms, med.m
+         FROM sl JOIN med USING (x, y) GROUP BY sl.x, sl.y, med.m)
+        SELECT sl.x, sl.y, 0 AS band,
+          COALESCE(median(sl.s) FILTER (
+            WHERE sl.s >= mad.m - mad.ms * 1.0 AND sl.s <= mad.m + mad.ms * 1.0), 0.0) AS v
+        FROM sl JOIN mad USING (x, y)
+        GROUP BY sl.x, sl.y, mad.m, mad.ms""",
 
     "raster_dem_gradients" -> demGradOracle,
 

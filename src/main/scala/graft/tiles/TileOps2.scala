@@ -437,6 +437,62 @@ object TileOps2 {
       }
   }
 
+  /** Robust (MAD-masked) Theil–Sen slope — the reference's
+    * timeseries_robust_least_squares_slope (reference:
+    * buteo/array/timeseries.py:50-113): pairwise slopes → median →
+    * mad_std = 1.4826·median(|s − med|) → keep slopes within
+    * med ± mad_std·stdThreshold → median of the kept set (0 when the
+    * mask empties, matching np.ma.median(...).filled(0)).
+    */
+  def theilSenRobustSlope(tiles: Dataset[Tile], nBands: Int,
+                          stdThreshold: Double = 1.0): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles
+      .groupByKey(t => (t.cellX, t.cellY))
+      .mapGroups { (_: (Int, Int), it: Iterator[Tile]) =>
+        val bands = it.toArray.sortBy(_.band)
+        val t0 = bands.head
+        val nPairs = nBands * (nBands - 1) / 2
+        val slopes = new Array[Double](nPairs)
+        val devs = new Array[Double](nPairs)
+        val kept = new Array[Double](nPairs)
+        val out = new Array[Double](t0.pixels.length)
+        def medianOf(a: Array[Double], n: Int): Double =
+          if (n % 2 == 1) a(n / 2) else (a(n / 2 - 1) + a(n / 2)) / 2.0
+        var i = 0
+        while (i < out.length) {
+          var k = 0
+          var a = 0
+          while (a < nBands) {
+            var b = a + 1
+            while (b < nBands) {
+              slopes(k) = (bands(b).pixels(i) - bands(a).pixels(i)) / (b - a).toDouble
+              k += 1; b += 1
+            }
+            a += 1
+          }
+          java.util.Arrays.sort(slopes)
+          val med = medianOf(slopes, nPairs)
+          var j = 0
+          while (j < nPairs) { devs(j) = math.abs(slopes(j) - med); j += 1 }
+          java.util.Arrays.sort(devs)
+          val madStd = 1.4826 * medianOf(devs, nPairs)
+          val lo = med - madStd * stdThreshold
+          val hi = med + madStd * stdThreshold
+          var n = 0
+          j = 0
+          while (j < nPairs) {
+            if (slopes(j) >= lo && slopes(j) <= hi) { kept(n) = slopes(j); n += 1 }
+            j += 1
+          }
+          out(i) = if (n == 0) 0.0 else medianOf(kept, n)
+          i += 1
+        }
+        t0.copy(band = 0, pixels = out)
+      }
+  }
+
   /** Horn's 3×3 gradients for DEM analytics: per pixel
     * dz/dx = ((c+2f+i) − (a+2d+g)) / (8·pxW),
     * dz/dy = ((g+2h+i) − (a+2b+c)) / (8·|pxH|)
@@ -778,6 +834,77 @@ object TileOps2 {
         Iterator(hT.copy(band = 0, pixels = rA), hT.copy(band = 1, pixels = gA),
           hT.copy(band = 2, pixels = bA))
       }(TileOps.tileEnc)
+  }
+
+  /** DEM slope in degrees (or percent) from the Horn gradients —
+    * reference: buteo/raster/dem.py:16-131 (gdal.DEMProcessing 'slope',
+    * Horn formula). slope = atan(sqrt(gx² + gy²)); trig wrappers are
+    * ScalaTest-checked (trig is not DuckDB-bit-portable).
+    */
+  def demSlope(tiles: Dataset[Tile], percent: Boolean = false): Dataset[Tile] = {
+    gradientsCombine(tiles) { (gx, gy) =>
+      val m = math.sqrt(gx * gx + gy * gy)
+      if (percent) m * 100.0 else math.toDegrees(math.atan(m))
+    }
+  }
+
+  /** DEM aspect in degrees clockwise from north (GDAL convention;
+    * flat → −9999-ish nodata stays 0 here like gdal's zero_for_flat).
+    */
+  def demAspect(tiles: Dataset[Tile]): Dataset[Tile] =
+    gradientsCombine(tiles) { (gx, gy) =>
+      if (gx == 0.0 && gy == 0.0) 0.0
+      else {
+        val a = math.toDegrees(math.atan2(gy, -gx))
+        val az = 90.0 - a
+        if (az < 0) az + 360.0 else if (az >= 360.0) az - 360.0 else az
+      }
+    }
+
+  /** DEM hillshade (0..255) with the standard GDAL formula —
+    * azimuth/altitude in degrees (dem.py:242-350).
+    */
+  def demHillshade(tiles: Dataset[Tile], azimuthDeg: Double = 315.0,
+                   altitudeDeg: Double = 45.0): Dataset[Tile] = {
+    val az = math.toRadians(azimuthDeg)
+    val alt = math.toRadians(altitudeDeg)
+    gradientsCombine(tiles) { (gx, gy) =>
+      val slope = math.atan(math.sqrt(gx * gx + gy * gy))
+      val aspect = math.atan2(gy, -gx)
+      val shade = math.sin(alt) * math.cos(slope) +
+        math.cos(alt) * math.sin(slope) * math.cos(az - math.Pi / 2.0 - aspect)
+      math.max(0.0, 255.0 * shade)
+    }
+  }
+
+  /** Fuse the two Horn gradient bands through a scalar combiner —
+    * single halo pass, no intermediate two-band materialization.
+    */
+  private def gradientsCombine(tiles: Dataset[Tile])
+                              (f: (Double, Double) => Double): Dataset[Tile] = {
+    val padded = TileOps.convolvePad(tiles, 1)
+    padded.map { case (t, pad, pw, _) =>
+      val out = new Array[Double](t.pixels.length)
+      var r = 0
+      while (r < t.h) {
+        var c = 0
+        while (c < t.w) {
+          def at(dx: Int, dy: Int): Double = {
+            val v = pad((r + 1 + dy) * pw + (c + 1 + dx))
+            if (v.isNaN) t.pixels(r * t.w + c) else v
+          }
+          val (a, b2, cc) = (at(-1, -1), at(0, -1), at(1, -1))
+          val (d, g2) = (at(-1, 0), at(1, 0))
+          val (g, h2, i2) = (at(-1, 1), at(0, 1), at(1, 1))
+          val gx = ((cc + 2.0 * g2 + i2) - (a + 2.0 * d + g)) / (8.0 * t.pxW)
+          val gy = ((g + 2.0 * h2 + i2) - (a + 2.0 * b2 + cc)) / (8.0 * math.abs(t.pxH))
+          out(r * t.w + c) = f(gx, gy)
+          c += 1
+        }
+        r += 1
+      }
+      t.copy(band = 0, pixels = out)
+    }(TileOps.tileEnc)
   }
 
   /** Per-pixel least-squares slope along the band (time) axis —

@@ -72,6 +72,44 @@ class MiscOpsSpec extends AnyFunSuite {
       assert(out((x, y)) == 24.0, s"($x,$y) -> ${out((x, y))}")
   }
 
+  test("dem slope/aspect/hillshade match a straight-Scala Horn oracle") {
+    val spec = RasterSpec(0.0, 16.0, 0.25, -0.25, 16, 16, 8, 1)
+    def z(x: Int, y: Int): Double = ((x * 3 + y * 5) % 17).toDouble
+    val dem = TileOps.createRaster(spark, spec)((x, y, _) => z(x, y))
+    def zc(x: Int, y: Int): Double =
+      z(math.max(0, math.min(15, x)), math.max(0, math.min(15, y)))
+    def grad(x: Int, y: Int): (Double, Double) = {
+      // mirror hornGradients' center-fallback clamp
+      def at(dx: Int, dy: Int): Double =
+        if (x + dx < 0 || x + dx > 15 || y + dy < 0 || y + dy > 15) z(x, y)
+        else zc(x + dx, y + dy)
+      val gx = ((at(1, -1) + 2.0 * at(1, 0) + at(1, 1)) -
+        (at(-1, -1) + 2.0 * at(-1, 0) + at(-1, 1))) / (8.0 * 0.25)
+      val gy = ((at(-1, 1) + 2.0 * at(0, 1) + at(1, 1)) -
+        (at(-1, -1) + 2.0 * at(0, -1) + at(1, -1))) / (8.0 * 0.25)
+      (gx, gy)
+    }
+    val slope = TileOps.toPixels(TileOps2.demSlope(dem), 8).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(3))).toMap
+    val shade = TileOps.toPixels(TileOps2.demHillshade(dem), 8).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(3))).toMap
+    for (x <- 0 until 16; y <- 0 until 16) {
+      val (gx, gy) = grad(x, y)
+      val expSlope = math.toDegrees(math.atan(math.sqrt(gx * gx + gy * gy)))
+      assert(math.abs(slope((x, y)) - expSlope) < 1e-9, s"slope($x,$y)")
+      val alt = math.toRadians(45.0); val az = math.toRadians(315.0)
+      val sl = math.atan(math.sqrt(gx * gx + gy * gy))
+      val asp = math.atan2(gy, -gx)
+      val expShade = math.max(0.0, 255.0 * (math.sin(alt) * math.cos(sl) +
+        math.cos(alt) * math.sin(sl) * math.cos(az - math.Pi / 2.0 - asp)))
+      assert(math.abs(shade((x, y)) - expShade) < 1e-9, s"shade($x,$y)")
+    }
+    // aspect: flat pixels report 0, gradients give [0, 360)
+    val aspect = TileOps.toPixels(TileOps2.demAspect(dem), 8).collect()
+      .map(_.getDouble(3))
+    assert(aspect.forall(a => a >= 0.0 && a < 360.0))
+  }
+
   test("findCommonProjection majority vote with smaller-EPSG tie break") {
     val a = RasterSpec(0, 0, 1, -1, 8, 8, 8, 1, crs = 4326)
     val b = a.copy(crs = 3857)
