@@ -131,23 +131,56 @@ object Vectorize {
       .select(col("a.label").as("src"), col("bb.label").as("dst"))
       .distinct()
 
-    // --- 3: min-label propagation to fixpoint ---
-    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = comps.select(col("label"), col("label").as("comp"))
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
-      val viaNeighbors = sym.join(labels, sym("dst") === labels("label"))
-        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(viaNeighbors, labels("label") === viaNeighbors("src"), "left")
-        .select(labels("label"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), col("n.label") === col("o.label"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
-      it += 1
+    // --- 3: connected components over the LABEL graph. The region graph
+    // is orders of magnitude smaller than the pixel plane (one node per
+    // tile-local region), so when it fits comfortably on the driver we
+    // solve it with a local union-find in one pass; otherwise we fall
+    // back to distributed min-label propagation (O(diameter) supersteps).
+    val edgeRows = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = edgeRows.count()
+    val driverLimit = 5000000L
+    var labels: DataFrame = null
+    if (edgeCount <= driverLimit) {
+      val es = edgeRows.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = collection.mutable.HashMap.empty[Long, Long]
+      def find(a: Long): Long = {
+        var x = a
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p)
+          x = parent(x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val mapping = parent.keysIterator.map(k => (k, find(k))).toSeq
+      val mapDf =
+        if (mapping.isEmpty) spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("label", "mcomp")
+        else mapping.toDF("label", "mcomp")
+      labels = comps.select(col("label"))
+        .join(broadcast(mapDf), Seq("label"), "left")
+        .select(col("label"), coalesce(col("mcomp"), col("label")).as("comp"))
+    } else {
+      val sym = edgeRows.union(edgeRows.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels = comps.select(col("label"), col("label").as("comp"))
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val viaNeighbors = sym.join(labels, sym("dst") === labels("label"))
+          .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+        val next = labels.join(viaNeighbors, labels("label") === viaNeighbors("src"), "left")
+          .select(labels("label"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        changed = next.as("n").join(labels.as("o"), col("n.label") === col("o.label"))
+          .filter(col("n.comp") =!= col("o.comp")).count()
+        labels = next
+        it += 1
+      }
     }
 
     // --- 4: final aggregate per connected component ---
