@@ -8,12 +8,19 @@ import graft.expr.GraftFunctions
 
 class SpatialJoinRuleSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
+  // A session left behind by an earlier suite would be returned by
+  // getOrCreate WITHOUT our extensions; clear it so the builder makes a
+  // fresh session (the underlying SparkContext is still reused).
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
     .master("local[4]")
     .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  }
 
   private def fixtures(): Unit = {
     GraftFunctions.register(spark)
