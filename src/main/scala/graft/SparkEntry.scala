@@ -199,6 +199,19 @@ object SparkEntry {
         .groupBy("s2").agg(count(lit(1)).as("n_pages"), min("doc_id").as("min_doc"))
     },
 
+    "geo_s2_kring" -> { (s, dir) =>
+      // cross-face S2 k-ring expansion (rows-only: ring membership uses
+      // the cube-face wrap; exactness pinned by CellIndexSpec properties)
+      GraftFunctions.register(s)
+      Pages.pages(s, dir)
+        .select(col("doc_id"),
+          GraftFunctions.s2Cell(col("lon"), col("lat"), lit(6)).as("s2"))
+        .select(col("doc_id"), col("s2"),
+          explode(GraftFunctions.s2KRing(col("s2"), lit(1))).as("ring_cell"))
+        .groupBy("s2").agg(countDistinct("ring_cell").as("ring_size"),
+          count(lit(1)).as("n_rows"))
+    },
+
     "geo_knn_cell" -> { (s, dir) =>
       // large-probe-set kNN: k-ring candidate expansion on the cell grid;
       // rows-only driver check (exactness asserted in KnnSpec vs the
@@ -375,6 +388,16 @@ object SparkEntry {
     "raster_resample_cubic" -> { (s, _) =>
       val spec = rasterSpec.copy(width = 128, height = 128, bands = 1, tileSize = 32)
       TileOps.toPixels(TileOps2.resampleCubic(
+        TileOps.createRaster(s, spec)(rasterValue), 2), spec.tileSize * 2)
+    },
+    "raster_resample_cubicspline" -> { (s, _) =>
+      val spec = rasterSpec.copy(width = 128, height = 128, bands = 1, tileSize = 32)
+      TileOps.toPixels(TileOps2.resampleCubicSpline(
+        TileOps.createRaster(s, spec)(rasterValue), 2), spec.tileSize * 2)
+    },
+    "raster_resample_lanczos" -> { (s, _) =>
+      val spec = rasterSpec.copy(width = 128, height = 128, bands = 1, tileSize = 32)
+      TileOps.toPixels(TileOps2.resampleLanczos(
         TileOps.createRaster(s, spec)(rasterValue), 2), spec.tileSize * 2)
     },
     "raster_resample_mode" -> { (s, _) =>
@@ -1031,6 +1054,12 @@ object SparkEntry {
         bilerpSql("x0", "y0", "fx", "fy") + " AS v FROM c"),
 
     "raster_resample_cubic" -> cubicOracle,
+    "raster_resample_cubicspline" -> separableOracle(2,
+      TileOps2.tapWeights(0.25, 2, TileOps2.bsplineWeight, normalize = false),
+      TileOps2.tapWeights(0.75, 2, TileOps2.bsplineWeight, normalize = false)),
+    "raster_resample_lanczos" -> separableOracle(3,
+      TileOps2.tapWeights(0.25, 3, TileOps2.lanczosWeight, normalize = true),
+      TileOps2.tapWeights(0.75, 3, TileOps2.lanczosWeight, normalize = true)),
 
     "raster_resample_mode" -> (sqlPx +
       """, freq AS (SELECT CAST(x // 4 AS INTEGER) AS x, CAST(y // 4 AS INTEGER) AS y,
@@ -1685,6 +1714,42 @@ object SparkEntry {
     }
     def full(wx: Seq[String], wy: Seq[String]) =
       (-1 to 2).zip(wy).map { case (dy, w) => s"$w * ${row(wx, dy)}" }
+        .mkString(" + ")
+    s"""WITH tgt AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+         CAST((x // 2) - (1 - (x % 2)) AS INTEGER) AS x0,
+         CAST((y // 2) - (1 - (y % 2)) AS INTEGER) AS y0
+       FROM range(256) r1(x), range(256) r2(y))
+      SELECT x, y, 0 AS band,
+        CASE WHEN x % 2 = 1 AND y % 2 = 1 THEN ${full(w25, w25)}
+             WHEN x % 2 = 1 AND y % 2 = 0 THEN ${full(w25, w75)}
+             WHEN x % 2 = 0 AND y % 2 = 1 THEN ${full(w75, w25)}
+             ELSE ${full(w75, w75)}
+        END AS v
+      FROM tgt"""
+  }
+
+  /** Generalized separable ×2-upsample oracle mirroring
+    * TileOps2.resampleSeparable: tap weights are embedded as
+    * full-precision literals produced by the SAME TileOps2.tapWeights
+    * call the engine uses (Double.toString round-trips through DuckDB's
+    * parser bit-for-bit), and term order matches the engine's ascending
+    * dx-then-dy accumulation. Source: clamped v(x,y) = (x·7+y·13)%97 on
+    * 128×128, factor-2 grid phases fx, fy ∈ {0.25, 0.75}.
+    */
+  private def separableOracle(radius: Int, w25: Array[Double],
+                              w75: Array[Double]): String = {
+    def z(xs: String, ys: String) =
+      s"CAST((LEAST(GREATEST($xs, 0), 127) * 7 + LEAST(GREATEST($ys, 0), 127) * 13) % 97 AS DOUBLE)"
+    def lit(d: Double) = s"(${d.toString})"
+    val taps = -(radius - 1) to radius
+    def row(wx: Array[Double], dy: Int) = {
+      val terms = taps.zip(wx).map { case (dx, w) =>
+        s"${lit(w)} * ${z(s"x0 + ($dx)", s"y0 + ($dy)")}"
+      }
+      "(" + terms.mkString(" + ") + ")"
+    }
+    def full(wx: Array[Double], wy: Array[Double]) =
+      taps.zip(wy).map { case (dy, w) => s"${lit(w)} * ${row(wx, dy)}" }
         .mkString(" + ")
     s"""WITH tgt AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
          CAST((x // 2) - (1 - (x % 2)) AS INTEGER) AS x0,

@@ -17,6 +17,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("grid_y", es => GridYExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("h3_kring", es => KRingExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("grid_kring", es => GridKRingExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_kring", es => S2KRingExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("utm_epsg", es => UtmEpsgExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("geocode_url", es => GeocodeUrl(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("reproject_point", es => ReprojectPointExpr(es), "scala_udf")
@@ -50,6 +51,7 @@ object GraftFunctions {
   def gridY(cell: Column): Column = call_function("grid_y", cell)
   def h3KRing(cell: Column, k: Column): Column = call_function("h3_kring", cell, k.cast("int"))
   def gridKRing(cell: Column, k: Column): Column = call_function("grid_kring", cell, k.cast("int"))
+  def s2KRing(cell: Column, k: Column): Column = call_function("s2_kring", cell, k.cast("int"))
   def utmEpsg(lat: Column, lon: Column): Column =
     call_function("utm_epsg", lat.cast("double"), lon.cast("double"))
   def geocodeUrl(url: Column): Column = call_function("geocode_url", url)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.geo.Proj
-import graft.index.{GridCell, HexCell}
+import graft.index.{GridCell, HexCell, S2Cell}
 
 /** Static-call shims for codegen: Scala objects expose static forwarders,
   * so generated Java can call these directly.
@@ -149,6 +149,22 @@ case class GridKRingExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (cell, k) =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.index.GridCell.kRing($cell, $k));")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** `s2_kring(cell, k)` → array<long> of cube-face quadtree cells within k
+  * neighbor steps, wrapping across cube faces (S2Cell.kRing).
+  */
+case class S2KRingExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(cell: Any, k: Any): Any =
+    new GenericArrayData(S2Cell.kRing(cell.asInstanceOf[Long], k.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cell, k) =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.index.S2Cell.kRing($cell, $k));")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }

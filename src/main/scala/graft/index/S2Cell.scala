@@ -140,6 +140,68 @@ object S2Cell {
     set.toArray
   }
 
+  /** One-step neighbor in face-local (di, dj) ∈ {-1,0,1}² with CROSS-FACE
+    * wrap — the published S2 FromFaceIJWrap construction: extrapolate the
+    * would-be cell center to face-plane (u, v) with the LINEAR st↔uv map
+    * (clamped just outside ±1), lift to xyz (a point beyond the face
+    * boundary), re-project onto the owning face, and invert with the same
+    * linear map. Using the linear projection in both directions makes the
+    * round trip exact for grid centers (cell centers land on half-integer
+    * grid coordinates; a 1-ulp perturbation cannot cross a cell line).
+    * Returns None for a diagonal step off a cube corner (3-valent corners
+    * have no diagonal neighbor).
+    */
+  def neighborWrap(cell: Long, di: Int, dj: Int): Option[Long] = {
+    val l = level(cell); val n = 1L << l
+    val ni = i(cell) + di; val nj = j(cell) + dj
+    val iOut = ni < 0 || ni >= n
+    val jOut = nj < 0 || nj >= n
+    if (!iOut && !jOut) return Some(pack(face(cell), ni, nj, l))
+    if (iOut && jOut) return None // off a cube corner
+    val lim = 1.0 + 1e-15
+    def lin(k: Long) = math.max(-lim, math.min(lim, 2.0 * (k + 0.5) / n - 1.0))
+    val (x, y, z) = uvToXyz(face(cell), lin(ni), lin(nj))
+    val f2 = face(x, y, z)
+    val (u2, v2) = faceUv(f2, x, y, z)
+    def toIj(u: Double) =
+      math.min(n - 1, math.max(0L, math.floor((u + 1.0) * 0.5 * n).toLong))
+    Some(pack(f2, toIj(u2), toIj(v2), l))
+  }
+
+  /** All 8 edge/vertex neighbors (7 at cube corners), cross-face. */
+  def neighbors(cell: Long): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](8)
+    var dj = -1
+    while (dj <= 1) {
+      var di = -1
+      while (di <= 1) {
+        if (di != 0 || dj != 0) neighborWrap(cell, di, dj).foreach(out += _)
+        di += 1
+      }
+      dj += 1
+    }
+    out.distinct.toArray
+  }
+
+  /** Cells within k neighbor steps (inclusive of `cell`), cross-face —
+    * BFS over the 8-neighborhood, so within one face it equals the
+    * Chebyshev-disk k-ring and across edges/corners it wraps onto the
+    * adjacent faces. Result is sorted for deterministic join keys.
+    */
+  def kRing(cell: Long, k: Int): Array[Long] = {
+    var frontier = Set(cell)
+    var seen = Set(cell)
+    var step = 0
+    while (step < k && frontier.nonEmpty) {
+      frontier = frontier.flatMap(c => neighbors(c)).diff(seen)
+      seen = seen ++ frontier
+      step += 1
+    }
+    val arr = seen.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
   private def interleave(v: Long): Long = {
     var x = v & 0x0fffffffL
     x = (x | (x << 16)) & 0x0000ffff0000ffffL

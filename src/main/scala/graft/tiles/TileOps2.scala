@@ -940,4 +940,115 @@ object TileOps2 {
         t0.copy(band = 0, pixels = out)
       }
   }
+
+  /** Cubic B-spline weight (GDAL/reference resample enum 'cubicspline',
+    * utils_translate.py:293-344). Partition of unity: the 4 taps at any
+    * phase sum to exactly 1 (numerators are binary fractions, one
+    * division by 6 per tap).
+    */
+  def bsplineWeight(t: Double): Double = {
+    val at = math.abs(t)
+    if (at <= 1.0) (4.0 - 6.0 * at * at + 3.0 * at * at * at) / 6.0
+    else if (at < 2.0) { val u = 2.0 - at; u * u * u / 6.0 }
+    else 0.0
+  }
+
+  /** Raw (un-normalized) Lanczos a=3 weight — sinc(t)·sinc(t/3)
+    * (GDAL 'lanczos'; reference enum utils_translate.py:293-344).
+    */
+  def lanczosWeight(t: Double): Double = {
+    if (t == 0.0) 1.0
+    else if (math.abs(t) >= 3.0) 0.0
+    else {
+      val pt = math.Pi * t
+      3.0 * math.sin(pt) * math.sin(pt / 3.0) / (pt * pt)
+    }
+  }
+
+  /** Tap weights for fractional phase `f` over dx = -(radius-1)..radius.
+    * `normalize` divides by the tap sum (needed for lanczos, which is not
+    * a partition of unity). Shared by the engine and the oracle-SQL
+    * generator so weight doubles agree bit-for-bit.
+    */
+  def tapWeights(f: Double, radius: Int, kernel: Double => Double,
+                 normalize: Boolean): Array[Double] = {
+    val w = Array.tabulate(2 * radius)(i => kernel(f - (i - (radius - 1))))
+    if (normalize) {
+      var s = 0.0; var i = 0
+      while (i < w.length) { s += w(i); i += 1 }
+      i = 0
+      while (i < w.length) { w(i) /= s; i += 1 }
+    }
+    w
+  }
+
+  /** Generic separable interpolating UPsample by an integer factor with
+    * per-phase precomputed tap weights (no per-pixel kernel evaluation).
+    * One radius-`radius` halo exchange; 2r×2r source neighborhood per
+    * target pixel, row-then-column accumulation, per-axis edge clamp —
+    * the same lifecycle as resampleCubic, parameterized by kernel.
+    * Covers the resample-enum entries 'cubicspline' and 'lanczos'.
+    */
+  def resampleSeparable(tiles: Dataset[Tile], factor: Int, radius: Int,
+                        kernel: Double => Double,
+                        normalize: Boolean): Dataset[Tile] = {
+    val padded = TileOps.convolvePad(tiles, radius)
+    padded.map { case (t, pad, pw, _) =>
+      val w2 = t.w * factor; val h2 = t.h * factor
+      // the fractional phase of target index c depends only on c % factor
+      val phW = Array.tabulate(factor) { ph =>
+        val s = (ph + 0.5) / factor - 0.5
+        tapWeights(s - math.floor(s), radius, kernel, normalize)
+      }
+      val out = new Array[Double](w2 * h2)
+      var r = 0
+      while (r < h2) {
+        val sy = (r + 0.5) / factor - 0.5
+        val y0 = math.floor(sy).toInt
+        val wy = phW(r % factor)
+        var c = 0
+        while (c < w2) {
+          val sx = (c + 0.5) / factor - 0.5
+          val x0 = math.floor(sx).toInt
+          val wx = phW(c % factor)
+          def at(x: Int, y: Int): Double = {
+            val v = pad((y + radius) * pw + (x + radius))
+            if (!v.isNaN) return v
+            val cx = math.max(0, math.min(t.w - 1, x))
+            val cy = math.max(0, math.min(t.h - 1, y))
+            val vx = pad((y + radius) * pw + (cx + radius))
+            if (!vx.isNaN) return vx
+            val vy = pad((cy + radius) * pw + (x + radius))
+            if (!vy.isNaN) return vy
+            t.pixels(cy * t.w + cx)
+          }
+          var acc = 0.0
+          var dy = -(radius - 1)
+          while (dy <= radius) {
+            var rowAcc = 0.0
+            var dx = -(radius - 1)
+            while (dx <= radius) {
+              rowAcc += wx(dx + radius - 1) * at(x0 + dx, y0 + dy)
+              dx += 1
+            }
+            acc += wy(dy + radius - 1) * rowAcc
+            dy += 1
+          }
+          out(r * w2 + c) = acc
+          c += 1
+        }
+        r += 1
+      }
+      Tile(t.cellX, t.cellY, t.band, w2, h2, t.originX, t.originY,
+        t.pxW / factor, t.pxH / factor, out, t.nodata, t.crs)
+    }(TileOps.tileEnc)
+  }
+
+  /** Resample-enum entry 'cubicspline' (B-spline ×factor upsample). */
+  def resampleCubicSpline(tiles: Dataset[Tile], factor: Int): Dataset[Tile] =
+    resampleSeparable(tiles, factor, 2, bsplineWeight, normalize = false)
+
+  /** Resample-enum entry 'lanczos' (a=3 ×factor upsample, normalized). */
+  def resampleLanczos(tiles: Dataset[Tile], factor: Int): Dataset[Tile] =
+    resampleSeparable(tiles, factor, 3, lanczosWeight, normalize = true)
 }

@@ -181,6 +181,58 @@ class CellIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("s2 cell: cross-face neighbors are symmetric (property)") {
+    val rnd = new scala.util.Random(7)
+    val lvl = 4
+    (1 to 300).foreach { _ =>
+      val lon = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 170 - 85
+      val c = S2Cell.encode(lon, lat, lvl)
+      S2Cell.neighbors(c).foreach { nb =>
+        assert(S2Cell.level(nb) === lvl)
+        assert(S2Cell.neighbors(nb).contains(c),
+          s"neighbor not symmetric: c=$c f=${S2Cell.face(c)} " +
+            s"(${S2Cell.i(c)},${S2Cell.j(c)}) nb=$nb f=${S2Cell.face(nb)} " +
+            s"(${S2Cell.i(nb)},${S2Cell.j(nb)})")
+      }
+    }
+  }
+
+  test("s2 cell: edge cells get neighbors on the adjacent face") {
+    val lvl = 3
+    val n = 1L << lvl
+    // walk every edge row of every face; each must produce at least one
+    // off-face neighbor, and every neighbor center must re-encode to
+    // itself (the wrap lands on a real cell)
+    (0 until 6).foreach { f =>
+      (0L until n).foreach { k =>
+        Seq((k, 0L), (k, n - 1), (0L, k), (n - 1, k)).foreach { case (ii, jj) =>
+          val c = S2Cell.pack(f, ii, jj, lvl)
+          val nbs = S2Cell.neighbors(c)
+          assert(nbs.exists(nb => S2Cell.face(nb) != f), s"no cross-face nb at f=$f i=$ii j=$jj")
+          nbs.foreach { nb =>
+            val (lo, la) = S2Cell.centerLonLat(nb)
+            assert(S2Cell.encode(lo, la, lvl) === nb)
+          }
+        }
+      }
+    }
+  }
+
+  test("s2 cell: interior kRing matches Chebyshev disk; cross-face kRing wraps") {
+    // interior cell: kRing(1) = 9 cells, kRing(2) = 25
+    val c = S2Cell.pack(0, 8, 8, 4)
+    assert(S2Cell.kRing(c, 0).toSeq === Seq(c))
+    assert(S2Cell.kRing(c, 1).length === 9)
+    assert(S2Cell.kRing(c, 2).length === 25)
+    // corner cell of a face: 8-neighborhood drops the off-corner diagonal
+    // but wraps the two edges, so the ring still has ≥ 7 distinct cells
+    val corner = S2Cell.pack(0, 0, 0, 4)
+    val ring = S2Cell.kRing(corner, 1)
+    assert(ring.length >= 7 && ring.contains(corner))
+    assert(ring.exists(nb => S2Cell.face(nb) != 0))
+  }
+
   test("hex cell: boundary vertices surround the center") {
     val c = HexCell.encode(8.5, 50.5, 7)
     val verts = HexCell.boundaryLonLat(c)
