@@ -697,6 +697,15 @@ object SparkEntry {
       graft.tiles.Vectorize.vectorize(r, spec)
     },
 
+    "raster_vectorize_rings" -> { (s, _) =>
+      // 10×10 value blocks (26×26 grid, clipped at the right/bottom edge)
+      // offset against the 32-pixel tiling → every block is one region
+      // whose ring must be assembled across tiles
+      val spec = rasterSpec.copy(bands = 1)
+      val r = TileOps.createRaster(s, spec)((x, y, _) => ((x / 10 + y / 10) % 3).toDouble)
+      graft.tiles.Vectorize.vectorizeRings(r, spec)
+    },
+
     // --- scalers / ML prep ---
     "scaler_minmax" -> { (s, dir) =>
       graft.ops.Scalers.minMax(documentsOf(s, dir).select("doc_id", "n_chars"),
@@ -1494,6 +1503,22 @@ object SparkEntry {
           CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
           CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
         FROM px GROUP BY v""",
+
+    "raster_vectorize_rings" ->
+      // every 10×10 block (clipped at 256) is one 4-connected region with
+      // a single rectangular ring; vertex order mirrors the tracer's
+      // interior-on-left orientation rotated to the lexicographic min
+      """WITH blk AS (SELECT bx, by,
+           CAST(bx * 10 AS BIGINT) AS x0, CAST(LEAST(256, (bx + 1) * 10) AS BIGINT) AS x1,
+           CAST(by * 10 AS BIGINT) AS y0, CAST(LEAST(256, (by + 1) * 10) AS BIGINT) AS y1
+         FROM range(26) r1(bx), range(26) r2(by))
+        SELECT 0 AS band, CAST((bx + by) % 3 AS DOUBLE) AS v,
+          y0 * 256 + x0 AS region_key,
+          (x1 - x0) * (y1 - y0) AS n_px,
+          'POLYGON((' || x0 || ' ' || y0 || ',' || x1 || ' ' || y0 || ',' ||
+            x1 || ' ' || y1 || ',' || x0 || ' ' || y1 || ',' ||
+            x0 || ' ' || y0 || '))' AS wkt
+        FROM blk""",
 
     "scaler_minmax" ->
       """WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)

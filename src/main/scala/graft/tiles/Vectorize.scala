@@ -131,15 +131,262 @@ object Vectorize {
       .select(col("a.label").as("src"), col("bb.label").as("dst"))
       .distinct()
 
-    // --- 3: connected components over the LABEL graph. The region graph
-    // is orders of magnitude smaller than the pixel plane (one node per
-    // tile-local region), so when it fits comfortably on the driver we
-    // solve it with a local union-find in one pass; otherwise we fall
-    // back to distributed min-label propagation (O(diameter) supersteps).
+    val labels = resolveLabels(comps.select(col("label")), edges, maxIters)
+
+    // --- 4: final aggregate per connected component ---
+    comps.join(labels, "label")
+      .groupBy(col("band"), col("comp"))
+      .agg(min(col("v")).as("v"), // constant within a component
+        sum(col("n_px")).as("n_px"),
+        min(col("x_min")).as("x_min"), max(col("x_max")).as("x_max"),
+        min(col("y_min")).as("y_min"), max(col("y_max")).as("y_max"),
+        min(col("label")).as("region_key"))
+      .select(col("band"), col("v"), col("region_key"), col("n_px"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+  }
+
+  /** Raster → polygon RINGS per constant-value region: the full
+    * gdal.Polygonize output shape (reference: buteo/raster/vectorize.py:64)
+    * — one POLYGON per 4-connected region, outer ring + holes, in pixel
+    * lattice coordinates as WKT with integer vertices.
+    *
+    * Distributed lifecycle on top of [[vectorize]]'s label graph:
+    *  1. one radius-1 halo exchange gives every tile its neighbor VALUES;
+    *     a boundary unit-edge exists exactly where the 4-neighbor value
+    *     differs (or lies outside the raster). Equal-value neighbors are
+    *     by construction the same region, so each region's edge set is
+    *     emitted exactly once, tagged with the pixel's provisional label.
+    *  2. the label graph is resolved as in [[vectorize]]; segments join
+    *     to their global component (one small shuffle).
+    *  3. per-region ring assembly is a LOCAL trace (groupByKey on the
+    *     region id): interior-on-the-left directed edges, sharpest-left
+    *     turn at pinch vertices (same tracer convention as
+    *     geo.RectUnion), collinear runs merged, outer ring = positive
+    *     shoelace (exactly one per 4-connected region), holes negative.
+    *     Work per region is O(perimeter) — bounded by the region's own
+    *     boundary, never the raster.
+    *
+    * Output: (band, v, region_key, n_px, wkt).
+    */
+  def vectorizeRings(tiles: Dataset[Tile], spec: RasterSpec,
+                     maxIters: Int = 32): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val ts = spec.tileSize
+    val W = spec.width.toLong; val H = spec.height.toLong
+
+    val padded = TileOps.convolvePad(tiles, 1)
+    // row kinds: 0 = component (label, band, v, n_px);
+    //            1 = shared-edge pairing row (label, v, edge_key, pos);
+    //            2 = boundary segment (label, vx, vy, dir)
+    val rows = padded.flatMap { case (t, pad, pw, _) =>
+      val w = t.w; val h = t.h
+      val parent = Array.tabulate(w * h)(identity)
+      def find(a: Int): Int = {
+        var x = a
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      def union(a: Int, b: Int): Unit = {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val px = t.pixels
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val i = r * w + c
+          if (c + 1 < w && px(i) == px(i + 1)) union(i, i + 1)
+          if (r + 1 < h && px(i) == px(i + w)) union(i, i + w)
+          c += 1
+        }
+        r += 1
+      }
+      val baseX = t.cellX.toLong * ts; val baseY = t.cellY.toLong * ts
+      val bandOff = t.band.toLong * W * H
+      def globalLabel(i: Int): Long = {
+        val root = find(i)
+        bandOff + (baseY + root / w) * W + (baseX + root % w)
+      }
+      val out = collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Int, Double, Long, Long, Long, Long, Long, Int)]
+      // kind-0 component rows
+      val agg = collection.mutable.HashMap.empty[Int, Long]
+      var i = 0
+      while (i < w * h) { val root = find(i); agg(root) = agg.getOrElse(root, 0L) + 1L; i += 1 }
+      agg.foreach { case (root, n) =>
+        out += ((0, globalLabel(root), t.band, px(root), n, 0L, 0L, 0L, 0L, 0))
+      }
+      // kind-1 shared-edge pairing rows (same keys as vectorize)
+      def edgeKey(vertical: Boolean, ex: Long, ey: Long): Long =
+        ((ex * 1048576L + ey) * 2L + (if (vertical) 1L else 0L)) * 8L + t.band
+      var rr = 0
+      while (rr < h) {
+        val li = rr * w
+        out += ((1, globalLabel(li), t.band, px(li), 0L,
+          edgeKey(vertical = true, t.cellX.toLong, t.cellY.toLong), baseY + rr, 0L, 0L, 0))
+        val ri = rr * w + (w - 1)
+        out += ((1, globalLabel(ri), t.band, px(ri), 0L,
+          edgeKey(vertical = true, t.cellX.toLong + 1L, t.cellY.toLong), baseY + rr, 0L, 0L, 0))
+        rr += 1
+      }
+      var cc = 0
+      while (cc < w) {
+        out += ((1, globalLabel(cc), t.band, px(cc), 0L,
+          edgeKey(vertical = false, t.cellX.toLong, t.cellY.toLong), baseX + cc, 0L, 0L, 0))
+        val bi = (h - 1) * w + cc
+        out += ((1, globalLabel(bi), t.band, px(bi), 0L,
+          edgeKey(vertical = false, t.cellX.toLong, t.cellY.toLong + 1L), baseX + cc, 0L, 0L, 0))
+        cc += 1
+      }
+      // kind-2 boundary segments: neighbor value from the halo plane;
+      // NaN = outside the raster = boundary. Directions follow
+      // RectUnion's convention (interior on the LEFT):
+      //   0=+x (neighbor above differs), 1=-x (below), 2=+y (right), 3=-y (left)
+      def padAt(c: Int, r: Int): Double = pad((r + 1) * pw + (c + 1))
+      r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val v = px(r * w + c)
+          val lbl = globalLabel(r * w + c)
+          val gx = baseX + c; val gy = baseY + r
+          val up = padAt(c, r - 1); val dn = padAt(c, r + 1)
+          val lf = padAt(c - 1, r); val rt = padAt(c + 1, r)
+          if (up.isNaN || up != v) out += ((2, lbl, t.band, v, 0L, 0L, 0L, gx, gy, 0))
+          if (dn.isNaN || dn != v) out += ((2, lbl, t.band, v, 0L, 0L, 0L, gx + 1, gy + 1, 1))
+          if (rt.isNaN || rt != v) out += ((2, lbl, t.band, v, 0L, 0L, 0L, gx + 1, gy, 2))
+          if (lf.isNaN || lf != v) out += ((2, lbl, t.band, v, 0L, 0L, 0L, gx, gy + 1, 3))
+          c += 1
+        }
+        r += 1
+      }
+      out.iterator
+    }.toDF("kind", "label", "band", "v", "n_px", "edge_key", "pos", "vx", "vy", "dir")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val comps = rows.filter(col("kind") === 0).select("label", "band", "v", "n_px")
+    val b = rows.filter(col("kind") === 1).select("label", "v", "edge_key", "pos")
+    val edges = b.as("a").join(b.as("bb"),
+        col("a.edge_key") === col("bb.edge_key") && col("a.pos") === col("bb.pos") &&
+          col("a.label") < col("bb.label") && col("a.v") === col("bb.v"))
+      .select(col("a.label").as("src"), col("bb.label").as("dst"))
+      .distinct()
+    val labels = resolveLabels(comps.select(col("label")), edges, maxIters)
+
+    val ringWkt = rows.filter(col("kind") === 2)
+      .select(col("label"), col("vx"), col("vy"), col("dir"))
+      .join(labels, "label")
+      .select(col("comp"), col("vx"), col("vy"), col("dir"))
+      .as[(Long, Long, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (comp, it) =>
+        (comp, traceWkt(it.map(s => (s._2, s._3, s._4)).toArray))
+      }
+      .toDF("comp", "wkt")
+
+    comps.join(labels, "label")
+      .groupBy(col("comp"))
+      .agg(min(col("band")).as("band"), min(col("v")).as("v"),
+        sum(col("n_px")).as("n_px"), min(col("label")).as("region_key"))
+      .join(ringWkt, "comp")
+      .select(col("band"), col("v"), col("region_key"), col("n_px"), col("wkt"))
+  }
+
+  /** Assemble one region's directed boundary unit-edges into WKT.
+    * Same conventions as geo.RectUnion's tracer: dirs 0=+x 1=-x 2=+y
+    * 3=-y, interior on the left, sharpest-left turn at pinch vertices,
+    * collinear runs merged. Exactly one positive-shoelace (outer) ring
+    * per 4-connected region; negative rings are holes. Vertices are
+    * pixel-lattice integers; each ring is rotated to start at its
+    * lexicographically smallest vertex for deterministic output.
+    */
+  private[tiles] def traceWkt(segsIn: Array[(Long, Long, Int)]): String = {
+    // deterministic trace order regardless of partition order
+    val segs = segsIn.sortBy(s => (s._1, s._2, s._3))
+    val outMap = collection.mutable.HashMap.empty[(Long, Long), List[Int]]
+    var i = segs.length - 1
+    while (i >= 0) { // prepend in reverse so lists are ascending
+      val k = (segs(i)._1, segs(i)._2)
+      outMap(k) = i :: outMap.getOrElse(k, Nil)
+      i -= 1
+    }
+    def endOf(s: (Long, Long, Int)): (Long, Long) = s._3 match {
+      case 0 => (s._1 + 1, s._2)
+      case 1 => (s._1 - 1, s._2)
+      case 2 => (s._1, s._2 + 1)
+      case _ => (s._1, s._2 - 1)
+    }
+    val leftOf = Array(2, 3, 1, 0)
+    val rightOf = Array(3, 2, 0, 1)
+    val backOf = Array(1, 0, 3, 2)
+    val used = new Array[Boolean](segs.length)
+    val rings = collection.mutable.ArrayBuffer.empty[Array[(Long, Long)]]
+    var start = 0
+    while (start < segs.length) {
+      if (!used(start)) {
+        val verts = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val origin = (segs(start)._1, segs(start)._2)
+        var cur = start
+        var done = false
+        while (!done) {
+          used(cur) = true
+          val k = (segs(cur)._1, segs(cur)._2)
+          outMap(k) = outMap(k).filterNot(_ == cur)
+          verts += k
+          val nk = endOf(segs(cur))
+          if (nk == origin) done = true
+          else {
+            val cands = outMap.getOrElse(nk, Nil)
+            val d = segs(cur)._3
+            val pref = Seq(leftOf(d), d, rightOf(d), backOf(d))
+            cur = pref.iterator
+              .flatMap(pd => cands.find(ci => segs(ci)._3 == pd)).next()
+          }
+        }
+        // merge collinear runs
+        val n = verts.length
+        val keep = (0 until n).filter { vi =>
+          val p = verts((vi - 1 + n) % n); val c = verts(vi); val q = verts((vi + 1) % n)
+          !((p._1 == c._1 && c._1 == q._1) || (p._2 == c._2 && c._2 == q._2))
+        }.map(verts(_)).toArray
+        // rotate to lexicographic min start
+        val minIdx = keep.indices.minBy(keep(_))
+        rings += (keep.drop(minIdx) ++ keep.take(minIdx))
+      }
+      start += 1
+    }
+    def shoelace(ring: Array[(Long, Long)]): Long = {
+      var s = 0L; var j = 0
+      while (j < ring.length) {
+        val (x1, y1) = ring(j); val (x2, y2) = ring((j + 1) % ring.length)
+        s += x1 * y2 - x2 * y1
+        j += 1
+      }
+      s
+    }
+    val (outer, holes) = rings.partition(shoelace(_) > 0)
+    def fmt(ring: Array[(Long, Long)]): String =
+      (ring :+ ring.head).map { case (x, y) => s"$x $y" }.mkString("(", ",", ")")
+    val ordered = outer.sortBy(_.head) ++ holes.sortBy(_.head)
+    ordered.map(fmt).mkString("POLYGON(", ",", ")")
+  }
+
+  /** Connected components over the LABEL graph. The region graph is
+    * orders of magnitude smaller than the pixel plane (one node per
+    * tile-local region), so when it fits comfortably on the driver we
+    * solve it with a local union-find in one pass; otherwise we fall
+    * back to distributed min-label propagation (O(diameter) supersteps).
+    * Returns (label, comp) for every input label.
+    */
+  private def resolveLabels(labelsOnly: DataFrame, edges: DataFrame,
+                            maxIters: Int): DataFrame = {
+    val spark = labelsOnly.sparkSession
+    import spark.implicits._
     val edgeRows = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgeCount = edgeRows.count()
     val driverLimit = 5000000L
-    var labels: DataFrame = null
     if (edgeCount <= driverLimit) {
       val es = edgeRows.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = collection.mutable.HashMap.empty[Long, Long]
@@ -160,13 +407,13 @@ object Vectorize {
       val mapDf =
         if (mapping.isEmpty) spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("label", "mcomp")
         else mapping.toDF("label", "mcomp")
-      labels = comps.select(col("label"))
+      labelsOnly
         .join(broadcast(mapDf), Seq("label"), "left")
         .select(col("label"), coalesce(col("mcomp"), col("label")).as("comp"))
     } else {
       val sym = edgeRows.union(edgeRows.select(col("dst").as("src"), col("src").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      labels = comps.select(col("label"), col("label").as("comp"))
+      var labels = labelsOnly.select(col("label"), col("label").as("comp"))
       var changed = 1L
       var it = 0
       while (changed > 0 && it < maxIters) {
@@ -181,17 +428,7 @@ object Vectorize {
         labels = next
         it += 1
       }
+      labels
     }
-
-    // --- 4: final aggregate per connected component ---
-    comps.join(labels, "label")
-      .groupBy(col("band"), col("comp"))
-      .agg(min(col("v")).as("v"), // constant within a component
-        sum(col("n_px")).as("n_px"),
-        min(col("x_min")).as("x_min"), max(col("x_max")).as("x_max"),
-        min(col("y_min")).as("y_min"), max(col("y_max")).as("y_max"),
-        min(col("label")).as("region_key"))
-      .select(col("band"), col("v"), col("region_key"), col("n_px"),
-        col("x_min"), col("x_max"), col("y_min"), col("y_max"))
   }
 }

@@ -41,6 +41,55 @@ class VectorizeSpec extends AnyFunSuite {
     assert(out.map(_.getLong(3)).sum == 64L * 64)
   }
 
+  // segments of ONE region from a boolean grid, in vectorizeRings'
+  // emission convention (interior on the left; dirs 0=+x 1=-x 2=+y 3=-y)
+  private def segsOf(grid: Set[(Int, Int)]): Array[(Long, Long, Int)] = {
+    def in(x: Int, y: Int) = grid.contains((x, y))
+    grid.toArray.flatMap { case (x, y) =>
+      val b = collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      if (!in(x, y - 1)) b += ((x.toLong, y.toLong, 0))
+      if (!in(x, y + 1)) b += ((x.toLong + 1, y.toLong + 1, 1))
+      if (!in(x + 1, y)) b += ((x.toLong + 1, y.toLong, 2))
+      if (!in(x - 1, y)) b += ((x.toLong, y.toLong + 1, 3))
+      b
+    }
+  }
+
+  test("ring tracer: single pixel, square with hole, pinch vertex") {
+    // single pixel at (2,3)
+    assert(Vectorize.traceWkt(segsOf(Set((2, 3)))) ===
+      "POLYGON((2 3,3 3,3 4,2 4,2 3))")
+    // 3×3 block minus center → outer square + unit hole
+    val holed = (for (x <- 0 to 2; y <- 0 to 2 if (x, y) != ((1, 1))) yield (x, y)).toSet
+    assert(Vectorize.traceWkt(segsOf(holed)) ===
+      "POLYGON((0 0,3 0,3 3,0 3,0 0),(1 1,1 2,2 2,2 1,1 1))")
+    // pinch: 3×3 minus (1,1) and (2,2) — the cavity at (1,1) connects to
+    // the exterior through lattice vertex (2,2); the left-turn rule keeps
+    // it ONE self-touching ring (area 7), not an outer + hole pair
+    val pinch = holed - ((2, 2))
+    val wkt = Vectorize.traceWkt(segsOf(pinch))
+    assert(wkt.startsWith("POLYGON((") && !wkt.contains("),("),
+      s"expected a single self-touching ring, got $wkt")
+    val verts = wkt.stripPrefix("POLYGON((").stripSuffix("))").split(",")
+    assert(verts.count(_ == "2 2") == 2, s"ring should pass (2 2) twice: $wkt")
+  }
+
+  test("vectorizeRings end-to-end: regions spanning tiles, hole, WKT shape") {
+    val spec = RasterSpec(0.0, 32.0, 1.0, -1.0, 32, 32, 8, 1)
+    // 6×6 square of 1s at (6,6) straddling tile corners, on a 0 background
+    // → background polygon must carry the square as a HOLE
+    val tiles = TileOps.createRaster(spark, spec)((x, y, _) =>
+      if (x >= 6 && x < 12 && y >= 6 && y < 12) 1.0 else 0.0)
+    val out = Vectorize.vectorizeRings(tiles, spec).collect()
+      .map(r => (r.getDouble(1), r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(out.length === 2)
+    val (bg, sq) = (out(0), out(1))
+    assert(sq === ((1.0, 36L, "POLYGON((6 6,12 6,12 12,6 12,6 6))")))
+    assert(bg._1 === 0.0 && bg._2 === (32L * 32 - 36))
+    assert(bg._3 ===
+      "POLYGON((0 0,32 0,32 32,0 32,0 0),(6 6,6 12,12 12,12 6,6 6))")
+  }
+
   test("vertical band edges pair correctly (bbox of merged region)") {
     val spec = RasterSpec(0.0, 16.0, 1.0, -1.0, 16, 16, 4, 1)
     // vertical halves: x<8 → 0, else 1 — each half spans 2×4 tiles
