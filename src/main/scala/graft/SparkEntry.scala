@@ -596,6 +596,20 @@ object SparkEntry {
       graft.ops.VectorOps.dissolveUnion(f, "klass", "wkt")
         .select("klass", "n_features", "union_area", "x_min", "x_max", "y_min", "y_max")
     },
+    "vector_dissolve_union_general" -> { (s, _) =>
+      // chains of 45°-rotated squares (L1 balls r=3 spaced 4): a real
+      // non-rectilinear union per class with closed-form area
+      // k·2r² − (k−1)·(2r−d)²/2 and an exactly countable ring shape
+      val f = s.range(60).select(
+        col("id"),
+        concat(lit("u"), (col("id") % 3).cast("string")).as("klass"),
+        (expr("id DIV 3") * 4).cast("int").as("cx"))
+        .withColumn("wkt", format_string("POLYGON((%d 0,%d -3,%d 0,%d 3,%d 0))",
+          col("cx") - 3, col("cx"), col("cx") + 3, col("cx"), col("cx") - 3))
+      graft.ops.VectorOps.dissolveUnion(f, "klass", "wkt")
+        .select("klass", "n_features", "union_area", "n_rings", "n_vertices",
+          "x_min", "x_max", "y_min", "y_max")
+    },
     "vector_join_intersect" -> { (s, _) =>
       graft.ops.VectorOps.intersectJoin(vectorFeatures(s), vectorQueries(s), "wkt", "fid", "qid")
         .groupBy(col("match_fid").as("qid"))
@@ -1397,6 +1411,17 @@ object SparkEntry {
             CAST(min(y0) AS DOUBLE) AS y_min, CAST(max(y0 + h) AS DOUBLE) AS y_max
           FROM feats GROUP BY klass) f USING (klass)
         GROUP BY c.klass, f.n_features, f.x_min, f.x_max, f.y_min, f.y_max""",
+
+    "vector_dissolve_union_general" ->
+      // closed form: 20 diamonds of area 2r²=18, 19 adjacent overlaps of
+      // (2r−d)²/2 = 2 → 322; one ring of 20 tops + 20 bottoms + 2
+      // extremes + 38 pinch intersections = 80 vertices; bbox [−3,79]×[−3,3]
+      """SELECT 'u' || CAST(k AS VARCHAR) AS klass,
+          CAST(20 AS BIGINT) AS n_features, CAST(322 AS DOUBLE) AS union_area,
+          CAST(1 AS BIGINT) AS n_rings, CAST(80 AS BIGINT) AS n_vertices,
+          CAST(-3 AS DOUBLE) AS x_min, CAST(79 AS DOUBLE) AS x_max,
+          CAST(-3 AS DOUBLE) AS y_min, CAST(3 AS DOUBLE) AS y_max
+        FROM range(3) t(k)""",
 
     "vector_join_intersect" -> (s"WITH $sqlFeats, $sqlQueries" +
       """ SELECT q.qid, CAST(count(*) AS BIGINT) AS n_feats,

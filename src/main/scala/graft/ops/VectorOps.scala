@@ -62,7 +62,18 @@ object VectorOps {
       .groupByKey(_._1)
       .mapGroups { (k: String, it: Iterator[(String, String)]) =>
         val polys = it.map(p => Wkt.parsePolygon(p._2)).toSeq
-        val u = graft.geo.RectUnion.union(polys)
+        // exact integer-grid slab sweep when every edge is axis-parallel;
+        // the general noding+trace union (PolyUnion) otherwise
+        val rectilinear = polys.forall(_.rings.forall { r =>
+          val n = r.length / 2
+          (0 until n).forall { i =>
+            val j = (i + 1) % n
+            r(2 * i) == r(2 * j) || r(2 * i + 1) == r(2 * j + 1)
+          }
+        })
+        val u =
+          if (rectilinear) graft.geo.RectUnion.union(polys)
+          else graft.geo.PolyUnion.union(polys)
         var x0 = Double.MaxValue; var x1 = Double.MinValue
         var y0 = Double.MaxValue; var y1 = Double.MinValue
         u.rings.foreach { r =>
