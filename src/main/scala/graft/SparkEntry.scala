@@ -1595,39 +1595,7 @@ object SparkEntry {
            AS DOUBLE) * 1000.0) AS BIGINT) AS q
        FROM embeddings e, generate_series(0, 63) gs(i)""",
 
-    "raster_predict_merge" ->
-      // mirrors Predict.predictAndMerge exactly: pass 0 grid at 0, pass 1
-      // at 32 covering [32,224)²; per-pass value = pixel + f(rel pos);
-      // weight = quantized edge-distance kernel (ts=64, edge=2); merge =
-      // lower weighted median (smaller value wins iff its weight >= other)
-      """WITH wq AS (SELECT ry, rx,
-           CAST(round(
-             CASE WHEN (4 - ABS(GREATEST(2 - ry, 0) + GREATEST(3 - (64 - ry), 0)
-                            + GREATEST(2 - rx, 0) + GREATEST(3 - (64 - rx), 0))) / 4.0 <= 0.0
-                  THEN 0.0000001
-                  ELSE (4 - ABS(GREATEST(2 - ry, 0) + GREATEST(3 - (64 - ry), 0)
-                            + GREATEST(2 - rx, 0) + GREATEST(3 - (64 - rx), 0))) / 4.0
-             END * 100000000.0) AS BIGINT) AS w
-         FROM range(64) a(ry), range(64) b(rx)),
-        base AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
-           (x*7 + y*13) % 97 AS pv,
-           CAST(x % 64 AS INTEGER) AS r0x, CAST(y % 64 AS INTEGER) AS r0y,
-           (x >= 32 AND x < 224 AND y >= 32 AND y < 224) AS cov1,
-           CAST((x - 32) % 64 AS INTEGER) AS r1x, CAST((y - 32) % 64 AS INTEGER) AS r1y
-         FROM range(256) r1(x), range(256) r2(y)),
-        scored AS (SELECT b.x, b.y, b.cov1,
-           CAST(b.pv + (b.r0x * 5 + b.r0y * 3) % 11 AS DOUBLE) AS v0, w0.w AS w0,
-           CAST(b.pv + (b.r1x * 5 + b.r1y * 3) % 11 AS DOUBLE) AS v1, w1.w AS w1
-         FROM base b
-         JOIN wq w0 ON w0.ry = b.r0y AND w0.rx = b.r0x
-         LEFT JOIN wq w1 ON b.cov1 AND w1.ry = b.r1y AND w1.rx = b.r1x)
-        SELECT x, y, 0 AS band,
-          CASE WHEN NOT cov1 THEN v0
-               WHEN v0 = v1 THEN v0
-               WHEN v0 < v1 THEN (CASE WHEN w0 >= w1 THEN v0 ELSE v1 END)
-               ELSE (CASE WHEN w1 >= w0 THEN v1 ELSE v0 END) END AS v_merged,
-          CAST(CASE WHEN cov1 THEN 2 ELSE 1 END AS BIGINT) AS n_preds
-        FROM scored""",
+    "raster_predict_merge" -> predictOracle,
 
     "patch_merge_wmedian" ->
       """WITH preds AS (SELECT CAST(x_t.id % 64 AS INTEGER) AS x,
@@ -1776,6 +1744,51 @@ object SparkEntry {
              ELSE ${full(w75, w75)}
         END AS v
       FROM tgt"""
+  }
+
+  /** Predict-and-merge oracle mirroring Predict.predictAndMerge with the
+    * reference's border_check pass list — the pass set comes from the
+    * SAME Predict.passOffsetPairs call the engine uses (ts=64, passes=2,
+    * 256², border offsets (0,192)/(192,0)/(192,192)). Per pass: covered
+    * pixels with their in-patch rel coords; value = pixel + f(rel);
+    * weight = quantized edge-distance kernel; merge = lower weighted
+    * median via the cumulative-weight window (same form as the
+    * patch_merge_wmedian oracle, i.e. Merging.weightedMedian).
+    */
+  private def predictOracle: String = {
+    val ts = 64; val W = 256; val H = 256
+    val offs = graft.tiles.Predict.passOffsetPairs(ts, 2, W, H, borderCheck = true)
+    val passSql = offs.map { case (oy, ox) =>
+      val cx = ox + ((W - ox) / ts) * ts
+      val cy = oy + ((H - oy) / ts) * ts
+      s"""SELECT x, y, CAST((x - $ox) % $ts AS INTEGER) AS rx,
+            CAST((y - $oy) % $ts AS INTEGER) AS ry
+          FROM px WHERE x >= $ox AND x < $cx AND y >= $oy AND y < $cy"""
+    }.mkString(" UNION ALL ")
+    s"""WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
+          FROM range($W) a(x), range($H) b(y)),
+        wq AS (SELECT ry, rx,
+           CAST(round(
+             CASE WHEN (4 - ABS(GREATEST(2 - ry, 0) + GREATEST(3 - ($ts - ry), 0)
+                            + GREATEST(2 - rx, 0) + GREATEST(3 - ($ts - rx), 0))) / 4.0 <= 0.0
+                  THEN 0.0000001
+                  ELSE (4 - ABS(GREATEST(2 - ry, 0) + GREATEST(3 - ($ts - ry), 0)
+                            + GREATEST(2 - rx, 0) + GREATEST(3 - ($ts - rx), 0))) / 4.0
+             END * 100000000.0) AS BIGINT) AS w
+         FROM range($ts) a(ry), range($ts) b(rx)),
+        pr AS ($passSql),
+        pv AS (SELECT p.x, p.y,
+           CAST((p.x*7 + p.y*13) % 97 + (p.rx * 5 + p.ry * 3) % 11 AS DOUBLE) AS v,
+           CAST(w.w AS DOUBLE) AS weight
+         FROM pr p JOIN wq w ON w.ry = p.ry AND w.rx = p.rx),
+        cum AS (SELECT x, y, v, weight,
+           sum(weight) OVER (PARTITION BY x, y ORDER BY v, weight
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           sum(weight) OVER (PARTITION BY x, y) AS tw
+         FROM pv)
+        SELECT x, y, 0 AS band, min(v) FILTER (WHERE cw * 2.0 >= tw) AS v_merged,
+          CAST(count(*) AS BIGINT) AS n_preds
+        FROM cum GROUP BY x, y"""
   }
 
   /** Generalized separable ×2-upsample oracle mirroring

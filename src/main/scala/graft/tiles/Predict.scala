@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * Distribution shape: ONE halo exchange (convolvePad) feeds every pass —
   * all (pixel, pass) predictions are emitted from a single flatMap — and
   * one shuffle merges them. Pixels a pass's grid does not cover (leading
-  * `offset` rows/cols + the trailing partial patch, which the reference
-  * only covers when border_check adds extra offsets — not modeled here)
-  * simply contribute no prediction for that pass.
+  * `offset` rows/cols + the trailing partial patch) contribute no
+  * prediction for that pass; with borderCheck (the reference default)
+  * three extra far-edge-anchored passes cover the trailing area
+  * (prediction.py:105-112).
   */
 object Predict {
 
@@ -66,6 +67,27 @@ object Predict {
     (0 until passes).map(p => math.round(p.toDouble / passes * tileSize).toInt).toArray
   }
 
+  /** Full pass list including the reference's border_check offsets
+    * (prediction.py:105-112): the symmetric (o, o) grids from
+    * [[passOffsets]], plus — when any pass grid leaves a trailing
+    * partial patch in either dimension — three far-edge anchors
+    * (0, W−ts), (H−ts, 0), (H−ts, W−ts) so the trailing rows/cols get
+    * predictions too. Pairs are (offsetY, offsetX), reference order.
+    * The reference does not dedupe coincident offsets (its own TODO at
+    * prediction.py:108); neither do we.
+    */
+  def passOffsetPairs(tileSize: Int, passes: Int, width: Int, height: Int,
+                      borderCheck: Boolean): Array[(Int, Int)] = {
+    val sym = passOffsets(tileSize, passes).map(o => (o, o))
+    if (!borderCheck) return sym
+    val needed = sym.exists { case (oy, ox) =>
+      (height - oy) % tileSize != 0 || (width - ox) % tileSize != 0
+    }
+    if (!needed || width < tileSize || height < tileSize) sym
+    else sym ++ Array((0, width - tileSize), (height - tileSize, 0),
+      (height - tileSize, width - tileSize))
+  }
+
   /** Run `model` over every pixel at `passes` shifted patch grids and
     * weighted-median-merge the overlapping predictions per absolute
     * pixel. Output: (x, y, band, v_merged, n_preds).
@@ -80,16 +102,17 @@ object Predict {
     * integer math (deterministic across engines).
     */
   def predictAndMerge(tiles: Dataset[Tile], spec: RasterSpec, radius: Int,
-                      passes: Int, edgeDistance: Int = 2)
+                      passes: Int, edgeDistance: Int = 2,
+                      borderCheck: Boolean = true)
                      (model: (Array[Double], Int, Int, Int, Int, Int) => Double): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val ts = spec.tileSize
-    val offs = passOffsets(ts, passes)
+    val offs = passOffsetPairs(ts, passes, spec.width, spec.height, borderCheck)
     val kw = kernelWeights(ts, edgeDistance)
     // per-pass coverage bound: patches tile [off, off + floor((dim-off)/ts)*ts)
-    val covX = offs.map(o => o + ((spec.width - o) / ts) * ts)
-    val covY = offs.map(o => o + ((spec.height - o) / ts) * ts)
+    val covX = offs.map { case (_, ox) => ox + ((spec.width - ox) / ts) * ts }
+    val covY = offs.map { case (oy, _) => oy + ((spec.height - oy) / ts) * ts }
 
     val preds = TileOps.convolvePad(tiles, radius).flatMap { case (t, pad, pw, _) =>
       val baseX = t.cellX * ts; val baseY = t.cellY * ts
@@ -101,9 +124,9 @@ object Predict {
           val ax = baseX + c; val ay = baseY + r
           var p = 0
           while (p < offs.length) {
-            val o = offs(p)
-            if (ax >= o && ax < covX(p) && ay >= o && ay < covY(p)) {
-              val relX = (ax - o) % ts; val relY = (ay - o) % ts
+            val (oy, ox) = offs(p)
+            if (ax >= ox && ax < covX(p) && ay >= oy && ay < covY(p)) {
+              val relX = (ax - ox) % ts; val relY = (ay - oy) % ts
               val v = model(pad, pw, c + radius, r + radius, relX, relY)
               val wq = math.round(kw(relY * ts + relX) * 1e8).toDouble
               out += ((ax, ay, t.band, v, wq))
