@@ -68,7 +68,10 @@ object SparkEntry {
        sizes AS (SELECT doc_id, count(*) AS n_toks FROM dtoks GROUP BY doc_id)"""
 
   private def sqlMinhashSig(k: Int): String = {
-    val mins = (1 to k).map(i => s"min(md5('$i:' || tok)) AS s$i").mkString(", ")
+    // top 60 bits of md5('$i:'||tok) as BIGINT — Dedup's md5prefix family
+    val mins = (1 to k).map(i =>
+      s"min(CAST('0x' || substr(md5('$i:' || tok), 1, 15) AS BIGINT)) AS s$i")
+      .mkString(", ")
     s"sig AS (SELECT doc_id, $mins FROM dtoks GROUP BY doc_id)"
   }
 
@@ -355,11 +358,16 @@ object SparkEntry {
 
     // --- deduplication ---
     "dedup_exact" -> { (s, dir) => Dedup.exact(documentsOf(s, dir)) },
-    "dedup_minhash_sig" -> { (s, dir) => Dedup.minhashSignature(documentsOf(s, dir), k = 8) },
+    "dedup_minhash_sig" -> { (s, dir) =>
+      // md5prefix family: 60-bit-long signatures the DuckDB oracle can
+      // reproduce; still a HashAggregate (long min), unlike the r1
+      // string-min SortAggregate. Production default is xxhash64.
+      Dedup.minhashSignature(documentsOf(s, dir), k = 8, family = "md5prefix")
+    },
     "dedup_lsh_pairs" -> { (s, dir) =>
       // incremental-dedup shape: 10% probe batch vs the full corpus
       Dedup.minhashLshPairs(documentsOf(s, dir), k = 8, bands = 4, threshold = 0.5,
-        probeFilter = col("doc_id") % 10 === 0)
+        probeFilter = col("doc_id") % 10 === 0, family = "md5prefix")
     },
     "dedup_jaccard_pairs" -> { (s, dir) =>
       Dedup.jaccardSimilarPairs(documentsOf(s, dir), threshold = 0.8,

@@ -36,18 +36,34 @@ object Dedup {
     (dtoks, sizes)
   }
 
-  /** MinHash signature, K permutations: sig_k = min over tokens of
-    * md5(k ':' token). Using the md5 hex string itself as the hash value
-    * keeps the whole scheme engine-portable (lexicographic min over a
-    * uniformly distributed digest is a valid MinHash family).
+  /** MinHash signature, K permutations: sig_k = min over tokens of a
+    * 64-bit hash of (k, token). Two hash families, both LONG-valued so
+    * the aggregate is a map-side-combined HashAggregate (min over md5
+    * hex STRINGS — the round-1 design — planned a SortAggregate):
+    *
+    *  - "xxhash64" (default): native codegen'd hash, the production path;
+    *  - "md5prefix": the top 60 bits of md5(k ':' token) as a long —
+    *    engine-portable (DuckDB reproduces it with CAST('0x'||substr(md5..)
+    *    AS BIGINT)), used by the driver oracles.
+    *
+    * Any uniform hash family gives a valid MinHash estimator.
     */
-  def minhashSignature(docs: DataFrame, k: Int): DataFrame =
-    minhashSignatureFrom(TextOps.tokenTable(docs).distinct(), k)
+  def minhashSignature(docs: DataFrame, k: Int,
+                       family: String = "xxhash64"): DataFrame =
+    minhashSignatureFrom(TextOps.tokenTable(docs).distinct(), k, family)
+
+  private def permHash(i: Int, family: String): Column = family match {
+    case "xxhash64" => xxhash64(lit(i), col("tok"))
+    case "md5prefix" =>
+      conv(substring(md5(encode(concat(lit(s"$i:"), col("tok")), "UTF-8")), 1, 15),
+        16, 10).cast("long")
+    case f => throw new IllegalArgumentException(s"unknown minhash family: $f")
+  }
 
   /** Signature from a precomputed distinct-token table. */
-  def minhashSignatureFrom(dtoks: DataFrame, k: Int): DataFrame = {
-    val aggs = (1 to k).map(i =>
-      min(md5(encode(concat(lit(s"$i:"), col("tok")), "UTF-8"))).as(s"s$i"))
+  def minhashSignatureFrom(dtoks: DataFrame, k: Int,
+                           family: String = "xxhash64"): DataFrame = {
+    val aggs = (1 to k).map(i => min(permHash(i, family)).as(s"s$i"))
     dtoks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -64,14 +80,21 @@ object Dedup {
     * batch" stays linear in batch × bucket size.
     */
   def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, threshold: Double,
-                      probeFilter: Column = lit(true)): DataFrame = {
+                      probeFilter: Column = lit(true),
+                      family: String = "xxhash64"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val (dtoks, sizes) = tokenArtifacts(docs)
-    val sig = minhashSignatureFrom(dtoks, k)
+    val sig = minhashSignatureFrom(dtoks, k, family)
     val bandCols = (0 until bands).map { b =>
       val parts = (1 to rows).map(r => col(s"s${b * rows + r}"))
-      struct(lit(b).as("band"), md5(encode(concat(parts: _*), "UTF-8")).as("key"))
+      // band key: xxhash64 over the row longs (fast path) or md5 over
+      // their decimal concatenation (DuckDB-reproducible)
+      val key = family match {
+        case "xxhash64" => xxhash64(lit(b) +: parts: _*).cast("string")
+        case _ => md5(encode(concat(parts.map(_.cast("string")): _*), "UTF-8"))
+      }
+      struct(lit(b).as("band"), key.as("key"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
