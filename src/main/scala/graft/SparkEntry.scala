@@ -278,6 +278,15 @@ object SparkEntry {
         TileOps.createRaster(s, rasterSpec)(rasterValue), zonePolys)
     },
 
+    "raster_zonal_approx" -> { (s, _) =>
+      // continuous-raster zonal path (rows-only: percentile_approx
+      // sketches have no DuckDB-exact oracle; accuracy vs the exact
+      // histogram path is pinned in ZonalApproxSpec)
+      graft.tiles.Zonal.zonalStatsApprox(
+        TileOps.createRaster(s, rasterSpec)((x, y, b) =>
+          rasterValue(x, y, b) + ((x * 31 + y * 17) % 101) / 101.0), zonePolys)
+    },
+
     "raster_convolve_sum" -> { (s, _) =>
       // raw (unnormalised) all-ones kernel; edges renormalize weights back
       // to the kernel total (reference base.py:153-156) → sum*9/n

@@ -148,4 +148,100 @@ object Zonal {
       }
       .toDF()
   }
+
+  /** Zonal statistics for CONTINUOUS rasters: the histogram plan above
+    * degenerates to one row per pixel when every value is distinct, and
+    * its per-zone fold then holds a whole zone's values in one task.
+    * This variant keeps the same zone assignment but computes
+    *  - moments (n/min/max/sum/mean/var/std/skew/kurt, snr/eff/cv)
+    *    EXACTLY from power sums — a plain map-side-combined hash
+    *    aggregate, and
+    *  - order statistics (median/q02/q1/q3/q98/iqr, and mad = median of
+    *    |v − median| in a second small pass) with percentile_approx
+    *    (Greenwald–Khanna sketches, partial-merged per partition),
+    * so no task ever materializes a zone's value set. `mode` is omitted:
+    * it is not meaningful for continuous data (use zonalStatsFull on
+    * categorical rasters). Reference stat enum:
+    * buteo/vector/zonal_statistics.py:35-63.
+    */
+  def zonalStatsApprox(tiles: Dataset[Tile], zones: Seq[(Long, Polygon)],
+                       accuracy: Int = 10000): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val zoneArr = zones.toArray
+    val tree = RTree.build(zoneArr.map(_._2.bbox))
+    val bc = spark.sparkContext.broadcast((zoneArr, tree))
+
+    val px = tiles.flatMap { t =>
+      val (zs, tr) = bc.value
+      val tb = t.bbox
+      val cand = tr.query(tb.xMin, tb.xMax, tb.yMin, tb.yMax)
+      val out = collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+      var ci = 0
+      while (ci < cand.length) {
+        val (zid, zp) = zs(cand(ci))
+        var r = 0
+        while (r < t.h) {
+          var c = 0
+          while (c < t.w) {
+            val v = t.pixels(r * t.w + c)
+            if (v != t.nodata) {
+              val (gx, gy) = t.pixelCenter(c, r)
+              if (zp.contains(gx, gy)) out += ((zid, t.band, v))
+            }
+            c += 1
+          }
+          r += 1
+        }
+        ci += 1
+      }
+      out.iterator
+    }.toDF("zone", "band", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val qs = percentile_approx(col("v"),
+      array(lit(0.02), lit(0.25), lit(0.5), lit(0.75), lit(0.98)), lit(accuracy))
+    val agg = px.groupBy("zone", "band").agg(
+      count(lit(1)).as("n_px"), min("v").as("vmin"), max("v").as("vmax"),
+      sum("v").as("vsum"), sum(col("v") * col("v")).as("s2"),
+      sum(col("v") * col("v") * col("v")).as("s3"),
+      sum(col("v") * col("v") * col("v") * col("v")).as("s4"),
+      qs.as("q"))
+    val stats = agg.select(col("zone"), col("band"), col("n_px"),
+        col("vmin"), col("vmax"), col("vsum"),
+        (col("vmax") - col("vmin")).as("vrange"),
+        (col("vsum") / col("n_px")).as("mean"),
+        col("s2"), col("s3"), col("s4"),
+        col("q")(0).as("q02"), col("q")(1).as("q1"), col("q")(2).as("median"),
+        col("q")(3).as("q3"), col("q")(4).as("q98"))
+      .withColumn("variance",
+        (col("s2") - col("vsum") * col("vsum") / col("n_px")) / col("n_px"))
+      .withColumn("std", sqrt(col("variance")))
+      .withColumn("skew",
+        (col("s3") / col("n_px") - lit(3.0) * col("mean") * (col("s2") / col("n_px"))
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+          / (col("std") * col("std") * col("std")))
+      .withColumn("kurtosis",
+        (col("s4") / col("n_px") - lit(4.0) * col("mean") * (col("s3") / col("n_px"))
+          + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n_px"))
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+          / (col("variance") * col("variance")))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("snr", col("mean") / col("std"))
+      .withColumn("eff", col("variance") / (col("mean") * col("mean")))
+      .withColumn("cv", col("std") / col("mean"))
+      .drop("s2", "s3", "s4")
+
+    val mad = px
+      .join(broadcast(stats.select(col("zone"), col("band"), col("median"))),
+        Seq("zone", "band"))
+      .groupBy("zone", "band")
+      .agg(percentile_approx(abs(col("v") - col("median")), lit(0.5),
+        lit(accuracy)).as("mad"))
+    stats.join(mad, Seq("zone", "band"))
+      .select("zone", "band", "n_px", "vmin", "vmax", "vsum", "vrange",
+        "mean", "variance", "std", "skew", "kurtosis", "median", "q02",
+        "q1", "q3", "q98", "iqr", "mad", "snr", "eff", "cv")
+  }
 }
