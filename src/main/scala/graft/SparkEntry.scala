@@ -8,7 +8,7 @@ import graft.geo.{BBox, Polygon}
 import graft.joins.{KnnJoin, SpatialJoins}
 import graft.ops.{Dedup, Events, Relational, Similarity, TextOps}
 import graft.pipeline.{Fixtures, Pages}
-import graft.tiles.{RasterSpec, TileOps, TileOps2}
+import graft.tiles.{PatchGrid, RasterSpec, TileOps, TileOps2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
   *
@@ -278,6 +278,24 @@ object SparkEntry {
         TileOps.createRaster(s, rasterSpec)(rasterValue), zonePolys)
     },
 
+    "patch_factors" -> { (s, _) =>
+      // optimal patch split factors over a grid of (num_patches, size)
+      // combos (core_raster_offsets.py:11-73)
+      import s.implicits._
+      val sizes = Seq((256, 256), (100, 64), (512, 128), (64, 512))
+      val rows = for (np <- 1 to 32; (w, h) <- sizes) yield {
+        val (hp, wp) = PatchGrid.findOptimalPatchFactors(np, w, h)
+        (np, w, h, hp, wp)
+      }
+      rows.toDF("num_patches", "width", "height", "h_patches", "w_patches")
+    },
+    "patch_offsets" -> { (s, _) =>
+      // overlap-grown read windows for a 100×64 image in 6 patches
+      // (core_raster_offsets.py:74-141)
+      import s.implicits._
+      PatchGrid.patchOffsets(100, 64, 6, overlap = 4)
+        .toDF("x", "y", "size_x", "size_y")
+    },
     "raster_zonal_approx" -> { (s, _) =>
       // continuous-raster zonal path (rows-only: percentile_approx
       // sketches have no DuckDB-exact oracle; accuracy vs the exact
@@ -1545,6 +1563,56 @@ object SparkEntry {
           CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
           CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
         FROM px GROUP BY v""",
+
+    "patch_factors" ->
+      // same divisor scan + strict-< argmin as the reference loop:
+      // score = |patch_aspect − target_aspect| + wasted-coverage fraction,
+      // first (smallest hp) best wins
+      """WITH combos AS (SELECT CAST(np AS INTEGER) AS np, w, h
+           FROM range(1, 33) a(np),
+             (VALUES (256,256),(100,64),(512,128),(64,512)) s(w, h)),
+        cand AS (SELECT np, w, h, CAST(i AS INTEGER) AS hp,
+            CAST(np // i AS INTEGER) AS wp,
+            ABS((CAST(w AS DOUBLE) / (np // i)) / (CAST(h AS DOUBLE) / i)
+                - CAST(w AS DOUBLE) / h)
+            + (CAST(w AS DOUBLE) * h
+               - (CAST(FLOOR(CAST(w AS DOUBLE) / (np // i)) AS BIGINT) * (np // i))
+                 * (CAST(FLOOR(CAST(h AS DOUBLE) / i) AS BIGINT) * i))
+              / (CAST(w AS DOUBLE) * h) AS score
+          FROM combos, range(1, 33) b(i)
+          WHERE i <= np AND np % i = 0),
+        pick AS (SELECT np, w, h, hp, wp,
+            row_number() OVER (PARTITION BY np, w, h ORDER BY score, hp) AS rn
+          FROM cand)
+        SELECT np AS num_patches, w AS width, h AS height,
+          hp AS h_patches, wp AS w_patches
+        FROM pick WHERE rn = 1""",
+
+    "patch_offsets" ->
+      // 100×64 into 6 patches (optimal 2×3 grid), overlap 4 → windows
+      // grown by ceil(4/2)=2 and clamped to the image
+      """WITH cand AS (SELECT CAST(i AS INTEGER) AS hp, CAST(6 // i AS INTEGER) AS wp,
+            ABS((100.0 / (6 // i)) / (64.0 / i) - 100.0 / 64.0)
+            + (6400.0 - (CAST(FLOOR(100.0 / (6 // i)) AS BIGINT) * (6 // i))
+                        * (CAST(FLOOR(64.0 / i) AS BIGINT) * i)) / 6400.0 AS score
+          FROM range(1, 7) b(i) WHERE 6 % i = 0),
+        pick AS (SELECT hp, wp FROM cand ORDER BY score, hp LIMIT 1),
+        grid AS (SELECT CAST(wi AS INTEGER) AS wi, CAST(hi AS INTEGER) AS hi,
+            p.hp, p.wp
+          FROM pick p, range(0, 8) a(wi), range(0, 8) c(hi)
+          WHERE wi < p.wp AND hi < p.hp),
+        base AS (SELECT
+            wi * (100 // wp) AS x, hi * (64 // hp) AS y,
+            (CASE WHEN wi = wp - 1 THEN 100
+                  ELSE (wi + 1) * (100 // wp) END) - wi * (100 // wp) AS sx,
+            (CASE WHEN hi = hp - 1 THEN 64
+                  ELSE (hi + 1) * (64 // hp) END) - hi * (64 // hp) AS sy
+          FROM grid)
+        SELECT CAST(GREATEST(0, x - 2) AS INTEGER) AS x,
+          CAST(GREATEST(0, y - 2) AS INTEGER) AS y,
+          CAST(LEAST(sx + 2, 100 - GREATEST(0, x - 2)) AS INTEGER) AS size_x,
+          CAST(LEAST(sy + 2, 64 - GREATEST(0, y - 2)) AS INTEGER) AS size_y
+        FROM base""",
 
     "raster_vectorize_rings" ->
       // every 10×10 block (clipped at 256) is one 4-connected region with
