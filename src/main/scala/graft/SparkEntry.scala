@@ -278,6 +278,23 @@ object SparkEntry {
         TileOps.createRaster(s, rasterSpec)(rasterValue), zonePolys)
     },
 
+    "raster_coregister" -> { (s, _) =>
+      // EFolki dense-flow coregistration of a synthetically shifted pair
+      // (rows-only: iterative LK flow has no SQL oracle; shift recovery
+      // is pinned in FolkiSpec). Output: per-tile mean flow.
+      val spec = rasterSpec.copy(width = 128, height = 128, bands = 1, tileSize = 32)
+      def tex(x: Int, y: Int): Double =
+        10.0 * math.sin(x * 0.21) + 8.0 * math.cos(y * 0.17) +
+          5.0 * math.sin((x + 2 * y) * 0.11) + 0.01 * x * y
+      val ref = TileOps.createRaster(s, spec)((x, y, _) => tex(x, y))
+      val tgt = TileOps.createRaster(s, spec)((x, y, _) => tex(x - 2, y - 1))
+      graft.tiles.Folki.coregister(ref, tgt, spec, halo = 32)
+        .groupBy((col("x") / 32).cast("int").as("tile_x"),
+          (col("y") / 32).cast("int").as("tile_y"))
+        .agg(avg("u").as("mean_u"), avg("v").as("mean_v"),
+          count(lit(1)).as("n_px"))
+    },
+
     "patch_factors" -> { (s, _) =>
       // optimal patch split factors over a grid of (num_patches, size)
       // combos (core_raster_offsets.py:11-73)

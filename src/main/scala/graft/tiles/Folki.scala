@@ -1,0 +1,218 @@
+package graft.tiles
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
+
+/** EFolki dense optical-flow coregistration — the reference's
+  * coregister/gefolki module (buteo/raster/gefolki.py:363-408 EFolkiIter,
+  * rank filter :627-649, separable box window :348-361, bilinear warp
+  * :545-550; the algorithm is the published FOLKI/EFolki iterative
+  * Lucas–Kanade scheme, Plyer et al. 2015).
+  *
+  * The kernel is a faithful local port: rank-transform both images
+  * (count of window neighbors greater than the center, zero-padded
+  * shifts), central-difference gradients of the reference image,
+  * then per radius r: box-window structure tensor (Ixx, Iyy, Ixy) and
+  * `iteration` rounds of warp → residual → per-pixel 2×2 solve.
+  *
+  * Distribution: per-tile with a halo — each tile computes flow on its
+  * padded plane and keeps the center. Flow dependencies reach ~rank +
+  * Σ(iteration·radius), so the halo bounds exactness near tile edges;
+  * interior pixels more than `halo` from an edge match the global
+  * computation, and spatially smooth flows (the coregistration use
+  * case) converge to the same field everywhere. Output: one row per
+  * pixel with (u, v).
+  */
+object Folki {
+
+  /** Rank transform (rank_filter_sup): count of zero-padded shifted
+    * neighbors strictly greater than the center, window (2rad+1)².
+    */
+  def rankFilterSup(img: Array[Double], w: Int, h: Int, rad: Int): Array[Double] = {
+    val out = new Array[Double](w * h)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val v = img(r * w + c)
+        var cnt = 0.0
+        var i = -rad
+        while (i <= rad) {
+          var j = -rad
+          while (j <= rad) {
+            val sr = r - i; val sc = c - j
+            val s = if (sr >= 0 && sr < h && sc >= 0 && sc < w) img(sr * w + sc) else 0.0
+            if (s > v) cnt += 1.0
+            j += 1
+          }
+          i += 1
+        }
+        out(r * w + c) = cnt
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** np.gradient: central differences interior, one-sided at edges.
+    * Returns (ddRow, ddCol) = (Iy, Ix).
+    */
+  def gradient(img: Array[Double], w: Int, h: Int): (Array[Double], Array[Double]) = {
+    val gy = new Array[Double](w * h)
+    val gx = new Array[Double](w * h)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        gy(r * w + c) =
+          if (h == 1) 0.0
+          else if (r == 0) img(w + c) - img(c)
+          else if (r == h - 1) img(r * w + c) - img((r - 1) * w + c)
+          else (img((r + 1) * w + c) - img((r - 1) * w + c)) * 0.5
+        gx(r * w + c) =
+          if (w == 1) 0.0
+          else if (c == 0) img(r * w + 1) - img(r * w)
+          else if (c == w - 1) img(r * w + c) - img(r * w + c - 1)
+          else (img(r * w + c + 1) - img(r * w + c - 1)) * 0.5
+        c += 1
+      }
+      r += 1
+    }
+    (gy, gx)
+  }
+
+  /** Separable zero-padded box mean, each axis divided by (2rad+1)
+    * (conv2SepMatlabbis with burt1D = ones/(2rad+1)).
+    */
+  def boxWindow(img: Array[Double], w: Int, h: Int, rad: Int): Array[Double] = {
+    val n = (2 * rad + 1).toDouble
+    val tmp = new Array[Double](w * h)
+    var r = 0
+    while (r < h) { // horizontal pass
+      var c = 0
+      while (c < w) {
+        var s = 0.0
+        var j = math.max(0, c - rad)
+        val jEnd = math.min(w - 1, c + rad)
+        while (j <= jEnd) { s += img(r * w + j); j += 1 }
+        tmp(r * w + c) = s / n
+        c += 1
+      }
+      r += 1
+    }
+    val out = new Array[Double](w * h)
+    var c = 0
+    while (c < w) { // vertical pass
+      var r2 = 0
+      while (r2 < h) {
+        var s = 0.0
+        var i = math.max(0, r2 - rad)
+        val iEnd = math.min(h - 1, r2 + rad)
+        while (i <= iEnd) { s += tmp(i * w + c); i += 1 }
+        out(r2 * w + c) = s / n
+        r2 += 1
+      }
+      c += 1
+    }
+    out
+  }
+
+  /** Bilinear sample with coordinate clamping (interp2 order=1,
+    * mode='nearest').
+    */
+  def interp2(img: Array[Double], w: Int, h: Int, x: Double, y: Double): Double = {
+    val cx = math.max(0.0, math.min(w - 1.0, x))
+    val cy = math.max(0.0, math.min(h - 1.0, y))
+    val x0 = math.floor(cx).toInt; val y0 = math.floor(cy).toInt
+    val x1 = math.min(w - 1, x0 + 1); val y1 = math.min(h - 1, y0 + 1)
+    val fx = cx - x0; val fy = cy - y0
+    val a = img(y0 * w + x0) * (1 - fx) + img(y0 * w + x1) * fx
+    val b = img(y1 * w + x0) * (1 - fx) + img(y1 * w + x1) * fx
+    a * (1 - fy) + b * fy
+  }
+
+  /** EFolkiIter port. Returns (u, v) displacement planes: I1 sampled at
+    * (x + u, y + v) matches I0.
+    */
+  def efolki(i0In: Array[Double], i1In: Array[Double], w: Int, h: Int,
+             iteration: Int = 5, radii: Seq[Int] = Seq(8, 4),
+             rank: Int = 4): (Array[Double], Array[Double]) = {
+    val talon = 1e-8
+    val i0 = if (rank > 0) rankFilterSup(i0In, w, h, rank) else i0In
+    val i1 = if (rank > 0) rankFilterSup(i1In, w, h, rank) else i1In
+    val u = new Array[Double](w * h)
+    val v = new Array[Double](w * h)
+    val (iy, ix) = gradient(i0, w, h)
+    val ixix = ix.zip(ix).map { case (a, b) => a * b }
+    val iyiy = iy.zip(iy).map { case (a, b) => a * b }
+    val ixiy = ix.zip(iy).map { case (a, b) => a * b }
+    radii.foreach { rad =>
+      val ixx = boxWindow(ixix, w, h, rad).map(_ + talon)
+      val iyy = boxWindow(iyiy, w, h, rad).map(_ + talon)
+      val ixy = boxWindow(ixiy, w, h, rad)
+      val d = new Array[Double](w * h)
+      var i = 0
+      while (i < d.length) { d(i) = ixx(i) * iyy(i) - ixy(i) * ixy(i); i += 1 }
+      var it = 0
+      while (it < iteration) {
+        val res = new Array[Double](w * h)
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            val k = r * w + c
+            val i1w = interp2(i1, w, h, c + u(k), r + v(k))
+            res(k) = i0(k) - i1w + u(k) * ix(k) + v(k) * iy(k)
+            c += 1
+          }
+          r += 1
+        }
+        val ixt = boxWindow(res.zip(ix).map { case (a, b) => a * b }, w, h, rad)
+        val iyt = boxWindow(res.zip(iy).map { case (a, b) => a * b }, w, h, rad)
+        i = 0
+        while (i < u.length) {
+          val nu = (iyy(i) * ixt(i) - ixy(i) * iyt(i)) / d(i)
+          val nv = (ixx(i) * iyt(i) - ixy(i) * ixt(i)) / d(i)
+          u(i) = if (nu.isNaN || nu.isInfinite) 0.0 else nu
+          v(i) = if (nv.isNaN || nv.isInfinite) 0.0 else nv
+          i += 1
+        }
+        it += 1
+      }
+    }
+    (u, v)
+  }
+
+  /** Distributed coregistration: flow of `target` onto `ref` per tile
+    * with a `halo`-pixel context (one halo exchange per raster, one
+    * key join). Output rows: (x, y, band, u, v).
+    */
+  def coregister(ref: Dataset[Tile], target: Dataset[Tile], spec: RasterSpec,
+                 halo: Int, iteration: Int = 5, radii: Seq[Int] = Seq(8, 4),
+                 rank: Int = 4): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val ts = spec.tileSize
+    val p0 = TileOps.convolvePad(ref, halo).map { case (t, pad, pw, ph) =>
+      ((t.cellX, t.cellY, t.band), (t, pad, pw, ph))
+    }
+    val p1 = TileOps.convolvePad(target, halo).map { case (t, pad, pw, ph) =>
+      ((t.cellX, t.cellY, t.band), pad)
+    }
+    p0.joinWith(p1, p0("_1") === p1("_1"))
+      .flatMap { case (((_, (t, pad0, pw, ph))), (_, pad1)) =>
+        // NaN halo (outside the raster) → 0, matching the reference's
+        // zero-padded shifts at image borders
+        val a0 = pad0.map(x => if (x.isNaN) 0.0 else x)
+        val a1 = pad1.map(x => if (x.isNaN) 0.0 else x)
+        val (u, v) = efolki(a0, a1, pw, ph, iteration, radii, rank)
+        val baseX = t.cellX * ts; val baseY = t.cellY * ts
+        for (r <- 0 until t.h; c <- 0 until t.w) yield {
+          val k = (r + halo) * pw + (c + halo)
+          (baseX + c, baseY + r, t.band, u(k), v(k))
+        }
+      }
+      .toDF("x", "y", "band", "u", "v")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.tiles
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object FolkiSpec {
+  // smooth textured pattern with gradients in both axes (standalone so
+  // Spark closures don't capture the suite)
+  def tex(x: Int, y: Int): Double =
+    10.0 * math.sin(x * 0.21) + 8.0 * math.cos(y * 0.17) +
+      5.0 * math.sin((x + 2 * y) * 0.11) + 0.01 * x * y
+}
+
+class FolkiSpec extends AnyFunSuite {
+  import FolkiSpec.tex
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("rank filter counts strictly-greater neighbors with zero-padded shifts") {
+    // 3×3 image, rad 1: center of a strictly increasing ramp
+    val img = Array[Double](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val r = Folki.rankFilterSup(img, 3, 3, 1)
+    assert(r(4) === 4.0) // neighbors 6,7,8,9 exceed 5
+    assert(r(0) === 3.0) // in-bounds 2,4,5 exceed 1; zero-padding never counts
+    assert(r(8) === 0.0) // 9 is the maximum
+  }
+
+  test("efolki kernel recovers a constant integer shift") {
+    val w = 96; val h = 96
+    val i0 = Array.tabulate(w * h)(k => tex(k % w, k / w))
+    // I1(x,y) = I0(x−2, y−1)  →  expected flow u=2, v=1
+    val i1 = Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      tex(x - 2, y - 1)
+    }
+    val (u, v) = Folki.efolki(i0, i1, w, h, iteration = 8, radii = Seq(8, 4), rank = 4)
+    // interior: ignore a 20-px boundary band
+    var n = 0; var su = 0.0; var sv = 0.0
+    for (y <- 20 until h - 20; x <- 20 until w - 20) {
+      su += u(y * w + x); sv += v(y * w + x); n += 1
+    }
+    val mu = su / n; val mv = sv / n
+    assert(math.abs(mu - 2.0) < 0.15, s"mean u $mu")
+    assert(math.abs(mv - 1.0) < 0.15, s"mean v $mv")
+  }
+
+  test("distributed coregister matches the shift on tile interiors") {
+    val spec = RasterSpec(0.0, 128.0, 1.0, -1.0, 128, 128, 32, 1)
+    val ref = TileOps.createRaster(spark, spec)((x, y, _) => tex(x, y))
+    val tgt = TileOps.createRaster(spark, spec)((x, y, _) => tex(x - 2, y - 1))
+    val flow = Folki.coregister(ref, tgt, spec, halo = 32, iteration = 8)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(flow.size === 128 * 128)
+    val interior = for (y <- 24 until 104; x <- 24 until 104) yield flow((x, y))
+    val mu = interior.map(_._1).sum / interior.size
+    val mv = interior.map(_._2).sum / interior.size
+    assert(math.abs(mu - 2.0) < 0.2, s"mean u $mu")
+    assert(math.abs(mv - 1.0) < 0.2, s"mean v $mv")
+  }
+}
