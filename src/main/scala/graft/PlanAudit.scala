@@ -17,7 +17,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
     val interesting = Seq("geo_pip", "geo_cell_counts", "geo_knn", "dedup_lsh_pairs",
-      "ann_topk", "raster_convolve_sum", "events_sessionize")
+      "dedup_minhash_sig", "ann_topk", "ann_lsh", "raster_convolve_sum",
+      "raster_zonal_approx", "events_sessionize")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)
