@@ -797,6 +797,50 @@ object SparkEntry {
       graft.ops.Scalers.encodeLatLng(Pages.pages(s, dir), "lat", "lon")
         .select("doc_id", "lat_sin", "lat_cos", "lng_sin", "lng_cos")
     },
+    "mm_image_decode" -> { (s, _) =>
+      // REAL PNG decode: 100 deterministic 48×32 RGB images, each
+      // encoded with filter type id%5 (all five unfilter paths on the
+      // production path); oracle recomputes channel sums from the pixel
+      // formula without touching PNG
+      import s.implicits._
+      val docs = s.range(100).map { id =>
+        val w = 48; val h = 32
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            px(o) = (((x * 7 + y * 3 + id) % 256) & 0xff).toByte
+            px(o + 1) = (((x * 5 + y * 11 + 2 * id) % 256) & 0xff).toByte
+            px(o + 2) = (((x * 13 + y + 3 * id) % 256) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, graft.ops.Codecs.encodePng(w, h, 3, px, filterType = (id % 5).toInt))
+      }.toDF("doc_id", "png")
+      graft.ops.Multimodal.imageFeatures(docs, "doc_id", "png")
+    },
+    "mm_audio_decode" -> { (s, _) =>
+      // REAL WAV PCM-16 decode: 800 samples per doc from a deterministic
+      // formula; oracle recomputes the stats from the formula
+      import s.implicits._
+      val docs = s.range(100).map { id =>
+        val samples = Array.tabulate(800)(i => (((i * 37 + id * 13) % 2001) - 1000).toShort)
+        (id, graft.ops.Codecs.encodeWavPcm16(samples, 16000))
+      }.toDF("doc_id", "wav")
+      graft.ops.Multimodal.audioFeatures(docs, "doc_id", "wav")
+    },
+    "encode_latlng_roundtrip" -> { (s, dir) =>
+      // reference-faithful full-cycle encode + atan2 decode must return
+      // the original coordinate; rounding both sides to 6 decimals makes
+      // the oracle trig-free (the decode error is ~1e-12)
+      val enc = graft.ops.Scalers.encodeLatLngRef(Pages.pages(s, dir), "lat", "lon")
+      graft.ops.Scalers.decodeLatLng(enc)
+        .select(col("doc_id"),
+          round(col("lat_dec"), 6).as("lat_rt"), round(col("lng_dec"), 6).as("lng_rt"))
+    },
     "split_by_hash" -> { (s, dir) =>
       graft.ops.Scalers.splitByHash(documentsOf(s, dir), "doc_id", 80, 10)
         .groupBy("split").agg(count(lit(1)).as("n"))
@@ -1715,6 +1759,35 @@ object SparkEntry {
         SELECT x, y, min(v) FILTER (WHERE cw * 2.0 >= tw) AS v_merged,
           CAST(count(*) AS BIGINT) AS n_preds
         FROM cum GROUP BY x, y""",
+
+    "mm_image_decode" ->
+      """WITH px AS (SELECT d.id, x.x, y.y
+           FROM range(100) d(id), range(48) x(x), range(32) y(y))
+        SELECT id AS doc_id, 48 AS width, 32 AS height, 3 AS channels,
+          CAST(sum((x*7 + y*3 + id) % 256) AS BIGINT) AS ch0_sum,
+          CAST(sum((x*5 + y*11 + 2*id) % 256) AS BIGINT) AS ch1_sum,
+          CAST(sum((x*13 + y + 3*id) % 256) AS BIGINT) AS ch2_sum,
+          CAST(0 AS BIGINT) AS ch3_sum
+        FROM px GROUP BY id""",
+
+    "mm_audio_decode" ->
+      """WITH s AS (SELECT d.id, i.i, ((i*37 + id*13) % 2001) - 1000 AS v
+           FROM range(100) d(id), range(800) i(i)),
+        lagged AS (SELECT id, i, v,
+            lag(v) OVER (PARTITION BY id ORDER BY i) AS prev FROM s)
+        SELECT id AS doc_id, 16000 AS sample_rate, 800 AS n_samples,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          CAST(max(abs(v)) AS INTEGER) AS max_abs,
+          CAST(sum(CASE WHEN prev IS NOT NULL AND ((v >= 0) <> (prev >= 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        FROM lagged GROUP BY id""",
+
+    "encode_latlng_roundtrip" -> Pages.sqlWith(
+      // trig-free: the decode must return the input; only the exact -180
+      // boundary folds to +180 (reference np.where semantics)
+      """ SELECT doc_id, round(lat, 6) AS lat_rt,
+         round(CASE WHEN lon = -180.0 THEN 180.0 ELSE lon END, 6) AS lng_rt
+       FROM pages"""),
 
     "mm_features" -> Pages.sqlWith(
       " SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, CAST(" +

@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: images/audio/video ride along as opaque `binary`
-  * columns with typed metadata. The decode step is STUBBED (no imaging
-  * libraries in this container) with a deterministic byte-level feature
-  * extractor; everything Spark-side — schema, batched partition
-  * processing, feature shapes — is real and tested. Swap `decodeStub`
-  * for a JNI/libray decoder and nothing else changes.
+  * columns with typed metadata. PNG images and WAV audio are decoded for
+  * REAL (graft.ops.Codecs — zlib via the JDK, no external libraries);
+  * other formats (JPEG/MP4/...) fall back to `decodeStub`, a
+  * deterministic byte-level feature extractor keeping the Spark-side
+  * shape (schema, batched partition processing) identical — a JNI/library
+  * decoder drops in with no plan changes.
   */
 object Multimodal {
 
@@ -50,5 +51,60 @@ object Multimodal {
         it.map { case (id, bytes) => decodeStub(id, bytes) }
       }
       .toDF("doc_id", "byte_len", "head_sum", "embedding")
+  }
+
+  /** REAL image decode over a PNG binary column (Codecs.decodePng —
+    * chunk walk, zlib inflate, all five unfilters), batched per
+    * partition like extractFeatures. Per-channel pixel SUMS are emitted
+    * as exact integers so a DuckDB oracle can reproduce them from the
+    * fixture formula without decoding anything.
+    */
+  def imageFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = Codecs.decodePng(bytes)
+          val sums = new Array[Long](4)
+          var i = 0
+          while (i < img.pixels.length) {
+            sums(i % img.channels) += img.pixels(i) & 0xff
+            i += 1
+          }
+          (id, img.width, img.height, img.channels, sums(0), sums(1), sums(2), sums(3))
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels",
+        "ch0_sum", "ch1_sum", "ch2_sum", "ch3_sum")
+  }
+
+  /** REAL audio decode over a WAV PCM-16 binary column
+    * (Codecs.decodeWavPcm16): sample-rate/sample-count plus exact
+    * integer stats (sum |s|, max |s|, zero crossings with sign(s)≥0).
+    */
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val a = Codecs.decodeWavPcm16(bytes)
+          var sumAbs = 0L; var maxAbs = 0; var zc = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val s = a.samples(i).toInt
+            val ab = math.abs(s)
+            sumAbs += ab
+            if (ab > maxAbs) maxAbs = ab
+            if (i > 0 && ((s >= 0) != (a.samples(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          (id, a.sampleRate, a.samples.length, sumAbs, maxAbs, zc)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_abs", "max_abs", "zero_cross")
   }
 }

@@ -106,6 +106,35 @@ object Scalers {
       .withColumn("lng_cos", cos(lonNorm * lit(2 * math.Pi)))
   }
 
+  /** Reference-faithful cyclical encoding (coordinate_encoding.py:10-117):
+    * BOTH axes use a full cycle and are normalized to [0,1]:
+    * enc = (trig(2π·(v + off)/span) + 1)/2 with lat span 180, lng 360.
+    */
+  def encodeLatLngRef(df: DataFrame, latCol: String, lonCol: String): DataFrame = {
+    val latT = (col(latCol) + lit(90.0)) / lit(180.0) * lit(2 * math.Pi)
+    val lngT = (col(lonCol) + lit(180.0)) / lit(360.0) * lit(2 * math.Pi)
+    df.withColumn("lat_sin", (sin(latT) + lit(1.0)) / lit(2.0))
+      .withColumn("lat_cos", (cos(latT) + lit(1.0)) / lit(2.0))
+      .withColumn("lng_sin", (sin(lngT) + lit(1.0)) / lit(2.0))
+      .withColumn("lng_cos", (cos(lngT) + lit(1.0)) / lit(2.0))
+  }
+
+  /** Inverse of [[encodeLatLngRef]] (coordinate_encoding.py:119-223):
+    * atan2 of the un-normalized components, scaled back and re-centered;
+    * the −half boundary folds to +half exactly as the reference's
+    * np.where does (so lat −90 decodes to +90, lng −180 to +180).
+    */
+  def decodeLatLng(df: DataFrame, out: (String, String) = ("lat_dec", "lng_dec")): DataFrame = {
+    def dec(sinC: Column, cosC: Column, max: Double): Column = {
+      val adj = atan2(lit(2.0) * sinC - lit(1.0), lit(2.0) * cosC - lit(1.0))
+      val sgn = when(signum(adj) === 0.0, lit(1.0)).otherwise(signum(adj))
+      val v = adj / lit(2 * math.Pi) * lit(max) - sgn * lit(max / 2.0)
+      when(v === lit(-max / 2.0), lit(max / 2.0)).otherwise(v)
+    }
+    df.withColumn(out._1, dec(col("lat_sin"), col("lat_cos"), 180.0))
+      .withColumn(out._2, dec(col("lng_sin"), col("lng_cos"), 360.0))
+  }
+
   /** Deterministic stratified train/val/test split by hash of an id —
     * reproducible (no RNG state), stratification implicit in the uniform
     * hash (reference: buteo/ai/selection.py:11-240).
