@@ -137,12 +137,13 @@ object Folki {
     */
   def efolki(i0In: Array[Double], i1In: Array[Double], w: Int, h: Int,
              iteration: Int = 5, radii: Seq[Int] = Seq(8, 4),
-             rank: Int = 4): (Array[Double], Array[Double]) = {
+             rank: Int = 4, uinit: Array[Double] = null,
+             vinit: Array[Double] = null): (Array[Double], Array[Double]) = {
     val talon = 1e-8
     val i0 = if (rank > 0) rankFilterSup(i0In, w, h, rank) else i0In
     val i1 = if (rank > 0) rankFilterSup(i1In, w, h, rank) else i1In
-    val u = new Array[Double](w * h)
-    val v = new Array[Double](w * h)
+    val u = if (uinit != null) uinit.clone() else new Array[Double](w * h)
+    val v = if (vinit != null) vinit.clone() else new Array[Double](w * h)
     val (iy, ix) = gradient(i0, w, h)
     val ixix = ix.zip(ix).map { case (a, b) => a * b }
     val iyiy = iy.zip(iy).map { case (a, b) => a * b }
@@ -184,13 +185,126 @@ object Folki {
     (u, v)
   }
 
+  /** Burt 5-tap downsample (BurtOF.pyrUp, gefolki.py:608-616): separable
+    * zero-padded conv with [1/4−a/2, 1/4, a, 1/4, 1/4−a/2], a=0.4, then
+    * every-2nd-pixel decimation. Returns (plane, w2, h2).
+    */
+  def burtDown(img: Array[Double], w: Int, h: Int): (Array[Double], Int, Int) = {
+    val a = 0.4
+    val k = Array(0.25 - a / 2, 0.25, a, 0.25, 0.25 - a / 2)
+    val tmp = new Array[Double](w * h)
+    var r = 0
+    while (r < h) { // horizontal
+      var c = 0
+      while (c < w) {
+        var s = 0.0
+        var j = -2
+        while (j <= 2) {
+          val cc = c + j
+          if (cc >= 0 && cc < w) s += k(j + 2) * img(r * w + cc)
+          j += 1
+        }
+        tmp(r * w + c) = s
+        c += 1
+      }
+      r += 1
+    }
+    val full = new Array[Double](w * h)
+    var c = 0
+    while (c < w) { // vertical
+      var r2 = 0
+      while (r2 < h) {
+        var s = 0.0
+        var j = -2
+        while (j <= 2) {
+          val rr = r2 + j
+          if (rr >= 0 && rr < h) s += k(j + 2) * tmp(rr * w + c)
+          j += 1
+        }
+        full(r2 * w + c) = s
+        r2 += 1
+      }
+      c += 1
+    }
+    val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+    val out = new Array[Double](w2 * h2)
+    r = 0
+    while (r < h2) {
+      var c2 = 0
+      while (c2 < w2) { out(r * w2 + c2) = full(2 * r * w + 2 * c2); c2 += 1 }
+      r += 1
+    }
+    (out, w2, h2)
+  }
+
+  /** Flow upscale (BurtOF.pyrDown, gefolki.py:617-626): nearest 2×2
+    * repeat clipped/zero-padded to the target shape. Values are NOT
+    * scaled here — the caller multiplies by 2 as the reference does.
+    */
+  def flowUp(f: Array[Double], w: Int, h: Int, tw: Int, th: Int): Array[Double] = {
+    val out = new Array[Double](tw * th)
+    var r = 0
+    while (r < math.min(th, 2 * h)) {
+      var c = 0
+      while (c < math.min(tw, 2 * w)) {
+        out(r * tw + c) = f((r / 2) * w + (c / 2))
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Coarse-to-fine EFolki (BurtOF wrapper, gefolki.py:561-592): both
+    * images min-max normalized, Burt pyramid of `levels` reductions,
+    * flow solved coarsest-first and upscaled (×2 values) as the init of
+    * the next level — this is what captures displacements beyond the
+    * window radius.
+    */
+  def efolkiPyramid(i0In: Array[Double], i1In: Array[Double], w: Int, h: Int,
+                    levels: Int = 4, iteration: Int = 5,
+                    radii: Seq[Int] = Seq(8, 4),
+                    rank: Int = 4): (Array[Double], Array[Double]) = {
+    def normalize(img: Array[Double]): Array[Double] = {
+      var mn = Double.MaxValue; var mx = Double.MinValue
+      img.foreach { x => if (x < mn) mn = x; if (x > mx) mx = x }
+      val span = if (mx > mn) mx - mn else 1.0
+      img.map(x => (x - mn) / span)
+    }
+    var py0 = List((normalize(i0In), w, h))
+    var py1 = List((normalize(i1In), w, h))
+    var l = 0
+    while (l < levels) {
+      val (p0, w0, h0) = py0.head
+      val (p1, _, _) = py1.head
+      py0 = burtDown(p0, w0, h0) :: py0
+      py1 = burtDown(p1, w0, h0) :: py1
+      l += 1
+    }
+    // py0.head is now the coarsest level
+    var u = new Array[Double](py0.head._2 * py0.head._3)
+    var v = new Array[Double](u.length)
+    var levelsList = py0.zip(py1)
+    while (levelsList.nonEmpty) {
+      val (((p0, lw, lh), (p1, _, _))) = levelsList.head
+      val (nu, nv) = efolki(p0, p1, lw, lh, iteration, radii, rank, u, v)
+      levelsList = levelsList.tail
+      if (levelsList.nonEmpty) {
+        val (_, tw, th) = levelsList.head._1
+        u = flowUp(nu, lw, lh, tw, th).map(_ * 2.0)
+        v = flowUp(nv, lw, lh, tw, th).map(_ * 2.0)
+      } else { u = nu; v = nv }
+    }
+    (u, v)
+  }
+
   /** Distributed coregistration: flow of `target` onto `ref` per tile
     * with a `halo`-pixel context (one halo exchange per raster, one
     * key join). Output rows: (x, y, band, u, v).
     */
   def coregister(ref: Dataset[Tile], target: Dataset[Tile], spec: RasterSpec,
                  halo: Int, iteration: Int = 5, radii: Seq[Int] = Seq(8, 4),
-                 rank: Int = 4): DataFrame = {
+                 rank: Int = 4, levels: Int = 0): DataFrame = {
     val spark = ref.sparkSession
     import spark.implicits._
     val ts = spec.tileSize
@@ -206,7 +320,9 @@ object Folki {
         // zero-padded shifts at image borders
         val a0 = pad0.map(x => if (x.isNaN) 0.0 else x)
         val a1 = pad1.map(x => if (x.isNaN) 0.0 else x)
-        val (u, v) = efolki(a0, a1, pw, ph, iteration, radii, rank)
+        val (u, v) =
+          if (levels > 0) efolkiPyramid(a0, a1, pw, ph, levels, iteration, radii, rank)
+          else efolki(a0, a1, pw, ph, iteration, radii, rank)
         val baseX = t.cellX * ts; val baseY = t.cellY * ts
         for (r <- 0 until t.h; c <- 0 until t.w) yield {
           val k = (r + halo) * pw + (c + halo)

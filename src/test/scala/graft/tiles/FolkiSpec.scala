@@ -48,6 +48,27 @@ class FolkiSpec extends AnyFunSuite {
     assert(math.abs(mv - 1.0) < 0.15, s"mean v $mv")
   }
 
+  test("pyramid efolki recovers a shift beyond the window radius") {
+    val w = 128; val h = 128
+    val i0 = Array.tabulate(w * h)(k => tex(k % w, k / w))
+    // 12-px shift: beyond radius 8, needs the coarse-to-fine pyramid
+    val i1 = Array.tabulate(w * h) { k => tex(k % w - 12, k / w - 5) }
+    val (u, v) = Folki.efolkiPyramid(i0, i1, w, h, levels = 2, iteration = 8)
+    var n = 0; var su = 0.0; var sv = 0.0
+    for (y <- 30 until h - 30; x <- 30 until w - 30) {
+      su += u(y * w + x); sv += v(y * w + x); n += 1
+    }
+    val mu = su / n; val mv = sv / n
+    assert(math.abs(mu - 12.0) < 0.5, s"mean u $mu")
+    assert(math.abs(mv - 5.0) < 0.5, s"mean v $mv")
+    // plain efolki at the same radius must NOT get there (sanity that the
+    // pyramid is doing the work)
+    val (u0, _) = Folki.efolki(i0, i1, w, h, iteration = 8)
+    val mu0 = (for (y <- 30 until h - 30; x <- 30 until w - 30)
+      yield u0(y * w + x)).sum / n
+    assert(math.abs(mu0 - 12.0) > 1.0, s"plain efolki unexpectedly converged: $mu0")
+  }
+
   test("distributed coregister matches the shift on tile interiors") {
     val spec = RasterSpec(0.0, 128.0, 1.0, -1.0, 128, 128, 32, 1)
     val ref = TileOps.createRaster(spark, spec)((x, y, _) => tex(x, y))
