@@ -55,6 +55,72 @@ object Folki {
     out
   }
 
+  /** Rank transform (rank_filter_inf): count of zero-padded shifted
+    * neighbors strictly LESS than the center — the inverted-contrast
+    * counterpart used by GEFolki.
+    */
+  def rankFilterInf(img: Array[Double], w: Int, h: Int, rad: Int): Array[Double] = {
+    val out = new Array[Double](w * h)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val v = img(r * w + c)
+        var cnt = 0.0
+        var i = -rad
+        while (i <= rad) {
+          var j = -rad
+          while (j <= rad) {
+            val sr = r - i; val sc = c - j
+            val s = if (sr >= 0 && sr < h && sc >= 0 && sc < w) img(sr * w + sc) else 0.0
+            if (s < v) cnt += 1.0
+            j += 1
+          }
+          i += 1
+        }
+        out(r * w + c) = cnt
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Separable zero-padded window SUM (GEFolki's criterion window:
+    * conv2SepMatlabbis with an all-ones kernel, gefolki.py:520-521).
+    */
+  def boxSum(img: Array[Double], w: Int, h: Int, rad: Int): Array[Double] = {
+    val tmp = new Array[Double](w * h)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        var s = 0.0
+        var j = math.max(0, c - rad)
+        val jEnd = math.min(w - 1, c + rad)
+        while (j <= jEnd) { s += img(r * w + j); j += 1 }
+        tmp(r * w + c) = s
+        c += 1
+      }
+      r += 1
+    }
+    val out = new Array[Double](w * h)
+    var c = 0
+    while (c < w) {
+      var r2 = 0
+      while (r2 < h) {
+        var s = 0.0
+        var i = math.max(0, r2 - rad)
+        val iEnd = math.min(h - 1, r2 + rad)
+        while (i <= iEnd) { s += tmp(i * w + c); i += 1 }
+        out(r2 * w + c) = s
+        r2 += 1
+      }
+      c += 1
+    }
+    out
+  }
+
   /** np.gradient: central differences interior, one-sided at edges.
     * Returns (ddRow, ddCol) = (Iy, Ix).
     */
@@ -178,6 +244,86 @@ object Folki {
           u(i) = if (nu.isNaN || nu.isInfinite) 0.0 else nu
           v(i) = if (nv.isNaN || nv.isInfinite) 0.0 else nv
           i += 1
+        }
+        it += 1
+      }
+    }
+    (u, v)
+  }
+
+  /** GEFolkiIter port (gefolki.py:431-540) — multi-sensor flow where the
+    * target may have locally INVERTED contrast (SAR↔optical): both images
+    * are CLAHE-equalized (graft.tiles.Clahe — including the write-back
+    * fix for the vendored no-op bug, see Clahe's doc), the reference
+    * image is rank-sup transformed, and each iteration warps BOTH the
+    * rank-sup and rank-inf transforms of the target, choosing per pixel
+    * whichever the local equalized-residual criterion prefers
+    * (crit |H0−H1w| vs |1−H0−H1w| summed over the rank window).
+    *
+    * Inputs must be in [0,1] (BurtOF normalizes before calling; the
+    * equalization chain quantizes through uint8). Width and height must
+    * be multiples of 16 (8 CLAHE tiles × even region size — the
+    * reference resizes to multiples of 8; our tile planes are sized to
+    * fit directly).
+    */
+  def gefolki(i0: Array[Double], i1: Array[Double], w: Int, h: Int,
+              iteration: Int = 5, radii: Seq[Int] = Seq(8, 4),
+              rank: Int = 4, uinit: Array[Double] = null,
+              vinit: Array[Double] = null): (Array[Double], Array[Double]) = {
+    val r0 = rankFilterSup(i0, w, h, rank)
+    val r1i = rankFilterInf(i1, w, h, rank)
+    val r1s = rankFilterSup(i1, w, h, rank)
+    val h0 = Clahe.equalizeChain(i0, w, h)
+    val h1 = Clahe.equalizeChain(i1, w, h)
+    val u = if (uinit != null) uinit.clone() else new Array[Double](w * h)
+    val v = if (vinit != null) vinit.clone() else new Array[Double](w * h)
+    val (iy, ix) = gradient(r0, w, h)
+    val ixix = Array.tabulate(w * h)(k => ix(k) * ix(k))
+    val iyiy = Array.tabulate(w * h)(k => iy(k) * iy(k))
+    val ixiy = Array.tabulate(w * h)(k => ix(k) * iy(k))
+    radii.foreach { rad =>
+      val ixx = boxWindow(ixix, w, h, rad)
+      val iyy = boxWindow(iyiy, w, h, rad)
+      val ixy = boxWindow(ixiy, w, h, rad)
+      val d = Array.tabulate(w * h)(k => ixx(k) * iyy(k) - ixy(k) * ixy(k))
+      var it = 0
+      while (it < iteration) {
+        val h1w = new Array[Double](w * h)
+        val res = new Array[Double](w * h)
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            val k = r * w + c
+            h1w(k) = interp2(h1, w, h, c + u(k), r + v(k))
+            c += 1
+          }
+          r += 1
+        }
+        val crit1 = boxSum(Array.tabulate(w * h)(k => math.abs(h0(k) - h1w(k))), w, h, rank)
+        val crit2 = boxSum(Array.tabulate(w * h)(k => math.abs(1.0 - h0(k) - h1w(k))), w, h, rank)
+        r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) {
+            val k = r * w + c
+            val warped =
+              if (crit1(k) > crit2(k)) interp2(r1i, w, h, c + u(k), r + v(k))
+              else interp2(r1s, w, h, c + u(k), r + v(k))
+            res(k) = r0(k) - warped + u(k) * ix(k) + v(k) * iy(k)
+            c += 1
+          }
+          r += 1
+        }
+        val ixt = boxWindow(Array.tabulate(w * h)(k => res(k) * ix(k)), w, h, rad)
+        val iyt = boxWindow(Array.tabulate(w * h)(k => res(k) * iy(k)), w, h, rad)
+        var k = 0
+        while (k < u.length) {
+          val nu = (iyy(k) * ixt(k) - ixy(k) * iyt(k)) / d(k)
+          val nv = (ixx(k) * iyt(k) - ixy(k) * ixt(k)) / d(k)
+          u(k) = if (nu.isNaN || nu.isInfinite) 0.0 else nu
+          v(k) = if (nv.isNaN || nv.isInfinite) 0.0 else nv
+          k += 1
         }
         it += 1
       }

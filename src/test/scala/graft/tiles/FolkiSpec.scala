@@ -69,6 +69,51 @@ class FolkiSpec extends AnyFunSuite {
     assert(math.abs(mu0 - 12.0) > 1.0, s"plain efolki unexpectedly converged: $mu0")
   }
 
+  test("CLAHE chain matches the (write-back-fixed) reference numpy run") {
+    // pinned from the reference's own _clahe/clip/map/interpolate code
+    // (gefolki.py:27-347) with the one-line view-copy fix applied, run
+    // under numpy on the same 96×96 min-max-normalized texture
+    val w = 96; val h = 96
+    val raw = Array.tabulate(w * h)(k => tex(k % w, k / w))
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    raw.foreach { x => if (x < mn) mn = x; if (x > mx) mx = x }
+    val img = raw.map(x => (x - mn) / (mx - mn))
+    val eq = Clahe.equalizeChain(img, w, h)
+    assert(math.abs(eq.sum - 4790.319203577703) < 1e-5, s"sum ${eq.sum}")
+    val pinned = Seq(
+      (0, 0, 0.15570305), (10, 17, 0.31692988), (48, 48, 0.24812695),
+      (95, 95, 1.0), (3, 90, 0.5534142), (70, 5, 0.71850157))
+    pinned.foreach { case (yy, xx, exp) =>
+      assert(math.abs(eq(yy * w + xx) - exp) < 1e-6,
+        s"H[$yy][$xx] = ${eq(yy * w + xx)}, expected $exp")
+    }
+  }
+
+  test("gefolki recovers a shift under inverted contrast where efolki fails") {
+    val w = 96; val h = 96
+    val raw = Array.tabulate(w * h)(k => tex(k % w, k / w))
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    raw.foreach { x => if (x < mn) mn = x; if (x > mx) mx = x }
+    val i0 = raw.map(x => (x - mn) / (mx - mn))
+    // target: shifted AND contrast-inverted (the SAR↔optical analog)
+    val i1 = Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      1.0 - (tex(x - 2, y - 1) - mn) / (mx - mn)
+    }
+    def interiorMean(f: Array[Double]): Double = {
+      var n = 0; var s = 0.0
+      for (y <- 20 until h - 20; x <- 20 until w - 20) { s += f(y * w + x); n += 1 }
+      s / n
+    }
+    val (gu, gv) = Folki.gefolki(i0, i1, w, h, iteration = 8)
+    assert(math.abs(interiorMean(gu) - 2.0) < 0.3, s"gefolki mean u ${interiorMean(gu)}")
+    assert(math.abs(interiorMean(gv) - 1.0) < 0.3, s"gefolki mean v ${interiorMean(gv)}")
+    // plain efolki on the inverted pair must NOT find the shift
+    val (eu, _) = Folki.efolki(i0, i1, w, h, iteration = 8)
+    assert(math.abs(interiorMean(eu) - 2.0) > 0.5,
+      s"efolki unexpectedly solved inverted contrast: ${interiorMean(eu)}")
+  }
+
   test("distributed coregister matches the shift on tile interiors") {
     val spec = RasterSpec(0.0, 128.0, 1.0, -1.0, 128, 128, 32, 1)
     val ref = TileOps.createRaster(spark, spec)((x, y, _) => tex(x, y))
