@@ -81,6 +81,8 @@ object Similarity {
   def lshBucketTopK(embeddings: DataFrame, numPlanes: Int, k: Int,
                     bands: Int = 2, capPerBucket: Int = 128): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
+    require(capPerBucket > 0 || capPerBucket == -1,
+      "capPerBucket must be positive, or -1 for adaptive")
     val rowsPerBand = numPlanes / bands
     val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
     def planeBit(p: Int): Column = {
@@ -99,10 +101,19 @@ object Similarity {
     val banded = q
       .withColumn("bk", explode(array(bandKeys: _*)))
       .select(col("vec_id"), col("q"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // index side: deterministic cap per (band, key)
+    // index side: deterministic cap per (band, key). capPerBucket = -1
+    // derives the cap from the bucket-size distribution (p95 of counts,
+    // floor 16) in one small planning aggregation — hot buckets are
+    // trimmed to the typical bucket scale instead of a magic constant.
+    val cap =
+      if (capPerBucket > 0) capPerBucket
+      else {
+        val sizes = banded.groupBy("band", "key").count()
+        math.max(16, sizes.stat.approxQuantile("count", Array(0.95), 0.01)(0).toInt)
+      }
     val wCap = Window.partitionBy("band", "key").orderBy("vec_id")
     val idx = banded.withColumn("rn", row_number().over(wCap))
-      .filter(col("rn") <= capPerBucket).drop("rn")
+      .filter(col("rn") <= cap).drop("rn")
     val scored = banded.as("a").join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") =!= col("b.vec_id"))

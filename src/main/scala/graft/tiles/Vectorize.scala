@@ -169,7 +169,7 @@ object Vectorize {
     * Output: (band, v, region_key, n_px, wkt).
     */
   def vectorizeRings(tiles: Dataset[Tile], spec: RasterSpec,
-                     maxIters: Int = 32): DataFrame = {
+                     maxIters: Int = 32, geoCoords: Boolean = false): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val ts = spec.tileSize
@@ -282,7 +282,13 @@ object Vectorize {
       .as[(Long, Long, Long, Int)]
       .groupByKey(_._1)
       .mapGroups { (comp, it) =>
-        (comp, traceWkt(it.map(s => (s._2, s._3, s._4)).toArray))
+        // lattice vertices by default; geoCoords applies the raster's
+        // geotransform (vectorize.py emits polygons in georef space)
+        val fmt: (Long, Long) => String =
+          if (geoCoords)
+            (x, y) => s"${spec.originX + x * spec.pxW} ${spec.originY + y * spec.pxH}"
+          else (x, y) => s"$x $y"
+        (comp, traceWkt(it.map(s => (s._2, s._3, s._4)).toArray, fmt))
       }
       .toDF("comp", "wkt")
 
@@ -302,7 +308,9 @@ object Vectorize {
     * pixel-lattice integers; each ring is rotated to start at its
     * lexicographically smallest vertex for deterministic output.
     */
-  private[tiles] def traceWkt(segsIn: Array[(Long, Long, Int)]): String = {
+  private[tiles] def traceWkt(segsIn: Array[(Long, Long, Int)],
+                              fmtVertex: (Long, Long) => String =
+                                (x, y) => s"$x $y"): String = {
     // deterministic trace order regardless of partition order
     val segs = segsIn.sortBy(s => (s._1, s._2, s._3))
     val outMap = collection.mutable.HashMap.empty[(Long, Long), List[Int]]
@@ -368,7 +376,7 @@ object Vectorize {
     }
     val (outer, holes) = rings.partition(shoelace(_) > 0)
     def fmt(ring: Array[(Long, Long)]): String =
-      (ring :+ ring.head).map { case (x, y) => s"$x $y" }.mkString("(", ",", ")")
+      (ring :+ ring.head).map { case (x, y) => fmtVertex(x, y) }.mkString("(", ",", ")")
     val ordered = outer.sortBy(_.head) ++ holes.sortBy(_.head)
     ordered.map(fmt).mkString("POLYGON(", ",", ")")
   }

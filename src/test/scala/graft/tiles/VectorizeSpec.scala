@@ -88,6 +88,10 @@ class VectorizeSpec extends AnyFunSuite {
     assert(bg._1 === 0.0 && bg._2 === (32L * 32 - 36))
     assert(bg._3 ===
       "POLYGON((0 0,32 0,32 32,0 32,0 0),(6 6,6 12,12 12,12 6,6 6))")
+    // geoCoords applies the geotransform (origin (0,32), pixel 1×-1)
+    val geo = Vectorize.vectorizeRings(tiles, spec, geoCoords = true).collect()
+      .map(r => (r.getDouble(1), r.getString(4))).sortBy(_._1)
+    assert(geo(1)._2 === "POLYGON((6.0 26.0,12.0 26.0,12.0 20.0,6.0 20.0,6.0 26.0))")
   }
 
   test("vertical band edges pair correctly (bbox of merged region)") {
