@@ -832,6 +832,18 @@ object SparkEntry {
       }.toDF("doc_id", "wav")
       graft.ops.Multimodal.audioFeatures(docs, "doc_id", "wav")
     },
+    "mm_video_frames" -> { (s, _) =>
+      // REAL AVI container walk + every-3rd-frame sampling: 40 docs with
+      // 12 frames of 64 deterministic bytes each
+      import s.implicits._
+      val docs = s.range(40).map { id =>
+        val frames = (0 until 12).map { fi =>
+          Array.tabulate[Byte](64)(j => (((j * 7 + fi * 11 + id * 13) % 256) & 0xff).toByte)
+        }
+        (id, graft.ops.Codecs.encodeAvi(320, 240, 33333, frames))
+      }.toDF("doc_id", "avi")
+      graft.ops.Multimodal.videoFrameSample(docs, "doc_id", "avi", stride = 3)
+    },
     "encode_latlng_roundtrip" -> { (s, dir) =>
       // reference-faithful full-cycle encode + atan2 decode must return
       // the original coordinate; rounding both sides to 6 decimals makes
@@ -1781,6 +1793,17 @@ object SparkEntry {
           CAST(sum(CASE WHEN prev IS NOT NULL AND ((v >= 0) <> (prev >= 0))
                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
         FROM lagged GROUP BY id""",
+
+    "mm_video_frames" ->
+      """WITH f AS (SELECT d.id, fi.fi, j.j,
+           (j*7 + fi*11 + id*13) % 256 AS b
+         FROM range(40) d(id), range(12) fi(fi), range(64) j(j)
+         WHERE fi % 3 = 0)
+        SELECT id AS doc_id, CAST(fi AS INTEGER) AS frame_idx,
+          320 AS width, 240 AS height, 33333 AS usec_per_frame,
+          12 AS total_frames, 64 AS frame_bytes,
+          CAST(sum(b) AS BIGINT) AS byte_sum
+        FROM f GROUP BY id, fi""",
 
     "encode_latlng_roundtrip" -> Pages.sqlWith(
       // trig-free: the decode must return the input; only the exact -180

@@ -203,6 +203,80 @@ object Codecs {
     out.toByteArray
   }
 
+  // --- AVI (RIFF container; frame PAYLOADS stay opaque) ---
+
+  /** Minimal AVI writer for fixtures: RIFF('AVI ') with an 'avih' main
+    * header (frame period, count, dimensions) and a 'movi' LIST of
+    * '00dc' frame chunks. Payload bytes are caller-provided (opaque).
+    */
+  def encodeAvi(width: Int, height: Int, usecPerFrame: Int,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = new ByteArrayOutputStream()
+    avih.write(le32(usecPerFrame)); avih.write(le32(0)) // maxBytesPerSec
+    avih.write(le32(0)); avih.write(le32(0x10))          // padding, flags
+    avih.write(le32(frames.size)); avih.write(le32(0))   // totalFrames, initial
+    avih.write(le32(1))                                  // streams
+    avih.write(le32(0))                                  // suggestedBufferSize
+    avih.write(le32(width)); avih.write(le32(height))
+    avih.write(new Array[Byte](16))                      // reserved
+    val hdrl = new ByteArrayOutputStream()
+    hdrl.write("hdrl".getBytes("US-ASCII"))
+    hdrl.write("avih".getBytes("US-ASCII")); hdrl.write(le32(avih.size()))
+    hdrl.write(avih.toByteArray)
+    val movi = new ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      movi.write("00dc".getBytes("US-ASCII")); movi.write(le32(f.length))
+      movi.write(f)
+      if (f.length % 2 == 1) movi.write(0) // RIFF word alignment
+    }
+    val body = new ByteArrayOutputStream()
+    body.write("AVI ".getBytes("US-ASCII"))
+    body.write("LIST".getBytes("US-ASCII")); body.write(le32(hdrl.size()))
+    body.write(hdrl.toByteArray)
+    body.write("LIST".getBytes("US-ASCII")); body.write(le32(movi.size()))
+    body.write(movi.toByteArray)
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.size()))
+    out.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  /** Parsed AVI: header metadata + raw frame payloads ('00dc'/'00db'
+    * chunks inside the 'movi' LIST, still encoded — payload decode is a
+    * codec concern, the container walk is not).
+    */
+  final case class Video(width: Int, height: Int, usecPerFrame: Int,
+                         totalFrames: Int, frames: Vector[Array[Byte]])
+
+  def decodeAvi(bytes: Array[Byte]): Video = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "AVI ", "not a RIFF/AVI file")
+    var width = 0; var height = 0; var usec = 0; var total = 0
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val tpe = new String(bytes, off, 4, "US-ASCII")
+        val len = readLe32(bytes, off + 4)
+        if (tpe == "LIST") {
+          walk(off + 12, off + 8 + len) // skip the 4-byte list type
+        } else if (tpe == "avih") {
+          usec = readLe32(bytes, off + 8)
+          total = readLe32(bytes, off + 24)
+          width = readLe32(bytes, off + 40)
+          height = readLe32(bytes, off + 44)
+        } else if (tpe.endsWith("dc") || tpe.endsWith("db")) {
+          frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+        }
+        off += 8 + len + (len & 1)
+      }
+    }
+    walk(12, bytes.length)
+    Video(width, height, usec, total, frames.result())
+  }
+
   /** Parsed audio: sample rate + PCM-16 samples (chunk walk tolerates
     * extra chunks before/after `data`).
     */

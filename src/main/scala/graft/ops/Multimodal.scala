@@ -80,6 +80,36 @@ object Multimodal {
         "ch0_sum", "ch1_sum", "ch2_sum", "ch3_sum")
   }
 
+  /** Video frame sampling over an AVI binary column: the RIFF container
+    * walk is REAL (Codecs.decodeAvi — header metadata + '00dc' frame
+    * payload extraction); every `stride`-th frame is emitted with exact
+    * integer payload stats. Payload DECODE (MJPEG etc.) stays a codec
+    * concern — the stand-in stats are computed on the still-encoded
+    * bytes, which the fixture formula reproduces.
+    */
+  def videoFrameSample(df: DataFrame, idCol: String, binCol: String,
+                       stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val v = Codecs.decodeAvi(bytes)
+          v.frames.zipWithIndex.collect {
+            case (f, i) if i % stride == 0 =>
+              var s = 0L
+              var j = 0
+              while (j < f.length) { s += f(j) & 0xff; j += 1 }
+              (id, i, v.width, v.height, v.usecPerFrame, v.totalFrames,
+                f.length, s)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "usec_per_frame",
+        "total_frames", "frame_bytes", "byte_sum")
+  }
+
   /** REAL audio decode over a WAV PCM-16 binary column
     * (Codecs.decodeWavPcm16): sample-rate/sample-count plus exact
     * integer stats (sum |s|, max |s|, zero crossings with sign(s)≥0).

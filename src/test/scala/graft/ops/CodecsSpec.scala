@@ -35,6 +35,16 @@ class CodecsSpec extends AnyFunSuite {
     assert(a.samples.toSeq === samples.toSeq)
   }
 
+  test("AVI container round-trips header metadata and frame payloads") {
+    val frames = (0 until 5).map(i => Array.tabulate[Byte](10 + i)(j => (i * 31 + j).toByte))
+    val bytes = Codecs.encodeAvi(320, 240, 40000, frames)
+    val v = Codecs.decodeAvi(bytes)
+    assert(v.width === 320 && v.height === 240)
+    assert(v.usecPerFrame === 40000 && v.totalFrames === 5)
+    assert(v.frames.length === 5)
+    frames.zip(v.frames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
   test("WAV parser skips unknown chunks before data") {
     val samples = Array[Short](1, -2, 3)
     val base = Codecs.encodeWavPcm16(samples, 8000)
