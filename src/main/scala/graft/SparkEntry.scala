@@ -421,6 +421,14 @@ object SparkEntry {
 
     // --- similarity search ---
     "ann_topk" -> { (s, dir) => Similarity.annTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5) },
+    "ann_ivf" -> { (s, dir) =>
+      // IVF with nprobe = nlist: the full machinery (k-means training,
+      // cell assignment, probe expansion, cell equi-join) runs on the
+      // oracle-checked path, and full probing makes it exactly brute
+      // force — same oracle as ann_topk. Partial-probe recall: IvfSpec.
+      Similarity.ivfTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5,
+        nlist = 8, nprobe = 8, iters = 2)
+    },
     "ann_cosine" -> { (s, dir) => Similarity.cosineTopK(embeddingsOf(s, dir), probeMaxId = 20, k = 5) },
     "ann_lsh" -> { (s, dir) =>
       Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 16, k = 5,
@@ -1167,6 +1175,7 @@ object SparkEntry {
     "dedup_simhash" -> (sqlToks + simhashOracleTail),
 
     "ann_topk" -> annTopKOracle,
+    "ann_ivf" -> annTopKOracle,
 
     "raster_resample_avg" -> (sqlPx +
       """ SELECT CAST(x // 4 AS INTEGER) AS x, CAST(y // 4 AS INTEGER) AS y, band,

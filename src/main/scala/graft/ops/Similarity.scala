@@ -62,6 +62,112 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF coarse-quantizer training — distributed Lloyd k-means over the
+    * milli-quantized vectors. Deterministic end to end: init = the nlist
+    * vectors with smallest xxhash64(vec_id, seed); each iteration
+    * broadcasts the centroids, assigns map-side (ties → lowest cell),
+    * and recomputes means with a typed reduceGroups (map-side partial
+    * combine — no per-dimension explode). Centroid table is nlist×dim
+    * doubles: driver-sized by construction, like the broadcast it feeds.
+    */
+  def ivfCentroids(embeddings: DataFrame, nlist: Int, iters: Int,
+                   seed: Int): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[Array[Double]] = q.toDF("vec_id", "q")
+      .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy("h", "vec_id").limit(nlist)
+      .select("q").as[Seq[Long]].collect()
+      .map(_.map(_.toDouble).toArray)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val next = q
+        .map { case (_, v) =>
+          (nearestCell(bc.value, v), (v.map(_.toDouble).toArray, 1L))
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a: (Int, (Array[Double], Long)), b: (Int, (Array[Double], Long))) =>
+          val (sa, na) = a._2; val (sb, nb) = b._2
+          val s = new Array[Double](sa.length)
+          var i = 0
+          while (i < s.length) { s(i) = sa(i) + sb(i); i += 1 }
+          (a._1, (s, na + nb))
+        }
+        .collect()
+      val updated = cents.clone()
+      next.foreach { case (cell, (_, (sum, n))) =>
+        updated(cell) = sum.map(_ / n)
+      }
+      cents = updated
+      it += 1
+    }
+    q.unpersist()
+    cents
+  }
+
+  private def nearestCell(cents: Array[Array[Double]], v: Seq[Long]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val ct = cents(c)
+      while (i < ct.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCells(cents: Array[Array[Double]], v: Seq[Long],
+                           nprobe: Int): Array[Int] = {
+    cents.indices.map { c =>
+      var d = 0.0; var i = 0
+      val ct = cents(c)
+      while (i < ct.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+      (d, c)
+    }.sorted.take(nprobe).map(_._2).toArray
+  }
+
+  /** IVF ANN search — the inverted-file scale path the survey names next
+    * to LSH: the corpus is partitioned into `nlist` k-means cells; each
+    * query scores ONLY the vectors in its `nprobe` nearest cells, so the
+    * candidate join is an equi-join on the cell id (shuffle bounded by
+    * corpus size × nprobe/nlist, never all-pairs). Scoring is the exact
+    * quantized dot product; with nprobe = nlist the search degenerates to
+    * exact brute force — that configuration is the oracle-checked query
+    * (identical to annTopK's oracle), and recall at nprobe < nlist is
+    * pinned in IvfSpec.
+    */
+  def ivfTopK(embeddings: DataFrame, probeMaxId: Long, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+              seed: Int = 41): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(embeddings, nlist, iters, seed)
+    val bc = spark.sparkContext.broadcast(cents)
+    val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])]
+    val assigned = q.map { case (id, v) => (nearestCell(bc.value, v), id, v) }
+      .toDF("cell", "vec_id", "q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = assigned.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id"), col("q")).as[(Long, Seq[Long])]
+      .flatMap { case (id, v) =>
+        nearestCells(bc.value, v, nprobe).map(c => (c, id, v))
+      }
+      .toDF("cell", "query_id", "pq")
+    val scored = probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("pq"), col("q")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN (scale path): random-hyperplane signatures from the
     * quantized vectors — sign of dot with deterministic ±1 pattern
     * vectors. The sign bit comes from bit 16 of a Knuth multiplicative
