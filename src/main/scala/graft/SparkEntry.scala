@@ -390,6 +390,7 @@ object SparkEntry {
 
     // --- text analysis (training-data pipeline ops) ---
     "text_stats" -> { (s, dir) => TextOps.textStats(documentsOf(s, dir)) },
+    "text_bpe_tokens" -> { (s, dir) => TextOps.bpeTokenCount(documentsOf(s, dir)) },
     "text_quality" -> { (s, dir) => TextOps.qualityScore(documentsOf(s, dir)) },
     "text_langid" -> { (s, dir) => TextOps.langId(documentsOf(s, dir)) },
     "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(documentsOf(s, dir)) },
@@ -1085,6 +1086,17 @@ object SparkEntry {
         sums AS (SELECT x, y, sum(band * v) AS sty, sum(v) AS sy
          FROM px4 GROUP BY x, y)
         SELECT x, y, 0 AS band, (4.0 * sty - 6.0 * sy) / 20.0 AS v FROM sums""",
+
+    "text_bpe_tokens" ->
+      // IDENTICAL regex runs under RE2 here and Java regex in the engine
+      // (pattern is lookahead-free by construction)
+      """SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
+            AS n_pretokens,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+            AS n_ws_tokens
+        FROM documents""",
 
     "text_stats" -> (sqlToks +
       """ SELECT d.doc_id, length(d.text) AS n_chars,

@@ -30,6 +30,25 @@ object TextOps {
       (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
         .cast("long").as("n_spaces"))
 
+  /** GPT-2-style BPE pretokenizer pattern, minus the trailing-space
+    * lookahead (RE2-incompatible) so the SAME regex runs in the DuckDB
+    * oracle: contractions, space-prefixed letter/digit/punctuation runs,
+    * whitespace runs. Verified to tokenize identically under Java regex
+    * and RE2.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pretoken count per doc — the cheap LLM-cost estimator (BPE merges
+    * only split pretokens further, so this lower-bounds real token
+    * counts at roughly the right scale).
+    */
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+        .cast("long").as("n_pretokens"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
+
   /** Quality score: tokens-per-char density and distinct ratio — the
     * length/ratio style heuristics of web-corpus quality filtering.
     * Kept as exact ratios of integers.
