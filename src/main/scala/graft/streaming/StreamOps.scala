@@ -35,6 +35,20 @@ object StreamOps {
     * (user_id, session_start_ms, n_events) per closed session.
     * Batch equivalent: ops/Events.sessionize (lag-window form).
     */
+  /** Streaming exact dedup on the content digest — the incremental form
+    * of Dedup.exact: first occurrence of each md5(text) within the
+    * watermark horizon passes, later duplicates are dropped, and state
+    * for digests older than the watermark is evicted (bounded state at
+    * web-scale ingest; cross-horizon dups are the batch job's business).
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("ets", col(tsCol).cast("timestamp"))
+      .withColumn("text_md5", md5(encode(col(textCol), "UTF-8")))
+      .withWatermark("ets", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   def sessionizeStream(events: DataFrame, gapSec: Long = 1800): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession

@@ -59,6 +59,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per content digest") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_src").toString
+    val rows = (0 until 300).map { i =>
+      (new java.sql.Timestamp(1700000000000L + i * 1000L), s"doc-${i % 80}")
+    }
+    spark.createDataFrame(rows).toDF("ts", "text").write.parquet(s"$dir/p")
+    val schema = spark.read.parquet(s"$dir/p").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/p")
+    val q = StreamOps.dedupStream(stream, "ts", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_s").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_s").select("text").collect().map(_.getString(0))
+      assert(got.length === 80)
+      assert(got.toSet === (0 until 80).map(i => s"doc-$i").toSet)
+    } finally q.stop()
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) closes sessions like batch") {
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val stream = StreamOps.eventStream(spark,
