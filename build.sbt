@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked `run` output through UNPREFIXED: sbt's default LoggedOutput
+// wraps every stdout line in "[info] ", which broke the driver's parse of
+// Bench's compact JSON line in rounds 1-2 (BENCH_r0{1,2}.json: parsed=null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

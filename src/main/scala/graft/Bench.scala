@@ -350,8 +350,14 @@ object Bench {
     System.err.println(s"[bench] full results -> $fullPath")
 
     // compact stdout line: headline queries only, so the line survives
-    // log-tail truncation and stays machine-parseable
+    // log-tail truncation and stays machine-parseable. Also persisted to
+    // bench_compact.json: belt-and-braces for the r1/r2 failure where
+    // sbt's log prefix made the stdout line unparseable (now ALSO fixed
+    // at the source via run/outputStrategy := StdoutOutput in build.sbt).
     val hl = results.filter { case (k, _) => headline.contains(k) }
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qjson(hl)},"sf":"$sfDir","scaling":$scaling}""")
+    val compact =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qjson(hl)},"sf":"$sfDir","scaling":$scaling}"""
+    Files.write(Paths.get("bench_compact.json").toAbsolutePath, compact.getBytes("UTF-8"))
+    println(compact)
   }
 }

@@ -34,6 +34,32 @@ object PolyUnion {
 
   /** Union of simple polygons (holes honored via Polygon.contains). */
   def union(polys: Seq[Polygon]): RectUnion.Union = {
+    def cov(x: Double, y: Double): Int = {
+      var c = 0; var p = 0
+      while (p < polys.length) { if (polys(p).contains(x, y)) c += 1; p += 1 }
+      c
+    }
+    overlayEdges(polys, (x, y) => cov(x, y) > 0)
+  }
+
+  /** Generic boolean overlay of two polygon sets via the same
+    * noding + side-classification + tracing kernel: a sub-segment is on
+    * the result boundary iff `keep(inA, inB)` differs across its two
+    * sides — Intersection = `_ && _` (the clip kernel, reference:
+    * buteo/vector/clip.py:1-260 via GDAL/GEOS Intersection),
+    * Difference = `_ && !_`, Union = `_ || _`, Xor = `_ != _`.
+    */
+  def overlay(a: Seq[Polygon], b: Seq[Polygon],
+              keep: (Boolean, Boolean) => Boolean): RectUnion.Union =
+    overlayEdges(a ++ b, (x, y) =>
+      keep(a.exists(_.contains(x, y)), b.exists(_.contains(x, y))))
+
+  /** Core kernel: node all edges of `polys`, keep sub-segments where the
+    * `inside` predicate differs between the two side samples, orient
+    * interior-on-left, trace rings.
+    */
+  private def overlayEdges(polys: Seq[Polygon],
+                           inside: (Double, Double) => Boolean): RectUnion.Union = {
     // --- gather directed input edges (orientation irrelevant here) ---
     val ax = collection.mutable.ArrayBuffer.empty[Double]
     val ay = collection.mutable.ArrayBuffer.empty[Double]
@@ -117,11 +143,6 @@ object PolyUnion {
     }
 
     // --- 2. classify sides; keep boundary sub-segments interior-on-left ---
-    def coverage(x: Double, y: Double): Int = {
-      var c = 0; var p = 0
-      while (p < polys.length) { if (polys(p).contains(x, y)) c += 1; p += 1 }
-      c
-    }
     def q(v: Double): Long = math.round(v / quantum)
     val seen = collection.mutable.HashSet.empty[(Long, Long, Long, Long)]
     val segs = collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
@@ -131,12 +152,9 @@ object PolyUnion {
       val len = math.sqrt(dx * dx + dy * dy)
       if (len > quantum) {
         val nx = -dy / len; val ny = dx / len // left normal
-        val covL = coverage(mx + nx * offset, my + ny * offset)
-        val covR = coverage(mx - nx * offset, my - ny * offset)
-        val dir =
-          if (covL > 0 && covR == 0) 1
-          else if (covR > 0 && covL == 0) -1
-          else 0
+        val inL = inside(mx + nx * offset, my + ny * offset)
+        val inR = inside(mx - nx * offset, my - ny * offset)
+        val dir = if (inL && !inR) 1 else if (inR && !inL) -1 else 0
         if (dir != 0) {
           val key =
             if (dir > 0) (q(x1), q(y1), q(x2), q(y2)) else (q(x2), q(y2), q(x1), q(y1))

@@ -25,6 +25,30 @@ object RectUnion {
 
   def union(polys: Seq[Polygon]): Union = {
     require(polys.nonEmpty, "union of zero polygons")
+    run(polys, (x, y) => polys.exists(_.contains(x, y)))
+  }
+
+  /** Generic rectilinear boolean overlay: cell is in the result iff
+    * `keep(inA, inB)` — Intersection = `_ && _`, Difference = `_ && !_`,
+    * Union = `_ || _`, Xor = `_ != _`. Same exact grid-decomposition
+    * kernel as `union` (reference: buteo/vector/clip.py:1-260 reaches
+    * polygon clipping through GDAL/GEOS; this is the from-scratch exact
+    * kernel for the rectilinear class).
+    */
+  def overlay(a: Seq[Polygon], b: Seq[Polygon],
+              keep: (Boolean, Boolean) => Boolean): Union = {
+    if (a.isEmpty && b.isEmpty) return Union(0.0, Seq.empty)
+    run(a ++ b, (x, y) =>
+      keep(a.exists(_.contains(x, y)), b.exists(_.contains(x, y))))
+  }
+
+  /** Grid decomposition over the vertex lattice of `latticePolys`; cell
+    * coverage decided by `inside` sampled at the cell center (exact for
+    * rectilinear inputs: no edge crosses a lattice cell).
+    */
+  private def run(latticePolys: Seq[Polygon],
+                  inside: (Double, Double) => Boolean): Union = {
+    val polys = latticePolys
     val xs = polys.flatMap(_.rings.flatMap(r => (0 until r.length by 2).map(r(_))))
       .distinct.sorted.toArray
     val ys = polys.flatMap(_.rings.flatMap(r => (1 until r.length by 2).map(r(_))))
@@ -39,7 +63,7 @@ object RectUnion {
       while (j < ny) {
         val cx = (xs(i) + xs(i + 1)) / 2.0
         val cy = (ys(j) + ys(j + 1)) / 2.0
-        covered(i)(j) = polys.exists(_.contains(cx, cy))
+        covered(i)(j) = inside(cx, cy)
         j += 1
       }
       i += 1

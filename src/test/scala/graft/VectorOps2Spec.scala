@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.{Polygon, PolyUnion, RectUnion, Wkt}
+import graft.ops.VectorOps2
+
+/** vector_clip / vector_erase / vector_buffer / vector_reproject
+  * (reference: buteo/vector/clip.py, buffer.py, reproject.py;
+  * tests: tests/tests_vector/test_vector_buffer.py).
+  */
+class VectorOps2Spec extends AnyFunSuite {
+
+  lazy val spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  private def rectWkt(x0: Double, y0: Double, w: Double, h: Double): String =
+    s"POLYGON(($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h}, $x0 ${y0 + h}, $x0 $y0))"
+
+  private def df1(wkt: String) = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, wkt)).toDF("fid", "wkt")
+  }
+
+  test("clip: rect ∩ rect = exact sub-rect") {
+    val clips = Seq((7L, Polygon.box(graft.geo.BBox(2.0, 6.0, 1.0, 5.0))))
+    val r = VectorOps2.clip(df1(rectWkt(0, 0, 4, 3)), clips, "wkt", "fid").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Double]("clip_area") == 4.0)
+    assert(row.getAs[Double]("x_min") == 2.0 && row.getAs[Double]("x_max") == 4.0)
+    assert(row.getAs[Double]("y_min") == 1.0 && row.getAs[Double]("y_max") == 3.0)
+    assert(row.getAs[Long]("n_pts") == 4L)
+  }
+
+  test("clip: disjoint pair emits nothing; contained feature passes whole") {
+    val clips = Seq((1L, Polygon.box(graft.geo.BBox(100.0, 110.0, 100.0, 110.0))),
+      (2L, Polygon.box(graft.geo.BBox(-10.0, 50.0, -10.0, 50.0))))
+    val r = VectorOps2.clip(df1(rectWkt(0, 0, 4, 3)), clips, "wkt", "fid").collect()
+    assert(r.length == 1) // only clip 2 overlaps
+    assert(r(0).getAs[Long]("clip_id") == 2L)
+    assert(r(0).getAs[Double]("clip_area") == 12.0)
+  }
+
+  test("clip: triangle ∩ square (general kernel) has the exact area") {
+    // right triangle (0,0)-(8,0)-(0,8) clipped by square [0,6]x[0,6]:
+    // area = 36 - 4*4/2 = 28  (square minus the corner cut by x+y=8)
+    val tri = "POLYGON((0 0, 8 0, 0 8, 0 0))"
+    val clips = Seq((1L, Polygon.box(graft.geo.BBox(0.0, 6.0, 0.0, 6.0))))
+    val r = VectorOps2.clip(df1(tri), clips, "wkt", "fid").collect()
+    assert(r.length == 1)
+    assert(math.abs(r(0).getAs[Double]("clip_area") - 28.0) < 1e-9)
+  }
+
+  test("erase: rect minus rect = L-shape area") {
+    val clips = Seq((7L, Polygon.box(graft.geo.BBox(2.0, 6.0, 1.0, 5.0))))
+    val r = VectorOps2.erase(df1(rectWkt(0, 0, 4, 3)), clips, "wkt", "fid").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("erase_area") == 8.0)
+  }
+
+  test("erase: untouched feature passes through with original area") {
+    val clips = Seq((7L, Polygon.box(graft.geo.BBox(50.0, 60.0, 50.0, 60.0))))
+    val r = VectorOps2.erase(df1(rectWkt(0, 0, 4, 3)), clips, "wkt", "fid").collect()
+    assert(r(0).getAs[Double]("erase_area") == 12.0)
+  }
+
+  test("buffer square joins on rect = exact grown rect (buteo test_vector_buffer parity)") {
+    val r = VectorOps2.buffer(df1(rectWkt(0, 0, 4, 3)), "wkt", "fid", lit(2.0),
+      joinStyle = "square").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Double]("buf_area") == 56.0) // (4+4)*(3+4)
+    assert(row.getAs[Double]("x_min") == -2.0 && row.getAs[Double]("x_max") == 6.0)
+    assert(row.getAs[Double]("y_min") == -2.0 && row.getAs[Double]("y_max") == 5.0)
+    assert(row.getAs[Long]("n_pts") == 4L)
+  }
+
+  test("buffer round joins: area = rect + perimeter*d + inscribed-4q-gon disc") {
+    val q = 8; val d = 2.0
+    val r = VectorOps2.buffer(df1(rectWkt(0, 0, 4, 3)), "wkt", "fid", lit(d),
+      joinStyle = "round", quadSegs = q).collect()
+    val expected = 12.0 + 14.0 * d + 2 * q * d * d * math.sin(math.Pi / (2 * q))
+    assert(math.abs(r(0).getAs[Double]("buf_area") - expected) < 1e-6,
+      s"got ${r(0).getAs[Double]("buf_area")} want $expected")
+    // corners carry arc vertices: strictly more than the 4 rect corners
+    assert(r(0).getAs[Long]("n_pts") > 4L)
+  }
+
+  test("buffer negative distance erodes") {
+    val r = VectorOps2.buffer(df1(rectWkt(0, 0, 4, 3)), "wkt", "fid", lit(-1.0),
+      joinStyle = "square").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("buf_area") == 2.0) // (4-2)*(3-2)
+    assert(r(0).getAs[Double]("x_min") == 1.0 && r(0).getAs[Double]("x_max") == 3.0)
+  }
+
+  test("buffer negative distance that consumes the polygon drops the row") {
+    val r = VectorOps2.buffer(df1(rectWkt(0, 0, 4, 3)), "wkt", "fid", lit(-2.0),
+      joinStyle = "square").collect()
+    assert(r.isEmpty)
+  }
+
+  test("buffer distance from attribute column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, rectWkt(0, 0, 4, 3), 1.0), (2L, rectWkt(10, 10, 2, 2), 3.0))
+      .toDF("fid", "wkt", "d")
+    val r = VectorOps2.buffer(df, "wkt", "fid", col("d"), joinStyle = "square")
+      .orderBy("fid").collect()
+    assert(r(0).getAs[Double]("buf_area") == 30.0) // 6*5
+    assert(r(1).getAs[Double]("buf_area") == 64.0) // 8*8
+  }
+
+  test("buffer of polygon with hole: hole shrinks by d") {
+    // shell [0,10]^2 with hole [4,6]^2; buffer d=1 square joins:
+    // shell grows to 12x12, hole erodes to nothing? hole 2x2 shrinks by 1
+    // on each side -> gone. area = 144.
+    val wkt = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 4 6, 6 6, 6 4, 4 4))"
+    val r = VectorOps2.buffer(df1(wkt), "wkt", "fid", lit(1.0),
+      joinStyle = "square").collect()
+    assert(r(0).getAs[Double]("buf_area") == 144.0)
+    // d=0.5: hole survives as 1x1 -> area 121 - 1 = 120
+    val r2 = VectorOps2.buffer(df1(wkt), "wkt", "fid", lit(0.5),
+      joinStyle = "square").collect()
+    assert(r2(0).getAs[Double]("buf_area") == 120.0)
+    assert(r2(0).getAs[Long]("n_rings") == 2L)
+  }
+
+  test("reprojectLayer 4326→3857: x is linear in lon; roundtrip ≈ identity") {
+    val r = VectorOps2.reprojectLayer(df1(rectWkt(10, 40, 2, 3)), "wkt", "fid",
+      4326, 3857).collect()
+    val k = 20037508.342789244 / 180.0
+    assert(math.abs(r(0).getAs[Double]("x_min") - 10.0 * k) < 1e-6)
+    assert(math.abs(r(0).getAs[Double]("x_max") - 12.0 * k) < 1e-6)
+    val back = VectorOps2.reprojectLayer(
+      VectorOps2.reprojectLayer(df1(rectWkt(10, 40, 2, 3)), "wkt", "fid", 4326, 3857)
+        .withColumnRenamed("wkt", "w2"), "w2", "fid", 3857, 4326).collect()
+    assert(math.abs(back(0).getAs[Double]("x_min") - 10.0) < 1e-9)
+    assert(math.abs(back(0).getAs[Double]("y_max") - 43.0) < 1e-9)
+  }
+
+  test("PolyUnion.overlay intersection of two overlapping squares (general)") {
+    // rotated-ish: use a diamond ∩ square
+    val diamond = Polygon(Array(Array(2.0, 0.0, 4.0, 2.0, 2.0, 4.0, 0.0, 2.0)))
+    val square = Polygon.box(graft.geo.BBox(0.0, 2.0, 0.0, 2.0))
+    val u = PolyUnion.overlay(Seq(diamond), Seq(square), _ && _)
+    // intersection = triangle (2,0)-(2,2)-(0,2) .. area 2
+    assert(math.abs(u.area - 2.0) < 1e-9)
+    val ur = RectUnion.overlay(Seq(Polygon.box(graft.geo.BBox(0.0, 4.0, 0.0, 4.0))),
+      Seq(Polygon.box(graft.geo.BBox(2.0, 6.0, 2.0, 6.0))), _ && _)
+    assert(ur.area == 4.0)
+  }
+}
