@@ -47,6 +47,23 @@ object SparkEntry {
          CAST((x*7 + y*13 + b*5) % 97 AS DOUBLE) AS v,
          0.0 + (x + 0.5) * 0.25 AS gx, 64.0 + (y + 0.5) * -0.25 AS gy
        FROM range(256) r1(x), range(256) r2(y), range(2) r3(b))"""
+
+  /** Small plane for the WINDOW-family oracles (convolve/morphology/
+    * distance/fill): same generator on 96×96×2, tile 32 — a 3×3 tile
+    * grid per band still exercises cross-tile halos in both dims, while
+    * the DuckDB neighbor-join oracle drops from 30-60 s to ~1 s per
+    * query. The 256-plane versions of these 24 oracles cost the driver
+    * gate ~15 min of DuckDB alone and blew the round-2 budget
+    * (VERDICT r2 §What's wrong #1 — CORRECTNESS_r02.json = `{}`).
+    */
+  val convSpec: RasterSpec =
+    RasterSpec(0.0, 64.0, 0.25, -0.25, 96, 96, 32, 2)
+  private val sqlPxConv =
+    """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+         CAST(b AS INTEGER) AS band,
+         CAST((x*7 + y*13 + b*5) % 97 AS DOUBLE) AS v,
+         0.0 + (x + 0.5) * 0.25 AS gx, 64.0 + (y + 0.5) * -0.25 AS gy
+       FROM range(96) r1(x), range(96) r2(y), range(2) r3(b))"""
   private val clipRect = BBox(10.5, 40.25, 20.0, 50.5)
   /** (zone_id, xMin, xMax, yMin, yMax) in raster geo coords. */
   private val zoneRects: Seq[(Long, Double, Double, Double, Double)] = Seq(
@@ -325,15 +342,15 @@ object SparkEntry {
     "raster_convolve_sum" -> { (s, _) =>
       // raw (unnormalised) all-ones kernel; edges renormalize weights back
       // to the kernel total (reference base.py:153-156) → sum*9/n
-      val conv = TileOps.convolve(TileOps.createRaster(s, rasterSpec)(rasterValue),
+      val conv = TileOps.convolve(TileOps.createRaster(s, convSpec)(rasterValue),
         radius = 1, method = "sum", normalised = false)
-      TileOps.toPixels(conv, rasterSpec.tileSize)
+      TileOps.toPixels(conv, convSpec.tileSize)
     },
 
     "raster_convolve_median" -> { (s, _) =>
-      val conv = TileOps.convolve(TileOps.createRaster(s, rasterSpec)(rasterValue),
+      val conv = TileOps.convolve(TileOps.createRaster(s, convSpec)(rasterValue),
         radius = 1, method = "median")
-      TileOps.toPixels(conv, rasterSpec.tileSize)
+      TileOps.toPixels(conv, convSpec.tileSize)
     },
 
     // --- align / morphology / stack / timeseries ---
@@ -347,12 +364,12 @@ object SparkEntry {
 
     "raster_erode" -> { (s, _) =>
       TileOps.toPixels(TileOps2.erode(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1), convSpec.tileSize)
     },
 
     "raster_open" -> { (s, _) =>
       TileOps.toPixels(TileOps2.open(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1), convSpec.tileSize)
     },
 
     "raster_stack" -> { (s, _) =>
@@ -475,15 +492,15 @@ object SparkEntry {
     },
     "raster_tophat" -> { (s, _) =>
       TileOps.toPixels(TileOps2.tophat(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1), convSpec.tileSize)
     },
     "raster_bothat" -> { (s, _) =>
       TileOps.toPixels(TileOps2.bothat(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1), convSpec.tileSize)
     },
     "raster_morph_diff" -> { (s, _) =>
       TileOps.toPixels(TileOps2.morphDifference(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1), convSpec.tileSize)
     },
     "raster_theilsen" -> { (s, _) =>
       val spec4 = rasterSpec.copy(bands = 4)
@@ -498,7 +515,7 @@ object SparkEntry {
     },
     "raster_unsharp" -> { (s, _) =>
       TileOps.toPixels(TileOps2.unsharpMask(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, 0.5), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, 0.5), convSpec.tileSize)
     },
     "raster_rgb_hsl" -> { (s, _) =>
       val spec3 = rasterSpec.copy(bands = 3)
@@ -525,65 +542,65 @@ object SparkEntry {
     },
     "raster_convolve_quantile" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "quantile25"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "quantile25"), convSpec.tileSize)
     },
     "raster_convolve_occurrences" -> { (s, _) =>
       // center-value occurrence count (our extension; the reference's
       // occurrences matches func_value — covered by raster_convolve_feather)
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "occurrences_center"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "occurrences_center"), convSpec.tileSize)
     },
 
     "raster_convolve_mean" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "mean"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "mean"), convSpec.tileSize)
     },
 
     "raster_convolve_contrast" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "contrast",
-        normalised = false), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "contrast",
+        normalised = false), convSpec.tileSize)
     },
 
     "raster_convolve_zscore" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "zscore"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "zscore"), convSpec.tileSize)
     },
 
     "raster_convolve_zscore_mad" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "zscore_mad"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "zscore_mad"), convSpec.tileSize)
     },
 
     "raster_convolve_roughness" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "roughness"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "roughness"), convSpec.tileSize)
     },
 
     "raster_convolve_tri" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "tri"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "tri"), convSpec.tileSize)
     },
 
     "raster_convolve_tpi" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "tpi"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "tpi"), convSpec.tileSize)
     },
 
     "raster_convolve_feather" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "feather",
-        funcValue = 0.0), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "feather",
+        funcValue = 0.0), convSpec.tileSize)
     },
 
     "raster_convolve_sigmalee" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "sigma_lee"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "sigma_lee"), convSpec.tileSize)
     },
 
     "raster_convolve_mad" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "mad"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "mad"), convSpec.tileSize)
     },
 
     "raster_shift" -> { (s, _) =>
@@ -734,11 +751,11 @@ object SparkEntry {
     // --- more convolution methods / rasterize / band ops ---
     "raster_convolve_variance" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "variance"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "variance"), convSpec.tileSize)
     },
     "raster_convolve_mode" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
-        TileOps.createRaster(s, rasterSpec)(rasterValue), 1, "mode"), rasterSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), 1, "mode"), convSpec.tileSize)
     },
     "raster_rasterize" -> { (s, _) =>
       TileOps.toPixels(TileOps2.rasterize(s, rasterSpec.copy(bands = 1), zonePolys),
@@ -751,16 +768,16 @@ object SparkEntry {
 
     "raster_distance" -> { (s, _) =>
       // Chebyshev distance (bound 3) to pixels with value 0
-      val r = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
+      val r = TileOps.createRaster(s, convSpec.copy(bands = 1))(
         (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
-      TileOps.toPixels(graft.tiles.TileOps3.distanceTransform(r, 0.0, 3), rasterSpec.tileSize)
+      TileOps.toPixels(graft.tiles.TileOps3.distanceTransform(r, 0.0, 3), convSpec.tileSize)
     },
 
     "raster_fill" -> { (s, _) =>
       // nodata holes where v%97==0, one inverse-distance fill pass
-      val r = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
+      val r = TileOps.createRaster(s, convSpec.copy(bands = 1))(
         (x, y, _) => { val v = (x * 7 + y * 13) % 97; if (v == 0) -9999.0 else v.toDouble })
-      TileOps.toPixels(graft.tiles.TileOps3.fillNearest(r, 1), rasterSpec.tileSize)
+      TileOps.toPixels(graft.tiles.TileOps3.fillNearest(r, 1), convSpec.tileSize)
     },
 
     // --- vectorize (raster → constant-value regions; buteo vectorize.py) ---
@@ -1006,14 +1023,14 @@ object SparkEntry {
 
     "raster_zonal_full" -> zonalFullOracle,
 
-    "raster_convolve_sum" -> (sqlPx +
+    "raster_convolve_sum" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band, (sum(b.v) * 9.0) / count(*) AS v
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY 1, 2, 3"""),
 
-    "raster_convolve_median" -> (sqlPx +
+    "raster_convolve_median" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band, median(b.v) AS v
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
@@ -1035,14 +1052,14 @@ object SparkEntry {
           CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS vsum, CAST(count(*) AS BIGINT) AS n_px
         FROM vals GROUP BY 1, 2""",
 
-    "raster_erode" -> (sqlPx +
+    "raster_erode" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band, min(b.v) AS v
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY 1, 2, 3"""),
 
-    "raster_open" -> (sqlPx +
+    "raster_open" -> (sqlPxConv +
       """, ero AS (SELECT a.x, a.y, a.band, min(b.v) AS v
           FROM px a JOIN px b
             ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
@@ -1232,7 +1249,7 @@ object SparkEntry {
           sqrt(sum(v * v) / count(*)) AS v
         FROM px GROUP BY 1, 2, 3"""),
 
-    "raster_tophat" -> (sqlPx +
+    "raster_tophat" -> (sqlPxConv +
       """, ero AS (SELECT a.x, a.y, a.band, min(b.v) AS v
           FROM px a JOIN px b
             ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
@@ -1246,7 +1263,7 @@ object SparkEntry {
         SELECT p.x, p.y, p.band, p.v - o.v AS v
         FROM px p JOIN opened o ON o.x = p.x AND o.y = p.y AND o.band = p.band"""),
 
-    "raster_bothat" -> (sqlPx +
+    "raster_bothat" -> (sqlPxConv +
       """, dil AS (SELECT a.x, a.y, a.band, max(b.v) AS v
           FROM px a JOIN px b
             ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
@@ -1260,7 +1277,7 @@ object SparkEntry {
         SELECT p.x, p.y, p.band, c.v - p.v AS v
         FROM px p JOIN closed c ON c.x = p.x AND c.y = p.y AND c.band = p.band"""),
 
-    "raster_morph_diff" -> (sqlPx +
+    "raster_morph_diff" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band, max(b.v) - min(b.v) AS v
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
@@ -1311,7 +1328,7 @@ object SparkEntry {
 
     "raster_dem_gradients" -> demGradOracle,
 
-    "raster_convolve_quantile" -> (sqlPx +
+    "raster_convolve_quantile" -> (sqlPxConv +
       // the reference's weighted-quantile with equal weights interpolates
       // at position q*n - 0.5 (funcs.py:115-130), not quantile_cont's
       // q*(n-1)
@@ -1331,7 +1348,7 @@ object SparkEntry {
           END AS v
         FROM hood"""),
 
-    "raster_convolve_occurrences" -> (sqlPx +
+    "raster_convolve_occurrences" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band,
           CAST(count(*) FILTER (WHERE b.v = a.v) AS DOUBLE) AS v
         FROM px a JOIN px b
@@ -1339,7 +1356,7 @@ object SparkEntry {
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY a.x, a.y, a.band, a.v"""),
 
-    "raster_convolve_sigmalee" -> (sqlPx +
+    "raster_convolve_sigmalee" -> (sqlPxConv +
       // reference sigma-lee (funcs.py:202-242): select |v| >= σ (first
       // attempt's criterion — later attempts only re-count), mean of the
       // selection; fall back to the hood mean if nothing selects
@@ -1359,14 +1376,14 @@ object SparkEntry {
           AND b.y BETWEEN st.y - 1 AND st.y + 1
         GROUP BY st.x, st.y, st.band, st.n, st.s, st.s2"""),
 
-    "raster_convolve_mean" -> (sqlPx +
+    "raster_convolve_mean" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band, sum(b.v) / count(*) AS v
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY 1, 2, 3"""),
 
-    "raster_convolve_contrast" -> (sqlPx +
+    "raster_convolve_contrast" -> (sqlPxConv +
       // |max(v·w) - min(v/(w+1e-7))| with raw uniform weights w=1
       // (funcs.py:100-111)
       """ SELECT a.x, a.y, a.band,
@@ -1376,7 +1393,7 @@ object SparkEntry {
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY 1, 2, 3"""),
 
-    "raster_convolve_zscore" -> (sqlPx +
+    "raster_convolve_zscore" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band,
           (a.v - sum(b.v) / count(*))
             / sqrt((sum(b.v * b.v) - sum(b.v) * sum(b.v) / count(*)) / count(*)) AS v
@@ -1385,7 +1402,7 @@ object SparkEntry {
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY a.x, a.y, a.band, a.v"""),
 
-    "raster_convolve_zscore_mad" -> (sqlPx +
+    "raster_convolve_zscore_mad" -> (sqlPxConv +
       """, med AS (SELECT a.x, a.y, a.band, a.v AS cv, median(b.v) AS m
           FROM px a JOIN px b
             ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
@@ -1398,21 +1415,21 @@ object SparkEntry {
           AND b.y BETWEEN med.y - 1 AND med.y + 1
         GROUP BY med.x, med.y, med.band, med.cv, med.m"""),
 
-    "raster_convolve_roughness" -> (sqlPx +
+    "raster_convolve_roughness" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band, max(abs(b.v - a.v)) AS v
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY a.x, a.y, a.band, a.v"""),
 
-    "raster_convolve_tri" -> (sqlPx +
+    "raster_convolve_tri" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band, sum(abs(b.v - a.v)) / (count(*) - 1) AS v
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY a.x, a.y, a.band, a.v"""),
 
-    "raster_convolve_tpi" -> (sqlPx +
+    "raster_convolve_tpi" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band,
           abs(a.v - (sum(b.v) - a.v) / (count(*) - 1)) AS v
         FROM px a JOIN px b
@@ -1420,7 +1437,7 @@ object SparkEntry {
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY a.x, a.y, a.band, a.v"""),
 
-    "raster_convolve_feather" -> (sqlPx +
+    "raster_convolve_feather" -> (sqlPxConv +
       // Σw[v==0] normalized twice: by present count (edge renorm of the
       // normalized kernel) and by hood size (funcs.py:76-97 normalise)
       """ SELECT a.x, a.y, a.band,
@@ -1430,7 +1447,7 @@ object SparkEntry {
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY 1, 2, 3"""),
 
-    "raster_convolve_mad" -> (sqlPx +
+    "raster_convolve_mad" -> (sqlPxConv +
       """, med AS (SELECT a.x, a.y, a.band, median(b.v) AS m
           FROM px a JOIN px b
             ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
@@ -1589,7 +1606,7 @@ object SparkEntry {
           min(fid) AS min_fid, max(fid) AS max_fid
         FROM hits GROUP BY qid""",
 
-    "raster_convolve_variance" -> (sqlPx +
+    "raster_convolve_variance" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band,
           (sum(b.v * b.v) - sum(b.v) * sum(b.v) / count(*)) / count(*) AS v
         FROM px a JOIN px b
@@ -1597,7 +1614,7 @@ object SparkEntry {
           AND b.y BETWEEN a.y - 1 AND a.y + 1
         GROUP BY 1, 2, 3"""),
 
-    "raster_convolve_mode" -> (sqlPx +
+    "raster_convolve_mode" -> (sqlPxConv +
       """, freq AS (SELECT a.x, a.y, a.band, b.v, count(*) AS cnt
           FROM px a JOIN px b
             ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
@@ -1623,7 +1640,7 @@ object SparkEntry {
     "raster_distance" ->
       """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
            0 AS band, CAST((x*7 + y*13) % 97 AS DOUBLE) AS v
-         FROM range(256) r1(x), range(256) r2(y))
+         FROM range(96) r1(x), range(96) r2(y))
         SELECT a.x, a.y, a.band,
           CAST(COALESCE(min(CASE WHEN b.v = 0
             THEN GREATEST(ABS(b.x - a.x), ABS(b.y - a.y)) END), 4) AS DOUBLE) AS v
@@ -1636,7 +1653,7 @@ object SparkEntry {
            0 AS band,
            CASE WHEN (x*7 + y*13) % 97 = 0 THEN -9999.0
                 ELSE CAST((x*7 + y*13) % 97 AS DOUBLE) END AS v
-         FROM range(256) r1(x), range(256) r2(y))
+         FROM range(96) r1(x), range(96) r2(y))
         SELECT a.x, a.y, a.band,
           CASE WHEN a.v <> -9999.0 THEN a.v
                ELSE COALESCE(sum(b.v) FILTER (WHERE b.v <> -9999.0)
@@ -1759,7 +1776,7 @@ object SparkEntry {
 
     "raster_sobel" -> sobelOracle,
 
-    "raster_unsharp" -> (sqlPx +
+    "raster_unsharp" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band, a.v + 0.5 * (a.v - sum(b.v) / count(*)) AS v
         FROM px a JOIN px b
           ON b.band = a.band AND b.x BETWEEN a.x - 1 AND a.x + 1
