@@ -38,7 +38,7 @@ object Bench {
   /** Queries included in the compact stdout JSON (full map goes to file). */
   private val headline = Seq(
     "tpch_q1", "tpch_q3", "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs",
-    "dedup_jaccard_pairs", "dedup_simhash", "ann_topk", "ann_cosine", "ann_lsh",
+    "dedup_jaccard_pairs", "dedup_simhash", "ann_topk", "ann_lsh",
     "geo_pip", "geo_cell_counts", "geo_knn_cell", "raster_convolve_median",
     "raster_convolve_mad", "raster_distance", "raster_zonal", "raster_vectorize",
     "raster_predict_merge", "text_langid", "mm_features")

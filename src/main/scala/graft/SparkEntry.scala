@@ -150,6 +150,25 @@ object SparkEntry {
     """qs AS (SELECT id AS qid, CAST(id * 8 AS INTEGER) AS x0,
          CAST(id * 4 AS INTEGER) AS y0, 6 AS w, 7 AS h FROM range(10) t(id))"""
 
+  /** Second deterministic plane for mixup/cutmix sources. */
+  private def mixValue(x: Int, y: Int, b: Int): Double =
+    ((x * 3 + y * 11 + b * 7) % 89).toDouble
+  private val sqlMixV = "CAST((x*3 + y*11 + band*7) % 89 AS DOUBLE)"
+
+  /** Clip layer for vector_clip (id, xMin, xMax, yMin, yMax). */
+  private val clipZoneRects: Seq[(Long, Double, Double, Double, Double)] = Seq(
+    (1L, 0.0, 30.0, 0.0, 20.0), (2L, 20.0, 60.0, 10.0, 40.0),
+    (3L, 50.0, 82.0, 30.0, 50.0))
+  private def clipZones = clipZoneRects.map { case (id, x0, x1, y0, y1) =>
+    (id, Polygon.box(BBox(x0, x1, y0, y1))) }
+  private val sqlClipZones = clipZoneRects
+    .map { case (id, x0, x1, y0, y1) => s"($id, $x0, $x1, $y0, $y1)" }
+    .mkString("(VALUES ", ", ", ") AS c(cid, cx0, cx1, cy0, cy1)")
+
+  /** SQL mirror of Augment.u01 (same integer ops, same order). */
+  private def u01Sql(seed: Long, a: String, b: String, c: String): String =
+    graft.tiles.Augment.u01Sql(seed, a, b, c)
+
   private def documentsOf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddingsOf(s: SparkSession, dir: String): DataFrame =
@@ -447,7 +466,7 @@ object SparkEntry {
       Similarity.ivfTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5,
         nlist = 8, nprobe = 8, iters = 2)
     },
-    "ann_cosine" -> { (s, dir) => Similarity.cosineTopK(embeddingsOf(s, dir), probeMaxId = 20, k = 5) },
+    "ann_cosine_baseline" -> { (s, dir) => Similarity.cosineTopK(embeddingsOf(s, dir), probeMaxId = 20, k = 5) },
     "ann_lsh" -> { (s, dir) =>
       Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 16, k = 5,
         bands = 2, capPerBucket = 128)
@@ -748,6 +767,86 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_feats"), min("fid").as("min_fid"), max("fid").as("max_fid"))
     },
 
+    // --- clip / erase / buffer / layer reprojection (round 3; reference
+    //     buteo/vector/clip.py, buffer.py, reproject.py) ---
+    "vector_clip" -> { (s, _) =>
+      graft.ops.VectorOps2.clip(vectorFeatures(s), clipZones, "wkt", "fid")
+        .select("fid", "clip_id", "clip_area", "n_rings", "n_pts",
+          "x_min", "x_max", "y_min", "y_max")
+    },
+    "vector_erase" -> { (s, _) =>
+      val clips = Seq((1L, Polygon.box(BBox(10.0, 40.0, 0.0, 30.0))))
+      graft.ops.VectorOps2.erase(vectorFeatures(s), clips, "wkt", "fid")
+        .select("fid", "erase_area")
+    },
+    "vector_buffer" -> { (s, _) =>
+      graft.ops.VectorOps2.buffer(vectorFeatures(s), "wkt", "fid",
+        col("fid") % 3 + 1, joinStyle = "square")
+        .select("fid", "dist", "buf_area", "n_rings", "n_pts",
+          "x_min", "x_max", "y_min", "y_max")
+    },
+    "vector_buffer_round" -> { (s, _) =>
+      // round joins, q=2 → 8-gon Minkowski disc; closed-form area mirrored
+      // at 1e-6 (sin/sqrt are bitwise-identical Java vs DuckDB; the 1e-12
+      // shoelace-vs-closed-form difference vanishes under ROUND)
+      graft.ops.VectorOps2.buffer(vectorFeatures(s), "wkt", "fid",
+        lit(2.0), joinStyle = "round", quadSegs = 2)
+        .select(col("fid"), round(col("buf_area"), 6).as("buf_area_r"),
+          col("n_rings"))
+    },
+    "vector_reproject" -> { (s, _) =>
+      graft.ops.VectorOps2.reprojectLayer(vectorFeatures(s), "wkt", "fid", 4326, 3857)
+        .select("fid", "n_rings", "n_pts", "x_min", "x_max", "y_min", "y_max")
+    },
+
+    // --- AI augmentation + masking (round 3; reference buteo/ai) ---
+    "aug_rot90" -> { (s, _) =>
+      TileOps.toPixels(graft.tiles.Augment.rot90(
+        TileOps.createRaster(s, convSpec)(rasterValue), convSpec, 1), convSpec.tileSize)
+    },
+    "aug_mirror" -> { (s, _) =>
+      TileOps.toPixels(graft.tiles.Augment.mirror(
+        TileOps.createRaster(s, convSpec)(rasterValue), convSpec, 3), convSpec.tileSize)
+    },
+    "aug_noise_uniform" -> { (s, _) =>
+      TileOps.toPixels(graft.tiles.Augment.noiseUniform(
+        TileOps.createRaster(s, convSpec)(rasterValue),
+        maxAmount = 0.5, additive = true, perChannel = true, seed = 42),
+        convSpec.tileSize)
+    },
+    "aug_channel_scale" -> { (s, _) =>
+      TileOps.toPixels(graft.tiles.Augment.channelScale(
+        TileOps.createRaster(s, convSpec)(rasterValue),
+        maxAmount = 0.5, additive = true, seed = 3), convSpec.tileSize)
+    },
+    "aug_label_smooth" -> { (s, _) =>
+      TileOps.toPixels(graft.tiles.Augment.labelSmoothFlat(
+        TileOps.createRaster(s, convSpec)(rasterValue),
+        maxAmount = 0.1, fixedAmount = true, seed = 1), convSpec.tileSize)
+    },
+    "aug_mixup" -> { (s, _) =>
+      val t = TileOps.createRaster(s, convSpec)(rasterValue)
+      val src = TileOps.createRaster(s, convSpec)(mixValue)
+      TileOps.toPixels(graft.tiles.Augment.mixup(t, src, 0.333, 0.666, seed = 21),
+        convSpec.tileSize)
+    },
+    "aug_cutmix" -> { (s, _) =>
+      val t = TileOps.createRaster(s, convSpec)(rasterValue)
+      val src = TileOps.createRaster(s, convSpec)(mixValue)
+      TileOps.toPixels(graft.tiles.Augment.cutmix(t, src, 0.333, 0.666, seed = 33),
+        convSpec.tileSize)
+    },
+    "aug_mask_pixels" -> { (s, _) =>
+      TileOps.toPixels(graft.tiles.Augment.maskPixels2d(
+        TileOps.createRaster(s, convSpec)(rasterValue), p = 0.05, seed = 7),
+        convSpec.tileSize)
+    },
+    "aug_mask_rect" -> { (s, _) =>
+      TileOps.toPixels(graft.tiles.Augment.maskRectangle(
+        TileOps.createRaster(s, convSpec)(rasterValue), p = 1.0, seed = 17),
+        convSpec.tileSize)
+    },
+
     // --- more convolution methods / rasterize / band ops ---
     "raster_convolve_variance" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
@@ -796,6 +895,15 @@ object SparkEntry {
       val spec = rasterSpec.copy(bands = 1)
       val r = TileOps.createRaster(s, spec)((x, y, _) => ((x / 10 + y / 10) % 3).toDouble)
       graft.tiles.Vectorize.vectorizeRings(r, spec)
+    },
+
+    "raster_vectorize_rings_geo" -> { (s, _) =>
+      // same regions, rings emitted in GEO coordinates via the raster
+      // geotransform (origin (0,64), quarter-degree pixels) — the
+      // polygonize output a GIS consumer actually loads
+      val spec = rasterSpec.copy(bands = 1)
+      val r = TileOps.createRaster(s, spec)((x, y, _) => ((x / 10 + y / 10) % 3).toDouble)
+      graft.tiles.Vectorize.vectorizeRings(r, spec, geoCoords = true)
     },
 
     // --- scalers / ML prep ---
@@ -1606,6 +1714,123 @@ object SparkEntry {
           min(fid) AS min_fid, max(fid) AS max_fid
         FROM hits GROUP BY qid""",
 
+    // --- clip / erase / buffer / reproject (round 3) ---
+    "vector_clip" -> (s"WITH $sqlFeats" +
+      s""" SELECT f.fid, CAST(c.cid AS BIGINT) AS clip_id,
+          CAST((LEAST(f.x0 + f.w, c.cx1) - GREATEST(f.x0, c.cx0))
+             * (LEAST(f.y0 + f.h, c.cy1) - GREATEST(f.y0, c.cy0)) AS DOUBLE) AS clip_area,
+          CAST(1 AS BIGINT) AS n_rings, CAST(4 AS BIGINT) AS n_pts,
+          CAST(GREATEST(f.x0, c.cx0) AS DOUBLE) AS x_min,
+          CAST(LEAST(f.x0 + f.w, c.cx1) AS DOUBLE) AS x_max,
+          CAST(GREATEST(f.y0, c.cy0) AS DOUBLE) AS y_min,
+          CAST(LEAST(f.y0 + f.h, c.cy1) AS DOUBLE) AS y_max
+        FROM feats f JOIN $sqlClipZones
+          ON LEAST(f.x0 + f.w, c.cx1) > GREATEST(f.x0, c.cx0)
+          AND LEAST(f.y0 + f.h, c.cy1) > GREATEST(f.y0, c.cy0)"""),
+
+    "vector_erase" -> (s"WITH $sqlFeats" +
+      """ SELECT fid, CAST(w * h
+          - GREATEST(LEAST(x0 + w, 40) - GREATEST(x0, 10), 0)
+          * GREATEST(LEAST(y0 + h, 30) - GREATEST(y0, 0), 0) AS DOUBLE) AS erase_area
+        FROM feats"""),
+
+    "vector_buffer" -> (s"WITH $sqlFeats" +
+      """ SELECT fid, CAST(fid % 3 + 1 AS DOUBLE) AS dist,
+          CAST((w + 2 * (fid % 3 + 1)) * (h + 2 * (fid % 3 + 1)) AS DOUBLE) AS buf_area,
+          CAST(1 AS BIGINT) AS n_rings, CAST(4 AS BIGINT) AS n_pts,
+          CAST(x0 - (fid % 3 + 1) AS DOUBLE) AS x_min,
+          CAST(x0 + w + (fid % 3 + 1) AS DOUBLE) AS x_max,
+          CAST(y0 - (fid % 3 + 1) AS DOUBLE) AS y_min,
+          CAST(y0 + h + (fid % 3 + 1) AS DOUBLE) AS y_max
+        FROM feats"""),
+
+    "vector_buffer_round" -> (s"WITH $sqlFeats" +
+      """ SELECT fid,
+          ROUND(CAST(w * h AS DOUBLE) + 2.0 * 2.0 * (w + h)
+            + 2 * 2 * 2.0 * 2.0 * sin(pi() / 4.0), 6) AS buf_area_r,
+          CAST(1 AS BIGINT) AS n_rings
+        FROM feats"""),
+
+    "vector_reproject" -> (s"WITH $sqlFeats" +
+      """ SELECT fid, CAST(1 AS BIGINT) AS n_rings, CAST(5 AS BIGINT) AS n_pts,
+          6378137.0 * radians(CAST(x0 AS DOUBLE)) AS x_min,
+          6378137.0 * radians(CAST(x0 + w AS DOUBLE)) AS x_max,
+          6378137.0 * ln(tan(pi() / 4.0 + radians(CAST(y0 AS DOUBLE)) / 2.0)) AS y_min,
+          6378137.0 * ln(tan(pi() / 4.0 + radians(CAST(y0 + h AS DOUBLE)) / 2.0)) AS y_max
+        FROM feats"""),
+
+    // --- AI augmentation + masking (round 3) ---
+    "aug_rot90" -> (sqlPxConv +
+      """ SELECT x, y, band, CAST(((95 - y) * 7 + x * 13 + band * 5) % 97 AS DOUBLE) AS v
+        FROM px"""),
+
+    "aug_mirror" -> (sqlPxConv +
+      """ SELECT x, y, band,
+          CAST(((95 - x) * 7 + (95 - y) * 13 + band * 5) % 97 AS DOUBLE) AS v
+        FROM px"""),
+
+    "aug_noise_uniform" -> (sqlPxConv +
+      s""" SELECT x, y, band,
+          v + (-((${u01Sql(42, "0", "0", "0")}) * 0.5)
+            + 2 * ((${u01Sql(42, "0", "0", "0")}) * 0.5)
+              * (${u01Sql(42, "x", "y", "1000 + band")})) AS v
+        FROM px"""),
+
+    "aug_channel_scale" -> (sqlPxConv +
+      s""" SELECT x, y, band,
+          v + (-((${u01Sql(3, "x // 32", "y // 32", "0")}) * 0.5)
+            + 2 * ((${u01Sql(3, "x // 32", "y // 32", "0")}) * 0.5)
+              * (${u01Sql(3, "x // 32", "y // 32", "100 + band")})) AS v
+        FROM px"""),
+
+    "aug_label_smooth" -> (sqlPxConv +
+      """, tl AS (SELECT x, y, band, v,
+          avg(v) OVER (PARTITION BY band, x // 32, y // 32) AS m FROM px)
+        SELECT x, y, band, (1.0 - 0.1) * v + 0.1 * m AS v FROM tl"""),
+
+    "aug_mixup" -> (sqlPxConv +
+      s""", lam AS (SELECT DISTINCT x // 32 AS tx, y // 32 AS ty,
+          LEAST(0.333 + (${u01Sql(21, "x // 32", "y // 32", "0")})
+            * (0.666 + 0.001 - 0.333), 1.0) AS l FROM px)
+        SELECT p.x, p.y, p.band, p.v * m.l + ($sqlMixV) * (1.0 - m.l) AS v
+        FROM px p JOIN lam m ON p.x // 32 = m.tx AND p.y // 32 = m.ty"""),
+
+    "aug_cutmix" -> (sqlPxConv +
+      s""", box AS (SELECT DISTINCT x // 32 AS tx, y // 32 AS ty,
+          10 + CAST(FLOOR((${u01Sql(33, "x // 32", "y // 32", "1")}) * 11) AS INTEGER) AS ph,
+          10 + CAST(FLOOR((${u01Sql(33, "x // 32", "y // 32", "2")}) * 11) AS INTEGER) AS pw
+          FROM px),
+        box2 AS (SELECT tx, ty, ph, pw,
+          CAST(FLOOR((${u01Sql(33, "tx", "ty", "3")}) * (32 - pw)) AS INTEGER) AS x0,
+          CAST(FLOOR((${u01Sql(33, "tx", "ty", "4")}) * (32 - ph)) AS INTEGER) AS y0
+          FROM box)
+        SELECT p.x, p.y, p.band,
+          CASE WHEN p.y - 32 * b.ty >= b.y0 AND p.y - 32 * b.ty < b.y0 + b.ph
+                AND p.x - 32 * b.tx >= b.x0 AND p.x - 32 * b.tx < b.x0 + b.pw
+               THEN ($sqlMixV) ELSE p.v END AS v
+        FROM px p JOIN box2 b ON p.x // 32 = b.tx AND p.y // 32 = b.ty"""),
+
+    "aug_mask_pixels" -> (sqlPxConv +
+      s""" SELECT x, y, band,
+          CASE WHEN (${u01Sql(7, "x", "y", "3000")}) > 0.05
+               THEN 1.0 ELSE 0.0 END AS v
+        FROM px"""),
+
+    "aug_mask_rect" -> (sqlPxConv +
+      s""", box AS (SELECT DISTINCT x // 32 AS tx, y // 32 AS ty,
+          3 + CAST(FLOOR((${u01Sql(17, "x // 32", "y // 32", "5001")}) * 14) AS INTEGER) AS mh,
+          3 + CAST(FLOOR((${u01Sql(17, "x // 32", "y // 32", "5002")}) * 14) AS INTEGER) AS mw
+          FROM px),
+        box2 AS (SELECT tx, ty, mh, mw,
+          CAST(FLOOR((${u01Sql(17, "tx", "ty", "5003")}) * (32 - mh + 1)) AS INTEGER) AS y0,
+          CAST(FLOOR((${u01Sql(17, "tx", "ty", "5004")}) * (32 - mw + 1)) AS INTEGER) AS x0
+          FROM box)
+        SELECT p.x, p.y, p.band,
+          CASE WHEN p.y - 32 * b.ty >= b.y0 AND p.y - 32 * b.ty < b.y0 + b.mh
+                AND p.x - 32 * b.tx >= b.x0 AND p.x - 32 * b.tx < b.x0 + b.mw
+               THEN 0.0 ELSE 1.0 END AS v
+        FROM px p JOIN box2 b ON p.x // 32 = b.tx AND p.y // 32 = b.ty"""),
+
     "raster_convolve_variance" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band,
           (sum(b.v * b.v) - sum(b.v) * sum(b.v) / count(*)) / count(*) AS v
@@ -1739,6 +1964,24 @@ object SparkEntry {
           'POLYGON((' || x0 || ' ' || y0 || ',' || x1 || ' ' || y0 || ',' ||
             x1 || ' ' || y1 || ',' || x0 || ' ' || y1 || ',' ||
             x0 || ' ' || y0 || '))' AS wkt
+        FROM blk""",
+
+    "raster_vectorize_rings_geo" ->
+      // geotransform applied per vertex: gx = x*0.25, gy = 64 − y*0.25
+      // (quarter-lattice doubles render identically in Scala and DuckDB)
+      """WITH blk AS (SELECT bx, by,
+           CAST(bx * 10 AS BIGINT) AS x0, CAST(LEAST(256, (bx + 1) * 10) AS BIGINT) AS x1,
+           CAST(by * 10 AS BIGINT) AS y0, CAST(LEAST(256, (by + 1) * 10) AS BIGINT) AS y1
+         FROM range(26) r1(bx), range(26) r2(by))
+        SELECT 0 AS band, CAST((bx + by) % 3 AS DOUBLE) AS v,
+          y0 * 256 + x0 AS region_key,
+          (x1 - x0) * (y1 - y0) AS n_px,
+          'POLYGON((' ||
+            (0.0 + CAST(x0 AS DOUBLE) * 0.25) || ' ' || (64.0 + CAST(y0 AS DOUBLE) * -0.25) || ',' ||
+            (0.0 + CAST(x1 AS DOUBLE) * 0.25) || ' ' || (64.0 + CAST(y0 AS DOUBLE) * -0.25) || ',' ||
+            (0.0 + CAST(x1 AS DOUBLE) * 0.25) || ' ' || (64.0 + CAST(y1 AS DOUBLE) * -0.25) || ',' ||
+            (0.0 + CAST(x0 AS DOUBLE) * 0.25) || ' ' || (64.0 + CAST(y1 AS DOUBLE) * -0.25) || ',' ||
+            (0.0 + CAST(x0 AS DOUBLE) * 0.25) || ' ' || (64.0 + CAST(y0 AS DOUBLE) * -0.25) || '))' AS wkt
         FROM blk""",
 
     "scaler_minmax" ->

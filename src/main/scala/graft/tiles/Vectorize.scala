@@ -394,7 +394,15 @@ object Vectorize {
     import spark.implicits._
     val edgeRows = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgeCount = edgeRows.count()
-    val driverLimit = 5000000L
+    // memory-derived (was a magic 5M sized to the sandbox): an edge costs
+    // ~64 B collected + union-find map entry; budget 5% of driver heap,
+    // clamped to [200k, 20M], env-overridable for operators who know
+    // their driver size
+    val driverLimit = sys.env.get("GRAFT_VECTORIZE_DRIVER_EDGES").map(_.toLong)
+      .getOrElse {
+        val budget = (Runtime.getRuntime.maxMemory() * 0.05).toLong / 64L
+        math.min(20000000L, math.max(200000L, budget))
+      }
     if (edgeCount <= driverLimit) {
       val es = edgeRows.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = collection.mutable.HashMap.empty[Long, Long]

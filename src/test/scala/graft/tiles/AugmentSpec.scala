@@ -1,0 +1,207 @@
+package graft.tiles
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AI augmentation + masking parity with the reference formulas
+  * (reference: the buteo ai.augmentation and ai.masking modules).
+  */
+object AugmentSpecFixture extends Serializable {
+  val spec = RasterSpec(0.0, 16.0, 1.0, -1.0, 8, 8, 4, 2)
+  def gen(x: Int, y: Int, b: Int): Double = (x * 7 + y * 13 + b * 5) % 97
+}
+
+class AugmentSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import AugmentSpecFixture.{spec, gen}
+  private def raster() = TileOps.createRaster(spark, spec)(AugmentSpecFixture.gen)
+
+  private def pixelMap(ds: org.apache.spark.sql.Dataset[Tile], sp: RasterSpec): Map[(Int, Int, Int), Double] =
+    TileOps.toPixels(ds, sp.tileSize).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+
+  test("rot90 k=1 matches np.rot90 (out[r,c] = in[c, W-1-r]) across tiles") {
+    val out = pixelMap(Augment.rot90(raster(), spec, 1), spec)
+    for (r <- 0 until 8; c <- 0 until 8; b <- 0 until 2)
+      assert(out((c, r, b)) == gen(7 - r, c, b), s"($c,$r,$b)")
+  }
+
+  test("rot90 k composition: k=1 four times is identity; k=2 twice is identity") {
+    val base = pixelMap(raster(), spec)
+    var ds = raster()
+    for (_ <- 0 until 4) ds = Augment.rot90(ds, spec, 1)
+    assert(pixelMap(ds, spec) == base)
+    val r2 = Augment.rot90(Augment.rot90(raster(), spec, 2), spec, 2)
+    assert(pixelMap(r2, spec) == base)
+  }
+
+  test("mirror semantics and involution") {
+    val base = pixelMap(raster(), spec)
+    val h = pixelMap(Augment.mirror(raster(), spec, 1), spec)
+    for (r <- 0 until 8; c <- 0 until 8) assert(h((c, r, 0)) == gen(7 - c, r, 0))
+    val v = pixelMap(Augment.mirror(raster(), spec, 2), spec)
+    for (r <- 0 until 8; c <- 0 until 8) assert(v((c, r, 1)) == gen(c, 7 - r, 1))
+    assert(pixelMap(Augment.mirror(Augment.mirror(raster(), spec, 3), spec, 3), spec) == base)
+  }
+
+  test("rotationPatch: same k for every band of a patch; local rot90 semantics") {
+    val out = Augment.rotationPatch(raster(), seed = 7).collect()
+      .map(t => ((t.cellX, t.cellY, t.band), t)).toMap
+    val in = raster().collect().map(t => ((t.cellX, t.cellY, t.band), t)).toMap
+    for (cx <- 0 until 2; cy <- 0 until 2) {
+      val k = 1 + math.min((Augment.u01(7, cx, cy, 0) * 3).toInt, 2)
+      for (b <- 0 until 2) {
+        val o = out((cx, cy, b)); val i = in((cx, cy, b))
+        // spot-check one pixel: local (r,c)=(1,2)
+        val (pr, pc) = k match {
+          case 1 => (4 - 1 - 2, 1)
+          case 2 => (4 - 1 - 1, 4 - 1 - 2)
+          case 3 => (2, 4 - 1 - 1)
+        }
+        assert(o.pixels(pr * 4 + pc) == i.pixels(1 * 4 + 2))
+      }
+    }
+  }
+
+  test("channelScale additive: constant per-band delta within [-amount, amount]") {
+    val in = pixelMap(raster(), spec)
+    val out = pixelMap(Augment.channelScale(raster(), 0.5, additive = true, seed = 3), spec)
+    for (b <- 0 until 2) {
+      val deltas = (for (r <- 0 until 4; c <- 0 until 4)
+        yield out((c, r, b)) - in((c, r, b))).toSeq
+      assert(deltas.forall(d => math.abs(d - deltas.head) < 1e-12))
+      assert(math.abs(deltas.head) <= 0.5)
+    }
+  }
+
+  test("contrast preserves the patch mean") {
+    val in = raster().collect().head
+    val out = Augment.contrast(raster(), 0.3, seed = 5).collect()
+      .find(t => t.cellX == in.cellX && t.cellY == in.cellY && t.band == in.band).get
+    assert(math.abs(in.pixels.sum / in.pixels.length -
+      out.pixels.sum / out.pixels.length) < 1e-9)
+    assert(!(in.pixels sameElements out.pixels))
+  }
+
+  test("noiseUniform: bounded; 2D form gives identical noise across bands") {
+    val in = pixelMap(raster(), spec)
+    val out = pixelMap(Augment.noiseUniform(raster(), 0.4, additive = true,
+      perChannel = false, seed = 11), spec)
+    val amount = Augment.u01(11, 0, 0, 0) * 0.4
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val d0 = out((c, r, 0)) - in((c, r, 0))
+      val d1 = out((c, r, 1)) - in((c, r, 1))
+      assert(math.abs(d0 - d1) < 1e-12) // same field on both channels
+      assert(math.abs(d0) <= amount + 1e-12)
+    }
+    // 3D form differs across bands somewhere
+    val out3 = pixelMap(Augment.noiseUniform(raster(), 0.4, additive = true,
+      perChannel = true, seed = 11), spec)
+    assert((0 until 8).exists(r => (0 until 8).exists(c =>
+      math.abs((out3((c, r, 0)) - in((c, r, 0))) - (out3((c, r, 1)) - in((c, r, 1)))) > 1e-9)))
+  }
+
+  test("noiseNormal additive: sample moments ~ N(0, amount)") {
+    val bigSpec = spec.copy(width = 64, height = 64, tileSize = 32, bands = 1)
+    val in = TileOps.createRaster(spark, bigSpec)((_, _, _) => 0.0)
+    val amount = Augment.u01(13, 0, 0, 0) * 0.5
+    val vals = Augment.noiseNormal(in, 0.5, additive = true, perChannel = true, seed = 13)
+      .collect().flatMap(_.pixels)
+    val mean = vals.sum / vals.length
+    val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
+    assert(math.abs(mean) < 0.02, s"mean $mean")
+    assert(math.abs(std - amount) < 0.02, s"std $std vs $amount")
+  }
+
+  test("labelSmoothFlat fixed amount: exact formula") {
+    val out = Augment.labelSmoothFlat(raster(), 0.2, fixedAmount = true, seed = 1)
+      .collect().head
+    val in = raster().collect()
+      .find(t => t.cellX == out.cellX && t.cellY == out.cellY && t.band == out.band).get
+    val mean = in.pixels.sum / in.pixels.length
+    in.pixels.zip(out.pixels).foreach { case (v, o) =>
+      assert(math.abs(o - (0.8 * v + 0.2 * mean)) < 1e-12)
+    }
+  }
+
+  test("mixup: linear blend with per-patch lambda in [min, max+0.001]") {
+    val t = raster()
+    val s = TileOps.createRaster(spark, spec)((x, y, b) => (x * 3 + y * 11 + b) % 89)
+    val out = Augment.mixup(t, s, 0.333, 0.666, seed = 21).collect()
+    out.foreach { o =>
+      val lam = math.min(0.333 + Augment.u01(21, o.cellX, o.cellY, 0) * (0.667 + 0.0001 * 10 - 0.333), 1.0)
+      // recompute directly (same formula as the op):
+      val lam2 = math.min(0.333 + Augment.u01(21, o.cellX, o.cellY, 0) * (0.666 + 0.001 - 0.333), 1.0)
+      assert(lam2 >= 0.333 && lam2 <= 0.667 + 1e-9)
+      val tv = gen(o.cellX * 4 + 1, o.cellY * 4 + 1, o.band)
+      val sv = ((o.cellX * 4 + 1) * 3 + (o.cellY * 4 + 1) * 11 + o.band) % 89
+      assert(math.abs(o.pixels(1 * 4 + 1) - (tv * lam2 + sv * (1 - lam2))) < 1e-12)
+    }
+  }
+
+  test("cutmix: box comes from source, rest from target, box fraction bounded") {
+    val t = raster()
+    val s = TileOps.createRaster(spark, spec)((_, _, _) => -1.0)
+    val out = Augment.cutmix(t, s, 0.333, 0.666, seed = 33).collect()
+    out.foreach { o =>
+      val n = o.pixels.count(_ == -1.0)
+      assert(n >= 1 && n < o.pixels.length) // some box, not everything
+    }
+    // deterministic: same seed twice = same output
+    val out2 = Augment.cutmix(raster(), TileOps.createRaster(spark, spec)((_, _, _) => -1.0),
+      0.333, 0.666, seed = 33).collect()
+    val m1 = out.map(t2 => ((t2.cellX, t2.cellY, t2.band), t2.pixels.toSeq)).toMap
+    val m2 = out2.map(t2 => ((t2.cellX, t2.cellY, t2.band), t2.pixels.toSeq)).toMap
+    assert(m1 == m2)
+  }
+
+  test("maskPixels2d: same mask every band; fraction ≈ 1-p; only 0/1") {
+    val bigSpec = spec.copy(width = 64, height = 64, tileSize = 32)
+    val m = pixelMap(Augment.maskPixels2d(
+      TileOps.createRaster(spark, bigSpec)(AugmentSpecFixture.gen), p = 0.2, seed = 9), bigSpec)
+    assert(m.values.forall(v => v == 0.0 || v == 1.0))
+    for (r <- 0 until 64; c <- 0 until 64) assert(m((c, r, 0)) == m((c, r, 1)))
+    val keep = m.count(_._2 == 1.0).toDouble / m.size
+    assert(math.abs(keep - 0.8) < 0.03, s"keep $keep")
+  }
+
+  test("maskRectangle p=1: one zero box within size bounds, all channels") {
+    val m = Augment.maskRectangle(raster(), p = 1.0, seed = 17).collect()
+    m.foreach { t =>
+      val zeros = t.pixels.count(_ == 0.0)
+      assert(zeros >= 1 && zeros <= (0.5 * 4).toInt * (0.5 * 4).toInt + 4)
+    }
+    // same box on both bands of a cell
+    val byCell = m.groupBy(t => (t.cellX, t.cellY))
+    byCell.values.foreach { ts =>
+      assert(ts.map(_.pixels.toSeq).distinct.size == 1)
+    }
+  }
+
+  test("maskEllipse p=1 zeroes an elliptical region; maskLines zeroes full spans") {
+    val bigSpec = spec.copy(width = 32, height = 32, tileSize = 32, bands = 1)
+    val big = TileOps.createRaster(spark, bigSpec)(AugmentSpecFixture.gen)
+    val e = Augment.maskEllipse(big, p = 1.0, seed = 29).collect().head
+    val zeros = e.pixels.count(_ == 0.0)
+    assert(zeros > 0 && zeros < e.pixels.length)
+    val l = Augment.maskLines(big, p = 0.15, seed = 31).collect().head
+    assert(l.pixels.exists(_ == 0.0) && l.pixels.exists(_ == 1.0))
+  }
+
+  test("applyMask fills masked pixels") {
+    val data = raster()
+    val mask = Augment.maskRectangle(raster(), p = 1.0, seed = 17)
+    val out = Augment.applyMask(data, mask, fill = -5.0).collect()
+    val masks = mask.collect().map(t => ((t.cellX, t.cellY, t.band), t.pixels)).toMap
+    out.foreach { t =>
+      val m = masks((t.cellX, t.cellY, t.band))
+      t.pixels.zip(m).foreach { case (v, mv) => if (mv == 0.0) assert(v == -5.0) }
+    }
+  }
+}
