@@ -48,7 +48,8 @@ object Pipeline {
   /** Full tiling job with checkpointed output. Returns (snapshot, tiles). */
   def tilingJob(spark: SparkSession, pages: DataFrame, outRoot: String,
                 res: Int = 7, numBuckets: Int = 64, bucketsPerCommit: Int = 16,
-                failAfterCommits: Int = Int.MaxValue): (Snapshot, Long) = {
+                failAfterCommits: Int = Int.MaxValue,
+                commitMode: String = "direct"): (Snapshot, Long) = {
     val tiled = tilePages(pages, res)
     val joined = SpatialJoins.pipJoinBroadcast(
       tiled.select(col("url"), col("geo.lon").as("lon"), col("geo.lat").as("lat"), col("h3")),
@@ -64,7 +65,8 @@ object Pipeline {
     try {
       val store = new SnapshotStore(outRoot)
       val writer = new CheckpointedWriter(store, lineage = s"pages@res$res")
-      val (snap, _) = writer.run(agg, numBuckets, bucketsPerCommit, failAfterCommits)
+      val (snap, _) = writer.run(agg, numBuckets, bucketsPerCommit, failAfterCommits,
+        mode = commitMode)
       val tiles = snap.partitions.values.map(_.rows).sum
       (snap, tiles)
     } finally if (multiGroup) agg.unpersist()

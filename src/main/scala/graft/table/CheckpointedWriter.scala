@@ -16,11 +16,28 @@ import org.apache.spark.sql.functions._
   */
 class CheckpointedWriter(store: SnapshotStore, lineage: String) {
 
-  /** Returns (snapshot, numBucketsComputedThisRun). */
+  /** Returns (snapshot, numBucketsComputedThisRun).
+    *
+    * `mode`:
+    *  - "dynamic": dynamic-partition-overwrite into the shared
+    *    `data/bucket=N` dirs (original committer; idempotent re-run of a
+    *    half-finished group overwrites in place).
+    *  - "direct": each commit group writes into a FRESH
+    *    `data/grp-<firstBucket>/bucket=N` directory with the plain insert
+    *    protocol — no dynamic-overwrite staging dir, no per-partition-dir
+    *    driver-side moves. Idempotence comes from deleting the group dir
+    *    before (re)writing; the snapshot manifest pins data-relative file
+    *    paths, so readers never see an uncommitted group (Iceberg's
+    *    actual design: files are tracked by the manifest, not by
+    *    directory layout). This shaves most of the non-scaling commit
+    *    tail (VERDICT r2 next-round item 8).
+    */
   def run(df: DataFrame, numBuckets: Int, bucketsPerCommit: Int,
-          failAfterCommits: Int = Int.MaxValue): (Snapshot, Int) = {
+          failAfterCommits: Int = Int.MaxValue,
+          mode: String = "dynamic"): (Snapshot, Int) = {
     val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (mode == "dynamic")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val pending = store.pending(0 until numBuckets)
     var commits = 0
     var computed = 0
@@ -28,15 +45,28 @@ class CheckpointedWriter(store: SnapshotStore, lineage: String) {
       if (commits < failAfterCommits) {
         val sub = df.filter(col("bucket").isin(group: _*))
         // one shuffle partition per bucket → file count independent of the
-        // session's parallelism (dynamic-overwrite commit is driver-side and
-        // scales with file count, not with cores)
-        sub.repartition(group.size, col("bucket"))
-          .write.mode("overwrite")
-          .partitionBy("bucket")
-          .parquet(s"${storeRoot}/data")
-        // row counts come from the written files' parquet footers
-        // (driver-side metadata reads) — no second aggregate job
-        val metas = group.map(b => store.partitionMeta(b, lineage))
+        // session's parallelism (commit cost scales with file count, not
+        // with cores)
+        val metas =
+          if (mode == "direct") {
+            val grp = s"grp-${group.head}"
+            val grpDir = s"${storeRoot}/data/$grp"
+            deleteRecursively(grpDir) // idempotent re-run of an uncommitted group
+            sub.repartition(group.size, col("bucket"))
+              .write.partitionBy("bucket")
+              .parquet(grpDir)
+            // footer reads are independent metadata I/O — do them in
+            // parallel (driver threads), they're the commit's hot part
+            parMap(group)(b => store.partitionMetaIn(grp, b, lineage))
+          } else {
+            sub.repartition(group.size, col("bucket"))
+              .write.mode("overwrite")
+              .partitionBy("bucket")
+              .parquet(s"${storeRoot}/data")
+            // row counts come from the written files' parquet footers
+            // (driver-side metadata reads) — no second aggregate job
+            parMap(group)(b => store.partitionMeta(b, lineage))
+          }
         store.commit(metas)
         commits += 1
         computed += group.size
@@ -44,6 +74,25 @@ class CheckpointedWriter(store: SnapshotStore, lineage: String) {
     }
     (store.current().getOrElse(throw new IllegalStateException("no snapshot after run")),
       computed)
+  }
+
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, xs.size)))
+    try xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+      def call(): B = f(x)
+    })).map(_.get())
+    finally pool.shutdown()
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f =>
+          try java.nio.file.Files.delete(f) catch { case _: Throwable => })
+    }
   }
 
   private def storeRoot: String = store.root

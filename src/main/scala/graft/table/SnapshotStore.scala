@@ -28,6 +28,10 @@ final case class Snapshot(version: Int, parent: Int, timestampMs: Long,
   def doneBuckets: Set[Int] = partitions.keySet
 }
 
+object SnapshotStore {
+  private[table] lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+}
+
 class SnapshotStore(val root: String) {
   private val snapDir = Paths.get(root, "_snapshots")
   private val dataDir = Paths.get(root, "data")
@@ -76,7 +80,10 @@ class SnapshotStore(val root: String) {
   def readVersion(spark: org.apache.spark.sql.SparkSession, version: Int): org.apache.spark.sql.DataFrame = {
     val snap = readSnapshot(version)
     val paths = snap.partitions.values.toSeq.sortBy(_.bucket).flatMap { p =>
-      p.files.map(f => s"${dataPath(p.bucket)}/$f")
+      // bare names are legacy bucket-dir entries; entries with '/' are
+      // data-relative (direct-committer group dirs)
+      p.files.map(f =>
+        if (f.contains("/")) s"$root/data/$f" else s"${dataPath(p.bucket)}/$f")
     }
     if (paths.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(paths: _*)
@@ -94,22 +101,35 @@ class SnapshotStore(val root: String) {
     * aggregate job over the data. This removes the serial per-commit scan
     * that bounded scaling efficiency via Amdahl (VERDICT r1 wrong #9).
     */
-  def partitionMeta(bucket: Int, lineage: String): PartitionMeta = {
-    val dir = Paths.get(dataPath(bucket))
+  def partitionMeta(bucket: Int, lineage: String): PartitionMeta =
+    metaFromDir(Paths.get(dataPath(bucket)), bucket, lineage, relPrefix = "")
+
+  /** Same, for a bucket written under a commit-group directory by the
+    * DIRECT committer (`data/<grp>/bucket=<id>/`); file entries carry the
+    * data-relative path so readVersion resolves them.
+    */
+  def partitionMetaIn(grp: String, bucket: Int, lineage: String): PartitionMeta =
+    metaFromDir(Paths.get(root, "data", grp, s"bucket=$bucket"), bucket, lineage,
+      relPrefix = s"$grp/bucket=$bucket/")
+
+  private def metaFromDir(dir: Path, bucket: Int, lineage: String,
+                          relPrefix: String): PartitionMeta = {
     val files =
       if (Files.exists(dir))
         Files.list(dir).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       else Seq.empty[Path]
     PartitionMeta(bucket, files.map(parquetRowCount).sum, files.map(Files.size).sum,
-      lineage, files.map(_.getFileName.toString).sorted)
+      lineage, files.map(f => relPrefix + f.getFileName.toString).sorted)
   }
 
-  /** Record count from a parquet footer (no data pages touched). */
+  /** Record count from a parquet footer (no data pages touched). The
+    * Hadoop Configuration is shared: constructing one per file was ~80%
+    * of the 64-bucket commit's metadata cost.
+    */
   private def parquetRowCount(p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.fs.Path(p.toUri), SnapshotStore.hadoopConf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }

@@ -71,6 +71,28 @@ class SnapshotSpec extends AnyFunSuite {
     assert(store.current().get.version === 3)
   }
 
+  test("direct committer: same table, resumable, manifest-pinned files") {
+    val store = new SnapshotStore(freshRoot())
+    val w = new CheckpointedWriter(store, "src@test")
+    val (_, c1) = w.run(input, 8, 3, failAfterCommits = 1, mode = "direct")
+    assert(c1 === 3)
+    val (snap, c2) = w.run(input, 8, 3, mode = "direct")
+    assert(c2 === 5)
+    assert(snap.doneBuckets === (0 until 8).toSet)
+    assert(snap.partitions.values.map(_.rows).sum === 1000)
+    // files are data-relative (group dirs), and readVersion resolves them
+    assert(snap.partitions.values.forall(_.files.forall(_.contains("/"))))
+    val readBack = store.readVersion(spark, snap.version)
+    assert(readBack.count() === 1000)
+    // equal to the dynamic-mode table
+    val dynStore = new SnapshotStore(freshRoot())
+    new CheckpointedWriter(dynStore, "src@test").run(input, 8, 3)
+    val a = readBack.select("id", "value").orderBy("id").collect().toSeq
+    val b = spark.read.parquet(s"${dynStore.root}/data")
+      .select("id", "value").orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
   test("time travel: readVersion pins each snapshot's exact file set") {
     val store = new SnapshotStore(freshRoot())
     val w = new CheckpointedWriter(store, "src@test")
