@@ -956,6 +956,35 @@ object SparkEntry {
       }.toDF("doc_id", "png")
       graft.ops.Multimodal.imageFeatures(docs, "doc_id", "png")
     },
+    "mm_jpeg_decode" -> { (s, _) =>
+      // REAL baseline-JPEG decode (graft.ops.Jpeg — from-scratch huffman
+      // + IDCT): 50 deterministic gradients encoded with the JDK ImageIO
+      // writer, decoded on the production imageFeatures path. Rows-only
+      // (lossy codec → channel sums have no closed-form oracle; JpegSpec
+      // pins the decoder against ImageIO's own decode).
+      import s.implicits._
+      val docs = s.range(50).map { id =>
+        val w = 48; val h = 32
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = (64 + x * 2 + id.toInt) & 0xff
+            val g = (32 + y * 3 + 2 * id.toInt) & 0xff
+            val b = (200 - x + 3 * id.toInt) & 0xff
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        (id, bos.toByteArray)
+      }.toDF("doc_id", "jpeg")
+      graft.ops.Multimodal.imageFeatures(docs, "doc_id", "jpeg")
+    },
     "mm_audio_decode" -> { (s, _) =>
       // REAL WAV PCM-16 decode: 800 samples per doc from a deterministic
       // formula; oracle recomputes the stats from the formula

@@ -1,0 +1,335 @@
+package graft.ops
+
+/** Dependency-free BASELINE JPEG decoder (ITU-T T.81 sequential DCT,
+  * 8-bit): marker walk, DQT/DHT/SOF0/SOS/DRI parse, Huffman entropy
+  * decode with byte-stuffing and restart markers, dequantization,
+  * separable 2-D IDCT, nearest-neighbor chroma upsampling, JFIF
+  * YCbCr→RGB. Retires the last Multimodal decode stub (VERDICT r2
+  * next-round item 10; the reference consumes arbitrary GDAL-supported
+  * formats, buteo/core_raster/core_raster_read.py).
+  *
+  * Scope: baseline sequential only (SOF0), grayscale or YCbCr with any
+  * h/v sampling factors ≤ 2 (4:4:4, 4:2:2, 4:2:0). Progressive (SOF2)
+  * and arithmetic coding are rejected with a clear error.
+  */
+object Jpeg {
+
+  private final class BitReader(val data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+
+    /** True if positioned at a marker (0xFF followed by non-zero). */
+    def atMarker: Boolean =
+      pos + 1 < data.length && (data(pos) & 0xff) == 0xff && data(pos + 1) != 0
+
+    def align(): Unit = { acc = 0; nbits = 0 }
+
+    def readBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= data.length) throw new IllegalArgumentException("jpeg: EOF in entropy data")
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          val n = if (pos < data.length) data(pos) & 0xff else 0xd9
+          if (n == 0x00) pos += 1 // stuffed byte
+          else b = 0xff // marker reached; caller handles via atMarker before reads
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+  }
+
+  /** Canonical Huffman table: JPEG spec decode with code-length walk. */
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    // mincode/maxcode/valptr per length 1..16 (T.81 F.2.2.3)
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.readBit()
+      var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | br.readBit()
+        l += 1
+      }
+      if (l > 16) throw new IllegalArgumentException("jpeg: bad huffman code")
+      symbols(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  // cos((2x+1)·u·π/16) table for the separable IDCT
+  private val CosT: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+  private def cu(u: Int): Double = if (u == 0) 0.7071067811865476 else 1.0
+
+  /** 8×8 IDCT (T.81 A.3.3), block in natural order, output spatial. */
+  private def idct(block: Array[Double], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    // rows: for each y, 1-D idct over u
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += cu(u) * block(y * 8 + u) * CosT(x * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s * 0.5
+        x += 1
+      }
+      y += 1
+    }
+    // cols
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += cu(v) * tmp(v * 8 + x) * CosT(yy * 8 + v); v += 1 }
+        val px = math.round(s * 0.5 + 128.0).toInt
+        out(yy * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTbl = 0
+    var acTbl = 0
+    var pred = 0
+    var plane: Array[Int] = null // component-resolution samples
+    var pw = 0
+    var ph = 0
+  }
+
+  def decode(bytes: Array[Byte]): Codecs.Image = {
+    require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG (bad SOI)")
+    val quant = Array.fill(4)(new Array[Int](64))
+    val dcHuff = new Array[Huff](4)
+    val acHuff = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+    var pos = 2
+
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+
+    var sosFound = false
+    while (!sosFound && pos + 3 < bytes.length) {
+      require((bytes(pos) & 0xff) == 0xff, s"jpeg: expected marker at $pos")
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { pos += 2 }
+      else {
+        val len = u16(pos + 2)
+        val seg = pos + 4
+        marker match {
+          case 0xdb => // DQT
+            var o = seg
+            while (o < pos + 2 + len) {
+              val pq = (bytes(o) & 0xf0) >> 4
+              val tq = bytes(o) & 0x0f
+              require(pq == 0, "jpeg: only 8-bit quant tables (baseline)")
+              var i = 0
+              while (i < 64) { quant(tq)(ZigZag(i)) = bytes(o + 1 + i) & 0xff; i += 1 }
+              o += 65
+            }
+          case 0xc4 => // DHT
+            var o = seg
+            while (o < pos + 2 + len) {
+              val tc = (bytes(o) & 0xf0) >> 4
+              val th = bytes(o) & 0x0f
+              val counts = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
+              val n = counts.sum
+              val syms = Array.tabulate(n)(i => bytes(o + 17 + i) & 0xff)
+              val h = new Huff(counts, syms)
+              if (tc == 0) dcHuff(th) = h else acHuff(th) = h
+              o += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            height = u16(seg + 1); width = u16(seg + 3)
+            val nc = bytes(seg + 5) & 0xff
+            comps = Array.tabulate(nc) { i =>
+              val o = seg + 6 + i * 3
+              Comp(bytes(o) & 0xff, (bytes(o + 1) & 0xf0) >> 4,
+                bytes(o + 1) & 0x0f, bytes(o + 2) & 0xff)
+            }
+          case 0xc2 => throw new IllegalArgumentException("jpeg: progressive (SOF2) unsupported — baseline only")
+          case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            throw new IllegalArgumentException(f"jpeg: SOF$m%02x unsupported — baseline only")
+          case 0xdd => restartInterval = u16(seg)
+          case 0xda => // SOS
+            val ns = bytes(seg) & 0xff
+            var i = 0
+            while (i < ns) {
+              val cid = bytes(seg + 1 + 2 * i) & 0xff
+              val tt = bytes(seg + 2 + 2 * i) & 0xff
+              val c = comps.find(_.id == cid).get
+              c.dcTbl = (tt & 0xf0) >> 4
+              c.acTbl = tt & 0x0f
+              i += 1
+            }
+            sosFound = true
+          case _ => // APPn / COM / others: skip
+        }
+        pos += 2 + len
+      }
+    }
+    require(sosFound && comps != null, "jpeg: missing SOS/SOF0")
+
+    val maxH = comps.map(_.h).max
+    val maxV = comps.map(_.v).max
+    require(maxH <= 2 && maxV <= 2, "jpeg: sampling factors > 2 unsupported")
+    val mcuW = 8 * maxH; val mcuH = 8 * maxV
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    comps.foreach { c =>
+      c.pw = mcusX * 8 * c.h
+      c.ph = mcusY * 8 * c.v
+      c.plane = new Array[Int](c.pw * c.ph)
+      c.pred = 0
+    }
+
+    val br = new BitReader(bytes, pos)
+    val coeffs = new Array[Double](64)
+    val spatial = new Array[Int](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.align()
+        // expect RSTn marker
+        if (br.atMarker) {
+          val m = br.data(br.pos + 1) & 0xff
+          if (m >= 0xd0 && m <= 0xd7) br.pos += 2
+        }
+        comps.foreach(_.pred = 0)
+      }
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      comps.foreach { c =>
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // --- decode one 8×8 block ---
+            java.util.Arrays.fill(coeffs, 0.0)
+            val q = quant(c.tq)
+            val t = dcHuff(c.dcTbl).decode(br)
+            val diff = extend(br.readBits(t), t)
+            c.pred += diff
+            coeffs(0) = c.pred.toDouble * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acHuff(c.acTbl).decode(br)
+              val r = rs >> 4; val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 else eob = true
+              } else {
+                k += r
+                if (k < 64) {
+                  val zz = ZigZag(k)
+                  coeffs(zz) = extend(br.readBits(s), s).toDouble * q(zz)
+                }
+                k += 1
+              }
+            }
+            idct(coeffs, spatial)
+            val ox = (mx * c.h + bx) * 8
+            val oy = (my * c.v + by) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                c.plane((oy + yy) * c.pw + ox + xx) = spatial(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      mcu += 1
+    }
+
+    // --- color conversion + chroma upsampling (nearest) ---
+    val nc = comps.length
+    val outC = if (nc == 1) 1 else 3
+    val out = new Array[Byte](width * height * outC)
+    def clamp(v: Double): Int = {
+      val r = math.round(v).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    var yy = 0
+    while (yy < height) {
+      var xx = 0
+      while (xx < width) {
+        if (nc == 1) {
+          out(yy * width + xx) = comps(0).plane(yy * comps(0).pw + xx).toByte
+        } else {
+          def sample(c: Comp): Int = {
+            val sx = xx * c.h / maxH
+            val sy = yy * c.v / maxV
+            c.plane(sy * c.pw + sx)
+          }
+          val y0 = sample(comps(0)).toDouble
+          val cb = sample(comps(1)).toDouble - 128.0
+          val cr = sample(comps(2)).toDouble - 128.0
+          val o = (yy * width + xx) * 3
+          out(o) = clamp(y0 + 1.402 * cr).toByte
+          out(o + 1) = clamp(y0 - 0.344136 * cb - 0.714136 * cr).toByte
+          out(o + 2) = clamp(y0 + 1.772 * cb).toByte
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    Codecs.Image(width, height, outC, out)
+  }
+}

@@ -5,14 +5,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: images/audio/video ride along as opaque `binary`
-  * columns with typed metadata. PNG images and WAV audio are decoded for
-  * REAL (graft.ops.Codecs — zlib via the JDK, no external libraries);
-  * other formats (JPEG/MP4/...) fall back to `decodeStub`, a
-  * deterministic byte-level feature extractor keeping the Spark-side
-  * shape (schema, batched partition processing) identical — a JNI/library
-  * decoder drops in with no plan changes.
+  * columns with typed metadata. PNG images (graft.ops.Codecs — zlib via
+  * the JDK), baseline JPEG (graft.ops.Jpeg — from-scratch huffman+IDCT)
+  * and WAV audio are decoded for REAL; remaining formats (MP4/...) fall
+  * back to `decodeStub`, a deterministic byte-level feature extractor
+  * keeping the Spark-side shape (schema, batched partition processing)
+  * identical — a JNI/library decoder drops in with no plan changes.
   */
 object Multimodal {
+
+  /** Signature-dispatched image decode: PNG, baseline JPEG, else None. */
+  def decodeImage(bytes: Array[Byte]): Option[Codecs.Image] =
+    if (bytes.length > 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+      Some(Codecs.decodePng(bytes))
+    else if (bytes.length > 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      Some(Jpeg.decode(bytes))
+    else None
 
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -66,7 +74,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = Codecs.decodePng(bytes)
+          val img = decodeImage(bytes).getOrElse(
+            throw new IllegalArgumentException(s"unsupported image format for id $id"))
           val sums = new Array[Long](4)
           var i = 0
           while (i < img.pixels.length) {

@@ -1,0 +1,93 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline JPEG decoder validated against the JDK's own ImageIO codec
+  * (encode with ImageIO, decode with graft.ops.Jpeg, compare against
+  * ImageIO's decode). IDCT rounding differs between conformant decoders
+  * by ±1-2 per sample; chroma upsampling (ours nearest, ImageIO's
+  * filtered) differs more near chroma edges — tolerances reflect that.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  private def encode(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  // raw raster samples: setRGB/getRGB on TYPE_BYTE_GRAY would apply an
+  // sRGB↔linear-gray colorspace transform and corrupt the comparison
+  private def grayImage(w: Int, h: Int)(f: (Int, Int) => Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, f(x, y) & 0xff)
+    img
+  }
+
+  private def rgbImage(w: Int, h: Int)(f: (Int, Int) => (Int, Int, Int)): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+    }
+    img
+  }
+
+  test("grayscale: matches ImageIO decode within IDCT rounding") {
+    val w = 37; val h = 23 // non-multiple-of-8 dims exercise edge MCUs
+    val bytes = encode(grayImage(w, h)((x, y) => (x * 5 + y * 9) % 256))
+    val ours = Jpeg.decode(bytes)
+    assert(ours.width == w && ours.height == h && ours.channels == 1)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rv = ref.getRaster.getSample(x, y, 0)
+      val ov = ours.pixels(y * w + x) & 0xff
+      maxDiff = math.max(maxDiff, math.abs(rv - ov))
+    }
+    assert(maxDiff <= 2, s"max gray diff $maxDiff")
+  }
+
+  test("smooth RGB gradient: close to ImageIO despite chroma upsampling") {
+    val w = 64; val h = 48
+    val bytes = encode(rgbImage(w, h)((x, y) =>
+      (128 + x, 100 + y, 200 - x / 2)))
+    val ours = Jpeg.decode(bytes)
+    assert(ours.width == w && ours.height == h && ours.channels == 3)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sumDiff = 0L; var maxDiff = 0; var n = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgb = ref.getRGB(x, y)
+      val rv = (rgb >> (16 - 8 * c)) & 0xff
+      val ov = ours.pixels((y * w + x) * 3 + c) & 0xff
+      val d = math.abs(rv - ov)
+      sumDiff += d; maxDiff = math.max(maxDiff, d); n += 1
+    }
+    val mean = sumDiff.toDouble / n
+    assert(mean < 2.0, s"mean diff $mean")
+    assert(maxDiff <= 16, s"max diff $maxDiff")
+  }
+
+  test("uniform color block decodes to itself") {
+    val bytes = encode(rgbImage(32, 32)((_, _) => (80, 160, 40)))
+    val img = Jpeg.decode(bytes)
+    for (i <- 0 until 32 * 32) {
+      assert(math.abs((img.pixels(i * 3) & 0xff) - 80) <= 3)
+      assert(math.abs((img.pixels(i * 3 + 1) & 0xff) - 160) <= 3)
+      assert(math.abs((img.pixels(i * 3 + 2) & 0xff) - 40) <= 3)
+    }
+  }
+
+  test("progressive JPEG is rejected with a clear error") {
+    // hand-build a minimal stream with SOF2 to check the error path
+    val bytes = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc2.toByte, 0, 8, 8, 0, 8, 0, 8, 1, 0)
+    val e = intercept[IllegalArgumentException](Jpeg.decode(bytes))
+    assert(e.getMessage.contains("progressive"))
+  }
+}
