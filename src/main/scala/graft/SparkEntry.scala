@@ -928,8 +928,13 @@ object SparkEntry {
         "n_chars", 2.0, 7.0, "scaled").select("doc_id", "scaled")
     },
     "encode_latlng" -> { (s, dir) =>
+      // rounded to 9 decimals: Java and DuckDB sin/cos differ by 1 ulp on
+      // ~0.2% of inputs, which ROUND(·, 9) absorbs (r3: was rows-only)
       graft.ops.Scalers.encodeLatLng(Pages.pages(s, dir), "lat", "lon")
-        .select("doc_id", "lat_sin", "lat_cos", "lng_sin", "lng_cos")
+        .select(col("doc_id"), round(col("lat_sin"), 9).as("lat_sin_r"),
+          round(col("lat_cos"), 9).as("lat_cos_r"),
+          round(col("lng_sin"), 9).as("lng_sin_r"),
+          round(col("lng_cos"), 9).as("lng_cos_r"))
     },
     "mm_image_decode" -> { (s, _) =>
       // REAL PNG decode: 100 deterministic 48×32 RGB images, each
@@ -1074,6 +1079,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "geo_geocode" -> Pages.sqlWith(
       "SELECT doc_id, lon_udeg, lat_udeg, lon, lat FROM pages"),
+
+    "encode_latlng" -> Pages.sqlWith(
+      """SELECT doc_id,
+          ROUND(sin((lat + 90.0) / 180.0 * pi()), 9) AS lat_sin_r,
+          ROUND(cos((lat + 90.0) / 180.0 * pi()), 9) AS lat_cos_r,
+          ROUND(sin((lon + 180.0) / 360.0 * (2 * pi())), 9) AS lng_sin_r,
+          ROUND(cos((lon + 180.0) / 360.0 * (2 * pi())), 9) AS lng_cos_r
+        FROM pages"""),
 
     "geo_cells" -> Pages.sqlWith(
       s"""SELECT doc_id,

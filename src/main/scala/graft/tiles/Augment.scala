@@ -548,4 +548,34 @@ object Augment {
       }
       d.copy(pixels = out)
     }
+
+  /** Apply a mask with NOISE replacement (reference:
+    * buteo/ai/masking/noise.py:13-115): masked pixels become uniform
+    * draws in [valMin, valMax] — or, `binary=true`, exactly valMin/valMax
+    * by a fair coin. The noise field is keyed on global pixel coords
+    * (band-independent, the reference's 2D form).
+    */
+  def applyMaskNoise(data: Dataset[Tile], mask: Dataset[Tile],
+                     valMin: Double, valMax: Double,
+                     binary: Boolean = false, seed: Long = 42L): Dataset[Tile] =
+    keyJoin(data, mask).map { case (d, m) =>
+      val out = new Array[Double](d.pixels.length)
+      var r = 0
+      while (r < d.h) {
+        var c = 0
+        while (c < d.w) {
+          val i = r * d.w + c
+          out(i) =
+            if (m.pixels(i) != 0.0) d.pixels(i)
+            else {
+              val u = u01(seed, d.cellX.toLong * d.w + c, d.cellY.toLong * d.h + r, 8000)
+              if (binary) { if (u > 0.5) valMax else valMin }
+              else valMin + u * (valMax - valMin)
+            }
+          c += 1
+        }
+        r += 1
+      }
+      d.copy(pixels = out)
+    }
 }

@@ -194,6 +194,36 @@ class AugmentSpec extends AnyFunSuite {
     assert(l.pixels.exists(_ == 0.0) && l.pixels.exists(_ == 1.0))
   }
 
+  test("applyMaskNoise: masked pixels drawn in [min,max]; binary form two-valued") {
+    val data = raster()
+    val mask = Augment.maskRectangle(raster(), p = 1.0, seed = 17)
+    val masks = mask.collect().map(t => ((t.cellX, t.cellY, t.band), t.pixels)).toMap
+    val cont = Augment.applyMaskNoise(data, mask, 10.0, 20.0, binary = false, seed = 5)
+      .collect()
+    cont.foreach { t =>
+      val m = masks((t.cellX, t.cellY, t.band))
+      t.pixels.zip(m).foreach { case (v, mv) =>
+        if (mv == 0.0) assert(v >= 10.0 && v <= 20.0)
+      }
+    }
+    val bin = Augment.applyMaskNoise(raster(), mask, -1.0, 99.0, binary = true, seed = 5)
+      .collect()
+    bin.foreach { t =>
+      val m = masks((t.cellX, t.cellY, t.band))
+      t.pixels.zip(m).foreach { case (v, mv) =>
+        if (mv == 0.0) assert(v == -1.0 || v == 99.0)
+      }
+    }
+    // 2D form: same replacement noise on both bands of a cell
+    val byCell = cont.groupBy(t => (t.cellX, t.cellY))
+    byCell.foreach { case (k, ts) =>
+      val m = masks((k._1, k._2, 0))
+      val p0 = ts.find(_.band == 0).get.pixels
+      val p1 = ts.find(_.band == 1).get.pixels
+      m.zipWithIndex.foreach { case (mv, i) => if (mv == 0.0) assert(p0(i) == p1(i)) }
+    }
+  }
+
   test("applyMask fills masked pixels") {
     val data = raster()
     val mask = Augment.maskRectangle(raster(), p = 1.0, seed = 17)
