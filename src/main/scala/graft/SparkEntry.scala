@@ -897,6 +897,15 @@ object SparkEntry {
       graft.tiles.Vectorize.vectorizeRings(r, spec)
     },
 
+    "raster_zonal_binned_mode" -> { (s, _) =>
+      // continuous plane (fractional noise term): GDAL-style 256-bin
+      // approx-histogram mode per zone (r3 — fills the documented
+      // continuous-mode gap of zonalStatsApprox)
+      val r = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
+        (x, y, _) => rasterValue(x, y, 0) + ((x * 31 + y * 17) % 101) / 101.0)
+      graft.tiles.Zonal.zonalBinnedMode(r, zonePolys)
+    },
+
     "raster_vectorize_rings_geo" -> { (s, _) =>
       // same regions, rings emitted in GEO coordinates via the raster
       // geotransform (origin (0,64), quarter-degree pixels) — the
@@ -2007,6 +2016,30 @@ object SparkEntry {
             x1 || ' ' || y1 || ',' || x0 || ' ' || y1 || ',' ||
             x0 || ' ' || y0 || '))' AS wkt
         FROM blk""",
+
+    "raster_zonal_binned_mode" ->
+      (s"""WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           0 AS band,
+           CAST((x*7 + y*13) % 97 AS DOUBLE) + ((x*31 + y*17) % 101) / 101.0 AS v,
+           0.0 + (x + 0.5) * 0.25 AS gx, 64.0 + (y + 0.5) * -0.25 AS gy
+         FROM range(256) r1(x), range(256) r2(y)),
+        zpx AS (SELECT zone, band, v FROM px JOIN $sqlZones
+          ON gx >= zx0 AND gx <= zx1 AND gy >= zy0 AND gy <= zy1),
+        rng AS (SELECT zone, band, min(v) AS vmin, max(v) AS vmax,
+          CAST(count(*) AS BIGINT) AS n_px FROM zpx GROUP BY 1, 2),
+        binned AS (SELECT z.zone, z.band,
+          CASE WHEN r.vmax = r.vmin THEN 0
+               ELSE LEAST(CAST(FLOOR((z.v - r.vmin) / (r.vmax - r.vmin) * 256) AS INTEGER), 255)
+          END AS bin, CAST(count(*) AS BIGINT) AS cnt
+          FROM zpx z JOIN rng r ON z.zone = r.zone AND z.band = r.band
+          GROUP BY 1, 2, 3),
+        top AS (SELECT zone, band, bin, cnt,
+          row_number() OVER (PARTITION BY zone, band ORDER BY cnt DESC, bin ASC) AS rn
+          FROM binned)
+        SELECT CAST(t.zone AS BIGINT) AS zone, t.band, r.n_px, t.bin, t.cnt,
+          r.vmin + (CAST(t.bin AS DOUBLE) + 0.5) * (r.vmax - r.vmin) / 256 AS mode_binned
+        FROM top t JOIN rng r ON t.zone = r.zone AND t.band = r.band
+        WHERE t.rn = 1"""),
 
     "raster_vectorize_rings_geo" ->
       // geotransform applied per vertex: gx = x*0.25, gy = 64 − y*0.25
