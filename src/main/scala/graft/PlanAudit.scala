@@ -18,7 +18,10 @@ object PlanAudit {
     val sf = "/root/testdata/sf0.001"
     val interesting = Seq("geo_pip", "geo_cell_counts", "geo_knn", "dedup_lsh_pairs",
       "dedup_minhash_sig", "ann_topk", "ann_lsh", "raster_convolve_sum",
-      "raster_zonal_approx", "events_sessionize")
+      "raster_zonal_approx", "events_sessionize",
+      // round 3: clip/buffer (per-feature flatMap, broadcast clip layer),
+      // mixup (tile-key join), binned mode (two-pass agg + broadcast)
+      "vector_clip", "vector_buffer", "aug_mixup", "raster_zonal_binned_mode")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -544,8 +544,11 @@ object SparkEntry {
     },
     "mm_channel_reorder" -> { (s, dir) =>
       // channel-first→last transpose of a quantized 4×4×4 "image" payload
+      // (r3: codegen'd single-pass ChannelTransposeExpr — was a
+      // per-element transform+element_at tree, the r2 plan-audit note)
+      GraftFunctions.register(s)
       val q = Similarity.quantize(col("embedding"))
-      val cl = graft.ops.ArrayOps.channelFirstToLast(q, 4, 4, 4)
+      val cl = graft.ops.ArrayOps.channelFirstToLastFast(q, 4, 4, 4)
       embeddingsOf(s, dir).select(col("vec_id"), posexplode(cl).as(Seq("pos", "q")))
     },
     "raster_theilsen_robust" -> { (s, _) =>

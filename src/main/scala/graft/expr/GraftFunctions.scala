@@ -27,6 +27,12 @@ object GraftFunctions {
       es => graft.plans.StContainsPoint(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("cover_cells",
       es => graft.plans.CoverCellsExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("channel_transpose", es =>
+      ChannelTransposeExpr(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue(),
+        es(3).eval().asInstanceOf[Number].intValue(),
+        es(4).eval().asInstanceOf[Boolean]), "scala_udf")
   }
 
   /** align_bbox(refXMin, refYMax, tXMin, tXMax, tYMin, tYMax, pw, ph) →

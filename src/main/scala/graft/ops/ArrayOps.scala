@@ -34,4 +34,15 @@ object ArrayOps {
       element_at(arr, (pix * lit(c) + ch + lit(1)).cast("int"))
     })
   }
+
+  /** Codegen'd single-pass variants (graft.expr.ChannelTransposeExpr):
+    * one tight array permutation instead of a per-element
+    * transform+element_at expression tree — the hot-path form for long
+    * payload arrays (requires `GraftFunctions.register`).
+    */
+  def channelFirstToLastFast(arr: Column, c: Int, h: Int, w: Int): Column =
+    call_function("channel_transpose", arr, lit(c), lit(h), lit(w), lit(true))
+
+  def channelLastToFirstFast(arr: Column, c: Int, h: Int, w: Int): Column =
+    call_function("channel_transpose", arr, lit(c), lit(h), lit(w), lit(false))
 }
