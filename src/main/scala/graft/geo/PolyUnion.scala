@@ -20,11 +20,13 @@ package graft.geo
   *      assembled rings IS the union area.
   *
   * Midpoint-offset classification is exact for inputs whose features are
-  * large relative to the offset scale (1e-7 of the coordinate span) —
-  * dissolve-grade vector layers; it is NOT a guaranteed-robust
-  * arrangement for adversarial near-degenerate input (that territory
-  * needs exact-rational noding à la Martínez–Rueda 2009 or JTS
-  * OverlayNG snap-rounding — both published; staged).
+  * larger than the noding quantum (1e-9 of the coordinate span): an
+  * offset LADDER (1e-7 → 1e-10 → 1e-13 of span) re-samples closer when
+  * both sides test outside, so slivers far thinner than the base offset
+  * classify correctly (property-tested down to 1e-8·span). Features at
+  * or below the quantum itself are NOT robust — that territory needs
+  * exact-rational noding à la Martínez–Rueda 2009 or JTS OverlayNG
+  * snap-rounding (both published; staged).
   *
   * Reference semantics: buteo/vector/dissolve.py:101-116 reaches
   * ST_Union through SQLite/GEOS; this is the from-scratch Spark-side
@@ -152,9 +154,24 @@ object PolyUnion {
       val len = math.sqrt(dx * dx + dy * dy)
       if (len > quantum) {
         val nx = -dy / len; val ny = dx / len // left normal
-        val inL = inside(mx + nx * offset, my + ny * offset)
-        val inR = inside(mx - nx * offset, my - ny * offset)
-        val dir = if (inL && !inR) 1 else if (inR && !inL) -1 else 0
+        // offset LADDER (robustness for thin features): if both side
+        // samples land OUTSIDE at the base offset, the feature may be
+        // thinner than the offset — retry closer (×1e-3, ×1e-6) before
+        // declaring the segment an exterior duplicate. Both-sides-INSIDE
+        // stops immediately: that is a genuine interior shared boundary
+        // at every scale.
+        var dir = 0
+        var step = 0
+        var decided = false
+        while (!decided && step < 3) {
+          val o = offset * math.pow(1e-3, step)
+          val inL = inside(mx + nx * o, my + ny * o)
+          val inR = inside(mx - nx * o, my - ny * o)
+          if (inL && !inR) { dir = 1; decided = true }
+          else if (inR && !inL) { dir = -1; decided = true }
+          else if (inL && inR) decided = true // interior duplicate
+          else step += 1 // both outside: maybe a sliver thinner than o
+        }
         if (dir != 0) {
           val key =
             if (dir > 0) (q(x1), q(y1), q(x2), q(y2)) else (q(x2), q(y2), q(x1), q(y1))

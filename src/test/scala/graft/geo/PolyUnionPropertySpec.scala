@@ -97,6 +97,25 @@ class PolyUnionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("thin slivers survive classification (offset ladder)") {
+    // slivers 5e-8 wide on a span-6 canvas sit BELOW the base sampling
+    // offset (span·1e-7 ≈ 6e-7) but above the noding quantum
+    // (span·1e-9): the pre-ladder kernel dropped them (both side
+    // samples outside → classified exterior), the ladder rescues them.
+    // Features under the quantum remain out of scope (exact-rational
+    // noding — documented staged work).
+    val w = 5e-8
+    val sliver = rectPoly(1.0, 0.0, w, 6.0)
+    val u1 = PolyUnion.union(Seq(sliver))
+    assert(math.abs(u1.area - 6 * w) < 1e-12, s"lone sliver area ${u1.area}")
+    val mixed = PolyUnion.union(Seq(sliver, rectPoly(4.0, 0.0, 2.0, 2.0)))
+    assert(math.abs(mixed.area - (6 * w + 4.0)) < 1e-9, s"mixed ${mixed.area}")
+    assert(mixed.nRings == 2)
+    // intersection of the sliver with a crossing band keeps the sliver cut
+    val inter = PolyUnion.overlay(Seq(sliver), Seq(rectPoly(0.0, 2.0, 8.0, 1.0)), _ && _)
+    assert(math.abs(inter.area - w) < 1e-12, s"sliver ∩ band ${inter.area}")
+  }
+
   test("union is monotone and bounded: max single ≤ union ≤ sum (2k sets)") {
     cases(rectSetGen, 2000, seed = 3L) { rs =>
       val u = PolyUnion.union(rs).area
