@@ -144,6 +144,45 @@ object VectorOps2 {
         if (style == "square") {
           pieces += Polygon(Array(Array(
             x1 - d, y1 - d, x1 + d, y1 - d, x1 + d, y1 + d, x1 - d, y1 + d)))
+        } else if (style == "mitre") {
+          // true angle-dependent mitre (GEOS JOIN_MITRE): at each vertex,
+          // on BOTH sides, extend the adjacent offset lines to their
+          // intersection; fall back to bevel past the mitre limit. The
+          // double-sided strips make the inner-side piece harmless.
+          var ip = (i - 1 + n) % n
+          var guard = 0
+          // closed rings repeat the first point: walk back past
+          // zero-length edges to the previous DISTINCT vertex
+          while (r(2 * ip) == x1 && r(2 * ip + 1) == y1 && guard < n) {
+            ip = (ip - 1 + n) % n; guard += 1
+          }
+          val px = r(2 * ip); val py = r(2 * ip + 1)
+          val e1x = x1 - px; val e1y = y1 - py
+          val e2x = x2 - x1; val e2y = y2 - y1
+          val l1 = math.sqrt(e1x * e1x + e1y * e1y)
+          val l2 = math.sqrt(e2x * e2x + e2y * e2y)
+          if (l1 > 0 && l2 > 0) {
+            val mitreLimit = 5.0 * d
+            var s = 1
+            while (s >= -1) {
+              val n1x = -e1y / l1 * d * s; val n1y = e1x / l1 * d * s
+              val n2x = -e2y / l2 * d * s; val n2y = e2x / l2 * d * s
+              val cross = e1x * e2y - e1y * e2x
+              if (math.abs(cross) > 1e-12 * l1 * l2) {
+                // offset-line intersection: (a + t·e1) = (b + u·e2)
+                val ax = x1 + n1x; val ay = y1 + n1y
+                val bx2 = x1 + n2x; val by2 = y1 + n2y
+                val t = ((bx2 - ax) * e2y - (by2 - ay) * e2x) / cross
+                val mx = ax + t * e1x; val my = ay + t * e1y
+                val mdx = mx - x1; val mdy = my - y1
+                if (math.sqrt(mdx * mdx + mdy * mdy) <= mitreLimit)
+                  pieces += Polygon(Array(Array(x1, y1, ax, ay, mx, my, bx2, by2)))
+                else // bevel fallback
+                  pieces += Polygon(Array(Array(x1, y1, ax, ay, bx2, by2)))
+              }
+              s -= 2
+            }
+          }
         } else {
           val sides = 4 * math.max(1, quadSegs)
           val ring = new Array[Double](sides * 2)

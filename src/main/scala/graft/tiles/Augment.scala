@@ -365,6 +365,38 @@ object Augment {
       t.copy(pixels = out)
     }
 
+  /** Blur (reference transform.py:182-263): gaussian-weighted circular
+    * radius-1 kernel over the existing weighted-convolve path.
+    */
+  def blur(tiles: Dataset[Tile]): Dataset[Tile] =
+    TileOps.convolve(tiles, 1, "sum",
+      weight = Kernels.base(1.0, circular = true, distanceWeighted = true, method = 3),
+      normalised = true)
+
+  /** Sharpen (reference transform.py:322-410): the unsharp kernel at
+    * radius 1, intensity 1 — delegates to the oracle-checked unsharp op.
+    */
+  def sharpen(tiles: Dataset[Tile]): Dataset[Tile] =
+    TileOps2.unsharpMask(tiles, 1, 1.0)
+
+  /** Misalign (reference transform.py:469-579): sub-pixel shift via the
+    * bilinear shift kernel (kernels.py kernel_shift) — offsets drawn
+    * once per call, capped at `maxOffset` like the reference's
+    * min(rand, max_offset).
+    */
+  def misalign(tiles: Dataset[Tile], maxOffset: Double = 0.5,
+               seed: Long = 42L): Dataset[Tile] = {
+    val fx = math.min(u01(seed, 1, 0, 0), maxOffset)
+    val fy = math.min(u01(seed, 2, 0, 0), maxOffset)
+    TileOps.convolve(tiles, 1, "sum",
+      weight = (dx, dy) => {
+        val wx = if (dx == 0) 1.0 - fx else if (dx == 1) fx else 0.0
+        val wy = if (dy == 0) 1.0 - fy else if (dy == 1) fy else 0.0
+        wx * wy
+      },
+      normalised = false)
+  }
+
   // ============================== masking ==============================
   // Masks are emitted as tile planes of 0/1 (reference returns uint8
   // masks); applyMask multiplies them onto a data plane.

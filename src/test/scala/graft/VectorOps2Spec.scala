@@ -93,6 +93,26 @@ class VectorOps2Spec extends AnyFunSuite {
     assert(r(0).getAs[Long]("n_pts") > 4L)
   }
 
+  test("buffer mitre joins: exact closed form on square and diamond") {
+    // axis-aligned rect, mitre ≡ square joins: (w+2d)(h+2d)
+    val r = VectorOps2.buffer(df1(rectWkt(0, 0, 4, 3)), "wkt", "fid", lit(2.0),
+      joinStyle = "mitre").collect()
+    assert(math.abs(r(0).getAs[Double]("buf_area") - 56.0) < 1e-9)
+    // diamond (45°-rotated square, r=3, side 3√2): mitre buffer area =
+    // A + P·d + 4·d²·tan(45°) = 18 + 12√2·d + 4d²
+    val diamond = "POLYGON((3 0, 6 3, 3 6, 0 3, 3 0))"
+    val d = 1.0
+    val rd = VectorOps2.buffer(df1(diamond), "wkt", "fid", lit(d),
+      joinStyle = "mitre").collect()
+    val expected = 18.0 + 12.0 * math.sqrt(2.0) * d + 4.0 * d * d
+    assert(math.abs(rd(0).getAs[Double]("buf_area") - expected) < 1e-9,
+      s"got ${rd(0).getAs[Double]("buf_area")} want $expected")
+    // mitre offset of a convex polygon keeps the vertex count: the
+    // corner path a→mitre→b is collinear with the adjacent offset edges,
+    // so only the 4 mitre points survive the trace
+    assert(rd(0).getAs[Long]("n_pts") == 4L)
+  }
+
   test("buffer negative distance erodes") {
     val r = VectorOps2.buffer(df1(rectWkt(0, 0, 4, 3)), "wkt", "fid", lit(-1.0),
       joinStyle = "square").collect()

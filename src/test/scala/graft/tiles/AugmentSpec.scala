@@ -194,6 +194,26 @@ class AugmentSpec extends AnyFunSuite {
     assert(l.pixels.exists(_ == 0.0) && l.pixels.exists(_ == 1.0))
   }
 
+  test("blur smooths, sharpen amplifies contrast, misalign shifts a ramp") {
+    val bigSpec = spec.copy(width = 16, height = 16, tileSize = 8, bands = 1)
+    // checkerboard: blur must shrink the deviation from the mean
+    val checker = TileOps.createRaster(spark, bigSpec)((x, y, _) => ((x + y) % 2) * 10.0)
+    val blurred = pixelMap(Augment.blur(checker), bigSpec)
+    val devIn = 5.0 // checker deviates ±5 from mean 5
+    val interior = for (r <- 2 until 14; c <- 2 until 14) yield math.abs(blurred((c, r, 0)) - 5.0)
+    assert(interior.max < devIn, s"blur max dev ${interior.max}")
+    val sharp = pixelMap(Augment.sharpen(checker), bigSpec)
+    val sInterior = for (r <- 2 until 14; c <- 2 until 14) yield math.abs(sharp((c, r, 0)) - 5.0)
+    assert(sInterior.min > devIn, s"sharpen min dev ${sInterior.min}")
+    // x-ramp: misalign by (fx, fy) adds fx (slope 1 in x, 0 in y)
+    val ramp = TileOps.createRaster(spark, bigSpec)((x, _, _) => x.toDouble)
+    val fx = math.min(Augment.u01(7, 1, 0, 0), 0.5)
+    val shifted = pixelMap(Augment.misalign(ramp, 0.5, seed = 7), bigSpec)
+    for (r <- 2 until 14; c <- 2 until 13)
+      assert(math.abs(shifted((c, r, 0)) - (c + fx)) < 1e-9,
+        s"($c,$r): ${shifted((c, r, 0))} want ${c + fx}")
+  }
+
   test("applyMaskNoise: masked pixels drawn in [min,max]; binary form two-valued") {
     val data = raster()
     val mask = Augment.maskRectangle(raster(), p = 1.0, seed = 17)
