@@ -801,6 +801,19 @@ object SparkEntry {
       graft.ops.VectorOps2.reprojectLayer(vectorFeatures(s), "wkt", "fid", 4326, 3857)
         .select("fid", "n_rings", "n_pts", "x_min", "x_max", "y_min", "y_max")
     },
+    "vector_hexgrid" -> { (s, _) =>
+      // flat-top hex fishnet (reference grid.py:24 is an unimplemented
+      // stub — realized here); pure column expressions from spark.range
+      graft.ops.VectorOps2.hexGrid(s, 0.0, 30.0, 0.0, 20.0, 2.0)
+    },
+    "select_stratified" -> { (s, dir) =>
+      graft.ops.Selection.samplingStratified(
+        documentsOf(s, dir).select("doc_id", "lang"), "doc_id", "lang")
+    },
+    "select_split" -> { (s, dir) =>
+      graft.ops.Selection.splitTrainValTest(
+        documentsOf(s, dir).select("doc_id"), "doc_id", valSize = 0.1, testSize = 0.1)
+    },
 
     // --- AI augmentation + masking (round 3; reference buteo/ai) ---
     "aug_rot90" -> { (s, _) =>
@@ -1812,6 +1825,51 @@ object SparkEntry {
           6378137.0 * ln(tan(pi() / 4.0 + radians(CAST(y0 AS DOUBLE)) / 2.0)) AS y_min,
           6378137.0 * ln(tan(pi() / 4.0 + radians(CAST(y0 + h AS DOUBLE)) / 2.0)) AS y_max
         FROM feats"""),
+
+    "vector_hexgrid" -> {
+      val size = 2.0
+      val sx = 1.5 * size
+      val sy = math.sqrt(3.0) * size
+      val hh = sy * 0.5
+      val half = size * 0.5
+      // extent (0,30)x(0,20): q in [0,10], r in [-1,6] before center filter
+      s"""WITH g AS (SELECT a.q, b.r FROM range(0, 11) a(q), range(-1, 7) b(r)),
+        c AS (SELECT q, r, CAST(q AS DOUBLE) * $sx AS cx,
+          (CAST(r AS DOUBLE) + 0.5 * CAST((q % 2 + 2) % 2 AS DOUBLE)) * $sy AS cy
+        FROM g)
+        SELECT q, r, cx, cy,
+          'POLYGON((' || (cx + $size) || ' ' || cy || ', '
+            || (cx + $half) || ' ' || (cy + $hh) || ', '
+            || (cx - $half) || ' ' || (cy + $hh) || ', '
+            || (cx - $size) || ' ' || cy || ', '
+            || (cx - $half) || ' ' || (cy - $hh) || ', '
+            || (cx + $half) || ' ' || (cy - $hh) || ', '
+            || (cx + $size) || ' ' || cy || '))' AS wkt
+        FROM c
+        WHERE cx >= 0.0 AND cx <= 30.0 AND cy >= 0.0 AND cy <= 20.0"""
+    },
+
+    "select_stratified" ->
+      """WITH u AS (SELECT doc_id, lang,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+             / 1152921504606846976.0 AS h
+         FROM documents),
+        m AS (SELECT CAST(min(cnt) AS BIGINT) AS n FROM
+          (SELECT count(*) AS cnt FROM documents GROUP BY lang)),
+        rn AS (SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM u)
+        SELECT doc_id, lang FROM rn, m WHERE rn <= n""",
+
+    "select_split" ->
+      """WITH u AS (SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+             / 1152921504606846976.0 AS h
+         FROM documents)
+        SELECT doc_id,
+          CASE WHEN h < 1.0 - 0.1 - 0.1 THEN 'train'
+               WHEN h < 1.0 - 0.1 THEN 'val'
+               ELSE 'test' END AS split
+        FROM u""",
 
     // --- AI augmentation + masking (round 3) ---
     "aug_rot90" -> (sqlPxConv +

@@ -78,7 +78,10 @@ object Wkt {
 
   def toWkt(p: Polygon): String = {
     val rings = p.rings.map { r =>
-      val pts = (r.grouped(2).map(a => s"${a(0)} ${a(1)}").toSeq :+ s"${r(0)} ${r(1)}")
+      val open = r.grouped(2).map(a => s"${a(0)} ${a(1)}").toSeq
+      // close the ring exactly once (inputs may already carry the dup)
+      val pts = if (open.length > 1 && open.head == open.last) open
+                else open :+ s"${r(0)} ${r(1)}"
       pts.mkString("(", ", ", ")")
     }
     rings.mkString("POLYGON (", ", ", ")")

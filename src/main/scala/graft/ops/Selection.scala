@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset selection / splitting for training pipelines (reference:
+  * buteo/ai/selection.py). The reference shuffles numpy arrays in
+  * memory; here every draw is a DETERMINISTIC hash of the row id —
+  * reproducible on any cluster size, no shuffle of the full data for
+  * the split decision itself, and SQL-mirrorable for the oracles.
+  */
+object Selection {
+
+  /** md5-derived uniform [0,1) per id — matches the oracle exactly
+    * (top 60 bits of md5 over the decimal id, like Dedup's md5prefix).
+    */
+  private def u01(idCol: Column): Column =
+    (conv(substring(md5(encode(idCol.cast("string"), "UTF-8")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0 /* 2^60 */))
+
+  /** split_train_val (reference selection.py:11-69): adds a `split`
+    * column ("train"/"val") by deterministic hash threshold.
+    */
+  def splitTrainVal(df: DataFrame, idCol: String, valSize: Double = 0.2): DataFrame =
+    df.withColumn("split",
+      when(u01(col(idCol)) < lit(1.0 - valSize), "train").otherwise("val"))
+
+  /** split_train_val_test (reference selection.py:70-140): three-way
+    * deterministic split.
+    */
+  def splitTrainValTest(df: DataFrame, idCol: String,
+                        valSize: Double = 0.1, testSize: Double = 0.1): DataFrame = {
+    val u = u01(col(idCol))
+    df.withColumn("split",
+      when(u < lit(1.0 - valSize - testSize), "train")
+        .when(u < lit(1.0 - testSize), "val")
+        .otherwise("test"))
+  }
+
+  /** sampling_stratified (reference selection.py:141-199): equal
+    * samples per class — `samplesPerClass` if given, else the smallest
+    * class size. Selection order is the deterministic hash (the
+    * reference's shuffle analog), via one window per class.
+    */
+  def samplingStratified(df: DataFrame, idCol: String, classCol: String,
+                         samplesPerClass: Int = -1): DataFrame = {
+    val n =
+      if (samplesPerClass > 0) lit(samplesPerClass)
+      else {
+        val minClass = df.groupBy(classCol).count()
+          .agg(min("count")).collect()(0).getLong(0)
+        lit(minClass)
+      }
+    val w = Window.partitionBy(classCol).orderBy(u01(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** sampling_random (reference selection.py:200-): deterministic
+    * Bernoulli(p) by id hash.
+    */
+  def samplingRandom(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(u01(col(idCol)) < lit(fraction))
+}

@@ -265,6 +265,31 @@ object VectorOps {
   def splitByFeature(df: DataFrame, idCol: String, outRoot: String): Unit =
     splitByAttribute(df, idCol, outRoot)
 
+  /** Singlepart → multipart per feature group: collect each id's parts
+    * into one MULTIPOLYGON row — the inverse of multipartToSingle and
+    * the "promote to multi" arm of vector_change_multitype (reference:
+    * buteo/core_vector/conversion/multitype.py:69, multipart.py:169-).
+    */
+  def singleToMultipart(df: DataFrame, wktCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wktCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (fid: Long, it: Iterator[(Long, String)]) =>
+        val parts = it.map(_._2).toSeq.sorted.flatMap(Wkt.parsePolygons(_))
+        val wkt = parts.map { p =>
+          p.rings.map { r =>
+            val pts = (0 until r.length by 2).map(i => s"${r(i)} ${r(i + 1)}")
+            val closed = if (pts.head == pts.last) pts else pts :+ pts.head
+            closed.mkString("(", ", ", ")")
+          }.mkString("(", ", ", ")")
+        }.mkString("MULTIPOLYGON(", ", ", ")")
+        (fid, parts.length.toLong, wkt)
+      }
+      .toDF("fid", "n_parts", "multi_wkt")
+  }
+
   /** Multipart → singlepart: explode MULTIPOLYGON into per-part rows
     * (reference: buteo/core_vector/conversion/multipart.py:58-166).
     */

@@ -244,6 +244,47 @@ object VectorOps2 {
         "x_min", "x_max", "y_min", "y_max", "buf_wkt")
   }
 
+  /** create_hexagonal_grid — flat-top hexagonal fishnet over an extent
+    * (reference: buteo/vector/grid.py:24 — a stub in the reference
+    * (`# Not implemented yet`); implemented here for real). One row per
+    * hexagon with axial column/row indices, center, and ring WKT —
+    * generated distributively from `spark.range` with pure column
+    * expressions (no UDF), so a planet-scale grid never materializes on
+    * the driver. Centers are kept iff they fall inside the extent.
+    */
+  def hexGrid(spark: org.apache.spark.sql.SparkSession,
+              xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+              size: Double): DataFrame = {
+    val sx = 1.5 * size                  // column pitch
+    val sy = math.sqrt(3.0) * size       // row pitch
+    val qMin = math.ceil(xMin / sx).toLong
+    val qMax = math.floor(xMax / sx).toLong
+    val rMin = math.ceil(yMin / sy).toLong - 1
+    val rMax = math.floor(yMax / sy).toLong + 1
+    val nq = qMax - qMin + 1
+    val nr = rMax - rMin + 1
+    require(nq > 0 && nr > 0, "empty hex grid extent")
+    val base = spark.range(nq * nr).select(
+      (col("id") % nq + qMin).as("q"),
+      (expr(s"id DIV $nq") + rMin).as("r")) // integer division (/ is double)
+    val cx = col("q").cast("double") * sx
+    val cy = (col("r").cast("double") + lit(0.5) * pmod(col("q"), lit(2)).cast("double")) * sy
+    val hh = sy * 0.5
+    def pt(x: Column, y: Column): Column =
+      concat(x.cast("string"), lit(" "), y.cast("string"))
+    val wkt = concat(lit("POLYGON(("),
+      pt(cx + size, cy), lit(", "),
+      pt(cx + size * 0.5, cy + hh), lit(", "),
+      pt(cx - size * 0.5, cy + hh), lit(", "),
+      pt(cx - size, cy), lit(", "),
+      pt(cx - size * 0.5, cy - hh), lit(", "),
+      pt(cx + size * 0.5, cy - hh), lit(", "),
+      pt(cx + size, cy), lit("))"))
+    base.select(col("q"), col("r"), cx.as("cx"), cy.as("cy"), wkt.as("wkt"))
+      .filter(col("cx") >= xMin && col("cx") <= xMax &&
+        col("cy") >= yMin && col("cy") <= yMax)
+  }
+
   /** vector_reproject — reproject EVERY vertex of a WKT geometry column
     * between EPSG systems (reference: buteo/vector/reproject.py:1-151 =
     * gdal.VectorTranslate -t_srs). Pure per-row map over the existing

@@ -166,6 +166,35 @@ class VectorOps2Spec extends AnyFunSuite {
     assert(math.abs(back(0).getAs[Double]("y_max") - 43.0) < 1e-9)
   }
 
+  test("singleToMultipart inverts multipartToSingle") {
+    val s = spark
+    import s.implicits._
+    val multi = Seq((1L,
+      "MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 0, 6 0, 6 1, 5 1, 5 0)))"))
+      .toDF("fid", "wkt")
+    val single = graft.ops.VectorOps.multipartToSingle(multi, "wkt", "fid")
+    assert(single.count() == 2)
+    val back = graft.ops.VectorOps.singleToMultipart(single, "part_wkt", "fid").collect()
+    assert(back.length == 1 && back(0).getAs[Long]("n_parts") == 2L)
+    val w = back(0).getAs[String]("multi_wkt")
+    assert(w.startsWith("MULTIPOLYGON(") && w.contains("5.0 0.0"))
+    // rings closed exactly once
+    assert(!w.contains("0.0 0.0, 0.0 0.0"))
+  }
+
+  test("hexGrid: row per hexagon, centers inside extent, hex area tiles") {
+    val g = graft.ops.VectorOps2.hexGrid(spark, 0.0, 30.0, 0.0, 20.0, 2.0).collect()
+    assert(g.length == 66) // 11 columns x 6 rows
+    g.foreach { r =>
+      val cx = r.getAs[Double]("cx"); val cy = r.getAs[Double]("cy")
+      assert(cx >= 0 && cx <= 30 && cy >= 0 && cy <= 20)
+      val p = Wkt.parsePolygon(r.getAs[String]("wkt"))
+      // regular flat-top hexagon area = (3√3/2)·size²
+      assert(math.abs(Wkt.area(p) - 1.5 * math.sqrt(3.0) * 4.0) < 1e-9)
+      assert(p.contains(cx, cy))
+    }
+  }
+
   test("PolyUnion.overlay intersection of two overlapping squares (general)") {
     // rotated-ish: use a diamond ∩ square
     val diamond = Polygon(Array(Array(2.0, 0.0, 4.0, 2.0, 2.0, 4.0, 0.0, 2.0)))
