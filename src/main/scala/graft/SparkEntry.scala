@@ -857,6 +857,14 @@ object SparkEntry {
         TileOps.createRaster(s, convSpec)(rasterValue), p = 0.05, seed = 7),
         convSpec.tileSize)
     },
+    "aug_encode_position" -> { (s, _) =>
+      // positional-encoding plane; sin/cos rounded to 9 (1-ulp Java vs
+      // DuckDB divergence, same mitigation as encode_latlng)
+      val enc = graft.tiles.Augment.encodeArrPosition(
+        TileOps.createRaster(s, convSpec)(rasterValue), convSpec)
+      TileOps.toPixels(enc, convSpec.tileSize)
+        .select(col("x"), col("y"), col("band"), round(col("v"), 9).as("v_r"))
+    },
     "aug_mask_rect" -> { (s, _) =>
       TileOps.toPixels(graft.tiles.Augment.maskRectangle(
         TileOps.createRaster(s, convSpec)(rasterValue), p = 1.0, seed = 17),
@@ -1927,6 +1935,18 @@ object SparkEntry {
           CASE WHEN (${u01Sql(7, "x", "y", "3000")}) > 0.05
                THEN 1.0 ELSE 0.0 END AS v
         FROM px"""),
+
+    "aug_encode_position" -> (sqlPxConv +
+      """ SELECT x, y, 0 AS band, ROUND(CAST(y AS DOUBLE) / 95.0, 9) AS v_r
+          FROM px WHERE band = 0
+        UNION ALL
+        SELECT x, y, 1 AS band,
+          ROUND((sin(2.0 * pi() * (CAST(x AS DOUBLE) / 95.0)) + 1.0) / 2.0, 9) AS v_r
+          FROM px WHERE band = 0
+        UNION ALL
+        SELECT x, y, 2 AS band,
+          ROUND((cos(2.0 * pi() * (CAST(x AS DOUBLE) / 95.0)) + 1.0) / 2.0, 9) AS v_r
+          FROM px WHERE band = 0"""),
 
     "aug_mask_rect" -> (sqlPxConv +
       s""", box AS (SELECT DISTINCT x // 32 AS tx, y // 32 AS ty,

@@ -397,6 +397,39 @@ object Augment {
       normalised = false)
   }
 
+  /** Positional-encoding plane (reference: buteo/ai/encoding.py:296-
+    * encode_arr_position + encode_width :267): 3 channels per pixel —
+    * band 0 linear along y (row/rowEnd), bands 1-2 the cyclical sin/cos
+    * of the x axis ((trig(2π·x/xEnd)+1)/2 — "width is cyclical", the
+    * global-map longitude case). Derived from band-0 tiles; emitted as
+    * a 3-band plane on the same grid.
+    */
+  def encodeArrPosition(tiles: Dataset[Tile], spec: RasterSpec): Dataset[Tile] = {
+    val xEnd = (spec.width - 1).toDouble
+    val yEnd = (spec.height - 1).toDouble
+    tiles.filter((t: Tile) => t.band == 0).flatMap { t =>
+      (0 until 3).iterator.map { b =>
+        val out = new Array[Double](t.pixels.length)
+        var r = 0
+        while (r < t.h) {
+          var c = 0
+          while (c < t.w) {
+            val gx = (t.cellX.toLong * t.w + c).toDouble
+            val gy = (t.cellY.toLong * t.h + r).toDouble
+            out(r * t.w + c) = b match {
+              case 0 => gy / yEnd
+              case 1 => (math.sin(2.0 * math.Pi * (gx / xEnd)) + 1.0) / 2.0
+              case _ => (math.cos(2.0 * math.Pi * (gx / xEnd)) + 1.0) / 2.0
+            }
+            c += 1
+          }
+          r += 1
+        }
+        t.copy(band = b, pixels = out)
+      }
+    }
+  }
+
   // ============================== masking ==============================
   // Masks are emitted as tile planes of 0/1 (reference returns uint8
   // masks); applyMask multiplies them onto a data plane.
