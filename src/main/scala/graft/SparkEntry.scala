@@ -857,6 +857,11 @@ object SparkEntry {
         TileOps.createRaster(s, convSpec)(rasterValue), p = 0.05, seed = 7),
         convSpec.tileSize)
     },
+    "aug_contrast" -> { (s, _) =>
+      TileOps.toPixels(graft.tiles.Augment.contrast(
+        TileOps.createRaster(s, convSpec)(rasterValue),
+        maxAmount = 0.3, seed = 9), convSpec.tileSize)
+    },
     "aug_encode_position" -> { (s, _) =>
       // positional-encoding plane; sin/cos rounded to 9 (1-ulp Java vs
       // DuckDB divergence, same mitigation as encode_latlng)
@@ -1935,6 +1940,13 @@ object SparkEntry {
           CASE WHEN (${u01Sql(7, "x", "y", "3000")}) > 0.05
                THEN 1.0 ELSE 0.0 END AS v
         FROM px"""),
+
+    "aug_contrast" -> (sqlPxConv +
+      s""", tl AS (SELECT x, y, band, v,
+          avg(v) OVER (PARTITION BY band, x // 32, y // 32) AS m FROM px)
+        SELECT x, y, band,
+          (v - m) * (1.0 + (${u01Sql(9, "x // 32", "y // 32", "0")}) * 0.3) + m AS v
+        FROM tl"""),
 
     "aug_encode_position" -> (sqlPxConv +
       """ SELECT x, y, 0 AS band, ROUND(CAST(y AS DOUBLE) / 95.0, 9) AS v_r
