@@ -150,6 +150,14 @@ object SparkEntry {
     """qs AS (SELECT id AS qid, CAST(id * 8 AS INTEGER) AS x0,
          CAST(id * 4 AS INTEGER) AS y0, 6 AS w, 7 AS h FROM range(10) t(id))"""
 
+  /** feats + reconstructed WKT (exact string mirror of rectWkt). */
+  private val sqlFeatWkt =
+    """, fw AS (SELECT fid, x0, y0, w, h,
+         'POLYGON((' || x0 || ' ' || y0 || ', ' || (x0 + w) || ' ' || y0 || ', '
+           || (x0 + w) || ' ' || (y0 + h) || ', ' || x0 || ' ' || (y0 + h) || ', '
+           || x0 || ' ' || y0 || '))' AS wkt
+       FROM feats)"""
+
   /** Second deterministic plane for mixup/cutmix sources. */
   private def mixValue(x: Int, y: Int, b: Int): Double =
     ((x * 3 + y * 11 + b * 7) % 89).toDouble
@@ -805,6 +813,32 @@ object SparkEntry {
       // flat-top hex fishnet (reference grid.py:24 is an unimplemented
       // stub — realized here); pure column expressions from spark.range
       graft.ops.VectorOps2.hexGrid(s, 0.0, 30.0, 0.0, 20.0, 2.0)
+    },
+
+    // --- extract_by_location full predicate family (r3; reference
+    //     buteo/vector/extract_by_location.py:142-164) ---
+    "vector_loc_contains" -> { (s, _) =>
+      graft.ops.VectorOps2.extractByLocation(vectorFeatures(s),
+        Seq(Polygon.box(BBox(4.25, 4.5, 0.25, 0.5)),
+          Polygon.box(BBox(16.5, 17.0, 10.25, 10.75))),
+        "wkt", "fid", "contains")
+    },
+    "vector_loc_within" -> { (s, _) =>
+      graft.ops.VectorOps2.extractByLocation(vectorFeatures(s),
+        Seq(Polygon.box(BBox(0.0, 30.0, 0.0, 20.0))), "wkt", "fid", "within")
+    },
+    "vector_loc_within_anti" -> { (s, _) =>
+      graft.ops.VectorOps2.extractByLocation(vectorFeatures(s),
+        Seq(Polygon.box(BBox(0.0, 30.0, 0.0, 20.0))), "wkt", "fid", "within",
+        invert = true)
+    },
+    "vector_loc_touches" -> { (s, _) =>
+      graft.ops.VectorOps2.extractByLocation(vectorFeatures(s),
+        Seq(Polygon.box(BBox(0.0, 80.0, -2.0, 0.0))), "wkt", "fid", "touches")
+    },
+    "vector_loc_overlaps" -> { (s, _) =>
+      graft.ops.VectorOps2.extractByLocation(vectorFeatures(s),
+        Seq(Polygon.box(BBox(2.0, 50.0, 2.0, 3.0))), "wkt", "fid", "overlaps")
     },
     "select_stratified" -> { (s, dir) =>
       graft.ops.Selection.samplingStratified(
@@ -1861,6 +1895,32 @@ object SparkEntry {
         FROM c
         WHERE cx >= 0.0 AND cx <= 30.0 AND cy >= 0.0 AND cy <= 20.0"""
     },
+
+    "vector_loc_contains" -> (s"WITH $sqlFeats" + sqlFeatWkt +
+      """ SELECT fid, wkt FROM fw
+        WHERE (x0 <= 4.25 AND x0 + w >= 4.5 AND y0 <= 0.25 AND y0 + h >= 0.5)
+           OR (x0 <= 16.5 AND x0 + w >= 17.0 AND y0 <= 10.25 AND y0 + h >= 10.75)"""),
+
+    "vector_loc_within" -> (s"WITH $sqlFeats" + sqlFeatWkt +
+      """ SELECT fid, wkt FROM fw
+        WHERE x0 >= 0 AND x0 + w <= 30 AND y0 >= 0 AND y0 + h <= 20"""),
+
+    "vector_loc_within_anti" -> (s"WITH $sqlFeats" + sqlFeatWkt +
+      """ SELECT fid, wkt FROM fw
+        WHERE NOT (x0 >= 0 AND x0 + w <= 30 AND y0 >= 0 AND y0 + h <= 20)"""),
+
+    "vector_loc_touches" -> (s"WITH $sqlFeats" + sqlFeatWkt +
+      // closed-set intersect with band y∈[-2,0] but zero-area overlap:
+      // features sit at y0 >= 0, so touching ⟺ y0 = 0 (x ranges overlap:
+      // x0 ∈ [0,76] ⊂ [0,80] always)
+      """ SELECT fid, wkt FROM fw WHERE y0 = 0"""),
+
+    "vector_loc_overlaps" -> (s"WITH $sqlFeats" + sqlFeatWkt +
+      // strict interior overlap with band x∈[2,50], y∈[2,3], neither side
+      // contained (the band is never inside a feature nor vice versa)
+      """ SELECT fid, wkt FROM fw
+        WHERE LEAST(x0 + w, 50) - GREATEST(x0, 2) > 0
+          AND LEAST(y0 + h, 3) - GREATEST(y0, 2) > 0"""),
 
     "select_stratified" ->
       """WITH u AS (SELECT doc_id, lang,

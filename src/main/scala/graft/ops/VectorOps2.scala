@@ -244,6 +244,76 @@ object VectorOps2 {
         "x_min", "x_max", "y_min", "y_max", "buf_wkt")
   }
 
+  // ---------- DE-9IM-style exact predicates for valid polygons ----------
+  // Area-based forms over the exact overlay kernels: for polygons,
+  //   contains(a,b) ⟺ area(a∩b) = area(b) (>0),
+  //   touches(a,b)  ⟺ intersects ∧ area(a∩b) = 0,
+  //   overlaps(a,b) ⟺ 0 < area(a∩b) < min(area a, area b),
+  //   crosses(a,b)  ⟺ false for area/area pairs (OGC dimension rule).
+
+  private def interArea(a: Polygon, b: Polygon): Double = {
+    if (!a.bbox.intersects(b.bbox)) return 0.0
+    val sa = Seq(a); val sb = Seq(b)
+    val u =
+      if (isRectilinear(sa) && isRectilinear(sb)) RectUnion.overlay(sa, sb, _ && _)
+      else PolyUnion.overlay(sa, sb, _ && _)
+    u.area
+  }
+
+  private def areaEps(x: Double): Double = 1e-9 * math.max(1.0, math.abs(x))
+
+  private[graft] def predicateHolds(predicate: String, src: Polygon, ref: Polygon): Boolean =
+    predicate match {
+      case "intersects" => VectorOps.polygonsIntersect(src, ref)
+      case "contains" =>
+        val ab = Wkt.area(ref)
+        ab > 0 && math.abs(interArea(src, ref) - ab) <= areaEps(ab)
+      case "within" =>
+        val aa = Wkt.area(src)
+        aa > 0 && math.abs(interArea(src, ref) - aa) <= areaEps(aa)
+      case "touches" =>
+        VectorOps.polygonsIntersect(src, ref) &&
+          interArea(src, ref) <= areaEps(0.0)
+      case "overlaps" =>
+        val ia = interArea(src, ref)
+        val aa = Wkt.area(src); val ab = Wkt.area(ref)
+        ia > areaEps(0.0) && ia < aa - areaEps(aa) && ia < ab - areaEps(ab)
+      case "crosses" => false // area/area pairs never cross (OGC DE-9IM)
+      case p => throw new IllegalArgumentException(s"unknown predicate: $p")
+    }
+
+  /** vector_extract_by_location — left-semi (or, `invert`, left-anti)
+    * join of features against a broadcast reference layer under the full
+    * OGR predicate set {intersects, contains, within, crosses, touches,
+    * overlaps} (reference: buteo/vector/extract_by_location.py:142-154;
+    * the reference's nested loops become an existential over R-tree
+    * candidates — `invert` at :164).
+    */
+  def extractByLocation(df: DataFrame, refPolys: Seq[Polygon],
+                        wktCol: String, idCol: String,
+                        predicate: String, invert: Boolean = false): DataFrame = {
+    require(Set("intersects", "contains", "within", "crosses", "touches",
+      "overlaps")(predicate), s"unknown predicate: $predicate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      (refPolys.toArray, RTree.build(refPolys.map(_.bbox).toArray)))
+    val pred = predicate
+    df.select(col(idCol).cast("long"), col(wktCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (fid, wkt) =>
+        val (refs, tree) = bc.value
+        val p = Wkt.parsePolygon(wkt)
+        val b = p.bbox
+        // closed-set candidates: grow nothing — bbox intersect covers
+        // every predicate (touching pairs have intersecting bboxes)
+        val matched = tree.query(b.xMin, b.xMax, b.yMin, b.yMax)
+          .exists(i => predicateHolds(pred, p, refs(i)))
+        if (matched != invert) Iterator.single((fid, wkt)) else Iterator.empty
+      }
+      .toDF("fid", "wkt")
+  }
+
   /** create_hexagonal_grid — flat-top hexagonal fishnet over an extent
     * (reference: buteo/vector/grid.py:24 — a stub in the reference
     * (`# Not implemented yet`); implemented here for real). One row per

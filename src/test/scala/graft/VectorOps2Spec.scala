@@ -195,6 +195,36 @@ class VectorOps2Spec extends AnyFunSuite {
     }
   }
 
+  test("DE-9IM predicates: contains/within/touches/overlaps/crosses") {
+    import graft.ops.VectorOps2.predicateHolds
+    val big = Polygon.box(graft.geo.BBox(0.0, 10.0, 0.0, 10.0))
+    val small = Polygon.box(graft.geo.BBox(2.0, 4.0, 2.0, 4.0))
+    val edgeTouch = Polygon.box(graft.geo.BBox(10.0, 14.0, 0.0, 4.0))
+    val cornerTouch = Polygon.box(graft.geo.BBox(10.0, 12.0, 10.0, 12.0))
+    val partial = Polygon.box(graft.geo.BBox(8.0, 14.0, 8.0, 14.0))
+    assert(predicateHolds("contains", big, small))
+    assert(!predicateHolds("contains", small, big))
+    assert(predicateHolds("within", small, big))
+    assert(predicateHolds("touches", big, edgeTouch))
+    assert(predicateHolds("touches", big, cornerTouch))
+    assert(!predicateHolds("touches", big, partial)) // interiors intersect
+    assert(predicateHolds("overlaps", big, partial))
+    assert(!predicateHolds("overlaps", big, small)) // containment, not overlap
+    assert(!predicateHolds("crosses", big, partial)) // area/area never cross
+    // hole-aware: donut does NOT contain a rect inside its hole
+    val donut = Polygon(Array(
+      Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0),
+      Array(3.0, 3.0, 3.0, 7.0, 7.0, 7.0, 7.0, 3.0)))
+    val inHole = Polygon.box(graft.geo.BBox(4.0, 6.0, 4.0, 6.0))
+    assert(!predicateHolds("contains", donut, inHole))
+    assert(predicateHolds("touches", donut, inHole) ==
+      false) // fully inside the hole, no boundary contact either
+    // rect spanning ring AND hole: overlaps, not contained
+    val spanning = Polygon.box(graft.geo.BBox(1.0, 5.0, 4.0, 6.0))
+    assert(predicateHolds("overlaps", donut, spanning))
+    assert(!predicateHolds("contains", donut, spanning))
+  }
+
   test("PolyUnion.overlay intersection of two overlapping squares (general)") {
     // rotated-ish: use a diamond ∩ square
     val diamond = Polygon(Array(Array(2.0, 0.0, 4.0, 2.0, 2.0, 4.0, 0.0, 2.0)))
