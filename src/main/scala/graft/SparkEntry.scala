@@ -858,6 +858,11 @@ object SparkEntry {
       TileOps.toPixels(graft.tiles.Augment.mirror(
         TileOps.createRaster(s, convSpec)(rasterValue), convSpec, 3), convSpec.tileSize)
     },
+    "aug_rot_patch" -> { (s, _) =>
+      // per-patch seeded rotation: k ∈ {1,2,3} drawn per tile
+      TileOps.toPixels(graft.tiles.Augment.rotationPatch(
+        TileOps.createRaster(s, convSpec)(rasterValue), seed = 7), convSpec.tileSize)
+    },
     "aug_noise_uniform" -> { (s, _) =>
       TileOps.toPixels(graft.tiles.Augment.noiseUniform(
         TileOps.createRaster(s, convSpec)(rasterValue),
@@ -1953,6 +1958,21 @@ object SparkEntry {
       """ SELECT x, y, band,
           CAST(((95 - x) * 7 + (95 - y) * 13 + band * 5) % 97 AS DOUBLE) AS v
         FROM px"""),
+
+    "aug_rot_patch" -> (sqlPxConv +
+      s""", t AS (SELECT x, y, band, x // 32 AS tx, y // 32 AS ty,
+          x - 32 * (x // 32) AS lc, y - 32 * (y // 32) AS lr FROM px),
+        kk AS (SELECT *, 1 + LEAST(CAST(FLOOR((${u01Sql(7, "tx", "ty", "0")}) * 3)
+          AS INTEGER), 2) AS k FROM t)
+        SELECT x, y, band, CAST((
+          (CASE k WHEN 1 THEN tx * 32 + 31 - lr
+                  WHEN 2 THEN tx * 32 + 31 - lc
+                  ELSE tx * 32 + lr END) * 7
+          + (CASE k WHEN 1 THEN ty * 32 + lc
+                    WHEN 2 THEN ty * 32 + 31 - lr
+                    ELSE ty * 32 + 31 - lc END) * 13
+          + band * 5) % 97 AS DOUBLE) AS v
+        FROM kk"""),
 
     "aug_noise_uniform" -> (sqlPxConv +
       s""" SELECT x, y, band,
