@@ -863,6 +863,10 @@ object SparkEntry {
       TileOps.toPixels(graft.tiles.Augment.rotationPatch(
         TileOps.createRaster(s, convSpec)(rasterValue), seed = 7), convSpec.tileSize)
     },
+    "aug_mirror_patch" -> { (s, _) =>
+      TileOps.toPixels(graft.tiles.Augment.mirrorPatch(
+        TileOps.createRaster(s, convSpec)(rasterValue), seed = 11), convSpec.tileSize)
+    },
     "aug_noise_uniform" -> { (s, _) =>
       TileOps.toPixels(graft.tiles.Augment.noiseUniform(
         TileOps.createRaster(s, convSpec)(rasterValue),
@@ -1971,6 +1975,17 @@ object SparkEntry {
           + (CASE k WHEN 1 THEN ty * 32 + lc
                     WHEN 2 THEN ty * 32 + 31 - lr
                     ELSE ty * 32 + 31 - lc END) * 13
+          + band * 5) % 97 AS DOUBLE) AS v
+        FROM kk"""),
+
+    "aug_mirror_patch" -> (sqlPxConv +
+      s""", t AS (SELECT x, y, band, x // 32 AS tx, y // 32 AS ty,
+          x - 32 * (x // 32) AS lc, y - 32 * (y // 32) AS lr FROM px),
+        kk AS (SELECT *, 1 + LEAST(CAST(FLOOR((${u01Sql(11, "tx", "ty", "1")}) * 3)
+          AS INTEGER), 2) AS k FROM t)
+        SELECT x, y, band, CAST((
+          (CASE WHEN k IN (1, 3) THEN tx * 32 + 31 - lc ELSE x END) * 7
+          + (CASE WHEN k IN (2, 3) THEN ty * 32 + 31 - lr ELSE y END) * 13
           + band * 5) % 97 AS DOUBLE) AS v
         FROM kk"""),
 

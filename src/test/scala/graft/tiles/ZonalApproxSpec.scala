@@ -51,4 +51,17 @@ class ZonalApproxSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("zonalBinnedMode: dominant value lands in the fullest bin") {
+    import graft.geo.{BBox, Polygon}
+    val spec = RasterSpec(0.0, 32.0, 1.0, -1.0, 32, 32, 16, 1)
+    val r = TileOps.createRaster(spark, spec)((x, y, _) =>
+      if ((x + y) % 3 == 0) 4.0 else ((x * 7 + y * 5) % 10).toDouble)
+    val zones = Seq((1L, Polygon.box(BBox(0.0, 32.0, 0.0, 32.0))))
+    val out = Zonal.zonalBinnedMode(r, zones).collect()
+    assert(out.length == 1)
+    val m = out(0).getAs[Double]("mode_binned")
+    // dominant value 4 → the fullest 256-bin's center is within one bin
+    assert(math.abs(m - 4.0) <= 9.0 / 256.0 + 1e-9, s"mode_binned $m")
+  }
 }
