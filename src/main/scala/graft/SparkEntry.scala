@@ -1093,6 +1093,20 @@ object SparkEntry {
       }.toDF("doc_id", "avi")
       graft.ops.Multimodal.videoFrameSample(docs, "doc_id", "avi", stride = 3)
     },
+    "mm_mp4_samples" -> { (s, _) =>
+      // REAL ISO BMFF box walk (Mp4.decode: mvhd/tkhd + stsz/stsc/stco
+      // sample resolution) + every-2nd-sample extraction: 40 docs with
+      // 10 variable-size samples of deterministic bytes
+      import s.implicits._
+      val docs = s.range(40).map { id =>
+        val samples = (0 until 10).map { si =>
+          Array.tabulate[Byte](32 + (si % 4) * 8)(j =>
+            (((j * 5 + si * 17 + id * 29) % 256) & 0xff).toByte)
+        }
+        (id, graft.ops.Mp4.encode(640, 360, 30000, 1001, samples))
+      }.toDF("doc_id", "mp4")
+      graft.ops.Multimodal.mp4FrameSample(docs, "doc_id", "mp4", stride = 2)
+    },
     "encode_latlng_roundtrip" -> { (s, dir) =>
       // reference-faithful full-cycle encode + atan2 decode must return
       // the original coordinate; rounding both sides to 6 decimals makes
@@ -2337,6 +2351,17 @@ object SparkEntry {
           CAST(sum(CASE WHEN prev IS NOT NULL AND ((v >= 0) <> (prev >= 0))
                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
         FROM lagged GROUP BY id""",
+
+    "mm_mp4_samples" ->
+      """WITH f AS (SELECT d.id, si.si, j.j,
+           (j*5 + si*17 + id*29) % 256 AS b
+         FROM range(40) d(id), range(10) si(si), range(96) j(j)
+         WHERE si % 2 = 0 AND j < 32 + (si % 4) * 8)
+        SELECT id AS doc_id, CAST(si AS INTEGER) AS sample_idx,
+          640 AS width, 360 AS height, 30000 AS timescale,
+          10010 AS duration, CAST(32 + (si % 4) * 8 AS INTEGER) AS sample_bytes,
+          CAST(sum(b) AS BIGINT) AS byte_sum
+        FROM f GROUP BY id, si""",
 
     "mm_video_frames" ->
       """WITH f AS (SELECT d.id, fi.fi, j.j,

@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: images/audio/video ride along as opaque `binary`
-  * columns with typed metadata. PNG images (graft.ops.Codecs — zlib via
-  * the JDK), baseline JPEG (graft.ops.Jpeg — from-scratch huffman+IDCT)
-  * and WAV audio are decoded for REAL; remaining formats (MP4/...) fall
-  * back to `decodeStub`, a deterministic byte-level feature extractor
-  * keeping the Spark-side shape (schema, batched partition processing)
-  * identical — a JNI/library decoder drops in with no plan changes.
+  * columns with typed metadata. PNG (graft.ops.Codecs — zlib via the
+  * JDK), baseline JPEG (graft.ops.Jpeg — from-scratch huffman+IDCT),
+  * WAV audio, AVI and MP4 containers (graft.ops.Mp4 — full ISO BMFF
+  * sample-table walk) are all handled for REAL; `decodeStub` remains
+  * only as the documented fallback for formats outside that set, keeping
+  * the Spark-side shape (schema, batched partition processing)
+  * identical — a JNI/library codec drops in with no plan changes.
   */
 object Multimodal {
 
@@ -87,6 +88,34 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "channels",
         "ch0_sum", "ch1_sum", "ch2_sum", "ch3_sum")
+  }
+
+  /** MP4 sample extraction: ISO BMFF box walk (graft.ops.Mp4 — real
+    * mvhd/tkhd/stsz/stsc/stco resolution), every `stride`-th sample with
+    * exact payload stats; codec payload stays encoded (same contract as
+    * the AVI path).
+    */
+  def mp4FrameSample(df: DataFrame, idCol: String, binCol: String,
+                     stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val v = Mp4.decode(bytes)
+          v.samples.zipWithIndex.collect {
+            case (f, i) if i % stride == 0 =>
+              var s = 0L
+              var j = 0
+              while (j < f.length) { s += f(j) & 0xff; j += 1 }
+              (id, i, v.width, v.height, v.timescale, v.duration,
+                f.length, s)
+          }
+        }
+      }
+      .toDF("doc_id", "sample_idx", "width", "height", "timescale",
+        "duration", "sample_bytes", "byte_sum")
   }
 
   /** Video frame sampling over an AVI binary column: the RIFF container
