@@ -869,7 +869,7 @@ object SparkEntry {
     },
     "aug_noise_uniform" -> { (s, _) =>
       TileOps.toPixels(graft.tiles.Augment.noiseUniform(
-        TileOps.createRaster(s, convSpec)(rasterValue),
+        TileOps.createRaster(s, convSpec)(rasterValue), convSpec.tileSize,
         maxAmount = 0.5, additive = true, perChannel = true, seed = 42),
         convSpec.tileSize)
     },
@@ -897,8 +897,8 @@ object SparkEntry {
     },
     "aug_mask_pixels" -> { (s, _) =>
       TileOps.toPixels(graft.tiles.Augment.maskPixels2d(
-        TileOps.createRaster(s, convSpec)(rasterValue), p = 0.05, seed = 7),
-        convSpec.tileSize)
+        TileOps.createRaster(s, convSpec)(rasterValue), convSpec.tileSize,
+        p = 0.05, seed = 7), convSpec.tileSize)
     },
     "aug_contrast" -> { (s, _) =>
       TileOps.toPixels(graft.tiles.Augment.contrast(
@@ -2005,8 +2005,8 @@ object SparkEntry {
 
     "aug_noise_uniform" -> (sqlPxConv +
       s""" SELECT x, y, band,
-          v + (-((${u01Sql(42, "0", "0", "0")}) * 0.5)
-            + 2 * ((${u01Sql(42, "0", "0", "0")}) * 0.5)
+          v + (-((${u01Sql(42, "x // 32", "y // 32", "0")}) * 0.5)
+            + 2 * ((${u01Sql(42, "x // 32", "y // 32", "0")}) * 0.5)
               * (${u01Sql(42, "x", "y", "1000 + band")})) AS v
         FROM px"""),
 

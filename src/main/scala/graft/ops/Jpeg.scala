@@ -174,6 +174,7 @@ object Jpeg {
               val pq = (bytes(o) & 0xf0) >> 4
               val tq = bytes(o) & 0x0f
               require(pq == 0, "jpeg: only 8-bit quant tables (baseline)")
+              require(tq <= 3, s"jpeg: quant table id $tq out of range (spec allows 0-3)")
               var i = 0
               while (i < 64) { quant(tq)(ZigZag(i)) = bytes(o + 1 + i) & 0xff; i += 1 }
               o += 65
@@ -183,6 +184,7 @@ object Jpeg {
             while (o < pos + 2 + len) {
               val tc = (bytes(o) & 0xf0) >> 4
               val th = bytes(o) & 0x0f
+              require(th <= 3, s"jpeg: huffman table id $th out of range (spec allows 0-3)")
               val counts = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
               val n = counts.sum
               val syms = Array.tabulate(n)(i => bytes(o + 17 + i) & 0xff)
@@ -193,6 +195,8 @@ object Jpeg {
           case 0xc0 => // SOF0 baseline
             height = u16(seg + 1); width = u16(seg + 3)
             val nc = bytes(seg + 5) & 0xff
+            require(nc == 1 || nc == 3,
+              s"jpeg: $nc-component (CMYK/YCCK) unsupported — grayscale or YCbCr only")
             comps = Array.tabulate(nc) { i =>
               val o = seg + 6 + i * 3
               Comp(bytes(o) & 0xff, (bytes(o + 1) & 0xf0) >> 4,

@@ -109,10 +109,19 @@ object Mp4 {
         tpe match {
           case t if containers(t) => walk(body, off + len)
           case "mvhd" =>
-            timescale = readBe32(bytes, body + 12)
-            duration = readBe32(bytes, body + 16)
+            // version 1 uses 64-bit creation/modification/duration:
+            // timescale shifts from body+12 to body+20
+            val v = bytes(body) & 0xff
+            if (v == 1) {
+              timescale = readBe32(bytes, body + 20)
+              // 64-bit duration; the low word suffices for in-memory files
+              duration = readBe32(bytes, body + 28)
+            } else {
+              timescale = readBe32(bytes, body + 12)
+              duration = readBe32(bytes, body + 16)
+            }
           case "tkhd" =>
-            // v0 layout: width/height are the LAST two 16.16 words
+            // width/height are the LAST two 16.16 words in v0 AND v1
             width = readBe32(bytes, off + len - 8) >>> 16
             height = readBe32(bytes, off + len - 4) >>> 16
           case "stsz" =>
@@ -124,6 +133,17 @@ object Mp4 {
           case "stco" =>
             val n = readBe32(bytes, body + 4)
             chunkOffsets = Array.tabulate(n)(i => readBe32(bytes, body + 8 + 4 * i))
+          case "co64" =>
+            // 64-bit chunk offsets; in-memory byte arrays cap at 2^31,
+            // so reject offsets beyond Int range EXPLICITLY instead of
+            // silently returning zero samples
+            val n = readBe32(bytes, body + 4)
+            chunkOffsets = Array.tabulate(n) { i =>
+              val hi = readBe32(bytes, body + 8 + 8 * i)
+              val lo = readBe32(bytes, body + 12 + 8 * i)
+              require(hi == 0 && lo >= 0, "mp4: co64 offset beyond 2 GiB unsupported")
+              lo
+            }
           case "stsc" =>
             val n = readBe32(bytes, body + 4)
             stscRuns = Array.tabulate(n)(i =>
@@ -138,11 +158,12 @@ object Mp4 {
     // standard stsc expansion: run i applies from firstChunk_i until
     // firstChunk_{i+1} - 1
     val samples = Vector.newBuilder[Array[Byte]]
+    val runsDesc = stscRuns.reverse // both chunks and runs ascend: reverse ONCE
     var sampleIdx = 0
     var chunkIdx = 0
     while (chunkIdx < chunkOffsets.length && sampleIdx < sizes.length) {
       val chunkNo = chunkIdx + 1
-      val perChunk = stscRuns.reverse.find(_._1 <= chunkNo).map(_._2).getOrElse(1)
+      val perChunk = runsDesc.find(_._1 <= chunkNo).map(_._2).getOrElse(1)
       var within = 0
       var offset = chunkOffsets(chunkIdx)
       while (within < perChunk && sampleIdx < sizes.length) {

@@ -38,6 +38,20 @@ object VectorOps2 {
     (x0, x1, y0, y1)
   }
 
+  /** Pass-through Union from a parsed polygon: WKT rings retain the
+    * closing duplicate vertex — strip it so n_pts/WKT emission stay
+    * consistent with kernel-produced rings (which are open).
+    */
+  private def passThroughUnion(p: Polygon): RectUnion.Union = {
+    val open = p.rings.map { r =>
+      val n = r.length / 2
+      if (n > 1 && r(0) == r(2 * (n - 1)) && r(1) == r(2 * (n - 1) + 1))
+        java.util.Arrays.copyOf(r, r.length - 2)
+      else r
+    }
+    RectUnion.Union(Wkt.area(p), open.toSeq)
+  }
+
   private def unionWkt(u: RectUnion.Union): String =
     if (u.rings.isEmpty) "MULTIPOLYGON EMPTY"
     else u.rings.map { r =>
@@ -103,7 +117,7 @@ object VectorOps2 {
         val touching = tree.query(b.xMin, b.xMax, b.yMin, b.yMax).map(clips(_)).toSeq
         val a = Seq(p)
         val u =
-          if (touching.isEmpty) RectUnion.Union(Wkt.area(p), p.rings.toSeq)
+          if (touching.isEmpty) passThroughUnion(p)
           else if (isRectilinear(a) && isRectilinear(touching))
             RectUnion.overlay(a, touching, _ && !_)
           else PolyUnion.overlay(a, touching, _ && !_)
@@ -219,7 +233,7 @@ object VectorOps2 {
       .flatMap { case (fid, wkt, dist) =>
         val p = Wkt.parsePolygon(wkt)
         val out =
-          if (dist == 0.0) Some(RectUnion.Union(Wkt.area(p), p.rings.toSeq))
+          if (dist == 0.0) Some(passThroughUnion(p))
           else {
             val pieces = bufferPieces(p, math.abs(dist), joinStyle, quadSegs)
             val a = Seq(p)

@@ -31,10 +31,16 @@ object Augment {
 
   /** Uniform [0,1): two MINSTD steps over a linear coordinate mix. All
     * intermediates stay < 2^62 — the same expression evaluates exactly
-    * in DuckDB BIGINT arithmetic (the oracle mirror).
+    * in DuckDB BIGINT arithmetic (the oracle mirror). Inputs are first
+    * reduced mod (M−1) into [0, M−1): identical for the in-range values
+    * the oracles use, and it keeps negative or 2^32-scale seeds/coords
+    * from overflowing Long (which would push u01 outside [0,1) and turn
+    * e.g. a pixel mask into all-zeros silently).
     */
   def u01(seed: Long, a: Long, b: Long, c: Long): Double = {
-    var h = (seed * 1103515245L + a * 12345L + b * 2654435761L + c * 97531L) % (M - 1) + 1
+    def norm(v: Long): Long = { val m = v % (M - 1); if (m < 0) m + (M - 1) else m }
+    var h = (norm(seed) * 1103515245L + norm(a) * 12345L +
+      norm(b) * 2654435761L + norm(c) * 97531L) % (M - 1) + 1
     h = h * 48271L % M
     h = h * 48271L % M
     h.toDouble / M
@@ -237,21 +243,24 @@ object Augment {
       in.copy(pixels = in.pixels.map(v => (v - mean) * f + mean))
     }
 
-  /** Uniform noise (reference noise.py:13-88): one amount per patch;
-    * per-pixel draws keyed on GLOBAL pixel coords; `perChannel=false`
-    * re-uses band-0 draws so every channel gets the same noise field.
+  /** Uniform noise (reference noise.py:13-88): one amount PER PATCH
+    * (the reference draws a fresh amount per sample); per-pixel draws
+    * keyed on GLOBAL pixel coords (`tileSize` anchors border tiles —
+    * keying on the tile's own trimmed w/h would collide border pixels
+    * with interior ones); `perChannel=false` re-uses band-0 draws so
+    * every channel gets the same noise field.
     */
-  def noiseUniform(tiles: Dataset[Tile], maxAmount: Double, additive: Boolean,
-                   perChannel: Boolean, seed: Long): Dataset[Tile] =
+  def noiseUniform(tiles: Dataset[Tile], tileSize: Int, maxAmount: Double,
+                   additive: Boolean, perChannel: Boolean, seed: Long): Dataset[Tile] =
     tiles.map { in =>
-      val amount = u01(seed, 0, 0, 0) * maxAmount
+      val amount = u01(seed, in.cellX, in.cellY, 0) * maxAmount
       val out = new Array[Double](in.pixels.length)
       var r = 0
       while (r < in.h) {
         var c = 0
         while (c < in.w) {
-          val gx = in.cellX.toLong * in.w + c
-          val gy = in.cellY.toLong * in.h + r
+          val gx = in.cellX.toLong * tileSize + c
+          val gy = in.cellY.toLong * tileSize + r
           val band = if (perChannel) in.band.toLong else 0L
           val u = u01(seed, gx, gy, 1000 + band)
           val i = r * in.w + c
@@ -268,17 +277,17 @@ object Augment {
   /** Normal noise (reference noise.py:116-192): Box-Muller over the same
     * keyed stream; additive N(0, amount), multiplicative N(1, amount).
     */
-  def noiseNormal(tiles: Dataset[Tile], maxAmount: Double, additive: Boolean,
-                  perChannel: Boolean, seed: Long): Dataset[Tile] =
+  def noiseNormal(tiles: Dataset[Tile], tileSize: Int, maxAmount: Double,
+                  additive: Boolean, perChannel: Boolean, seed: Long): Dataset[Tile] =
     tiles.map { in =>
-      val amount = u01(seed, 0, 0, 0) * maxAmount
+      val amount = u01(seed, in.cellX, in.cellY, 0) * maxAmount
       val out = new Array[Double](in.pixels.length)
       var r = 0
       while (r < in.h) {
         var c = 0
         while (c < in.w) {
-          val gx = in.cellX.toLong * in.w + c
-          val gy = in.cellY.toLong * in.h + r
+          val gx = in.cellX.toLong * tileSize + c
+          val gy = in.cellY.toLong * tileSize + r
           val band = if (perChannel) in.band.toLong else 0L
           val z = n01(seed, gx, gy, 2000 + 2 * band)
           val i = r * in.w + c
@@ -414,8 +423,8 @@ object Augment {
         while (r < t.h) {
           var c = 0
           while (c < t.w) {
-            val gx = (t.cellX.toLong * t.w + c).toDouble
-            val gy = (t.cellY.toLong * t.h + r).toDouble
+            val gx = (t.cellX.toLong * spec.tileSize + c).toDouble
+            val gy = (t.cellY.toLong * spec.tileSize + r).toDouble
             out(r * t.w + c) = b match {
               case 0 => gy / yEnd
               case 1 => (math.sin(2.0 * math.Pi * (gx / xEnd)) + 1.0) / 2.0
@@ -437,25 +446,27 @@ object Augment {
   /** Pixel mask, 2D (reference pixel_masking.py:12-46): same mask on
     * every channel — drawn from band-0 keyed coords.
     */
-  def maskPixels2d(tiles: Dataset[Tile], p: Double, seed: Long): Dataset[Tile] =
-    maskPixels(tiles, p, seed, perChannel = false)
+  def maskPixels2d(tiles: Dataset[Tile], tileSize: Int, p: Double,
+                   seed: Long): Dataset[Tile] =
+    maskPixels(tiles, tileSize, p, seed, perChannel = false)
 
   /** Pixel mask, 3D (reference pixel_masking.py:66-91): independent per
     * channel.
     */
-  def maskPixels3d(tiles: Dataset[Tile], p: Double, seed: Long): Dataset[Tile] =
-    maskPixels(tiles, p, seed, perChannel = true)
+  def maskPixels3d(tiles: Dataset[Tile], tileSize: Int, p: Double,
+                   seed: Long): Dataset[Tile] =
+    maskPixels(tiles, tileSize, p, seed, perChannel = true)
 
-  private def maskPixels(tiles: Dataset[Tile], p: Double, seed: Long,
-                         perChannel: Boolean): Dataset[Tile] =
+  private def maskPixels(tiles: Dataset[Tile], tileSize: Int, p: Double,
+                         seed: Long, perChannel: Boolean): Dataset[Tile] =
     tiles.map { in =>
       val out = new Array[Double](in.pixels.length)
       var r = 0
       while (r < in.h) {
         var c = 0
         while (c < in.w) {
-          val gx = in.cellX.toLong * in.w + c
-          val gy = in.cellY.toLong * in.h + r
+          val gx = in.cellX.toLong * tileSize + c
+          val gy = in.cellY.toLong * tileSize + r
           val band = if (perChannel) in.band.toLong else 0L
           out(r * in.w + c) = if (u01(seed, gx, gy, 3000 + band) > p) 1.0 else 0.0
           c += 1
@@ -517,7 +528,7 @@ object Augment {
     * 1-3 px thick column, horizontal mirror that. Deterministic analog
     * of the reference's sequential numpy draws.
     */
-  def maskLines(tiles: Dataset[Tile], p: Double,
+  def maskLines(tiles: Dataset[Tile], tileSize: Int, p: Double,
                 minFrac: Double = 0.1, maxFrac: Double = 1.0,
                 minSize: Int = 1, maxSize: Int = 3,
                 seed: Long = 42L): Dataset[Tile] =
@@ -526,39 +537,42 @@ object Augment {
       val out = Array.fill(in.pixels.length)(1.0)
       def zero(r: Int, c: Int): Unit =
         if (r >= 0 && r < h && c >= 0 && c < w) out(r * w + c) = 0.0
-      // vertical lines: seeded per column
+      // vertical lines: seeded per GLOBAL column (tileSize anchors
+      // border tiles); thickness spans exactly `size` pixels
       var c = 0
       while (c < w) {
-        if (u01(seed, in.cellX.toLong * w + c, 0, 6000) < p) {
-          val start = (u01(seed, in.cellX.toLong * w + c, 1, 6001) * h).toInt
+        val gc = in.cellX.toLong * tileSize + c
+        if (u01(seed, gc, 0, 6000) < p) {
+          val start = (u01(seed, gc, 1, 6001) * h).toInt
           val span = (math.floor(
-            (minFrac + u01(seed, in.cellX.toLong * w + c, 2, 6002) * (maxFrac - minFrac)) * h)).toInt
+            (minFrac + u01(seed, gc, 2, 6002) * (maxFrac - minFrac)) * h)).toInt
           val size = minSize +
-            (u01(seed, in.cellX.toLong * w + c, 3, 6003) * (maxSize - minSize + 1)).toInt
+            (u01(seed, gc, 3, 6003) * (maxSize - minSize + 1)).toInt
           val half = size / 2
           var r = start
           while (r < math.min(start + span, h)) {
             var cc = c - half
-            while (cc <= c + half) { zero(r, cc); cc += 1 }
+            while (cc < c - half + size) { zero(r, cc); cc += 1 }
             r += 1
           }
         }
         c += 1
       }
-      // horizontal lines: seeded per row
+      // horizontal lines: seeded per GLOBAL row
       var r = 0
       while (r < h) {
-        if (u01(seed, in.cellY.toLong * h + r, 4, 6004) < p) {
-          val start = (u01(seed, in.cellY.toLong * h + r, 5, 6005) * w).toInt
+        val gr = in.cellY.toLong * tileSize + r
+        if (u01(seed, gr, 4, 6004) < p) {
+          val start = (u01(seed, gr, 5, 6005) * w).toInt
           val span = (math.floor(
-            (minFrac + u01(seed, in.cellY.toLong * h + r, 6, 6006) * (maxFrac - minFrac)) * w)).toInt
+            (minFrac + u01(seed, gr, 6, 6006) * (maxFrac - minFrac)) * w)).toInt
           val size = minSize +
-            (u01(seed, in.cellY.toLong * h + r, 7, 6007) * (maxSize - minSize + 1)).toInt
+            (u01(seed, gr, 7, 6007) * (maxSize - minSize + 1)).toInt
           val half = size / 2
           var cc = start
           while (cc < math.min(start + span, w)) {
             var rr = r - half
-            while (rr <= r + half) { zero(rr, cc); rr += 1 }
+            while (rr < r - half + size) { zero(rr, cc); rr += 1 }
             cc += 1
           }
         }
@@ -620,7 +634,7 @@ object Augment {
     * by a fair coin. The noise field is keyed on global pixel coords
     * (band-independent, the reference's 2D form).
     */
-  def applyMaskNoise(data: Dataset[Tile], mask: Dataset[Tile],
+  def applyMaskNoise(data: Dataset[Tile], mask: Dataset[Tile], tileSize: Int,
                      valMin: Double, valMax: Double,
                      binary: Boolean = false, seed: Long = 42L): Dataset[Tile] =
     keyJoin(data, mask).map { case (d, m) =>
@@ -633,7 +647,8 @@ object Augment {
           out(i) =
             if (m.pixels(i) != 0.0) d.pixels(i)
             else {
-              val u = u01(seed, d.cellX.toLong * d.w + c, d.cellY.toLong * d.h + r, 8000)
+              val u = u01(seed, d.cellX.toLong * tileSize + c,
+                d.cellY.toLong * tileSize + r, 8000)
               if (binary) { if (u > 0.5) valMax else valMin }
               else valMin + u * (valMax - valMin)
             }

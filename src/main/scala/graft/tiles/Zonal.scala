@@ -287,7 +287,10 @@ object Zonal {
       }
       out.iterator
     }.toDF("zone", "band", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no persist: the plane is scanned twice (ranges, then binning), but
+    // caching it would leak MEMORY_AND_DISK partitions for the session
+    // lifetime (the returned DataFrame is consumed lazily, so there is
+    // no safe point to unpersist inside this function)
     val ranges = px.groupBy("zone", "band")
       .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("n_px"))
     val binned = px.join(broadcast(ranges), Seq("zone", "band"))

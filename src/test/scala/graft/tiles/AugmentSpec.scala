@@ -89,34 +89,38 @@ class AugmentSpec extends AnyFunSuite {
     assert(!(in.pixels sameElements out.pixels))
   }
 
-  test("noiseUniform: bounded; 2D form gives identical noise across bands") {
+  test("noiseUniform: bounded per-patch amount; 2D form identical across bands") {
     val in = pixelMap(raster(), spec)
-    val out = pixelMap(Augment.noiseUniform(raster(), 0.4, additive = true,
-      perChannel = false, seed = 11), spec)
-    val amount = Augment.u01(11, 0, 0, 0) * 0.4
+    val out = pixelMap(Augment.noiseUniform(raster(), spec.tileSize, 0.4,
+      additive = true, perChannel = false, seed = 11), spec)
     for (r <- 0 until 8; c <- 0 until 8) {
+      val amount = Augment.u01(11, c / 4, r / 4, 0) * 0.4 // per-patch draw
       val d0 = out((c, r, 0)) - in((c, r, 0))
       val d1 = out((c, r, 1)) - in((c, r, 1))
       assert(math.abs(d0 - d1) < 1e-12) // same field on both channels
       assert(math.abs(d0) <= amount + 1e-12)
     }
     // 3D form differs across bands somewhere
-    val out3 = pixelMap(Augment.noiseUniform(raster(), 0.4, additive = true,
-      perChannel = true, seed = 11), spec)
+    val out3 = pixelMap(Augment.noiseUniform(raster(), spec.tileSize, 0.4,
+      additive = true, perChannel = true, seed = 11), spec)
     assert((0 until 8).exists(r => (0 until 8).exists(c =>
       math.abs((out3((c, r, 0)) - in((c, r, 0))) - (out3((c, r, 1)) - in((c, r, 1)))) > 1e-9)))
   }
 
-  test("noiseNormal additive: sample moments ~ N(0, amount)") {
+  test("noiseNormal additive: per-patch sample moments ~ N(0, amount)") {
     val bigSpec = spec.copy(width = 64, height = 64, tileSize = 32, bands = 1)
     val in = TileOps.createRaster(spark, bigSpec)((_, _, _) => 0.0)
-    val amount = Augment.u01(13, 0, 0, 0) * 0.5
-    val vals = Augment.noiseNormal(in, 0.5, additive = true, perChannel = true, seed = 13)
-      .collect().flatMap(_.pixels)
-    val mean = vals.sum / vals.length
-    val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
-    assert(math.abs(mean) < 0.02, s"mean $mean")
-    assert(math.abs(std - amount) < 0.02, s"std $std vs $amount")
+    val tilesOut = Augment.noiseNormal(in, bigSpec.tileSize, 0.5,
+      additive = true, perChannel = true, seed = 13).collect()
+    tilesOut.foreach { t =>
+      val amount = Augment.u01(13, t.cellX, t.cellY, 0) * 0.5
+      val vals = t.pixels
+      val mean = vals.sum / vals.length
+      val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
+      assert(math.abs(mean) < 0.04, s"tile (${t.cellX},${t.cellY}) mean $mean")
+      assert(math.abs(std - amount) < 0.04,
+        s"tile (${t.cellX},${t.cellY}) std $std vs $amount")
+    }
   }
 
   test("labelSmoothFlat fixed amount: exact formula") {
@@ -164,7 +168,8 @@ class AugmentSpec extends AnyFunSuite {
   test("maskPixels2d: same mask every band; fraction ≈ 1-p; only 0/1") {
     val bigSpec = spec.copy(width = 64, height = 64, tileSize = 32)
     val m = pixelMap(Augment.maskPixels2d(
-      TileOps.createRaster(spark, bigSpec)(AugmentSpecFixture.gen), p = 0.2, seed = 9), bigSpec)
+      TileOps.createRaster(spark, bigSpec)(AugmentSpecFixture.gen), bigSpec.tileSize,
+      p = 0.2, seed = 9), bigSpec)
     assert(m.values.forall(v => v == 0.0 || v == 1.0))
     for (r <- 0 until 64; c <- 0 until 64) assert(m((c, r, 0)) == m((c, r, 1)))
     val keep = m.count(_._2 == 1.0).toDouble / m.size
@@ -190,7 +195,7 @@ class AugmentSpec extends AnyFunSuite {
     val e = Augment.maskEllipse(big, p = 1.0, seed = 29).collect().head
     val zeros = e.pixels.count(_ == 0.0)
     assert(zeros > 0 && zeros < e.pixels.length)
-    val l = Augment.maskLines(big, p = 0.15, seed = 31).collect().head
+    val l = Augment.maskLines(big, bigSpec.tileSize, p = 0.15, seed = 31).collect().head
     assert(l.pixels.exists(_ == 0.0) && l.pixels.exists(_ == 1.0))
   }
 
@@ -218,7 +223,7 @@ class AugmentSpec extends AnyFunSuite {
     val data = raster()
     val mask = Augment.maskRectangle(raster(), p = 1.0, seed = 17)
     val masks = mask.collect().map(t => ((t.cellX, t.cellY, t.band), t.pixels)).toMap
-    val cont = Augment.applyMaskNoise(data, mask, 10.0, 20.0, binary = false, seed = 5)
+    val cont = Augment.applyMaskNoise(data, mask, spec.tileSize, 10.0, 20.0, binary = false, seed = 5)
       .collect()
     cont.foreach { t =>
       val m = masks((t.cellX, t.cellY, t.band))
@@ -226,7 +231,7 @@ class AugmentSpec extends AnyFunSuite {
         if (mv == 0.0) assert(v >= 10.0 && v <= 20.0)
       }
     }
-    val bin = Augment.applyMaskNoise(raster(), mask, -1.0, 99.0, binary = true, seed = 5)
+    val bin = Augment.applyMaskNoise(raster(), mask, spec.tileSize, -1.0, 99.0, binary = true, seed = 5)
       .collect()
     bin.foreach { t =>
       val m = masks((t.cellX, t.cellY, t.band))
