@@ -77,7 +77,7 @@ object Augment {
   }
 
   import org.apache.spark.sql.{Encoder, Encoders}
-  private implicit val tileEnc: Encoder[Tile] = Encoders.product[Tile]
+  private implicit lazy val tileEnc: Encoder[Tile] = Encoders.product[Tile]
 
   // =================== whole-raster rotation / mirror ===================
 

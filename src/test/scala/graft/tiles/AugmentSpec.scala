@@ -26,6 +26,23 @@ class AugmentSpec extends AnyFunSuite {
     TileOps.toPixels(ds, sp.tileSize).collect()
       .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
 
+  test("u01 stays in [0,1) for negative and 2^32-scale inputs (review fix)") {
+    for (seed <- Seq(-1L, -12345L, Long.MinValue / 2, System.nanoTime());
+         coord <- Seq(0L, -7L, 1L << 33)) {
+      val u = Augment.u01(seed, coord, coord + 1, 5)
+      assert(u >= 0.0 && u < 1.0, s"u01($seed,$coord) = $u")
+    }
+    // in-range values unchanged vs the pre-normalization formula
+    val M = 2147483647L
+    def legacy(seed: Long, a: Long, b: Long, c: Long): Double = {
+      var h = (seed * 1103515245L + a * 12345L + b * 2654435761L + c * 97531L) % (M - 1) + 1
+      h = h * 48271L % M; h = h * 48271L % M
+      h.toDouble / M
+    }
+    for (s <- Seq(0L, 7L, 42L); a <- Seq(0L, 95L); b <- Seq(0L, 31L))
+      assert(Augment.u01(s, a, b, 1000) == legacy(s, a, b, 1000))
+  }
+
   test("rot90 k=1 matches np.rot90 (out[r,c] = in[c, W-1-r]) across tiles") {
     val out = pixelMap(Augment.rot90(raster(), spec, 1), spec)
     for (r <- 0 until 8; c <- 0 until 8; b <- 0 until 2)
