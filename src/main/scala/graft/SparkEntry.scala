@@ -177,6 +177,52 @@ object SparkEntry {
   private def u01Sql(seed: Long, a: String, b: String, c: String): String =
     graft.tiles.Augment.u01Sql(seed, a, b, c)
 
+  /** SQL mirror of S2Cell.encode at `level` (graft.index.S2Cell): trig →
+    * dominant-axis face → UV quotient → quadratic ST → floor/clamp →
+    * bit interleave → packed id. DuckDB errors on overflowing `<<`, so
+    * the f≥4 top bits are assembled by explicit signed arithmetic from
+    * Long.MinValue (disjoint bit ranges ⟹ `|` ≡ `+`). Emits CTE text; the
+    * caller supplies `pages(lon, lat)`.
+    */
+  private def sqlS2Cell(level: Int): String = {
+    val n = 1L << level
+    def inter(col: String): String =
+      (0 until level).map(b => s"(($col // ${1L << b}) % 2) * ${1L << (2 * b)}")
+        .mkString("(", " + ", ")")
+    s"""s2xyz AS (SELECT doc_id,
+         cos(radians(lat)) * cos(radians(lon)) AS x,
+         cos(radians(lat)) * sin(radians(lon)) AS y,
+         sin(radians(lat)) AS z
+       FROM pages),
+     s2face AS (SELECT doc_id, x, y, z,
+         CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+              WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+              ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS f
+       FROM s2xyz),
+     s2uv AS (SELECT doc_id, f,
+         CASE f WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+                WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS u,
+         CASE f WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+                WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS v
+       FROM s2face),
+     s2ij AS (SELECT doc_id, f,
+         LEAST(${n - 1}, GREATEST(0, CAST(FLOOR(
+           (CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                 ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END) * $n.0) AS BIGINT))) AS i,
+         LEAST(${n - 1}, GREATEST(0, CAST(FLOOR(
+           (CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                 ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END) * $n.0) AS BIGINT))) AS j
+       FROM s2uv),
+     s2cell AS (SELECT doc_id,
+         CASE WHEN f >= 4
+           THEN (-9223372036854775807 - 1) + CAST(f - 4 AS BIGINT) * 2305843009213693952
+                + ${level.toLong << 56} + ${inter("i")} + 2 * ${inter("j")}
+           ELSE CAST(f AS BIGINT) * 2305843009213693952
+                + ${level.toLong << 56} + ${inter("i")} + 2 * ${inter("j")} END AS s2
+       FROM s2ij)"""
+  }
+
   private def documentsOf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddingsOf(s: SparkSession, dir: String): DataFrame =
@@ -237,8 +283,8 @@ object SparkEntry {
     },
 
     "geo_s2_cells" -> { (s, dir) =>
-      // cube-face quadtree assignment (rows-only: the projection uses trig;
-      // exactness pinned by CellIndexSpec properties)
+      // cube-face quadtree assignment (r3: full SQL mirror — trig +
+      // quotient + quadratic ST + floor + bit interleave; see sqlS2Cell)
       GraftFunctions.register(s)
       Pages.pages(s, dir)
         .select(col("doc_id"),
@@ -1174,6 +1220,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "geo_geocode" -> Pages.sqlWith(
       "SELECT doc_id, lon_udeg, lat_udeg, lon, lat FROM pages"),
+
+    "geo_s2_cells" -> Pages.sqlWith(
+      s", ${sqlS2Cell(10)} SELECT s2, CAST(count(*) AS BIGINT) AS n_pages, " +
+        "min(doc_id) AS min_doc FROM s2cell GROUP BY s2"),
 
     "encode_latlng" -> Pages.sqlWith(
       """SELECT doc_id,
