@@ -215,6 +215,11 @@ object VectorOps2 {
     pieces.toSeq
   }
 
+  /** Test hook: expose the buffer piece generator for fuzz suites. */
+  private[ops] def bufferPiecesForTest(p: Polygon, d: Double, style: String,
+                                       quadSegs: Int): Seq[Polygon] =
+    bufferPieces(p, d, style, quadSegs)
+
   /** vector_buffer — buffer each feature by a fixed distance or per-row
     * column (reference: buteo/vector/buffer.py:19-262; distance-as-
     * attribute at :102-106, per-feature `Buffer` at :113). Positive
