@@ -1221,6 +1221,44 @@ object SparkEntry {
     "geo_geocode" -> Pages.sqlWith(
       "SELECT doc_id, lon_udeg, lat_udeg, lon, lat FROM pages"),
 
+    "ann_lsh" ->
+      // full mirror of Similarity.lshBucketTopK (16 planes, 2 bands of 8,
+      // cap 128, k 5): quantize → deterministic hyperplane bits → band
+      // keys → vec_id-ordered bucket cap → exact integer dot products →
+      // per-query top-5. Division by 65536 = 2^16 is exact in binary, so
+      // the bit draws mirror bitwise; SUM(BIGINT) is cast back from
+      // DuckDB's HUGEINT.
+      """WITH q AS (SELECT vec_id, d,
+           CAST(ROUND(CAST(embedding[d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+         FROM embeddings, range(64) t(d)),
+        bits AS (SELECT vec_id, p,
+          CASE WHEN CAST(SUM(CASE WHEN CAST(FLOOR((d * 2654435761 + p * 40503 + 11) / 65536.0) AS BIGINT) % 2 = 0
+                         THEN qv ELSE -qv END) AS BIGINT) > 0
+               THEN 1 ELSE 0 END AS bit
+         FROM q, range(16) pp(p) GROUP BY vec_id, p),
+        bkeys AS (SELECT vec_id, p // 8 AS band,
+          CAST(SUM(bit * (1::BIGINT << (p % 8))) AS BIGINT) AS key
+         FROM bits GROUP BY vec_id, p // 8),
+        idx AS (SELECT vec_id, band, key,
+          row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
+         FROM bkeys),
+        cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         FROM bkeys a JOIN idx b
+           ON a.band = b.band AND a.key = b.key
+           AND a.vec_id <> b.vec_id AND b.rn <= 128),
+        scored AS (SELECT c.query_id, c.neighbor_id,
+          CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS score
+         FROM cand c
+           JOIN q qa ON qa.vec_id = c.query_id
+           JOIN q qb ON qb.vec_id = c.neighbor_id AND qb.d = qa.d
+         GROUP BY c.query_id, c.neighbor_id),
+        ranked AS (SELECT query_id, neighbor_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+         FROM scored)
+        SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5""",
+
     "geo_s2_cells" -> Pages.sqlWith(
       s", ${sqlS2Cell(10)} SELECT s2, CAST(count(*) AS BIGINT) AS n_pages, " +
         "min(doc_id) AS min_doc FROM s2cell GROUP BY s2"),
