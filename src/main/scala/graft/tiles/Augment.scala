@@ -48,6 +48,10 @@ object Augment {
 
   /** The SQL text of `u01` for oracle authoring (same ops, same order;
     * BIGINT casts keep DuckDB off its overflow-checked INT32 path).
+    * Mirrors `u01` for NON-NEGATIVE arguments below 2^31−2 — the only
+    * values the oracle fixtures use. It does NOT reproduce u01's norm()
+    * wrap: a negative seed/coordinate here would yield a negative DuckDB
+    * remainder and diverge — author oracles with in-range keys only.
     */
   def u01Sql(seed: Long, a: String, b: String, c: String): String =
     s"(((CAST($seed AS BIGINT)*1103515245 + CAST($a AS BIGINT)*12345" +

@@ -81,11 +81,11 @@ class FuzzSpec extends AnyFunSuite {
       val rect = Polygon(Array(Array(x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h)))
       // square joins on the exact rectilinear kernel
       val sq = RectUnion.overlay(Seq(rect),
-        VectorOps2Fuzz.pieces(rect, d, "square", q), _ || _)
+        VectorOps2.bufferPiecesForTest(rect, d, "square", q), _ || _)
       assert(sq.area == (w + 2 * d) * (h + 2 * d), s"square ($x0,$y0,$w,$h,$d)")
       // round joins vs A + P·d + 2q·d²·sin(π/2q)
       val rd = PolyUnion.overlay(Seq(rect),
-        VectorOps2Fuzz.pieces(rect, d, "round", q), _ || _)
+        VectorOps2.bufferPiecesForTest(rect, d, "round", q), _ || _)
       val expected = w * h + 2 * d * (w + h) + 2 * q * d * d * math.sin(math.Pi / (2 * q))
       assert(math.abs(rd.area - expected) < 1e-6,
         s"round ($x0,$y0,$w,$h,$d,$q): ${rd.area} vs $expected")
@@ -111,10 +111,4 @@ class FuzzSpec extends AnyFunSuite {
       assert(math.abs(g.area - expected) < 1e-9, s"general: ${g.area} vs $expected")
     }
   }
-}
-
-/** Test-only access to the buffer piece generator. */
-object VectorOps2Fuzz {
-  def pieces(p: Polygon, d: Double, style: String, quadSegs: Int): Seq[Polygon] =
-    VectorOps2.bufferPiecesForTest(p, d, style, quadSegs)
 }
