@@ -220,13 +220,73 @@ object VectorOps2 {
                                        quadSegs: Int): Seq[Polygon] =
     bufferPieces(p, d, style, quadSegs)
 
+  /** Pieces for buffering an OPEN polyline (LINESTRING) or a POINT:
+    * per-segment double-sided strips (no wrap-around edge) plus a cap at
+    * every vertex — reusing the polygon cap shapes by delegating each
+    * vertex through a degenerate closed "ring" is wrong for open ends,
+    * so caps are emitted directly (disc or square; mitre degrades to
+    * square for open geometry ends, GEOS flat/square cap territory).
+    */
+  private def polylinePieces(coords: Array[Double], d: Double, style: String,
+                             quadSegs: Int): Seq[Polygon] = {
+    val pieces = collection.mutable.ArrayBuffer.empty[Polygon]
+    val n = coords.length / 2
+    var i = 0
+    while (i < n) {
+      val x1 = coords(2 * i); val y1 = coords(2 * i + 1)
+      if (i + 1 < n) {
+        val x2 = coords(2 * (i + 1)); val y2 = coords(2 * (i + 1) + 1)
+        val dx = x2 - x1; val dy = y2 - y1
+        val len = math.sqrt(dx * dx + dy * dy)
+        if (len > 0) {
+          val nx = -dy / len * d; val ny = dx / len * d
+          pieces += Polygon(Array(Array(
+            x1 + nx, y1 + ny, x2 + nx, y2 + ny, x2 - nx, y2 - ny, x1 - nx, y1 - ny)))
+        }
+      }
+      if (style == "round") {
+        val sides = 4 * math.max(1, quadSegs)
+        val ring = new Array[Double](sides * 2)
+        var k = 0
+        while (k < sides) {
+          val ang = 2.0 * math.Pi * k / sides
+          ring(2 * k) = x1 + d * math.cos(ang)
+          ring(2 * k + 1) = y1 + d * math.sin(ang)
+          k += 1
+        }
+        pieces += Polygon(Array(ring))
+      } else {
+        pieces += Polygon(Array(Array(
+          x1 - d, y1 - d, x1 + d, y1 - d, x1 + d, y1 + d, x1 - d, y1 + d)))
+      }
+      i += 1
+    }
+    pieces.toSeq
+  }
+
+  /** Parse POINT(...) / LINESTRING(...) coordinate text. */
+  private def parseCoords(wkt: String): Array[Double] = {
+    val i = wkt.indexOf('('); val j = wkt.lastIndexOf(')')
+    val pts = wkt.substring(i + 1, j).split(",").map(_.trim).filter(_.nonEmpty)
+    val flat = new Array[Double](pts.length * 2)
+    pts.zipWithIndex.foreach { case (p, k) =>
+      val xy = p.split("\\s+")
+      flat(2 * k) = xy(0).toDouble; flat(2 * k + 1) = xy(1).toDouble
+    }
+    flat
+  }
+
   /** vector_buffer — buffer each feature by a fixed distance or per-row
     * column (reference: buteo/vector/buffer.py:19-262; distance-as-
-    * attribute at :102-106, per-feature `Buffer` at :113). Positive
-    * distance = union(polygon, strips, caps) — the Minkowski sum;
+    * attribute at :102-106, per-feature `Buffer` at :113; the reference
+    * tests buffer polygons, POINTS and LINESTRINGS —
+    * tests_vector/test_vector_buffer.py:66,116). Positive distance on a
+    * polygon = union(polygon, strips, caps) — the Minkowski sum;
     * negative = polygon MINUS the boundary pieces (erosion) via the
-    * difference keep-rule. Rectilinear input + square joins stays on
-    * the exact integer-grid kernel.
+    * difference keep-rule. Points become discs/squares, linestrings
+    * become capsules; a non-positive distance on those drops the row
+    * (GEOS: negative buffer of dim<2 geometry is empty). Rectilinear
+    * input + square joins stays on the exact integer-grid kernel.
     */
   def buffer(df: DataFrame, wktCol: String, idCol: String, distCol: Column,
              joinStyle: String = "round", quadSegs: Int = 8): DataFrame = {
@@ -236,22 +296,35 @@ object VectorOps2 {
         distCol.cast("double"))
       .as[(Long, String, Double)]
       .flatMap { case (fid, wkt, dist) =>
-        val p = Wkt.parsePolygon(wkt)
+        val upper = wkt.trim.toUpperCase
         val out =
-          if (dist == 0.0) Some(passThroughUnion(p))
-          else {
-            val pieces = bufferPieces(p, math.abs(dist), joinStyle, quadSegs)
-            val a = Seq(p)
-            val rect = joinStyle == "square" && isRectilinear(a)
-            val u =
-              if (dist > 0) {
-                if (rect) RectUnion.overlay(a, pieces, _ || _)
-                else PolyUnion.overlay(a, pieces, _ || _)
-              } else {
-                if (rect) RectUnion.overlay(a, pieces, _ && !_)
-                else PolyUnion.overlay(a, pieces, _ && !_)
-              }
-            if (u.rings.isEmpty) None else Some(u)
+          if (upper.startsWith("POINT") || upper.startsWith("LINESTRING")) {
+            if (dist <= 0.0) None
+            else {
+              val pieces = polylinePieces(parseCoords(wkt.trim), dist, joinStyle, quadSegs)
+              val rect = joinStyle != "round" && isRectilinear(pieces)
+              val u =
+                if (rect) RectUnion.overlay(pieces, Seq.empty, (a, _) => a)
+                else PolyUnion.overlay(pieces, Seq.empty, (a, _) => a)
+              if (u.rings.isEmpty) None else Some(u)
+            }
+          } else {
+            val p = Wkt.parsePolygon(wkt)
+            if (dist == 0.0) Some(passThroughUnion(p))
+            else {
+              val pieces = bufferPieces(p, math.abs(dist), joinStyle, quadSegs)
+              val a = Seq(p)
+              val rect = joinStyle == "square" && isRectilinear(a)
+              val u =
+                if (dist > 0) {
+                  if (rect) RectUnion.overlay(a, pieces, _ || _)
+                  else PolyUnion.overlay(a, pieces, _ || _)
+                } else {
+                  if (rect) RectUnion.overlay(a, pieces, _ && !_)
+                  else PolyUnion.overlay(a, pieces, _ && !_)
+                }
+              if (u.rings.isEmpty) None else Some(u)
+            }
           }
         out.map { u =>
           val (x0, x1, y0, y1) = unionBBox(u)
