@@ -18,11 +18,12 @@ object TileOps {
     * create_from_array (reference: buteo/core_raster/core_raster_write.py:118,247)
     * — distributed: one task per tile via spark.range.
     */
-  def createRaster(spark: SparkSession, spec: RasterSpec)
+  def createRaster(spark: SparkSession, spec: RasterSpec, partitions: Int = 0)
                   (value: (Int, Int, Int) => Double): Dataset[Tile] = {
     import spark.implicits._
     val tx = spec.tilesX; val ty = spec.tilesY
-    spark.range(spec.numTiles.toLong).map { id =>
+    val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    spark.range(0, spec.numTiles.toLong, 1, parts).map { id =>
       val band = (id / (tx * ty)).toInt
       val rem = (id % (tx * ty)).toInt
       val cy = rem / tx; val cx = rem % tx
