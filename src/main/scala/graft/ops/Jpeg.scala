@@ -32,7 +32,9 @@ object Jpeg {
         if (b == 0xff) {
           val n = if (pos < data.length) data(pos) & 0xff else 0xd9
           if (n == 0x00) pos += 1 // stuffed byte
-          else b = 0xff // marker reached; caller handles via atMarker before reads
+          else pos -= 1 // marker: stay ON the 0xFF so atMarker holds at the
+          // restart boundary (consuming it would desync RSTn skipping —
+          // ADVICE r3); refills yield T.81's 1-fill bits without advancing
         }
         acc = b; nbits = 8
       }

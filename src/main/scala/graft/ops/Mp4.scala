@@ -155,6 +155,16 @@ object Mp4 {
     }
     walk(0, bytes.length)
 
+    // a malformed table must be an ERROR, not silently empty/short output
+    // (ADVICE r3): all three sample tables are mandatory in a non-empty
+    // stbl, and every chunk must be covered by an stsc run (ISO 14496-12
+    // requires first_chunk of run 0 to be 1)
+    require(sizes.nonEmpty, "mp4: missing or empty stsz sample-size table")
+    require(chunkOffsets.nonEmpty, "mp4: missing or empty stco chunk-offset table")
+    require(stscRuns.nonEmpty, "mp4: missing or empty stsc sample-to-chunk table")
+    require(stscRuns.head._1 == 1,
+      s"mp4: stsc first run starts at chunk ${stscRuns.head._1}, not 1 — chunks uncovered")
+
     // standard stsc expansion: run i applies from firstChunk_i until
     // firstChunk_{i+1} - 1
     val samples = Vector.newBuilder[Array[Byte]]
@@ -163,7 +173,9 @@ object Mp4 {
     var chunkIdx = 0
     while (chunkIdx < chunkOffsets.length && sampleIdx < sizes.length) {
       val chunkNo = chunkIdx + 1
-      val perChunk = runsDesc.find(_._1 <= chunkNo).map(_._2).getOrElse(1)
+      val perChunk = runsDesc.find(_._1 <= chunkNo).map(_._2)
+        .getOrElse(throw new IllegalArgumentException(
+          s"mp4: chunk $chunkNo not covered by any stsc run"))
       var within = 0
       var offset = chunkOffsets(chunkIdx)
       while (within < perChunk && sampleIdx < sizes.length) {

@@ -52,8 +52,11 @@ class CheckpointedWriter(store: SnapshotStore, lineage: String) {
             val grp = s"grp-${group.head}"
             val grpDir = s"${storeRoot}/data/$grp"
             deleteRecursively(grpDir) // idempotent re-run of an uncommitted group
+            // overwrite mode is belt-and-braces on top of the delete: a
+            // leftover file would otherwise abort the advertised
+            // idempotent re-run with "path already exists" (ADVICE r3)
             sub.repartition(group.size, col("bucket"))
-              .write.partitionBy("bucket")
+              .write.mode("overwrite").partitionBy("bucket")
               .parquet(grpDir)
             // footer reads are independent metadata I/O — do them in
             // parallel (driver threads), they're the commit's hot part
@@ -85,13 +88,16 @@ class CheckpointedWriter(store: SnapshotStore, lineage: String) {
     finally pool.shutdown()
   }
 
+  /** Fails fast on any undeletable entry: a stale file that survived a
+    * swallow-and-continue delete could coexist with the rewrite and be
+    * pinned into the snapshot manifest, double-counting rows (ADVICE r3).
+    */
   private def deleteRecursively(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(f =>
-          try java.nio.file.Files.delete(f) catch { case _: Throwable => })
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
     }
   }
 

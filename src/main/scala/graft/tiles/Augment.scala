@@ -29,9 +29,11 @@ object Augment {
   // ---- deterministic RNG (MINSTD core), mirrored by the SQL oracles ----
   private val M = 2147483647L // 2^31 - 1
 
-  /** Uniform [0,1): two MINSTD steps over a linear coordinate mix. All
-    * intermediates stay < 2^62 — the same expression evaluates exactly
-    * in DuckDB BIGINT arithmetic (the oracle mirror). Inputs are first
+  /** Uniform [0,1): two MINSTD steps over a linear coordinate mix. The
+    * worst-case linear mix is ~8.07e18 ≈ 2^62.8 — it fits signed 64-bit
+    * (< 2^63), so the same expression evaluates exactly in DuckDB BIGINT
+    * arithmetic (the oracle mirror); any new key term must keep the mix
+    * under 2^63, not 2^62. Inputs are first
     * reduced mod (M−1) into [0, M−1): identical for the in-range values
     * the oracles use, and it keeps negative or 2^32-scale seeds/coords
     * from overflowing Long (which would push u01 outside [0,1) and turn
@@ -418,6 +420,10 @@ object Augment {
     * a 3-band plane on the same grid.
     */
   def encodeArrPosition(tiles: Dataset[Tile], spec: RasterSpec): Dataset[Tile] = {
+    // a 1-pixel-wide/tall raster would divide by zero and emit NaN planes
+    // silently (ADVICE r3)
+    require(spec.width > 1 && spec.height > 1,
+      s"encodeArrPosition needs width/height > 1, got ${spec.width}x${spec.height}")
     val xEnd = (spec.width - 1).toDouble
     val yEnd = (spec.height - 1).toDouble
     tiles.filter((t: Tile) => t.band == 0).flatMap { t =>
