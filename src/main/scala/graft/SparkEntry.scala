@@ -619,6 +619,31 @@ object SparkEntry {
       val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
       TileOps.toPixels(TileOps2.hornGradients(dem), rasterSpec.tileSize)
     },
+    "raster_warp" -> { (s, _) =>
+      // one-call projection + extent + res + nodata warp (warp.py:23-118):
+      // 3857 source → 4326 grid, so the inverse mapping is the FORWARD
+      // Mercator (radians/tan/ln — bitwise JVM≡DuckDB, the
+      // vector_reproject recipe); grid constants are binary-exact
+      // (1/64°, -0.125, 51.5) so pixel centers are exact in both engines
+      val srcSpec = RasterSpec(0.0, 6800000.0, 1000.0, -1000.0, 128, 128, 64, 1,
+        nodata = -9999.0, crs = 3857)
+      val src = TileOps.createRaster(s, srcSpec)((x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
+      val (warped, dstSpec) = TileOps2.warp(src, srcSpec,
+        dstCrs = Some(4326),
+        dstExtent = Some(BBox(-0.125, 1.25, 51.5, 52.5)),
+        dstRes = Some((0.015625, 0.015625)),
+        dstNodata = Some(-1.0))
+      TileOps.toPixels(warped, dstSpec.tileSize)
+    },
+    "raster_dem_orientation" -> { (s, _) =>
+      // rounded to 9 decimals: same sin/cos 1-ulp mitigation as
+      // encode_latlng (aspect branch flips at ulp boundaries are harmless
+      // — sin/cos are continuous mod 360, so both sides round alike)
+      val spec = rasterSpec.copy(bands = 1)
+      val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      TileOps.toPixels(TileOps2.demOrientation(dem), rasterSpec.tileSize)
+        .select(col("x"), col("y"), col("band"), round(col("v"), 9).as("v"))
+    },
     "raster_convolve_quantile" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
         TileOps.createRaster(s, convSpec)(rasterValue), 1, "quantile25"), convSpec.tileSize)
@@ -857,6 +882,18 @@ object SparkEntry {
     "vector_reproject" -> { (s, _) =>
       graft.ops.VectorOps2.reprojectLayer(vectorFeatures(s), "wkt", "fid", 4326, 3857)
         .select("fid", "n_rings", "n_pts", "x_min", "x_max", "y_min", "y_max")
+    },
+    "vector_attr_edit" -> { (s, _) =>
+      // attribute-table family in one pipeline: add_field (null double),
+      // set_attribute_table (update klass for fid<10 + create `note` as
+      // string, matched on fid), delete_fields (drop w/h)
+      val feats = vectorFeatures(s)
+      val added = graft.ops.VectorOps.addField(feats, "score", "double")
+      val rows = (0 until 10).map(i => Seq[Any](i, s"u${i % 3}", "edited"))
+      val set = graft.ops.VectorOps.setAttributeTable(added,
+        Seq("fid", "klass", "note"), rows)
+      graft.ops.VectorOps.deleteFields(set, Seq("w", "h"))
+        .select("fid", "klass", "x0", "y0", "score", "note")
     },
     "vector_hexgrid" -> { (s, _) =>
       // flat-top hex fishnet (reference grid.py:24 is an unimplemented
@@ -1673,6 +1710,26 @@ object SparkEntry {
         GROUP BY sl.x, sl.y, mad.m, mad.ms""",
 
     "raster_dem_gradients" -> demGradOracle,
+    "raster_dem_orientation" -> demOrientOracle,
+    // inverse mapping per 4326 target pixel center: forward Mercator to
+    // 3857 meters, floor to the 1000 m source grid, sample the closed
+    // form; outside the 128×128 source → dst_nodata (-1)
+    "raster_warp" ->
+      """WITH base AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
+          FROM range(88) r1(x), range(64) r2(y)),
+        proj AS (SELECT x, y,
+          6378137.0 * radians(CAST(-0.125 AS DOUBLE) + (CAST(x AS DOUBLE) + 0.5) * 0.015625) AS sx,
+          6378137.0 * ln(tan(pi() / 4.0 +
+            radians(CAST(52.5 AS DOUBLE) + (CAST(y AS DOUBLE) + 0.5) * (-0.015625)) / 2.0)) AS sy
+         FROM base),
+        px AS (SELECT x, y,
+          CAST(FLOOR(sx / 1000.0) AS INTEGER) AS sc,
+          CAST(FLOOR((sy - 6800000.0) / (-1000.0)) AS INTEGER) AS sr
+         FROM proj)
+        SELECT x, y, 0 AS band,
+          CASE WHEN sc BETWEEN 0 AND 127 AND sr BETWEEN 0 AND 127
+               THEN CAST((sc * 7 + sr * 13) % 97 AS DOUBLE) ELSE -1.0 END AS v
+        FROM px""",
 
     "raster_convolve_quantile" -> (sqlPxConv +
       // the reference's weighted-quantile with equal weights interpolates
@@ -1996,6 +2053,13 @@ object SparkEntry {
           6378137.0 * ln(tan(pi() / 4.0 + radians(CAST(y0 AS DOUBLE)) / 2.0)) AS y_min,
           6378137.0 * ln(tan(pi() / 4.0 + radians(CAST(y0 + h AS DOUBLE)) / 2.0)) AS y_max
         FROM feats"""),
+
+    "vector_attr_edit" -> (s"WITH $sqlFeats, " +
+      """upd AS (SELECT id AS ufid, 'u' || CAST(id % 3 AS VARCHAR) AS uklass,
+           'edited' AS unote FROM range(10) t(id))
+         SELECT fid, COALESCE(uklass, klass) AS klass, x0, y0,
+           CAST(NULL AS DOUBLE) AS score, unote AS note
+         FROM feats LEFT JOIN upd ON fid = ufid"""),
 
     "vector_hexgrid" -> {
       val size = 2.0
@@ -2796,6 +2860,48 @@ object SparkEntry {
       UNION ALL
       SELECT x, y, 1 AS band,
         (($g + 2.0 * $h + $i) - ($a + 2.0 * $b + $c)) / (8.0 * 0.25) AS v FROM base"""
+  }
+
+  /** DEM-orientation oracle mirroring TileOps2.demOrientation: Horn
+    * gradients (clamped neighbors) → aspect (zero_for_flat) → sin/cos
+    * encode, slope-percent encode, normalized height — all ROUND(·, 9)
+    * on both sides (sin/cos/atan2/degrees are 1-ulp engines apart).
+    */
+  private def demOrientOracle: String = {
+    def z(dx: Int, dy: Int): String =
+      s"""(CASE WHEN x + ($dx) BETWEEN 0 AND 255 AND y + ($dy) BETWEEN 0 AND 255
+         THEN CAST(((x + ($dx)) * 3 + (y + ($dy)) * 5) % 41 AS DOUBLE)
+         ELSE CAST((x * 3 + y * 5) % 41 AS DOUBLE) END)"""
+    val (a, b, c) = (z(-1, -1), z(0, -1), z(1, -1))
+    val (d, f) = (z(-1, 0), z(1, 0))
+    val (g, h, i) = (z(-1, 1), z(0, 1), z(1, 1))
+    val gx = s"((($c + 2.0 * $f + $i) - ($a + 2.0 * $d + $g)) / (8.0 * 0.25))"
+    val gy = s"((($g + 2.0 * $h + $i) - ($a + 2.0 * $b + $c)) / (8.0 * 0.25))"
+    s"""WITH base AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
+        FROM range(256) r1(x), range(256) r2(y)),
+      grad AS (SELECT x, y, $gx AS gx, $gy AS gy FROM base),
+      asp AS (SELECT x, y,
+        CASE WHEN gx = 0.0 AND gy = 0.0 THEN 0.0
+             WHEN 90.0 - degrees(atan2(gy, -gx)) < 0.0
+               THEN 90.0 - degrees(atan2(gy, -gx)) + 360.0
+             WHEN 90.0 - degrees(atan2(gy, -gx)) >= 360.0
+               THEN 90.0 - degrees(atan2(gy, -gx)) - 360.0
+             ELSE 90.0 - degrees(atan2(gy, -gx)) END AS aspect,
+        sqrt(gx * gx + gy * gy) * 100.0 AS slope_pct FROM grad),
+      enc AS (SELECT x, y, slope_pct,
+        CASE WHEN aspect <> 0.0 THEN aspect / 360.0 ELSE 0.0 END AS an FROM asp)
+      SELECT x, y, 0 AS band, ROUND((sin(2.0 * pi() * an) + 1.0) / 2.0, 9) AS v FROM enc
+      UNION ALL
+      SELECT x, y, 1 AS band, ROUND((cos(2.0 * pi() * an) + 1.0) / 2.0, 9) AS v FROM enc
+      UNION ALL
+      SELECT x, y, 2 AS band,
+        ROUND(CASE WHEN slope_pct = 0.0 THEN 0.0
+                   ELSE LEAST(1.0, GREATEST(0.0, slope_pct / 90.0)) END, 9) AS v FROM enc
+      UNION ALL
+      SELECT x, y, 3 AS band,
+        ROUND(CASE WHEN CAST((x * 3 + y * 5) % 41 AS DOUBLE) <> 0.0
+                   THEN CAST((x * 3 + y * 5) % 41 AS DOUBLE) / 8849.0
+                   ELSE 0.0 END, 9) AS v FROM base"""
   }
 
   /** Generated DuckDB tail for the 16-bit simhash oracle (hex-digit value

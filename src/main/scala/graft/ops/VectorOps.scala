@@ -290,6 +290,81 @@ object VectorOps {
       .toDF("fid", "n_parts", "multi_wkt")
   }
 
+  // ---- attribute-table ops (reference: core_vector_attributes.py) ----
+
+  /** OGR field-type keyword → Spark type — the reference's keyword table
+    * (core_vector_attributes.py:181-199: int/integer→OFTInteger,
+    * float/double→OFTReal, string→OFTString, date/datetime/time→
+    * OFTDateTime, binary→OFTBinary, *list→OFT*List).
+    */
+  private def fieldType(t: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t match {
+      case "int" | "integer"        => IntegerType
+      case "float" | "double"       => DoubleType
+      case "string"                 => StringType
+      case "date" | "datetime" | "time" => TimestampType
+      case "binary"                 => BinaryType
+      case "intlist" | "integerlist" => ArrayType(IntegerType)
+      case "floatlist" | "doublelist" => ArrayType(DoubleType)
+      case "stringlist"             => ArrayType(StringType)
+      case other => throw new IllegalArgumentException(s"Invalid field_type: $other")
+    }
+  }
+
+  /** Add a (null-valued) field of the given OGR type keyword —
+    * reference: vector_add_field (core_vector_attributes.py:154-223).
+    */
+  def addField(df: DataFrame, name: String, fieldTypeName: String): DataFrame =
+    df.withColumn(name, lit(null).cast(fieldType(fieldTypeName)))
+
+  /** Delete fields — reference: vector_delete_fields
+    * (core_vector_attributes.py:318-380). OGR raises on unknown fields;
+    * mirrored here instead of Spark drop's silent ignore.
+    */
+  def deleteFields(df: DataFrame, fields: Seq[String]): DataFrame = {
+    val missing = fields.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"fields not in layer: ${missing.mkString(", ")}")
+    df.drop(fields: _*)
+  }
+
+  /** Update attributes from a small in-memory table matched on `matchCol`
+    * — reference: vector_set_attribute_table
+    * (core_vector_attributes.py:226-316). Reference semantics kept:
+    * missing header fields are created as STRING; the match column and
+    * `fid` are never overwritten; features absent from the table keep
+    * their values. Scale shape: the attribute table is the SMALL side —
+    * broadcast left join against the feature table, coalesce per field;
+    * the 10^12-row feature side is never shuffled.
+    */
+  def setAttributeTable(df: DataFrame, header: Seq[String],
+                        rows: Seq[Seq[Any]],
+                        matchCol: String = "fid"): DataFrame = {
+    require(rows.forall(_.length == header.length),
+      "header and attribute_table must have the same number of columns")
+    require(header.contains(matchCol), "match must be in header")
+    val spark = df.sparkSession
+    val updCols = header.filterNot(h => h == matchCol || h == "fid")
+    val upd = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(
+        r.map(v => if (v == null) null else v.toString): _*)), 1),
+      org.apache.spark.sql.types.StructType(header.map(h =>
+        org.apache.spark.sql.types.StructField(s"__u_$h",
+          org.apache.spark.sql.types.StringType))))
+    val joined = df.join(broadcast(upd),
+      col(matchCol).cast("string") === col(s"__u_$matchCol"), "left")
+    val updated = updCols.foldLeft(joined) { (acc, h) =>
+      if (df.columns.contains(h))
+        // try_cast: a value that fails coercion leaves the old attribute
+        // in place (OGR's update_feature swallows the TypeError —
+        // core_vector_attributes.py:291-293); ANSI cast would abort the job
+        acc.withColumn(h, coalesce(
+          col(s"__u_$h").try_cast(df.schema(h).dataType), col(h)))
+      else acc.withColumn(h, col(s"__u_$h")) // created as STRING, like OGR
+    }
+    updated.drop(header.map(h => s"__u_$h"): _*)
+  }
+
   /** Multipart → singlepart: explode MULTIPOLYGON into per-part rows
     * (reference: buteo/core_vector/conversion/multipart.py:58-166).
     */

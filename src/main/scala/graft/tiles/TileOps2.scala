@@ -3,7 +3,7 @@ package graft.tiles
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.geo.{BBox, GeoTransform, Proj}
+import graft.geo.{BBox, GeoTransform, Polygon, Proj}
 
 /** Second tranche of tile algebra: align, reproject, morphology, band
   * stack, per-pixel time-series regression.
@@ -140,6 +140,72 @@ object TileOps2 {
         }
         Tile(cx, cy, band, w, h, ox, oy, dst.pxW, dst.pxH, out, dst.nodata, dst.crs)
       }
+  }
+
+  /** One-call warp to a new projection / extent / resolution / size /
+    * nodata — the gdal.Warp-shaped composite entry point a buteo user
+    * reaches for first (reference: buteo/raster/warp.py:23-118, the
+    * WarpOptions argument semantics):
+    *
+    *  - `dstCrs` default = source CRS (warp.py dst_projection default);
+    *  - `dstExtent` (in `dstExtentCrs`, default the target CRS) default =
+    *    the source extent projected to the target CRS (outputBounds);
+    *  - resolution from `dstRes` (xRes/yRes, positive) OR size from
+    *    `dstSize` (width/height) — mutually exclusive like gdal.Warp;
+    *    neither given → source resolution (same CRS) or the suggested
+    *    resolution preserving the source pixel count (projected);
+    *  - `alignPixels` = targetAlignedPixels: snap the extent outward to
+    *    res multiples;
+    *  - `dstNodata`, `clipGeom` (cutlineDSName) as in the reference.
+    *
+    * Returns (warped tiles, the target grid spec). Resampling is the
+    * reference's default "near" (inverse-mapping nearest); other kernels
+    * live in resampleBlock/resampleSeparable for factor-based grids.
+    * Distribution shape is inherited from reproject/align: explode source
+    * tiles to overlapped target cells, ONE shuffle on the target cell id.
+    */
+  def warp(tiles: Dataset[Tile], src: RasterSpec,
+           dstCrs: Option[Int] = None,
+           dstExtent: Option[BBox] = None,
+           dstExtentCrs: Option[Int] = None,
+           dstRes: Option[(Double, Double)] = None,
+           dstSize: Option[(Int, Int)] = None,
+           dstNodata: Option[Double] = None,
+           alignPixels: Boolean = false,
+           clipGeom: Option[Polygon] = None): (Dataset[Tile], RasterSpec) = {
+    require(dstRes.isEmpty || dstSize.isEmpty,
+      "warp: dst_x_res/dst_y_res and dst_width/dst_height are mutually exclusive")
+    val crs = dstCrs.getOrElse(src.crs)
+    val extent0 = dstExtent.map { e =>
+      val ecrs = dstExtentCrs.getOrElse(crs)
+      if (ecrs == crs) e else Proj.reprojectBBox(e, ecrs, crs)
+    }.getOrElse(
+      if (src.crs == crs) src.bbox else Proj.reprojectBBox(src.bbox, src.crs, crs))
+    val (pw, ph) = dstRes match {
+      case Some((x, y)) =>
+        require(x > 0 && y > 0, "warp: resolutions must be positive")
+        (x, y)
+      case None => dstSize match {
+        case Some((wpx, hpx)) =>
+          ((extent0.xMax - extent0.xMin) / wpx, (extent0.yMax - extent0.yMin) / hpx)
+        case None =>
+          if (crs == src.crs) (src.pxW, math.abs(src.pxH))
+          else ((extent0.xMax - extent0.xMin) / src.width,
+            (extent0.yMax - extent0.yMin) / src.height)
+      }
+    }
+    val extent =
+      if (!alignPixels) extent0
+      else BBox(math.floor(extent0.xMin / pw) * pw, math.ceil(extent0.xMax / pw) * pw,
+        math.floor(extent0.yMin / ph) * ph, math.ceil(extent0.yMax / ph) * ph)
+    val (wpx, hpx) = dstSize.getOrElse((
+      math.max(1L, math.round((extent.xMax - extent.xMin) / pw)).toInt,
+      math.max(1L, math.round((extent.yMax - extent.yMin) / ph)).toInt))
+    val dst = RasterSpec(extent.xMin, extent.yMax, pw, -ph, wpx, hpx,
+      src.tileSize, src.bands, dstNodata.getOrElse(src.nodata), crs)
+    val warped = reproject(tiles, src, dst) // same-CRS → align short-circuit
+    val out = clipGeom.map(p => TileOps.clip(warped, p)).getOrElse(warped)
+    (out, dst)
   }
 
   /** Georeference-only shift: move every tile's origin by (dx, dy) —
@@ -875,6 +941,66 @@ object TileOps2 {
         math.cos(alt) * math.sin(slope) * math.cos(az - math.Pi / 2.0 - aspect)
       math.max(0.0, 255.0 * shade)
     }
+  }
+
+  /** Sin/cos-encoded DEM orientation (reference: buteo/raster/dem.py:351-495,
+    * raster_dem_to_orientation): band 0 = (sin(2π·aspect/360)+1)/2,
+    * band 1 = (cos(2π·aspect/360)+1)/2 (aspect degrees with zero_for_flat,
+    * normalised only where non-zero — the reference's np.divide where=),
+    * band 2 = clip(slope_percent/90, 0, 1) (0 where slope is 0), and
+    * optionally band 3 = height/heightNormValue where height ≠ 0 (raw
+    * height when heightNorm=false). One halo pass: slope and aspect both
+    * come from the same Horn gradients, instead of the reference's two
+    * full DEMProcessing passes + a third array read.
+    */
+  def demOrientation(tiles: Dataset[Tile], includeHeight: Boolean = true,
+                     heightNorm: Boolean = true,
+                     heightNormValue: Double = 8849.0): Dataset[Tile] = {
+    val padded = TileOps.convolvePad(tiles, 1)
+    padded.flatMap { case (t, pad, pw, _) =>
+      val n = t.pixels.length
+      val sinB = new Array[Double](n)
+      val cosB = new Array[Double](n)
+      val slpB = new Array[Double](n)
+      var r = 0
+      while (r < t.h) {
+        var c = 0
+        while (c < t.w) {
+          def at(dx: Int, dy: Int): Double = {
+            val v = pad((r + 1 + dy) * pw + (c + 1 + dx))
+            if (v.isNaN) t.pixels(r * t.w + c) else v
+          }
+          val (a, b2, cc) = (at(-1, -1), at(0, -1), at(1, -1))
+          val (d, g2) = (at(-1, 0), at(1, 0))
+          val (g, h2, i2) = (at(-1, 1), at(0, 1), at(1, 1))
+          val gx = ((cc + 2.0 * g2 + i2) - (a + 2.0 * d + g)) / (8.0 * t.pxW)
+          val gy = ((g + 2.0 * h2 + i2) - (a + 2.0 * b2 + cc)) / (8.0 * math.abs(t.pxH))
+          val i = r * t.w + c
+          val aspect =
+            if (gx == 0.0 && gy == 0.0) 0.0 // zero_for_flat
+            else {
+              val az = 90.0 - math.toDegrees(math.atan2(gy, -gx))
+              if (az < 0) az + 360.0 else if (az >= 360.0) az - 360.0 else az
+            }
+          val aNorm = if (aspect != 0.0) aspect / 360.0 else 0.0
+          sinB(i) = (math.sin(2.0 * math.Pi * aNorm) + 1.0) / 2.0
+          cosB(i) = (math.cos(2.0 * math.Pi * aNorm) + 1.0) / 2.0
+          val slopePct = math.sqrt(gx * gx + gy * gy) * 100.0
+          slpB(i) =
+            if (slopePct == 0.0) 0.0
+            else math.min(1.0, math.max(0.0, slopePct / 90.0))
+          c += 1
+        }
+        r += 1
+      }
+      val base = Iterator(t.copy(band = 0, pixels = sinB),
+        t.copy(band = 1, pixels = cosB), t.copy(band = 2, pixels = slpB))
+      if (includeHeight) {
+        val hB = t.pixels.map(h =>
+          if (!heightNorm) h else if (h != 0.0) h / heightNormValue else 0.0)
+        base ++ Iterator(t.copy(band = 3, pixels = hB))
+      } else base
+    }(TileOps.tileEnc)
   }
 
   /** Fuse the two Horn gradient bands through a scalar combiner —

@@ -277,4 +277,36 @@ class VectorOps2Spec extends AnyFunSuite {
       Seq(Polygon.box(graft.geo.BBox(2.0, 6.0, 2.0, 6.0))), _ && _)
     assert(ur.area == 4.0)
   }
+
+  test("attribute-table ops: add/set/delete field semantics from the reference") {
+    import graft.ops.VectorOps
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "a", 1), (1L, "b", 2), (2L, "c", 3)).toDF("fid", "klass", "n")
+
+    // add_field: null column of the mapped OGR type
+    val added = VectorOps.addField(df, "score", "double")
+    assert(added.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(added.select("score").collect().forall(_.isNullAt(0)))
+    intercept[IllegalArgumentException](VectorOps.addField(df, "x", "bogus"))
+
+    // set_attribute_table: match on fid; match/fid columns never updated;
+    // unmatched features keep their values; bad numeric strings fall back
+    val set = VectorOps.setAttributeTable(added,
+      Seq("fid", "klass", "n", "note"),
+      Seq(Seq[Any](0L, "Z", "9", "hello"), Seq[Any](1L, "Y", "oops", null)))
+    val rows = set.orderBy("fid").collect()
+    assert(rows(0).getAs[String]("klass") == "Z" && rows(0).getAs[Int]("n") == 9)
+    assert(rows(0).getAs[String]("note") == "hello")
+    assert(rows(1).getAs[String]("klass") == "Y")
+    assert(rows(1).getAs[Int]("n") == 2) // "oops" fails the int cast → kept
+    assert(rows(2).getAs[String]("klass") == "c" && rows(2).getAs[Int]("n") == 3)
+    intercept[IllegalArgumentException](
+      VectorOps.setAttributeTable(df, Seq("klass"), Seq(Seq[Any]("x"))))
+
+    // delete_fields: drops, and errors on unknown fields like OGR
+    assert(VectorOps.deleteFields(df, Seq("n")).columns.toSeq == Seq("fid", "klass"))
+    intercept[IllegalArgumentException](VectorOps.deleteFields(df, Seq("nope")))
+  }
 }

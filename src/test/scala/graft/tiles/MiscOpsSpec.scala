@@ -110,6 +110,34 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(aspect.forall(a => a >= 0.0 && a < 360.0))
   }
 
+  test("demOrientation equals the aspect/slope composition, height flags honoured") {
+    val spec = RasterSpec(0.0, 16.0, 0.25, -0.25, 16, 16, 8, 1)
+    def z(x: Int, y: Int): Double = ((x * 3 + y * 5) % 17).toDouble
+    val dem = TileOps.createRaster(spark, spec)((x, y, _) => z(x, y))
+    def byBand(ds: org.apache.spark.sql.Dataset[Tile]): Map[(Int, Int, Int), Double] =
+      TileOps.toPixels(ds, 8).collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    val orient = byBand(TileOps2.demOrientation(dem))
+    val aspect = byBand(TileOps2.demAspect(dem))
+    val slopePct = byBand(TileOps2.demSlope(dem, percent = true))
+    for (x <- 0 until 16; y <- 0 until 16) {
+      val a = aspect((x, y, 0))
+      val an = if (a != 0.0) a / 360.0 else 0.0
+      assert(math.abs(orient((x, y, 0)) - (math.sin(2 * math.Pi * an) + 1) / 2) < 1e-12)
+      assert(math.abs(orient((x, y, 1)) - (math.cos(2 * math.Pi * an) + 1) / 2) < 1e-12)
+      val sp = slopePct((x, y, 0))
+      val expSl = if (sp == 0.0) 0.0 else math.min(1.0, math.max(0.0, sp / 90.0))
+      assert(math.abs(orient((x, y, 2)) - expSl) < 1e-12)
+      val h = z(x, y)
+      assert(orient((x, y, 3)) == (if (h != 0.0) h / 8849.0 else 0.0))
+    }
+    // flags: no height band / raw height band
+    assert(!TileOps2.demOrientation(dem, includeHeight = false)
+      .collect().exists(_.band == 3))
+    val raw = byBand(TileOps2.demOrientation(dem, heightNorm = false))
+    assert(raw((3, 4, 3)) == z(3, 4))
+  }
+
   test("findCommonProjection majority vote with smaller-EPSG tie break") {
     val a = RasterSpec(0, 0, 1, -1, 8, 8, 8, 1, crs = 4326)
     val b = a.copy(crs = 3857)
