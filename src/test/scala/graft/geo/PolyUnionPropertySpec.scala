@@ -97,23 +97,69 @@ class PolyUnionPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("thin slivers survive classification (offset ladder)") {
-    // slivers 5e-8 wide on a span-6 canvas sit BELOW the base sampling
-    // offset (span·1e-7 ≈ 6e-7) but above the noding quantum
-    // (span·1e-9): the pre-ladder kernel dropped them (both side
-    // samples outside → classified exterior), the ladder rescues them.
-    // Features under the quantum remain out of scope (exact-rational
-    // noding — documented staged work).
-    val w = 5e-8
+  test("thin slivers classify exactly (snap-rounded exact kernel)") {
+    // dyadic width 2^-24 ≈ 6e-8 on a span-6 canvas: far below the old
+    // base sampling offset; with the exact kernel the area is EXACT
+    val w = math.pow(2.0, -24)
     val sliver = rectPoly(1.0, 0.0, w, 6.0)
     val u1 = PolyUnion.union(Seq(sliver))
-    assert(math.abs(u1.area - 6 * w) < 1e-12, s"lone sliver area ${u1.area}")
+    assert(u1.area == 6 * w, s"lone sliver area ${u1.area}")
     val mixed = PolyUnion.union(Seq(sliver, rectPoly(4.0, 0.0, 2.0, 2.0)))
-    assert(math.abs(mixed.area - (6 * w + 4.0)) < 1e-9, s"mixed ${mixed.area}")
+    assert(mixed.area == 6 * w + 4.0, s"mixed ${mixed.area}")
     assert(mixed.nRings == 2)
     // intersection of the sliver with a crossing band keeps the sliver cut
     val inter = PolyUnion.overlay(Seq(sliver), Seq(rectPoly(0.0, 2.0, 8.0, 1.0)), _ && _)
-    assert(math.abs(inter.area - w) < 1e-12, s"sliver ∩ band ${inter.area}")
+    assert(inter.area == w, s"sliver ∩ band ${inter.area}")
+    // non-dyadic width snaps to the grid: error bounded by perimeter·g
+    val odd = rectPoly(1.0, 0.0, 5e-8, 6.0)
+    val uo = PolyUnion.union(Seq(odd))
+    assert(math.abs(uo.area - 6 * 5e-8) < 14.0 * (6.0 / math.pow(2.0, 39)),
+      s"snapped sliver area ${uo.area}")
+  }
+
+  test("sub-quantum features: 10k jittered-lattice differentials at/below 1e-9·span") {
+    // Rect sets mixing a span-setting unit square with features whose
+    // sizes sit at or far below the OLD noding quantum (1e-9·span):
+    // coordinates on the 2^-33 lattice (1.2e-10), sizes 2^-33..2^-26.
+    // All inputs are dyadic above the snap grid (span 8 → g = 2^-39),
+    // so the exact kernel must agree with the independent RectUnion
+    // slab sweep EXACTLY — the old kernel dropped or misclassified
+    // these (sub-segments under its quantum were discarded wholesale).
+    val tinyCoord = Gen.choose(0L, 1L << 30).map(_ / math.pow(2.0, 33))
+    val tinySide = Gen.choose(1L, 128L).map(_ / math.pow(2.0, 33))
+    val tinyRect = for {
+      x0 <- tinyCoord; y0 <- tinyCoord; w <- tinySide; h <- tinySide
+    } yield rectPoly(x0, y0, w, h)
+    val setGen = for {
+      n <- Gen.choose(1, 4)
+      rs <- Gen.listOfN(n, tinyRect)
+      withAnchor <- Gen.oneOf(true, false)
+    } yield if (withAnchor) rectPoly(4.0, 4.0, 4.0, 4.0) :: rs else rs
+    cases(setGen, 10000, seed = 1337L) { rs =>
+      val exact = RectUnion.union(rs)
+      val general = PolyUnion.union(rs)
+      assert(general.area == exact.area,
+        s"area ${general.area} vs ${exact.area} for ${rs.map(_.bbox)}")
+      assert(general.nRings == exact.nRings,
+        s"rings ${general.nRings} vs ${exact.nRings} for ${rs.map(_.bbox)}")
+    }
+  }
+
+  test("sub-quantum overlays: intersection/difference at 1e-9·span scale") {
+    // a sub-quantum sliver crossed by sub-quantum bands, anchored by a
+    // unit square that sets the span — exercises noding + both-set
+    // classification entirely below the old quantum
+    val g33 = math.pow(2.0, -33)
+    val anchor = rectPoly(2.0, 2.0, 2.0, 2.0)
+    val sliver = rectPoly(64 * g33, 0.0, 8 * g33, 1024 * g33)
+    val band = rectPoly(0.0, 256 * g33, 1024 * g33, 64 * g33)
+    val inter = PolyUnion.overlay(Seq(sliver, anchor), Seq(band), _ && _)
+    assert(inter.area == 8 * g33 * 64 * g33, s"∩ ${inter.area}")
+    val diff = PolyUnion.overlay(Seq(sliver), Seq(band, anchor), _ && !_)
+    assert(diff.area == 8 * g33 * (1024 - 64) * g33, s"− ${diff.area}")
+    val uni = PolyUnion.union(Seq(sliver, band, anchor))
+    assert(uni.area == (8 * 1024 + 1024 * 64 - 8 * 64) * g33 * g33 + 4.0,
+      s"∪ ${uni.area}")
   }
 
   test("union is monotone and bounded: max single ≤ union ≤ sum (2k sets)") {
