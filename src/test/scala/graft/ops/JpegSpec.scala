@@ -83,11 +83,80 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
-  test("progressive JPEG is rejected with a clear error") {
-    // hand-build a minimal stream with SOF2 to check the error path
+  private def encodeProgressive(img: BufferedImage): Array[Byte] = {
+    import javax.imageio.ImageWriteParam
+    import javax.imageio.stream.MemoryCacheImageOutputStream
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.flush(); writer.dispose()
+    val bytes = bos.toByteArray
+    // confirm the encoder actually emitted SOF2 (else the test is vacuous)
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+      "ImageIO did not produce a progressive (SOF2) stream")
+    bytes
+  }
+
+  test("progressive grayscale: matches ImageIO decode within IDCT rounding") {
+    val w = 37; val h = 23 // edge MCUs + non-interleaved partial blocks
+    val bytes = encodeProgressive(grayImage(w, h)((x, y) => (x * 5 + y * 9) % 256))
+    val ours = Jpeg.decode(bytes)
+    assert(ours.width == w && ours.height == h && ours.channels == 1)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rv = ref.getRaster.getSample(x, y, 0)
+      val ov = ours.pixels(y * w + x) & 0xff
+      maxDiff = math.max(maxDiff, math.abs(rv - ov))
+    }
+    assert(maxDiff <= 2, s"max gray diff $maxDiff")
+  }
+
+  test("progressive RGB: close to ImageIO despite chroma upsampling") {
+    val w = 64; val h = 48
+    val bytes = encodeProgressive(rgbImage(w, h)((x, y) =>
+      (128 + x, 100 + y, 200 - x / 2)))
+    val ours = Jpeg.decode(bytes)
+    assert(ours.width == w && ours.height == h && ours.channels == 3)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sumDiff = 0L; var maxDiff = 0; var n = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgb = ref.getRGB(x, y)
+      val rv = (rgb >> (16 - 8 * c)) & 0xff
+      val ov = ours.pixels((y * w + x) * 3 + c) & 0xff
+      val d = math.abs(rv - ov)
+      sumDiff += d; maxDiff = math.max(maxDiff, d); n += 1
+    }
+    val mean = sumDiff.toDouble / n
+    assert(mean < 2.0, s"mean diff $mean")
+    assert(maxDiff <= 16, s"max diff $maxDiff")
+  }
+
+  test("progressive: busy texture round-trips vs ImageIO (seeded)") {
+    val rnd = new scala.util.Random(4242)
+    val w = 40; val h = 56
+    val px = Array.fill(w * h)(rnd.nextInt(256))
+    val bytes = encodeProgressive(grayImage(w, h)((x, y) => px(y * w + x)))
+    val ours = Jpeg.decode(bytes)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rv = ref.getRaster.getSample(x, y, 0)
+      val ov = ours.pixels(y * w + x) & 0xff
+      maxDiff = math.max(maxDiff, math.abs(rv - ov))
+    }
+    assert(maxDiff <= 2, s"max diff $maxDiff vs ImageIO on noise fixture")
+  }
+
+  test("hierarchical SOF markers are rejected with a clear error") {
     val bytes = Array[Byte](0xff.toByte, 0xd8.toByte,
-      0xff.toByte, 0xc2.toByte, 0, 8, 8, 0, 8, 0, 8, 1, 0)
+      0xff.toByte, 0xc3.toByte, 0, 8, 8, 0, 8, 0, 8, 1, 0)
     val e = intercept[IllegalArgumentException](Jpeg.decode(bytes))
-    assert(e.getMessage.contains("progressive"))
+    assert(e.getMessage.contains("unsupported"))
   }
 }
