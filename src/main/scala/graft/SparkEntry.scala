@@ -883,6 +883,17 @@ object SparkEntry {
       graft.ops.VectorOps2.reprojectLayer(vectorFeatures(s), "wkt", "fid", 4326, 3857)
         .select("fid", "n_rings", "n_pts", "x_min", "x_max", "y_min", "y_max")
     },
+    "vector_split_attr" -> { (s, _) =>
+      // vector_split_by_attribute (core_vector_split.py): partitioned
+      // write, one directory per attribute value — then read BACK from
+      // the partitioned layout and aggregate, so the oracle checks that
+      // the split+manifest round-trip preserves every row
+      val dir = java.nio.file.Files.createTempDirectory("vsplit").toString
+      graft.ops.VectorOps.splitByAttribute(vectorFeatures(s).drop("wkt"), "klass", dir)
+      s.read.parquet(dir)
+        .groupBy("klass")
+        .agg(count(lit(1)).as("n"), sum("fid").as("fid_sum"), sum("x0").as("x0_sum"))
+    },
     "vector_attr_edit" -> { (s, _) =>
       // attribute-table family in one pipeline: add_field (null double),
       // set_attribute_table (update klass for fid<10 + create `note` as
@@ -2053,6 +2064,12 @@ object SparkEntry {
           6378137.0 * ln(tan(pi() / 4.0 + radians(CAST(y0 AS DOUBLE)) / 2.0)) AS y_min,
           6378137.0 * ln(tan(pi() / 4.0 + radians(CAST(y0 + h AS DOUBLE)) / 2.0)) AS y_max
         FROM feats"""),
+
+    "vector_split_attr" -> (s"WITH $sqlFeats" +
+      """ SELECT klass, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(fid) AS BIGINT) AS fid_sum,
+          CAST(sum(x0) AS BIGINT) AS x0_sum
+        FROM feats GROUP BY klass"""),
 
     "vector_attr_edit" -> (s"WITH $sqlFeats, " +
       """upd AS (SELECT id AS ufid, 'u' || CAST(id % 3 AS VARCHAR) AS uklass,

@@ -24,7 +24,8 @@ final case class PartitionMeta(bucket: Int, rows: Long, bytes: Long,
                                lineage: String, files: Seq[String])
 
 final case class Snapshot(version: Int, parent: Int, timestampMs: Long,
-                          partitions: Map[Int, PartitionMeta]) {
+                          partitions: Map[Int, PartitionMeta],
+                          properties: Map[String, String] = Map.empty) {
   def doneBuckets: Set[Int] = partitions.keySet
 }
 
@@ -52,14 +53,23 @@ class SnapshotStore(val root: String) {
   def readSnapshot(version: Int): Snapshot =
     parse(new String(Files.readAllBytes(snapDir.resolve(f"v$version%05d.json")), "UTF-8"))
 
-  /** Commit: previous snapshot's partitions + the newly completed ones. */
-  def commit(newParts: Seq[PartitionMeta]): Snapshot = {
+  /** Commit: previous snapshot's partitions + the newly completed ones,
+    * plus table-property updates (band descriptions, CRS, any raster
+    * metadata — the snapshot manifest is the Iceberg-style home for
+    * table-level properties; reference: raster_set_band_descriptions /
+    * set_crs in buteo/core_raster/core_raster_write.py — GDAL keeps them
+    * in the dataset; we keep them in the committed manifest so they
+    * version and time-travel with the data).
+    */
+  def commit(newParts: Seq[PartitionMeta],
+             props: Map[String, String] = Map.empty): Snapshot = {
     val prev = current()
     val version = prev.map(_.version + 1).getOrElse(1)
     val merged = prev.map(_.partitions).getOrElse(Map.empty) ++
       newParts.map(p => p.bucket -> p).toMap
+    val mergedProps = prev.map(_.properties).getOrElse(Map.empty) ++ props
     val snap = Snapshot(version, prev.map(_.version).getOrElse(0),
-      System.currentTimeMillis(), merged)
+      System.currentTimeMillis(), merged, mergedProps)
     val tmp = Files.createTempFile(snapDir, "tmp", ".json")
     Files.write(tmp, render(snap).getBytes("UTF-8"))
     Files.move(tmp, snapDir.resolve(f"v$version%05d.json"),
@@ -88,6 +98,27 @@ class SnapshotStore(val root: String) {
     if (paths.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(paths: _*)
   }
+
+  /** raster_set_band_descriptions analog (reference:
+    * buteo/core_raster/core_raster_write.py SetDescription per band):
+    * band descriptions live as versioned table properties.
+    */
+  def setBandDescriptions(desc: Seq[String]): Snapshot =
+    commit(Seq.empty, desc.zipWithIndex.map {
+      case (d, i) => s"band.${i + 1}.description" -> d
+    }.toMap)
+
+  def bandDescriptions: Seq[String] = {
+    val p = current().map(_.properties).getOrElse(Map.empty)
+    Iterator.from(1).map(i => p.get(s"band.$i.description"))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+  }
+
+  /** raster_set_crs analog at the table level (tile-level rewrite is
+    * TileOps2.setCrs).
+    */
+  def setCrsProperty(epsg: Int): Snapshot = commit(Seq.empty, Map("crs" -> epsg.toString))
+  def crsProperty: Option[Int] = current().flatMap(_.properties.get("crs")).map(_.toInt)
 
   /** Buckets still missing from the latest snapshot. */
   def pending(universe: Seq[Int]): Seq[Int] = {
@@ -146,8 +177,10 @@ class SnapshotStore(val root: String) {
       s"""{"bucket":${p.bucket},"rows":${p.rows},"bytes":${p.bytes},""" +
         s""""lineage":${q(p.lineage)},"files":[${p.files.map(q).mkString(",")}]}"""
     }.mkString(",")
+    val props = s.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")
     s"""{"version":${s.version},"parent":${s.parent},"timestampMs":${s.timestampMs},""" +
-      s""""partitions":[$parts]}"""
+      s""""properties":{$props},"partitions":[$parts]}"""
   }
 
   private def parse(js: String): Snapshot = {
@@ -169,7 +202,21 @@ class SnapshotStore(val root: String) {
         intField(pj, "bytes"), strField(pj, "lineage"), files)
       pm.bucket -> pm
     }.toMap
+    // properties block sits (by construction) right before "partitions"
+    val props: Map[String, String] = {
+      val start = js.indexOf("\"properties\":{")
+      if (start < 0) Map.empty // pre-r4 manifests have no properties
+      else {
+        val block = js.substring(start + 14, js.indexOf("},\"partitions\":[", start))
+        "\"((?:[^\"\\\\]|\\\\.)*)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(block)
+          .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+      }
+    }
     Snapshot(intField(js, "version").toInt, intField(js, "parent").toInt,
-      intField(js, "timestampMs"), parts)
+      intField(js, "timestampMs"), parts, props)
   }
+
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 }

@@ -261,11 +261,61 @@ object Folki {
     * (crit |H0−H1w| vs |1−H0−H1w| summed over the rank window).
     *
     * Inputs must be in [0,1] (BurtOF normalizes before calling; the
-    * equalization chain quantizes through uint8). Width and height must
-    * be multiples of 16 (8 CLAHE tiles × even region size — the
-    * reference resizes to multiples of 8; our tile planes are sized to
-    * fit directly).
+    * equalization chain quantizes through uint8). Any width/height is
+    * accepted: planes that are not a multiple of 16 (8 CLAHE tiles ×
+    * even region size) are bilinearly resized up for the equalization
+    * and resized back, with a post-resize /max renormalization — the
+    * reference's own resize-to-multiple-of-8 branch
+    * (gefolki.py:441-459,464-482). Flow runs at the ORIGINAL
+    * resolution; only the CLAHE input takes the resize detour, exactly
+    * as in the reference.
     */
+  /** Bilinear resample to (tw, th) — pixel-center mapping with edge
+    * clamp (skimage.transform.resize order=1 geometry).
+    */
+  private def bilinearResize(img: Array[Double], w: Int, h: Int,
+                             tw: Int, th: Int): Array[Double] = {
+    if (tw == w && th == h) return img
+    val out = new Array[Double](tw * th)
+    val sx = w.toDouble / tw; val sy = h.toDouble / th
+    var r = 0
+    while (r < th) {
+      val fy = (r + 0.5) * sy - 0.5
+      val y0 = math.max(0, math.min(h - 1, math.floor(fy).toInt))
+      val y1 = math.min(h - 1, y0 + 1)
+      val wy = math.max(0.0, math.min(1.0, fy - y0))
+      var c = 0
+      while (c < tw) {
+        val fx = (c + 0.5) * sx - 0.5
+        val x0 = math.max(0, math.min(w - 1, math.floor(fx).toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val wx = math.max(0.0, math.min(1.0, fx - x0))
+        val top = img(y0 * w + x0) * (1 - wx) + img(y0 * w + x1) * wx
+        val bot = img(y1 * w + x0) * (1 - wx) + img(y1 * w + x1) * wx
+        out(r * tw + c) = top * (1 - wy) + bot * wy
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** CLAHE equalization for ANY plane size: the reference's
+    * resize-to-multiple branch (gefolki.py GEFolkiIter) — resize up to
+    * the next multiple of 16 (8 tiles × even region), equalize, resize
+    * back, renormalize by max through float32 like the reference.
+    */
+  private def equalizeAnySize(img: Array[Double], w: Int, h: Int): Array[Double] = {
+    if (w % 16 == 0 && h % 16 == 0) return Clahe.equalizeChain(img, w, h)
+    val tw = ((w + 15) / 16) * 16
+    val th = ((h + 15) / 16) * 16
+    val eq = Clahe.equalizeChain(bilinearResize(img, w, h, tw, th), tw, th)
+    val back = bilinearResize(eq, tw, th, w, h)
+    var mx = 0.0
+    back.foreach(v => if (v > mx) mx = v)
+    if (mx > 0) back.map(v => (v.toFloat / mx.toFloat).toDouble) else back
+  }
+
   def gefolki(i0: Array[Double], i1: Array[Double], w: Int, h: Int,
               iteration: Int = 5, radii: Seq[Int] = Seq(8, 4),
               rank: Int = 4, uinit: Array[Double] = null,
@@ -273,8 +323,8 @@ object Folki {
     val r0 = rankFilterSup(i0, w, h, rank)
     val r1i = rankFilterInf(i1, w, h, rank)
     val r1s = rankFilterSup(i1, w, h, rank)
-    val h0 = Clahe.equalizeChain(i0, w, h)
-    val h1 = Clahe.equalizeChain(i1, w, h)
+    val h0 = equalizeAnySize(i0, w, h)
+    val h1 = equalizeAnySize(i1, w, h)
     val u = if (uinit != null) uinit.clone() else new Array[Double](w * h)
     val v = if (vinit != null) vinit.clone() else new Array[Double](w * h)
     val (iy, ix) = gradient(r0, w, h)

@@ -208,6 +208,14 @@ object TileOps2 {
     (out, dst)
   }
 
+  /** raster_set_crs, tile-level: stamp a new CRS on every tile without
+    * touching pixels or georeference (the reference's "assign projection"
+    * metadata op — NOT a reproject; reference:
+    * buteo/core_raster/core_raster_write.py raster_set_crs).
+    */
+  def setCrs(tiles: Dataset[Tile], epsg: Int): Dataset[Tile] =
+    tiles.map(_.copy(crs = epsg))(TileOps.tileEnc)
+
   /** Georeference-only shift: move every tile's origin by (dx, dy) —
     * metadata op, no pixel movement (reference: buteo/raster/shift.py:67-69).
     */

@@ -36,6 +36,35 @@ class SnapshotSpec extends AnyFunSuite {
     assert(store.pending(0 until 4) === Seq(2, 3))
   }
 
+  test("table properties: band descriptions + crs round-trip, version, survive commits") {
+    val store = new SnapshotStore(freshRoot())
+    store.commit(Seq(PartitionMeta(0, 10, 100, "in@v1", Seq("a.parquet"))))
+    // set_band_descriptions analog — escaping exercised (quotes/backslash)
+    store.setBandDescriptions(Seq("red", "nir \"raw\"", "b\\slash"))
+    assert(store.bandDescriptions === Seq("red", "nir \"raw\"", "b\\slash"))
+    store.setCrsProperty(32632)
+    // re-open the store fresh: properties must come from the manifest
+    val reopened = new SnapshotStore(store.root)
+    assert(reopened.bandDescriptions === Seq("red", "nir \"raw\"", "b\\slash"))
+    assert(reopened.crsProperty === Some(32632))
+    // a later data commit carries properties forward
+    store.commit(Seq(PartitionMeta(1, 20, 200, "in@v1", Seq("b.parquet"))))
+    assert(store.current().get.properties("crs") === "32632")
+    assert(store.current().get.doneBuckets === Set(0, 1))
+    // historical snapshot keeps its own property state (version 1: none)
+    assert(store.readSnapshot(1).properties.isEmpty)
+  }
+
+  test("tile-level set_crs stamps crs without touching pixels or georeference") {
+    import graft.tiles.{RasterSpec, TileOps, TileOps2}
+    val spec = RasterSpec(0.0, 8.0, 1.0, -1.0, 8, 8, 8, 1, crs = 4326)
+    val tiles = TileOps.createRaster(spark, spec)((x, y, _) => (x + y).toDouble)
+    val out = TileOps2.setCrs(tiles, 3857).collect()
+    assert(out.forall(_.crs == 3857))
+    assert(out.head.pixels.toSeq == tiles.collect().head.pixels.toSeq)
+    assert(out.head.originX == 0.0 && out.head.originY == 8.0)
+  }
+
   test("checkpointed writer: full run commits all buckets with row metrics") {
     val store = new SnapshotStore(freshRoot())
     val (snap, computed) = new CheckpointedWriter(store, "src@test").run(

@@ -114,6 +114,29 @@ class FolkiSpec extends AnyFunSuite {
       s"efolki unexpectedly solved inverted contrast: ${interiorMean(eu)}")
   }
 
+  test("gefolki on a NON-multiple-of-16 plane (resize-to-multiple CLAHE branch)") {
+    // 100×84: neither dimension a CLAHE-tile multiple — exercises the
+    // reference's resize-up/equalize/resize-back/renormalize branch
+    // (gefolki.py:441-482), previously avoided by construction
+    val w = 100; val h = 84
+    val raw = Array.tabulate(w * h)(k => tex(k % w, k / w))
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    raw.foreach { x => if (x < mn) mn = x; if (x > mx) mx = x }
+    val i0 = raw.map(x => (x - mn) / (mx - mn))
+    val i1 = Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      1.0 - (tex(x - 2, y - 1) - mn) / (mx - mn)
+    }
+    def interiorMean(f: Array[Double]): Double = {
+      var n = 0; var s = 0.0
+      for (y <- 20 until h - 20; x <- 20 until w - 20) { s += f(y * w + x); n += 1 }
+      s / n
+    }
+    val (gu, gv) = Folki.gefolki(i0, i1, w, h, iteration = 8)
+    assert(math.abs(interiorMean(gu) - 2.0) < 0.3, s"gefolki mean u ${interiorMean(gu)}")
+    assert(math.abs(interiorMean(gv) - 1.0) < 0.3, s"gefolki mean v ${interiorMean(gv)}")
+  }
+
   test("distributed coregister matches the shift on tile interiors") {
     val spec = RasterSpec(0.0, 128.0, 1.0, -1.0, 128, 128, 32, 1)
     val ref = TileOps.createRaster(spark, spec)((x, y, _) => tex(x, y))
