@@ -49,6 +49,98 @@ object StreamOps {
       .withWatermark("ets", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming MinHash-LSH near-duplicate CANDIDATE pairs — the
+    * incremental form of the banding stage of Dedup.minhashLshPairs
+    * (probe-batch shape: each arriving doc pairs against the bucket's
+    * current members, never all-pairs):
+    *
+    *  - the per-doc signature is a pure COLUMN expression (text arrives
+    *    whole, so distinct-token min-hash needs no streaming aggregate:
+    *    `array_min(transform(array_distinct(tokens), xxhash64(i, _)))`);
+    *  - banded keys explode to (band, key) and each bucket is a
+    *    `flatMapGroupsWithState` group: a new doc emits a pair with
+    *    every member whose EVENT TIME is within the watermark delay of
+    *    its own — an event-time pairing horizon, so the emitted pair set
+    *    is DETERMINISTIC under replay (independent of micro-batch
+    *    boundaries and of the one-batch watermark lag), the property
+    *    that makes streaming ≡ batch assertable;
+    *  - state is bounded by the watermark: members older than it are
+    *    pruned each invocation and the group times out
+    *    (EventTimeTimeout) once the watermark passes its newest member —
+    *    cross-horizon dups are the batch job's business (same contract
+    *    as dedupStream);
+    *  - a pair discovered by several bands is emitted once per band
+    *    (≤ `bands` copies, identical values): Spark's global-watermark
+    *    correctness checker rejects chaining a second stateful dedup
+    *    behind flatMapGroupsWithState, so collapsing duplicates belongs
+    *    downstream — a set-semantic sink, a batch distinct, or a
+    *    dropDuplicatesWithinWatermark in deployments that opt into
+    *    multiple stateful operators.
+    *
+    * Emits (doc_a < doc_b, pair_ts). Exact-Jaccard verification joins
+    * candidates back to token sets — batch territory
+    * (Dedup.verifyJaccard); LSH only prunes, never decides.
+    */
+  def lshCandidateStream(docs: DataFrame, tsCol: String, idCol: String,
+                         textCol: String, k: Int = 8, bands: Int = 4,
+                         watermark: String = "2 hours"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    require(iv != null && iv.months == 0, s"unsupported watermark interval: $watermark")
+    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
+    val dtoks = array_distinct(graft.ops.TextOps.tokens(col(textCol)))
+    val sigCols = (1 to k).map(i =>
+      array_min(transform(dtoks, t => xxhash64(lit(i), t))).as(s"s$i"))
+    val withSig = docs
+      .withColumn("ets", col(tsCol).cast("timestamp"))
+      .withWatermark("ets", watermark)
+      .select(Seq(col(idCol).cast("long").as("doc_id"), col("ets")) ++ sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (1 to rows).map(r => col(s"s${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: parts: _*).cast("string").as("key"))
+    }
+    val banded = withSig
+      .select(col("doc_id"), col("ets"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("ets"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .as[(Long, java.sql.Timestamp, Int, String)]
+    val pairs = banded
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, String), rows: Iterator[(Long, java.sql.Timestamp, Int, String)],
+         state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var members = state.getOption.getOrElse(Nil).filter(_._2 >= wm)
+            val out = collection.mutable.ArrayBuffer.empty[(Long, Long, java.sql.Timestamp)]
+            rows.toArray.sortBy(r => (r._2.getTime, r._1)).foreach { r =>
+              val id = r._1; val ts = r._2.getTime
+              members.foreach { case (mid, mts) =>
+                if (mid != id && math.abs(ts - mts) <= horizonMs)
+                  out += ((math.min(mid, id), math.max(mid, id),
+                    new java.sql.Timestamp(ts)))
+              }
+              members = (id, ts) :: members
+            }
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(members)
+              val horizon = members.map(_._2).max + 1
+              state.setTimeoutTimestamp(math.max(horizon, wm + 1))
+            }
+            out.iterator
+          }
+      }
+      .toDF("doc_a", "doc_b", "pair_ts")
+    pairs
+  }
+
   def sessionizeStream(events: DataFrame, gapSec: Long = 1800): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession

@@ -115,4 +115,88 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  /** Near-dup corpus: 60 docs in 20 clusters of 3; cluster members share
+    * 10 of 12 tokens (J ≈ 0.71) so LSH(k=8, bands=4) catches them with
+    * near-certainty; distinct clusters share nothing.
+    */
+  private def nearDupCorpus(baseTs: Long): Seq[(Long, java.sql.Timestamp, String)] =
+    (0 until 60).map { i =>
+      val cluster = i / 3; val member = i % 3
+      val toks = (0 until 10).map(t => s"c${cluster}w$t") ++
+        Seq(s"c${cluster}v${member}a", s"c${cluster}v${member}b")
+      (i.toLong, new java.sql.Timestamp(baseTs + i * 1000L), toks.mkString(" "))
+    }
+
+  test("streaming LSH candidate pairs equal the batch banding on a replayed corpus") {
+    val docs = nearDupCorpus(1700000000000L)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_src").toString
+    spark.createDataFrame(docs).toDF("doc_id", "ts", "text").write.parquet(s"$dir/p")
+    val batchDf = spark.read.parquet(s"$dir/p")
+    // batch oracle: the SAME banding machinery, threshold 0 keeps every
+    // candidate the bands surface (xxhash64 production family)
+    val expect = graft.ops.Dedup.minhashLshPairs(batchDf, k = 8, bands = 4,
+        threshold = 0.0, probeFilter = lit(true), family = "xxhash64")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val stream = spark.readStream.schema(batchDf.schema).parquet(s"$dir/p")
+    val q = StreamOps.lshCandidateStream(stream, "ts", "doc_id", "text",
+        k = 8, bands = 4, watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lsh_pairs").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lsh_pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect, s"missing ${expect.diff(got).take(5)}, extra ${got.diff(expect).take(5)}")
+      assert(got.size >= 20, s"only ${got.size} pairs — corpus should yield ~60")
+      // per-band emission: at most `bands` copies of any pair
+      val withDups = spark.table("lsh_pairs").count()
+      assert(withDups <= got.size * 4L, s"more copies than bands: $withDups rows for ${got.size} pairs")
+    } finally q.stop()
+  }
+
+  test("streaming LSH evicts bucket members past the watermark (bounded state)") {
+    // two identical waves 3 hours apart with a 30-minute watermark: the
+    // second wave must not pair against the first (state evicted), and
+    // in-wave pairs still surface — replaying files in ts order forces
+    // the watermark forward between waves
+    val wave1 = nearDupCorpus(1700000000000L)
+    val wave2 = nearDupCorpus(1700000000000L + 3 * 3600 * 1000L)
+      .map { case (id, ts, text) => (id + 1000L, ts, text) }
+    val dir = java.nio.file.Files.createTempDirectory("lsh_evict").toString
+    spark.createDataFrame(wave1).toDF("doc_id", "ts", "text").write.parquet(s"$dir/w1")
+    val schema = spark.read.parquet(s"$dir/w1").schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/w")
+    def stage(sub: String, rows: Seq[(Long, java.sql.Timestamp, String)]): Unit = {
+      spark.createDataFrame(rows).toDF("doc_id", "ts", "text")
+        .coalesce(1).write.parquet(s"$dir/$sub")
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(s"$dir/w/$sub.parquet"))
+    }
+    stage("a", wave1)
+    val q = StreamOps.lshCandidateStream(stream, "ts", "doc_id", "text",
+        k = 8, bands = 4, watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lsh_evict").start()
+    try {
+      q.processAllAvailable()
+      stage("b", wave2)
+      q.processAllAvailable()
+      val got = spark.table("lsh_evict")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.nonEmpty)
+      // no cross-wave pair: ids differ by 1000 within a would-be pair
+      assert(!got.exists { case (a, b) => (a < 1000) != (b < 1000) },
+        s"cross-horizon pair leaked: ${got.filter { case (a, b) => (a < 1000) != (b < 1000) }.take(3)}")
+      // both waves produced their own in-wave pairs
+      assert(got.exists { case (a, b) => a < 1000 && b < 1000 })
+      assert(got.exists { case (a, b) => a >= 1000 && b >= 1000 })
+    } finally q.stop()
+  }
 }
