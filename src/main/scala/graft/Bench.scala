@@ -296,7 +296,10 @@ object Bench {
       val cN = calibSeconds(nCores, steps)
       val c4N = calibSeconds(n4Cores, steps)
       eff = (cN / c4N) / (n4Cores.toDouble / nCores)
-      if (eff >= threshold) return eff
+      // quiet means a PHYSICALLY PLAUSIBLE reading: >1.1 is as contended
+      // as <0.9 (the small-thread leg ran during a burst — a first run of
+      // this loop accepted 1.454 that way and the band check caught it)
+      if (eff >= threshold && eff <= 1.1) return eff
       System.err.println(f"[bench] host contended (calib $eff%.3f); waiting 45s")
       Thread.sleep(45000)
       attempt += 1
@@ -359,8 +362,10 @@ object Bench {
     var stale = 0
     while (!inBand(eff) && topups < 4 && stale < 2) {
       // a failed reading is usually a burst: wait for a quiet window (the
-      // calibration blocks until raw thread scaling is expressible again)
-      calibEff = math.max(calibEff, calibrateQuiet(nCores, n4Cores))
+      // calibration blocks until raw thread scaling is expressible again);
+      // keep the LATEST in-band reading, never a contended residue
+      val c = calibrateQuiet(nCores, n4Cores)
+      if (c >= 0.9 && c <= 1.1) calibEff = c
       val x = measurePair(kind, nCores, n4Cores, work, 1, inputDir, runLog)
       val improved = x.tA < tA || x.tB < tB
       if (x.tA < tA) { tA = x.tA; unitsA = x.unitsA }

@@ -487,6 +487,8 @@ object SparkEntry {
     "text_quality" -> { (s, dir) => TextOps.qualityScore(documentsOf(s, dir)) },
     "text_langid" -> { (s, dir) => TextOps.langId(documentsOf(s, dir)) },
     "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(documentsOf(s, dir)) },
+    "text_segment_dedup" -> { (s, dir) => TextOps.segmentDedup(documentsOf(s, dir)) },
+    "text_gopher_rules" -> { (s, dir) => TextOps.gopherRules(documentsOf(s, dir)) },
 
     // north-rule invariant: text reaches the sink byte-identical (hash of the
     // html-encoded carry equals hash of the source text)
@@ -1545,6 +1547,54 @@ object SparkEntry {
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(replace(text, ' ', '')) AS fp FROM documents",
+
+    "text_segment_dedup" ->
+      // C4-style first-occurrence segment dedup; winner = min packed
+      // (doc_id·2^20 + pos). generate_subscripts is 1-based vs Spark's
+      // 0-based posexplode — a uniform per-doc shift, so the SAME
+      // occurrence wins and the ORDER BY pos reassembly is identical.
+      """WITH occ AS (
+           SELECT doc_id, pos, line FROM (
+             SELECT doc_id,
+                    unnest(string_split(text, ' ')) AS line,
+                    generate_subscripts(string_split(text, ' '), 1) AS pos
+             FROM documents)
+           WHERE line <> ''),
+         win AS (SELECT line, min(doc_id * 1048576 + pos) AS winner
+                 FROM occ GROUP BY line),
+         kept AS (SELECT o.doc_id, o.pos, o.line FROM occ o JOIN win w
+                  ON o.line = w.line AND o.doc_id * 1048576 + o.pos = w.winner),
+         rebuilt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(line, ' ' ORDER BY pos) AS clean_text
+                     FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS n_lines,
+          COALESCE(r.n_kept, 0) AS n_kept,
+          COALESCE(r.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
+
+    "text_gopher_rules" ->
+      // exact integer counts + single IEEE divisions → bitwise-portable,
+      // so even the composite boolean matches
+      """WITH m AS (SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+           -- sum of token lengths == count of non-space characters
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop,
+           CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents)
+        SELECT doc_id, n_tokens,
+          CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+          n_stop,
+          CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+          (n_tokens >= 20 AND n_tokens <= 100000
+            AND CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+            AND CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0
+            AND n_stop >= 2
+            AND CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) >= 0.7) AS passes
+        FROM m""",
 
     "text_identity" -> Pages.sqlWith(
       "SELECT url, md5(text) AS text_md5 FROM pages"),

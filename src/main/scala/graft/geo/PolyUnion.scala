@@ -155,16 +155,28 @@ object PolyUnion {
     // ---- 1. iterated exact noding with hot-pixel rounding ----
     // Each pass collects integer split points strictly inside segments,
     // applies them, and repeats (rounding an intersection can create a
-    // new crossing nearby) until planar or the pass cap — each pass
-    // strictly reduces the crossing count in practice; the cap is a
-    // safety valve. Within one original edge the buffer preserves the
-    // along-edge order of its pieces, so ring rebuilding below can walk
-    // the buffer in order.
+    // new crossing nearby) until planar. TERMINATION is guaranteed, not
+    // hoped for: every split point is an integer point inside the split
+    // segment's bounding box (the exact intersection lies on the segment
+    // and rounding toward the nearest lattice point cannot leave a box
+    // with integer corners), so a split at p replaces one segment with
+    // two whose L1 box dims satisfy W1+W2 = W and H1+H2 = H exactly —
+    // the total semi-perimeter Σ(W+H) over all segments is CONSERVED.
+    // Every surviving piece has W+H ≥ 1 (zero-length pieces are dropped
+    // on rebuild), so the segment count can never exceed the initial
+    // Σ(|dx|+|dy|), and since every changed pass strictly increases the
+    // segment count, the loop halts after finitely many passes. The cap
+    // below is therefore only a guard against pathological runtimes (the
+    // conservation bound is astronomically loose; no fixture has needed
+    // more than 3 passes) — and a cap-hit FAILS FAST below instead of
+    // silently classifying a non-planar arrangement. Within one original
+    // edge the buffer preserves the along-edge order of its pieces, so
+    // ring rebuilding below can walk the buffer in order.
     var segs = soup
     var segRing = soupRing
     var pass = 0
     var changed = true
-    while (changed && pass < 12) {
+    while (changed && pass < 32) {
       changed = false
       val n = segs.length
       val splits = Array.fill(n)(collection.mutable.Set.empty[(Long, Long)])
@@ -265,6 +277,12 @@ object PolyUnion {
       }
       pass += 1
     }
+    // planarity is the precondition of the exact classification below; a
+    // non-planar residue (only reachable by exhausting the pass guard)
+    // must be an error, never a silent misclassification
+    if (changed) throw new IllegalStateException(
+      s"PolyUnion: noding did not reach planarity within $pass passes " +
+        s"(${segs.length} segments) — input exceeds the snap-rounding guard")
 
     // ---- rebuild each ring from its noded pieces (the classification
     // ground truth): buffer order preserves per-edge piece order, so the

@@ -89,4 +89,81 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5(encode(regexp_replace(col("text"), " ", ""), "UTF-8")).as("fp"))
+
+  /** C4-style corpus-wide segment-level dedup: split every document on
+    * `sep`, keep exactly ONE occurrence of each distinct segment across
+    * the whole corpus — the FIRST in (doc_id, position) order — and
+    * reassemble each document from its surviving segments (C4 removed
+    * duplicate three-sentence spans corpus-wide; the unit here is the
+    * `sep`-delimited segment). Deterministic at any parallelism: the
+    * winner is min(doc_id·2^20 + pos), a total order, so re-runs and
+    * stragglers cannot flip which copy survives.
+    *
+    * Scale shape: three keyed hash shuffles, each with map-side combine —
+    * winner-agg on the segment string, winner join back (co-partitioned
+    * with the agg under AQE), reassembly agg on doc_id. Nothing is
+    * collected, no key is unbounded (segments recur, doc_ids partition),
+    * so the plan survives a 100-TB corpus as long as no single document
+    * exceeds 2^20 segments (guarded).
+    */
+  def segmentDedup(docs: DataFrame, sep: String = " "): DataFrame = {
+    val raw = split(col("text"), java.util.regex.Pattern.quote(sep))
+    val occ = docs
+      .select(col("doc_id"), posexplode(raw).as(Seq("pos", "line")))
+      .filter(col("line") =!= "")
+    // pos is bounded by text length; the packed winner key needs pos < 2^20
+    // — fail fast on the (pathological) overflow instead of silently
+    // corrupting another document's key space
+    val key = when(col("pos") < lit(1048576),
+        col("doc_id") * lit(1048576L) + col("pos"))
+      .otherwise(raise_error(lit(
+        "segmentDedup: document with >= 2^20 segments overflows the packed winner key")).cast("long"))
+    val winners = occ.groupBy("line")
+      .agg(min(key).as("winner"))
+    val kept = occ.join(winners, "line")
+      .filter(key === col("winner"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        size(filter(raw, t => t =!= "")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Stop set for the Gopher-style ≥2-stopword rule (Rae et al. 2021 use
+    * {the, be, to, of, and, that, have, with}; trimmed to words the
+    * synthetic corpus can actually contain plus common English).
+    */
+  val gopherStops: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    * Models", table A1): per-document token count, mean token length,
+    * stopword count and alphabetic-character ratio, plus the composite
+    * pass/fail under web-corpus thresholds. All metrics are exact
+    * integer counts or single IEEE divisions of them, so the DuckDB
+    * oracle reproduces every value (and the boolean) bitwise.
+    */
+  def gopherRules(docs: DataFrame,
+                  minTokens: Int = 20, maxTokens: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minStops: Int = 2, minAlphaRatio: Double = 0.7): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val meanLen = sumLen.cast("double") / nTok.cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(gopherStops))).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+    val ratio = nAlpha.cast("double") / length(col("text")).cast("double")
+    docs.select(col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_tok_len"),
+        nStop.as("n_stop"), ratio.as("alpha_ratio"))
+      .withColumn("passes",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("mean_tok_len") >= minMeanLen && col("mean_tok_len") <= maxMeanLen &&
+          col("n_stop") >= minStops && col("alpha_ratio") >= minAlphaRatio)
+  }
 }
