@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
 import graft.joins.{KnnJoin, SpatialJoins}
-import graft.ops.{Dedup, Events, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, Events, Relational, Similarity, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
 import graft.tiles.{PatchGrid, RasterSpec, TileOps, TileOps2}
 
@@ -489,6 +489,9 @@ object SparkEntry {
     "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(documentsOf(s, dir)) },
     "text_segment_dedup" -> { (s, dir) => TextOps.segmentDedup(documentsOf(s, dir)) },
     "text_gopher_rules" -> { (s, dir) => TextOps.gopherRules(documentsOf(s, dir)) },
+    "text_repetition" -> { (s, dir) => TextOps.repetitionMetrics(documentsOf(s, dir)) },
+    "url_normalize" -> { (s, dir) => WebOps.urlNormalize(Pages.pages(s, dir)) },
+    "url_host_stats" -> { (s, dir) => WebOps.hostStats(Pages.pages(s, dir)) },
 
     // north-rule invariant: text reaches the sink byte-identical (hash of the
     // html-encoded carry equals hash of the source text)
@@ -1595,6 +1598,70 @@ object SparkEntry {
             AND n_stop >= 2
             AND CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) >= 0.7) AS passes
         FROM m""",
+
+    "text_repetition" ->
+      // Gopher repetition family at word/bigram granularity. Positions:
+      // Spark builds bigrams from the FILTERED token array, so the SQL
+      // re-ranks filtered tokens with row_number before the rn+1 self
+      // join. Argmax tie-break (count desc, gram desc) is total, so both
+      // engines pick the same bigram. Exact ints + one IEEE division.
+      """WITH occ AS (
+           SELECT doc_id,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+                  tok
+           FROM (SELECT doc_id,
+                        unnest(string_split(text, ' ')) AS tok,
+                        generate_subscripts(string_split(text, ' '), 1) AS pos
+                 FROM documents)
+           WHERE tok <> ''),
+         base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+         tokcnt AS (SELECT doc_id, tok, count(*) AS cnt FROM occ GROUP BY doc_id, tok),
+         perdoc AS (SELECT doc_id,
+                    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                    CAST(count(*) AS BIGINT) AS n_distinct,
+                    CAST(sum(cnt * length(tok)) AS BIGINT) AS tok_chars,
+                    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(tok) ELSE 0 END) AS BIGINT) AS dup_tok_chars
+                    FROM tokcnt GROUP BY doc_id),
+         grams AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+                   FROM occ a JOIN occ b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+         gramcnt AS (SELECT doc_id, gram, count(*) AS gcnt FROM grams GROUP BY doc_id, gram),
+         top AS (SELECT doc_id, gram AS top_bigram, CAST(gcnt AS BIGINT) AS top_bigram_cnt
+                 FROM (SELECT doc_id, gram, gcnt,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY gcnt DESC, gram DESC) AS rn
+                       FROM gramcnt) WHERE rn = 1)
+        SELECT p.doc_id, p.n_tokens,
+          CAST(p.n_tokens - p.n_distinct AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS dup_tok_frac,
+          CAST(p.dup_tok_chars AS DOUBLE) / CAST(p.tok_chars AS DOUBLE) AS dup_char_frac,
+          COALESCE(t.top_bigram, '') AS top_bigram,
+          COALESCE(t.top_bigram_cnt, 0) AS top_bigram_cnt,
+          CAST(COALESCE(t.top_bigram_cnt, 0) * length(COALESCE(t.top_bigram, '')) AS DOUBLE)
+            / CAST(b.n_chars AS DOUBLE) AS top_bigram_char_frac
+        FROM perdoc p JOIN base b USING (doc_id) LEFT JOIN top t USING (doc_id)""",
+
+    "url_normalize" -> Pages.sqlWith(
+      // same regexp_replace chain as WebOps.normalizeUrl; every pattern
+      // matches at most once so replace-all (Spark) == replace-first
+      // (DuckDB), and all patterns are Java-regex/RE2 agnostic
+      """SELECT doc_id, url,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(url), '^[a-z][a-z0-9+.-]*://', ''), '#.*$', ''), '\?.*$', ''), '^www\.', ''), '/$', '') AS norm_url,
+           regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '^[a-z][a-z0-9+.-]*://', ''), '#.*$', ''), '\?.*$', ''), '^www\.', ''), '/$', ''),
+             '/.*$', ''), ':[0-9]+$', '') AS host
+         FROM pages"""),
+
+    "url_host_stats" -> Pages.sqlWith(
+      """SELECT host, count(*) AS n_pages, count(DISTINCT lang) AS n_langs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                min(warc_sec) AS first_sec, max(warc_sec) AS last_sec
+         FROM (SELECT regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   lower(url), '^[a-z][a-z0-9+.-]*://', ''), '#.*$', ''), '\?.*$', ''), '^www\.', ''), '/$', ''),
+                 '/.*$', ''), ':[0-9]+$', '') AS host,
+               lang, warc_sec, CAST(length(text) AS BIGINT) AS n_chars
+               FROM pages)
+         GROUP BY host"""),
 
     "text_identity" -> Pages.sqlWith(
       "SELECT url, md5(text) AS text_md5 FROM pages"),

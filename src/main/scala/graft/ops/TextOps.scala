@@ -166,4 +166,72 @@ object TextOps {
           col("mean_tok_len") >= minMeanLen && col("mean_tok_len") <= maxMeanLen &&
           col("n_stop") >= minStops && col("alpha_ratio") >= minAlphaRatio)
   }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021, table A1's
+    * "repetition removal" family) at the word / word-bigram level (the
+    * corpus has no line or paragraph structure, so the line-based rules
+    * degenerate; words and bigrams are the meaningful units):
+    *
+    *   - `dup_tok_frac`     fraction of token OCCURRENCES that are
+    *                        repeats of an earlier token
+    *   - `dup_char_frac`    fraction of token characters inside tokens
+    *                        occurring ≥ 2 times (all occurrences count,
+    *                        mirroring Gopher's duplicate-line char rule)
+    *   - `top_bigram`/`_cnt`/`_char_frac`
+    *                        the most frequent word bigram (ties broken
+    *                        deterministically: highest count, then
+    *                        lexicographically LAST gram) and the fraction
+    *                        of document characters its occurrences cover
+    *
+    * All metrics are exact integer counts with one final IEEE division,
+    * so the DuckDB oracle reproduces every double bitwise.
+    *
+    * Scale shape: token and bigram tables are exploded then hash-
+    * aggregated with map-side combine on (doc_id, token) keys — never a
+    * per-document collect — and the bigram argmax is a row_number window
+    * partitioned by doc_id. Three shuffles, all keyed on doc_id-prefixed
+    * keys, each bounded by document length; survives a 100-TB corpus.
+    * Documents with zero tokens vanish from the exploded tables and are
+    * deliberately absent from the output (both engines agree).
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"), toks.as("toks"))
+    val tokCnt = base
+      .select(col("doc_id"), col("n_chars"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "n_chars", "tok").agg(count(lit(1)).as("cnt"))
+    val perDoc = tokCnt.groupBy("doc_id", "n_chars").agg(
+      sum("cnt").as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("cnt") * length(col("tok"))).as("tok_chars"),
+      sum(when(col("cnt") >= 2, col("cnt") * length(col("tok")))
+        .otherwise(0L)).as("dup_tok_chars"))
+    // adjacent-pair bigrams built per-row (zip of the array with itself
+    // shifted by one), then the same explode+agg shape as tokens
+    val grams = base
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("gcnt").desc, col("gram").desc)
+    val top = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("gcnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_bigram"),
+        col("gcnt").as("top_bigram_cnt"))
+    perDoc.join(top, Seq("doc_id"), "left").select(
+      col("doc_id"), col("n_tokens"),
+      ((col("n_tokens") - col("n_distinct")).cast("double") /
+        col("n_tokens").cast("double")).as("dup_tok_frac"),
+      (col("dup_tok_chars").cast("double") /
+        col("tok_chars").cast("double")).as("dup_char_frac"),
+      coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+      coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+      ((coalesce(col("top_bigram_cnt"), lit(0L)) *
+        length(coalesce(col("top_bigram"), lit("")))).cast("double") /
+        col("n_chars").cast("double")).as("top_bigram_char_frac"))
+  }
 }

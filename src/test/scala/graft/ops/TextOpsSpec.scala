@@ -79,4 +79,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L)._3 == 1L)       // only one stopword -> fails the >=2 rule
     assert(!out(2L)._4)
   }
+
+  test("repetitionMetrics word/bigram repetition on handcrafted docs") {
+    val df = docs(
+      0L -> "a b a b a c",           // 6 toks, 3 distinct; "a b" and "b a" tie at 2
+      1L -> "x y z",                 // no repeats at all
+      2L -> "w w w w")               // single token repeated
+    val out = TextOps.repetitionMetrics(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getString(4), r.getLong(5), r.getDouble(6)))).toMap
+    val (n0, dupTok0, dupChar0, gram0, cnt0, gcf0) = out(0L)
+    assert(n0 == 6L)
+    assert(dupTok0 == 3.0 / 6.0)     // 3 occurrences beyond first-of-kind
+    assert(dupChar0 == 5.0 / 6.0)    // a(3)+b(2) of 6 token chars
+    assert(gram0 == "b a" && cnt0 == 2L) // tie at 2 -> lexicographically last
+    assert(gcf0 == 2.0 * 3 / 11.0)   // 2 occurrences x 3 chars over 11 text chars
+    assert(out(1L)._2 == 0.0 && out(1L)._3 == 0.0 && out(1L)._5 == 1L)
+    val (n2, dupTok2, dupChar2, gram2, cnt2, _) = out(2L)
+    assert(n2 == 4L && dupTok2 == 0.75 && dupChar2 == 1.0)
+    assert(gram2 == "w w" && cnt2 == 3L)
+  }
+
+  test("repetitionMetrics bigram argmax tie-break is count desc then gram desc") {
+    val df = docs(0L -> "a b a b c d c d") // "a b" and "c d" both x2 (plus x1 bridges)
+    val r = TextOps.repetitionMetrics(df).collect().head
+    assert(r.getString(4) == "c d" && r.getLong(5) == 2L)
+  }
+
+  test("normalizeUrl strips scheme/www/query/fragment/slash and lowercases") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM/Path/?q=1#frag",
+      "http://example.com/path/",
+      "example.com/path",
+      "https://sub.example.com:8080/x?a=b",
+      "ftp://www.files.net/")
+    val out = urls.toDF("url")
+      .select(WebOps.normalizeUrl($"url").as("n"),
+        WebOps.hostOf(WebOps.normalizeUrl($"url")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out(0) == (("example.com/path", "example.com")))
+    assert(out(1) == (("example.com/path", "example.com")))
+    assert(out(2) == (("example.com/path", "example.com")))
+    assert(out(3) == (("sub.example.com:8080/x", "sub.example.com")))
+    assert(out(4) == (("files.net", "files.net")))
+  }
 }
