@@ -517,6 +517,12 @@ object SparkEntry {
         probeFilter = col("doc_id") % 10 === 0)
     },
     "dedup_simhash" -> { (s, dir) => Dedup.simhash16(documentsOf(s, dir)) },
+    "dedup_clusters" -> { (s, dir) =>
+      // full-corpus near-dup clustering: bucket-star edges + alternating
+      // large/small-star connected components (never quadratic in bucket
+      // size); md5prefix family so DuckDB mirrors the band keys
+      Dedup.lshClusters(documentsOf(s, dir), k = 8, bands = 4, family = "md5prefix")
+    },
 
     // --- similarity search ---
     "ann_topk" -> { (s, dir) => Similarity.annTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5) },
@@ -1713,6 +1719,30 @@ object SparkEntry {
         WHERE CAST(i.i AS DOUBLE) / CAST(na.n_toks + nb.n_toks - i.i AS DOUBLE) >= 0.8"""),
 
     "dedup_simhash" -> (sqlToks + simhashOracleTail),
+
+    "dedup_clusters" ->
+      // connected components of the "shares an LSH bucket" relation,
+      // computed oracle-side as a recursive transitive closure with a
+      // min-per-component reduction (fine at sf0.01; the Spark side uses
+      // the O(log n)-round star contraction instead). Edges are ALL
+      // bucket-sharing pairs here vs doc→bucket-min stars in the engine
+      // — identical connectivity, therefore identical components.
+      (sqlToks.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " + sqlMinhashSig(8) +
+      """, bands AS (
+          SELECT doc_id, 0 AS band, md5(s1 || s2) AS key FROM sig UNION ALL
+          SELECT doc_id, 1, md5(s3 || s4) FROM sig UNION ALL
+          SELECT doc_id, 2, md5(s5 || s6) FROM sig UNION ALL
+          SELECT doc_id, 3, md5(s7 || s8) FROM sig),
+        edges AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+        reach(src, dst) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst),
+        comp AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
+        SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c USING (doc_id)"""),
 
     "ann_topk" -> annTopKOracle,
     "ann_ivf" -> annTopKOracle,

@@ -82,22 +82,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, threshold: Double,
                       probeFilter: Column = lit(true),
                       family: String = "xxhash64"): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
     val (dtoks, sizes) = tokenArtifacts(docs)
-    val sig = minhashSignatureFrom(dtoks, k, family)
-    val bandCols = (0 until bands).map { b =>
-      val parts = (1 to rows).map(r => col(s"s${b * rows + r}"))
-      // band key: xxhash64 over the row longs (fast path) or md5 over
-      // their decimal concatenation (DuckDB-reproducible)
-      val key = family match {
-        case "xxhash64" => xxhash64(lit(b) +: parts: _*).cast("string")
-        case _ => md5(encode(concat(parts.map(_.cast("string")): _*), "UTF-8"))
-      }
-      struct(lit(b).as("band"), key.as("key"))
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandTable(minhashSignatureFrom(dtoks, k, family), k, bands, family)
     val probes = banded.filter(probeFilter)
     val cand = probes.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -105,6 +91,26 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccardFrom(dtoks, sizes, cand).filter(col("jaccard") >= threshold)
+  }
+
+  /** (doc_id, band, key) table for a K-signature split into `bands`
+    * groups. Band key: xxhash64 over the row longs (fast path) or md5
+    * over their decimal concatenation (DuckDB-reproducible).
+    */
+  private def bandTable(sig: DataFrame, k: Int, bands: Int,
+                        family: String): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val parts = (1 to rows).map(r => col(s"s${b * rows + r}"))
+      val key = family match {
+        case "xxhash64" => xxhash64(lit(b) +: parts: _*).cast("string")
+        case _ => md5(encode(concat(parts.map(_.cast("string")): _*), "UTF-8"))
+      }
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Exact token-set Jaccard for given candidate pairs. */
@@ -195,5 +201,105 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 16).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** Connected components over an undirected edge list via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014 — public algorithm).
+    *
+    * Each round is two hash aggregations plus two equi-joins, all keyed
+    * on a node id; no step materializes a neighborhood on the driver or
+    * in a single task row, so the algorithm survives components with
+    * billions of members — exactly the regime (giant near-dup clusters
+    * of boilerplate pages) where transitive closure is quadratic and
+    * plain label propagation needs diameter-many rounds. Convergence is
+    * O(log^2 n) rounds worst-case and a handful in practice; the edge
+    * set between rounds is `localCheckpoint`ed to truncate lineage (on a
+    * real cluster use a reliable checkpoint dir; the RESULT is the
+    * unique min-rooted star forest either way, independent of plan or
+    * parallelism).
+    *
+    * Input: `edges(src, dst)` — orientation and duplicates irrelevant,
+    * self-loops dropped. Output: `(node, component)` for every node that
+    * appears in an edge, component = smallest node id of its component
+    * (roots included as (root, root)).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    var e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    def signature(df: DataFrame): (Long, String) = {
+      // order-independent edge-set digest; decimal(38,0) sum never
+      // overflows (ANSI mode errors on long-sum overflow)
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+    var sig = signature(e)
+    var converged = sig._1 == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: for every node n of the SYMMETRIZED graph with
+      // m = min(n ∪ N(n)), connect every neighbor v > n to m. Emitted
+      // edges are canonical (m < v) by construction.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val afterLarge = sym.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+      // small-star: per larger endpoint v with low-neighbor set N (all
+      // < v), m = min(N); connect every node of N ∪ {v} except m to m.
+      val minsS = afterLarge.groupBy("v").agg(min(col("u")).as("m"))
+      val small = afterLarge.join(minsS, "v")
+        .select(col("m"), col("u"))
+        .union(minsS.select(col("m"), col("v").as("u")))
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .distinct()
+        .localCheckpoint()
+      val sigNew = signature(small)
+      // a star forest is the unique fixed point of the (large ∘ small)
+      // round, so an unchanged edge-set signature IS convergence
+      converged = sigNew == sig
+      sig = sigNew
+      e = small
+      it += 1
+    }
+    require(converged || sig._1 == 0L,
+      s"connectedComponents did not converge in $maxIter rounds")
+    e.select(col("v").as("node"), col("u").as("component"))
+      .union(e.select(col("u"), col("u")).distinct())
+  }
+
+  /** Near-duplicate clusters from MinHash-LSH buckets: every document
+    * that shares any (band, key) bucket with another lands in the same
+    * cluster; cluster id = smallest doc_id of the cluster; documents
+    * with no bucket partner (or no tokens) are singletons mapped to
+    * themselves.
+    *
+    * The bucket graph is built as doc → bucket-minimum STAR edges (one
+    * edge per (doc, band), |E| = n_docs × bands) — connectivity of the
+    * "shares a bucket" relation is preserved exactly while the quadratic
+    * pair enumeration inside giant duplicate buckets never happens, which
+    * is what makes clustering viable on a 10^12-page corpus whose top
+    * boilerplate cluster alone can hold 10^8 members.
+    */
+  def lshClusters(docs: DataFrame, k: Int, bands: Int,
+                  family: String = "xxhash64"): DataFrame = {
+    val dtoks = TextOps.tokenTable(docs).distinct()
+    val banded = bandTable(minhashSignatureFrom(dtoks, k, family), k, bands, family)
+    val bmin = banded.groupBy("band", "key").agg(min("doc_id").as("root"))
+    val edges = banded.join(bmin, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("src"), col("root").as("dst"))
+    val comp = connectedComponents(edges)
+    docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
   }
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components (alternating large/small-star contraction) and
+  * LSH near-dup clustering. The oracle query (`dedup_clusters`) checks
+  * engine-vs-DuckDB parity on the synthetic corpus; this spec pins the
+  * graph semantics on handcrafted edge lists where the expected
+  * components are computable by hand, and the cluster/pair coherence
+  * property (every verified LSH pair lands in one cluster).
+  */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def edges(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  private def components(rows: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(edges(rows: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents on a chain collapses to the minimum") {
+    val got = components(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("connectedComponents separates disjoint components; ignores dup/self edges") {
+    val got = components(
+      10L -> 7L, 7L -> 10L, 7L -> 7L, 10L -> 12L, // component {7,10,12}
+      2L -> 3L, 3L -> 2L,                         // component {2,3}
+      20L -> 21L)                                 // component {20,21}
+    assert(got == Map(7L -> 7L, 10L -> 7L, 12L -> 7L,
+      2L -> 2L, 3L -> 2L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents matches brute force on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val es = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    // brute-force union-find on the driver
+    val parent = scala.collection.mutable.Map((0L until 30L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = nodes.map { n =>
+      val members = nodes.filter(m => find(m) == find(n))
+      n -> members.min
+    }.toMap
+    assert(components(es: _*) == expect)
+  }
+
+  test("connectedComponents of an empty edge list is empty") {
+    assert(components() == Map.empty[Long, Long])
+  }
+
+  test("lshClusters: pairs-connectivity coherence and singleton mapping") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "spark shuffle partition join agg",
+      1L -> "spark shuffle partition join agg",   // exact dup of 0
+      2L -> "spark shuffle partition join scan",  // near dup of 0/1
+      3L -> "totally different words entirely here",
+      4L -> "zz qq ww ee rr").toDF("doc_id", "text")
+    val clusters = Dedup.lshClusters(docs, k = 8, bands = 4, family = "md5prefix")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // every doc maps to a cluster id <= its own id, and the cluster id
+    // is itself a member of the same cluster (min-rooted)
+    clusters.foreach { case (d, c) =>
+      assert(c <= d && clusters(c) == c)
+    }
+    // exact duplicates share every band key, so 0 and 1 must co-cluster
+    assert(clusters(0L) == clusters(1L))
+    // coherence vs the pair enumerator: every full-corpus bucket pair
+    // must be in one cluster
+    val pairs = Dedup.minhashLshPairs(docs, k = 8, bands = 4, threshold = 0.0,
+      family = "md5prefix").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
+  }
+}
