@@ -492,6 +492,26 @@ object SparkEntry {
     "text_repetition" -> { (s, dir) => TextOps.repetitionMetrics(documentsOf(s, dir)) },
     "url_normalize" -> { (s, dir) => WebOps.urlNormalize(Pages.pages(s, dir)) },
     "url_host_stats" -> { (s, dir) => WebOps.hostStats(Pages.pages(s, dir)) },
+    "url_dedup_latest" -> { (s, dir) =>
+      // recrawl-collapse fixture: every third page is fetched twice (the
+      // refetch usually newer, sometimes older), keep-latest must pick
+      // per-url winners from both branches
+      val p = Pages.pages(s, dir).select(col("doc_id"), col("url"), col("warc_sec"), col("lang"))
+      val refetch = p.filter(col("doc_id") % 3 === 0)
+        .withColumn("warc_sec", when(col("doc_id") % 6 === 0, col("warc_sec") - 1000L)
+          .otherwise(col("warc_sec") + 86400L))
+        .withColumn("fetch_no", lit(1))
+      WebOps.urlDedupLatest(p.withColumn("fetch_no", lit(0)).unionByName(refetch))
+    },
+    "html_extract" -> { (s, dir) =>
+      // real tag-strip extraction over synthesized HTML; `ok` asserts the
+      // north-rule invariant per row: extracted text byte-identical to src
+      val wrapped = WebOps.htmlWrap(col("url"), col("text"), col("lang"))
+      Pages.pages(s, dir).select(col("url"),
+        md5(encode(WebOps.extractText(wrapped), "UTF-8")).as("text_md5"),
+        (WebOps.extractText(wrapped) === col("text")).as("ok"))
+    },
+    "text_tfidf" -> { (s, dir) => TextOps.tfidf(documentsOf(s, dir), k = 5) },
 
     // north-rule invariant: text reaches the sink byte-identical (hash of the
     // html-encoded carry equals hash of the source text)
@@ -1668,6 +1688,51 @@ object SparkEntry {
                lang, warc_sec, CAST(length(text) AS BIGINT) AS n_chars
                FROM pages)
          GROUP BY host"""),
+
+    "url_dedup_latest" -> Pages.sqlWith(
+      // keep-latest mirrored as row_number over the SAME total order the
+      // engine's max-of-struct uses: warc_sec first, then every column
+      // in table order, all DESC
+      """SELECT norm_url, doc_id, url, warc_sec, lang, fetch_no FROM (
+           SELECT *, row_number() OVER (PARTITION BY norm_url
+             ORDER BY warc_sec DESC, doc_id DESC, url DESC, lang DESC, fetch_no DESC) AS rn
+           FROM (SELECT *,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '^[a-z][a-z0-9+.-]*://', ''), '#.*$', ''), '\?.*$', ''), '^www\.', ''), '/$', '') AS norm_url
+             FROM (
+               SELECT doc_id, url, warc_sec, lang, 0 AS fetch_no FROM pages
+               UNION ALL
+               SELECT doc_id, url,
+                 CASE WHEN doc_id % 6 = 0 THEN warc_sec - 1000
+                      ELSE warc_sec + 86400 END, lang, 1
+               FROM pages WHERE doc_id % 3 = 0)))
+         WHERE rn = 1"""),
+
+    "html_extract" -> Pages.sqlWith(
+      """SELECT url,
+           md5(regexp_replace(regexp_replace(
+             '<!DOCTYPE html><html lang="' || lang || '"><head><title>' || url ||
+             '</title><meta charset="utf-8"/></head><body><p id="main">' || text || '</p></body></html>',
+             '<head>.*?</head>', ''), '<[^>]*>', '', 'g')) AS text_md5,
+           regexp_replace(regexp_replace(
+             '<!DOCTYPE html><html lang="' || lang || '"><head><title>' || url ||
+             '</title><meta charset="utf-8"/></head><body><p id="main">' || text || '</p></body></html>',
+             '<head>.*?</head>', ''), '<[^>]*>', '', 'g') = text AS ok
+         FROM pages"""),
+
+    "text_tfidf" -> (sqlToks +
+      """, tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                  FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         scored AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+             CAST(t.tf AS DOUBLE) *
+               (ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) + 1.0) AS score
+           FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n)
+        SELECT doc_id, tok, tf, df, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, tok) AS rn FROM scored)
+        WHERE rn <= 5"""),
 
     "text_identity" -> Pages.sqlWith(
       "SELECT url, md5(text) AS text_md5 FROM pages"),

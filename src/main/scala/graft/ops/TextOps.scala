@@ -194,6 +194,33 @@ object TextOps {
     * Documents with zero tokens vanish from the exploded tables and are
     * deliberately absent from the output (both engines agree).
     */
+  /** Top-k TF-IDF terms per document: tf = raw occurrence count, idf =
+    * ln((N + 1) / (df + 1)) + 1 (smoothed, the sklearn formulation),
+    * score = tf · idf, ranked (score desc, tok asc) within each doc.
+    *
+    * Everything is exact integer counts until one ln + one multiply, both
+    * bitwise-reproducible in DuckDB, so ranks — and therefore the top-k
+    * cut — agree between engines exactly.
+    *
+    * Scale shape: tf is a map-side-combined hash agg on (doc, token); the
+    * document-frequency table is the VOCABULARY, broadcast like the
+    * PPJoin rarity table (trim stopword-level df first at web scale); the
+    * only remaining shuffle is the per-doc top-k window. Nothing is
+    * quadratic and no stage keys on anything wider than (doc, token).
+    */
+  def tfidf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokenTable(docs).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df")))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("doc_id", "tok", "tf", "df", "score")
+  }
+
   def repetitionMetrics(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col("text"))

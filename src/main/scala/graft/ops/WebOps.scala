@@ -43,6 +43,45 @@ object WebOps {
       normalizeUrl(col("url")).as("norm_url"),
       hostOf(normalizeUrl(col("url"))).as("host"))
 
+  /** Keep the LATEST fetch per canonical URL — the recrawl-collapse step
+    * every crawl-curation pipeline runs before content dedup. Argmax is
+    * expressed as max-of-struct ordered by (warc_sec, then every column
+    * in table order), giving ONE hash aggregation with map-side combine:
+    * at 10^12 rows the combine collapses refetches before the shuffle,
+    * which beats a window sort (shuffle + per-group sort) and is
+    * deterministic because the ordering key is the full row (total
+    * order; exact duplicate rows are interchangeable).
+    */
+  def urlDedupLatest(pages: DataFrame): DataFrame = {
+    val cols = pages.columns.toSeq
+    val ordered = struct(col("warc_sec").as("ord_sec") +: cols.map(col): _*)
+    pages
+      .withColumn("norm_url", normalizeUrl(col("url")))
+      .groupBy("norm_url")
+      .agg(max(ordered).as("w"))
+      .select(col("norm_url") +: cols.map(c => col(s"w.$c").as(c)): _*)
+  }
+
+  /** Minimal synthetic HTML page for the extraction path: doctype, lang
+    * attribute, head (title + meta), one body paragraph. Tag-only markup
+    * after the text so extraction can be proven byte-identical.
+    */
+  def htmlWrap(url: Column, text: Column, lang: Column): Column =
+    concat(lit("<!DOCTYPE html><html lang=\""), lang,
+      lit("\"><head><title>"), url,
+      lit("</title><meta charset=\"utf-8\"/></head><body><p id=\"main\">"),
+      text, lit("</p></body></html>"))
+
+  /** Text extraction from HTML: drop the head block (title/meta are
+    * chrome, not content), then strip every remaining tag. Two codegen'd
+    * regexp passes, both Java-regex/RE2 agnostic (non-greedy supported by
+    * both, no lookaround); the head pattern matches at most once so
+    * Spark's replace-all equals DuckDB's replace-first, and the tag strip
+    * is explicitly global on both sides.
+    */
+  def extractText(html: Column): Column =
+    regexp_replace(regexp_replace(html, "<head>.*?</head>", ""), "<[^>]*>", "")
+
   /** Per-host corpus statistics: page count, distinct languages, total
     * text characters, first/last crawl timestamp. One hash aggregation
     * with map-side combine on the host key — the host distribution of a

@@ -106,6 +106,46 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getString(4) == "c d" && r.getLong(5) == 2L)
   }
 
+  test("tfidf: smoothed idf, exact scores, rank by (score desc, tok asc)") {
+    val df = docs(0L -> "a a b", 1L -> "a c")
+    val out = TextOps.tfidf(df, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val idfRare = math.log(3.0 / 2.0) + 1.0 // N=2, df=1
+    assert(out((0L, "a")) == ((2L, 2L, 2.0)))       // idf(a)=ln(3/3)+1=1
+    assert(out((0L, "b")) == ((1L, 1L, idfRare)))
+    assert(out((1L, "a")) == ((1L, 2L, 1.0)))
+    assert(out((1L, "c")) == ((1L, 1L, idfRare)))
+    // top-1 per doc: highest score wins; doc 1's rare token outranks 'a'
+    val top1 = TextOps.tfidf(df, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1 == Map(0L -> "a", 1L -> "c"))
+  }
+
+  test("urlDedupLatest keeps max warc_sec per norm_url, full-row tie-break") {
+    import spark.implicits._
+    val crawl = Seq(
+      (1L, "https://www.a.com/x/", 100L),
+      (2L, "http://a.com/x", 200L),
+      (3L, "a.com/x#f", 200L), // warc tie with doc 2 -> higher doc_id wins
+      (4L, "b.com/only", 50L)).toDF("doc_id", "url", "warc_sec")
+    val out = WebOps.urlDedupLatest(crawl).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "a.com/x" -> ((3L, "a.com/x#f", 200L)),
+      "b.com/only" -> ((4L, "b.com/only", 50L))))
+  }
+
+  test("htmlWrap -> extractText is byte-identical and drops head chrome") {
+    import spark.implicits._
+    val r = Seq(("www.Ex.com/p", "hello world spark", "en")).toDF("url", "text", "lang")
+      .select(WebOps.htmlWrap($"url", $"text", $"lang").as("html"))
+      .select(WebOps.extractText($"html").as("got"), $"html")
+      .collect().head
+    assert(r.getString(0) == "hello world spark") // no title/url leakage
+    assert(r.getString(1).startsWith("<!DOCTYPE html><html lang=\"en\"><head><title>www.Ex.com/p"))
+  }
+
   test("normalizeUrl strips scheme/www/query/fragment/slash and lowercases") {
     import spark.implicits._
     val urls = Seq(
