@@ -52,9 +52,11 @@ object Bench {
     "tpch_q1", "tpch_q3", "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs",
     "dedup_lsh_pairs_md5oracle",
     "dedup_jaccard_pairs", "dedup_simhash", "ann_topk", "ann_lsh",
+    "dedup_clusters",
     "geo_pip", "geo_cell_counts", "geo_knn_cell", "raster_convolve_median",
     "raster_convolve_mad", "raster_distance", "raster_zonal", "raster_vectorize",
-    "raster_predict_merge", "text_langid", "mm_features")
+    "raster_predict_merge", "text_langid", "text_repetition", "text_tfidf",
+    "url_host_stats", "mm_features")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;
@@ -67,6 +69,10 @@ object Bench {
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
         k = 8, bands = 4, threshold = 0.5,
         probeFilter = col("doc_id") % 10 === 0, family = "xxhash64")
+    },
+    "dedup_clusters" -> { (s, dir) =>
+      Dedup.lshClusters(s.read.parquet(s"$dir/documents.parquet"),
+        k = 8, bands = 4, family = "xxhash64")
     })
 
   /** Gate-family variants recorded alongside, under distinct names. */
