@@ -141,6 +141,58 @@ object StreamOps {
     pairs
   }
 
+  /** Streaming keep-latest per canonical URL — the incremental form of
+    * WebOps.urlDedupLatest: a per-url argmax held in
+    * flatMapGroupsWithState keyed by the normalized URL. The winner is
+    * emitted when the event-time watermark passes the url's newest fetch
+    * (group timeout), then state is dropped — state is bounded by the
+    * watermark horizon exactly like dedupStream, and a recrawl arriving
+    * after the horizon re-opens the group and re-emits (cross-horizon
+    * collapse is the batch job's business). The winner ordering mirrors
+    * the batch op's max-of-struct — (warc_sec, doc_id, url) descending —
+    * so the emitted winner per url is deterministic under replay,
+    * independent of micro-batch boundaries.
+    *
+    * Input columns: (doc_id, url, warc_sec epoch-seconds). Emits
+    * (norm_url, doc_id, url, warc_sec).
+    */
+  def urlLatestStream(pages: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val rows = pages
+      .withColumn("ets", col("warc_sec").cast("timestamp"))
+      .withWatermark("ets", watermark)
+      .select(graft.ops.WebOps.normalizeUrl(col("url")).as("norm_url"),
+        col("doc_id").cast("long").as("doc_id"), col("url"),
+        col("warc_sec").cast("long").as("warc_sec"), col("ets"))
+      .as[(String, Long, String, Long, java.sql.Timestamp)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, Long, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[(String, Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, String)]) =>
+          if (state.hasTimedOut) {
+            val (sec, id, u) = state.get
+            state.remove()
+            Iterator((key, id, u, sec))
+          } else {
+            val ord = Ordering[(Long, Long, String)]
+            var best = state.getOption.orNull
+            var newest = Long.MinValue
+            it.foreach { r =>
+              val cand = (r._4, r._2, r._3)
+              if (best == null || ord.compare(cand, best) > 0) best = cand
+              newest = math.max(newest, r._5.getTime)
+            }
+            state.update(best)
+            state.setTimeoutTimestamp(
+              math.max(newest + 1, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }.toDF("norm_url", "doc_id", "url", "warc_sec")
+  }
+
   def sessionizeStream(events: DataFrame, gapSec: Long = 1800): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession

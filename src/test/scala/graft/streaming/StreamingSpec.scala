@@ -157,6 +157,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming url keep-latest emits the batch winners at watermark close") {
+    // wave 1: two urls, multiple fetches each (one url under differing
+    // scheme/www forms); wave 2 (3h later, 30-minute watermark) pushes
+    // the watermark past wave 1, closing its groups
+    val t0 = 1700000000L
+    val wave1 = Seq(
+      (1L, "https://www.a.com/x/", t0),
+      (2L, "http://a.com/x", t0 + 60),
+      (3L, "a.com/x#frag", t0 + 120),
+      (4L, "https://b.com/y", t0 + 30),
+      (5L, "b.com/y?q=1", t0 + 20)) // older than doc 4 -> loses
+    val wave2 = Seq((9L, "c.com/z", t0 + 3 * 3600L))
+    val dir = java.nio.file.Files.createTempDirectory("url_latest").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
+    def stage(sub: String, rows: Seq[(Long, String, Long)]): Unit = {
+      spark.createDataFrame(rows).toDF("doc_id", "url", "warc_sec")
+        .coalesce(1).write.parquet(s"$dir/$sub")
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/w/$sub.parquet"))
+    }
+    stage("a", wave1)
+    val schema = spark.read.parquet(s"$dir/a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/w")
+    val q = StreamOps.urlLatestStream(stream, watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("url_latest").start()
+    try {
+      q.processAllAvailable()
+      stage("b", wave2)
+      q.processAllAvailable()
+      val got = spark.table("url_latest")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+        .toMap
+      // batch oracle over wave 1 (the closed groups)
+      val expect = graft.ops.WebOps.urlDedupLatest(
+          spark.createDataFrame(wave1).toDF("doc_id", "url", "warc_sec"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+        .toMap
+      assert(got.view.filterKeys(_ != "c.com/z").toMap === expect)
+      // wave 2's group is still open (watermark has not passed it)
+      assert(!got.contains("c.com/z"))
+    } finally q.stop()
+  }
+
   test("streaming LSH evicts bucket members past the watermark (bounded state)") {
     // two identical waves 3 hours apart with a 30-minute watermark: the
     // second wave must not pair against the first (state evicted), and
