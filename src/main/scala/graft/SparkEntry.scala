@@ -512,6 +512,8 @@ object SparkEntry {
         (WebOps.extractText(wrapped) === col("text")).as("ok"))
     },
     "text_tfidf" -> { (s, dir) => TextOps.tfidf(documentsOf(s, dir), k = 5) },
+    "text_curate" -> { (s, dir) => TextOps.curate(documentsOf(s, dir), maxDupFrac = 0.6) },
+    "url_host_cap" -> { (s, dir) => WebOps.capPerHost(Pages.pages(s, dir), n = 3) },
 
     // north-rule invariant: text reaches the sink byte-identical (hash of the
     // html-encoded carry equals hash of the source text)
@@ -1733,6 +1735,50 @@ object SparkEntry {
           SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY score DESC, tok) AS rn FROM scored)
         WHERE rn <= 5"""),
+
+    "text_curate" ->
+      // composite of three proven mirrors: gopher pass ∧ dup_tok_frac
+      // below threshold ∧ exact-dup canonical
+      """WITH g AS (SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop,
+           CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents),
+        gp AS (SELECT doc_id, n_tokens FROM g
+          WHERE n_tokens >= 20 AND n_tokens <= 100000
+            AND CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+            AND CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0
+            AND n_stop >= 2
+            AND CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) >= 0.7),
+        occ AS (SELECT doc_id, tok FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE tok <> ''),
+        tokcnt AS (SELECT doc_id, tok, count(*) AS cnt FROM occ GROUP BY 1, 2),
+        rep AS (SELECT doc_id,
+            CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_tok_frac
+          FROM tokcnt GROUP BY doc_id),
+        canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        SELECT gp.doc_id, gp.n_tokens, rep.dup_tok_frac
+        FROM gp JOIN rep USING (doc_id) JOIN canon USING (doc_id)
+        WHERE rep.dup_tok_frac < 0.6""",
+
+    "url_host_cap" -> Pages.sqlWith(
+      // one-window semantics; the engine's salted pre-prune is
+      // result-invariant by the top-n-of-subgroup-top-n argument
+      """SELECT host, doc_id, url, pick_rank FROM (
+           SELECT host, doc_id, url,
+             row_number() OVER (PARTITION BY host ORDER BY pick, url) AS pick_rank
+           FROM (SELECT doc_id, url,
+             regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 lower(url), '^[a-z][a-z0-9+.-]*://', ''), '#.*$', ''), '\?.*$', ''), '^www\.', ''), '/$', ''),
+               '/.*$', ''), ':[0-9]+$', '') AS host,
+             md5(url) AS pick
+             FROM pages))
+         WHERE pick_rank <= 3"""),
 
     "text_identity" -> Pages.sqlWith(
       "SELECT url, md5(text) AS text_md5 FROM pages"),

@@ -194,6 +194,23 @@ object TextOps {
     * Documents with zero tokens vanish from the exploded tables and are
     * deliberately absent from the output (both engines agree).
     */
+  /** End-to-end curation composite — the order a real web-corpus
+    * pipeline runs its document filters: Gopher quality rules pass ∧
+    * duplicate-token fraction below `maxDupFrac` ∧ exact-dup canonical
+    * (the min doc_id of its content-digest group; duplicates drop out).
+    * Each stage is the already-oracle-proven operator; the composite is
+    * three doc_id-keyed inner joins, so survivors carry their metrics
+    * out in one plan with no extra scan of `text`.
+    */
+  def curate(docs: DataFrame, maxDupFrac: Double = 0.6): DataFrame = {
+    val g = gopherRules(docs).filter(col("passes")).select("doc_id", "n_tokens")
+    val r = repetitionMetrics(docs).filter(col("dup_tok_frac") < maxDupFrac)
+      .select(col("doc_id"), col("dup_tok_frac"))
+    val canon = Dedup.exact(docs).select(col("canonical").as("doc_id"))
+    g.join(r, "doc_id").join(canon, "doc_id")
+      .select("doc_id", "n_tokens", "dup_tok_frac")
+  }
+
   /** Top-k TF-IDF terms per document: tf = raw occurrence count, idf =
     * ln((N + 1) / (df + 1)) + 1 (smoothed, the sklearn formulation),
     * score = tf · idf, ranked (score desc, tok asc) within each doc.

@@ -62,6 +62,35 @@ object WebOps {
       .select(col("norm_url") +: cols.map(c => col(s"w.$c").as(c)): _*)
   }
 
+  /** Host-balanced corpus cap: keep at most `n` pages per host, chosen
+    * uniformly-at-random but DETERMINISTICALLY by ordering each host's
+    * pages on (md5(url), url) and keeping the first `n` — the standard
+    * guard against a handful of mega-hosts dominating a training corpus.
+    *
+    * Exact top-n per key is a per-host sort, and a hot host (10^8 pages
+    * of one domain at crawl scale) would sink a single reducer — so the
+    * engine pre-prunes with a SALTED first stage: top-n within each of
+    * `salts` hash-subgroups of the host, then top-n of the ≤ salts·n
+    * survivors. Both stages are windows, but stage 1's groups are
+    * hot-host/salts sized and stage 2's input is tiny. The salt choice
+    * cannot change the result (any element of the true global top-n is
+    * in the top-n of its own subgroup), so the oracle mirrors only the
+    * one-window semantics.
+    */
+  def capPerHost(pages: DataFrame, n: Int, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withHost = pages.select(col("doc_id"), col("url"),
+      hostOf(normalizeUrl(col("url"))).as("host"),
+      md5(encode(col("url"), "UTF-8")).as("pick"))
+    val pre = Window.partitionBy(col("host"), pmod(xxhash64(col("url")), lit(salts)))
+      .orderBy(col("pick"), col("url"))
+    val fin = Window.partitionBy(col("host")).orderBy(col("pick"), col("url"))
+    withHost
+      .withColumn("prn", row_number().over(pre)).filter(col("prn") <= n)
+      .withColumn("pick_rank", row_number().over(fin)).filter(col("pick_rank") <= n)
+      .select("host", "doc_id", "url", "pick_rank")
+  }
+
   /** Minimal synthetic HTML page for the extraction path: doctype, lang
     * attribute, head (title + meta), one body paragraph. Tag-only markup
     * after the text so extraction can be proven byte-identical.

@@ -146,6 +146,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getString(1).startsWith("<!DOCTYPE html><html lang=\"en\"><head><title>www.Ex.com/p"))
   }
 
+  test("curate: gopher fail, dup-frac fail, exact-dup loser all rejected") {
+    val good = (Seq("the", "and") ++ (0 until 18).map(i => s"word${('a' + i).toChar}")).mkString(" ")
+    val df = docs(
+      1L -> good,                                        // survives
+      2L -> "the and cat",                               // gopher: <20 tokens
+      3L -> (Seq("the", "and") ++ Seq.fill(18)("word")).mkString(" "), // dup 0.85
+      10L -> good,                                       // dup of 1 -> loses to min
+      11L -> (Seq("the", "and") ++ (0 until 18).map(i => s"vord${('a' + i).toChar}")).mkString(" "))
+    val out = TextOps.curate(df, maxDupFrac = 0.6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 11L))
+    assert(out(1L) == ((20L, 0.0)))
+  }
+
+  test("capPerHost keeps exactly n per host, ordered by (md5(url), url)") {
+    import spark.implicits._
+    val urls = (0 until 5).map(i => s"https://big.com/p$i") :+ "https://small.com/only"
+    val pages = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    val out = WebOps.capPerHost(pages, n = 2, salts = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(out.count(_._1 == "big.com") == 2)
+    assert(out.count(_._1 == "small.com") == 1)
+    // expected winners: the two big.com urls with smallest md5(url)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (0 until 5).map(i => (h(s"https://big.com/p$i"), i.toLong))
+      .sorted.take(2).map(_._2).toSet
+    assert(out.filter(_._1 == "big.com").map(_._2).toSet == expect)
+    assert(out.forall(_._3 <= 2))
+  }
+
   test("normalizeUrl strips scheme/www/query/fragment/slash and lowercases") {
     import spark.implicits._
     val urls = Seq(
