@@ -514,6 +514,19 @@ object SparkEntry {
     "text_tfidf" -> { (s, dir) => TextOps.tfidf(documentsOf(s, dir), k = 5) },
     "text_curate" -> { (s, dir) => TextOps.curate(documentsOf(s, dir), maxDupFrac = 0.6) },
     "url_host_cap" -> { (s, dir) => WebOps.capPerHost(Pages.pages(s, dir), n = 3) },
+    "url_blocklist" -> { (s, dir) =>
+      import s.implicits._
+      val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
+      WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
+    },
+    "text_normalize" -> { (s, dir) =>
+      // deterministically roughen the corpus (doubled spaces, padded
+      // ends, trailing tab) then prove normalizeWs restores it exactly
+      val messy = concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit("\t"))
+      documentsOf(s, dir).select(col("doc_id"),
+        md5(encode(TextOps.normalizeWs(messy), "UTF-8")).as("clean_md5"),
+        (TextOps.normalizeWs(messy) === col("text")).as("ok"))
+    },
 
     // north-rule invariant: text reaches the sink byte-identical (hash of the
     // html-encoded carry equals hash of the source text)
@@ -1779,6 +1792,26 @@ object SparkEntry {
              md5(url) AS pick
              FROM pages))
          WHERE pick_rank <= 3"""),
+
+    "url_blocklist" -> Pages.sqlWith(
+      """SELECT host, doc_id, url FROM (
+           SELECT doc_id, url,
+             regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 lower(url), '^[a-z][a-z0-9+.-]*://', ''), '#.*$', ''), '\?.*$', ''), '^www\.', ''), '/$', ''),
+               '/.*$', ''), ':[0-9]+$', '') AS host
+           FROM pages)
+         WHERE host NOT IN ('host0.example', 'host13.example', 'host51.example')"""),
+
+    "text_normalize" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(
+             '  ' || regexp_replace(text, ' ', '  ', 'g') || chr(9),
+             '[\t\n\r\f\x0B]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_md5,
+           trim(regexp_replace(regexp_replace(
+             '  ' || regexp_replace(text, ' ', '  ', 'g') || chr(9),
+             '[\t\n\r\f\x0B]', ' ', 'g'), ' +', ' ', 'g')) = text AS ok
+         FROM documents""",
 
     "text_identity" -> Pages.sqlWith(
       "SELECT url, md5(text) AS text_md5 FROM pages"),

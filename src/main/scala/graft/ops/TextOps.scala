@@ -194,6 +194,15 @@ object TextOps {
     * Documents with zero tokens vanish from the exploded tables and are
     * deliberately absent from the output (both engines agree).
     */
+  /** Whitespace normalization — the first cleanup pass of any text
+    * pipeline: control whitespace (tab/newline/CR/FF/VT) to spaces,
+    * space runs collapsed, ends trimmed. Pure codegen'd expressions; the
+    * patterns behave identically under Java regex and RE2 and the global
+    * replace is explicit on the oracle side.
+    */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[\\t\\n\\r\\f\\x0B]", " "), " +", " "))
+
   /** End-to-end curation composite — the order a real web-corpus
     * pipeline runs its document filters: Gopher quality rules pass ∧
     * duplicate-token fraction below `maxDupFrac` ∧ exact-dup canonical

@@ -62,6 +62,16 @@ object WebOps {
       .select(col("norm_url") +: cols.map(c => col(s"w.$c").as(c)): _*)
   }
 
+  /** Host blocklist filter — the UT1/domain-exclusion step: drop every
+    * page whose registrable host appears in `blocked(host)`. Broadcast
+    * LEFT ANTI join: real blocklists are 10^5-10^6 hosts (megabytes), so
+    * the corpus side never shuffles and the filter runs map-side at any
+    * scale.
+    */
+  def filterHosts(pages: DataFrame, blocked: DataFrame): DataFrame =
+    pages.withColumn("host", hostOf(normalizeUrl(col("url"))))
+      .join(broadcast(blocked.select("host")), Seq("host"), "left_anti")
+
   /** Host-balanced corpus cap: keep at most `n` pages per host, chosen
     * uniformly-at-random but DETERMINISTICALLY by ordering each host's
     * pages on (md5(url), url) and keeping the first `n` — the standard

@@ -177,6 +177,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.forall(_._3 <= 2))
   }
 
+  test("normalizeWs maps control whitespace to spaces, collapses, trims") {
+    import spark.implicits._
+    val out = Seq("  a\t\tb\n c \r\n", "x", " ", "ab\fc")
+      .toDF("t").select(TextOps.normalizeWs($"t")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("a b c", "x", "", "a b c"))
+  }
+
+  test("filterHosts drops blocked hosts via broadcast anti join") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://www.bad.com/x"), (2L, "http://good.com/y"),
+      (3L, "bad.com/z"), (4L, "sub.bad.com/w")).toDF("doc_id", "url")
+    val blocked = Seq("bad.com").toDF("host")
+    val got = WebOps.filterHosts(pages, blocked).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 4L)) // sub.bad.com is a different registrable host here
+  }
+
   test("normalizeUrl strips scheme/www/query/fragment/slash and lowercases") {
     import spark.implicits._
     val urls = Seq(
