@@ -59,6 +59,14 @@ object Verify {
         def run(): Unit = {
           val s0 = System.nanoTime()
           try {
+            // SPARK_GRAFT_EXPLAIN=1: dump the formatted physical plan per
+            // query (plan-audit forensics; never on in the driver gate)
+            if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+              val df = fn(spark, sfDir)
+              Files.writeString(Paths.get(s"$outDir/$name.plan.txt"),
+                df.queryExecution.explainString(
+                  org.apache.spark.sql.execution.FormattedMode))
+            }
             fn(spark, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
             System.err.println(f"[verify] $name ok ${(System.nanoTime() - s0) / 1e9}%.1fs")
