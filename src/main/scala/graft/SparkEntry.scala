@@ -552,6 +552,13 @@ object SparkEntry {
         probeFilter = col("doc_id") % 10 === 0)
     },
     "dedup_simhash" -> { (s, dir) => Dedup.simhash16(documentsOf(s, dir)) },
+    "dedup_minhash_shingles" -> { (s, dir) =>
+      // 3-gram shingle MinHash: same signature machinery over the
+      // shingle alphabet (md5prefix family for the oracle)
+      Dedup.minhashSignatureFrom(
+        Dedup.shingleTable(documentsOf(s, dir), n = 3).distinct(),
+        k = 8, family = "md5prefix")
+    },
     "dedup_clusters" -> { (s, dir) =>
       // full-corpus near-dup clustering: bucket-star edges + alternating
       // large/small-star connected components (never quadratic in bucket
@@ -1863,6 +1870,26 @@ object SparkEntry {
         WHERE CAST(i.i AS DOUBLE) / CAST(na.n_toks + nb.n_toks - i.i AS DOUBLE) >= 0.8"""),
 
     "dedup_simhash" -> (sqlToks + simhashOracleTail),
+
+    "dedup_minhash_shingles" ->
+      // 3-gram shingle signature: shingles rebuilt by ranked self-joins
+      // (rn+1, rn+2), then the SAME md5prefix min-hash over the gram
+      // alphabet — the gram CTE is named dtoks so sqlMinhashSig applies
+      ("""WITH occ AS (
+           SELECT doc_id,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+                  tok
+           FROM (SELECT doc_id,
+                        unnest(string_split(text, ' ')) AS tok,
+                        generate_subscripts(string_split(text, ' '), 1) AS pos
+                 FROM documents)
+           WHERE tok <> ''),
+         dtoks AS (SELECT DISTINCT a.doc_id,
+                     a.tok || ' ' || b.tok || ' ' || c.tok AS tok
+                   FROM occ a
+                   JOIN occ b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+                   JOIN occ c ON a.doc_id = c.doc_id AND c.rn = a.rn + 2), """ +
+        sqlMinhashSig(8) + " SELECT * FROM sig"),
 
     "dedup_clusters" ->
       // connected components of the "shares an LSH bucket" relation,

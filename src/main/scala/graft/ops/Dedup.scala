@@ -22,6 +22,27 @@ object Dedup {
       .groupBy("text_md5")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
 
+  /** Word n-gram shingles as a per-row expression: shingle i =
+    * tokens[i..i+n-1] joined by single spaces; documents with fewer than
+    * n tokens shingle to the empty set. Shingling is the standard dedup
+    * unit for web corpora (GPT-3/Gopher used 13-grams; unigram sets
+    * over-merge documents sharing vocabulary but not phrasing).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exploded (doc_id, tok) table of word n-gram shingles — drop-in for
+    * the token table in every MinHash/LSH stage (the signature, banding
+    * and verify machinery is shingle-agnostic: a shingle IS a token of a
+    * bigger alphabet).
+    */
+  def shingleTable(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingles(TextOps.tokens(col("text")), n)).as("tok"))
+
   /** Distinct-token table + per-doc sizes, cached: every dedup stage
     * (signatures, banding, exact verify) reuses ONE materialization
     * instead of re-deriving the token table per stage (VERDICT r1 wrong

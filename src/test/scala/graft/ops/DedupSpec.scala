@@ -64,6 +64,17 @@ class DedupSpec extends AnyFunSuite {
     assert(components() == Map.empty[Long, Long])
   }
 
+  test("shingleTable builds word n-grams; short docs shingle to nothing") {
+    import spark.implicits._
+    val df = Seq((0L, "a b c d"), (1L, "x y"), (2L, "")).toDF("doc_id", "text")
+    val got = Dedup.shingleTable(df, n = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((0L, "a b c"), (0L, "b c d")))
+    val bi = Dedup.shingleTable(df, n = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bi == Set((0L, "a b"), (0L, "b c"), (0L, "c d"), (1L, "x y")))
+  }
+
   test("lshClusters: pairs-connectivity coherence and singleton mapping") {
     import spark.implicits._
     val docs = Seq(
