@@ -581,6 +581,13 @@ object SparkEntry {
       Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 16, k = 5,
         bands = 2, capPerBucket = 128)
     },
+    "emb_dup_pairs" -> { (s, dir) =>
+      // embedding-cosine near-dup: LSH candidates + exact quantized-cosine
+      // verify (threshold 0.3 fits the synthetic corpus — no planted
+      // near-identical vectors, max pair cosine ≈ 0.51)
+      Similarity.cosineDupPairs(embeddingsOf(s, dir), threshold = 0.3,
+        numPlanes = 16, bands = 2, capPerBucket = 128)
+    },
 
     // --- resampling variants / robust slope / DEM / more hood methods ---
     "raster_resample_avg" -> { (s, _) =>
@@ -1362,6 +1369,41 @@ object SparkEntry {
          FROM scored)
         SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5""",
+
+    "emb_dup_pairs" ->
+      // cosineDupPairs mirror: same banding/cap skeleton as ann_lsh, then
+      // exact integer dot + self-dots (order-independent BIGINT sums) and
+      // one division by the sqrt product — bitwise-portable
+      """WITH q AS (SELECT vec_id, d,
+           CAST(ROUND(CAST(embedding[d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+         FROM embeddings, range(64) t(d)),
+        bits AS (SELECT vec_id, p,
+          CASE WHEN CAST(SUM(CASE WHEN CAST(FLOOR((d * 2654435761 + p * 40503 + 11) / 65536.0) AS BIGINT) % 2 = 0
+                         THEN qv ELSE -qv END) AS BIGINT) > 0
+               THEN 1 ELSE 0 END AS bit
+         FROM q, range(16) pp(p) GROUP BY vec_id, p),
+        bkeys AS (SELECT vec_id, p // 8 AS band,
+          CAST(SUM(bit * (1::BIGINT << (p % 8))) AS BIGINT) AS key
+         FROM bits GROUP BY vec_id, p // 8),
+        idx AS (SELECT vec_id, band, key,
+          row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
+         FROM bkeys),
+        cand AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+                   greatest(a.vec_id, b.vec_id) AS vec_b
+         FROM bkeys a JOIN idx b
+           ON a.band = b.band AND a.key = b.key
+           AND a.vec_id <> b.vec_id AND b.rn <= 128),
+        norms AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nq FROM q GROUP BY vec_id),
+        scored AS (SELECT c.vec_a, c.vec_b, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         FROM cand c
+           JOIN q qa ON qa.vec_id = c.vec_a
+           JOIN q qb ON qb.vec_id = c.vec_b AND qb.d = qa.d
+         GROUP BY 1, 2)
+        SELECT vec_a, vec_b, dot,
+          CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+        FROM scored s JOIN norms na ON na.vec_id = s.vec_a
+          JOIN norms nb ON nb.vec_id = s.vec_b
+        WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3""",
 
     "geo_s2_cells" -> Pages.sqlWith(
       s", ${sqlS2Cell(10)} SELECT s2, CAST(count(*) AS BIGINT) AS n_pages, " +

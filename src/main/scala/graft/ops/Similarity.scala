@@ -186,6 +186,20 @@ object Similarity {
     */
   def lshBucketTopK(embeddings: DataFrame, numPlanes: Int, k: Int,
                     bands: Int = 2, capPerBucket: Int = 128): DataFrame = {
+    val (banded, idx) = lshBandedCapped(embeddings, numPlanes, bands, capPerBucket)
+    val scored = banded.as("a").join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        dotQ(col("a.q"), col("b.q")).as("score"))
+      .distinct() // same pair from two bands has the same exact score
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Shared LSH banding: (full banded table, capped index side). */
+  private def lshBandedCapped(embeddings: DataFrame, numPlanes: Int,
+                              bands: Int, capPerBucket: Int): (DataFrame, DataFrame) = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     require(capPerBucket > 0 || capPerBucket == -1,
       "capPerBucket must be positive, or -1 for adaptive")
@@ -220,13 +234,40 @@ object Similarity {
     val wCap = Window.partitionBy("band", "key").orderBy("vec_id")
     val idx = banded.withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= cap).drop("rn")
-    val scored = banded.as("a").join(idx.as("b"),
+    (banded, idx)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (SemDeDup-style): candidates
+    * from the SAME capped hyperplane-LSH banding as lshBucketTopK, then
+    * exact verification cos(a, b) ≥ threshold on the quantized vectors —
+    * LSH prunes, the exact score decides. Integer dot/self-dot sums are
+    * order-independent (exact in any engine) and the final
+    * dot / (√na · √nb) is one division and two sqrts — bitwise-portable,
+    * so the emitted pair set is reproducible anywhere.
+    *
+    * Scale shape: candidate join is band-key equi-join against the
+    * capped index side (O(bucket × cap), never O(bucket²)); pairs are
+    * canonicalized (vec_a < vec_b) and deduped across bands on identical
+    * values. Feeds Dedup.connectedComponents for semantic clusters.
+    */
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double,
+                     numPlanes: Int = 16, bands: Int = 2,
+                     capPerBucket: Int = 128): DataFrame = {
+    val (banded, idx) = lshBandedCapped(embeddings, numPlanes, bands, capPerBucket)
+    banded.as("a").join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-        dotQ(col("a.q"), col("b.q")).as("score"))
-      .distinct() // same pair from two bands has the same exact score
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+        dotQ(col("a.q"), col("b.q")).as("dot"),
+        dotQ(col("a.q"), col("a.q")).as("na"),
+        dotQ(col("b.q"), col("b.q")).as("nb"))
+      .select(col("vec_a"), col("vec_b"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(least(col("na"), col("nb")).cast("double")) *
+            sqrt(greatest(col("na"), col("nb")).cast("double")))).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
   }
 }

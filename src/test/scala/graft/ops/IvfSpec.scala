@@ -52,4 +52,23 @@ class IvfSpec extends AnyFunSuite {
     val b = Similarity.ivfCentroids(e, nlist = 8, iters = 2, seed = 41)
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  test("cosineDupPairs finds planted near-dups, verified >= threshold") {
+    import spark.implicits._
+    // clustered fixture: same-cluster pairs have cosine ~= 1 (tiny
+    // structured offsets on a strong center), cross-cluster ~ 0
+    val e = fixture()
+    val got = Similarity.cosineDupPairs(e, threshold = 0.9,
+        numPlanes = 16, bands = 2, capPerBucket = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // every emitted pair is same-cluster and really >= threshold
+    got.foreach { case (a, b, c) =>
+      assert(a < b && a % 8 == b % 8, s"cross-cluster pair ($a,$b)")
+      assert(c >= 0.9 && c <= 1.0 + 1e-12)
+    }
+    // LSH with a generous cap must recover the bulk of same-cluster
+    // pairs: same-cluster buckets collide on most bands
+    assert(got.length >= 1000, s"only ${got.length} of 8*C(40,2)=6240 pairs")
+  }
 }
