@@ -519,6 +519,22 @@ object SparkEntry {
       val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
       WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
     },
+    "text_pii" -> { (s, dir) =>
+      // plant deterministic PII (email / long number / IPv4) on a subset
+      // of documents, then detect + scrub; `clean` proves the scrub
+      // leaves no residual matches
+      val planted = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example now"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" tel 9"), (col("doc_id") + 100000000L).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(lit("")))
+      TextOps.piiSignals(documentsOf(s, dir).withColumn("text", planted))
+    },
     "text_normalize" -> { (s, dir) =>
       // deterministically roughen the corpus (doubled spaces, padded
       // ends, trailing tab) then prove normalizeWs restores it exactly
@@ -1851,6 +1867,32 @@ object SparkEntry {
                '/.*$', ''), ':[0-9]+$', '') AS host
            FROM pages)
          WHERE host NOT IN ('host0.example', 'host13.example', 'host51.example')"""),
+
+    "text_pii" ->
+      """WITH planted AS (SELECT doc_id, text
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example now'
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' tel 9' || CAST(doc_id + 100000000 AS VARCHAR) ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+           AS text FROM documents),
+        s AS (SELECT doc_id, text,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<ip>', 'g'),
+             '[0-9]{9,}', '<num>', 'g') AS scrub
+         FROM planted)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_longnum,
+          md5(scrub) AS scrub_md5,
+          (len(regexp_extract_all(scrub, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) = 0
+            AND len(regexp_extract_all(scrub, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) = 0
+            AND len(regexp_extract_all(scrub, '[0-9]{9,}')) = 0) AS clean
+        FROM s""",
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -194,6 +194,35 @@ object TextOps {
     * Documents with zero tokens vanish from the exploded tables and are
     * deliberately absent from the output (both engines agree).
     */
+  /** PII patterns — written to match identically under Java regex and
+    * RE2 (character classes and bounded repetition only).
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val longNumRe = "[0-9]{9,}"
+
+  /** PII detection + scrubbing — the redaction stage of a curation
+    * pipeline: per-document counts of email addresses, IPv4 literals and
+    * long digit runs (phone/account-number shaped), plus the scrubbed
+    * text with each class replaced by a typed placeholder. Scrub order
+    * (email → ip → number) prevents a class eating another's span; all
+    * counts are non-overlapping left-to-right matches, which both
+    * engines implement identically.
+    */
+  def piiSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scrub = regexp_replace(regexp_replace(regexp_replace(t,
+      emailRe, "<email>"), ipv4Re, "<ip>"), longNumRe, "<num>")
+    docs.select(col("doc_id"),
+      regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(t, lit(longNumRe)).cast("long").as("n_longnum"),
+      md5(encode(scrub, "UTF-8")).as("scrub_md5"),
+      (regexp_count(scrub, lit(emailRe)) === 0 &&
+        regexp_count(scrub, lit(ipv4Re)) === 0 &&
+        regexp_count(scrub, lit(longNumRe)) === 0).as("clean"))
+  }
+
   /** Whitespace normalization — the first cleanup pass of any text
     * pipeline: control whitespace (tab/newline/CR/FF/VT) to spaces,
     * space runs collapsed, ends trimmed. Pure codegen'd expressions; the

@@ -177,6 +177,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.forall(_._3 <= 2))
   }
 
+  test("piiSignals counts and scrubs emails, ipv4, long digit runs") {
+    val df = docs(
+      0L -> "mail me at jo.doe+x@sub.site.org or 10.0.0.1 acct 123456789 end",
+      1L -> "no pii here just words 1234")
+    val rows = TextOps.piiSignals(df).collect()
+    val out = rows
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5))))
+      .toMap
+    assert(out(0L) == ((1L, 1L, 1L, true)))
+    assert(out(1L) == ((0L, 0L, 0L, true)))
+    // scrubbed text keeps surrounding words, replaces spans with tags
+    val scrub = rows.find(_.getLong(0) == 0L).get.getString(4)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val direct = md.digest("mail me at <email> or <ip> acct <num> end".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(scrub == direct)
+  }
+
   test("normalizeWs maps control whitespace to spaces, collapses, trims") {
     import spark.implicits._
     val out = Seq("  a\t\tb\n c \r\n", "x", " ", "ab\fc")
