@@ -519,6 +519,12 @@ object SparkEntry {
       val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
       WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
     },
+    "text_pack" -> { (s, dir) =>
+      // 512-token packing manifest; bucket=64 so the distributed
+      // prefix-sum path (bucket offsets + local cumsum) actually
+      // exercises multiple buckets at sf0.01
+      TextOps.packSequences(documentsOf(s, dir), maxTokens = 512, bucket = 64)
+    },
     "text_pii" -> { (s, dir) =>
       // plant deterministic PII (email / long number / IPv4) on a subset
       // of documents, then detect + scrub; `clean` proves the scrub
@@ -1867,6 +1873,22 @@ object SparkEntry {
                '/.*$', ''), ':[0-9]+$', '') AS host
            FROM pages)
          WHERE host NOT IN ('host0.example', 'host13.example', 'host51.example')"""),
+
+    "text_pack" ->
+      // naive global-window form — identical to the engine's bucketed
+      // prefix sum by associativity
+      """WITH sized AS (SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+         FROM sized WHERE n_tokens > 0)
+        SELECT doc_id, n_tokens, tok_start,
+          CAST(tok_start // 512 AS BIGINT) AS win_start,
+          CAST((tok_start + n_tokens - 1) // 512 AS BIGINT) AS win_end,
+          CAST(((tok_start + n_tokens - 1) // 512) - (tok_start // 512) + 1 AS BIGINT) AS n_windows
+        FROM c""",
 
     "text_pii" ->
       """WITH planted AS (SELECT doc_id, text

@@ -194,6 +194,46 @@ object TextOps {
     * Documents with zero tokens vanish from the exploded tables and are
     * deliberately absent from the output (both engines agree).
     */
+  /** Sequence-packing manifest: lay the corpus out on one global token
+    * axis (documents concatenated in doc_id order, split freely at
+    * window boundaries — the standard LLM pretraining layout) and emit
+    * each document's token offset plus its first/last context window of
+    * `maxTokens`. The manifest is what a loader needs to materialize any
+    * window: every document overlapping window w has
+    * win_start ≤ w ≤ win_end.
+    *
+    * The global prefix sum is NOT a bare unpartitioned window (which
+    * funnels 10^12 rows through one task): documents are grouped into
+    * doc_id-range buckets, bucket sums get their running offsets on the
+    * bucket table (corpus/`bucket` rows — planning-scale; nest another
+    * level if even that is too big), and each document adds its
+    * bucket-local running sum to the bucket offset. Two keyed shuffles
+    * plus one bounded window; results are identical to the naive global
+    * window by associativity of +.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Long,
+                    bucket: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bkt", expr(s"doc_id DIV $bucket"))
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy("bkt").agg(sum("n_tokens").as("bsum"))
+      .withColumn("boff", coalesce(sum("bsum").over(wOff), lit(0L)))
+      .select("bkt", "boff")
+    val wLoc = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized.join(offsets, "bkt")
+      .withColumn("tok_start",
+        col("boff") + coalesce(sum("n_tokens").over(wLoc), lit(0L)))
+      .withColumn("win_start", expr(s"tok_start DIV $maxTokens"))
+      .withColumn("win_end", expr(s"(tok_start + n_tokens - 1) DIV $maxTokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        col("win_start"), col("win_end"),
+        (col("win_end") - col("win_start") + 1).as("n_windows"))
+  }
+
   /** PII patterns — written to match identically under Java regex and
     * RE2 (character classes and bounded repetition only).
     */

@@ -177,6 +177,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.forall(_._3 <= 2))
   }
 
+  test("packSequences: bucketed prefix sum equals the hand cumsum; window spans right") {
+    val df = docs(
+      0L -> "a b c",          // 3 toks  [0,3)   win 0
+      1L -> "d e",            // 2 toks  [3,5)   win 0 (max=4: spans 0..1)
+      2L -> "",               // dropped
+      5L -> "f g h i j k")    // 6 toks  [5,11)  win 1..2
+    val out = TextOps.packSequences(df, maxTokens = 4, bucket = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out == Map(
+      0L -> ((0L, 0L, 0L, 1L)),
+      1L -> ((3L, 0L, 1L, 2L)),   // crosses the 4-token boundary
+      5L -> ((5L, 1L, 2L, 2L))))
+  }
+
   test("piiSignals counts and scrubs emails, ipv4, long digit runs") {
     val df = docs(
       0L -> "mail me at jo.doe+x@sub.site.org or 10.0.0.1 acct 123456789 end",
