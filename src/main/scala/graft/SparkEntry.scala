@@ -1295,6 +1295,13 @@ object SparkEntry {
         .select(col("doc_id"),
           round(col("lat_dec"), 6).as("lat_rt"), round(col("lng_dec"), 6).as("lng_rt"))
     },
+    "select_mix" -> { (s, dir) =>
+      // language rebalancing to en .4 / de .2 / fr .2 / es .2 (zh
+      // dropped); fr is the binding class so its keep rate is exactly 1
+      graft.ops.Selection.sampleToMix(documentsOf(s, dir), "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
+        .select(col("doc_id"), col("lang"), col("keep_p"))
+    },
     "split_by_hash" -> { (s, dir) =>
       graft.ops.Scalers.splitByHash(documentsOf(s, dir), "doc_id", 80, 10)
         .groupBy("split").agg(count(lit(1)).as("n"))
@@ -2561,6 +2568,22 @@ object SparkEntry {
         rn AS (SELECT doc_id, lang,
           row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM u)
         SELECT doc_id, lang FROM rn, m WHERE rn <= n""",
+
+    "select_mix" ->
+      // same double arithmetic in the same order as sampleToMix:
+      // m = min(n/t), keep_p = m * t / n, draw = md5-u01 < keep_p
+      """WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+        t(lang, tgt) AS (VALUES
+          ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.4 AS DOUBLE)),
+          ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE))),
+        j AS (SELECT c.lang, c.n, t.tgt FROM counts c JOIN t ON c.lang = t.lang),
+        m AS (SELECT MIN(CAST(n AS DOUBLE) / tgt) AS m FROM j),
+        rates AS (SELECT lang, (SELECT m FROM m) * tgt / CAST(n AS DOUBLE) AS keep_p FROM j)
+        SELECT d.doc_id, d.lang, r.keep_p
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+            / 1152921504606846976.0 < r.keep_p""",
 
     "select_split" ->
       """WITH u AS (SELECT doc_id,

@@ -63,4 +63,32 @@ object Selection {
     */
   def samplingRandom(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(u01(col(idCol)) < lit(fraction))
+
+  /** Rebalance the corpus to a target class mixture — the data-mixing
+    * step of training-corpus assembly (e.g. language rebalancing): with
+    * class counts n_c and target shares t_c, the largest achievable
+    * mixed corpus is M = min_c n_c / t_c and each class keeps with
+    * probability p_c = M·t_c / n_c (≤ 1 by construction), drawn as the
+    * deterministic md5 hash of the row id. Classes absent from
+    * `targets` are dropped. Planning cost is one class-count aggregate
+    * (#classes rows on the driver — legitimate); the decision itself is
+    * a broadcast join of per-class keep rates plus a map-side filter, so
+    * nothing reshuffles at corpus scale and the sample is reproducible
+    * at any parallelism.
+    */
+  def sampleToMix(df: DataFrame, idCol: String, classCol: String,
+                  targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "targets must be positive shares")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(classCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targets.toSeq.filter { case (c, _) => counts.contains(c) }.sortBy(_._1)
+    require(present.nonEmpty, "no target class present in the data")
+    val m = present.map { case (c, t) => counts(c) / t }.min
+    val rates = present.map { case (c, t) => (c, m * t / counts(c)) }
+    df.join(broadcast(rates.toDF(classCol, "keep_p")), classCol)
+      .filter(u01(col(idCol)) < col("keep_p"))
+  }
 }

@@ -277,8 +277,11 @@ object TextOps {
     * duplicate-token fraction below `maxDupFrac` ∧ exact-dup canonical
     * (the min doc_id of its content-digest group; duplicates drop out).
     * Each stage is the already-oracle-proven operator; the composite is
-    * three doc_id-keyed inner joins, so survivors carry their metrics
-    * out in one plan with no extra scan of `text`.
+    * three doc_id-keyed inner joins. Each metric family scans (doc_id,
+    * text) once — per-row rules, exploded token aggregate, digest
+    * aggregate need different shapes, and at corpus scale three pruned
+    * columnar scans beat caching the corpus — and the joins mean
+    * survivors carry their metrics out without a fourth pass.
     */
   def curate(docs: DataFrame, maxDupFrac: Double = 0.6): DataFrame = {
     val g = gopherRules(docs).filter(col("passes")).select("doc_id", "n_tokens")
