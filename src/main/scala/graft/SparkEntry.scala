@@ -513,6 +513,20 @@ object SparkEntry {
     },
     "text_tfidf" -> { (s, dir) => TextOps.tfidf(documentsOf(s, dir), k = 5) },
     "text_curate" -> { (s, dir) => TextOps.curate(documentsOf(s, dir), maxDupFrac = 0.6) },
+    "text_decontaminate" -> { (s, dir) =>
+      // benchmark set = every 41st document of the same corpus: the
+      // dup-heavy fixture guarantees real 6-gram collisions from its
+      // near-duplicate clusters, not from vocabulary chance
+      val docs = documentsOf(s, dir)
+      TextOps.decontaminate(docs, docs.filter(col("doc_id") % 41 === 0), n = 6)
+    },
+    "text_classifier" -> { (s, dir) =>
+      TextOps.classifierScore(documentsOf(s, dir), buckets = 1024,
+        family = "md5prefix")
+    },
+    "text_charlm" -> { (s, dir) =>
+      TextOps.charLmScore(documentsOf(s, dir), col("doc_id") % 5 === 0)
+    },
     "url_host_cap" -> { (s, dir) => WebOps.capPerHost(Pages.pages(s, dir), n = 3) },
     "url_blocklist" -> { (s, dir) =>
       import s.implicits._
@@ -1855,6 +1869,85 @@ object SparkEntry {
         SELECT gp.doc_id, gp.n_tokens, rep.dup_tok_frac
         FROM gp JOIN rep USING (doc_id) JOIN canon USING (doc_id)
         WHERE rep.dup_tok_frac < 0.6""",
+
+    "text_decontaminate" ->
+      // 6-gram shingles rebuilt by ranked self-joins (the
+      // dedup_minhash_shingles recipe); benchmark grams = distinct grams
+      // of the doc_id % 41 subset; any-hit flag per doc
+      """WITH occ AS (
+           SELECT doc_id,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+                  tok
+           FROM (SELECT doc_id,
+                        unnest(string_split(text, ' ')) AS tok,
+                        generate_subscripts(string_split(text, ' '), 1) AS pos
+                 FROM documents)
+           WHERE tok <> ''),
+         grams AS (SELECT a.doc_id,
+             a.tok || ' ' || b.tok || ' ' || c.tok || ' ' ||
+             d.tok || ' ' || e.tok || ' ' || f.tok AS tok
+           FROM occ a
+           JOIN occ b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1
+           JOIN occ c ON c.doc_id = a.doc_id AND c.rn = a.rn + 2
+           JOIN occ d ON d.doc_id = a.doc_id AND d.rn = a.rn + 3
+           JOIN occ e ON e.doc_id = a.doc_id AND e.rn = a.rn + 4
+           JOIN occ f ON f.doc_id = a.doc_id AND f.rn = a.rn + 5),
+         bench AS (SELECT DISTINCT tok FROM grams WHERE doc_id % 41 = 0),
+         hits AS (SELECT g.doc_id, count(*) AS n_hit
+                  FROM grams g JOIN bench USING (tok) GROUP BY g.doc_id),
+         base AS (SELECT doc_id,
+             CAST(greatest(len(list_filter(string_split(text, ' '),
+               x -> x <> '')) - 5, 0) AS BIGINT) AS n_grams
+           FROM documents)
+         SELECT base.doc_id, base.n_grams,
+                CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+                coalesce(h.n_hit, 0) > 0 AS contaminated
+         FROM base LEFT JOIN hits h ON h.doc_id = base.doc_id""",
+
+    "text_classifier" -> (sqlToks +
+      // md5prefix bucket in [0,1024), fixed multiplicative weight table
+      // in [-1000,1000], integer mean over token occurrences
+      """, w AS (SELECT doc_id,
+             (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024) AS b
+           FROM toks),
+         s AS (SELECT doc_id,
+             CAST(sum((b * 2654435761) % 2001 - 1000) AS BIGINT) AS score_int,
+             count(*) AS n_tokens
+           FROM w GROUP BY doc_id)
+         SELECT doc_id, score_int, n_tokens,
+           CAST(score_int AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE) AS score,
+           score_int > 0 AS label
+         FROM s"""),
+
+    "text_charlm" ->
+      // char-bigram LM with add-one smoothing, trained on doc_id % 5 = 0;
+      // per-bigram log-likelihoods snapped to integer micro-nats so the
+      // per-doc sum is order-independent in both engines
+      """WITH bg AS (SELECT doc_id,
+             unnest([substr(text, CAST(x AS INTEGER), 2)
+                     for x in range(1, len(text))]) AS bg
+           FROM documents WHERE len(text) >= 2),
+         model AS (SELECT bg, count(*) AS cnt FROM bg
+                   WHERE doc_id % 5 = 0 GROUP BY bg),
+         ctx AS (SELECT substr(bg, 1, 1) AS c, CAST(sum(cnt) AS BIGINT) AS ctx
+                 FROM model GROUP BY 1),
+         vsize AS (SELECT count(DISTINCT c) AS v FROM
+           (SELECT unnest([substr(text, CAST(x AS INTEGER), 1)
+                           for x in range(1, len(text) + 1)]) AS c
+            FROM documents WHERE doc_id % 5 = 0)),
+         scored AS (SELECT b.doc_id,
+             CAST(round(ln(CAST(coalesce(m.cnt, 0) + 1 AS DOUBLE) /
+               CAST(coalesce(x.ctx, 0) + v.v AS DOUBLE)) * 1000000, 0)
+               AS BIGINT) AS ll
+           FROM bg b
+           LEFT JOIN model m ON m.bg = b.bg
+           LEFT JOIN ctx x ON x.c = substr(b.bg, 1, 1)
+           CROSS JOIN vsize v)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(ll) AS BIGINT) AS ll_micro,
+                CAST(-sum(ll) AS DOUBLE) /
+                  CAST(count(*) * 1000000 AS DOUBLE) AS avg_nll
+         FROM scored GROUP BY doc_id""",
 
     "url_host_cap" -> Pages.sqlWith(
       // one-window semantics; the engine's salted pre-prune is

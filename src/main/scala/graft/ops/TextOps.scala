@@ -359,4 +359,125 @@ object TextOps {
         length(coalesce(col("top_bigram"), lit("")))).cast("double") /
         col("n_chars").cast("double")).as("top_bigram_char_frac"))
   }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark set (the GPT-3/PaLM recipe — exact 13-gram
+    * collision against eval sets; n is a parameter because the corpus
+    * fixture's documents are 10-99 tokens). Returns every document with
+    * its total n-gram count (with multiplicity), the number of n-gram
+    * positions whose gram appears in the benchmark, and the
+    * any-hit `contaminated` flag.
+    *
+    * Scale shape: benchmark suites are tiny next to the corpus, so the
+    * benchmark's distinct gram set is BROADCAST; the corpus gram table
+    * is probed map-side (left-semi against the broadcast), and the only
+    * shuffles are the per-doc hit count and the narrow doc_id join that
+    * re-attaches zero-gram documents. Nothing keys on anything wider
+    * than (doc_id, gram); the corpus side is never collected.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val grams = Dedup.shingleTable(docs, n) // with multiplicity
+    val benchGrams = broadcast(
+      Dedup.shingleTable(benchmark, n).select("tok").distinct())
+    val hits = grams.join(benchGrams, Seq("tok"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val base = docs.select(col("doc_id"),
+      greatest(size(tokens(col("text"))) - (n - 1), lit(0))
+        .cast("long").as("n_grams"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+  }
+
+  /** Hashed-feature linear quality scorer (the fastText-classifier
+    * shape used for web-corpus quality filtering, with a fixed
+    * deterministic weight table so the result is engine-portable):
+    * every token occurrence hashes into one of `buckets` feature
+    * buckets; bucket b carries the integer weight
+    * (b·2654435761 mod 2001) − 1000 ∈ [−1000, 1000] (Knuth
+    * multiplicative mixing — a fixed pseudo-random projection, which is
+    * exactly what a trained linear model is to the engine: an opaque
+    * weight lookup). The document score is the mean bucket weight over
+    * token occurrences, kept in integer space until one final exact
+    * division.
+    *
+    * Families mirror the MinHash design: "xxhash64" is the production
+    * path; "md5prefix" is reproducible in DuckDB for the oracle.
+    *
+    * Scale shape: one map-side-combined hash aggregate on doc_id —
+    * weights are computed per row by codegen'd expressions (no UDF, no
+    * weight table to ship); the integer sum is order-independent so the
+    * result is identical at any parallelism.
+    */
+  def classifierScore(docs: DataFrame, buckets: Int = 1024,
+                      family: String = "md5prefix"): DataFrame = {
+    val h = family match {
+      case "xxhash64" => xxhash64(col("tok"))
+      case "md5prefix" =>
+        conv(substring(md5(encode(col("tok"), "UTF-8")), 1, 15), 16, 10)
+          .cast("long")
+      case f => throw new IllegalArgumentException(s"unknown family: $f")
+    }
+    val b = pmod(h, lit(buckets.toLong))
+    val w = pmod(b * lit(2654435761L), lit(2001L)) - lit(1000L)
+    tokenTable(docs)
+      .withColumn("w", w)
+      .groupBy("doc_id")
+      .agg(sum("w").as("score_int"), count(lit(1)).as("n_tokens"))
+      .withColumn("score", col("score_int").cast("double") /
+        (col("n_tokens") * 1000L).cast("double"))
+      .withColumn("label", col("score_int") > 0L)
+  }
+
+  /** Exploded (doc_id, bg) table of character bigrams. Documents
+    * shorter than 2 chars contribute nothing (the guard also keeps
+    * `sequence` ascending — sequence(1, 0) would infer step −1).
+    */
+  def charBigramTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(
+      when(length(col("text")) >= 2,
+        transform(sequence(lit(1), length(col("text")) - 1),
+          i => col("text").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+
+  /** Character-bigram language-model scoring — the KenLM-perplexity
+    * proxy used for corpus quality filtering (CCNet and successors),
+    * self-contained: the model is TRAINED on the `trainFilter` subset of
+    * the same corpus (add-one smoothing over the training alphabet) and
+    * every document is scored by its average negative log-likelihood.
+    * P(c2|c1) = (count(c1c2)+1) / (ctx(c1)+V); per-bigram log-likelihoods
+    * are snapped to integer micro-nats (round(ln·10⁶)) so the per-doc
+    * SUM is an order-independent integer — bit-identical at any
+    * parallelism and in the DuckDB oracle — with one exact float
+    * division at the end.
+    *
+    * Scale shape: a character-bigram model is at most |alphabet|² rows
+    * regardless of corpus size, so the model and context tables are
+    * BROADCAST; scoring is map-side joins plus one hash aggregate on
+    * doc_id. Training is two map-side-combined aggregates.
+    */
+  def charLmScore(docs: DataFrame, trainFilter: Column): DataFrame = {
+    val train = charBigramTable(docs.filter(trainFilter))
+    val model = broadcast(train.groupBy("bg").agg(count(lit(1)).as("cnt")))
+    val ctx = broadcast(model.groupBy(substring(col("bg"), 1, 1).as("c"))
+      .agg(sum("cnt").as("ctx")))
+    val vocab = broadcast(docs.filter(trainFilter)
+      .select(explode(when(length(col("text")) >= 1,
+        transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1))))
+        .otherwise(array().cast("array<string>"))).as("c"))
+      .agg(countDistinct(col("c")).as("v")))
+    val p = (coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+      (coalesce(col("ctx"), lit(0L)) + col("v")).cast("double")
+    charBigramTable(docs)
+      .join(model, Seq("bg"), "left")
+      .join(ctx, substring(col("bg"), 1, 1) === col("c"), "left")
+      .crossJoin(vocab)
+      .withColumn("ll", round(log(p) * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ll").as("ll_micro"))
+      .withColumn("avg_nll", (-col("ll_micro")).cast("double") /
+        (col("n_bigrams") * 1000000L).cast("double"))
+  }
 }

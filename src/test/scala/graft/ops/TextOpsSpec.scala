@@ -246,4 +246,76 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3) == (("sub.example.com:8080/x", "sub.example.com")))
     assert(out(4) == (("files.net", "files.net")))
   }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    import org.apache.spark.sql.functions.col
+    val df = docs(
+      0L -> "a b c d e",       // benchmark doc
+      1L -> "x a b c d e y",   // contains bench 3-grams
+      2L -> "a b x c d",       // shares no 3-gram
+      3L -> "p q")             // too short for any 3-gram
+    val bench = df.filter(col("doc_id") === 0L)
+    val out = TextOps.decontaminate(df, bench, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(0L) == ((3L, 3L, true)))  // bench doc matches itself
+    assert(out(1L) == ((5L, 3L, true)))  // "a b c","b c d","c d e"
+    assert(out(2L) == ((3L, 0L, false)))
+    assert(out(3L) == ((0L, 0L, false))) // zero grams, still present
+  }
+
+  test("classifierScore: integer mean of fixed bucket weights, both families") {
+    val df = docs(0L -> "a a b", 1L -> "b")
+    for (family <- Seq("md5prefix", "xxhash64")) {
+      val rows = TextOps.classifierScore(df, buckets = 16, family = family)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+      val (s0, n0, sc0, _) = rows(0L)
+      val (s1, n1, sc1, l1) = rows(1L)
+      assert(n0 == 3L && n1 == 1L)
+      // doc 0 = 2*w(a) + w(b); doc 1 = w(b): weights are per-token and
+      // additive, so the difference is exactly 2*w(a) — always even
+      assert((s0 - s1) % 2 == 0)
+      assert(sc0 == s0.toDouble / (3000.0) && sc1 == s1.toDouble / 1000.0)
+      assert(l1 == (s1 > 0))
+      // bucket weights stay inside the advertised band per occurrence
+      assert(math.abs(s1) <= 1000 && math.abs(s0) <= 3000)
+    }
+  }
+
+  test("classifierScore is deterministic across parallelism levels") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => (i, s"tok${i % 7} tok${i % 13} w$i"))
+    val a = TextOps.classifierScore(rows.toDF("doc_id", "text").repartition(1))
+      .orderBy("doc_id").collect().toSeq
+    val b = TextOps.classifierScore(rows.toDF("doc_id", "text").repartition(16))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("charLmScore: hand-checked bigram NLL on a two-char alphabet") {
+    import org.apache.spark.sql.functions.col
+    // train doc "abab": bigrams ab,ba,ab -> cnt(ab)=2, cnt(ba)=1,
+    // ctx(a)=2, ctx(b)=1, V=2 (chars a,b)
+    val df = docs(0L -> "abab", 1L -> "aa")
+    val out = TextOps.charLmScore(df, col("doc_id") === 0L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val llAb = math.round(math.log(3.0 / 4.0) * 1e6) // (2+1)/(2+2)
+    val llBa = math.round(math.log(2.0 / 3.0) * 1e6) // (1+1)/(1+2)
+    val llAa = math.round(math.log(1.0 / 4.0) * 1e6) // unseen: (0+1)/(2+2)
+    assert(out(0L)._1 == 3L && out(0L)._2 == 2 * llAb + llBa)
+    assert(out(1L)._1 == 1L && out(1L)._2 == llAa)
+    assert(out(1L)._3 == -llAa.toDouble / 1e6)
+  }
+
+  test("charLmScore is deterministic across parallelism levels") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = (0L until 120L).map(i => (i, ("abcde" * (1 + (i % 9).toInt)) + "xyz"))
+    def run(parts: Int) =
+      TextOps.charLmScore(rows.toDF("doc_id", "text").repartition(parts),
+        col("doc_id") % 3 === 0).orderBy("doc_id").collect().toSeq
+    assert(run(1) == run(16))
+  }
 }
