@@ -601,6 +601,16 @@ object SparkEntry {
       // size); md5prefix family so DuckDB mirrors the band keys
       Dedup.lshClusters(documentsOf(s, dir), k = 8, bands = 4, family = "md5prefix")
     },
+    "dedup_bloom" -> { (s, dir) =>
+      // incremental-crawl membership: reference corpus = doc_id % 3,
+      // probe = everything; the bitmap probe itself runs (codegen'd bit
+      // test), and the oracle mirrors it through set semantics — bitmap
+      // OR is set union, so "all k bits set" is exactly "all k positions
+      // in the distinct reference position set"
+      val docs = documentsOf(s, dir)
+      Dedup.bloomFlags(docs, docs.filter(col("doc_id") % 3 === 0),
+        k = 5, mBits = 1 << 20, family = "md5prefix")
+    },
 
     // --- similarity search ---
     "ann_topk" -> { (s, dir) => Similarity.annTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5) },
@@ -2120,6 +2130,21 @@ object SparkEntry {
         comp AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
         SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
         FROM documents d LEFT JOIN comp c USING (doc_id)"""),
+
+    "dedup_bloom" ->
+      // bitmap OR = set union: "all k bits set" ≡ "all k positions in the
+      // distinct reference position set" — the engine's bitmap probe and
+      // this set-join see identical deterministic md5 positions, so even
+      // Bloom false positives reproduce exactly
+      """WITH pos AS (SELECT doc_id,
+           (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || text), 1, 15)
+             AS BIGINT) % 1048576) AS p
+         FROM documents, range(1, 6) r(i)),
+        refbits AS (SELECT DISTINCT p FROM pos WHERE doc_id % 3 = 0),
+        probe AS (SELECT d.doc_id, count(r.p) AS n_set
+          FROM pos d LEFT JOIN refbits r ON r.p = d.p
+          GROUP BY d.doc_id)
+        SELECT doc_id, n_set = 5 AS maybe_seen FROM probe""",
 
     "ann_topk" -> annTopKOracle,
     "ann_ivf" -> annTopKOracle,

@@ -27,6 +27,8 @@ object GraftFunctions {
       es => graft.plans.StContainsPoint(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("cover_cells",
       es => graft.plans.CoverCellsExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_contains_all",
+      es => BloomContainsAllExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("channel_transpose", es =>
       ChannelTransposeExpr(es(0),
         es(1).eval().asInstanceOf[Number].intValue(),

@@ -272,3 +272,38 @@ case class ChannelTransposeExpr(child: Expression, c: Int, h: Int, w: Int,
   override protected def withNewChildInternal(nc: Expression): Expression =
     copy(child = nc)
 }
+
+/** Static shim for the Bloom probe (codegen calls it directly). */
+object BloomFun {
+  /** true iff every position in `pos` has its bit set in `bits` (a
+    * packed little-endian-within-word bitmap: bit p lives in word p>>6).
+    */
+  def containsAll(pos: ArrayData, bits: ArrayData): Boolean = {
+    var i = 0
+    val n = pos.numElements()
+    while (i < n) {
+      val p = pos.getLong(i)
+      if ((bits.getLong((p >>> 6).toInt) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** `bloom_contains_all(positions, bits)` — probe side of a Bloom
+  * membership test: left is the key's k bit positions (array<long>),
+  * right the bitmap words (array<long>, in practice a plan-time literal
+  * built by Dedup.bloomBitmap, shipped to executors once with the plan).
+  * A map-only, whole-stage-codegen'd bit test with no join.
+  */
+case class BloomContainsAllExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(pos: Any, bits: Any): Any =
+    BloomFun.containsAll(pos.asInstanceOf[ArrayData], bits.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (pos, bits) =>
+      s"graft.expr.BloomFun.containsAll($pos, $bits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

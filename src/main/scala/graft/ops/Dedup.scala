@@ -323,4 +323,77 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster"))
   }
+
+  /** Bloom bit positions for a content key: position_i =
+    * hash_i("i:" ++ key) mod mBits, i in 1..k. Same two hash families as
+    * MinHash: "xxhash64" (codegen'd, production) and "md5prefix" (the
+    * DuckDB-reproducible oracle family).
+    */
+  def bloomPositions(key: Column, k: Int, mBits: Int,
+                     family: String = "xxhash64"): Column = {
+    require(k >= 1 && mBits > 0 && mBits % 64 == 0,
+      s"need k>=1 and mBits a positive multiple of 64, got k=$k mBits=$mBits")
+    array((1 to k).map { i =>
+      val h = family match {
+        case "xxhash64" => xxhash64(lit(i), key)
+        case "md5prefix" =>
+          conv(substring(md5(encode(concat(lit(s"$i:"), key), "UTF-8")), 1, 15),
+            16, 10).cast("long")
+        case f => throw new IllegalArgumentException(s"unknown bloom family: $f")
+      }
+      pmod(h, lit(mBits.toLong))
+    }: _*)
+  }
+
+  /** Distributed Bloom bitmap over the reference corpus: a typed
+    * Aggregator with FIXED-SIZE Array[Long] state (mBits/64 words) —
+    * per-partition partial bitmaps OR-merged, the treeAggregate shape.
+    * The result is mBits/8 bytes regardless of corpus size, which is
+    * what makes a membership sketch over 10^12 documents shippable: size
+    * mBits for the expected insert count (~10 bits/key for 1% FP), build
+    * once, broadcast everywhere.
+    */
+  def bloomBitmap(ref: DataFrame, keyCol: String, k: Int, mBits: Int,
+                  family: String = "xxhash64"): Array[Long] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val words = mBits / 64
+    val agg = new org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+      def zero: Array[Long] = new Array[Long](words)
+      def reduce(b: Array[Long], p: Long): Array[Long] = {
+        b((p >>> 6).toInt) |= 1L << (p & 63); b
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+      }
+      def finish(r: Array[Long]): Array[Long] = r
+      def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+      def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    }
+    import ref.sparkSession.implicits._
+    ref.select(explode(bloomPositions(col(keyCol), k, mBits, family)).as("p"))
+      .as[Long].select(agg.toColumn).head()
+  }
+
+  /** Bloom membership dedup: flag every document whose content key MIGHT
+    * already be in the reference corpus. `maybe_seen = false` is EXACT
+    * (no false negatives — the incremental-crawl guarantee: a page
+    * flagged new IS new); `maybe_seen = true` is approximate with FP
+    * rate ~(1-e^(-kn/m))^k, and both engines see the identical
+    * deterministic positions, so even false positives reproduce exactly.
+    *
+    * Scale shape: build is one map-side-combined aggregate with
+    * fixed-size state; the probe is a map-only codegen'd bit test
+    * against the bitmap riding inside the expression — no join, no
+    * shuffle, nothing keyed wider than the document row itself.
+    */
+  def bloomFlags(docs: DataFrame, ref: DataFrame, k: Int = 5,
+                 mBits: Int = 1 << 20,
+                 family: String = "xxhash64"): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val bits = bloomBitmap(ref, "text", k, mBits, family)
+    val pos = bloomPositions(col("text"), k, mBits, family)
+    docs.select(col("doc_id"),
+      call_function("bloom_contains_all", pos, typedlit(bits)).as("maybe_seen"))
+  }
 }

@@ -100,4 +100,50 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b)) }
   }
+
+  private def docTexts(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bloomFlags: no false negatives, bitmap probe ≡ set semantics, both families") {
+    import spark.implicits._
+    val docs = docTexts((0L until 300L).map(i =>
+      (i, s"document body ${i % 97} variant ${i % 13} tail $i")): _*)
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    for (family <- Seq("xxhash64", "md5prefix")) {
+      val k = 5; val m = 1 << 14
+      val flags = Dedup.bloomFlags(docs, ref, k = k, mBits = m, family = family)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // exact no-false-negative guarantee: every reference doc is flagged
+      (0L until 300L by 3).foreach(i => assert(flags(i), s"ref doc $i family $family"))
+      // bitmap probe equals plain set semantics, including any FPs
+      val refPos = ref.select(explode(
+        Dedup.bloomPositions(col("text"), k, m, family)).as("p"))
+        .distinct().as[Long].collect().toSet
+      val want = docs.select(col("doc_id"),
+        Dedup.bloomPositions(col("text"), k, m, family).as("pos"))
+        .as[(Long, Seq[Long])].collect()
+        .map { case (id, pos) => id -> pos.forall(refPos) }.toMap
+      assert(flags == want)
+    }
+  }
+
+  test("bloomFlags FP rate is sane at the designed bits-per-key ratio") {
+    // 100 ref keys in 2^14 bits, k=5: theoretical FP ~ 3e-9 — expect
+    // zero false positives among the 200 non-ref docs (deterministic)
+    val docs = docTexts((0L until 300L).map(i => (i, s"unique content $i")): _*)
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val flags = Dedup.bloomFlags(docs, ref, k = 5, mBits = 1 << 14)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val fps = (0L until 300L).filter(i => i % 3 != 0 && flags(i))
+    assert(fps.isEmpty, s"unexpected false positives: $fps")
+  }
+
+  test("bloomBitmap is deterministic across parallelism levels") {
+    val docs = docTexts((0L until 200L).map(i => (i, s"text $i")): _*)
+    val a = Dedup.bloomBitmap(docs.repartition(1), "text", k = 3, mBits = 1 << 10)
+    val b = Dedup.bloomBitmap(docs.repartition(16), "text", k = 3, mBits = 1 << 10)
+    assert(a.toSeq == b.toSeq)
+  }
 }
