@@ -292,6 +292,18 @@ object SparkEntry {
         .groupBy("s2").agg(count(lit(1)).as("n_pages"), min("doc_id").as("min_doc"))
     },
 
+    "geo_s2_rollup" -> { (s, dir) =>
+      // multi-resolution rollup: the engine derives level-7 keys from
+      // level-10 cells with pure bit ops (s2_parent); the oracle
+      // re-derives level-7 cells from lon/lat through the full
+      // cube-projection trig path — the two must agree cell-for-cell
+      GraftFunctions.register(s)
+      Pages.pages(s, dir)
+        .select(col("doc_id"), GraftFunctions.s2Parent(
+          GraftFunctions.s2Cell(col("lon"), col("lat"), lit(10)), lit(3)).as("s2"))
+        .groupBy("s2").agg(count(lit(1)).as("n_pages"), min("doc_id").as("min_doc"))
+    },
+
     "geo_s2_kring" -> { (s, dir) =>
       // cross-face S2 k-ring expansion (rows-only: ring membership uses
       // the cube-face wrap; exactness pinned by CellIndexSpec properties)
@@ -1460,6 +1472,10 @@ object SparkEntry {
 
     "geo_s2_cells" -> Pages.sqlWith(
       s", ${sqlS2Cell(10)} SELECT s2, CAST(count(*) AS BIGINT) AS n_pages, " +
+        "min(doc_id) AS min_doc FROM s2cell GROUP BY s2"),
+
+    "geo_s2_rollup" -> Pages.sqlWith(
+      s", ${sqlS2Cell(7)} SELECT s2, CAST(count(*) AS BIGINT) AS n_pages, " +
         "min(doc_id) AS min_doc FROM s2cell GROUP BY s2"),
 
     "encode_latlng" -> Pages.sqlWith(

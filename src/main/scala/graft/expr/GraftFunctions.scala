@@ -18,6 +18,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("h3_kring", es => KRingExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("grid_kring", es => GridKRingExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("s2_kring", es => S2KRingExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("s2_parent", es => S2ParentExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("utm_epsg", es => UtmEpsgExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("geocode_url", es => GeocodeUrl(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("reproject_point", es => ReprojectPointExpr(es), "scala_udf")
@@ -55,6 +56,8 @@ object GraftFunctions {
     call_function("grid_cell", lon.cast("double"), lat.cast("double"), level.cast("int"))
   def s2Cell(lon: Column, lat: Column, level: Column): Column =
     call_function("s2_cell", lon.cast("double"), lat.cast("double"), level.cast("int"))
+  def s2Parent(cell: Column, steps: Column): Column =
+    call_function("s2_parent", cell, steps.cast("int"))
   def gridX(cell: Column): Column = call_function("grid_x", cell)
   def gridY(cell: Column): Column = call_function("grid_y", cell)
   def h3KRing(cell: Column, k: Column): Column = call_function("h3_kring", cell, k.cast("int"))

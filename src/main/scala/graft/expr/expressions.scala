@@ -96,6 +96,21 @@ case class S2CellExpr(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+/** `s2_parent(cell, steps)` → ancestor cell `steps` levels up the face
+  * quadtree — pure bit ops, the rollup key for multi-resolution
+  * aggregation without re-deriving cells from coordinates.
+  */
+case class S2ParentExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(cell: Any, steps: Any): Any =
+    graft.index.S2Cell.parentN(cell.asInstanceOf[Long], steps.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, s) => s"graft.index.S2Cell.parentN($c, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** `grid_cell(lon, lat, level)` → Long quadtree cell id (graft.index.GridCell). */
 case class GridCellExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {

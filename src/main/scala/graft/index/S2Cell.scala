@@ -87,6 +87,16 @@ object S2Cell {
     pack(face(cell), i(cell) >> 1, j(cell) >> 1, l - 1)
   }
 
+  /** Ancestor `steps` levels up. Exactly the cell `encode` would produce
+    * at the coarser level: floor(st·2^l) >> s == floor(st·2^(l−s)), and
+    * the clamp commutes with the shift.
+    */
+  def parentN(cell: Long, steps: Int): Long = {
+    val l = level(cell)
+    require(steps >= 0 && steps <= l, s"cannot go $steps levels up from level $l")
+    pack(face(cell), i(cell) >> steps, j(cell) >> steps, l - steps)
+  }
+
   def children(cell: Long): Array[Long] = {
     val l = level(cell); val ci = i(cell) << 1; val cj = j(cell) << 1
     Array(pack(face(cell), ci, cj, l + 1), pack(face(cell), ci + 1, cj, l + 1),

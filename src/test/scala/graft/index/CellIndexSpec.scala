@@ -242,4 +242,25 @@ class CellIndexSpec extends AnyFunSuite {
     val latOk = verts.exists(_._2 < clat) && verts.exists(_._2 > clat)
     assert(lonOk && latOk)
   }
+
+  test("s2 parentN: rollup equals direct encoding at the coarser level (property)") {
+    val rnd = new scala.util.Random(20260817L)
+    for (_ <- 1 to 2000) {
+      val lon = rnd.nextDouble() * 360.0 - 180.0
+      val lat = rnd.nextDouble() * 180.0 - 90.0
+      val l = 2 + rnd.nextInt(18)
+      val s = rnd.nextInt(l + 1)
+      assert(S2Cell.parentN(S2Cell.encode(lon, lat, l), s) ===
+        S2Cell.encode(lon, lat, l - s), s"($lon,$lat) l=$l s=$s")
+    }
+  }
+
+  test("s2 parentN: steps=0 is identity, full depth lands on the face cell, children invert") {
+    val c = S2Cell.encode(12.34, 56.78, 9)
+    assert(S2Cell.parentN(c, 0) === c)
+    assert(S2Cell.level(S2Cell.parentN(c, 9)) === 0)
+    assert(S2Cell.parentN(c, 2) === S2Cell.parent(S2Cell.parent(c)))
+    S2Cell.children(c).foreach(ch => assert(S2Cell.parentN(ch, 1) === c))
+    assertThrows[IllegalArgumentException](S2Cell.parentN(c, 10))
+  }
 }
