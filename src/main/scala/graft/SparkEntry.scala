@@ -539,6 +539,12 @@ object SparkEntry {
     "text_charlm" -> { (s, dir) =>
       TextOps.charLmScore(documentsOf(s, dir), col("doc_id") % 5 === 0)
     },
+    "text_dsir" -> { (s, dir) =>
+      // importance-resampling weights toward the English slice of the
+      // corpus as the "target domain"
+      TextOps.dsirWeights(documentsOf(s, dir), col("lang") === "en",
+        buckets = 4096)
+    },
     "url_host_cap" -> { (s, dir) => WebOps.capPerHost(Pages.pages(s, dir), n = 3) },
     "url_blocklist" -> { (s, dir) =>
       import s.implicits._
@@ -1973,6 +1979,48 @@ object SparkEntry {
                 CAST(sum(ll) AS BIGINT) AS ll_micro,
                 CAST(-sum(ll) AS DOUBLE) /
                   CAST(count(*) * 1000000 AS DOUBLE) AS avg_nll
+         FROM scored GROUP BY doc_id""",
+
+    "text_dsir" ->
+      // hashed word-bigram features; Laplace-smoothed target (lang=en)
+      // vs corpus profiles; per-bucket log-ratios in integer micro-nats
+      """WITH occ AS (
+           SELECT doc_id,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+                  tok
+           FROM (SELECT doc_id,
+                        unnest(string_split(text, ' ')) AS tok,
+                        generate_subscripts(string_split(text, ' '), 1) AS pos
+                 FROM documents)
+           WHERE tok <> ''),
+         grams AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+           FROM occ a JOIN occ b ON b.doc_id = a.doc_id AND b.rn = a.rn + 1),
+         feats AS (SELECT doc_id,
+             (CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 4096) AS b
+           FROM grams),
+         tgt AS (SELECT b, count(*) AS cnt_t FROM feats
+                 JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+         src AS (SELECT b, count(*) AS cnt_s FROM feats GROUP BY b),
+         tot AS (SELECT
+             CAST(sum(CASE WHEN lang = 'en' THEN
+               greatest(len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) - 1, 0) ELSE 0 END) AS BIGINT) AS tot_t,
+             CAST(sum(greatest(len(list_filter(string_split(text, ' '),
+               x -> x <> '')) - 1, 0)) AS BIGINT) AS tot_s
+           FROM documents),
+         scored AS (SELECT f.doc_id,
+             CAST(round((ln(CAST(coalesce(t.cnt_t, 0) + 1 AS DOUBLE) /
+                            CAST(tot.tot_t + 4096 AS DOUBLE))
+                       - ln(CAST(coalesce(s.cnt_s, 0) + 1 AS DOUBLE) /
+                            CAST(tot.tot_s + 4096 AS DOUBLE))) * 1000000, 0)
+               AS BIGINT) AS lr
+           FROM feats f LEFT JOIN tgt t USING (b) LEFT JOIN src s USING (b)
+           CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_feats,
+                CAST(sum(lr) AS BIGINT) AS logw_micro,
+                CAST(sum(lr) AS DOUBLE) /
+                  CAST(count(*) * 1000000 AS DOUBLE) AS avg_logw,
+                sum(lr) > 0 AS target_like
          FROM scored GROUP BY doc_id""",
 
     "url_host_cap" -> Pages.sqlWith(

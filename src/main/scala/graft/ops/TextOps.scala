@@ -480,4 +480,62 @@ object TextOps {
       .withColumn("avg_nll", (-col("ll_micro")).cast("double") /
         (col("n_bigrams") * 1000000L).cast("double"))
   }
+
+  /** Hashed word-bigram feature table (with multiplicity): the DSIR
+    * feature space — bucket = hash(tok_i ' ' tok_i+1) mod buckets.
+    */
+  def featureTable(docs: DataFrame, buckets: Int,
+                   family: String = "md5prefix"): DataFrame = {
+    val gram = Dedup.shingleTable(docs, n = 2)
+    val h = family match {
+      case "xxhash64" => xxhash64(col("tok"))
+      case "md5prefix" =>
+        conv(substring(md5(encode(col("tok"), "UTF-8")), 1, 15), 16, 10)
+          .cast("long")
+      case f => throw new IllegalArgumentException(s"unknown family: $f")
+    }
+    gram.select(col("doc_id"), pmod(h, lit(buckets.toLong)).as("b"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): log p_target/p_source
+    * of each document under two hashed-bigram unigram-feature models,
+    * Laplace-smoothed. Documents scoring above 0 look more like the
+    * target domain than like the corpus at large — the resampling key
+    * for training-mix construction. Per-bucket log-ratios are snapped to
+    * integer micro-nats (the charLmScore recipe) so per-doc sums are
+    * order-independent and engine-portable.
+    *
+    * Scale shape: both profiles are bounded by the bucket count — 4096
+    * rows regardless of corpus size — so they BROADCAST; scoring is a
+    * map-side join plus one hash aggregate on doc_id. The corpus-side
+    * profile is one map-side-combined aggregate over the feature table.
+    */
+  def dsirWeights(docs: DataFrame, targetFilter: Column, buckets: Int = 4096,
+                  family: String = "md5prefix"): DataFrame = {
+    val feats = featureTable(docs, buckets, family)
+    val tgtProfile = broadcast(featureTable(docs.filter(targetFilter), buckets, family)
+      .groupBy("b").agg(count(lit(1)).as("cnt_t")))
+    val srcProfile = broadcast(feats.groupBy("b").agg(count(lit(1)).as("cnt_s")))
+    val totals = broadcast(
+      docs.select(
+        sum(when(targetFilter, greatest(size(tokens(col("text"))) - 1, lit(0)))
+          .otherwise(lit(0))).cast("long").as("tot_t"),
+        sum(greatest(size(tokens(col("text"))) - 1, lit(0)))
+          .cast("long").as("tot_s")))
+    val pT = (coalesce(col("cnt_t"), lit(0L)) + 1L).cast("double") /
+      (col("tot_t") + buckets).cast("double")
+    val pS = (coalesce(col("cnt_s"), lit(0L)) + 1L).cast("double") /
+      (col("tot_s") + buckets).cast("double")
+    feats
+      .join(tgtProfile, Seq("b"), "left")
+      .join(srcProfile, Seq("b"), "left")
+      .crossJoin(totals)
+      .withColumn("lr", round((log(pT) - log(pS)) * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("logw_micro"))
+      .withColumn("avg_logw", col("logw_micro").cast("double") /
+        (col("n_feats") * 1000000L).cast("double"))
+      .withColumn("target_like", col("logw_micro") > 0L)
+  }
 }

@@ -309,6 +309,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1L)._3 == -llAa.toDouble / 1e6)
   }
 
+  test("dsirWeights: target-domain docs outscore off-domain docs; weights additive") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // target domain: "alpha beta"-style bigrams; off-domain: disjoint vocab
+    val rows = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma alpha beta", "en")
+      else (i, "unrelated words entirely different corpus", "de")
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val out = TextOps.dsirWeights(df, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    val (tgtW, offW) = (out(0L)._2, out(1L)._2)
+    assert(tgtW > offW, s"target $tgtW should outscore off-domain $offW")
+    assert(out(0L)._3 && !out(1L)._3)
+    // all even docs identical text -> identical weight; same for odd
+    (0L until 40L by 2).foreach(i => assert(out(i) == out(0L)))
+    (1L until 40L by 2).foreach(i => assert(out(i) == out(1L)))
+  }
+
+  test("dsirWeights is deterministic across parallelism levels") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = (0L until 100L).map(i =>
+      (i, s"tok${i % 7} tok${i % 13} tok${i % 5} tok${i % 3}", if (i % 4 == 0) "en" else "de"))
+    def run(parts: Int) =
+      TextOps.dsirWeights(rows.toDF("doc_id", "text", "lang").repartition(parts),
+        col("lang") === "en").orderBy("doc_id").collect().toSeq
+    assert(run(1) == run(16))
+  }
+
   test("charLmScore is deterministic across parallelism levels") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
