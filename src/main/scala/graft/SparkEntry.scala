@@ -523,6 +523,22 @@ object SparkEntry {
         md5(encode(WebOps.extractText(wrapped), "UTF-8")).as("text_md5"),
         (WebOps.extractText(wrapped) === col("text")).as("ok"))
     },
+    "warc_roundtrip" -> { (s, dir) =>
+      // WARC/1.0 container round trip: pages → codegen'd record synthesis
+      // → multi-record segment blobs (64 segments) → from-scratch byte
+      // scanner back to typed rows. The oracle recomputes every parsed
+      // field (uri, Zulu date, payload md5, exact record byte length)
+      // from the source table — container-level byte exactness.
+      import graft.ops.Warc
+      val segs = Warc.segmentTable(Pages.pages(s, dir), pmod(col("doc_id"), lit(64)))
+      Warc.parseTable(segs, "seg_id", "blob")
+        .select(
+          regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("target_uri"), col("warc_date"),
+          md5(col("payload")).as("payload_md5"),
+          col("rec_len").cast("long").as("rec_len"),
+          (col("warc_type") === "response").as("ok"))
+    },
     "text_tfidf" -> { (s, dir) => TextOps.tfidf(documentsOf(s, dir), k = 5) },
     "text_curate" -> { (s, dir) => TextOps.curate(documentsOf(s, dir), maxDupFrac = 0.6) },
     "text_decontaminate" -> { (s, dir) =>
@@ -1857,6 +1873,19 @@ object SparkEntry {
              '<!DOCTYPE html><html lang="' || lang || '"><head><title>' || url ||
              '</title><meta charset="utf-8"/></head><body><p id="main">' || text || '</p></body></html>',
              '<head>.*?</head>', ''), '<[^>]*>', '', 'g') = text AS ok
+         FROM pages"""),
+
+    "warc_roundtrip" -> Pages.sqlWith(
+      // record byte length recomputed from first principles: 176 constant
+      // header/trailer bytes + uri + Content-Length digits + payload
+      """SELECT doc_id, url AS target_uri,
+           strftime(make_timestamp(warc_sec * 1000000),
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+           md5(text) AS payload_md5,
+           CAST(176 + strlen(url)
+                    + length(CAST(strlen(text) AS VARCHAR))
+                    + strlen(text) AS BIGINT) AS rec_len,
+           TRUE AS ok
          FROM pages"""),
 
     "text_tfidf" -> (sqlToks +

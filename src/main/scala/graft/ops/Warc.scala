@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** WARC/1.0 (ISO 28500) container codec — the on-disk format of the
+  * Common-Crawl corpus the north-rule pages table models. From scratch,
+  * byte-level, no library lineage.
+  *
+  * Writer side ([[recordCol]]) is a pure Catalyst column expression
+  * (binary `concat` of header bytes + payload), so record synthesis at
+  * 10^12 rows stays inside whole-stage codegen — no UDF, no extra pass
+  * over the payload. Reader side ([[parse]]) is a strict byte scanner
+  * (malformed input raises, per the Mp4 strictness adjudication in
+  * ADVICE r3) used partition-batched via [[parseTable]], the same shape
+  * as the PNG/JPEG/MP4 decoders in [[Multimodal]].
+  *
+  * Reference anchor: buteo treats rasters as opaque containers resolved
+  * to typed arrays (`core_raster/core_raster_read.py`); WARC is the
+  * web-text analog — an opaque container column resolved to typed
+  * (uri, date, payload) rows.
+  */
+object Warc {
+
+  final case class Record(warcType: String, targetUri: String, date: String,
+                          recordId: String, payload: Array[Byte], recLen: Int)
+
+  private val CRLF = "\r\n"
+
+  /** Single-record encode (JVM side, for tests and blob assembly). Field
+    * order matches [[recordCol]] byte-for-byte.
+    */
+  def encode(warcType: String, targetUri: String, dateIso: String,
+             recordId: String, payload: Array[Byte]): Array[Byte] = {
+    val head = header(warcType, targetUri, dateIso, recordId, payload.length)
+    val h = head.getBytes("UTF-8")
+    val out = new Array[Byte](h.length + payload.length + 4)
+    System.arraycopy(h, 0, out, 0, h.length)
+    System.arraycopy(payload, 0, out, h.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  private def header(warcType: String, targetUri: String, dateIso: String,
+                     recordId: String, len: Int): String =
+    s"WARC/1.0$CRLF" +
+      s"WARC-Type: $warcType$CRLF" +
+      s"WARC-Record-ID: <$recordId>$CRLF" +
+      s"WARC-Date: $dateIso$CRLF" +
+      s"WARC-Target-URI: $targetUri$CRLF" +
+      s"Content-Length: $len$CRLF" + CRLF
+
+  /** Codegen'd record synthesis: the exact bytes of [[encode]] as a
+    * column expression over (uri, epoch-seconds, payload). The record id
+    * is derived deterministically from the uri (sha1-urn, the Common
+    * Crawl convention shape) so re-runs are byte-identical.
+    */
+  def recordCol(uri: Column, epochSec: Column, payload: Column): Column = {
+    val date = dateCol(epochSec)
+    val rid = concat(lit("urn:sha1:"),
+      sha1(org.apache.spark.sql.functions.encode(uri, "UTF-8")))
+    val head = concat(
+      lit("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF + "WARC-Record-ID: <"),
+      rid, lit(">" + CRLF + "WARC-Date: "), date,
+      lit(CRLF + "WARC-Target-URI: "), uri,
+      lit(CRLF + "Content-Length: "), length(payload).cast("string"),
+      lit(CRLF + CRLF))
+    concat(org.apache.spark.sql.functions.encode(head, "UTF-8"), payload,
+      lit((CRLF + CRLF).getBytes("UTF-8")))
+  }
+
+  /** ISO-8601 Zulu date from epoch seconds (session tz is UTC in every
+    * graft main; DuckDB mirror: strftime(make_timestamp(sec*1000000), ...)).
+    */
+  def dateCol(epochSec: Column): Column =
+    date_format(to_timestamp(epochSec), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+  /** Strict parse of a blob of one-or-more concatenated WARC records.
+    * Accepts optional extra CRLF padding between records (writers vary);
+    * anything else malformed raises with byte offsets.
+    */
+  def parse(blob: Array[Byte]): Seq[Record] = {
+    val out = ArrayBuffer[Record]()
+    var pos = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < blob.length && !(blob(i) == '\r' && blob(i + 1) == '\n')) i += 1
+      require(i + 1 < blob.length, s"unterminated header line at byte $from")
+      i
+    }
+    while (pos < blob.length) {
+      // tolerate inter-record CRLF padding
+      if (pos + 1 < blob.length && blob(pos) == '\r' && blob(pos + 1) == '\n') {
+        pos += 2
+      } else {
+        val recStart = pos
+        val e0 = lineEnd(pos)
+        val version = new String(blob, pos, e0 - pos, "UTF-8")
+        require(version.startsWith("WARC/"), s"expected WARC/ magic at byte $pos, got '$version'")
+        pos = e0 + 2
+        var warcType = ""; var uri = ""; var date = ""; var rid = ""
+        var contentLength = -1L
+        var headersDone = false
+        while (!headersDone) {
+          val e = lineEnd(pos)
+          if (e == pos) { headersDone = true; pos += 2 }
+          else {
+            val line = new String(blob, pos, e - pos, "UTF-8")
+            val ci = line.indexOf(':')
+            require(ci > 0, s"malformed header '$line' at byte $pos")
+            val key = line.substring(0, ci).trim.toLowerCase
+            val value = line.substring(ci + 1).trim
+            key match {
+              case "warc-type"       => warcType = value
+              case "warc-target-uri" => uri = value
+              case "warc-date"       => date = value
+              case "warc-record-id"  => rid = value.stripPrefix("<").stripSuffix(">")
+              case "content-length"  => contentLength = value.toLong
+              case _                 => () // unknown headers are legal
+            }
+            pos = e + 2
+          }
+        }
+        require(contentLength >= 0, "record missing Content-Length")
+        require(pos + contentLength + 4 <= blob.length,
+          s"payload of $contentLength bytes at $pos overruns blob of ${blob.length}")
+        val payload = java.util.Arrays.copyOfRange(blob, pos, pos + contentLength.toInt)
+        pos += contentLength.toInt
+        require(blob(pos) == '\r' && blob(pos + 1) == '\n' &&
+          blob(pos + 2) == '\r' && blob(pos + 3) == '\n',
+          s"record at $pos missing CRLFCRLF trailer")
+        pos += 4
+        out += Record(warcType, uri, date, rid, payload, pos - recStart)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Assemble pages into multi-record WARC segment blobs — the write path.
+    * One shuffle on the segment key; records within a segment are laid out
+    * in doc_id order so segment bytes are deterministic at any parallelism
+    * (the property that makes segment-level checksums usable as lineage).
+    * Expects columns (doc_id, url, warc_sec, html).
+    */
+  def segmentTable(pages: DataFrame, segExpr: Column): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(segExpr.cast("long").as("seg"), col("doc_id"),
+        recordCol(col("url"), col("warc_sec"), col("html")).as("rec"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (seg, it) =>
+        val recs = it.toArray.sortBy(_._2)
+        val blob = new Array[Byte](recs.iterator.map(_._3.length).sum)
+        var off = 0
+        recs.foreach { case (_, _, r) =>
+          System.arraycopy(r, 0, blob, off, r.length); off += r.length
+        }
+        (seg, blob)
+      }
+      .toDF("seg_id", "blob")
+  }
+
+  /** Partition-batched parse of a binary WARC-blob column: one input row
+    * (a WARC segment holding k records) explodes to k typed rows. The
+    * 100-TB shape: segments are the unit of parallelism (Common Crawl
+    * ships ~1 GB segment files), records never cross segments, so the
+    * scan is embarrassingly parallel with zero shuffle.
+    */
+  def parseTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (segId, blob) =>
+          parse(blob).map(r =>
+            (segId, r.warcType, r.targetUri, r.date, r.recordId, r.payload, r.recLen))
+        }
+      }
+      .toDF("seg_id", "warc_type", "target_uri", "warc_date", "record_id",
+        "payload", "rec_len")
+  }
+}

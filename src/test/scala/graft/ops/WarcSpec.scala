@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("warc-spec").getOrCreate()
+
+  test("encode/parse round trip: one record, bytes and recLen exact") {
+    val payload = "hello \r\n world — ü".getBytes("UTF-8")
+    val rec = Warc.encode("response", "https://host1.example/42",
+      "2024-01-01T00:00:42Z", "urn:sha1:abc", payload)
+    val parsed = Warc.parse(rec)
+    assert(parsed.length == 1)
+    val r = parsed.head
+    assert(r.warcType == "response")
+    assert(r.targetUri == "https://host1.example/42")
+    assert(r.date == "2024-01-01T00:00:42Z")
+    assert(r.recordId == "urn:sha1:abc")
+    assert(r.payload.sameElements(payload))
+    assert(r.recLen == rec.length)
+  }
+
+  test("multi-record blob parses in order; CRLF padding tolerated") {
+    val r1 = Warc.encode("response", "u1", "2024-01-01T00:00:00Z", "id1",
+      Array[Byte](1, 2, 3))
+    val pad = "\r\n".getBytes("UTF-8")
+    val r2 = Warc.encode("request", "u2", "2024-01-01T00:00:01Z", "id2",
+      Array.empty[Byte])
+    val parsed = Warc.parse(r1 ++ pad ++ pad ++ r2)
+    assert(parsed.map(_.targetUri) == Seq("u1", "u2"))
+    assert(parsed(1).payload.isEmpty)
+    assert(parsed(0).recLen == r1.length && parsed(1).recLen == r2.length)
+  }
+
+  test("strict: truncated payload, bad magic, missing length all raise") {
+    val rec = Warc.encode("response", "u", "2024-01-01T00:00:00Z", "i",
+      Array.fill[Byte](100)(7))
+    intercept[IllegalArgumentException](Warc.parse(rec.dropRight(10)))
+    intercept[IllegalArgumentException](Warc.parse("HTTP/1.1 200\r\n\r\n".getBytes("UTF-8")))
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n" + "\r\n\r\n").getBytes("UTF-8")
+    intercept[IllegalArgumentException](Warc.parse(noLen))
+    // payload containing CRLFCRLF must NOT confuse the length-delimited scan
+    val tricky = Warc.encode("response", "u", "2024-01-01T00:00:00Z", "i",
+      "\r\n\r\nWARC/1.0\r\n\r\n".getBytes("UTF-8"))
+    assert(Warc.parse(tricky).head.payload.length == 16)
+  }
+
+  test("recordCol equals JVM encode byte-for-byte; segment round trip at two parallelism levels") {
+    import spark.implicits._
+    val sha1Hex = (s: String) => java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val pages = (0L until 200L).map { i =>
+      (i, s"https://host${i % 7}.example/$i", 1704067200L + i,
+        s"text body $i with content".getBytes("UTF-8"))
+    }.toDF("doc_id", "url", "warc_sec", "html")
+
+    val colBytes = pages
+      .select(col("doc_id"), Warc.recordCol(col("url"), col("warc_sec"), col("html")).as("rec"))
+      .as[(Long, Array[Byte])].collect().toMap
+    (0L until 200L by 37L).foreach { i =>
+      val expected = Warc.encode("response", s"https://host${i % 7}.example/$i",
+        java.time.Instant.ofEpochSecond(1704067200L + i).toString,
+        "urn:sha1:" + sha1Hex(s"https://host${i % 7}.example/$i"),
+        s"text body $i with content".getBytes("UTF-8"))
+      assert(colBytes(i).sameElements(expected), s"doc $i record bytes differ")
+    }
+
+    def run(parts: Int): Seq[(Long, String, Int)] = {
+      val segs = Warc.segmentTable(pages.repartition(parts), pmod(col("doc_id"), lit(8)))
+      Warc.parseTable(segs, "seg_id", "blob")
+        .select(col("seg_id"), col("target_uri"), col("rec_len"))
+        .as[(Long, String, Int)].collect().toSeq.sorted
+    }
+    val a = run(1); val b = run(13)
+    assert(a == b)
+    assert(a.length == 200)
+  }
+
+  test("segment blob bytes are deterministic across parallelism (lineage checksum property)") {
+    import spark.implicits._
+    val pages = (0L until 64L).map(i =>
+      (i, s"u$i", 1704067200L + i, Array.fill[Byte]((i % 5).toInt + 1)(i.toByte)))
+      .toDF("doc_id", "url", "warc_sec", "html")
+    def sums(parts: Int): Map[Long, String] =
+      Warc.segmentTable(pages.repartition(parts), pmod(col("doc_id"), lit(4)))
+        .select(col("seg_id"), md5(col("blob")).as("m"))
+        .as[(Long, String)].collect().toMap
+    assert(sums(1) == sums(16))
+  }
+}
