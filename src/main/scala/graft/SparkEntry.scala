@@ -230,6 +230,39 @@ object SparkEntry {
   private def eventsOf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
+  /** Fixed BPE merge table for the `bpe_encode` oracle query: hard-coded
+    * (data-independent) so the DuckDB side can mirror the replace chain
+    * exactly. Training itself is exercised by `bpe_train` (rows-only,
+    * BpeSpec differentials) — an iterative argmax loop has no SQL analog.
+    */
+  private val bpeFixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("an", "d"),
+    ("and", "</w>"), ("in", "g"), ("ing", "</w>"), ("e", "s"), ("o", "f"),
+    ("of", "</w>"), ("t", "o"), ("to", "</w>"), ("e", "n"), ("o", "r"),
+    ("a", "l"), ("i", "s"), ("is", "</w>"), ("e", "d"), ("ed", "</w>"))
+
+  /** DuckDB mirror of [[graft.ops.TextOps.bpeEncode]]: the same wrapped
+    * representation (US=chr(31) symbol separator, RS=chr(30) word joiner)
+    * and the same replace chain, generated from the same constant.
+    */
+  private val sqlBpeEncode: String = {
+    def lit(s: String) =
+      "'" + s.replace("'", "''") + "'"
+    val wrapped = "chr(31) || array_to_string(list_append(string_split(tok, ''), '</w>')," +
+      " chr(31)||chr(31)) || chr(31)"
+    var seg = "array_to_string(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), " +
+      s"tok -> $wrapped), chr(30))"
+    bpeFixedMerges.foreach { case (a, b) =>
+      seg = s"replace($seg, chr(31)||${lit(a)}||chr(31)||chr(31)||${lit(b)}||chr(31), " +
+        s"chr(31)||${lit(a + b)}||chr(31))"
+    }
+    s"""SELECT doc_id,
+          CAST((length(seg) - length(replace(seg, chr(31), ''))) // 2 AS BIGINT) AS n_bpe_tokens,
+          md5(seg) AS seg_md5
+        FROM (SELECT doc_id, $seg AS seg FROM documents)"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- geocoding + tiling (the north-rule spine) ---
     "geo_geocode" -> { (s, dir) =>
@@ -541,6 +574,11 @@ object SparkEntry {
     },
     "text_tfidf" -> { (s, dir) => TextOps.tfidf(documentsOf(s, dir), k = 5) },
     "text_curate" -> { (s, dir) => TextOps.curate(documentsOf(s, dir), maxDupFrac = 0.6) },
+    // distributed tokenizer training: one corpus pass, then vocabulary-
+    // bounded merge iterations (rows-only: iterative argmax has no SQL
+    // analog; BpeSpec pins the merge sequence to an independent reference)
+    "bpe_train" -> { (s, dir) => TextOps.bpeTrain(documentsOf(s, dir), nMerges = 16) },
+    "bpe_encode" -> { (s, dir) => TextOps.bpeEncode(documentsOf(s, dir), bpeFixedMerges) },
     "text_decontaminate" -> { (s, dir) =>
       // benchmark set = every 41st document of the same corpus: the
       // dup-heavy fixture guarantees real 6-gram collisions from its
@@ -1901,6 +1939,8 @@ object SparkEntry {
           SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY score DESC, tok) AS rn FROM scored)
         WHERE rn <= 5"""),
+
+    "bpe_encode" -> sqlBpeEncode,
 
     "text_curate" ->
       // composite of three proven mirrors: gopher pass ∧ dup_tok_frac

@@ -538,4 +538,123 @@ object TextOps {
         (col("n_feats") * 1000000L).cast("double"))
       .withColumn("target_like", col("logw_micro") > 0L)
   }
+
+  /** End-of-word marker (Sennrich et al. 2016 convention). */
+  val BpeEow = "</w>"
+
+  /** Split a word into initial BPE symbols: one per codepoint plus the
+    * end-of-word marker (surrogate-pair safe).
+    */
+  def bpeSymbols(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out += BpeEow
+    out.toArray
+  }
+
+  /** One leftmost-greedy merge pass of (a,b) → a+b over a symbol array. */
+  def bpeApplyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Distributed BPE vocabulary training (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"). Returns the
+    * learned merge table (rank, left, right, pair_count, symbol) — the
+    * canonical tokenizer artifact.
+    *
+    * Scale shape: the corpus is touched ONCE (word-frequency aggregate,
+    * map-side combined); every merge iteration then runs over the
+    * vocabulary-bounded word table (10^5–10^7 rows at any corpus size —
+    * the table a 100-TB corpus and a 100-GB corpus share, so iteration
+    * cost is corpus-size-independent). Per iteration: one pair-count
+    * aggregate + a driver-side argmax of ONE row (a scalar collect, not a
+    * data collect). Ties break (count desc, left asc, right asc) so the
+    * merge sequence is deterministic at any parallelism. Lineage is
+    * truncated with localCheckpoint every 8 merges so the plan never
+    * deepens past a constant.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int, minPairCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = tokenTable(docs)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (bpeSymbols(w), c) }
+      .persist()
+    words.count() // materialize before the loop so unpersist is safe
+    val merges = new scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, String)]()
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val top = words
+        .flatMap { case (syms, c) =>
+          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
+        }
+        .toDF("a", "b", "c")
+        .groupBy("a", "b").agg(sum("c").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .head(1)
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, cnt, a + b))
+        val prev = words
+        words = prev.map { case (syms, c) => (bpeApplyMerge(syms, a, b), c) }
+        words = (if ((rank + 1) % 8 == 0) words.localCheckpoint() else words).persist()
+        words.count()
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "pair_count", "symbol")
+  }
+
+  /** Symbol separator for the string-encoded segmentation: every symbol is
+    * wrapped as US<sym>US, so the pair (a,b) is adjacent iff the
+    * string USaUSUSbUS occurs. Words are joined with
+    * RS, which no merge pattern can cross.
+    */
+  val BpeSep = "\u001f"
+  private val BpeWordSep = "\u001e"
+
+  /** Apply a merge table to the corpus: per-doc BPE token count and an md5
+    * segmentation checksum. Pure column functions — the merge loop unrolls
+    * into a chain of codegen'd `replace` calls (leftmost non-overlapping
+    * string replace ≡ one leftmost-greedy `bpeApplyMerge` pass on the
+    * wrapped representation: merge patterns carry their US boundaries,
+    * and a replacement's interior contains no US, so no new cross-
+    * boundary match can appear). The merge artifact rides along as plan
+    * literals — the corpus pass is map-only, no shuffle, no UDF.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    // USc1USUSc2US…US</w>US per word
+    val wrapped = (w: Column) => concat(
+      lit(BpeSep),
+      array_join(concat(split(w, ""), array(lit(BpeEow))), BpeSep + BpeSep),
+      lit(BpeSep))
+    val seg0 = array_join(transform(tokens(col("text")), wrapped), BpeWordSep)
+    val seg = merges.foldLeft(seg0) { case (s, (a, b)) =>
+      replace(s, lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep), lit(BpeSep + a + b + BpeSep))
+    }
+    docs.select(col("doc_id"), seg.as("seg"))
+      .select(
+        col("doc_id"),
+        ((length(col("seg")) - length(replace(col("seg"), lit(BpeSep)))) / 2)
+          .cast("long").as("n_bpe_tokens"),
+        md5(col("seg")).as("seg_md5"))
+  }
 }
