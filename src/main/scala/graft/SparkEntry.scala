@@ -107,6 +107,34 @@ object SparkEntry {
     f.withColumn("wkt", rectWkt(col("x0"), col("y0"), col("w"), col("h")))
   }
 
+  /** Non-convex fixture for the shape-characteristics op: 200 L-shaped
+    * hexagons (axis-aligned rect minus a top-right notch) on an integer
+    * lattice — every metric has a closed form the DuckDB oracle derives
+    * INDEPENDENTLY from the same integer parameters (the engine parses
+    * the WKT and runs the general shoelace/monotone-chain algorithms).
+    */
+  private def vectorLShapes(s: SparkSession): DataFrame = {
+    val f = s.range(200).select(
+      col("id").as("fid"),
+      ((col("id") % 20) * 8).cast("int").as("x0"),
+      ((col("id") / 20).cast("long") * 10).cast("int").as("y0"),
+      (col("id") % 4 + 2).cast("int").as("w"),
+      (col("id") % 6 + 2).cast("int").as("h"))
+      .withColumn("nw", (lit(1) + col("fid") % (col("w") - 1)).cast("int"))
+      .withColumn("nh", (lit(1) + col("fid") % (col("h") - 1)).cast("int"))
+    // CCW: (x0,y0) (x1,y0) (x1,y1-nh) (x1-nw,y1-nh) (x1-nw,y1) (x0,y1)
+    val x1 = col("x0") + col("w"); val y1 = col("y0") + col("h")
+    f.withColumn("wkt", concat(
+      lit("POLYGON (("),
+      col("x0"), lit(" "), col("y0"), lit(", "),
+      x1, lit(" "), col("y0"), lit(", "),
+      x1, lit(" "), y1 - col("nh"), lit(", "),
+      x1 - col("nw"), lit(" "), y1 - col("nh"), lit(", "),
+      x1 - col("nw"), lit(" "), y1, lit(", "),
+      col("x0"), lit(" "), y1, lit(", "),
+      col("x0"), lit(" "), col("y0"), lit("))")))
+  }
+
   private def vectorQueries(s: SparkSession): DataFrame = {
     val q = s.range(10).select(
       col("id").as("qid"),
@@ -533,6 +561,12 @@ object SparkEntry {
     "text_langid" -> { (s, dir) => TextOps.langId(documentsOf(s, dir)) },
     "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(documentsOf(s, dir)) },
     "text_segment_dedup" -> { (s, dir) => TextOps.segmentDedup(documentsOf(s, dir)) },
+    // exact-substring dedup (8-token windows); string-keyed so the oracle
+    // mirrors the shuffle key exactly — production uses hashKey=true
+    // (xxhash64; SubstrDedupSpec proves the keyings agree)
+    "text_substr_dedup" -> { (s, dir) =>
+      TextOps.substringDedup(documentsOf(s, dir), k = 8, hashKey = false)
+    },
     "text_gopher_rules" -> { (s, dir) => TextOps.gopherRules(documentsOf(s, dir)) },
     "text_repetition" -> { (s, dir) => TextOps.repetitionMetrics(documentsOf(s, dir)) },
     "url_normalize" -> { (s, dir) => WebOps.urlNormalize(Pages.pages(s, dir)) },
@@ -673,6 +707,11 @@ object SparkEntry {
       // size); md5prefix family so DuckDB mirrors the band keys
       Dedup.lshClusters(documentsOf(s, dir), k = 8, bands = 4, family = "md5prefix")
     },
+    "dedup_cluster_keep" -> { (s, dir) =>
+      // retention policy over the clusters: keep the densest member per
+      // near-dup cluster (ties → lowest doc_id)
+      Dedup.clusterCanonical(documentsOf(s, dir), k = 8, bands = 4, family = "md5prefix")
+    },
     "dedup_bloom" -> { (s, dir) =>
       // incremental-crawl membership: reference corpus = doc_id % 3,
       // probe = everything; the bitmap probe itself runs (codegen'd bit
@@ -695,6 +734,14 @@ object SparkEntry {
         nlist = 8, nprobe = 8, iters = 2)
     },
     "ann_cosine_baseline" -> { (s, dir) => Similarity.cosineTopK(embeddingsOf(s, dir), probeMaxId = 20, k = 5) },
+    "ann_pq" -> { (s, dir) =>
+      // IVF-PQ ADC scan (rows-only: ADC scores are approximate by
+      // construction; PqSpec pins encode/ADC exactness on codeword-
+      // aligned input and planted-cluster recall)
+      val emb = embeddingsOf(s, dir)
+      val books = Similarity.pqCodebooks(emb, m = 4, ksub = 16, iters = 2)
+      Similarity.pqTopK(emb, probeMaxId = 50, k = 5, books)
+    },
     "ann_lsh" -> { (s, dir) =>
       Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 16, k = 5,
         bands = 2, capPerBucket = 128)
@@ -1088,6 +1135,21 @@ object SparkEntry {
       // flat-top hex fishnet (reference grid.py:24 is an unimplemented
       // stub — realized here); pure column expressions from spark.range
       graft.ops.VectorOps2.hexGrid(s, 0.0, 30.0, 0.0, 20.0, 2.0)
+    },
+    "vector_shapes" -> { (s, _) =>
+      // shape characteristics over the non-convex L-shape fixture; the
+      // engine runs general WKT shoelace + monotone-chain hull, the
+      // oracle derives every metric in closed form from the lattice
+      // params. ROUND 9 on the sqrt-bearing metrics (hull diagonal is
+      // summed in ring order here, closed form there — ulp mitigation)
+      graft.ops.VectorOps.addShapes(vectorLShapes(s), "fid", "wkt")
+        .select(col("fid"), col("area"), col("perimeter"),
+          round(col("ipq"), 9).as("ipq_r"),
+          col("hull_area"),
+          round(col("hull_peri"), 9).as("hull_peri_r"),
+          col("hull_ratio"),
+          round(col("compactness"), 9).as("compactness_r"),
+          col("centroid_x"), col("centroid_y"))
     },
 
     // --- extract_by_location full predicate family (r3; reference
@@ -1770,6 +1832,39 @@ object SparkEntry {
     "text_fingerprint" ->
       "SELECT doc_id, md5(replace(text, ' ', '')) AS fp FROM documents",
 
+    "text_substr_dedup" ->
+      // exact-substring dedup over 8-token windows: duplicated windows
+      // keep the min-packed occurrence; losers erase their span.
+      // generate_subscripts is 1-based vs Spark's 0-based — a uniform
+      // shift, so winners and span coverage match exactly.
+      """WITH tl AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+           FROM documents),
+         occ AS (SELECT doc_id, pos, array_to_string(l[pos:pos+7], ' ') AS wkey
+           FROM (SELECT doc_id, l, unnest(l) AS _t,
+                   generate_subscripts(l, 1) AS pos FROM tl)
+           WHERE pos + 7 <= len(l)),
+         wins AS (SELECT wkey, min(doc_id*1048576 + pos) AS winner, count(*) AS c
+                  FROM occ GROUP BY wkey),
+         losers AS (SELECT o.doc_id, o.pos FROM occ o JOIN wins w ON o.wkey = w.wkey
+                    WHERE w.c > 1 AND o.doc_id*1048576 + o.pos <> w.winner),
+         tokpos AS (SELECT doc_id, unnest(l) AS tok,
+                    generate_subscripts(l, 1) AS pos FROM tl),
+         removed AS (SELECT DISTINCT t.doc_id, t.pos FROM tokpos t JOIN losers s
+                     ON t.doc_id = s.doc_id AND s.pos <= t.pos AND t.pos < s.pos + 8),
+         kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+                  LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.pos = r.pos
+                  WHERE r.pos IS NULL),
+         rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                     FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+            - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+          COALESCE(r.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
+
     "text_segment_dedup" ->
       // C4-style first-occurrence segment dedup; winner = min packed
       // (doc_id·2^20 + pos). generate_subscripts is 1-based vs Spark's
@@ -2264,6 +2359,35 @@ object SparkEntry {
         SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
         FROM documents d LEFT JOIN comp c USING (doc_id)"""),
 
+    "dedup_cluster_keep" ->
+      // same component closure + density argmax: keep = first by
+      // (density DESC, doc_id ASC) within the cluster — the engine's
+      // max-of-struct (density, −doc_id) rule exactly
+      (sqlToks.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " + sqlMinhashSig(8) +
+      """, bands AS (
+          SELECT doc_id, 0 AS band, md5(s1 || s2) AS key FROM sig UNION ALL
+          SELECT doc_id, 1, md5(s3 || s4) FROM sig UNION ALL
+          SELECT doc_id, 2, md5(s5 || s6) FROM sig UNION ALL
+          SELECT doc_id, 3, md5(s7 || s8) FROM sig),
+        edges AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+        reach(src, dst) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst),
+        comp AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+        cl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+               FROM documents d LEFT JOIN comp c USING (doc_id)),
+        dens AS (SELECT d.doc_id,
+           CAST(COALESCE(tc.n_tokens, 0) AS DOUBLE) / (CAST(length(d.text) AS DOUBLE) + 1.0) AS density
+         FROM documents d LEFT JOIN
+           (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id) tc USING (doc_id))
+        SELECT cl.doc_id, cl.cluster, dens.density,
+          cl.doc_id = first_value(cl.doc_id) OVER (PARTITION BY cl.cluster
+            ORDER BY dens.density DESC, cl.doc_id ASC) AS keep
+        FROM cl JOIN dens USING (doc_id)"""),
+
     "dedup_bloom" ->
       // bitmap OR = set union: "all k bits set" ≡ "all k positions in the
       // distinct reference position set" — the engine's bitmap probe and
@@ -2752,6 +2876,39 @@ object SparkEntry {
           CAST(sum(fid) AS BIGINT) AS fid_sum,
           CAST(sum(x0) AS BIGINT) AS x0_sum
         FROM feats GROUP BY klass"""),
+
+    "vector_shapes" ->
+      // closed-form metrics of the L-shape (rect W×H minus top-right
+      // NW×NH notch): area = WH−NWNH; perimeter = 2(W+H) (rectilinear);
+      // hull = bbox cut by the notch diagonal; centroid by rect-minus-
+      // notch decomposition. The engine derives the same numbers from
+      // the WKT via general algorithms — an independent cross-check.
+      """WITH lsh AS (SELECT id AS fid,
+           CAST((id % 20) * 8 AS INTEGER) AS x0,
+           CAST((id // 20) * 10 AS INTEGER) AS y0,
+           CAST(id % 4 + 2 AS INTEGER) AS w,
+           CAST(id % 6 + 2 AS INTEGER) AS h,
+           CAST(1 + id % (id % 4 + 1) AS INTEGER) AS nw,
+           CAST(1 + id % (id % 6 + 1) AS INTEGER) AS nh
+         FROM range(200) t(id)),
+        m AS (SELECT fid, x0, y0, w, h, nw, nh,
+           CAST(w*h - nw*nh AS DOUBLE) AS area,
+           CAST(2*(w+h) AS DOUBLE) AS perimeter,
+           w*h - nw*nh/2.0 AS hull_area,
+           CAST(2*w + 2*h - nw - nh AS DOUBLE) + sqrt(CAST(nw*nw + nh*nh AS DOUBLE)) AS hull_peri
+         FROM lsh),
+        m2 AS (SELECT *,
+           4.0*pi()*area/(perimeter*perimeter) AS ipq,
+           area/hull_area AS hull_ratio FROM m)
+        SELECT fid, area, perimeter,
+          ROUND(ipq, 9) AS ipq_r,
+          hull_area,
+          ROUND(hull_peri, 9) AS hull_peri_r,
+          hull_ratio,
+          ROUND(sqrt(hull_ratio * ipq), 9) AS compactness_r,
+          (w*h*(x0 + w/2.0) - nw*nh*((x0 + w) - nw/2.0)) / (w*h - nw*nh) AS centroid_x,
+          (w*h*(y0 + h/2.0) - nw*nh*((y0 + h) - nh/2.0)) / (w*h - nw*nh) AS centroid_y
+        FROM m2""",
 
     "vector_attr_edit" -> (s"WITH $sqlFeats, " +
       """upd AS (SELECT id AS ufid, 'u' || CAST(id % 3 AS VARCHAR) AS uklass,

@@ -324,6 +324,30 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("cluster"))
   }
 
+  /** Cluster-canonical retention: for every near-dup cluster keep the
+    * highest-quality member (token density; ties → lowest doc_id). This
+    * is the retention policy step a curation pipeline runs after
+    * clustering — SemDeDup/RefinedWeb keep one representative per
+    * duplicate cluster rather than an arbitrary survivor.
+    *
+    * Argmax is max-of-struct (density, −doc_id): one extra map-side-
+    * combined aggregate on the cluster key + a broadcast-size join back.
+    * Cluster count ≤ doc count, so nothing here outgrows the clustering
+    * step itself.
+    */
+  def clusterCanonical(docs: DataFrame, k: Int, bands: Int,
+                       family: String = "xxhash64"): DataFrame = {
+    val clusters = lshClusters(docs, k, bands, family)
+    val q = TextOps.qualityScore(docs).select(col("doc_id"), col("density"))
+    val joined = clusters.join(q, "doc_id")
+    val best = joined.groupBy("cluster")
+      .agg(max(struct(col("density"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster"), col("b.neg_id").as("best_neg_id"))
+    joined.join(best, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("density"),
+        (col("doc_id") === -col("best_neg_id")).as("keep"))
+  }
+
   /** Bloom bit positions for a content key: position_i =
     * hash_i("i:" ++ key) mod mBits, i in 1..k. Same two hash families as
     * MinHash: "xxhash64" (codegen'd, production) and "md5prefix" (the

@@ -270,4 +270,157 @@ object Similarity {
       .distinct()
       .filter(col("cos") >= threshold)
   }
+
+  // --- product quantization (IVF-PQ style ADC scan) -------------------
+  //
+  // The billion-vector scale path (Jégou, Douze, Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search"): split D dims into m
+  // subspaces, k-means each subspace to ksub codewords, store each vector
+  // as m small codes. A probe scores the whole collection via an m×ksub
+  // lookup table (asymmetric distance computation) — at 10^12 vectors the
+  // scan reads m bytes per vector instead of 4D, and the codebooks are a
+  // broadcast constant.
+
+  /** Train PQ codebooks: distributed Lloyd per subspace (the corpus is
+    * touched once per iteration; every reduce is a map-side-combined
+    * (sub, code) keyed aggregate — m·ksub cells total, a broadcast-sized
+    * state no matter the corpus size). Deterministic init (hash-ordered
+    * sample) and deterministic integer assignment (quantized subvectors),
+    * so codebooks are identical at any parallelism.
+    *
+    * Returns codebooks(sub)(code)(subdim).
+    */
+  def pqCodebooks(embeddings: DataFrame, m: Int, ksub: Int, iters: Int,
+                  seed: Int = 17): Array[Array[Array[Double]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = q.head()._2.length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // init: ksub hash-ordered sample vectors provide one codeword per
+    // subspace each (same recipe as ivfCentroids)
+    val sample = q.toDF("vec_id", "q")
+      .withColumn("h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy("h", "vec_id").limit(ksub)
+      .select("q").as[Seq[Long]].collect()
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      sample.map(v => v.slice(s * dsub, (s + 1) * dsub).map(_.toDouble).toArray)
+    }
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val next = q
+        .flatMap { case (_, v) =>
+          (0 until m).iterator.map { s =>
+            val sub = new Array[Double](dsub)
+            var i = 0
+            while (i < dsub) { sub(i) = v(s * dsub + i).toDouble; i += 1 }
+            ((s, nearestCode(bc.value(s), sub)), (sub, 1L))
+          }
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a: ((Int, Int), (Array[Double], Long)),
+                         b: ((Int, Int), (Array[Double], Long))) =>
+          val (sa, na) = a._2; val (sb, nb) = b._2
+          val sum = new Array[Double](sa.length)
+          var i = 0
+          while (i < sum.length) { sum(i) = sa(i) + sb(i); i += 1 }
+          (a._1, (sum, na + nb))
+        }
+        .collect()
+      val updated = books.map(_.map(_.clone()))
+      next.foreach { case ((s, c), (_, (sum, n))) =>
+        updated(s)(c) = sum.map(_ / n)
+      }
+      books = updated
+      it += 1
+    }
+    q.unpersist()
+    books
+  }
+
+  private def nearestCode(book: Array[Array[Double]], sub: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      var d = 0.0; var i = 0
+      val cw = book(c)
+      while (i < sub.length) { val t = sub(i) - cw(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode each vector to its m PQ codes (map-only; codebooks broadcast). */
+  def pqEncode(embeddings: DataFrame,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    val m = books.length
+    embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])]
+      .map { case (id, v) =>
+        val dsub = v.length / m
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) {
+          val sub = new Array[Double](dsub)
+          var i = 0
+          while (i < dsub) { sub(i) = v(s * dsub + i).toDouble; i += 1 }
+          codes(s) = nearestCode(bc.value(s), sub)
+          s += 1
+        }
+        (id, codes.toSeq)
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** ADC top-k over the encoded collection: each probe precomputes its
+    * m×ksub dot-product lookup table once; every stored vector is scored
+    * by m table lookups — the collection is scanned map-only (probes and
+    * tables broadcast), exactly the shape that survives 10^12 rows.
+    * Scores are approximate by construction (quantization distortion);
+    * PqSpec pins exactness when vectors sit on codewords and recall on
+    * planted clusters.
+    */
+  def pqTopK(embeddings: DataFrame, probeMaxId: Long, k: Int,
+             books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val encoded = pqEncode(embeddings, books).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = embeddings.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect()
+    // probe tables: table(p)(s)(c) = <probe_sub, codeword> — m·ksub doubles
+    // per probe, built once on the driver (probe set is the bounded side)
+    val tables = probes.map { case (id, v) =>
+      val dsub = v.length / m
+      (id, Array.tabulate(m) { s =>
+        books(s).map { cw =>
+          var d = 0.0; var i = 0
+          while (i < dsub) { d += v(s * dsub + i).toDouble * cw(i); i += 1 }
+          d
+        }
+      })
+    }
+    val bcT = spark.sparkContext.broadcast(tables)
+    val scored = encoded.as[(Long, Seq[Int])]
+      .flatMap { case (id, codes) =>
+        bcT.value.iterator.filter(_._1 != id).map { case (pid, tab) =>
+          var score = 0.0; var s = 0
+          while (s < m) { score += tab(s)(codes(s)); s += 1 }
+          (pid, id, score)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adc_score")
+    val w = Window.partitionBy("query_id").orderBy(col("adc_score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

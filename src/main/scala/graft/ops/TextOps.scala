@@ -623,6 +623,65 @@ object TextOps {
     merges.toSeq.toDF("rank", "left", "right", "pair_count", "symbol")
   }
 
+  /** Exact substring (k-gram window) dedup — the corpus-wide
+    * "deduplicate training data at the substring level" operation
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": ExactSubstr, published as a suffix-array scan;
+    * re-expressed here as corpus-wide k-token window dedup). Every
+    * k-token window that occurs more than once in the corpus keeps its
+    * FIRST occurrence (min packed doc_id·2^20 + pos — a total order, so
+    * re-runs and stragglers cannot flip winners); every other occurrence
+    * has its k-token span removed from its document.
+    *
+    * Scale shape: window keys are computed per row (map-only array
+    * expression), one map-side-combined aggregate finds duplicated keys
+    * and winners, one join back marks loser spans, one doc-keyed
+    * aggregate collects loser starts, and the span erase + reassembly is
+    * again per-row. Per-doc state is bounded by the document's own token
+    * count. With `hashKey` (the production default) the shuffled key is
+    * a single xxhash64 long, not the window string — same plan, ~6×
+    * lighter shuffle at k=8; the string-keyed form exists so the DuckDB
+    * oracle can mirror the exact machinery (the spec asserts both
+    * keyings agree).
+    */
+  def substringDedup(docs: DataFrame, k: Int, hashKey: Boolean = true): DataFrame = {
+    require(k >= 2, s"substringDedup: window k must be >= 2, got $k")
+    val toks = tokens(col("text"))
+    val winStrs = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val keyed = docs.select(col("doc_id"), posexplode(winStrs).as(Seq("pos", "wstr")))
+      .select(col("doc_id"), col("pos"),
+        (if (hashKey) xxhash64(col("wstr")) else col("wstr").cast("string")).as("wkey"))
+    val packed = when(col("pos") < lit(1048576),
+        col("doc_id") * lit(1048576L) + col("pos"))
+      .otherwise(raise_error(lit(
+        "substringDedup: document with >= 2^20 tokens overflows the packed winner key")).cast("long"))
+    val wins = keyed.groupBy("wkey")
+      .agg(min(packed).as("winner"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val loserStarts = keyed.join(wins, "wkey")
+      .filter(packed =!= col("winner"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .join(loserStarts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        filter(transform(col("toks"), (t, i) => struct(t.as("t"), i.as("i"))),
+          p => !exists(col("starts"),
+            s => s <= p.getField("i") && p.getField("i") < s + lit(k))).as("keep"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("keep"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("keep"), p => p.getField("t"))).as("clean_text"))
+  }
+
   /** Symbol separator for the string-encoded segmentation: every symbol is
     * wrapped as US<sym>US, so the pair (a,b) is adjacent iff the
     * string USaUSUSbUS occurs. Words are joined with

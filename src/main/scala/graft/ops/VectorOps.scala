@@ -365,6 +365,57 @@ object VectorOps {
     updated.drop(header.map(h => s"__u_$h"): _*)
   }
 
+  /** Shape characteristics per feature — area, perimeter, isoperimetric
+    * quotient, convex-hull area/perimeter/ratio, compactness, centroid —
+    * the reference's vector_add_shapes_in_place
+    * (buteo/core_vector/core_vector_characteristics.py:152-275, GDAL
+    * semantics: GetArea / Boundary().Length() / Centroid() / ConvexHull();
+    * ipq = 4πA/P², hull_ratio = A/A_hull, compactness = √(hull_ratio·ipq)).
+    *
+    * Map-only per-row geometry (no shuffle); joins back nothing. Shell
+    * CCW / holes CW orientation is taken as given (run fixGeometry first
+    * on untrusted input).
+    */
+  def addShapes(df: DataFrame, idCol: String, wktCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wktCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (fid, wkt) =>
+        val poly = Wkt.parsePolygon(wkt)
+        // signed shoelace over all rings: shell CCW positive, holes CW
+        // negative — area and centroid fall out of one pass
+        var a2 = 0.0  // 2·signed area
+        var cx6 = 0.0 // 6A·Cx
+        var cy6 = 0.0 // 6A·Cy
+        var perimeter = 0.0
+        poly.rings.foreach { r =>
+          val n = r.length / 2
+          var i = 0
+          while (i < n) {
+            val j = if (i == n - 1) 0 else i + 1
+            val cross = r(2 * i) * r(2 * j + 1) - r(2 * j) * r(2 * i + 1)
+            a2 += cross
+            cx6 += (r(2 * i) + r(2 * j)) * cross
+            cy6 += (r(2 * i + 1) + r(2 * j + 1)) * cross
+            i += 1
+          }
+          perimeter += graft.geo.Hull.ringLength(r)
+        }
+        val area = a2 / 2.0
+        val hull = graft.geo.Hull.convexHull(poly.rings.flatten.toArray)
+        val hullArea = math.abs(graft.geo.PIP.signedArea(hull))
+        val hullPeri = graft.geo.Hull.ringLength(hull)
+        val ipq = if (perimeter != 0.0) 4.0 * math.Pi * area / (perimeter * perimeter) else 0.0
+        val hullRatio = area / hullArea
+        val compactness = math.sqrt(hullRatio * ipq)
+        (fid, area, perimeter, ipq, hullArea, hullPeri, hullRatio, compactness,
+          cx6 / (3.0 * a2), cy6 / (3.0 * a2))
+      }
+      .toDF("fid", "area", "perimeter", "ipq", "hull_area", "hull_peri",
+        "hull_ratio", "compactness", "centroid_x", "centroid_y")
+  }
+
   /** Multipart → singlepart: explode MULTIPOLYGON into per-part rows
     * (reference: buteo/core_vector/conversion/multipart.py:58-166).
     */

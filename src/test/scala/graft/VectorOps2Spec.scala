@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.geo.{Polygon, PolyUnion, RectUnion, Wkt}
-import graft.ops.VectorOps2
+import graft.ops.{VectorOps, VectorOps2}
 
 /** vector_clip / vector_erase / vector_buffer / vector_reproject
   * (reference: buteo/vector/clip.py, buffer.py, reproject.py;
@@ -308,5 +308,53 @@ class VectorOps2Spec extends AnyFunSuite {
     // delete_fields: drops, and errors on unknown fields like OGR
     assert(VectorOps.deleteFields(df, Seq("n")).columns.toSeq == Seq("fid", "klass"))
     intercept[IllegalArgumentException](VectorOps.deleteFields(df, Seq("nope")))
+  }
+
+  test("addShapes: unit square and 2x1 rect closed forms (reference formulas)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, rectWkt(0, 0, 1, 1)), (2L, rectWkt(3, 4, 2, 1)))
+      .toDF("fid", "wkt")
+    val rows = VectorOps.addShapes(df, "fid", "wkt").orderBy("fid").collect()
+    val sq = rows(0)
+    assert(sq.getDouble(1) == 1.0)                      // area
+    assert(sq.getDouble(2) == 4.0)                      // perimeter
+    assert(sq.getDouble(3) == math.Pi / 4.0)            // ipq = 4πA/P² = π/4
+    assert(sq.getDouble(4) == 1.0)                      // hull_area (convex)
+    assert(sq.getDouble(5) == 4.0)                      // hull_peri
+    assert(sq.getDouble(6) == 1.0)                      // hull_ratio
+    assert(sq.getDouble(7) == math.sqrt(math.Pi / 4.0)) // compactness
+    assert(sq.getDouble(8) == 0.5 && sq.getDouble(9) == 0.5)
+    val r = rows(1)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 6.0)
+    assert(r.getDouble(3) == 8.0 * math.Pi / 36.0)
+    assert(r.getDouble(8) == 4.0 && r.getDouble(9) == 4.5)
+  }
+
+  test("addShapes: L-shape hand case — non-convex hull, decomposed centroid") {
+    // 4x3 rect at origin minus 2x1 top-right notch:
+    // CCW (0,0)(4,0)(4,2)(2,2)(2,3)(0,3)
+    val wkt = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 3, 0 3, 0 0))"
+    val row = VectorOps.addShapes(df1(wkt), "fid", "wkt").collect()(0)
+    assert(row.getDouble(1) == 10.0)                    // 12 - 2
+    assert(row.getDouble(2) == 14.0)                    // 2(4+3)
+    assert(row.getDouble(4) == 11.0)                    // 12 - 2*1/2
+    assert(row.getDouble(5) == 4.0 + 2.0 + math.sqrt(5.0) + 2.0 + 3.0) // ring order
+    assert(row.getDouble(6) == 10.0 / 11.0)
+    // centroid: (12*(2,1.5) - 2*(3,2.5)) / 10
+    assert(row.getDouble(8) == (12.0 * 2.0 - 2.0 * 3.0) / 10.0)
+    assert(row.getDouble(9) == (12.0 * 1.5 - 2.0 * 2.5) / 10.0)
+  }
+
+  test("addShapes: hole subtracts from area/centroid, adds to perimeter (GDAL boundary)") {
+    // 4x4 shell CCW with 1x1 hole CW at (1,1)
+    val wkt = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))"
+    val row = VectorOps.addShapes(df1(wkt), "fid", "wkt").collect()(0)
+    assert(row.getDouble(1) == 15.0)
+    assert(row.getDouble(2) == 20.0)  // 16 + 4: Boundary().Length() sums rings
+    assert(row.getDouble(4) == 16.0)  // hull ignores the hole
+    // centroid: (16*(2,2) - 1*(1.5,1.5)) / 15
+    assert(row.getDouble(8) == (16.0 * 2.0 - 1.5) / 15.0)
+    assert(row.getDouble(9) == (16.0 * 2.0 - 1.5) / 15.0)
   }
 }
