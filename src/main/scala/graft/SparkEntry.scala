@@ -1280,6 +1280,14 @@ object SparkEntry {
         (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
       TileOps.toPixels(graft.tiles.TileOps3.distanceTransform(r, 0.0, 3), convSpec.tileSize)
     },
+    "raster_distance_euclid" -> { (s, _) =>
+      // the reference's exact convolve_distance semantics: Euclidean,
+      // sorted-candidate early exit, maxDist fill
+      val r = TileOps.createRaster(s, convSpec.copy(bands = 1))(
+        (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
+      TileOps.toPixels(graft.tiles.TileOps3.distanceTransformEuclid(r, 0.0, 3.0),
+        convSpec.tileSize)
+    },
 
     "raster_fill" -> { (s, _) =>
       // nodata holes where v%97==0, one inverse-distance fill pass
@@ -3162,6 +3170,23 @@ object SparkEntry {
         FROM px a LEFT JOIN px b
           ON b.x BETWEEN a.x - 3 AND a.x + 3 AND b.y BETWEEN a.y - 3 AND a.y + 3
         GROUP BY 1, 2, 3""",
+
+    "raster_distance_euclid" ->
+      // min Euclidean offset distance ≤ 3.0 to a zero pixel (the sorted
+      // first-hit of the engine IS the min); 3.0 fill, 0 at targets
+      """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           0 AS band, CAST((x*7 + y*13) % 97 AS DOUBLE) AS v
+         FROM range(96) r1(x), range(96) r2(y))
+        SELECT a.x, a.y, a.band,
+          CASE WHEN a.v = 0 THEN 0.0
+               ELSE CAST(COALESCE(min(CASE WHEN b.v = 0
+                   AND NOT (b.x = a.x AND b.y = a.y)
+                   AND sqrt(CAST((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) AS DOUBLE)) <= 3.0
+                 THEN sqrt(CAST((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) AS DOUBLE)) END), 3.0)
+                 AS DOUBLE) END AS v
+        FROM px a LEFT JOIN px b
+          ON b.x BETWEEN a.x - 3 AND a.x + 3 AND b.y BETWEEN a.y - 3 AND a.y + 3
+        GROUP BY a.x, a.y, a.band, a.v""",
 
     "raster_fill" ->
       """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,

@@ -58,6 +58,71 @@ object TileOps3 {
     }
   }
 
+  /** Euclidean distance to the nearest `target` pixel — the reference's
+    * exact convolve_distance semantics (buteo/array/distance.py:70-132):
+    * candidate offsets within the ceil-radius window, sorted by Euclidean
+    * distance ascending (stable grid order among ties, center excluded),
+    * truncated at maxDist; a non-target pixel takes the distance of the
+    * FIRST offset that lands on a target (early exit :122-128 — the
+    * sorted-candidate scan IS the reference's algorithm); pixels with no
+    * target in range take maxDist itself, target pixels take 0. The NaN
+    * halo padding reproduces the reference's bounds skip. Anisotropic
+    * pixel sizes supported via pw/ph (distance.py:104-106 axis order
+    * mirrored verbatim).
+    *
+    * One stencil shuffle (same convolvePad superstep as every hood op);
+    * the sorted offset table is a per-executor constant.
+    */
+  def distanceTransformEuclid(tiles: Dataset[Tile], target: Double,
+                              maxDist: Double, pw: Double = 1.0,
+                              ph: Double = 1.0): Dataset[Tile] = {
+    // radius_cols/rows and the projected grid mirror the reference's
+    // (swapped) axis arithmetic exactly
+    val radiusCols = math.ceil(maxDist / ph).toInt
+    val radiusRows = math.ceil(maxDist / pw).toInt
+    val r = math.max(radiusCols, radiusRows)
+    val offsets: Array[(Int, Int, Double)] = {
+      val all = for {
+        c <- -radiusCols to radiusCols
+        rr <- -radiusRows to radiusRows
+      } yield {
+        val d = math.sqrt(c * pw * (c * pw) + rr * ph * (rr * ph))
+        (c, rr, d)
+      }
+      all.sortBy(_._3) // stable: grid order preserved among ties
+        .dropWhile { case (c, rr, _) => c == 0 && rr == 0 } // center first after sort
+        .filter(_._3 <= maxDist)
+        .toArray
+    }
+    TileOps.convolvePad(tiles, r).map { case (t, pad, pwid, _) =>
+      val out = new Array[Double](t.w * t.h)
+      var row = 0
+      while (row < t.h) {
+        var c = 0
+        while (c < t.w) {
+          val px = c + r; val py = row + r
+          var dist = maxDist
+          if (pad(py * pwid + px) == target) dist = 0.0
+          else {
+            var i = 0
+            var found = false
+            while (!found && i < offsets.length) {
+              val o = offsets(i)
+              if (pad((py + o._1) * pwid + (px + o._2)) == target) {
+                dist = o._3; found = true
+              }
+              i += 1
+            }
+          }
+          out(row * t.w + c) = dist
+          c += 1
+        }
+        row += 1
+      }
+      t.copy(pixels = out)
+    }
+  }
+
   /** Iterative nodata fill until fixpoint or maxIters: nodata pixels take
     * the MEAN of valid 3×3 neighbors each pass (reference:
     * buteo/array/fill.py:78-116 computes an inverse-distance-weighted

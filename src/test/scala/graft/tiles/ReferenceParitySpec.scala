@@ -80,4 +80,65 @@ class ReferenceParitySpec extends AnyFunSuite {
       assert(maxs((x, y)) == v + 9.0)
     }
   }
+
+  private val spec5 = RasterSpec(0.0, 5.0, 1.0, -1.0, 5, 5, 5, 1)
+  private def pix5(ds: org.apache.spark.sql.Dataset[Tile]): Map[(Int, Int), Double] =
+    ds.collect().flatMap { t =>
+      for (r <- 0 until t.h; c <- 0 until t.w)
+        yield (c, r) -> t.pixels(r * t.w + c)
+    }.toMap
+
+  test("convolve_distance pins the reference's own binary fixture " +
+       "(test_array_distance.py:26-45)") {
+    // targets at (1,1) and (3,3) on a 5×5 zero plane, target=1
+    val bin = TileOps.createRaster(spark, spec5)(
+      (x, y, _) => if ((x == 1 && y == 1) || (x == 3 && y == 3)) 1.0 else 0.0)
+    val maxD = math.sqrt(50.0) // reference default: sqrt(h² + w²)
+    val d = pix5(TileOps3.distanceTransformEuclid(bin, 1.0, maxD))
+    assert(d((1, 1)) == 0.0 && d((3, 3)) == 0.0)        // :34-35
+    assert(math.abs(d((0, 0)) - math.sqrt(2.0)) < 1e-5) // :39
+    assert(math.abs(d((2, 2)) - math.sqrt(2.0)) < 1e-5) // :42
+    // maximum_distance clamp (:45 region): with maxDist=1 the diagonal
+    // neighbors are out of range and take maxDist itself
+    val clamped = pix5(TileOps3.distanceTransformEuclid(bin, 1.0, 1.0))
+    assert(clamped((0, 0)) == 1.0)
+    assert(clamped((0, 1)) == 1.0) // orthogonal neighbor of (1,1): exactly 1
+  }
+
+  test("convolve_distance multi-value fixture: nearest target-valued pixel " +
+       "(test_array_distance.py:49-69)") {
+    // 2.0 at (1,1) and (4,0); 3.0 at (3,3); distance to value 2
+    val arr = TileOps.createRaster(spark, spec5)((x, y, _) =>
+      if (x == 1 && y == 1) 2.0
+      else if (x == 3 && y == 3) 3.0
+      else if (x == 0 && y == 4) 2.0 // numpy arr[4,0] = (row 4, col 0)
+      else 0.0)
+    val d = pix5(TileOps3.distanceTransformEuclid(arr, 2.0, math.sqrt(50.0)))
+    assert(d((1, 1)) == 0.0 && d((0, 4)) == 0.0)              // :53-54
+    assert(d((3, 3)) > 0.0)                                    // :57
+    assert(math.abs(d((3, 3)) - 2.0 * math.sqrt(2.0)) < 1e-5)  // :60
+  }
+
+  test("morphology pins the reference's binary square fixture " +
+       "(test_array_morphology.py:45-105)") {
+    // 7×7 plane, ones on [2,4]×[2,4]
+    val spec7 = RasterSpec(0.0, 7.0, 1.0, -1.0, 7, 7, 7, 1)
+    val bin = TileOps.createRaster(spark, spec7)(
+      (x, y, _) => if (x >= 2 && x <= 4 && y >= 2 && y <= 4) 1.0 else 0.0)
+    def p(ds: org.apache.spark.sql.Dataset[Tile]) =
+      ds.collect().flatMap { t =>
+        for (r <- 0 until t.h; c <- 0 until t.w) yield (c, r) -> t.pixels(r * t.w + c)
+      }.toMap
+    // erode r1: the 3×3 square erodes to its single center pixel (:57-58)
+    val er = p(TileOps2.erode(bin, 1))
+    assert(er((3, 3)) == 1.0)
+    assert(er.values.sum == 1.0)
+    // erode r2: everything gone (:63)
+    assert(p(TileOps2.erode(bin, 2)).values.sum == 0.0)
+    // dilate r1: the full 5×5 square [1,5]² is set (:92-100)
+    val di = p(TileOps2.dilate(bin, 1))
+    for (i <- 1 to 5; j <- 1 to 5) assert(di((i, j)) == 1.0, s"($i,$j)")
+    // dilate r2 grows further (:104-105)
+    assert(p(TileOps2.dilate(bin, 2)).values.sum > di.values.sum)
+  }
 }
