@@ -141,4 +141,35 @@ class ReferenceParitySpec extends AnyFunSuite {
     // dilate r2 grows further (:104-105)
     assert(p(TileOps2.dilate(bin, 2)).values.sum > di.values.sum)
   }
+
+  test("timeseries slope pins the reference's linear fixture " +
+       "(test_array_timeseries.py:11-78)") {
+    // 5×5×10: pixel (i,j) holds the series t·0.1·(i+j); OLS slope must
+    // recover 0.1·(i+j) to 5 decimals
+    val specT = RasterSpec(0.0, 5.0, 1.0, -1.0, 5, 5, 5, 10)
+    val ts = TileOps.createRaster(spark, specT)(
+      (x, y, b) => b.toDouble * 0.1 * (x + y))
+    val slope = pix5(TileOps2.timeSlope(ts, 10))
+    for (i <- 0 until 5; j <- 0 until 5)
+      assert(math.abs(slope((i, j)) - 0.1 * (i + j)) < 1e-5, s"($i,$j)")
+  }
+
+  test("Theil–Sen shrugs off the reference's outlier fixture " +
+       "(test_array_timeseries.py:47-63,131-145)") {
+    // same series but time step 5 multiplied by 10 — the robust slope
+    // still recovers 0.1·(i+j) where OLS is dragged off
+    val specT = RasterSpec(0.0, 5.0, 1.0, -1.0, 5, 5, 5, 10)
+    val ts = TileOps.createRaster(spark, specT) { (x, y, b) =>
+      val v = b.toDouble * 0.1 * (x + y)
+      if (b == 5) v * 10.0 else v
+    }
+    val robust = pix5(TileOps2.theilSenSlope(ts, 10))
+    val ols = pix5(TileOps2.timeSlope(ts, 10))
+    for (i <- 0 until 5; j <- 0 until 5) {
+      val want = 0.1 * (i + j)
+      assert(math.abs(robust((i, j)) - want) < 1e-5, s"robust ($i,$j)")
+      if (i + j > 0) // OLS on the corrupted series misses (sanity contrast)
+        assert(math.abs(ols((i, j)) - want) > 0.1 * want)
+    }
+  }
 }
