@@ -958,6 +958,25 @@ object SparkEntry {
       salted.groupBy("cell_key").agg(sum("pn").as("n_pages"))
     },
 
+    // Salted EXACT count-distinct: unlike plain counts, count(DISTINCT)
+    // gets no map-side collapse on a hot key — the standard fix is a
+    // two-phase aggregate salted by a hash OF THE DISTINCT KEY (distinct
+    // values partition disjointly across salt buckets, so the per-bucket
+    // distinct counts sum exactly). Hot cells (10% of pages land in the
+    // Paris cell by construction) stay bounded by #salts × #cells.
+    "geo_cell_distinct_salted" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      val p = Pages.pages(s, dir)
+      val c12 = GraftFunctions.gridCell(col("lon"), col("lat"), lit(Pages.FineLevel))
+      val host = split(col("url"), "/").getItem(2)
+      val salted = p.select(
+          (GraftFunctions.gridX(c12) * 4096 + GraftFunctions.gridY(c12)).as("cell_key"),
+          host.as("host"),
+          pmod(xxhash64(host), lit(16)).as("salt"))
+        .groupBy("cell_key", "salt").agg(count_distinct(col("host")).as("pd"))
+      salted.groupBy("cell_key").agg(sum("pd").as("n_hosts"))
+    },
+
     // --- relational analytics (TPC-H-style) ---
     "tpch_q1" -> { (s, dir) =>
       Relational.pricingSummary(s.read.parquet(s"$dir/lineitem.parquet"))
@@ -2705,6 +2724,11 @@ object SparkEntry {
     "geo_cell_counts_salted" -> Pages.sqlWith(
       s"""SELECT ${Pages.sqlCellX(Pages.FineLevel)} * 4096 + ${Pages.sqlCellY(Pages.FineLevel)} AS cell_key,
           CAST(count(*) AS BIGINT) AS n_pages
+        FROM pages GROUP BY 1"""),
+
+    "geo_cell_distinct_salted" -> Pages.sqlWith(
+      s"""SELECT ${Pages.sqlCellX(Pages.FineLevel)} * 4096 + ${Pages.sqlCellY(Pages.FineLevel)} AS cell_key,
+          CAST(count(DISTINCT split_part(url, '/', 3)) AS BIGINT) AS n_hosts
         FROM pages GROUP BY 1"""),
 
     "tpch_q1" ->

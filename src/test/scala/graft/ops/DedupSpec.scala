@@ -146,4 +146,45 @@ class DedupSpec extends AnyFunSuite {
     val b = Dedup.bloomBitmap(docs.repartition(16), "text", k = 3, mBits = 1 << 10)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("sigPrunePairs: prunes sub-threshold band collisions, loses no dup") {
+    // Sparse-corpus shape: families sharing a small token core (J ≈ 0.18,
+    // junk that still collides in 2-row bands) plus planted near-dups
+    // (J ≈ 0.9). The pre-prune must cut the candidate set while the
+    // verified >= threshold output stays EXACTLY the same.
+    val fam = for (f <- 0 until 4; d <- 0 until 10) yield {
+      val core = (0 until 6).map(i => s"core${f}_$i")
+      val uniq = (0 until 14).map(i => s"u${f}_${d}_$i")
+      (f * 10L + d, (core ++ uniq).mkString(" "))
+    }
+    val dups = (0 until 3).flatMap { p =>
+      val shared = (0 until 19).map(i => s"dup${p}_$i").mkString(" ")
+      Seq((100L + 2 * p, s"$shared onlyA$p"), (101L + 2 * p, s"$shared onlyB$p"))
+    }
+    val docs = docTexts((fam ++ dups): _*)
+    val (k, bands, thr, margin) = (16, 8, 0.6, 0.3)
+
+    val base = Dedup.minhashLshPairs(docs, k, bands, thr)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Dedup.minhashLshPairs(docs, k, bands, thr, sigPruneMargin = margin)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == pruned, "pre-prune changed the verified pair set")
+    assert(Set((100L, 101L), (102L, 103L), (104L, 105L))
+      .subsetOf(base.map { case (a, b) => (math.min(a, b), math.max(a, b)) }))
+
+    // the prune actually removes junk candidates: enumerate all band
+    // collisions (threshold 0 keeps every candidate with its exact J),
+    // then check sigPrunePairs drops some and never a >=thr pair
+    val all = Dedup.minhashLshPairs(docs, k, bands, threshold = 0.0)
+    val cand = all.select("doc_a", "doc_b")
+    val nCand = cand.count()
+    val sig = Dedup.minhashSignature(docs, k)
+    val kept = Dedup.sigPrunePairs(sig, cand, k, thr - margin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.size < nCand,
+      s"prune kept all $nCand candidates — fixture has no junk to cut")
+    val trueDups = all.filter(col("jaccard") >= thr).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueDups.subsetOf(kept), "prune dropped a true duplicate pair")
+  }
 }
