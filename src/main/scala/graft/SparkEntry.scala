@@ -1488,7 +1488,10 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("keep_p"))
     },
     "split_by_hash" -> { (s, dir) =>
-      graft.ops.Scalers.splitByHash(documentsOf(s, dir), "doc_id", 80, 10)
+      // md5prefix family so the DuckDB oracle reproduces every bucket
+      // decision; the xxhash64 production family has the same plan shape
+      graft.ops.Scalers.splitByHash(documentsOf(s, dir), "doc_id", 80, 10,
+        family = "md5prefix")
         .groupBy("split").agg(count(lit(1)).as("n"))
     },
 
@@ -3024,6 +3027,16 @@ object SparkEntry {
         FROM documents d JOIN rates r ON d.lang = r.lang
         WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
             / 1152921504606846976.0 < r.keep_p""",
+
+    "split_by_hash" ->
+      """WITH b AS (SELECT
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+         FROM documents)
+        SELECT CASE WHEN bkt < 80 THEN 'train'
+                    WHEN bkt < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1""",
 
     "select_split" ->
       """WITH u AS (SELECT doc_id,

@@ -155,8 +155,16 @@ object Scalers {
     * reproducible (no RNG state), stratification implicit in the uniform
     * hash (reference: buteo/ai/selection.py:11-240).
     */
-  def splitByHash(df: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame = {
-    val bucket = pmod(xxhash64(col(idCol)), lit(100))
+  def splitByHash(df: DataFrame, idCol: String, trainPct: Int, valPct: Int,
+                  family: String = "xxhash64"): DataFrame = {
+    val raw: Column = family match {
+      case "xxhash64" => xxhash64(col(idCol)) // production: codegen'd, no md5
+      case "md5prefix" => // engine-portable (DuckDB mirrors it bit-for-bit)
+        conv(substring(md5(encode(col(idCol).cast("string"), "UTF-8")), 1, 15),
+          16, 10).cast("long")
+      case f => throw new IllegalArgumentException(s"unknown hash family: $f")
+    }
+    val bucket = pmod(raw, lit(100))
     df.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
