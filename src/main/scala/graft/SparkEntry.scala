@@ -1045,6 +1045,28 @@ object SparkEntry {
       graft.ops.VectorOps.multipartToSingle(vectorMulti(s), "wkt", "fid")
         .groupBy("fid").agg(count(lit(1)).as("n_parts"))
     },
+    "vector_extent" -> { (s, _) =>
+      graft.ops.VectorOps.toExtent(vectorFeatures(s), "wkt")
+    },
+    "vector_reset_fids" -> { (s, _) =>
+      // reset on a filtered layer so the renumbering is non-trivial
+      val sub = graft.ops.VectorOps.extractByAttribute(
+        vectorFeatures(s), "klass", Seq("c2", "c4"))
+      graft.ops.VectorOps.resetFids(sub.withColumnRenamed("fid", "old_fid"), "old_fid")
+        .select("old_fid", "fid", "fid_attr", "klass")
+    },
+    "vector_convert_multitype" -> { (s, _) =>
+      graft.ops.VectorOps.convertGeometryMultitype(vectorFeatures(s), "wkt",
+        multitype = true)
+        .select(col("fid"), col("geom_type"), col("conv_wkt"))
+    },
+    "raster_cast" -> { (s, _) =>
+      // float plane with fractional .25/.75 values (tie-free in every
+      // engine's rounding), negatives and >255 so both clamps fire
+      val tiles = TileOps.createRaster(s, rasterSpec)(
+        (x, y, b) => rasterValue(x, y, b) * 3.5 - 39.75)
+      TileOps.toPixels(TileOps2.castDtype(tiles, "uint8"), rasterSpec.tileSize)
+    },
     "vector_fix_geometry" -> { (s, _) =>
       // defect cycle: 0 valid CCW, 1 reversed (CW), 2 duplicated vertex,
       // 3 unclosed ring — repair must normalize all to a 4-pt CCW ring
@@ -2836,6 +2858,40 @@ object SparkEntry {
       """SELECT id AS fid,
          CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_parts
        FROM range(50) t(id)""",
+
+    "vector_extent" -> (s"WITH $sqlFeats" +
+      """ SELECT CAST(min(x0) AS DOUBLE) AS x_min, CAST(max(x0 + w) AS DOUBLE) AS x_max,
+          CAST(min(y0) AS DOUBLE) AS y_min, CAST(max(y0 + h) AS DOUBLE) AS y_max,
+          CAST((max(x0 + w) - min(x0)) * (max(y0 + h) - min(y0)) AS DOUBLE) AS area
+        FROM feats"""),
+
+    "vector_reset_fids" -> (s"WITH $sqlFeats" +
+      """ SELECT fid AS old_fid,
+          CAST(row_number() OVER (ORDER BY fid) - 1 AS INTEGER) AS fid,
+          CAST(row_number() OVER (ORDER BY fid) - 1 AS INTEGER) AS fid_attr,
+          klass
+        FROM feats WHERE klass IN ('c2', 'c4')"""),
+
+    "vector_convert_multitype" -> (s"WITH $sqlFeats" +
+      // exact string mirror of Wkt.toWkt's double formatting wrapped in
+      // the multi-type: DuckDB CAST(DOUBLE AS VARCHAR) prints '4.0' like
+      // Java Double.toString for these small integral coords
+      """, d AS (SELECT fid,
+           CAST(CAST(x0 AS DOUBLE) AS VARCHAR) AS xs,
+           CAST(CAST(y0 AS DOUBLE) AS VARCHAR) AS ys,
+           CAST(CAST(x0 + w AS DOUBLE) AS VARCHAR) AS x1,
+           CAST(CAST(y0 + h AS DOUBLE) AS VARCHAR) AS y1
+         FROM feats)
+        SELECT fid, 'MULTIPOLYGON' AS geom_type,
+          'MULTIPOLYGON (((' || xs || ' ' || ys || ', ' || x1 || ' ' || ys || ', '
+            || x1 || ' ' || y1 || ', ' || xs || ' ' || y1 || ', ' || xs || ' ' || ys
+            || ')))' AS conv_wkt
+        FROM d"""),
+
+    "raster_cast" -> (sqlPx +
+      """ SELECT x, y, band,
+          CAST(GREATEST(0.0, LEAST(255.0, ROUND(v * 3.5 - 39.75))) AS DOUBLE) AS v
+        FROM px"""),
 
     "vector_fix_geometry" ->
       """WITH feats AS (SELECT id AS fid,

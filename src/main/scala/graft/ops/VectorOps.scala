@@ -426,4 +426,59 @@ object VectorOps {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(idCol).orderBy("part_wkt")) - 1)
   }
+
+  /** vector_to_extent (reference: core_vector_extent.py:19-85): the
+    * layer's extent as ONE polygon feature. A single map-side-combined
+    * min/max aggregate over per-feature bboxes — at 10^12 features this
+    * is a column scan, never a geometry collect.
+    */
+  def toExtent(df: DataFrame, wktCol: String): DataFrame = {
+    val bx = udf { (wkt: String) =>
+      val b = Wkt.parsePolygons(wkt).map(_.bbox)
+        .reduce((a, c) => BBox(math.min(a.xMin, c.xMin), math.max(a.xMax, c.xMax),
+          math.min(a.yMin, c.yMin), math.max(a.yMax, c.yMax)))
+      (b.xMin, b.xMax, b.yMin, b.yMax)
+    }
+    df.select(bx(col(wktCol)).as("b"))
+      .agg(min("b._1").as("x_min"), max("b._2").as("x_max"),
+        min("b._3").as("y_min"), max("b._4").as("y_max"))
+      .withColumn("area",
+        (col("x_max") - col("x_min")) * (col("y_max") - col("y_min")))
+  }
+
+  /** vector_reset_fids (reference: core_vector_fids.py:19-120): renumber
+    * features 0,1,2,... in a deterministic order, and
+    * vector_create_attribute_from_fid (:121-281): keep the assigned fid
+    * as a regular attribute. One global row_number — acceptable because
+    * fid assignment is inherently a total order; at scale prefer
+    * zipWithIndex-style per-partition offsets (the reference itself is
+    * single-node OGR, the order is its iteration order).
+    */
+  def resetFids(df: DataFrame, orderCol: String): DataFrame =
+    df.withColumn("fid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(orderCol))) - 1)
+      .withColumn("fid_attr", col("fid"))
+
+  /** vector_convert_geometry multitype flag (reference:
+    * core_vector/conversion/combined.py:30-170): promote every geometry
+    * to its multi-type (POLYGON → single-member MULTIPOLYGON) or demote
+    * single-member multis back (the reference's multitype=False). Parts
+    * and attributes are untouched — this is the type-lattice move only.
+    */
+  def convertGeometryMultitype(df: DataFrame, wktCol: String,
+                               multitype: Boolean): DataFrame = {
+    val conv = udf { (wkt: String) =>
+      val ps = Wkt.parsePolygons(wkt)
+      if (multitype) {
+        val bodies = ps.map(p => Wkt.toWkt(p).stripPrefix("POLYGON "))
+        bodies.mkString("MULTIPOLYGON (", ", ", ")")
+      } else if (ps.length == 1) Wkt.toWkt(ps(0))
+      else wkt // multi-member stays multi under multitype=false
+    }
+    df.withColumn("conv_wkt", conv(col(wktCol)))
+      .withColumn("geom_type",
+        when(col("conv_wkt").startsWith("MULTIPOLYGON"), "MULTIPOLYGON")
+          .otherwise("POLYGON"))
+  }
 }

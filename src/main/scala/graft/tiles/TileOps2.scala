@@ -216,6 +216,41 @@ object TileOps2 {
   def setCrs(tiles: Dataset[Tile], epsg: Int): Dataset[Tile] =
     tiles.map(_.copy(crs = epsg))(TileOps.tileEnc)
 
+  /** raster_set_datatype (reference: core_raster_datatypes.py:182-265):
+    * snap pixel values onto the target dtype's representable lattice —
+    * round half away from zero for integer targets (GDALCopyWord
+    * semantics), then clamp to the dtype's range
+    * (utils_translate.py:474-570 via [[Dtypes.valueRange]]). Values stay
+    * doubles in the tile model; the op fixes the VALUE SET, which is
+    * what every downstream consumer observes. The nodata sentinel is
+    * carried if it fits the new range, else re-based to the new dtype's
+    * default (utils_translate.py:417-471); nodata pixels follow the
+    * sentinel, never the rounding path. Map-only — no shuffle.
+    */
+  def castDtype(tiles: Dataset[Tile], dtype: String): Dataset[Tile] = {
+    val (lo, hi) = Dtypes.valueRange(dtype)
+    val low = dtype.toLowerCase
+    val isInt = !(low.startsWith("float") || low.startsWith("cfloat"))
+    tiles.map { t =>
+      val nd =
+        if (Dtypes.fitsRange(dtype, t.nodata, t.nodata)) t.nodata
+        else Dtypes.defaultNodata(dtype)
+      val out = new Array[Double](t.pixels.length)
+      var i = 0
+      while (i < t.pixels.length) {
+        val v = t.pixels(i)
+        out(i) =
+          if (v == t.nodata) nd
+          else {
+            val r = if (isInt) math.signum(v) * math.floor(math.abs(v) + 0.5) else v
+            math.min(hi, math.max(lo, r))
+          }
+        i += 1
+      }
+      t.copy(pixels = out, nodata = nd)
+    }(TileOps.tileEnc)
+  }
+
   /** Georeference-only shift: move every tile's origin by (dx, dy) —
     * metadata op, no pixel movement (reference: buteo/raster/shift.py:67-69).
     */

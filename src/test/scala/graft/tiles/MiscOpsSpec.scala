@@ -29,6 +29,38 @@ class MiscOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("castDtype: GDAL round-half-away, clamps, nodata re-base") {
+    // values cycle ties and out-of-range in both directions
+    val vals = Array(2.5, -2.5, 3.49, -3.49, 300.0, -5.0, -9999.0 /* nodata */)
+    val spec1 = RasterSpec(0.0, 8.0, 1.0, -1.0, 8, 8, 8, 1)
+    val src = TileOps.createRaster(spark, spec1)(
+      (x, y, _) => vals((x + y * 8) % vals.length))
+
+    // uint8: -9999 sentinel does not fit -> re-based to 255 (the
+    // reference's own uint8 default); half-away ties; clamp both ends
+    val u8 = TileOps2.castDtype(src, "uint8").collect()(0)
+    val exp8 = Map(2.5 -> 3.0, -2.5 -> 0.0, 3.49 -> 3.0, -3.49 -> 0.0,
+      300.0 -> 255.0, -5.0 -> 0.0, -9999.0 -> 255.0)
+    assert(u8.nodata == 255.0)
+    // row-major single tile: pixel i is (x=i%8, y=i/8), so value index
+    // (x + y*8) = i
+    for (i <- u8.pixels.indices)
+      assert(u8.pixels(i) == exp8(vals(i % vals.length)), s"px $i")
+
+    // int16: sentinel fits and is carried; negatives round half-away
+    val i16 = TileOps2.castDtype(src, "int16").collect()(0)
+    assert(i16.nodata == -9999.0)
+    val exp16 = Map(2.5 -> 3.0, -2.5 -> -3.0, 3.49 -> 3.0, -3.49 -> -3.0,
+      300.0 -> 300.0, -5.0 -> -5.0, -9999.0 -> -9999.0)
+    for (i <- i16.pixels.indices)
+      assert(i16.pixels(i) == exp16(vals(i % vals.length)))
+
+    // float32: values pass through unrounded
+    val f32 = TileOps2.castDtype(src, "float32").collect()(0)
+    for (i <- f32.pixels.indices)
+      assert(f32.pixels(i) == vals(i % vals.length))
+  }
+
   test("dtype nodata defaults and ranges pin the reference table") {
     assert(Dtypes.defaultNodata("uint8") == 255.0)
     assert(Dtypes.defaultNodata("int16") == -32767.0)
