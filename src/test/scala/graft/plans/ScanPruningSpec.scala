@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-first plan guards: these assertions pin the physical-plan
+  * properties that matter at 100 TB — column pruning reaching the
+  * parquet scan (a scan that reads `text` for a count is a 1000×
+  * regression at web scale), predicate pushdown reaching the source,
+  * and partial (map-side) aggregation below every shuffle. They fail
+  * loudly if a future refactor breaks what `.explain` reviews caught
+  * manually in earlier rounds.
+  */
+class ScanPruningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("language-ID scan prunes documents to (doc_id, text, lang)") {
+    val p = physical("text_langid")
+    assert(p.contains("ReadSchema"), p.take(400))
+    // the untouched columns must not reach the scan
+    assert(!p.contains("source") && !p.contains("n_chars"),
+      "scan reads columns the query never uses:\n" + p.take(1200))
+  }
+
+  test("tpch_q3 pushes the status/date filters into the parquet scans") {
+    val p = physical("tpch_q3")
+    assert(p.contains("PushedFilters: ["), p.take(400))
+    // at least one non-empty pushdown (status or date bound)
+    assert(p.split("PushedFilters: \\[").exists(s => !s.startsWith("]")),
+      "no filter reached a scan:\n" + p.take(1500))
+  }
+
+  test("salted exact count-distinct keeps map-side partial aggregation") {
+    val p = physical("geo_cell_distinct_salted")
+    // two-phase salted agg: partial aggregation must appear below the
+    // shuffle (HashAggregate partial_*), and the final sum per cell above
+    assert(p.contains("partial_"), "no map-side combine:\n" + p.take(1500))
+    assert(p.contains("Exchange hashpartitioning"), p.take(400))
+  }
+
+  test("exact dedup aggregates map-side before its single shuffle") {
+    val p = physical("dedup_exact")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "exact dedup lost its map-side combine:\n" + p.take(1500))
+    // exactly one shuffle: the groupBy on the digest
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "dedup_exact should shuffle exactly once:\n" + p.take(1500))
+  }
+}
