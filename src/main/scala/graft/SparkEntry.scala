@@ -606,6 +606,24 @@ object SparkEntry {
           col("rec_len").cast("long").as("rec_len"),
           (col("warc_type") === "response").as("ok"))
     },
+    "warc_gz_roundtrip" -> { (s, dir) =>
+      // .warc.gz convention: ONE gzip member per record, members
+      // concatenated per segment; decode splits members (strict CRC32 +
+      // ISIZE), inflates independently, parses the record inside. The
+      // oracle is the same first-principles field recomputation as the
+      // uncompressed path — compression must be invisible to every
+      // parsed byte. member_offset correctness (CDX-style re-fetch) is
+      // pinned in WarcSpec.
+      import graft.ops.Warc
+      val segs = Warc.segmentTableGz(Pages.pages(s, dir), pmod(col("doc_id"), lit(64)))
+      Warc.parseGzTable(segs, "seg_id", "blob")
+        .select(
+          regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("target_uri"), col("warc_date"),
+          md5(col("payload")).as("payload_md5"),
+          col("rec_len").cast("long").as("rec_len"),
+          (col("warc_type") === "response" && col("member_offset") >= 0).as("ok"))
+    },
     "text_tfidf" -> { (s, dir) => TextOps.tfidf(documentsOf(s, dir), k = 5) },
     "text_curate" -> { (s, dir) => TextOps.curate(documentsOf(s, dir), maxDupFrac = 0.6) },
     // distributed tokenizer training: one corpus pass, then vocabulary-
@@ -2063,6 +2081,17 @@ object SparkEntry {
     "warc_roundtrip" -> Pages.sqlWith(
       // record byte length recomputed from first principles: 176 constant
       // header/trailer bytes + uri + Content-Length digits + payload
+      """SELECT doc_id, url AS target_uri,
+           strftime(make_timestamp(warc_sec * 1000000),
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+           md5(text) AS payload_md5,
+           CAST(176 + strlen(url)
+                    + length(CAST(strlen(text) AS VARCHAR))
+                    + strlen(text) AS BIGINT) AS rec_len,
+           TRUE AS ok
+         FROM pages"""),
+
+    "warc_gz_roundtrip" -> Pages.sqlWith(
       """SELECT doc_id, url AS target_uri,
            strftime(make_timestamp(warc_sec * 1000000),
                     '%Y-%m-%dT%H:%M:%SZ') AS warc_date,

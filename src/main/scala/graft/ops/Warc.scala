@@ -185,4 +185,132 @@ object Warc {
       .toDF("seg_id", "warc_type", "target_uri", "warc_date", "record_id",
         "payload", "rec_len")
   }
+
+  // --- gzip member layer -------------------------------------------------
+  // Common Crawl's on-disk convention: each WARC record is its OWN gzip
+  // member and members are concatenated into the segment file (.warc.gz),
+  // so any record can be fetched/inflated independently given its byte
+  // offset — the offsets below are exactly what a CDX index carries.
+
+  private def writeLe32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+    out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+  }
+  private def le32u(b: Array[Byte], at: Int): Long =
+    (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+      ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+
+  /** One deterministic gzip member (mtime 0, no name/extra/comment, XFL 0,
+    * OS 255) around `data` — byte-stable at any parallelism, so segment
+    * checksums stay usable as lineage like the uncompressed path.
+    */
+  def gzipMember(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION,
+      true /* raw deflate — gzip wraps it itself */)
+    d.setInput(data); d.finish()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(tmp); out.write(tmp, 0, n) }
+    d.end()
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    writeLe32(out, crc.getValue)
+    writeLe32(out, data.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** Decode concatenated gzip members → (memberByteOffset, bytes) per
+    * member. Strict like the WARC scanner: header magic/method checked,
+    * optional FEXTRA/FNAME/FCOMMENT/FHCRC fields skipped per RFC 1952,
+    * CRC32 and ISIZE trailers VERIFIED — silent corruption rejects
+    * instead of yielding garbage records.
+    */
+  def gunzipMembers(blob: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    val out = ArrayBuffer[(Long, Array[Byte])]()
+    var pos = 0
+    while (pos < blob.length) {
+      val start = pos
+      require(pos + 10 <= blob.length &&
+        (blob(pos) & 0xff) == 0x1f && (blob(pos + 1) & 0xff) == 0x8b,
+        s"not a gzip member at byte $pos")
+      require(blob(pos + 2) == 8, s"unsupported gzip method ${blob(pos + 2)} at $pos")
+      val flg = blob(pos + 3) & 0xff
+      pos += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = ((blob(pos) & 0xff) | ((blob(pos + 1) & 0xff) << 8))
+        pos += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (blob(pos) != 0) pos += 1; pos += 1 }  // FNAME
+      if ((flg & 16) != 0) { while (blob(pos) != 0) pos += 1; pos += 1 } // FCOMMENT
+      if ((flg & 2) != 0) pos += 2                                       // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(blob, pos, blob.length - pos)
+      val acc = new java.io.ByteArrayOutputStream(64 << 10)
+      val tmp = new Array[Byte](16384)
+      while (!inf.finished()) {
+        val n = inf.inflate(tmp)
+        require(n > 0 || inf.finished(), s"truncated deflate stream at member $start")
+        acc.write(tmp, 0, n)
+      }
+      pos += (blob.length - pos) - inf.getRemaining
+      inf.end()
+      val data = acc.toByteArray
+      require(pos + 8 <= blob.length, s"member at $start missing CRC/ISIZE trailer")
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      require(le32u(blob, pos) == crc.getValue,
+        s"gzip CRC mismatch in member at byte $start")
+      require(le32u(blob, pos + 4) == (data.length.toLong & 0xffffffffL),
+        s"gzip ISIZE mismatch in member at byte $start")
+      pos += 8
+      out += ((start.toLong, data))
+    }
+    out.toSeq
+  }
+
+  /** segmentTable with the member-per-record convention: each record is
+    * gzip'd independently, members concatenated in doc_id order. Same
+    * single shuffle; compression is map-side work inside the group.
+    */
+  def segmentTableGz(pages: DataFrame, segExpr: Column): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(segExpr.cast("long").as("seg"), col("doc_id"),
+        recordCol(col("url"), col("warc_sec"), col("html")).as("rec"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (seg, it) =>
+        val recs = it.toArray.sortBy(_._2)
+        val members = recs.map(r => gzipMember(r._3))
+        val blob = new Array[Byte](members.iterator.map(_.length).sum)
+        var off = 0
+        members.foreach { m =>
+          System.arraycopy(m, 0, blob, off, m.length); off += m.length
+        }
+        (seg, blob)
+      }
+      .toDF("seg_id", "blob")
+  }
+
+  /** parseTable over .warc.gz-style segments: split members, inflate each
+    * independently, parse the record inside; `member_offset` is the
+    * CDX-style fetch offset. Zero shuffle, like the uncompressed path.
+    */
+  def parseGzTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (segId, blob) =>
+          gunzipMembers(blob).flatMap { case (memOff, bytes) =>
+            parse(bytes).map(r =>
+              (segId, memOff, r.warcType, r.targetUri, r.date, r.recordId,
+                r.payload, r.recLen))
+          }
+        }
+      }
+      .toDF("seg_id", "member_offset", "warc_type", "target_uri", "warc_date",
+        "record_id", "payload", "rec_len")
+  }
 }

@@ -95,4 +95,69 @@ class WarcSpec extends AnyFunSuite {
         .as[(Long, String)].collect().toMap
     assert(sums(1) == sums(16))
   }
+
+  test("gzip members: offsets are exact CDX re-fetch points; strict trailers") {
+    val payloads = (0 until 7).map(i =>
+      (s"member $i payload " * (i + 1)).getBytes("UTF-8"))
+    val members = payloads.map(Warc.gzipMember)
+    val blob = members.reduce(_ ++ _)
+    val got = Warc.gunzipMembers(blob)
+    assert(got.map(_._2.toSeq) == payloads.map(_.toSeq))
+    // offsets: re-slicing the blob AT the offset re-decodes that member
+    // alone — the property a CDX index fetch relies on
+    got.zipWithIndex.foreach { case ((off, data), i) =>
+      val sliced = java.util.Arrays.copyOfRange(blob, off.toInt,
+        off.toInt + members(i).length)
+      assert(Warc.gunzipMembers(sliced).head._2.toSeq == data.toSeq, s"member $i")
+    }
+    // corruption in the deflate body -> CRC reject, never garbage out
+    val bad = blob.clone(); bad(members(0).length / 2) = (bad(members(0).length / 2) ^ 0x40).toByte
+    assertThrows[Exception](Warc.gunzipMembers(bad))
+    // truncated trailer rejects
+    assertThrows[Exception](Warc.gunzipMembers(blob.dropRight(3)))
+  }
+
+  test("gzip members: JDK GZIPOutputStream interop and optional header fields") {
+    // interop: members written by the JDK's own gzip writer decode
+    val data = "jdk interop payload".getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    assert(Warc.gunzipMembers(bos.toByteArray).head._2.toSeq == data.toSeq)
+    // FNAME + FEXTRA + FCOMMENT skipping: splice the optional fields into
+    // one of our own members (RFC 1952 field order: FEXTRA, FNAME, FCOMMENT)
+    val m = Warc.gzipMember(data)
+    val extra = Array[Byte](3, 0, 'a', 'b', 'c') // XLEN=3 LE + 3 bytes
+    val name = "file.warc".getBytes("UTF-8") :+ 0.toByte
+    val comment = "c".getBytes("UTF-8") :+ 0.toByte
+    val hdr = m.take(10).clone()
+    hdr(3) = (hdr(3) | 4 | 8 | 16).toByte
+    val spliced = hdr ++ extra ++ name ++ comment ++ m.drop(10)
+    assert(Warc.gunzipMembers(spliced).head._2.toSeq == data.toSeq)
+  }
+
+  test("gz segment round trip parses every record with member offsets increasing") {
+    import spark.implicits._
+    val pages = (0L until 80L).map(i =>
+      (i, s"https://h$i.example/$i", 1704067200L + i,
+        s"<html>page $i</html>".getBytes("UTF-8")))
+      .toDF("doc_id", "url", "warc_sec", "html")
+    val segs = Warc.segmentTableGz(pages, pmod(col("doc_id"), lit(4)))
+    val parsed = Warc.parseGzTable(segs, "seg_id", "blob")
+      .select(col("seg_id"), col("member_offset"), col("target_uri"))
+      .as[(Long, Long, String)].collect()
+    assert(parsed.length == 80)
+    parsed.groupBy(_._1).values.foreach { recs =>
+      val offs = recs.map(_._2).sorted
+      assert(offs.head == 0L && offs.distinct.length == offs.length,
+        "member offsets must start at 0 and be unique per segment")
+    }
+    // gz and plain paths parse to identical record fields
+    val plain = Warc.parseTable(
+      Warc.segmentTable(pages, pmod(col("doc_id"), lit(4))), "seg_id", "blob")
+      .select(col("target_uri"), col("rec_len")).as[(String, Int)].collect().sorted.toSeq
+    val viaGz = Warc.parseGzTable(segs, "seg_id", "blob")
+      .select(col("target_uri"), col("rec_len")).as[(String, Int)].collect().sorted.toSeq
+    assert(plain == viaGz)
+  }
 }
