@@ -21,7 +21,12 @@ object PlanAudit {
       "raster_zonal_approx", "events_sessionize",
       // round 3: clip/buffer (per-feature flatMap, broadcast clip layer),
       // mixup (tile-key join), binned mode (two-pass agg + broadcast)
-      "vector_clip", "vector_buffer", "aug_mixup", "raster_zonal_binned_mode")
+      "vector_clip", "vector_buffer", "aug_mixup", "raster_zonal_binned_mode",
+      // round 4: salted count-distinct (two HashAggregates, partial below
+      // the shuffle), cluster contraction (iterative star joins), TF-IDF
+      // (WindowGroupLimit top-k), substring dedup, gz WARC scan
+      "geo_cell_distinct_salted", "dedup_clusters", "text_tfidf",
+      "text_substr_dedup", "warc_gz_roundtrip")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)
