@@ -624,6 +624,29 @@ object SparkEntry {
           col("rec_len").cast("long").as("rec_len"),
           (col("warc_type") === "response" && col("member_offset") >= 0).as("ok"))
     },
+    "warc_cdx_fetch" -> { (s, dir) =>
+      // CDX random-access proof: index each .warc.gz segment, then
+      // re-fetch EVERY record through the (offset, length) coordinate —
+      // fetchRecord slices and inflates only that member, the CC
+      // range-GET path. The oracle's md5(text) cross-checks that every
+      // fetched payload is byte-identical to the source page.
+      import s.implicits._
+      import graft.ops.Warc
+      val segs = Warc.segmentTableGz(Pages.pages(s, dir), pmod(col("doc_id"), lit(64)))
+      segs.select(col("seg_id"), col("blob")).as[(Long, Array[Byte])]
+        .flatMap { case (_, blob) =>
+          Warc.gunzipMembersWithLen(blob).map { case (off, len, _) =>
+            val r = Warc.fetchRecord(blob, off, len)
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(r.payload).map("%02x".format(_)).mkString
+            (r.targetUri, digest)
+          }
+        }
+        .toDF("target_uri", "payload_md5")
+        .select(
+          regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("payload_md5"), lit(true).as("fetch_ok"))
+    },
     "text_tfidf" -> { (s, dir) => TextOps.tfidf(documentsOf(s, dir), k = 5) },
     "text_curate" -> { (s, dir) => TextOps.curate(documentsOf(s, dir), maxDupFrac = 0.6) },
     // distributed tokenizer training: one corpus pass, then vocabulary-
@@ -2100,6 +2123,10 @@ object SparkEntry {
                     + length(CAST(strlen(text) AS VARCHAR))
                     + strlen(text) AS BIGINT) AS rec_len,
            TRUE AS ok
+         FROM pages"""),
+
+    "warc_cdx_fetch" -> Pages.sqlWith(
+      """SELECT doc_id, md5(text) AS payload_md5, TRUE AS fetch_ok
          FROM pages"""),
 
     "text_tfidf" -> (sqlToks +

@@ -225,8 +225,15 @@ object Warc {
     * CRC32 and ISIZE trailers VERIFIED — silent corruption rejects
     * instead of yielding garbage records.
     */
-  def gunzipMembers(blob: Array[Byte]): Seq[(Long, Array[Byte])] = {
-    val out = ArrayBuffer[(Long, Array[Byte])]()
+  def gunzipMembers(blob: Array[Byte]): Seq[(Long, Array[Byte])] =
+    gunzipMembersWithLen(blob).map { case (off, _, data) => (off, data) }
+
+  /** gunzipMembers plus the COMPRESSED length of each member — offset +
+    * length is the complete CDX fetch coordinate (range-GET the slice,
+    * inflate it alone).
+    */
+  def gunzipMembersWithLen(blob: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
+    val out = ArrayBuffer[(Long, Int, Array[Byte])]()
     var pos = 0
     while (pos < blob.length) {
       val start = pos
@@ -262,9 +269,46 @@ object Warc {
       require(le32u(blob, pos + 4) == (data.length.toLong & 0xffffffffL),
         s"gzip ISIZE mismatch in member at byte $start")
       pos += 8
-      out += ((start.toLong, data))
+      out += ((start.toLong, pos - start, data))
     }
     out.toSeq
+  }
+
+  /** Random-access record fetch: inflate and parse the single member at
+    * (offset, length) — the CDX consumer path (range-GET the slice, never
+    * touch the rest of the segment).
+    */
+  def fetchRecord(blob: Array[Byte], offset: Long, length: Int): Record = {
+    val slice = java.util.Arrays.copyOfRange(blob, offset.toInt, offset.toInt + length)
+    val members = gunzipMembers(slice)
+    require(members.length == 1, s"expected one member in slice, got ${members.length}")
+    val recs = parse(members.head._2)
+    require(recs.length == 1, s"expected one record in member, got ${recs.length}")
+    recs.head
+  }
+
+  /** CDX-style index over .warc.gz segments: one row per record with its
+    * exact fetch coordinate (seg_id, member_offset, member_len) plus the
+    * payload digest — what Common Crawl publishes as cc-index. Built by
+    * the same zero-shuffle member scan as parseGzTable.
+    */
+  def cdxTable(segs: DataFrame, idCol: String = "seg_id",
+               binCol: String = "blob"): DataFrame = {
+    val spark = segs.sparkSession
+    import spark.implicits._
+    segs.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (segId, blob) =>
+          gunzipMembersWithLen(blob).flatMap { case (off, len, bytes) =>
+            parse(bytes).map(r => (r.targetUri, segId, off, len, r.date,
+              java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+                .map("%02x".format(_)).mkString))
+          }
+        }
+      }
+      .toDF("target_uri", "seg_id", "member_offset", "member_len",
+        "warc_date", "payload_md5")
   }
 
   /** segmentTable with the member-per-record convention: each record is

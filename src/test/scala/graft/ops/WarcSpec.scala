@@ -160,4 +160,38 @@ class WarcSpec extends AnyFunSuite {
       .select(col("target_uri"), col("rec_len")).as[(String, Int)].collect().sorted.toSeq
     assert(plain == viaGz)
   }
+
+  test("cdxTable coordinates re-fetch every record byte-identically") {
+    import spark.implicits._
+    val pages = (0L until 40L).map(i =>
+      (i, s"https://h$i.example/$i", 1704067200L + i,
+        s"<html>body $i ${"x" * (i % 13).toInt}</html>".getBytes("UTF-8")))
+      .toDF("doc_id", "url", "warc_sec", "html")
+    val segs = Warc.segmentTableGz(pages, pmod(col("doc_id"), lit(4)))
+    val blobs = segs.select(col("seg_id"), col("blob"))
+      .as[(Long, Array[Byte])].collect().toMap
+    val cdx = Warc.cdxTable(segs)
+      .select(col("target_uri"), col("seg_id"), col("member_offset"),
+        col("member_len"), col("payload_md5"))
+      .as[(String, Long, Long, Int, String)].collect()
+    assert(cdx.length == 40)
+    cdx.foreach { case (uri, seg, off, len, md5hex) =>
+      val r = Warc.fetchRecord(blobs(seg), off, len)
+      assert(r.targetUri == uri)
+      val got = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.payload).map("%02x".format(_)).mkString
+      assert(got == md5hex, s"digest mismatch for $uri")
+    }
+    // member_len is the exact compressed extent: offsets+lens tile each
+    // segment blob with no gaps
+    cdx.groupBy(_._2).foreach { case (seg, recs) =>
+      val spans = recs.map(r => (r._3, r._4)).sortBy(_._1)
+      var expect = 0L
+      spans.foreach { case (off, len) =>
+        assert(off == expect, s"gap before offset $off in seg $seg")
+        expect = off + len
+      }
+      assert(expect == blobs(seg).length, s"trailing bytes in seg $seg")
+    }
+  }
 }

@@ -245,4 +245,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.exists { case (a, b) => a >= 1000 && b >= 1000 })
     } finally q.stop()
   }
+
+  test("streaming .warc.gz ingest parses the exact batch record set") {
+    // the ingestion front door as a stream: segment files arrive, the
+    // member scan is a stateless partition map, records append downstream
+    import spark.implicits._
+    import graft.ops.Warc
+    val pages = (0L until 60L).map(i =>
+      (i, s"https://h$i.example/$i", 1704067200L + i,
+        s"<html>stream page $i</html>".getBytes("UTF-8")))
+      .toDF("doc_id", "url", "warc_sec", "html")
+    val segs = Warc.segmentTableGz(pages, pmod(col("doc_id"), lit(4)))
+    val dir = java.nio.file.Files.createTempDirectory("warcgz_stream").toString
+    segs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(segs.schema).parquet(dir)
+    val q = Warc.parseGzTable(stream, "seg_id", "blob")
+      .select(col("target_uri"), col("member_offset"), col("rec_len"))
+      .writeStream.outputMode("append").format("memory").queryName("warcgz").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warcgz")
+        .as[(String, Long, Int)].collect().sorted.toSeq
+      val expect = Warc.parseGzTable(segs, "seg_id", "blob")
+        .select(col("target_uri"), col("member_offset"), col("rec_len"))
+        .as[(String, Long, Int)].collect().sorted.toSeq
+      assert(got == expect)
+      assert(got.length == 60)
+    } finally q.stop()
+  }
 }
