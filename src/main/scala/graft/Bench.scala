@@ -56,7 +56,10 @@ object Bench {
     "geo_pip", "geo_cell_counts", "geo_knn_cell", "raster_convolve_median",
     "raster_convolve_mad", "raster_distance", "raster_zonal", "raster_vectorize",
     "raster_predict_merge", "text_langid", "text_repetition", "text_tfidf",
-    "url_host_stats", "mm_features")
+    "url_host_stats", "mm_features",
+    // gz ingest throughput: synth -> records -> per-record gzip members ->
+    // segment blobs -> member split + inflate + parse back
+    "warc_gz_roundtrip")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;
