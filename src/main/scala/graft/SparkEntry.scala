@@ -634,12 +634,15 @@ object SparkEntry {
       import graft.ops.Warc
       val segs = Warc.segmentTableGz(Pages.pages(s, dir), pmod(col("doc_id"), lit(64)))
       segs.select(col("seg_id"), col("blob")).as[(Long, Array[Byte])]
-        .flatMap { case (_, blob) =>
-          Warc.gunzipMembersWithLen(blob).map { case (off, len, _) =>
-            val r = Warc.fetchRecord(blob, off, len)
-            val digest = java.security.MessageDigest.getInstance("MD5")
-              .digest(r.payload).map("%02x".format(_)).mkString
-            (r.targetUri, digest)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (_, blob) =>
+            // same coordinate walk cdxTable indexes with; here each
+            // coordinate is driven through the fetch path instead
+            Warc.gunzipMembersWithLen(blob).map { case (off, len, _) =>
+              val r = Warc.fetchRecord(blob, off, len)
+              (r.targetUri, Warc.md5Hex(md, r.payload))
+            }
           }
         }
         .toDF("target_uri", "payload_md5")

@@ -434,7 +434,9 @@ object VectorOps {
     */
   def toExtent(df: DataFrame, wktCol: String): DataFrame = {
     val bx = udf { (wkt: String) =>
-      val b = Wkt.parsePolygons(wkt).map(_.bbox)
+      val ps = Wkt.parsePolygons(wkt)
+      require(ps.nonEmpty, s"no polygon geometry in WKT '${wkt.take(64)}'")
+      val b = ps.map(_.bbox)
         .reduce((a, c) => BBox(math.min(a.xMin, c.xMin), math.max(a.xMax, c.xMax),
           math.min(a.yMin, c.yMin), math.max(a.yMax, c.yMax)))
       (b.xMin, b.xMax, b.yMin, b.yMax)

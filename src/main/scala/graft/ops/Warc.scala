@@ -244,12 +244,22 @@ object Warc {
       val flg = blob(pos + 3) & 0xff
       pos += 10
       if ((flg & 4) != 0) { // FEXTRA
+        require(pos + 2 <= blob.length, s"truncated FEXTRA length at member $start")
         val xlen = ((blob(pos) & 0xff) | ((blob(pos + 1) & 0xff) << 8))
         pos += 2 + xlen
+        require(pos <= blob.length, s"FEXTRA overruns blob in member at $start")
       }
-      if ((flg & 8) != 0) { while (blob(pos) != 0) pos += 1; pos += 1 }  // FNAME
-      if ((flg & 16) != 0) { while (blob(pos) != 0) pos += 1; pos += 1 } // FCOMMENT
-      if ((flg & 2) != 0) pos += 2                                       // FHCRC
+      def skipNulTerminated(field: String): Unit = {
+        while (pos < blob.length && blob(pos) != 0) pos += 1
+        require(pos < blob.length, s"unterminated $field in member at $start")
+        pos += 1
+      }
+      if ((flg & 8) != 0) skipNulTerminated("FNAME")
+      if ((flg & 16) != 0) skipNulTerminated("FCOMMENT")
+      if ((flg & 2) != 0) { // FHCRC
+        pos += 2
+        require(pos <= blob.length, s"truncated FHCRC in member at $start")
+      }
       val inf = new java.util.zip.Inflater(true)
       inf.setInput(blob, pos, blob.length - pos)
       val acc = new java.io.ByteArrayOutputStream(64 << 10)
@@ -292,6 +302,15 @@ object Warc {
     * payload digest — what Common Crawl publishes as cc-index. Built by
     * the same zero-shuffle member scan as parseGzTable.
     */
+  /** Lowercase-hex MD5 of `data` using a caller-held digest (reset per
+    * call) — hoist ONE MessageDigest per partition instead of paying the
+    * JCE provider lookup per record.
+    */
+  def md5Hex(md: java.security.MessageDigest, data: Array[Byte]): String = {
+    md.reset()
+    md.digest(data).map("%02x".format(_)).mkString
+  }
+
   def cdxTable(segs: DataFrame, idCol: String = "seg_id",
                binCol: String = "blob"): DataFrame = {
     val spark = segs.sparkSession
@@ -299,11 +318,11 @@ object Warc {
     segs.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (segId, blob) =>
           gunzipMembersWithLen(blob).flatMap { case (off, len, bytes) =>
-            parse(bytes).map(r => (r.targetUri, segId, off, len, r.date,
-              java.security.MessageDigest.getInstance("MD5").digest(r.payload)
-                .map("%02x".format(_)).mkString))
+            parse(bytes).map(r =>
+              (r.targetUri, segId, off, len, r.date, md5Hex(md, r.payload)))
           }
         }
       }

@@ -223,9 +223,18 @@ object TileOps2 {
     * (utils_translate.py:474-570 via [[Dtypes.valueRange]]). Values stay
     * doubles in the tile model; the op fixes the VALUE SET, which is
     * what every downstream consumer observes. The nodata sentinel is
-    * carried if it fits the new range, else re-based to the new dtype's
-    * default (utils_translate.py:417-471); nodata pixels follow the
-    * sentinel, never the rounding path. Map-only — no shuffle.
+    * carried if the new dtype can represent it EXACTLY (`valueFits` —
+    * range AND integrality, so a 100.5 sentinel never survives into an
+    * integer dtype), else re-based to the new dtype's default
+    * (utils_translate.py:417-471); nodata pixels follow the sentinel,
+    * never the rounding path. Map-only — no shuffle.
+    *
+    * Collision hazard (inherited from the reference's own nodata table):
+    * the uint8 default sentinel IS 255, so valid pixels that clamp to the
+    * range ceiling become indistinguishable from nodata after a cast that
+    * re-bases the sentinel — exactly as a GDAL Translate to Byte with
+    * that nodata choice behaves. Callers casting data that saturates
+    * should pass tiles whose sentinel fits the target dtype instead.
     */
   def castDtype(tiles: Dataset[Tile], dtype: String): Dataset[Tile] = {
     val (lo, hi) = Dtypes.valueRange(dtype)
@@ -233,7 +242,7 @@ object TileOps2 {
     val isInt = !(low.startsWith("float") || low.startsWith("cfloat"))
     tiles.map { t =>
       val nd =
-        if (Dtypes.fitsRange(dtype, t.nodata, t.nodata)) t.nodata
+        if (Dtypes.valueFits(dtype, t.nodata)) t.nodata
         else Dtypes.defaultNodata(dtype)
       val out = new Array[Double](t.pixels.length)
       var i = 0

@@ -35,8 +35,9 @@ class ScanPruningSpec extends AnyFunSuite {
   test("tpch_q3 pushes the status/date filters into the parquet scans") {
     val p = physical("tpch_q3")
     assert(p.contains("PushedFilters: ["), p.take(400))
-    // at least one non-empty pushdown (status or date bound)
-    assert(p.split("PushedFilters: \\[").exists(s => !s.startsWith("]")),
+    // at least one non-empty pushdown (status or date bound) — drop the
+    // plan prefix before "PushedFilters: [", it would match vacuously
+    assert(p.split("PushedFilters: \\[").drop(1).exists(s => !s.startsWith("]")),
       "no filter reached a scan:\n" + p.take(1500))
   }
 

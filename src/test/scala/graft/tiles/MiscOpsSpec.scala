@@ -59,6 +59,16 @@ class MiscOpsSpec extends AnyFunSuite {
     val f32 = TileOps2.castDtype(src, "float32").collect()(0)
     for (i <- f32.pixels.indices)
       assert(f32.pixels(i) == vals(i % vals.length))
+
+    // a NON-INTEGRAL sentinel in range (100.5 fits uint8's range but not
+    // its lattice) must still re-base — valueFits, not just fitsRange
+    val spec2 = RasterSpec(0.0, 8.0, 1.0, -1.0, 8, 8, 8, 1, nodata = 100.5)
+    val src2 = TileOps.createRaster(spark, spec2)((x, _, _) =>
+      if (x == 0) 100.5 else 7.0)
+    val u8b = TileOps2.castDtype(src2, "uint8").collect()(0)
+    assert(u8b.nodata == 255.0)
+    assert(u8b.pixels.count(_ == 255.0) == 8) // the x==0 column followed the sentinel
+    assert(u8b.pixels.count(_ == 7.0) == 56)
   }
 
   test("dtype nodata defaults and ranges pin the reference table") {
