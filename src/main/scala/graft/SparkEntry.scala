@@ -1472,6 +1472,42 @@ object SparkEntry {
       }.toDF("doc_id", "png")
       graft.ops.Multimodal.imageFeatures(docs, "doc_id", "png")
     },
+    "mm_phash_pairs" -> { (s, _) =>
+      // image near-dup dedup: 12 pattern families × 5 sparse-noise
+      // variants → DCT pHash → lossless 4×16-bit pigeonhole hamming join.
+      // Rows-only (a 32×32 DCT has no SQL mirror); ImageHashSpec proves
+      // the join ≡ brute-force popcount over all pairs plus the hash's
+      // brightness/contrast invariances.
+      import s.implicits._
+      val docs = s.range(60).map { id =>
+        val fam = (id / 5).toInt; val variant = (id % 5).toInt
+        val w = 48; val h = 32
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (128 + 100 * math.sin(x * (fam + 1) * 0.2) *
+              math.cos(y * (fam + 2) * 0.15)).toInt.max(0).min(255)
+            val o = (y * w + x) * 3
+            px(o) = v.toByte; px(o + 1) = ((v * 3 / 4) & 0xff).toByte
+            px(o + 2) = ((255 - v) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        var k = 0 // sparse deterministic perturbation per variant
+        while (k < variant * 6) {
+          val i = (k * 197 + variant * 13) % (w * h) * 3
+          px(i) = (((px(i) & 0xff) + 5).min(255)).toByte
+          k += 1
+        }
+        (id, graft.ops.Codecs.encodePng(w, h, 3, px))
+      }.toDF("doc_id", "png")
+      val hashes = graft.ops.ImageHash.phashTable(docs, "doc_id", "png")
+      graft.ops.ImageHash.hammingPairs(hashes, "doc_id", maxDist = 3)
+        .orderBy("doc_a", "doc_b")
+    },
     "mm_jpeg_decode" -> { (s, _) =>
       // REAL baseline-JPEG decode (graft.ops.Jpeg — from-scratch huffman
       // + IDCT): 50 deterministic gradients encoded with the JDK ImageIO

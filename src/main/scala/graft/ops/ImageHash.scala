@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing (DCT pHash) and exact hamming near-dup join —
+  * the image-dedup step of multimodal corpus curation (LAION-style
+  * pipelines dedup on exactly this recipe). The published pHash:
+  * luma → area-average 32×32 → 2-D DCT-II → low-frequency 8×8 block
+  * (DC row/col excluded) → median threshold → 64-bit code.
+  *
+  * Scale shape: hashing is a partition map over the binary column (one
+  * 32×32 DCT ≈ 65k multiplies per image — decode dominates). Near-dup
+  * pairs use the pigeonhole band trick: a pair within hamming distance
+  * r ≤ 3 must agree EXACTLY on at least one of the four 16-bit words,
+  * so a 4-band equi-join + popcount verify is LOSSLESS for r ≤ 3 — the
+  * same bucket-join shape as MinHash LSH banding, never all-pairs.
+  *
+  * Definitional properties (pinned in ImageHashSpec): the hash is
+  * invariant to global brightness shift (a constant only moves the DC
+  * coefficient, which the block excludes) and to positive contrast
+  * scaling (thresholding against the block median is scale-invariant).
+  */
+object ImageHash {
+
+  final val Grid = 32   // resample target
+  final val Block = 8   // low-frequency block edge (u, v ∈ 1..Block)
+
+  /** Luma plane (BT.601 weights) as doubles in [0, 255]. */
+  def gray(img: Codecs.Image): Array[Double] = {
+    val n = img.width * img.height
+    val out = new Array[Double](n)
+    var i = 0
+    if (img.channels >= 3) {
+      while (i < n) {
+        val o = i * img.channels
+        out(i) = 0.299 * (img.pixels(o) & 0xff) +
+          0.587 * (img.pixels(o + 1) & 0xff) +
+          0.114 * (img.pixels(o + 2) & 0xff)
+        i += 1
+      }
+    } else {
+      while (i < n) { out(i) = (img.pixels(i * img.channels) & 0xff).toDouble; i += 1 }
+    }
+    out
+  }
+
+  /** Area-average resample of a w×h plane to Grid×Grid: each target cell
+    * averages its (integer-floored, non-empty) source box — deterministic,
+    * no interpolation kernels needed for a hash.
+    */
+  def resample(g: Array[Double], w: Int, h: Int): Array[Double] = {
+    require(w > 0 && h > 0, "empty image")
+    val out = new Array[Double](Grid * Grid)
+    var ty = 0
+    while (ty < Grid) {
+      val y0 = ty * h / Grid
+      val y1 = math.max(y0 + 1, (ty + 1) * h / Grid)
+      var tx = 0
+      while (tx < Grid) {
+        val x0 = tx * w / Grid
+        val x1 = math.max(x0 + 1, (tx + 1) * w / Grid)
+        var s = 0.0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) { s += g(y * w + x); x += 1 }
+          y += 1
+        }
+        val cnt = (math.min(y1, h) - y0) * (math.min(x1, w) - x0)
+        out(ty * Grid + tx) = s / math.max(1, cnt)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Separable orthonormal 2-D DCT-II of a Grid×Grid plane. Naive O(n³)
+    * per axis — 2·32³ ≈ 65k multiply-adds per image, negligible next to
+    * the codec work.
+    */
+  def dct2(a: Array[Double]): Array[Double] = {
+    val n = Grid
+    val cosT = Array.tabulate(n, n)((u, i) => math.cos(math.Pi * (2 * i + 1) * u / (2.0 * n)))
+    def alpha(u: Int): Double = if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+    val rows = new Array[Double](n * n)
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < n) {
+        var s = 0.0; var i = 0
+        while (i < n) { s += a(y * n + i) * cosT(u)(i); i += 1 }
+        rows(y * n + u) = alpha(u) * s
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](n * n)
+    var u = 0
+    while (u < n) {
+      var v = 0
+      while (v < n) {
+        var s = 0.0; var i = 0
+        while (i < n) { s += rows(i * n + u) * cosT(v)(i); i += 1 }
+        out(v * n + u) = alpha(v) * s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** 64-bit pHash of a decoded image. Bit k (= (v-1)*Block + (u-1)) is
+    * set when coefficient (u, v) exceeds the block's lower median; the
+    * block u, v ∈ 1..Block skips the DC row and column entirely.
+    */
+  def phash(img: Codecs.Image): Long = {
+    val d = dct2(resample(gray(img), img.width, img.height))
+    val vals = new Array[Double](Block * Block)
+    var k = 0
+    var v = 1
+    while (v <= Block) {
+      var u = 1
+      while (u <= Block) { vals(k) = d(v * Grid + u); k += 1; u += 1 }
+      v += 1
+    }
+    val sorted = vals.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(Block * Block / 2 - 1) // lower median of 64
+    var hash = 0L
+    k = 0
+    while (k < Block * Block) {
+      if (vals(k) > med) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** (id, phash) table from a binary image column — decode (PNG/JPEG
+    * dispatch) + hash as a zero-shuffle partition map; undecodable rows
+    * are dropped (count them upstream if the drop rate matters).
+    */
+  def phashTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          Multimodal.decodeImage(bytes).map(img => (id, phash(img)))
+        }
+      }
+      .toDF(idCol, "phash")
+  }
+
+  /** Near-dup pairs within `maxDist` hamming bits (default 3, the
+    * largest distance the 4×16-bit pigeonhole join covers losslessly).
+    * Band equi-join generates candidates; a codegen'd xor+bit_count
+    * verifies exactly — banding only prunes, never decides.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String = "doc_id",
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"4x16-bit pigeonhole is lossless only to distance 3, got $maxDist")
+    val words: Column = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("word"))
+    }: _*)
+    val banded = hashes
+      .select(col(idCol).as("id"), col("phash"), explode(words).as("bw"))
+      .select(col("id"), col("phash"), col("bw.band").as("band"), col("bw.word").as("word"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.word") === col("b.word") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}
