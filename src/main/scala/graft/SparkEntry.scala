@@ -1508,6 +1508,30 @@ object SparkEntry {
       graft.ops.ImageHash.hammingPairs(hashes, "doc_id", maxDist = 3)
         .orderBy("doc_a", "doc_b")
     },
+    "mm_ahash_pairs" -> { (s, _) =>
+      // audio near-dup dedup: 8 harmonic-stack families × 3 dither
+      // variants → floored log-spectrogram spectral hash → the same
+      // lossless pigeonhole hamming join as images. Rows-only;
+      // AudioHashSpec carries the brute-force differential and the
+      // exact gain-invariance proof.
+      import s.implicits._
+      val docs = s.range(24).map { id =>
+        val fam = (id / 3).toInt; val variant = (id % 3).toInt
+        val n = 8192
+        val samples = Array.tabulate(n) { i =>
+          val t = i / 8000.0
+          val f0 = 200.0 + fam * 97.0
+          val tones = (1 to 6).map(k => math.sin(2 * math.Pi * f0 * k * t) / k).sum * 4000.0
+          val bed = ((i * 2654435761L >>> 9) % 2001 - 1000) * 0.4
+          val dither = if (variant == 0) 0L else (i * 40503L * variant >>> 3) % 41 - 20
+          (tones + bed + dither).toInt.max(Short.MinValue).min(Short.MaxValue).toShort
+        }
+        (id, graft.ops.Codecs.encodeWavPcm16(samples, 8000))
+      }.toDF("doc_id", "wav")
+      val hashes = graft.ops.AudioHash.ahashTable(docs, "doc_id", "wav")
+      graft.ops.AudioHash.hammingPairs(hashes, "doc_id", maxDist = 3)
+        .orderBy("doc_a", "doc_b")
+    },
     "mm_jpeg_decode" -> { (s, _) =>
       // REAL baseline-JPEG decode (graft.ops.Jpeg — from-scratch huffman
       // + IDCT): 50 deterministic gradients encoded with the JDK ImageIO

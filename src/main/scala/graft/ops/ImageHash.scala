@@ -115,8 +115,14 @@ object ImageHash {
     * set when coefficient (u, v) exceeds the block's lower median; the
     * block u, v ∈ 1..Block skips the DC row and column entirely.
     */
-  def phash(img: Codecs.Image): Long = {
-    val d = dct2(resample(gray(img), img.width, img.height))
+  def phash(img: Codecs.Image): Long =
+    blockHash(dct2(resample(gray(img), img.width, img.height)))
+
+  /** Median-threshold 64-bit code of a Grid×Grid DCT plane's
+    * low-frequency Block×Block sub-block (DC row/col excluded) — shared
+    * with [[AudioHash]].
+    */
+  def blockHash(d: Array[Double]): Long = {
     val vals = new Array[Double](Block * Block)
     var k = 0
     var v = 1
