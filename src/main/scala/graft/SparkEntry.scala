@@ -1532,6 +1532,31 @@ object SparkEntry {
       graft.ops.AudioHash.hammingPairs(hashes, "doc_id", maxDist = 3)
         .orderBy("doc_a", "doc_b")
     },
+    "mm_vhash_pairs" -> { (s, _) =>
+      // video near-dup dedup: per-sampled-frame pHash + temporally
+      // ALIGNED pigeonhole join (pairs must agree at >=2 frame
+      // positions — a single shared still is not a duplicate clip).
+      // Rows-only; VideoHashSpec carries the brute-force differential
+      // and the shared-still separation case.
+      import s.implicits._
+      val w = 48; val h = 32
+      val docs = s.range(30).map { id =>
+        val fam = (id / 3).toInt; val variant = (id % 3).toInt
+        val frames = (0 until 9).map { fi =>
+          Array.tabulate[Byte](w * h) { j =>
+            val x = j % w; val y = j / w
+            val v = (128 + 100 * math.sin((x + fi * 3) * (fam + 1) * 0.2) *
+              math.cos(y * (fam + 2) * 0.15)).toInt.max(0).min(255)
+            val d = if (variant > 0 && j % 197 < variant) 5 else 0
+            ((v + d).min(255) & 0xff).toByte
+          }
+        }
+        (id, graft.ops.Codecs.encodeAvi(w, h, 33333, frames))
+      }.toDF("doc_id", "avi")
+      val fh = graft.ops.VideoHash.frameHashTable(docs, "doc_id", "avi", stride = 3)
+      graft.ops.VideoHash.nearDupPairs(fh, "doc_id", maxDist = 3, minMatchFrames = 2)
+        .orderBy("doc_a", "doc_b")
+    },
     "mm_jpeg_decode" -> { (s, _) =>
       // REAL baseline-JPEG decode (graft.ops.Jpeg — from-scratch huffman
       // + IDCT): 50 deterministic gradients encoded with the JDK ImageIO
