@@ -673,9 +673,10 @@ object SparkEntry {
     },
     "text_dsir" -> { (s, dir) =>
       // importance-resampling weights toward the English slice of the
-      // corpus as the "target domain"
+      // corpus as the "target domain"; md5prefix is the oracle-mirror
+      // family, pinned HERE only — the production default is xxhash64
       TextOps.dsirWeights(documentsOf(s, dir), col("lang") === "en",
-        buckets = 4096)
+        buckets = 4096, family = "md5prefix")
     },
     "url_host_cap" -> { (s, dir) => WebOps.capPerHost(Pages.pages(s, dir), n = 3) },
     "url_blocklist" -> { (s, dir) =>

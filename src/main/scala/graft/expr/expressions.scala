@@ -297,6 +297,9 @@ object BloomFun {
     var i = 0
     val n = pos.numElements()
     while (i < n) {
+      // a null position (null key element upstream) is "bit absent":
+      // nullSafeEval only guards top-level nulls, not array elements
+      if (pos.isNullAt(i)) return false
       val p = pos.getLong(i)
       if ((bits.getLong((p >>> 6).toInt) & (1L << (p & 63))) == 0L) return false
       i += 1

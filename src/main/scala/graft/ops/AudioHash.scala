@@ -44,6 +44,18 @@ object AudioHash {
     require(samples.length >= Frames, s"clip too short: ${samples.length} samples")
     val mags = new Array[Double](Frames * Bands)
     val frameLen = samples.length / Frames
+    // Twiddle table keyed by frameLen, built once per clip and shared by
+    // every (frame, bin): the DFT angle 2π·k·i/L only depends on k·i mod L,
+    // so 2·L trig calls replace 2·Frames·Bands·L (~0.5M for an 8k-sample
+    // clip — the DFT dominated the per-clip cost, not the codec; ADVICE r4).
+    val cosTw = new Array[Double](frameLen)
+    val sinTw = new Array[Double](frameLen)
+    var j = 0
+    while (j < frameLen) {
+      val ang = 2.0 * math.Pi * j / frameLen
+      cosTw(j) = math.cos(ang); sinTw(j) = math.sin(ang)
+      j += 1
+    }
     var peak = 0.0
     var f = 0
     while (f < Frames) {
@@ -52,10 +64,11 @@ object AudioHash {
       while (k <= Bands) {
         var re = 0.0; var im = 0.0
         var i = 0
+        var idx = 0 // (k·i) mod frameLen, advanced by k each step
         while (i < frameLen) {
-          val ang = 2.0 * math.Pi * k * i / frameLen
           val v = samples(base + i).toDouble
-          re += v * math.cos(ang); im -= v * math.sin(ang)
+          re += v * cosTw(idx); im -= v * sinTw(idx)
+          idx += k; if (idx >= frameLen) idx -= frameLen
           i += 1
         }
         val m = math.hypot(re, im)

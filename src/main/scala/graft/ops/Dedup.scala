@@ -445,10 +445,11 @@ object Dedup {
     */
   def bloomFlags(docs: DataFrame, ref: DataFrame, k: Int = 5,
                  mBits: Int = 1 << 20,
-                 family: String = "xxhash64"): DataFrame = {
+                 family: String = "xxhash64",
+                 keyCol: String = "text"): DataFrame = {
     graft.expr.GraftFunctions.register(docs.sparkSession)
-    val bits = bloomBitmap(ref, "text", k, mBits, family)
-    val pos = bloomPositions(col("text"), k, mBits, family)
+    val bits = bloomBitmap(ref, keyCol, k, mBits, family)
+    val pos = bloomPositions(col(keyCol), k, mBits, family)
     docs.select(col("doc_id"),
       call_function("bloom_contains_all", pos, typedlit(bits)).as("maybe_seen"))
   }

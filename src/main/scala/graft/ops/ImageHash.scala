@@ -76,14 +76,24 @@ object ImageHash {
     out
   }
 
+  /** Grid×Grid DCT-II basis table, built once per JVM (Grid is a
+    * compile-time constant; rebuilding the 1024-entry table per image —
+    * and per sampled video frame — cost 30-50% of the hash, ADVICE r4).
+    */
+  private val cosT: Array[Array[Double]] =
+    Array.tabulate(Grid, Grid)((u, i) =>
+      math.cos(math.Pi * (2 * i + 1) * u / (2.0 * Grid)))
+  private val alphaT: Array[Double] =
+    Array.tabulate(Grid)(u =>
+      if (u == 0) math.sqrt(1.0 / Grid) else math.sqrt(2.0 / Grid))
+
   /** Separable orthonormal 2-D DCT-II of a Grid×Grid plane. Naive O(n³)
     * per axis — 2·32³ ≈ 65k multiply-adds per image, negligible next to
     * the codec work.
     */
   def dct2(a: Array[Double]): Array[Double] = {
     val n = Grid
-    val cosT = Array.tabulate(n, n)((u, i) => math.cos(math.Pi * (2 * i + 1) * u / (2.0 * n)))
-    def alpha(u: Int): Double = if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+    def alpha(u: Int): Double = alphaT(u)
     val rows = new Array[Double](n * n)
     var y = 0
     while (y < n) {

@@ -301,15 +301,21 @@ object TextOps {
     * cut — agree between engines exactly.
     *
     * Scale shape: tf is a map-side-combined hash agg on (doc, token); the
-    * document-frequency table is the VOCABULARY, broadcast like the
-    * PPJoin rarity table (trim stopword-level df first at web scale); the
+    * document-frequency table is the VOCABULARY — billions of distinct
+    * tokens on a web corpus, so it is NOT hint-forced to broadcast
+    * (VERDICT r4 #3: a forced hint OOMs where a plain shuffle join
+    * works); AQE picks broadcast when the vocab actually fits and a
+    * sort-merge join when it doesn't. `minDf` trims the long tail before
+    * the join (df >= 2 roughly halves a web vocabulary) — trimmed tokens
+    * simply drop out of the ranking, exactly as if they scored last. The
     * only remaining shuffle is the per-doc top-k window. Nothing is
     * quadratic and no stage keys on anything wider than (doc, token).
     */
-  def tfidf(docs: DataFrame, k: Int): DataFrame = {
+  def tfidf(docs: DataFrame, k: Int, minDf: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = tokenTable(docs).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df")))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
     tf.join(dfreq, "tok").crossJoin(broadcast(n))
@@ -411,7 +417,7 @@ object TextOps {
     * result is identical at any parallelism.
     */
   def classifierScore(docs: DataFrame, buckets: Int = 1024,
-                      family: String = "md5prefix"): DataFrame = {
+                      family: String = "xxhash64"): DataFrame = {
     val h = family match {
       case "xxhash64" => xxhash64(col("tok"))
       case "md5prefix" =>
@@ -485,7 +491,7 @@ object TextOps {
     * feature space — bucket = hash(tok_i ' ' tok_i+1) mod buckets.
     */
   def featureTable(docs: DataFrame, buckets: Int,
-                   family: String = "md5prefix"): DataFrame = {
+                   family: String = "xxhash64"): DataFrame = {
     val gram = Dedup.shingleTable(docs, n = 2)
     val h = family match {
       case "xxhash64" => xxhash64(col("tok"))
@@ -512,7 +518,7 @@ object TextOps {
     * profile is one map-side-combined aggregate over the feature table.
     */
   def dsirWeights(docs: DataFrame, targetFilter: Column, buckets: Int = 4096,
-                  family: String = "md5prefix"): DataFrame = {
+                  family: String = "xxhash64"): DataFrame = {
     val feats = featureTable(docs, buckets, family)
     val tgtProfile = broadcast(featureTable(docs.filter(targetFilter), buckets, family)
       .groupBy("b").agg(count(lit(1)).as("cnt_t")))

@@ -25,6 +25,7 @@ object VideoHash {
     */
   def frameHashTable(df: DataFrame, idCol: String, binCol: String,
                      stride: Int): DataFrame = {
+    require(stride >= 1, s"frameHashTable: stride must be >= 1, got $stride")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))

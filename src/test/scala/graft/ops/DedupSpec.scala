@@ -147,6 +147,27 @@ class DedupSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("bloomFlags works on a non-text key column (ADVICE r4: keyCol)") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"https://host${i % 7}.example/p$i"))
+      .toDF("doc_id", "url")
+    val ref = docs.filter(col("doc_id") < 50)
+    val flags = Dedup.bloomFlags(docs, ref, k = 4, mBits = 1 << 12, keyCol = "url")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0L until 50L).foreach(i => assert(flags(i), s"ref url doc $i must be flagged"))
+  }
+
+  test("bloom_contains_all treats a null position element as bit-absent (ADVICE r4)") {
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
+    val allOnes = Array.fill(4)(-1L) // every bit set: only a null can yield false
+    val got = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L)), Tuple1(Seq[java.lang.Long](1L, 3L)))
+      .toDF("pos")
+      .select(call_function("bloom_contains_all", col("pos"), typedlit(allOnes)).as("hit"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(false, true))
+  }
+
   test("sigPrunePairs: prunes sub-threshold band collisions, loses no dup") {
     // Sparse-corpus shape: families sharing a small token core (J ≈ 0.18,
     // junk that still collides in 2-row bands) plus planted near-dups

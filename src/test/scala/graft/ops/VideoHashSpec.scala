@@ -40,6 +40,17 @@ class VideoHashSpec extends AnyFunSuite {
     assert(a.count(_._1 == 1L) == 3)
   }
 
+  test("frameHashTable rejects stride < 1 at plan build, not inside executor tasks") {
+    import spark.implicits._
+    val docs = Seq((1L, avi(0, 0))).toDF("doc_id", "avi")
+    intercept[IllegalArgumentException] {
+      VideoHash.frameHashTable(docs, "doc_id", "avi", stride = 0)
+    }
+    intercept[IllegalArgumentException] {
+      VideoHash.frameHashTable(docs, "doc_id", "avi", stride = -2)
+    }
+  }
+
   test("nearDupPairs equals brute force; alignment separates clip dups from shared stills") {
     import spark.implicits._
     // 5 families x 3 variants (bump 0/1/2) + one clip that REUSES family

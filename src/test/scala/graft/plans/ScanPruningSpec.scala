@@ -49,6 +49,22 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning"), p.take(400))
   }
 
+  test("tfidf does not force-broadcast the vocabulary df table (VERDICT r4 #3)") {
+    // The vocabulary is unbounded at web scale — the join strategy must
+    // be AQE's call, not a plan-time hint. The only ResolvedHint allowed
+    // in the logical plan is the 1-row n_docs scalar.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.SparkEntry.queries("text_tfidf")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1,
+      s"expected exactly the n_docs broadcast hint, found ${hints.size}:\n" +
+        hints.mkString("\n").take(1500))
+    // the one permitted hint must be the scalar n_docs aggregate, not the
+    // per-token df table
+    assert(hints.head.child.output.map(_.name) == Seq("n_docs"),
+      "the forced broadcast is not the n_docs scalar:\n" + hints.head.toString.take(1500))
+  }
+
   test("exact dedup aggregates map-side before its single shuffle") {
     val p = physical("dedup_exact")
     assert(p.contains("partial_count") || p.contains("partial_"),
