@@ -30,6 +30,9 @@ object GraftFunctions {
       es => graft.plans.CoverCellsExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("bloom_contains_all",
       es => BloomContainsAllExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("erase_spans", es =>
+      EraseSpansExpr(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("channel_transpose", es =>
       ChannelTransposeExpr(es(0),
         es(1).eval().asInstanceOf[Number].intValue(),

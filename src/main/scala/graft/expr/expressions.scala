@@ -288,6 +288,50 @@ case class ChannelTransposeExpr(child: Expression, c: Int, h: Int, w: Int,
     copy(child = nc)
 }
 
+/** Static shim for the span-erase codegen path. */
+object TextFun {
+  /** Kept tokens after erasing every [s, s+k) window span, `starts`
+    * SORTED ascending — a two-pointer sorted merge, O(n_tokens +
+    * n_starts). Replaces the per-token `exists(starts, …)` expression
+    * tree (VERDICT r4 #4: a boilerplate doc where every window loses was
+    * quadratic in its own length — 2²⁰ tokens → ~10¹² ops in one task).
+    * Token i is erased iff max{s + k : s <= i} > i, which the running
+    * `coveredUntil` maintains exactly.
+    */
+  def eraseSpans(toks: ArrayData, starts: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val m = starts.numElements()
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var j = 0
+    var coveredUntil = Int.MinValue
+    var i = 0
+    while (i < n) {
+      while (j < m && starts.getInt(j) <= i) {
+        val e = starts.getInt(j) + k
+        if (e > coveredUntil) coveredUntil = e
+        j += 1
+      }
+      if (i >= coveredUntil) buf += toks.getUTF8String(i)
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+}
+
+/** `erase_spans(toks, starts, k)` — the codegen'd linear span-erase used
+  * by TextOps.substringDedup; `starts` must be sorted ascending.
+  */
+case class EraseSpansExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(toks: Any, starts: Any): Any =
+    TextFun.eraseSpans(toks.asInstanceOf[ArrayData], starts.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.expr.TextFun.eraseSpans($t, $s, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Static shim for the Bloom probe (codegen calls it directly). */
 object BloomFun {
   /** true iff every position in `pos` has its bit set in `bits` (a

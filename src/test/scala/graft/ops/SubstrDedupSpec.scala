@@ -83,4 +83,27 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(got(1L) == ((3L, 0L, "a b c")))
     assert(got(2L) == ((0L, 0L, "")))
   }
+
+  test("worst case — every window of a 10^5-token doc loses — stays linear") {
+    // VERDICT r4 #4: the old per-token exists(starts, …) was
+    // O(n_tokens × n_losers) per doc; two identical 1e5-token docs make
+    // the second lose EVERY window (≈1e5 loser starts), i.e. ~1e10 span
+    // probes under the quadratic form — minutes-to-hours in one task.
+    // The two-pointer erase_spans is O(n + m) and finishes in seconds.
+    val n = 100000
+    val k = 8
+    // unique tokens => no windows repeat WITHIN a doc, so the winner doc
+    // is untouched and the loser doc loses every single window
+    val text = (0 until n).map(i => s"t$i").mkString(" ")
+    val t0 = System.nanoTime()
+    val got = run(Seq((0L, text), (1L, text)), k = k, hashKey = true, parts = 2)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // winner doc keeps everything; loser doc is fully erased (every
+    // position of doc 1 is covered by some losing window)
+    assert(got(0L) == ((n.toLong, 0L, text)))
+    assert(got(1L)._1 == n.toLong)
+    assert(got(1L)._2 == n.toLong, s"expected full erase, got ${got(1L)._2}")
+    assert(got(1L)._3.isEmpty)
+    assert(secs < 60.0, f"span erase took $secs%.1f s — quadratic regression?")
+  }
 }
