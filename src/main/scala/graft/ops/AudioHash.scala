@@ -105,9 +105,17 @@ object AudioHash {
   }
 
   /** Near-dup audio pairs — delegates to the shared lossless pigeonhole
-    * hamming join.
+    * hamming join (capped per bucket, see ImageHash.hammingPairs).
     */
   def hammingPairs(hashes: DataFrame, idCol: String = "doc_id",
-                   maxDist: Int = 3): DataFrame =
-    ImageHash.hammingPairs(hashes, idCol, maxDist)
+                   maxDist: Int = 3, capPerBucket: Int = 1024): DataFrame =
+    ImageHash.hammingPairs(hashes, idCol, maxDist, capPerBucket)
+
+  /** Near-dup audio clusters — the scale form; delegates to
+    * ImageHash.phashClusters (identical-hash star contraction + capped
+    * band join over distinct hashes + connected components).
+    */
+  def clusters(hashes: DataFrame, idCol: String = "doc_id",
+               maxDist: Int = 3, capPerBucket: Int = 1024): DataFrame =
+    ImageHash.phashClusters(hashes, idCol, maxDist, capPerBucket)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Perceptual image hashing (DCT pHash) and exact hamming near-dup join —
@@ -169,27 +170,97 @@ object ImageHash {
       .toDF(idCol, "phash")
   }
 
-  /** Near-dup pairs within `maxDist` hamming bits (default 3, the
-    * largest distance the 4×16-bit pigeonhole join covers losslessly).
-    * Band equi-join generates candidates; a codegen'd xor+bit_count
-    * verifies exactly — banding only prunes, never decides.
+  /** The 4×16-bit pigeonhole banding of a 64-bit hash column: a pair
+    * within hamming distance ≤ 3 must agree EXACTLY on at least one of
+    * the four 16-bit words.
     */
-  def hammingPairs(hashes: DataFrame, idCol: String = "doc_id",
-                   maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, s"4x16-bit pigeonhole is lossless only to distance 3, got $maxDist")
+  private[ops] def bandedWords(hashes: DataFrame, idCol: String): DataFrame = {
     val words: Column = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("word"))
     }: _*)
-    val banded = hashes
+    hashes
       .select(col(idCol).as("id"), col("phash"), explode(words).as("bw"))
       .select(col("id"), col("phash"), col("bw.band").as("band"), col("bw.word").as("word"))
-    banded.as("a").join(banded.as("b"),
+  }
+
+  /** Near-dup pairs within `maxDist` hamming bits (default 3, the
+    * largest distance the 4×16-bit pigeonhole join covers losslessly).
+    * Band equi-join generates candidates; a codegen'd xor+bit_count
+    * verifies exactly — banding only prunes, never decides.
+    *
+    * Hot buckets (VERDICT r4 #1/#6): a web corpus's solid-color /
+    * boilerplate images collapse onto a handful of 16-bit words, and an
+    * uncapped self-join goes quadratic inside that bucket. The index
+    * side of each (band, word) bucket is therefore CAPPED at
+    * `capPerBucket` members (deterministic: lowest ids; -1 = uncapped),
+    * so a hot bucket costs O(bucket × cap), never O(bucket²) — the same
+    * shape as Similarity.lshBucketTopK. A pair is still found when
+    * EITHER endpoint made its bucket's cap, and the popcount verify runs
+    * BEFORE the cross-band distinct, so the distinct only ever sees
+    * verified near-dups (linear in true dups), not raw candidates.
+    * Identical-hash groups are the pathological case — for those the
+    * pairs form is quadratic in its own OUTPUT; use [[phashClusters]],
+    * which contracts them in linear work, whenever pair enumeration
+    * isn't literally the requirement.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String = "doc_id",
+                   maxDist: Int = 3, capPerBucket: Int = 1024): DataFrame = {
+    require(maxDist <= 3, s"4x16-bit pigeonhole is lossless only to distance 3, got $maxDist")
+    require(capPerBucket > 0 || capPerBucket == -1,
+      s"capPerBucket must be positive, or -1 for uncapped, got $capPerBucket")
+    val banded = bandedWords(hashes, idCol)
+    val idx =
+      if (capPerBucket == -1) banded
+      else {
+        val w = Window.partitionBy("band", "word").orderBy("id")
+        banded.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= capPerBucket).drop("rn")
+      }
+    banded.as("a").join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.word") === col("b.word") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("dist"))
-      .distinct()
       .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** Near-dup CLUSTERS within `maxDist` hamming bits — the scale form of
+    * [[hammingPairs]]: where a 10⁴-member identical-hash group (one
+    * solid-color thumbnail repeated across a crawl) makes pair
+    * enumeration quadratic in its own output, clustering stays linear.
+    *
+    * Three contractions keep every stage bucket-bounded:
+    *  1. identical hashes collapse to star edges onto the group's min id
+    *     (one hash-agg + one equi-join — the 10⁴-member group contributes
+    *     10⁴ edges and exactly ONE node downstream),
+    *  2. the pigeonhole band join then runs over DISTINCT hashes only,
+    *     capped per bucket like hammingPairs,
+    *  3. Dedup.connectedComponents (alternating star contraction,
+    *     O(log² n) rounds) merges star + verified-pair edges.
+    *
+    * Returns (idCol, cluster) for every input row; cluster = smallest id
+    * in the transitive near-dup closure; singletons map to themselves.
+    */
+  def phashClusters(hashes: DataFrame, idCol: String = "doc_id",
+                    maxDist: Int = 3, capPerBucket: Int = 1024): DataFrame = {
+    val ids = hashes.select(col(idCol).cast("long").as("id"), col("phash"))
+    val reps = ids.groupBy("phash").agg(min("id").as("rep"))
+    val star = ids.join(reps, "phash")
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as("src"), col("rep").as("dst"))
+    val repPairs = hammingPairs(
+        reps.select(col("rep").as("rid"), col("phash")), "rid", maxDist, capPerBucket)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // localCheckpoint boundary: CC checkpoints its edge set every round
+    // anyway, and the deep join/window lineage below a Union trips
+    // Spark's union constraint-rewrite (key-not-found on a pushed-down
+    // alias) — the truncated plan is also what a 10^12-edge run wants.
+    val comp = Dedup.connectedComponents(star.union(repPairs).localCheckpoint())
+    ids.join(comp, col("id") === col("node"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("cluster"))
   }
 }

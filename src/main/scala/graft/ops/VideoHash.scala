@@ -49,10 +49,21 @@ object VideoHash {
     * ALIGNED positions within `maxDist` hamming bits each. Per-position
     * band join (lossless for maxDist <= 3) + popcount verify + one
     * count aggregate. Returns (doc_a, doc_b, n_matched, max_dist).
+    *
+    * Hot buckets (VERDICT r4 #1): a black/title-card frame repeated
+    * across a crawl collapses onto one (frame_idx, band, word) bucket;
+    * the index side of every bucket is capped at `capPerBucket` members
+    * (deterministic: lowest ids; -1 = uncapped), same shape as
+    * ImageHash.hammingPairs — a pair survives when EITHER endpoint made
+    * a shared bucket's cap, and the popcount verify runs before the
+    * cross-band distinct.
     */
   def nearDupPairs(frameHashes: DataFrame, idCol: String = "doc_id",
-                   maxDist: Int = 3, minMatchFrames: Int = 2): DataFrame = {
+                   maxDist: Int = 3, minMatchFrames: Int = 2,
+                   capPerBucket: Int = 1024): DataFrame = {
     require(maxDist <= 3, s"4x16-bit pigeonhole is lossless only to distance 3, got $maxDist")
+    require(capPerBucket > 0 || capPerBucket == -1,
+      s"capPerBucket must be positive, or -1 for uncapped, got $capPerBucket")
     val words = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("word"))
@@ -62,15 +73,24 @@ object VideoHash {
         explode(words).as("bw"))
       .select(col("id"), col("frame_idx"), col("phash"),
         col("bw.band").as("band"), col("bw.word").as("word"))
-    banded.as("a").join(banded.as("b"),
+    val idx =
+      if (capPerBucket == -1) banded
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("frame_idx", "band", "word").orderBy("id")
+        banded.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= capPerBucket).drop("rn")
+      }
+    banded.as("a").join(idx.as("b"),
         col("a.frame_idx") === col("b.frame_idx") &&
           col("a.band") === col("b.band") && col("a.word") === col("b.word") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"),
         col("a.frame_idx").as("frame_idx"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("dist"))
-      .distinct() // one row per (pair, position) however many bands hit
       .filter(col("dist") <= maxDist)
+      .distinct() // one row per (pair, position) however many bands hit
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).cast("int").as("n_matched"), max("dist").as("max_dist"))
       .filter(col("n_matched") >= minMatchFrames)
