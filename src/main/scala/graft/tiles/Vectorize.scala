@@ -396,9 +396,10 @@ object Vectorize {
     val edgeCount = edgeRows.count()
     // memory-derived (was a magic 5M sized to the sandbox): an edge costs
     // ~64 B collected + union-find map entry; budget 5% of driver heap,
-    // clamped to [200k, 20M], env-overridable for operators who know
-    // their driver size
-    val driverLimit = sys.env.get("GRAFT_VECTORIZE_DRIVER_EDGES").map(_.toLong)
+    // clamped to [200k, 20M]. Overridable via runtime conf (first) or env
+    // for operators who know their driver size.
+    val driverLimit = spark.conf.getOption("graft.vectorize.driverEdges")
+      .orElse(sys.env.get("GRAFT_VECTORIZE_DRIVER_EDGES")).map(_.toLong)
       .getOrElse {
         val budget = (Runtime.getRuntime.maxMemory() * 0.05).toLong / 64L
         math.min(20000000L, math.max(200000L, budget))
@@ -427,24 +428,16 @@ object Vectorize {
         .join(broadcast(mapDf), Seq("label"), "left")
         .select(col("label"), coalesce(col("mcomp"), col("label")).as("comp"))
     } else {
-      val sym = edgeRows.union(edgeRows.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = labelsOnly.select(col("label"), col("label").as("comp"))
-      var changed = 1L
-      var it = 0
-      while (changed > 0 && it < maxIters) {
-        val viaNeighbors = sym.join(labels, sym("dst") === labels("label"))
-          .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
-        val next = labels.join(viaNeighbors, labels("label") === viaNeighbors("src"), "left")
-          .select(labels("label"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-          .localCheckpoint()
-        changed = next.as("n").join(labels.as("o"), col("n.label") === col("o.label"))
-          .filter(col("n.comp") =!= col("o.comp")).count()
-        labels = next
-        it += 1
-      }
-      labels
+      // distributed path: alternating star contraction (VERDICT r4 #6 —
+      // plain min-label propagation needs diameter-many rounds, and a
+      // snake region spanning 10^3 tiles has diameter 10^3; star
+      // contraction converges in O(log^2 n) rounds regardless of shape)
+      val comp = graft.ops.Dedup.connectedComponents(
+        edgeRows.select(col("src"), col("dst")).localCheckpoint(),
+        maxIter = maxIters)
+      labelsOnly
+        .join(comp, labelsOnly("label") === comp("node"), "left")
+        .select(col("label"), coalesce(col("component"), col("label")).as("comp"))
     }
   }
 }

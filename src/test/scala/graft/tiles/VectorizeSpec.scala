@@ -94,6 +94,33 @@ class VectorizeSpec extends AnyFunSuite {
     assert(geo(1)._2 === "POLYGON((6.0 26.0,12.0 26.0,12.0 20.0,6.0 20.0,6.0 26.0))")
   }
 
+  test("distributed CC path: high-diameter snake region resolves in star-contraction rounds") {
+    // VERDICT r4 #6: the old distributed fallback was plain min-label
+    // propagation — O(diameter) supersteps; a boustrophedon "snake" of
+    // 1-pixel-wide corridors has label-graph diameter ~ the tile count.
+    // Force the distributed path (driverEdges = 0) and assert the snake
+    // still resolves to ONE region — under label propagation with the
+    // default iteration budget (32) this diameter would NOT converge.
+    val spec = RasterSpec(0.0, 64.0, 1.0, -1.0, 64, 64, 4, 1) // 16×16 tiles
+    // snake: even rows fully 1; odd row y connects at right edge when
+    // (y/2) even, left edge when odd → one serpentine region, diameter
+    // ~ 32 row segments × 16 tiles each
+    val tiles = TileOps.createRaster(spark, spec) { (x, y, _) =>
+      if (y % 2 == 0) 1.0
+      else if ((y / 2) % 2 == 0 && x == 63) 1.0
+      else if ((y / 2) % 2 == 1 && x == 0) 1.0
+      else 0.0
+    }
+    spark.conf.set("graft.vectorize.driverEdges", "0")
+    try {
+      val out = Vectorize.vectorize(tiles, spec).collect()
+        .map(r => (r.getDouble(1), r.getLong(3))).sortBy(_._1)
+      val snake = out.filter(_._1 == 1.0)
+      assert(snake.length == 1, s"snake fragmented: ${snake.length} regions")
+      assert(snake.head._2 == 64L * 32 + 32L) // even rows + 1-px connectors
+    } finally spark.conf.unset("graft.vectorize.driverEdges")
+  }
+
   test("vertical band edges pair correctly (bbox of merged region)") {
     val spec = RasterSpec(0.0, 16.0, 1.0, -1.0, 16, 16, 4, 1)
     // vertical halves: x<8 → 0, else 1 — each half spans 2×4 tiles
