@@ -94,16 +94,20 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def session(cores: Int, localDir: String): SparkSession = {
+  private def session(cores: Int, localDir: String,
+                      shufflePartitions: Int = 0): SparkSession = {
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    val shuffle =
+      if (shufflePartitions > 0) shufflePartitions.toString
+      else sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       // fixed across parallelism levels: identical plans + sort-shuffle path
       // (>200 partitions avoids the bypass writer's mappers×reducers files)
-      .config("spark.sql.shuffle.partitions", "256")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.local.dir", localDir)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -193,6 +197,47 @@ object Bench {
     s.stop()
   }
 
+  /** Synthetic edge table for the connected-components scaling block
+    * (VERDICT r4 #9): a planted GIANT component (random recursive tree —
+    * 60% of edges, depth ~2·ln n, the shape star contraction must crush
+    * in O(log² n) rounds), a hot hub star (20% — the boilerplate-bucket
+    * analog), and isolated pairs (20% — the long tail). Deterministic.
+    */
+  private def ccEdges(s: SparkSession, nEdges: Long): DataFrame = {
+    val tree = nEdges * 6 / 10
+    val hub = nEdges * 8 / 10
+    s.range(1, nEdges)
+      .select(col("id").as("src"),
+        when(col("id") < tree, pmod(xxhash64(col("id")), col("id")))
+          .when(col("id") < hub, lit(tree))
+          .otherwise(col("id").bitwiseXOR(lit(1L))).as("dst"))
+  }
+
+  /** Child-JVM entry for CC scaling: warmup on a slice, then timed
+    * star-contraction CC over the full materialized edge table.
+    */
+  private def ccChild(cores: Int, dir: String, inputDir: String): Unit = {
+    // 64 shuffle partitions at BOTH levels (identical plans): 7 iterative
+    // rounds × ~5 exchanges each make per-task dispatch the fixed cost —
+    // 256 partitions measurably slowed the small-core leg at 10^7 edges
+    val s = session(cores, s"$dir/local", shufflePartitions = 64)
+    s.sparkContext.setLogLevel("ERROR")
+    val in = s.read.parquet(inputDir)
+    Dedup.connectedComponents(in.limit(100000)).count() // warmup (JIT+codegen)
+    val ((nodes, rounds), sec) = timeIt {
+      val (comp, r) = Dedup.connectedComponentsWithRounds(in)
+      (comp.count(), r)
+    }
+    println(f"CHILD_RESULT $nodes $sec%.3f $rounds")
+    s.stop()
+  }
+
+  /** Round counts reported by child runs (kind → rounds) — parallelism-
+    * and run-independent (the contraction sequence is deterministic), so
+    * last-write-wins is exact.
+    */
+  private val lastRounds = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
   /** Spawn a child JVM for one scaling run; (work-units, seconds, mode).
     * Fixed, explicit JVM flags (identical for every level), per-run
     * scratch dir cleaned by the parent, 15-min timeout, one retry, then
@@ -227,6 +272,7 @@ object Bench {
         reader.join(5000)
         lines.asScala.find(_.startsWith("CHILD_RESULT")).map { line =>
           val parts = line.split(" ")
+          if (parts.length > 3) lastRounds.put(kind, parts(3).toInt)
           (parts(1).toLong, parts(2).toDouble)
         }.orElse {
           System.err.println(s"[bench] child $kind/$tag/c$cores failed " +
@@ -257,6 +303,15 @@ object Bench {
             augJob(s, 256)
             val (_, sec) = timeIt(augJob(s, work))
             (work, sec, "inproc")
+          case "cc" =>
+            val in = s.read.parquet(inputDir)
+            Dedup.connectedComponents(in.limit(100000)).count()
+            val ((nodes, rounds), sec) = timeIt {
+              val (comp, r) = Dedup.connectedComponentsWithRounds(in)
+              (comp.count(), r)
+            }
+            lastRounds.put(kind, rounds)
+            (nodes, sec, "inproc")
         }
         s.stop()
         deleteRecursively(dir)
@@ -426,19 +481,30 @@ object Bench {
       } else ""
     val thrA = work / tA
     val thrB = work / tB
-    val unitKey = if (kind == "tiling") "pages" else "tiles_in"
+    val unitKey = kind match {
+      case "tiling" => "pages"
+      case "cc" => "edges"
+      case _ => "tiles_in"
+    }
+    val rounds =
+      if (kind == "cc" && lastRounds.containsKey(kind)) {
+        val r = lastRounds.get(kind)
+        f""","rounds":$r,"sec_per_round_n":${tA / r}%.2f,"sec_per_round_4n":${tB / r}%.2f"""
+      } else ""
     f"""{"$unitKey":$work,"tiles":$unitsB,"cores_n":$repN,"cores_4n":$rep4N,""" +
       f""""t_n_sec":$tA%.2f,"t_4n_sec":$tB%.2f,""" +
       f""""${unitKey}_sec_n":${thrA.toLong},"${unitKey}_sec_4n":${thrB.toLong},""" +
       f""""tiles_sec_n":${(unitsA / tA).toLong},"tiles_sec_4n":${(unitsB / tB).toLong},""" +
-      f""""efficiency":$eff%.3f,"calib_efficiency":$calibEff%.3f$capped}"""
+      f""""efficiency":$eff%.3f,"calib_efficiency":$calibEff%.3f$rounds$capped}"""
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length >= 5 && (args(0) == "tiling" || args(0) == "aug")) {
+    if (args.length >= 5 &&
+        (args(0) == "tiling" || args(0) == "aug" || args(0) == "cc")) {
       args(0) match {
         case "tiling" => tilingChild(args(1).toInt, args(3), args(4))
         case "aug"    => augChild(args(1).toInt, args(2).toLong, args(3))
+        case "cc"     => ccChild(args(1).toInt, args(3), args(4))
       }
       return
     }
@@ -464,23 +530,33 @@ object Bench {
 
     var scaling = "null"
     var scalingAug = "null"
+    var scalingCc = "null"
     if (!suiteOnly) {
-      // materialize the shared input table ONCE (full input_hint schema;
-      // the timed job's scan prunes to the url column)
+      // materialize the shared input tables ONCE (full input_hint schema;
+      // the timed tiling job's scan prunes to the url column)
       val inputDir = s"$scratchBase/input_pages"
+      val ccDir = s"$scratchBase/input_edges"
+      val ccNEdges = sys.env.getOrElse("SPARK_GRAFT_CC_EDGES", "10000000").toLong
       val gen = session(math.max(cpus, 8), s"$scratchBase/gen")
       gen.sparkContext.setLogLevel("ERROR")
       val (_, genSec) = timeIt {
         Pipeline.synthPages(gen, benchPages, partitions = 256)
           .write.mode("overwrite").parquet(inputDir)
+        ccEdges(gen, ccNEdges).write.mode("overwrite").parquet(ccDir)
       }
       gen.stop()
-      System.err.println(f"[bench] input table: $benchPages pages materialized in $genSec%.1fs")
+      System.err.println(f"[bench] input tables: $benchPages pages + $ccNEdges edges " +
+        f"materialized in $genSec%.1fs")
 
       scaling = scalingBlock("tiling", benchPages, nCores, n4Cores, reps, gate,
         inputDir, runLog)
       scalingAug = scalingBlock("aug", augTiles, nCores, n4Cores,
         math.max(1, reps - 1), gate, "-", runLog)
+      // one rep: a cc pair is ~8 min wall (the 2-core leg runs 7 contraction
+      // rounds over 10^7 edges); the band/top-up loop in scalingBlock still
+      // re-samples if the single pair reads as contended
+      scalingCc = scalingBlock("cc", ccNEdges, nCores, n4Cores,
+        1, gate, ccDir, runLog)
     }
 
     // --- query suite at the configured parallelism ---
@@ -507,6 +583,7 @@ object Bench {
     val fullJson =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qjson(results)},""" +
         f""""sf":"$sfDir","scaling":$scaling,"scaling_aug":$scalingAug,""" +
+        f""""scaling_cc":$scalingCc,""" +
         s""""runs":[${runLog.map(r => "\"" + r + "\"").mkString(",")}]}"""
     val fullPath = Paths.get("bench_full.json").toAbsolutePath
     Files.write(fullPath, fullJson.getBytes("UTF-8"))
@@ -519,7 +596,7 @@ object Bench {
     // at the source via run/outputStrategy := StdoutOutput in build.sbt).
     val hl = results.filter { case (k, _) => headline.contains(k) }
     val compact =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qjson(hl)},"sf":"$sfDir","scaling":$scaling,"scaling_aug":$scalingAug}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${qjson(hl)},"sf":"$sfDir","scaling":$scaling,"scaling_aug":$scalingAug,"scaling_cc":$scalingCc}"""
     Files.write(Paths.get("bench_compact.json").toAbsolutePath, compact.getBytes("UTF-8"))
     println(compact)
   }
