@@ -399,19 +399,37 @@ object Jpeg {
             while (i < ns) {
               val cid = bytes(seg + 1 + 2 * i) & 0xff
               val tt = bytes(seg + 2 + 2 * i) & 0xff
-              val c = comps.find(_.id == cid).get
+              val c = comps.find(_.id == cid).getOrElse(
+                throw new IllegalArgumentException(
+                  s"jpeg: SOS references unknown component id $cid"))
               c.dcTbl = (tt & 0xf0) >> 4
               c.acTbl = tt & 0x0f
               scanComps(i) = c
               i += 1
             }
             if (!progressive) {
+              scanComps.foreach { c =>
+                require(dcHuff(c.dcTbl) != null && acHuff(c.acTbl) != null,
+                  "jpeg: scan references an undefined huffman table")
+              }
               baselineScanStart = pos + 2 + len
               done = true
             } else {
               val ss = bytes(seg + 1 + 2 * ns) & 0xff
               val se = bytes(seg + 2 + 2 * ns) & 0xff
               val ahal = bytes(seg + 3 + 2 * ns) & 0xff
+              // table presence depends on scan type: DC-first needs the DC
+              // table, AC scans need the AC table (DC refinement reads raw
+              // bits only) — a corrupted table index must reject, not NPE
+              // deep inside the scan loop (found by the JpegSpec fuzz)
+              scanComps.foreach { c =>
+                if (ss == 0 && (ahal >> 4) == 0)
+                  require(dcHuff(c.dcTbl) != null,
+                    "jpeg: DC scan references an undefined huffman table")
+                if (ss > 0)
+                  require(acHuff(c.acTbl) != null,
+                    "jpeg: AC scan references an undefined huffman table")
+              }
               if (comps(0).coef == null) setupGeometry()
               val sbr = new BitReader(bytes, pos + 2 + len)
               decodeProgScan(sbr, scanComps, ss, se, (ahal & 0xf0) >> 4, ahal & 0x0f)
@@ -425,6 +443,11 @@ object Jpeg {
     }
     require(comps != null && (progressive || baselineScanStart >= 0),
       "jpeg: missing SOS/SOF")
+    // progressive geometry is set up at the FIRST SOS; a stream truncated
+    // between SOF2 and that scan would otherwise reach the IDCT stage with
+    // null planes/coefficient stores (found by the JpegSpec fuzz)
+    require(!progressive || comps.forall(_.plane != null),
+      "jpeg: progressive stream has no scan data")
     if (!progressive) setupGeometry()
 
     if (progressive) {
