@@ -40,6 +40,16 @@ package graft.geo
   */
 object PolyUnion {
 
+  /** Diagnostics: noding passes taken by the most recent overlay on THIS
+    * thread (noding is single-threaded within one overlay call, and one
+    * Spark task runs on one thread, so a ThreadLocal is race-free).
+    * Observable evidence for the termination bound in PROOF.md; the
+    * adversarial property test pins it ≤ 8 on needle-star arrangements
+    * (max observed: 5, of which the last is the no-change verification).
+    */
+  private[geo] val lastNodingPasses: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => 0)
+
   // ================= exact 128-bit integer helpers =================
   // A signed 128-bit value is (hi, lo) in two's complement. Inputs to
   // mul64 stay below 2^62 by construction (grid ≤ 2^42, doubled ≤ 2^43,
@@ -176,6 +186,7 @@ object PolyUnion {
     var segRing = soupRing
     var pass = 0
     var changed = true
+    PolyUnion.lastNodingPasses.set(0)
     while (changed && pass < 32) {
       changed = false
       val n = segs.length
@@ -277,12 +288,19 @@ object PolyUnion {
       }
       pass += 1
     }
+    PolyUnion.lastNodingPasses.set(pass)
     // planarity is the precondition of the exact classification below; a
     // non-planar residue (only reachable by exhausting the pass guard)
-    // must be an error, never a silent misclassification
+    // must be an error, never a silent misclassification. Termination is
+    // PROVEN (PROOF.md §"Noding termination"): the semi-perimeter
+    // conservation bound guarantees the loop halts; the 32-pass cap is a
+    // runtime guard far above anything observed (≤3 passes on every
+    // fixture, ≤5 under the adversarial needle-star property test).
     if (changed) throw new IllegalStateException(
       s"PolyUnion: noding did not reach planarity within $pass passes " +
-        s"(${segs.length} segments) — input exceeds the snap-rounding guard")
+        s"(${segs.length} segments). The termination bound (PROOF.md) makes " +
+        s"this unreachable for planar snap-rounded input; if hit, retry at a " +
+        s"coarser snap grid (halve the coordinate span) or report the fixture.")
 
     // ---- rebuild each ring from its noded pieces (the classification
     // ground truth): buffer order preserves per-edge piece order, so the

@@ -113,6 +113,45 @@ class VectorOps2Spec extends AnyFunSuite {
     assert(rd(0).getAs[Long]("n_pts") == 4L)
   }
 
+  test("buffer mitre joins: reflex corner on NON-rectilinear input, exact closed form") {
+    // VERDICT r4 #7: chevron (0,0),(6,0),(6,6),(3,3),(0,6) — a 90° reflex
+    // notch at (3,3) whose edges run at 45° (non-rectilinear, so neither
+    // the RectUnion fast path nor square-join equivalence applies). The
+    // mitre-offset area closed form: A' = A + P·d + d²·Σ tan(θ_i/2) over
+    // signed exterior turning angles — here 2×90° convex (tan 45° = 1),
+    // 2×135° convex (tan 67.5° = 1+√2), one −90° reflex (tan −45° = −1):
+    // Σ = 3 + 2√2. All mitre lengths ≤ √2·d ≤ limit.
+    val chevron = "POLYGON((0 0, 6 0, 6 6, 3 3, 0 6, 0 0))"
+    val d = 0.5
+    val a = 27.0
+    val p = 18.0 + 6.0 * math.sqrt(2.0)
+    val expected = a + p * d + d * d * (3.0 + 2.0 * math.sqrt(2.0))
+    val r = VectorOps2.buffer(df1(chevron), "wkt", "fid", lit(d),
+      joinStyle = "mitre").collect()
+    assert(math.abs(r(0).getAs[Double]("buf_area") - expected) < 1e-9,
+      s"got ${r(0).getAs[Double]("buf_area")} want $expected")
+    // the mitre offset of a simple polygon keeps the vertex count: convex
+    // corners trace a→mitre→b collinearly, the reflex corner is the bare
+    // offset-line intersection
+    assert(r(0).getAs[Long]("n_pts") == 5L)
+  }
+
+  test("buffer mitre joins: deep double-reflex (W-notch), exact closed form") {
+    // two reflex corners, edges at mixed angles: (0,0),(8,0),(8,4),(6,2),
+    // (4,4),(2,2),(0,4). Exterior turns: (0,0)+90°, (8,0)+90°, (8,4)+135°,
+    // (6,2) −90° reflex, (4,4)+135°, (2,2) −90° reflex, (0,4)+90°
+    // (Σ = 360° ✓); Σ tan(θ/2) = 3·1 + 2·(1+√2) − 2·1 = 3 + 2√2.
+    val w = "POLYGON((0 0, 8 0, 8 4, 6 2, 4 4, 2 2, 0 4, 0 0))"
+    val d = 0.25 // small enough that the two notch offsets stay disjoint
+    val a = 24.0 // shoelace
+    val p = 8.0 + 4.0 + 8.0 * math.sqrt(2.0) + 4.0
+    val expected = a + p * d + d * d * (3.0 + 2.0 * math.sqrt(2.0))
+    val r = VectorOps2.buffer(df1(w), "wkt", "fid", lit(d),
+      joinStyle = "mitre").collect()
+    assert(math.abs(r(0).getAs[Double]("buf_area") - expected) < 1e-9,
+      s"got ${r(0).getAs[Double]("buf_area")} want $expected")
+  }
+
   test("buffer negative distance erodes") {
     val r = VectorOps2.buffer(df1(rectWkt(0, 0, 4, 3)), "wkt", "fid", lit(-1.0),
       joinStyle = "square").collect()

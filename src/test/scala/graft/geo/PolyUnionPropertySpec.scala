@@ -162,6 +162,44 @@ class PolyUnionPropertySpec extends AnyFunSuite {
       s"∪ ${uni.area}")
   }
 
+  test("needle-star arrangements: noding passes stay ≤ 8 (termination guard evidence)") {
+    // VERDICT r4 #8 / PROOF.md "Noding termination": the adversarial case
+    // for iterated hot-pixel rounding is many segments crossing near ONE
+    // point at irrational-ish angles — every pairwise intersection rounds
+    // into the same few lattice cells, maximizing the chance a rounded
+    // split creates a fresh crossing for the next pass. Needle triangles
+    // through a jittered common center (non-dyadic coords, so snapping is
+    // real) must still node in a handful of passes, and the union area
+    // must stay within the snap-grid perturbation bound.
+    val needleStar = for {
+      n <- Gen.choose(6, 16)
+      cx <- Gen.choose(0, 1000000).map(3.0 + _ * 1e-9)
+      cy <- Gen.choose(0, 1000000).map(3.0 + _ * 1e-9)
+      angles <- Gen.listOfN(n, Gen.choose(0, 999999).map(_ * math.Pi / 1000000.0))
+    } yield angles.map { a =>
+      val (dx, dy) = (math.cos(a), math.sin(a))
+      val (px, py) = (-dy * 1e-7, dx * 1e-7) // needle half-width 1e-7
+      Polygon(Array(Array(
+        cx - 3 * dx + px, cy - 3 * dy + py,
+        cx + 3 * dx + px, cy + 3 * dy + py,
+        cx + 3 * dx - px, cy + 3 * dy - py,
+        cx - 3 * dx - px, cy - 3 * dy - py)))
+    }
+    var maxPasses = 0
+    cases(needleStar, 300, seed = 20260818L) { needles =>
+      val u = PolyUnion.union(needles)
+      val passes = PolyUnion.lastNodingPasses.get()
+      maxPasses = math.max(maxPasses, passes)
+      assert(passes <= 8, s"noding took $passes passes on ${needles.length} needles")
+      // sanity: union area ≈ sum of needle areas minus tiny overlaps;
+      // each needle is 6 × 2e-7, overlaps are ~(2e-7)² per pair
+      val singles = needles.length * 6.0 * 2e-7
+      assert(u.area <= singles + 1e-9 && u.area >= singles * 0.5,
+        s"area ${u.area} vs singles $singles")
+    }
+    assert(maxPasses >= 2, s"fixture never exercised iterated noding (max $maxPasses)")
+  }
+
   test("union is monotone and bounded: max single ≤ union ≤ sum (2k sets)") {
     cases(rectSetGen, 2000, seed = 3L) { rs =>
       val u = PolyUnion.union(rs).area
