@@ -422,7 +422,9 @@ object Bench {
     // retries): the r4 failure mode was the retry loop giving up mid-burst
     // after a fixed retry count; a deadline lets it keep sampling capacity
     // (min per level) for as long as the budget allows, and no longer.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1500").toLong
+    // 1200 s (was 1500): with the third (cc) block the worst-case wall
+    // across all blocks has to stay inside the driver's round-end window
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1200").toLong
     val deadline = System.nanoTime() + budgetSec * 1000000000L
     var calibEff = calibrateQuiet(nCores, n4Cores, deadlineNanos = deadline)
     System.err.println(f"[bench] $kind calib $calibEff%.3f")
