@@ -65,6 +65,26 @@ class ScanPruningSpec extends AnyFunSuite {
       "the forced broadcast is not the n_docs scalar:\n" + hints.head.toString.take(1500))
   }
 
+  test("hamming near-dup join is a bucket equi-join, never a nested-loop/cartesian") {
+    // The pigeonhole banding must reach the physical plan as an equi-join
+    // on (band, word) with the capped index side built by a window rank —
+    // a refactor that degrades the condition to a theta-join would turn a
+    // hot-word bucket into a cartesian at web scale.
+    import spark.implicits._
+    val hashes = (0L until 64L).map(i => (i, i * 0x9e3779b97f4a7c15L))
+      .toDF("doc_id", "phash")
+    val p = graft.ops.ImageHash.hammingPairs(hashes, "doc_id", maxDist = 3,
+      capPerBucket = 8).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "hamming join degraded to a non-equi join:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit") || p.contains("RunningWindowFunction")
+      || p.contains("Window"), "bucket cap (row_number window) missing:\n" + p.take(1500))
+    val cp = graft.ops.ImageHash.phashClusters(hashes, "doc_id", maxDist = 3,
+      capPerBucket = 8).queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct") && !cp.contains("BroadcastNestedLoopJoin"),
+      "phashClusters degraded to a non-equi join:\n" + cp.take(1500))
+  }
+
   test("exact dedup aggregates map-side before its single shuffle") {
     val p = physical("dedup_exact")
     assert(p.contains("partial_count") || p.contains("partial_"),
