@@ -398,10 +398,23 @@ object SparkEntry {
     },
 
     "geo_s2_kring" -> { (s, dir) =>
-      // cross-face S2 k-ring expansion (rows-only: ring membership uses
-      // the cube-face wrap; exactness pinned by CellIndexSpec properties)
+      // cross-face S2 k-ring expansion over an adversarial fixture grid
+      // (face corners, poles, dateline, face-edge midpoints — the points
+      // where ring membership exercises the cube-face wrap). Deterministic
+      // integer cell ids → pinned-constant oracle; sf-driven S2 usage is
+      // covered hash-exact by geo_s2_cells / geo_s2_rollup.
       GraftFunctions.register(s)
-      Pages.pages(s, dir)
+      import s.implicits._
+      val pts = (for {
+        lon <- Seq(-180.0, -135.0, -90.0, -45.0, 0.0, 45.0, 90.0, 135.0, 179.9)
+        lat <- Seq(-89.9, -45.0, -0.1, 0.0, 45.0, 89.9)
+      } yield (lon, lat)) ++ Seq((0.0, 90.0), (0.0, -90.0), (180.0, 0.0)) ++
+        // the eight cube-corner directions (lat = ±atan(1/√2)) — the only
+        // points where a cell's corner-neighbor set degenerates (ring < 9)
+        (for { lon <- Seq(-135.0, -45.0, 45.0, 135.0)
+               lat <- Seq(-35.26438968275466, 35.26438968275466) } yield (lon, lat))
+      pts.zipWithIndex.map { case ((lon, lat), i) => (i.toLong, lon, lat) }
+        .toDF("doc_id", "lon", "lat")
         .select(col("doc_id"),
           GraftFunctions.s2Cell(col("lon"), col("lat"), lit(6)).as("s2"))
         .select(col("doc_id"), col("s2"),
@@ -477,9 +490,10 @@ object SparkEntry {
     },
 
     "raster_coregister" -> { (s, _) =>
-      // EFolki dense-flow coregistration of a synthetically shifted pair
-      // (rows-only: iterative LK flow has no SQL oracle; shift recovery
-      // is pinned in FolkiSpec). Output: per-tile mean flow.
+      // EFolki dense-flow coregistration of a synthetically shifted pair.
+      // Iterative LK flow has no SQL mirror, but the per-tile mean flow is
+      // bit-stable across parallelism (verified at local[2/7/32]) →
+      // pinned-constant oracle; shift recovery is also pinned in FolkiSpec.
       val spec = rasterSpec.copy(width = 128, height = 128, bands = 1, tileSize = 32)
       def tex(x: Int, y: Int): Double =
         10.0 * math.sin(x * 0.21) + 8.0 * math.cos(y * 0.17) +
@@ -577,8 +591,10 @@ object SparkEntry {
     },
 
     "raster_reproject" -> { (s, _) =>
-      // 4326 → 3857 nearest inverse-mapping; rows-only driver check (trig
-      // differs across engines) — exactness covered by TileSpec ScalaTest
+      // 4326 → 3857 nearest inverse-mapping. Trig differs across ENGINES
+      // (so no live DuckDB mirror), but the JVM-side mapping is bit-stable
+      // across parallelism (verified at local[2/7/32]) → pinned-constant
+      // oracle; exactness also covered by TileSpec ScalaTest
       val src = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
         (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
       val dst = RasterSpec(0.0, 9000000.0, 30000.0, -30000.0, 240, 240, 60, 1, crs = 3857)
@@ -2588,6 +2604,94 @@ object SparkEntry {
       (7, 25, 588000000.0, 2),
       (7, 34, 588000000.0, 3))
       AS t("query_id", "neighbor_id", "adc_score", "rank")""",
+
+    "geo_s2_kring" -> """SELECT * FROM (VALUES
+      (-6485183463413510145, 8, 8),
+      (-6485183463413510208, 9, 9),
+      (-6485183463413511168, 9, 36),
+      (-6485183463413511510, 8, 8),
+      (-6485183463413511531, 9, 9),
+      (-6485183463413511851, 9, 18),
+      (-6485183463413512534, 9, 27),
+      (-6485183463413512854, 9, 9),
+      (-6485183463413512875, 8, 8),
+      (-6485183463413513216, 9, 9),
+      (-6485183463413513217, 9, 9),
+      (-6485183463413514177, 9, 9),
+      (-6485183463413514240, 8, 8),
+      (-8791026472627204779, 9, 9),
+      (-8791026472627205120, 9, 18),
+      (-8791026472627206144, 9, 9),
+      (-8791026472627207168, 9, 18),
+      (2738188573441262592, 9, 9),
+      (2738188573441263274, 9, 9),
+      (2738188573441263615, 9, 9),
+      (2738188573441264640, 9, 9),
+      (2738188573441264981, 9, 9),
+      (2738188573441265322, 9, 9),
+      (432345564227568298, 9, 9),
+      (432345564227568640, 9, 9),
+      (432345564227569322, 9, 9),
+      (432345564227569663, 9, 9),
+      (432345564227569664, 9, 9),
+      (432345564227570688, 9, 9),
+      (432345564227571029, 9, 9),
+      (432345564227571370, 9, 9),
+      (5044031582654955520, 8, 8),
+      (5044031582654955583, 9, 9),
+      (5044031582654956543, 9, 9),
+      (5044031582654956885, 8, 8),
+      (5044031582654956906, 9, 9),
+      (5044031582654957226, 9, 27),
+      (5044031582654957567, 9, 9),
+      (5044031582654957909, 9, 18),
+      (5044031582654958229, 9, 9),
+      (5044031582654958250, 8, 8),
+      (5044031582654958592, 9, 36),
+      (5044031582654959552, 9, 9),
+      (5044031582654959615, 8, 8),
+      (7349874591868651178, 9, 27),
+      (7349874591868651520, 9, 9),
+      (7349874591868652544, 9, 18),
+      (7349874591868652885, 9, 9))
+      AS t("s2", "ring_size", "n_rows")""",
+"raster_coregister" -> """SELECT * FROM (VALUES
+      (0, 0, '1.6819891352367353'::DOUBLE, '0.894292179063932'::DOUBLE, 1024),
+      (0, 1, '1.6682961764375852'::DOUBLE, '1.17652974277464'::DOUBLE, 1024),
+      (0, 2, '1.782508095908976'::DOUBLE, '0.7917383293474926'::DOUBLE, 1024),
+      (0, 3, '1.781636930276588'::DOUBLE, '1.061376605932304'::DOUBLE, 1024),
+      (1, 0, '2.0012929022878416'::DOUBLE, '0.8110071569892694'::DOUBLE, 1024),
+      (1, 1, '1.9999999877484602'::DOUBLE, '0.999999958559968'::DOUBLE, 1024),
+      (1, 2, '1.9999999944385645'::DOUBLE, '0.9999999853478184'::DOUBLE, 1024),
+      (1, 3, '2.001996140915979'::DOUBLE, '0.7929233577223114'::DOUBLE, 1024),
+      (2, 0, '2.0180021601730056'::DOUBLE, '0.8373552148074132'::DOUBLE, 1024),
+      (2, 1, '1.9999999877311059'::DOUBLE, '1.000000043960337'::DOUBLE, 1024),
+      (2, 2, '1.99999999329996'::DOUBLE, '0.9999999957567134'::DOUBLE, 1024),
+      (2, 3, '2.0761237549983487'::DOUBLE, '0.796860338669704'::DOUBLE, 1024),
+      (3, 0, '1.5163060563985764'::DOUBLE, '1.0236545749667163'::DOUBLE, 1024),
+      (3, 1, '1.483709286698618'::DOUBLE, '1.5033968259022845'::DOUBLE, 1024),
+      (3, 2, '1.473625452638152'::DOUBLE, '0.8803958860809474'::DOUBLE, 1024),
+      (3, 3, '1.4405542743607835'::DOUBLE, '1.0591911536233407'::DOUBLE, 1024))
+      AS t("tile_x", "tile_y", "mean_u", "mean_v", "n_px")""",
+
+    "raster_reproject" -> """SELECT * FROM (VALUES
+      (0, 0, 0, 0.0, 96.0, 173033, 3600),
+      (0, 1, 0, 0.0, 96.0, 173314, 3600),
+      (0, 2, 0, 0.0, 96.0, 172340, 3600),
+      (0, 3, 0, 0.0, 96.0, 172953, 3600),
+      (1, 0, 0, 0.0, 96.0, 173453, 3600),
+      (1, 1, 0, 0.0, 96.0, 172570, 3600),
+      (1, 2, 0, 0.0, 96.0, 172954, 3600),
+      (1, 3, 0, 0.0, 96.0, 172888, 3600),
+      (2, 0, 0, 0.0, 96.0, 173614, 3600),
+      (2, 1, 0, 0.0, 96.0, 172440, 3600),
+      (2, 2, 0, 0.0, 96.0, 173406, 3600),
+      (2, 3, 0, 0.0, 96.0, 172661, 3600),
+      (3, 0, 0, 0.0, 96.0, 164504, 3420),
+      (3, 1, 0, 0.0, 96.0, 164640, 3420),
+      (3, 2, 0, 0.0, 96.0, 163802, 3420),
+      (3, 3, 0, 0.0, 96.0, 164331, 3420))
+      AS t("cell_x", "cell_y", "band", "vmin", "vmax", "vsum", "n_px")""",
 
     "bpe_train" -> """SELECT * FROM (VALUES
       (0, 'h', 'e', 1416, 'he'),

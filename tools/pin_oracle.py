@@ -17,8 +17,11 @@ def lit(v):
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, float):
-        r = repr(v)  # round-trips exactly
-        return r if ("." in r or "e" in r or "n" in r) else r + ".0"
+        # Route through a string cast: DuckDB parses bare decimal literals
+        # as DECIMAL, truncating the 17th significant digit; '…'::DOUBLE is
+        # an exact round-trip.
+        r = repr(v)
+        return f"'{r}'::DOUBLE"
     if isinstance(v, int):
         return str(v)
     return "'" + str(v).replace("'", "''") + "'"
