@@ -206,7 +206,7 @@ object Bench {
   private def ccEdges(s: SparkSession, nEdges: Long): DataFrame = {
     val tree = nEdges * 6 / 10
     val hub = nEdges * 8 / 10
-    s.range(1, nEdges)
+    s.range(1, nEdges + 1) // end-exclusive: +1 so the table holds exactly nEdges rows
       .select(col("id").as("src"),
         when(col("id") < tree, pmod(xxhash64(col("id")), col("id")))
           .when(col("id") < hub, lit(tree))
@@ -288,7 +288,11 @@ object Bench {
         // in-process last resort — still warmed, own scratch dir
         System.err.println(s"[bench] child JVM failed twice; running in-process")
         Files.createDirectories(Paths.get(dir))
-        val s = session(cores, s"$dir/local")
+        // cc children pin 64 shuffle partitions (identical plans across
+        // levels); the fallback must match or its leg isn't comparable
+        // with the other leg's child run
+        val s = session(cores, s"$dir/local",
+          shufflePartitions = if (kind == "cc") 64 else 0)
         s.sparkContext.setLogLevel("ERROR")
         val res = kind match {
           case "tiling" =>

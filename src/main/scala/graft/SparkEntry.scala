@@ -292,8 +292,10 @@ object SparkEntry {
 
   /** Fixed BPE merge table for the `bpe_encode` oracle query: hard-coded
     * (data-independent) so the DuckDB side can mirror the replace chain
-    * exactly. Training itself is exercised by `bpe_train` (rows-only,
-    * BpeSpec differentials) — an iterative argmax loop has no SQL analog.
+    * exactly. Training itself is exercised by `bpe_train` (pinned-constant
+    * merge-table oracle + BpeSpec differentials — an iterative argmax
+    * loop has no LIVE SQL analog, but its output on the fixed corpus is
+    * a constant).
     */
   private val bpeFixedMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("the", "</w>"), ("i", "n"), ("a", "n"),
@@ -1551,7 +1553,9 @@ object SparkEntry {
     },
     "mm_phash_pairs" -> { (s, _) =>
       // image near-dup dedup: 12 pattern families × 5 sparse-noise
-      // variants → DCT pHash → lossless 4×16-bit pigeonhole hamming join.
+      // variants → DCT pHash → 4×16-bit pigeonhole hamming join (banding
+      // is lossless at ≤3 bits; the hot-bucket cap never binds on this
+      // fixture, so the pair set is exhaustive).
       // Hash-exact pinned-constant oracle (VERDICT r4 #5 — the fixture is
       // deterministic, so the pair set is a constant table); ImageHashSpec
       // additionally proves the join ≡ brute-force popcount over all
@@ -1582,9 +1586,9 @@ object SparkEntry {
     "mm_ahash_pairs" -> { (s, _) =>
       // audio near-dup dedup: 8 harmonic-stack families × 3 dither
       // variants → floored log-spectrogram spectral hash → the same
-      // lossless pigeonhole hamming join as images. Rows-only;
-      // AudioHashSpec carries the brute-force differential and the
-      // exact gain-invariance proof.
+      // pigeonhole hamming join as images (cap never binds here).
+      // Hash-exact pinned-constant oracle; AudioHashSpec carries the
+      // brute-force differential and the exact gain-invariance proof.
       import s.implicits._
       val docs = s.range(24).map { id =>
         val fam = (id / 3).toInt; val variant = (id % 3).toInt
@@ -1607,8 +1611,8 @@ object SparkEntry {
       // video near-dup dedup: per-sampled-frame pHash + temporally
       // ALIGNED pigeonhole join (pairs must agree at >=2 frame
       // positions — a single shared still is not a duplicate clip).
-      // Rows-only; VideoHashSpec carries the brute-force differential
-      // and the shared-still separation case.
+      // Hash-exact pinned-constant oracle; VideoHashSpec carries the
+      // brute-force differential and the shared-still separation case.
       import s.implicits._
       val w = 48; val h = 32
       val docs = s.range(30).map { id =>
@@ -1631,9 +1635,12 @@ object SparkEntry {
     "mm_jpeg_decode" -> { (s, _) =>
       // REAL baseline-JPEG decode (graft.ops.Jpeg — from-scratch huffman
       // + IDCT): 50 deterministic gradients encoded with the JDK ImageIO
-      // writer, decoded on the production imageFeatures path. Rows-only
-      // (lossy codec → channel sums have no closed-form oracle; JpegSpec
-      // pins the decoder against ImageIO's own decode).
+      // writer, decoded on the production imageFeatures path. Pinned-
+      // constant oracle (no closed form for a lossy codec's channel sums);
+      // NOTE the pin bakes in THIS container's ImageIO encoder output —
+      // a different JDK vendor/major could emit different JPEG bytes and
+      // would need a re-pin (tools/pin_oracle.py). JpegSpec additionally
+      // pins the decoder against ImageIO's own decode.
       import s.implicits._
       val docs = s.range(50).map { id =>
         val w = 48; val h = 32

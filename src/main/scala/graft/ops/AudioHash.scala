@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Perceptual audio fingerprinting — the audio twin of [[ImageHash]]:
   * a clip's log-magnitude spectrogram on a 32×32 (band × frame) grid is
   * hashed by exactly the pHash recipe (2-D DCT-II → low-frequency block
-  * → median threshold → 64-bit code), and near-dups reuse the lossless
-  * pigeonhole hamming join. The spectrogram is a 32-bin DFT per frame
+  * → median threshold → 64-bit code), and near-dups reuse the pigeonhole
+  * hamming join (banding lossless at ≤3 bits; hot buckets capped — see
+  * ImageHash.hammingPairs for the recall contract). The spectrogram is a 32-bin DFT per frame
   * (naive Goertzel-style sums — 32 frames × 32 bins × frame length,
   * trivial next to codec work), log-compressed so level differences
   * become additive and the DC-excluded DCT absorbs them: the hash is
@@ -62,13 +63,19 @@ object AudioHash {
       val base = f * frameLen
       var k = 1
       while (k <= Bands) {
+        // advance (k·i) mod frameLen by k each step — but k can EXCEED
+        // frameLen on short clips (< Frames·Bands samples), where one
+        // conditional subtract is not enough to re-wrap; reduce the stride
+        // mod frameLen first (identical angles: they only depend on
+        // k·i mod frameLen).
+        val step = k % frameLen
         var re = 0.0; var im = 0.0
         var i = 0
-        var idx = 0 // (k·i) mod frameLen, advanced by k each step
+        var idx = 0
         while (i < frameLen) {
           val v = samples(base + i).toDouble
           re += v * cosTw(idx); im -= v * sinTw(idx)
-          idx += k; if (idx >= frameLen) idx -= frameLen
+          idx += step; if (idx >= frameLen) idx -= frameLen
           i += 1
         }
         val m = math.hypot(re, im)
@@ -104,8 +111,9 @@ object AudioHash {
       .toDF(idCol, "phash") // column name matches hammingPairs' contract
   }
 
-  /** Near-dup audio pairs — delegates to the shared lossless pigeonhole
-    * hamming join (capped per bucket, see ImageHash.hammingPairs).
+  /** Near-dup audio pairs — delegates to the shared pigeonhole hamming
+    * join (banding lossless at ≤3 bits; hot buckets capped per bucket —
+    * recall contract in ImageHash.hammingPairs).
     */
   def hammingPairs(hashes: DataFrame, idCol: String = "doc_id",
                    maxDist: Int = 3, capPerBucket: Int = 1024): DataFrame =

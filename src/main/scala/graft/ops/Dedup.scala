@@ -204,10 +204,13 @@ object Dedup {
                           probeFilter: Column = lit(true)): DataFrame = {
     val (toks, sizes) = tokenArtifacts(docs)
     // document frequencies: the VOCABULARY (distinct tokens), not the
-    // corpus — broadcastable at web scale after stop-word-level df
-    // trimming; broadcasting removes a full token-table shuffle from the
-    // rarity-rank join
-    val dfreq = broadcast(toks.groupBy("tok").agg(count(lit(1)).as("df")))
+    // corpus — but still billions of rows on a web crawl, so the join is
+    // NOT hint-forced to broadcast (the same hazard as VERDICT r4 #3 on
+    // tfidf: a forced hint OOMs where a plain shuffle join works). AQE
+    // broadcasts when the vocab actually fits — which removes a full
+    // token-table shuffle from the rarity-rank join — and falls back to
+    // sort-merge when it doesn't.
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
     // every token ranked by global rarity within its doc — the prefix
     // filter AND the positional (PPJoin) bound both come from this table

@@ -246,7 +246,13 @@ object ImageHash {
     */
   def phashClusters(hashes: DataFrame, idCol: String = "doc_id",
                     maxDist: Int = 3, capPerBucket: Int = 1024): DataFrame = {
-    val ids = hashes.select(col(idCol).cast("long").as("id"), col("phash"))
+    // Cache the (id, phash) table: it feeds the rep aggregate, the star
+    // edges, AND the final join, and when `hashes` comes straight from
+    // phashTable the upstream decode+DCT dominates cost — without the
+    // cache the localCheckpoint below plus the final join would re-run
+    // the decode 3-4×. Post-decode rows are 16 bytes each, so the cache
+    // is tiny relative to the work it elides.
+    val ids = hashes.select(col(idCol).cast("long").as("id"), col("phash")).persist()
     val reps = ids.groupBy("phash").agg(min("id").as("rep"))
     val star = ids.join(reps, "phash")
       .filter(col("id") =!= col("rep"))

@@ -404,6 +404,11 @@ object Jpeg {
                   s"jpeg: SOS references unknown component id $cid"))
               c.dcTbl = (tt & 0xf0) >> 4
               c.acTbl = tt & 0x0f
+              // the nibbles range 0..15 but only 4 table slots exist —
+              // reject a corrupted id HERE, or the presence requires below
+              // would themselves throw AIOOBE instead of rejecting cleanly
+              require(c.dcTbl <= 3 && c.acTbl <= 3,
+                s"jpeg: SOS huffman table id out of range (dc=${c.dcTbl} ac=${c.acTbl})")
               scanComps(i) = c
               i += 1
             }

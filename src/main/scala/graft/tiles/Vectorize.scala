@@ -384,9 +384,12 @@ object Vectorize {
   /** Connected components over the LABEL graph. The region graph is
     * orders of magnitude smaller than the pixel plane (one node per
     * tile-local region), so when it fits comfortably on the driver we
-    * solve it with a local union-find in one pass; otherwise we fall
-    * back to distributed min-label propagation (O(diameter) supersteps).
-    * Returns (label, comp) for every input label.
+    * solve it with a local union-find in one pass; otherwise we delegate
+    * to Dedup.connectedComponents (alternating star contraction,
+    * O(log² n) rounds — diameter-independent, unlike the min-label
+    * propagation it replaced). The distributed path THROWS if contraction
+    * has not converged within its round budget rather than returning
+    * partial labels. Returns (label, comp) for every input label.
     */
   private def resolveLabels(labelsOnly: DataFrame, edges: DataFrame,
                             maxIters: Int): DataFrame = {

@@ -38,6 +38,37 @@ class AudioHashSpec extends AnyFunSuite {
       assert(popcount(hs(i), hs(j)) > 3, s"clips $i,$j too close: ${popcount(hs(i), hs(j))}")
   }
 
+  test("short clips (frameLen < Bands) hash without error and match a direct DFT") {
+    // 800 samples → frameLen = 25 < Bands = 32: the bin stride k exceeds
+    // the frame length, so the twiddle index must wrap by k mod frameLen
+    // (a single conditional subtract escaped the table and threw AIOOBE)
+    def refSpectrogram(samples: Array[Short]): Array[Double] = {
+      // direct per-sample trig with the SAME angle reduction the twiddle
+      // table uses (angle of (k·i) mod L) → bit-identical sums
+      val L = samples.length / AudioHash.Frames
+      val mags = new Array[Double](AudioHash.Frames * AudioHash.Bands)
+      var peak = 0.0
+      for (f <- 0 until AudioHash.Frames; k <- 1 to AudioHash.Bands) {
+        var re = 0.0; var im = 0.0
+        for (i <- 0 until L) {
+          val ang = 2.0 * math.Pi * ((k.toLong * i) % L) / L
+          val v = samples(f * L + i).toDouble
+          re += v * math.cos(ang); im -= v * math.sin(ang)
+        }
+        val m = math.hypot(re, im)
+        mags(f * AudioHash.Bands + (k - 1)) = m
+        if (m > peak) peak = m
+      }
+      val floor = math.max(peak * AudioHash.FloorRatio, Double.MinPositiveValue)
+      mags.map(m => math.log(math.max(m, floor) / floor))
+    }
+    for (n <- Seq(800, 64, 4096)) { // frameLen 25, 2 (extreme wrap), 128
+      val clip = tone(Seq(440.0), n = n)
+      assert(AudioHash.spectrogram(clip).sameElements(refSpectrogram(clip)),
+        s"spectrogram mismatch at n=$n")
+    }
+  }
+
   test("uniform gain change leaves the hash unchanged (log + DC-excluded DCT)") {
     val base = tone(Seq(440.0, 880.0), amp = 8000.0)
     val quieter = base.map(s => (s * 0.5).toInt.toShort)

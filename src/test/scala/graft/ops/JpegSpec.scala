@@ -198,6 +198,17 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("SOS huffman table id > 3 rejects with a clear error, not AIOOBE") {
+    // the nibbles address 4 table slots; a corrupted id (here 4) must hit
+    // the explicit range require, not blow up indexing dcHuff/acHuff
+    val bytes = Array[Byte](
+      0xff.toByte, 0xd8.toByte,                                        // SOI
+      0xff.toByte, 0xc0.toByte, 0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0,  // SOF0: 1 comp
+      0xff.toByte, 0xda.toByte, 0, 8, 1, 1, 0x44, 0, 63, 0)           // SOS: dc=4 ac=4
+    val e = intercept[IllegalArgumentException](Jpeg.decode(bytes))
+    assert(e.getMessage.contains("table id out of range"), e.getMessage)
+  }
+
   test("hierarchical SOF markers are rejected with a clear error") {
     val bytes = Array[Byte](0xff.toByte, 0xd8.toByte,
       0xff.toByte, 0xc3.toByte, 0, 8, 8, 0, 8, 0, 8, 1, 0)

@@ -3,6 +3,14 @@
 graft.Verify output directory, for queries whose inputs are deterministic
 sf-independent fixtures (their outputs are constants by construction).
 
+Environment contract: pins are valid for THIS container (fixed JDK +
+libm + x86-64). java.lang.Math trig is 1-ulp-specified, not bit-specified,
+so a different architecture or JDK vendor can shift trig-derived fixture
+values in the last ulp (and mm_jpeg_decode additionally bakes in this
+JDK's ImageIO encoder bytes). Queries are verified bit-stable across
+PARALLELISM (local[2/7/32]) before pinning; a platform move re-pins with
+this tool.
+
 Usage: python3 tools/pin_oracle.py <verifyOutDir> <query> [<query> ...]
 
 Prints, per query, a Scala-pasteable string literal holding the SQL.
