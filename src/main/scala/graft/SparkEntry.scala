@@ -610,6 +610,19 @@ object SparkEntry {
     "text_quality" -> { (s, dir) => TextOps.qualityScore(documentsOf(s, dir)) },
     "text_langid" -> { (s, dir) => TextOps.langId(documentsOf(s, dir)) },
     "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(documentsOf(s, dir)) },
+    // winnowing fingerprint selection (Schleimer et al. 2003 / MOSS);
+    // md5prefix family so DuckDB reproduces the hash — production is
+    // xxhash64 (WinnowSpec proves the families select the same positions)
+    "text_winnow" -> { (s, dir) =>
+      TextOps.winnow(documentsOf(s, dir), k = 4, w = 4, family = "md5prefix")
+    },
+    // candidate near-dup pairs over shared winnow fingerprints; uncapped
+    // (-1) so the SQL self-join is the exact mirror — production default
+    // caps hot fingerprint buckets at 1024 (lowest-doc_id subset)
+    "text_winnow_pairs" -> { (s, dir) =>
+      TextOps.winnowPairs(documentsOf(s, dir), k = 4, w = 4,
+        minShared = 2, family = "md5prefix", capPerBucket = -1)
+    },
     "text_segment_dedup" -> { (s, dir) => TextOps.segmentDedup(documentsOf(s, dir)) },
     // exact-substring dedup (8-token windows); string-keyed so the oracle
     // mirrors the shuffle key exactly — production uses hashKey=true
@@ -2090,6 +2103,58 @@ object SparkEntry {
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(replace(text, ' ', '')) AS fp FROM documents",
+
+    "text_winnow" ->
+      // winnowing (k=4, w=4): 0-based gram positions; per-doc window-min
+      // with rightmost tie-break (max gpos among h = window min); the
+      // DISTINCT mirrors Spark's within-doc array_distinct. The frame
+      // CURRENT ROW..3 FOLLOWING truncates at the partition end exactly
+      // like Spark's least(j+w-1, nG-1) window cap, and j is restricted
+      // to real window starts (one truncated window when n_grams < w).
+      """WITH tl AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+           FROM documents),
+         grams AS (SELECT doc_id, pos - 1 AS gpos,
+             CAST('0x' || substr(md5(array_to_string(l[pos:pos+3], ' ')), 1, 15) AS BIGINT) AS h,
+             len(l) - 3 AS ng
+           FROM (SELECT doc_id, l, unnest(l) AS _t,
+                   generate_subscripts(l, 1) AS pos FROM tl)
+           WHERE pos <= len(l) - 3),
+         wmins AS (SELECT doc_id, gpos AS j, ng,
+             min(h) OVER (PARTITION BY doc_id ORDER BY gpos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           FROM grams),
+         wsel AS (SELECT doc_id, j, m FROM wmins
+                  WHERE j <= greatest(ng - 4, 0)),
+         fps AS (SELECT s.doc_id, s.j, s.m, max(g.gpos) AS pos
+           FROM wsel s JOIN grams g
+             ON g.doc_id = s.doc_id AND g.gpos BETWEEN s.j AND s.j + 3
+            AND g.h = s.m
+           GROUP BY s.doc_id, s.j, s.m)
+       SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, m AS fp FROM fps""",
+
+    "text_winnow_pairs" ->
+      // pairs sharing >= 2 winnow fingerprints (uncapped — exact mirror)
+      """WITH tl AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS l
+           FROM documents),
+         grams AS (SELECT doc_id, pos - 1 AS gpos,
+             CAST('0x' || substr(md5(array_to_string(l[pos:pos+3], ' ')), 1, 15) AS BIGINT) AS h,
+             len(l) - 3 AS ng
+           FROM (SELECT doc_id, l, unnest(l) AS _t,
+                   generate_subscripts(l, 1) AS pos FROM tl)
+           WHERE pos <= len(l) - 3),
+         wmins AS (SELECT doc_id, gpos AS j, ng,
+             min(h) OVER (PARTITION BY doc_id ORDER BY gpos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           FROM grams),
+         wsel AS (SELECT doc_id, j, m FROM wmins
+                  WHERE j <= greatest(ng - 4, 0)),
+         fdist AS (SELECT DISTINCT doc_id, m AS fp FROM wsel)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+       FROM fdist a JOIN fdist b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2
+       HAVING count(*) >= 2""",
 
     "text_substr_dedup" ->
       // exact-substring dedup over 8-token windows: duplicated windows

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over the
@@ -695,6 +696,107 @@ object TextOps {
         col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("keep"))).cast("long").as("n_removed"),
         concat_ws(" ", col("keep")).as("clean_text"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS fingerprint-selection algorithm). Token
+    * k-gram hashes are scanned with a length-`w` window; each window
+    * contributes its MINIMUM hash (rightmost occurrence on ties — the
+    * paper's deterministic variant), and the distinct selected
+    * (gram position, hash) pairs form the document's fingerprint set.
+    *
+    * The published guarantee: any token run of length >= w + k - 1
+    * shared by two documents yields at least one shared fingerprint,
+    * at ~2/(w+1) the density of the full k-gram set — the knob the full
+    * k-gram table (`substringDedup`'s key set) doesn't have. Documents
+    * with at least one gram but fewer than `w` of them still fingerprint
+    * (one truncated window), so no non-trivial document is invisible.
+    *
+    * Families mirror the MinHash design: "xxhash64" is the production
+    * path; "md5prefix" (top-60-bit md5 as a long) is reproducible in
+    * DuckDB for the oracle.
+    *
+    * Scale shape: the whole selection is MAP-ONLY — grams, hashes,
+    * window minima, and the within-doc `array_distinct` are per-row
+    * column expressions (each stage materialized as its own attribute:
+    * HOF bodies are outside common-subexpression elimination, so an
+    * unmaterialized upstream array would re-evaluate per window —
+    * the O(n²) trap substringDedup documents). Per-doc cost is
+    * O(tokens × w) with w a small constant. No shuffle at all: a
+    * fingerprint can only repeat within its own document, so the
+    * within-doc distinct is complete.
+    */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 4,
+             family: String = "xxhash64"): DataFrame = {
+    require(k >= 1, s"winnow: gram size k must be >= 1, got $k")
+    require(w >= 1, s"winnow: window size w must be >= 1, got $w")
+    val hashOf: Column => Column = family match {
+      case "xxhash64" => g => xxhash64(g)
+      case "md5prefix" =>
+        g => conv(substring(md5(encode(g, "UTF-8")), 1, 15), 16, 10).cast("long")
+      case f => throw new IllegalArgumentException(s"unknown family: $f")
+    }
+    val grams = when(size(col("toks")) >= k,
+      transform(sequence(lit(0), size(col("toks")) - k),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val nG = size(col("gh"))
+    // one window start per j in 0..max(nG-w, 0); the window end truncates
+    // at the last gram so short docs (1 <= nG < w) get one partial window
+    val sel = when(nG >= 1,
+      array_distinct(transform(
+        sequence(lit(0), greatest(nG - w, lit(0))),
+        j => aggregate(
+          sequence(j, least(j + lit(w - 1), nG - 1)),
+          struct(lit(Long.MaxValue).as("v"), lit(-1).as("p")),
+          (acc, i) =>
+            // <= : a later equal hash replaces — rightmost-min tie-break
+            when(element_at(col("gh"), i + 1) <= acc.getField("v"),
+              struct(element_at(col("gh"), i + 1).as("v"), i.as("p")))
+              .otherwise(acc)))))
+      .otherwise(array().cast("array<struct<v:bigint,p:int>>"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), transform(col("grams"), hashOf).as("gh"))
+      .select(col("doc_id"), explode(sel).as("s"))
+      .select(col("doc_id"),
+        col("s.p").cast("int").as("pos"),
+        col("s.v").as("fp"))
+  }
+
+  /** Near-dup candidate pairs from winnowing fingerprints: documents
+    * sharing at least `minShared` selected fingerprints, with the shared
+    * count. The detection floor is winnow's guarantee (a shared run of
+    * >= w + k - 1 tokens forces >= 1 shared fingerprint; boilerplate-
+    * heavy pairs share many).
+    *
+    * Scale shape: one within-doc distinct on (doc_id, fp) rides the
+    * map-only winnow output; the fp-keyed self-join is the standard hot-
+    * bucket hazard (a boilerplate fingerprint shared by 10^6 docs would
+    * emit 10^12 pairs), so buckets are capped at `capPerBucket` members —
+    * the deterministic lowest-doc_id subset, same contract as
+    * ImageHash.hammingPairs — before pairing (-1 = uncapped, for the
+    * exact-SQL oracle); the pair count aggregate is map-side combined.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+                  minShared: Int = 2, family: String = "xxhash64",
+                  capPerBucket: Int = 1024): DataFrame = {
+    require(minShared >= 1, s"winnowPairs: minShared must be >= 1, got $minShared")
+    require(capPerBucket == -1 || capPerBucket >= 2,
+      s"winnowPairs: capPerBucket must be -1 (uncapped) or >= 2, got $capPerBucket")
+    val fps = winnow(docs, k, w, family)
+      .select(col("doc_id"), col("fp")).dropDuplicates("doc_id", "fp")
+    val capped =
+      if (capPerBucket == -1) fps
+      else fps
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rnk") <= capPerBucket).drop("rnk")
+    capped.as("a").join(capped.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Symbol separator for the string-encoded segmentation: every symbol is

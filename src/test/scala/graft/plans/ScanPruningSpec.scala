@@ -85,6 +85,16 @@ class ScanPruningSpec extends AnyFunSuite {
       "phashClusters degraded to a non-equi join:\n" + cp.take(1500))
   }
 
+  test("winnow fingerprint selection is map-only (zero shuffles)") {
+    // The whole selection — grams, hashes, window minima, within-doc
+    // distinct — is per-row column expressions; a refactor that
+    // introduces an Exchange (e.g. a per-doc groupBy for the distinct)
+    // would add a full-corpus shuffle to what should be a free map stage.
+    val p = physical("text_winnow")
+    assert(!p.contains("Exchange"),
+      "winnow gained a shuffle:\n" + p.take(1500))
+  }
+
   test("exact dedup aggregates map-side before its single shuffle") {
     val p = physical("dedup_exact")
     assert(p.contains("partial_count") || p.contains("partial_"),
