@@ -56,6 +56,7 @@ object Bench {
     "geo_pip", "geo_cell_counts", "geo_knn_cell", "raster_convolve_median",
     "raster_convolve_mad", "raster_distance", "raster_zonal", "raster_vectorize",
     "raster_predict_merge", "text_langid", "text_repetition", "text_tfidf",
+    "text_winnow_pairs",
     "url_host_stats", "mm_features",
     // gz ingest throughput: synth -> records -> per-record gzip members ->
     // segment blobs -> member split + inflate + parse back
