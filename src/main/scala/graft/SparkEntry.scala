@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
 import graft.joins.{KnnJoin, SpatialJoins}
-import graft.ops.{Dedup, Events, Relational, Similarity, TextOps, WebOps}
+import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
 import graft.tiles.{PatchGrid, RasterSpec, TileOps, TileOps2}
 
@@ -251,6 +251,24 @@ object SparkEntry {
        FROM s2ij)"""
   }
 
+  /** DuckDB-SQL mirrors of the GridCell packed-id bit layout (level<<58 +
+    * morton(x, y)) for the compact/uncompact oracles: [[sqlGridId]] packs
+    * an (x, y) pair already in scope (bit interleave as quotient sums, the
+    * sqlS2Cell technique), [[sqlGridParent]] is CellSets.cellParent as
+    * pure integer quotient arithmetic, and [[sqlVals16]] enumerates the
+    * 16 level+2 Morton suffixes of one cell.
+    */
+  private def sqlGridId(level: Int, x: String, y: String): String = {
+    def inter(c: String): String =
+      (0 until level).map(b => s"(($c // ${1L << b}) % 2) * ${1L << (2 * b)}")
+        .mkString("(", " + ", ")")
+    s"(${level.toLong << 58} + ${inter(x)} + 2 * ${inter(y)})"
+  }
+  private def sqlGridParent(c: String): String =
+    s"((($c // ${1L << 58}) - 1) * ${1L << 58} + ($c % ${1L << 58}) // 4)"
+  private val sqlVals16: String =
+    (0 to 15).map(t => s"($t)").mkString("(VALUES ", ", ", ") AS ts(t)")
+
   private def documentsOf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddingsOf(s: SparkSession, dir: String): DataFrame =
@@ -355,6 +373,33 @@ object SparkEntry {
       GraftFunctions.register(s)
       Pages.pages(s, dir)
         .select(col("doc_id"), GraftFunctions.utmEpsg(col("lat"), col("lon")).as("epsg"))
+    },
+
+    "geo_cell_uncompact" -> { (s, dir) =>
+      // coverage-set expansion: level-7 page tiles fanned out to their
+      // level-9 descendants (pure Morton-suffix arithmetic, map-only)
+      GraftFunctions.register(s)
+      val cells = Pages.pages(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(GraftFunctions.gridCell(col("lon"), col("lat"), lit(7)).as("cell"))
+        .distinct()
+      CellSets.uncompact(cells, 9)
+    },
+
+    "geo_cell_compact" -> { (s, dir) =>
+      // minimal mixed-level covering (H3 compactCells analog): even pages'
+      // level-7 tiles expanded to complete level-9 subtrees + odd pages'
+      // sparse level-9 tiles; compaction must contract exactly the
+      // complete quads (cascading above 7 where four siblings fill in)
+      // and keep the strays at level 9 — mirrored in DuckDB by an
+      // unrolled 9-level complete-quad contraction chain.
+      GraftFunctions.register(s)
+      val p = Pages.pages(s, dir)
+      val even7 = p.filter(col("doc_id") % 2 === 0)
+        .select(GraftFunctions.gridCell(col("lon"), col("lat"), lit(7)).as("cell"))
+        .distinct()
+      val odd9 = p.filter(col("doc_id") % 2 === 1)
+        .select(GraftFunctions.gridCell(col("lon"), col("lat"), lit(9)).as("cell"))
+      CellSets.compact(CellSets.uncompact(even7, 9).unionAll(odd9))
     },
 
     "geo_pip" -> { (s, dir) =>
@@ -1898,6 +1943,35 @@ object SparkEntry {
           CAST(32000 + (CASE WHEN lat < 0 THEN 700 ELSE 600 END)
                + CAST(floor((lon + 180.0) / 6.0 + 1.0) AS INTEGER) AS INTEGER) AS epsg
         FROM pages"""),
+
+    "geo_cell_uncompact" -> Pages.sqlWith(
+      s""", cxy AS (SELECT ${Pages.sqlCellX(7)} AS x, ${Pages.sqlCellY(7)} AS y
+            FROM pages WHERE doc_id % 3 = 0),
+          c7 AS (SELECT DISTINCT ${sqlGridId(7, "x", "y")} AS cell FROM cxy)
+        SELECT ${9L << 58} + (cell % ${1L << 58}) * 16 + t AS cell
+        FROM c7 CROSS JOIN $sqlVals16"""),
+
+    "geo_cell_compact" -> Pages.sqlWith {
+      val pChain = (8 to 0 by -1).map { l =>
+        val src = if (l == 8) "s9" else s"p${l + 1}"
+        s"p$l AS (SELECT ${sqlGridParent("cell")} AS cell FROM $src GROUP BY 1 HAVING count(*) = 4)"
+      }.mkString(",\n          ")
+      val allUnion = (8 to 0 by -1).map(l => s"UNION ALL SELECT cell FROM p$l").mkString(" ")
+      s""", exy AS (SELECT ${Pages.sqlCellX(7)} AS x, ${Pages.sqlCellY(7)} AS y
+            FROM pages WHERE doc_id % 2 = 0),
+          e7 AS (SELECT DISTINCT ${sqlGridId(7, "x", "y")} AS cell FROM exy),
+          s9 AS (SELECT DISTINCT cell FROM (
+            SELECT ${9L << 58} + (cell % ${1L << 58}) * 16 + t AS cell
+            FROM e7 CROSS JOIN $sqlVals16
+            UNION ALL
+            SELECT ${sqlGridId(9, Pages.sqlCellX(9), Pages.sqlCellY(9))} AS cell
+            FROM pages WHERE doc_id % 2 = 1) u),
+          $pChain,
+          allc AS (SELECT cell FROM s9 $allUnion)
+        SELECT cell, CAST(cell // ${1L << 58} AS INT) AS lvl FROM allc
+        WHERE cell // ${1L << 58} = 0
+           OR ${sqlGridParent("cell")} NOT IN (SELECT cell FROM allc)"""
+    },
 
     "geo_pip" -> Pages.sqlWith(
       s"""SELECT CAST(poly_id AS BIGINT) AS poly_id, count(*) AS n_pages,

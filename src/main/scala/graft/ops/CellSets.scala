@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cell-set algebra over the quadtree tile index ([[graft.index.GridCell]]):
+  * compaction of a uniform-level cell set into the minimal mixed-level
+  * covering and its inverse (the H3 `compactCells` / `uncompactCells`
+  * analog, exact on a quadtree because every parent has exactly four
+  * children). This is the missing half of coverage-set handling next to
+  * `cover_cells`/`polygonCover`: a polygon cover, a crawl blocklist, or a
+  * tiling manifest held as cells is stored and broadcast at a fraction of
+  * its size once complete sibling quads are contracted to their parent.
+  *
+  * Everything is pure 64-bit integer arithmetic on the packed cell id
+  * (level in bits 58..62, Morton(x, y) in bits 0..57), so both ops stay
+  * inside whole-stage codegen and mirror exactly into ANSI SQL:
+  *   parent(c)      = (level-1) << 58 | morton >> 2
+  *   descendants(c) = targetLevel << 58 | morton << 2d | t,  t in [0, 4^d)
+  * (interleave(x << d | dx) = interleave(x) << 2d | interleave(dx), and
+  * (dx, dy) ↔ t is a bijection, so the Morton suffix enumerates children
+  * without de-interleaving.)
+  *
+  * Scale shape (compact): one distinct, then at most `level` rounds of a
+  * 4-row-group hash aggregate, each round shrinking the live set by ≥4×
+  * (only complete quads survive into the next round) — geometric total
+  * work off one materialization, log-depth like the star-contraction CC.
+  * Rounds are localCheckpoint'd (the [[Dedup.connectedComponents]]
+  * pattern) so the final union is L small scans, not L re-computations.
+  * The closing anti join keys parent-vs-cell on sets no larger than the
+  * input. Nothing is keyed wider than one Long.
+  */
+object CellSets {
+
+  private val MortonMask = 0x03ffffffffffffffL
+  private val LevelShift = 58
+
+  /** Level field of a packed cell id (top bit is never set, so unsigned
+    * and signed shifts agree).
+    */
+  def cellLevel(c: Column): Column = shiftrightunsigned(c, LevelShift)
+
+  /** Parent cell id — (level-1, x>>1, y>>1) as pure bit math: dropping the
+    * lowest interleaved bit pair halves both coordinates.
+    */
+  def cellParent(c: Column): Column =
+    shiftleft(cellLevel(c) - 1, LevelShift) +
+      shiftrightunsigned(c.bitwiseAND(lit(MortonMask)), 2)
+
+  /** Minimal mixed-level covering of a uniform-level cell set: every
+    * complete sibling quadruple is replaced by its parent, cascading
+    * upward until no complete quad remains. Output is exactly
+    * area-preserving ([[uncompact]] back to the input level reproduces
+    * the input set) and prefix-free (no output cell is an ancestor of
+    * another). Input cells must all carry one level; mixed input levels
+    * are rejected (same contract as H3 `compactCells`).
+    *
+    * Returns columns `(cell: long, lvl: int)`.
+    */
+  def compact(cells: DataFrame, cellCol: String = "cell"): DataFrame = {
+    val base = cells.select(col(cellCol).cast("long").as("cell"))
+      .distinct().localCheckpoint()
+    val lvls = base.select(cellLevel(col("cell")).as("l")).distinct()
+      .collect().map(_.getLong(0).toInt)
+    require(lvls.length <= 1, s"compact: mixed input levels ${lvls.sorted.mkString(",")}")
+    val levels = scala.collection.mutable.ArrayBuffer(base)
+    var cur = base
+    var l = lvls.headOption.getOrElse(0)
+    var live = lvls.nonEmpty
+    while (live && l >= 1) {
+      val parents = cur.groupBy(cellParent(col("cell")).as("cell"))
+        .agg(count(lit(1)).as("n")).filter(col("n") === 4)
+        .select("cell").localCheckpoint()
+      if (parents.isEmpty) live = false
+      else { levels += parents; cur = parents; l -= 1 }
+    }
+    val all = levels.reduce(_ unionAll _)
+    // Keep a cell iff its parent was never promoted into the set; roots
+    // (level 0) match nothing and fall through the anti join untouched.
+    all.join(all.select(col("cell").as("p")),
+        cellParent(col("cell")) === col("p") && cellLevel(col("cell")) > 0,
+        "left_anti")
+      .select(col("cell"), cellLevel(col("cell")).cast("int").as("lvl"))
+  }
+
+  /** Expand a (possibly mixed-level) cell set down to `targetLevel`: each
+    * cell becomes its 4^(targetLevel - level) descendants. Map-only — a
+    * generator over a Morton-suffix range, no shuffle; callers fanning out
+    * more than a few levels should repartition first so the 4^d blow-up
+    * lands across tasks. Cells already below `targetLevel` are rejected.
+    */
+  def uncompact(cells: DataFrame, targetLevel: Int, cellCol: String = "cell"): DataFrame = {
+    require(targetLevel >= 0 && targetLevel <= graft.index.GridCell.MaxLevel,
+      s"uncompact: level out of range: $targetLevel")
+    val c = col(cellCol).cast("long")
+    val d = (lit(targetLevel) - cellLevel(c)).cast("int")
+    // The range bound carries the level guard so column pruning can never
+    // drop it: a cell below the target level raises instead of shifting by
+    // a negative amount (which Java's << would silently wrap mod 64).
+    val bound = when(col("d2") >= 0,
+      call_function("shiftleft", lit(1L), col("d2")) - 1)
+      .otherwise(raise_error(
+        lit(s"uncompact: cell below target level $targetLevel")).cast("long"))
+    cells
+      .select(c.bitwiseAND(lit(MortonMask)).as("m"), (d * 2).as("d2"))
+      .select(col("m"), col("d2"), explode(sequence(lit(0L), bound)).as("t"))
+      .select((lit(targetLevel.toLong << LevelShift) +
+        call_function("shiftleft", col("m"), col("d2")) + col("t")).as("cell"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.index.GridCell
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quadtree cell-set compaction/expansion ([[CellSets]]). The oracle
+  * queries (`geo_cell_compact` / `geo_cell_uncompact`) check engine-vs-
+  * DuckDB parity on the synthetic page corpus; this spec pins the set
+  * semantics on handcrafted fixtures: exact inverse round-trips,
+  * minimality (no surviving complete quad), prefix-freeness, and the
+  * mixed promote/keep case computed by hand with GridCell itself.
+  */
+class CellSetsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df(cells: Seq[Long]) = {
+    import spark.implicits._
+    cells.toDF("cell")
+  }
+
+  private def collectSet(d: org.apache.spark.sql.DataFrame): Set[Long] =
+    d.select("cell").collect().map(_.getLong(0)).toSet
+
+  private def descendants(cell: Long, target: Int): Seq[Long] = {
+    var cur = Seq(cell)
+    while (GridCell.level(cur.head) < target) cur = cur.flatMap(GridCell.children)
+    cur
+  }
+
+  test("uncompact enumerates exactly the 4^d descendants of each cell") {
+    val a = GridCell.encode(8.5, 50.5, 5)
+    val b = GridCell.encode(-120.0, -33.0, 7)
+    val got = collectSet(CellSets.uncompact(df(Seq(a, b)), 8))
+    val want = (descendants(a, 8) ++ descendants(b, 8)).toSet
+    assert(got === want)
+    assert(got.size === (1 << 6) + (1 << 2)) // 4^3 + 4^1
+  }
+
+  test("uncompact at the cell's own level is the identity") {
+    val a = GridCell.encode(0.1, 0.1, 6)
+    assert(collectSet(CellSets.uncompact(df(Seq(a)), 6)) === Set(a))
+  }
+
+  test("uncompact rejects cells below the target level") {
+    val a = GridCell.encode(8.5, 50.5, 9)
+    val ex = intercept[Exception] { CellSets.uncompact(df(Seq(a)), 7).collect() }
+    assert(ex.getMessage != null)
+  }
+
+  test("compact collapses a complete subtree back to its root") {
+    val root = GridCell.encode(8.5, 50.5, 4)
+    val out = CellSets.compact(df(descendants(root, 8)))
+    assert(out.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((root, 4)))
+  }
+
+  test("compact keeps incomplete quads and promotes complete ones (hand case)") {
+    val p = GridCell.encode(-45.0, 12.0, 6)
+    val kids = GridCell.children(p) // level 7
+    // full subtrees under 3 of the 4 children, plus 2 stray grandchildren
+    // of the fourth: the three contract to level 7 but NOT to level 6, the
+    // strays stay at level 8.
+    val strays = GridCell.children(kids(3)).take(2)
+    val base = kids.take(3).flatMap(c => descendants(c, 8)) ++ strays
+    val got = CellSets.compact(df(base.toSeq)).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = kids.take(3).map(c => (c, 7)).toSet ++ strays.map(c => (c, 8))
+    assert(got === want)
+  }
+
+  test("compact(uncompact) round-trips an already-compact set exactly") {
+    val cells = Seq(GridCell.encode(10.0, 10.0, 5), GridCell.encode(100.0, -40.0, 5),
+      GridCell.encode(-170.0, 80.0, 5))
+    val out = CellSets.compact(CellSets.uncompact(df(cells), 9))
+    assert(collectSet(out) === cells.toSet)
+  }
+
+  test("compact output is area-preserving, minimal, and prefix-free (property)") {
+    val rnd = new scala.util.Random(77)
+    val base = (1 to 400).map { _ =>
+      GridCell.encode(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 170 - 85, 6)
+    }.distinct
+    val out = CellSets.compact(df(base))
+    val cells = out.collect().map(_.getLong(0)).toSeq
+    // area-preserving: expanding back to level 6 reproduces the input set
+    assert(collectSet(CellSets.uncompact(df(cells), 6)) === base.toSet)
+    // minimal: no complete sibling quadruple survives
+    val byParent = cells.filter(GridCell.level(_) > 0).groupBy(GridCell.parent)
+    assert(byParent.values.forall(_.size < 4))
+    // prefix-free: no cell is an ancestor of another
+    val set = cells.toSet
+    assert(!cells.exists { c =>
+      var a = c
+      var hit = false
+      while (GridCell.level(a) > 0 && !hit) { a = GridCell.parent(a); hit = set(a) }
+      hit
+    })
+  }
+
+  test("compact rejects mixed input levels and passes empty input through") {
+    val mixed = df(Seq(GridCell.encode(0.0, 0.0, 5), GridCell.encode(0.0, 0.0, 6)))
+    val ex = intercept[IllegalArgumentException] { CellSets.compact(mixed) }
+    assert(ex.getMessage.contains("mixed input levels"))
+    assert(CellSets.compact(df(Seq.empty)).count() === 0L)
+  }
+}

@@ -95,6 +95,18 @@ class ScanPruningSpec extends AnyFunSuite {
       "winnow gained a shuffle:\n" + p.take(1500))
   }
 
+  test("cell-set uncompact expands map-only above the distinct's one shuffle") {
+    // CellSets.uncompact claims to be a pure generator (Morton-suffix
+    // explode) — the only Exchange in geo_cell_uncompact must be the
+    // input distinct, with the 4^d fan-out running map-side after it.
+    val p = physical("geo_cell_uncompact")
+    assert(p.contains("Generate explode"),
+      "uncompact lost its generator form:\n" + p.take(1500))
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "uncompact should shuffle exactly once (the distinct):\n" + p.take(1500))
+  }
+
   test("exact dedup aggregates map-side before its single shuffle") {
     val p = physical("dedup_exact")
     assert(p.contains("partial_count") || p.contains("partial_"),
