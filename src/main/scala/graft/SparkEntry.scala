@@ -269,6 +269,17 @@ object SparkEntry {
   private val sqlVals16: String =
     (0 to 15).map(t => s"($t)").mkString("(VALUES ", ", ", ") AS ts(t)")
 
+  /** S2 twins (S2Cell layout: face in bits 61..63 — the sign bit
+    * participates, so the field ops are bitwise & / arithmetic >> rather
+    * than quotients, verified two's-complement-identical in DuckDB).
+    */
+  private val s2FaceMask = 0xe000000000000000L
+  private val s2MortonMask = 0x00ffffffffffffffL
+  private def sqlS2Lvl(c: String): String = s"((($c) >> 56) & 31)"
+  private def sqlS2ParentN(c: String, n: Int): String =
+    s"((($c) & $s2FaceMask) + (${sqlS2Lvl(c)} - $n) * ${1L << 56} " +
+      s"+ ((($c) & $s2MortonMask) // ${1L << (2 * n)}))"
+
   private def documentsOf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddingsOf(s: SparkSession, dir: String): DataFrame =
@@ -400,6 +411,20 @@ object SparkEntry {
       val odd9 = p.filter(col("doc_id") % 2 === 1)
         .select(GraftFunctions.gridCell(col("lon"), col("lat"), lit(9)).as("cell"))
       CellSets.compact(CellSets.uncompact(even7, 9).unionAll(odd9))
+    },
+
+    "geo_s2_compact" -> { (s, dir) =>
+      // the same contraction on the S2 cube-face quadtree, where the face
+      // field rides in the top bits (sign bit participates for faces >= 4)
+      // and level-0 face cells are roots; level-8 keys derive from the
+      // level-10 cells by pure bit ops (the geo_s2_rollup identity).
+      GraftFunctions.register(s)
+      val p = Pages.pages(s, dir)
+      val s10 = GraftFunctions.s2Cell(col("lon"), col("lat"), lit(10))
+      val even8 = p.filter(col("doc_id") % 2 === 0)
+        .select(GraftFunctions.s2Parent(s10, lit(2)).as("cell")).distinct()
+      val odd10 = p.filter(col("doc_id") % 2 === 1).select(s10.as("cell"))
+      CellSets.compactS2(CellSets.uncompactS2(even8, 10).unionAll(odd10))
     },
 
     "geo_pip" -> { (s, dir) =>
@@ -1971,6 +1996,28 @@ object SparkEntry {
         SELECT cell, CAST(cell // ${1L << 58} AS INT) AS lvl FROM allc
         WHERE cell // ${1L << 58} = 0
            OR ${sqlGridParent("cell")} NOT IN (SELECT cell FROM allc)"""
+    },
+
+    "geo_s2_compact" -> Pages.sqlWith {
+      val pChain = (9 to 0 by -1).map { l =>
+        val src = if (l == 9) "s10" else s"q${l + 1}"
+        s"q$l AS (SELECT ${sqlS2ParentN("cell", 1)} AS cell FROM $src GROUP BY 1 HAVING count(*) = 4)"
+      }.mkString(",\n          ")
+      val allUnion = (9 to 0 by -1).map(l => s"UNION ALL SELECT cell FROM q$l").mkString(" ")
+      s""", ${sqlS2Cell(10)},
+          e8 AS (SELECT DISTINCT ${sqlS2ParentN("s2", 2)} AS cell
+            FROM s2cell WHERE doc_id % 2 = 0),
+          s10 AS (SELECT DISTINCT cell FROM (
+            SELECT ((cell & $s2FaceMask) + ${10L * (1L << 56)}
+                    + ((cell & $s2MortonMask) * 16) + t) AS cell
+            FROM e8 CROSS JOIN $sqlVals16
+            UNION ALL
+            SELECT s2 AS cell FROM s2cell WHERE doc_id % 2 = 1) u),
+          $pChain,
+          allc AS (SELECT cell FROM s10 $allUnion)
+        SELECT cell, CAST(${sqlS2Lvl("cell")} AS INT) AS lvl FROM allc
+        WHERE ${sqlS2Lvl("cell")} = 0
+           OR ${sqlS2ParentN("cell", 1)} NOT IN (SELECT cell FROM allc)"""
     },
 
     "geo_pip" -> Pages.sqlWith(

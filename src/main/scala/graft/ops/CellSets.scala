@@ -3,11 +3,12 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Cell-set algebra over the quadtree tile index ([[graft.index.GridCell]]):
-  * compaction of a uniform-level cell set into the minimal mixed-level
-  * covering and its inverse (the H3 `compactCells` / `uncompactCells`
-  * analog, exact on a quadtree because every parent has exactly four
-  * children). This is the missing half of coverage-set handling next to
+/** Cell-set algebra over the engine's quadtree tile indexes
+  * ([[graft.index.GridCell]] and the S2 cube-face quadtree
+  * [[graft.index.S2Cell]]): compaction of a uniform-level cell set into
+  * the minimal mixed-level covering and its inverse (the H3
+  * `compactCells` / `uncompactCells` analog, exact on a quadtree because
+  * every parent has exactly four children). This is the missing half of coverage-set handling next to
   * `cover_cells`/`polygonCover`: a polygon cover, a crawl blocklist, or a
   * tiling manifest held as cells is stored and broadcast at a fraction of
   * its size once complete sibling quads are contracted to their parent.
@@ -32,20 +33,31 @@ import org.apache.spark.sql.functions._
   */
 object CellSets {
 
-  private val MortonMask = 0x03ffffffffffffffL
-  private val LevelShift = 58
-
-  /** Level field of a packed cell id (top bit is never set, so unsigned
-    * and signed shifts agree).
+  /** Bit layout of a packed hierarchical cell id. Both engine indexes are
+    * quadtrees over an interleaved (Morton) coordinate pair, so the same
+    * three fields describe either: [[graft.index.GridCell]] (level in bits
+    * 58..62, no face) and [[graft.index.S2Cell]] (face in bits 61..63 —
+    * the sign bit participates for faces ≥ 4 — level in bits 56..60).
     */
-  def cellLevel(c: Column): Column = shiftrightunsigned(c, LevelShift)
+  private final case class Layout(levelShift: Int, mortonMask: Long, faceMask: Long)
+  private val GridLayout = Layout(58, 0x03ffffffffffffffL, 0L)
+  private val S2Layout = Layout(56, 0x00ffffffffffffffL, 0xe000000000000000L)
+
+  private def lvlOf(c: Column, y: Layout): Column =
+    shiftrightunsigned(c, y.levelShift).bitwiseAND(lit(31L))
+
+  private def parentOf(c: Column, y: Layout): Column =
+    c.bitwiseAND(lit(y.faceMask)) +
+      shiftleft(lvlOf(c, y) - 1, y.levelShift) +
+      shiftrightunsigned(c.bitwiseAND(lit(y.mortonMask)), 2)
+
+  /** Level field of a packed quadtree cell id. */
+  def cellLevel(c: Column): Column = lvlOf(c, GridLayout)
 
   /** Parent cell id — (level-1, x>>1, y>>1) as pure bit math: dropping the
     * lowest interleaved bit pair halves both coordinates.
     */
-  def cellParent(c: Column): Column =
-    shiftleft(cellLevel(c) - 1, LevelShift) +
-      shiftrightunsigned(c.bitwiseAND(lit(MortonMask)), 2)
+  def cellParent(c: Column): Column = parentOf(c, GridLayout)
 
   /** Minimal mixed-level covering of a uniform-level cell set: every
     * complete sibling quadruple is replaced by its parent, cascading
@@ -57,10 +69,19 @@ object CellSets {
     *
     * Returns columns `(cell: long, lvl: int)`.
     */
-  def compact(cells: DataFrame, cellCol: String = "cell"): DataFrame = {
+  def compact(cells: DataFrame, cellCol: String = "cell"): DataFrame =
+    compactWith(cells, cellCol, GridLayout)
+
+  /** [[compact]] over S2 cube-face cell ids (faces never merge: level-0
+    * face cells are roots).
+    */
+  def compactS2(cells: DataFrame, cellCol: String = "cell"): DataFrame =
+    compactWith(cells, cellCol, S2Layout)
+
+  private def compactWith(cells: DataFrame, cellCol: String, y: Layout): DataFrame = {
     val base = cells.select(col(cellCol).cast("long").as("cell"))
       .distinct().localCheckpoint()
-    val lvls = base.select(cellLevel(col("cell")).as("l")).distinct()
+    val lvls = base.select(lvlOf(col("cell"), y).as("l")).distinct()
       .collect().map(_.getLong(0).toInt)
     require(lvls.length <= 1, s"compact: mixed input levels ${lvls.sorted.mkString(",")}")
     val levels = scala.collection.mutable.ArrayBuffer(base)
@@ -68,7 +89,7 @@ object CellSets {
     var l = lvls.headOption.getOrElse(0)
     var live = lvls.nonEmpty
     while (live && l >= 1) {
-      val parents = cur.groupBy(cellParent(col("cell")).as("cell"))
+      val parents = cur.groupBy(parentOf(col("cell"), y).as("cell"))
         .agg(count(lit(1)).as("n")).filter(col("n") === 4)
         .select("cell").localCheckpoint()
       if (parents.isEmpty) live = false
@@ -78,9 +99,9 @@ object CellSets {
     // Keep a cell iff its parent was never promoted into the set; roots
     // (level 0) match nothing and fall through the anti join untouched.
     all.join(all.select(col("cell").as("p")),
-        cellParent(col("cell")) === col("p") && cellLevel(col("cell")) > 0,
+        parentOf(col("cell"), y) === col("p") && lvlOf(col("cell"), y) > 0,
         "left_anti")
-      .select(col("cell"), cellLevel(col("cell")).cast("int").as("lvl"))
+      .select(col("cell"), lvlOf(col("cell"), y).cast("int").as("lvl"))
   }
 
   /** Expand a (possibly mixed-level) cell set down to `targetLevel`: each
@@ -92,8 +113,20 @@ object CellSets {
   def uncompact(cells: DataFrame, targetLevel: Int, cellCol: String = "cell"): DataFrame = {
     require(targetLevel >= 0 && targetLevel <= graft.index.GridCell.MaxLevel,
       s"uncompact: level out of range: $targetLevel")
+    uncompactWith(cells, targetLevel, cellCol, GridLayout)
+  }
+
+  /** [[uncompact]] over S2 cube-face cell ids. */
+  def uncompactS2(cells: DataFrame, targetLevel: Int, cellCol: String = "cell"): DataFrame = {
+    require(targetLevel >= 0 && targetLevel <= graft.index.S2Cell.MaxLevel,
+      s"uncompactS2: level out of range: $targetLevel")
+    uncompactWith(cells, targetLevel, cellCol, S2Layout)
+  }
+
+  private def uncompactWith(cells: DataFrame, targetLevel: Int, cellCol: String,
+                            y: Layout): DataFrame = {
     val c = col(cellCol).cast("long")
-    val d = (lit(targetLevel) - cellLevel(c)).cast("int")
+    val d = (lit(targetLevel) - lvlOf(c, y)).cast("int")
     // The range bound carries the level guard so column pruning can never
     // drop it: a cell below the target level raises instead of shifting by
     // a negative amount (which Java's << would silently wrap mod 64).
@@ -102,9 +135,11 @@ object CellSets {
       .otherwise(raise_error(
         lit(s"uncompact: cell below target level $targetLevel")).cast("long"))
     cells
-      .select(c.bitwiseAND(lit(MortonMask)).as("m"), (d * 2).as("d2"))
-      .select(col("m"), col("d2"), explode(sequence(lit(0L), bound)).as("t"))
-      .select((lit(targetLevel.toLong << LevelShift) +
+      .select(c.bitwiseAND(lit(y.mortonMask)).as("m"),
+        c.bitwiseAND(lit(y.faceMask)).as("f"), (d * 2).as("d2"))
+      .select(col("m"), col("f"), col("d2"),
+        explode(sequence(lit(0L), bound)).as("t"))
+      .select((col("f") + lit(targetLevel.toLong << y.levelShift) +
         call_function("shiftleft", col("m"), col("d2")) + col("t")).as("cell"))
   }
 }

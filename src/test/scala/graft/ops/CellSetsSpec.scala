@@ -103,6 +103,32 @@ class CellSetsSpec extends AnyFunSuite {
     })
   }
 
+  private def s2Descendants(cell: Long, target: Int): Seq[Long] = {
+    import graft.index.S2Cell
+    var cur = Seq(cell)
+    while (S2Cell.level(cur.head) < target) cur = cur.flatMap(S2Cell.children)
+    cur
+  }
+
+  test("S2 compact/uncompact round-trip across faces, including sign-bit faces") {
+    import graft.index.S2Cell
+    // face 0/2 (positive ids) and face 4/5 (bit 63 set — negative longs)
+    val cells = Seq(S2Cell.encode(10.0, 5.0, 6), S2Cell.encode(0.0, 80.0, 6),
+      S2Cell.encode(-95.0, -5.0, 6), S2Cell.encode(0.0, -80.0, 6))
+    assert(cells.exists(_ < 0) && cells.exists(_ > 0))
+    val out = CellSets.compactS2(CellSets.uncompactS2(df(cells), 9))
+    assert(collectSet(out) === cells.toSet)
+    val expanded = collectSet(CellSets.uncompactS2(df(cells), 8))
+    assert(expanded === cells.flatMap(s2Descendants(_, 8)).toSet)
+  }
+
+  test("S2 compact collapses a full subtree to a level-0 face root") {
+    import graft.index.S2Cell
+    val face5 = S2Cell.pack(5, 0, 0, 0)
+    val out = CellSets.compactS2(df(s2Descendants(face5, 4)))
+    assert(out.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((face5, 0)))
+  }
+
   test("compact rejects mixed input levels and passes empty input through") {
     val mixed = df(Seq(GridCell.encode(0.0, 0.0, 5), GridCell.encode(0.0, 0.0, 6)))
     val ex = intercept[IllegalArgumentException] { CellSets.compact(mixed) }
