@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
-    args(0) match {
+    args.headOption.getOrElse("") match {
       case "gen" =>
         val n = args(1).toLong
         val s = SparkSession.builder().master("local[16]")
@@ -47,6 +47,9 @@ object CcProbe {
         println(f"CCPROBE cores=$cores nodes=$nodes rounds=$rounds " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
         s.stop()
+      case other =>
+        sys.error(s"CcProbe: unknown mode '$other'; usage: " +
+          "gen <nEdges> <dir> | run <cores> <dir> [shuffleParts] [aqe]")
     }
   }
 }

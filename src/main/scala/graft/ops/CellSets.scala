@@ -79,10 +79,15 @@ object CellSets {
     compactWith(cells, cellCol, S2Layout)
 
   private def compactWith(cells: DataFrame, cellCol: String, y: Layout): DataFrame = {
+    // lazy checkpoints throughout: the level collect (for base) and the
+    // emptiness count (per round) each materialize their checkpoint in
+    // the same job — one job per round, the Dedup.connectedComponents
+    // pattern
     val base = cells.select(col(cellCol).cast("long").as("cell"))
-      .distinct().localCheckpoint()
-    val lvls = base.select(lvlOf(col("cell"), y).as("l")).distinct()
-      .collect().map(_.getLong(0).toInt)
+      .distinct().localCheckpoint(eager = false)
+    val lvlRows = base.select(lvlOf(col("cell"), y).as("l")).distinct().collect()
+    require(!lvlRows.exists(_.isNullAt(0)), "compact: null cell ids in input")
+    val lvls = lvlRows.map(_.getLong(0).toInt)
     require(lvls.length <= 1, s"compact: mixed input levels ${lvls.sorted.mkString(",")}")
     val levels = scala.collection.mutable.ArrayBuffer(base)
     var cur = base
@@ -91,8 +96,8 @@ object CellSets {
     while (live && l >= 1) {
       val parents = cur.groupBy(parentOf(col("cell"), y).as("cell"))
         .agg(count(lit(1)).as("n")).filter(col("n") === 4)
-        .select("cell").localCheckpoint()
-      if (parents.isEmpty) live = false
+        .select("cell").localCheckpoint(eager = false)
+      if (parents.count() == 0L) live = false
       else { levels += parents; cur = parents; l -= 1 }
     }
     val all = levels.reduce(_ unionAll _)
@@ -106,9 +111,12 @@ object CellSets {
 
   /** Expand a (possibly mixed-level) cell set down to `targetLevel`: each
     * cell becomes its 4^(targetLevel - level) descendants. Map-only — a
-    * generator over a Morton-suffix range, no shuffle; callers fanning out
-    * more than a few levels should repartition first so the 4^d blow-up
-    * lands across tasks. Cells already below `targetLevel` are rejected.
+    * generator over a Morton-suffix range, no shuffle. The fan-out is
+    * CHUNKED at 8 levels per pass (≤ 4^8 = 65,536 suffixes, ~512 KB per
+    * row transiently) so the per-row sequence() array stays bounded no
+    * matter how deep the total expansion — a level-0 cell uncompacted to
+    * level 28 runs 4 map-only passes instead of building one
+    * 4^28-element array. Cells already below `targetLevel` are rejected.
     */
   def uncompact(cells: DataFrame, targetLevel: Int, cellCol: String = "cell"): DataFrame = {
     require(targetLevel >= 0 && targetLevel <= graft.index.GridCell.MaxLevel,
@@ -123,10 +131,10 @@ object CellSets {
     uncompactWith(cells, targetLevel, cellCol, S2Layout)
   }
 
+  private val StepLevels = 8
+
   private def uncompactWith(cells: DataFrame, targetLevel: Int, cellCol: String,
                             y: Layout): DataFrame = {
-    val c = col(cellCol).cast("long")
-    val d = (lit(targetLevel) - lvlOf(c, y)).cast("int")
     // The range bound carries the level guard so column pruning can never
     // drop it: a cell below the target level raises instead of shifting by
     // a negative amount (which Java's << would silently wrap mod 64).
@@ -134,12 +142,23 @@ object CellSets {
       call_function("shiftleft", lit(1L), col("d2")) - 1)
       .otherwise(raise_error(
         lit(s"uncompact: cell below target level $targetLevel")).cast("long"))
-    cells
-      .select(c.bitwiseAND(lit(y.mortonMask)).as("m"),
-        c.bitwiseAND(lit(y.faceMask)).as("f"), (d * 2).as("d2"))
-      .select(col("m"), col("f"), col("d2"),
-        explode(sequence(lit(0L), bound)).as("t"))
-      .select((col("f") + lit(targetLevel.toLong << y.levelShift) +
-        call_function("shiftleft", col("m"), col("d2")) + col("t")).as("cell"))
+    var out = cells.select(col(cellCol).cast("long").as("cell"))
+    // enough passes for the deepest possible input (level 0); rows that
+    // reach targetLevel early ride later passes through a 1-element range
+    val passes = math.max(1, (targetLevel + StepLevels - 1) / StepLevels)
+    for (_ <- 1 to passes) {
+      val c = col("cell")
+      val d = (least(lit(targetLevel.toLong), lvlOf(c, y) + StepLevels) - lvlOf(c, y))
+        .cast("int")
+      out = out
+        .select(c.bitwiseAND(lit(y.mortonMask)).as("m"),
+          c.bitwiseAND(lit(y.faceMask)).as("f"),
+          (lvlOf(c, y) + d).as("nl"), (d * 2).as("d2"))
+        .select(col("m"), col("f"), col("nl"), col("d2"),
+          explode(sequence(lit(0L), bound)).as("t"))
+        .select((col("f") + call_function("shiftleft", col("nl"), lit(y.levelShift)) +
+          call_function("shiftleft", col("m"), col("d2")) + col("t")).as("cell"))
+    }
+    out
   }
 }

@@ -129,6 +129,27 @@ class CellSetsSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((face5, 0)))
   }
 
+  test("uncompact spanning more than one chunk pass (d > 8) stays exact") {
+    val root = GridCell.encode(8.5, 50.5, 0) // level 0 -> level 9 is two passes
+    val out = CellSets.uncompact(df(Seq(root)), 9)
+    assert(out.count() === (1L << 18)) // 4^9
+    val probe = out.limit(3).collect().map(_.getLong(0)) :+
+      out.orderBy(col("cell").desc).limit(1).collect().head.getLong(0)
+    probe.foreach { c =>
+      assert(GridCell.level(c) === 9)
+      var a = c
+      (1 to 9).foreach(_ => a = GridCell.parent(a))
+      assert(a === root)
+    }
+  }
+
+  test("compact rejects null cell ids with a clear error") {
+    import spark.implicits._
+    val withNull = Seq(Some(GridCell.encode(0.0, 0.0, 5)), None).toDF("cell")
+    val ex = intercept[IllegalArgumentException] { CellSets.compact(withNull) }
+    assert(ex.getMessage.contains("null cell ids"))
+  }
+
   test("compact rejects mixed input levels and passes empty input through") {
     val mixed = df(Seq(GridCell.encode(0.0, 0.0, 5), GridCell.encode(0.0, 0.0, 6)))
     val ex = intercept[IllegalArgumentException] { CellSets.compact(mixed) }
