@@ -246,13 +246,17 @@ object ImageHash {
     */
   def phashClusters(hashes: DataFrame, idCol: String = "doc_id",
                     maxDist: Int = 3, capPerBucket: Int = 1024): DataFrame = {
-    // Cache the (id, phash) table: it feeds the rep aggregate, the star
-    // edges, AND the final join, and when `hashes` comes straight from
-    // phashTable the upstream decode+DCT dominates cost — without the
-    // cache the localCheckpoint below plus the final join would re-run
-    // the decode 3-4×. Post-decode rows are 16 bytes each, so the cache
-    // is tiny relative to the work it elides.
-    val ids = hashes.select(col(idCol).cast("long").as("id"), col("phash")).persist()
+    // Materialize the (id, phash) table once (eager localCheckpoint): it
+    // feeds the rep aggregate, the star edges, AND the final join, and
+    // when `hashes` comes straight from phashTable the upstream
+    // decode+DCT dominates cost — without the boundary the checkpoint
+    // below plus the final join would re-run the decode 3-4×. Checkpoint
+    // rather than persist(): persist registers in the cache manager and
+    // leaks one cached table per call (nothing here can unpersist it —
+    // the returned frame still references it), while checkpoint blocks
+    // are freed by the ContextCleaner once the result is dropped.
+    val ids = hashes.select(col(idCol).cast("long").as("id"), col("phash"))
+      .localCheckpoint()
     val reps = ids.groupBy("phash").agg(min("id").as("rep"))
     val star = ids.join(reps, "phash")
       .filter(col("id") =!= col("rep"))

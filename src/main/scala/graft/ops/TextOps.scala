@@ -774,9 +774,18 @@ object TextOps {
     * map-only winnow output; the fp-keyed self-join is the standard hot-
     * bucket hazard (a boilerplate fingerprint shared by 10^6 docs would
     * emit 10^12 pairs), so buckets are capped at `capPerBucket` members —
-    * the deterministic lowest-doc_id subset, same contract as
-    * ImageHash.hammingPairs — before pairing (-1 = uncapped, for the
-    * exact-SQL oracle); the pair count aggregate is map-side combined.
+    * the deterministic lowest-doc_id subset — before pairing (-1 =
+    * uncapped, for the exact-SQL oracle); the pair count aggregate is
+    * map-side combined. NOTE the cap is SYMMETRIC (both join sides see
+    * the capped bucket), unlike ImageHash.hammingPairs' index-side-only
+    * cap: a document past a bucket's cap contributes nothing through
+    * that bucket, and a surviving pair's n_shared counts only buckets
+    * where BOTH endpoints made the cap — a recall/cost tradeoff that
+    * keeps the count aggregate free of a distinct. Near-dup docs share
+    * MANY fingerprints, so a real pair survives unless every one of its
+    * shared buckets is >cap hot; raise capPerBucket (or pre-drop
+    * boilerplate fingerprints by document frequency) on corpora where
+    * that is common.
     */
   def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
                   minShared: Int = 2, family: String = "xxhash64",
