@@ -46,9 +46,13 @@ object Dedup {
   /** Distinct-token table + per-doc sizes, cached: every dedup stage
     * (signatures, banding, exact verify) reuses ONE materialization
     * instead of re-deriving the token table per stage (VERDICT r1 wrong
-    * #7 — it was recomputed up to 4× per query). Cached blocks are
-    * released by Spark's ContextCleaner when the plan is garbage
-    * collected.
+    * #7 — it was recomputed up to 4× per query). Lifecycle: a DataFrame
+    * persist registers in the session's CacheManager and lives until
+    * unpersist or session end (ContextCleaner does NOT reap it) — one
+    * entry per call, MEMORY_AND_DISK so pressure evicts to disk. Fine
+    * for per-job drivers (the gate/bench lifecycle); a long-lived
+    * service calling dedup per batch should unpersist the returned
+    * dtoks after consuming the query.
     */
   def tokenArtifacts(docs: DataFrame): (DataFrame, DataFrame) = {
     val dtoks = TextOps.tokenTable(docs).distinct()

@@ -393,8 +393,9 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val m = books.length
-    val encoded = pqEncode(embeddings, books).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // single consumer (the ADC scan below) — no cache: a persist here
+    // would leak one CacheManager entry per call for zero reuse
+    val encoded = pqEncode(embeddings, books)
     val probes = embeddings.filter(col("vec_id") < probeMaxId)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .as[(Long, Seq[Long])].collect()
