@@ -26,7 +26,11 @@ object PlanAudit {
       // the shuffle), cluster contraction (iterative star joins), TF-IDF
       // (WindowGroupLimit top-k), substring dedup, gz WARC scan
       "geo_cell_distinct_salted", "dedup_clusters", "text_tfidf",
-      "text_substr_dedup", "warc_gz_roundtrip")
+      "text_substr_dedup", "warc_gz_roundtrip",
+      // round 5: winnow fingerprints (map-only), cell-set compaction
+      // (log-depth contraction + parent anti join, chunked generator)
+      "text_winnow", "text_winnow_pairs", "geo_cell_compact",
+      "geo_cell_uncompact")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)
