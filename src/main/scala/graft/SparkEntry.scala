@@ -427,6 +427,41 @@ object SparkEntry {
       CellSets.compactS2(CellSets.uncompactS2(even8, 10).unionAll(odd10))
     },
 
+    "geo_cover_pip" -> { (s, dir) =>
+      // hierarchical-cell PIP prefilter: each polygon's budgeted
+      // mixed-level adaptive cover (GridCell.adaptiveCover, the S2
+      // RegionCoverer recipe — a driver-side planning step like kernel
+      // builders) broadcasts as an equi-join index; every page explodes
+      // its 11-cell ancestor chain (pure bit ops, map-only) and matches
+      // at most ONE cover cell per polygon (covers are prefix-free),
+      // then the exact rect predicate verifies. Covers are supersets of
+      // their polygons, so the result is EXACTLY plain PIP — which is
+      // what the oracle computes, proving the prefilter lossless
+      // end-to-end. At 10^12 pages this is the shape that wins: a few
+      // hundred broadcast cells and one map-side generator instead of a
+      // theta-join against every polygon.
+      GraftFunctions.register(s)
+      import s.implicits._
+      val covers = Fixtures.polygons.flatMap { case (id, poly) =>
+        graft.index.GridCell.adaptiveCover(poly, maxCells = 48, maxLevel = 10)
+          .map(c => (id, c)).toSeq
+      }.toDF("poly_id", "cell")
+      val rects = Fixtures.rects.toDF("rid", "x_min", "x_max", "y_min", "y_max")
+      val morton = col("c10").bitwiseAND(lit(0x03ffffffffffffffL))
+      val pages = Pages.pages(s, dir).select(col("doc_id"), col("lon"), col("lat"))
+        .withColumn("c10", GraftFunctions.gridCell(col("lon"), col("lat"), lit(10)))
+        .withColumn("anc", explode(transform(sequence(lit(0), lit(10)), l =>
+          shiftleft(l.cast("long"), 58) + call_function("shiftrightunsigned",
+            morton, (lit(10) - l) * 2))))
+      pages.join(broadcast(covers), col("anc") === col("cell"))
+        .join(broadcast(rects), col("poly_id") === col("rid") &&
+          col("lon") >= col("x_min") && col("lon") <= col("x_max") &&
+          col("lat") >= col("y_min") && col("lat") <= col("y_max"))
+        .groupBy("poly_id")
+        .agg(count(lit(1)).as("n_pages"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    },
+
     "geo_pip" -> { (s, dir) =>
       val p = Pages.pages(s, dir).select("doc_id", "lon", "lat")
       SpatialJoins.pipJoinBroadcast(p, Fixtures.polygons, "lon", "lat")
@@ -1997,6 +2032,16 @@ object SparkEntry {
         WHERE cell // ${1L << 58} = 0
            OR ${sqlGridParent("cell")} NOT IN (SELECT cell FROM allc)"""
     },
+
+    // the adaptive-cover prefilter is lossless (covers are supersets of
+    // their polygons and prefix-free), so the oracle is plain PIP — the
+    // equality IS the end-to-end correctness proof of the prefilter
+    "geo_cover_pip" -> Pages.sqlWith(
+      s"""SELECT CAST(poly_id AS BIGINT) AS poly_id, count(*) AS n_pages,
+          min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM pages JOIN ${Fixtures.sqlRectValues}
+          ON lon >= x_min AND lon <= x_max AND lat >= y_min AND lat <= y_max
+        GROUP BY 1"""),
 
     "geo_s2_compact" -> Pages.sqlWith {
       val pChain = (9 to 0 by -1).map { l =>

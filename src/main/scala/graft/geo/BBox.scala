@@ -60,6 +60,30 @@ final case class BBox(xMin: Double, xMax: Double, yMin: Double, yMax: Double) {
     BBox(math.max(xMin, o.xMin), math.min(xMax, o.xMax),
          math.max(yMin, o.yMin), math.min(yMax, o.yMax))
 
+  /** Closed-box segment intersection (Liang–Barsky): true iff the segment
+    * (x1,y1)→(x2,y2) has at least one point inside or on the boundary.
+    * Touching an edge or a corner counts — the adaptive-cover classifier
+    * wants the superset-safe reading (a touched cell stays CROSSING).
+    * Non-dateline boxes only (cell extents never cross the dateline).
+    */
+  def intersectsSegment(x1: Double, y1: Double, x2: Double, y2: Double): Boolean = {
+    var t0 = 0.0
+    var t1 = 1.0
+    val dx = x2 - x1
+    val dy = y2 - y1
+    def clip(p: Double, q: Double): Boolean = {
+      if (p == 0.0) q >= 0.0
+      else {
+        val r = q / p
+        if (p < 0.0) { if (r > t1) return false; if (r > t0) t0 = r }
+        else { if (r < t0) return false; if (r < t1) t1 = r }
+        true
+      }
+    }
+    clip(-dx, x1 - xMin) && clip(dx, xMax - x1) &&
+      clip(-dy, y1 - yMin) && clip(dy, yMax - y1) && t0 <= t1
+  }
+
   def toArray: Array[Double] = Array(xMin, xMax, yMin, yMax)
 }
 

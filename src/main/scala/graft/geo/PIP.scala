@@ -29,6 +29,30 @@ final case class Polygon(rings: Array[Array[Double]]) {
     }
     true
   }
+
+  /** Coarse box-vs-polygon classification for covering refinement:
+    * 0 = disjoint, 1 = fully inside, 2 = crossing. Exact for any ring
+    * set (holes included): if no ring segment meets the closed box, the
+    * box lies wholly inside or wholly outside the polygon's region, and
+    * the center point decides which; boundary touches read as crossing
+    * (superset-safe for a covering).
+    */
+  def classifyBox(b: BBox): Int = {
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      val n = ring.length / 2
+      var i = 0
+      while (i < n) {
+        val j = if (i == n - 1) 0 else i + 1
+        if (b.intersectsSegment(ring(2 * i), ring(2 * i + 1),
+            ring(2 * j), ring(2 * j + 1))) return 2
+        i += 1
+      }
+      r += 1
+    }
+    if (contains(b.centerX, b.centerY)) 1 else 0
+  }
 }
 
 object Polygon {

@@ -116,6 +116,76 @@ object GridCell {
   def polygonCover(p: Polygon, level: Int): Array[Long] =
     cover(p.bbox, level)
 
+  /** Budgeted mixed-level polygon covering — the S2 RegionCoverer recipe
+    * on the quadtree: starting from the root, boundary-CROSSING cells are
+    * refined breadth-first (biggest first, cell id tie-break — fully
+    * deterministic) while the covering fits `maxCells`; cells whose
+    * extent classifies fully INSIDE are final immediately, DISJOINT
+    * children are dropped, and the surviving frontier is normalized by
+    * [[compactCells]]. The result is always a superset of the polygon
+    * (every interior point lies in some cell), so it is safe as the
+    * broadcast cell prefilter of a PIP join: a few hundred mixed-level
+    * cells bound a region that a fixed-level cover would either blanket
+    * coarsely or explode into millions of fine tiles.
+    */
+  def adaptiveCover(p: Polygon, maxCells: Int, maxLevel: Int = MaxLevel): Array[Long] = {
+    require(maxCells >= 1, s"adaptiveCover: maxCells must be >= 1, got $maxCells")
+    require(maxLevel >= 0 && maxLevel <= MaxLevel,
+      s"adaptiveCover: maxLevel out of range: $maxLevel")
+    val root = pack(0, 0, 0)
+    p.classifyBox(cellBBox(root)) match {
+      case 0 => return Array.empty
+      case 1 => return Array(root)
+      case _ =>
+    }
+    val inside = collection.mutable.ArrayBuffer[Long]()
+    val frontier = collection.mutable.TreeSet[(Int, Long)]((0, root))
+    var total = 1
+    var more = true
+    while (more) {
+      // biggest splittable frontier cell, if the worst-case growth fits
+      frontier.find { case (l, _) => l < maxLevel } match {
+        case Some(e @ (l, c)) if total + 3 <= maxCells =>
+          frontier -= e
+          total -= 1
+          children(c).foreach { ch =>
+            p.classifyBox(cellBBox(ch)) match {
+              case 0 =>
+              case 1 => inside += ch; total += 1
+              case _ => frontier += ((l + 1, ch)); total += 1
+            }
+          }
+        case _ => more = false
+      }
+    }
+    compactCells(inside.toArray ++ frontier.iterator.map(_._2))
+  }
+
+  /** Merge every complete sibling quadruple bottom-up (mixed-level,
+    * prefix-free input): the minimal cell set with the same union —
+    * the driver-side twin of graft.ops.CellSets.compact, sized for the
+    * bounded covers adaptiveCover emits. Output sorted for determinism.
+    */
+  def compactCells(cells: Array[Long]): Array[Long] = {
+    val set = collection.mutable.HashSet.empty[Long]
+    cells.foreach(set += _)
+    var changed = true
+    while (changed) {
+      changed = false
+      set.toArray.foreach { c =>
+        if (set.contains(c) && level(c) > 0) {
+          val sib = children(parent(c))
+          if (sib.forall(set.contains)) {
+            sib.foreach(set -= _)
+            set += parent(c)
+            changed = true
+          }
+        }
+      }
+    }
+    set.toArray.sorted
+  }
+
   private def interleave(v: Long): Long = {
     var x = v & 0x1fffffffL
     x = (x | (x << 16)) & 0x0000ffff0000ffffL

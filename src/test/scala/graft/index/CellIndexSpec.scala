@@ -263,4 +263,83 @@ class CellIndexSpec extends AnyFunSuite {
     S2Cell.children(c).foreach(ch => assert(S2Cell.parentN(ch, 1) === c))
     assertThrows[IllegalArgumentException](S2Cell.parentN(c, 10))
   }
+
+  test("bbox segment intersection: pass-through, touch, and miss") {
+    val b = BBox(0.0, 10.0, 0.0, 10.0)
+    assert(b.intersectsSegment(-5, 5, 15, 5))   // through, endpoints outside
+    assert(b.intersectsSegment(2, 2, 8, 8))     // fully inside
+    assert(b.intersectsSegment(-5, -5, 0, 0))   // corner touch
+    assert(b.intersectsSegment(-5, 10, 15, 10)) // edge run along the top
+    assert(!b.intersectsSegment(-5, 11, 15, 11))
+    assert(!b.intersectsSegment(11, -5, 11, 15))
+    assert(!b.intersectsSegment(-5, -5, -1, 4)) // diagonal miss near corner
+  }
+
+  test("classifyBox: inside / outside / crossing / hole cases") {
+    // square with a square hole
+    val p = Polygon(Array(
+      Array(0.0, 0.0, 40.0, 0.0, 40.0, 40.0, 0.0, 40.0),
+      Array(10.0, 10.0, 30.0, 10.0, 30.0, 30.0, 10.0, 30.0)))
+    assert(p.classifyBox(BBox(2, 8, 2, 8)) === 1)      // in the solid rim
+    assert(p.classifyBox(BBox(50, 60, 50, 60)) === 0)  // outside
+    assert(p.classifyBox(BBox(15, 25, 15, 25)) === 0)  // wholly inside hole
+    assert(p.classifyBox(BBox(-5, 5, -5, 5)) === 2)    // crosses outer ring
+    assert(p.classifyBox(BBox(8, 12, 8, 12)) === 2)    // crosses hole ring
+    assert(p.classifyBox(BBox(-10, 50, -10, 50)) === 2) // contains the polygon
+  }
+
+  test("compactCells merges complete quads recursively") {
+    val root = GridCell.encode(8.5, 50.5, 3)
+    val grandkids = GridCell.children(root).flatMap(GridCell.children)
+    assert(GridCell.compactCells(grandkids).toSeq === Seq(root))
+    // 15 of 16 grandchildren: the missing one's siblings stay, the other
+    // three child quads merge
+    val partial = grandkids.drop(1)
+    val got = GridCell.compactCells(partial)
+    assert(got.length === 3 + 3)
+    assert(GridCell.compactCells(got ++ Array(grandkids(0))).toSeq === Seq(root))
+  }
+
+  test("adaptiveCover: superset of the polygon, within budget, deterministic") {
+    // concave L-shape
+    val p = Polygon(Array(Array(
+      -10.0, 10.0, 30.0, 10.0, 30.0, 25.0, 10.0, 25.0, 10.0, 55.0, -10.0, 55.0)))
+    val budget = 64
+    val cover = GridCell.adaptiveCover(p, budget, maxLevel = 12)
+    assert(cover.nonEmpty && cover.length <= budget)
+    assert(cover.toSeq === GridCell.adaptiveCover(p, budget, maxLevel = 12).toSeq)
+    // mixed levels: a budgeted refinement of a concave shape can't stay flat
+    assert(cover.map(GridCell.level).distinct.length > 1)
+    // prefix-free and quad-minimal
+    val set = cover.toSet
+    cover.foreach { c =>
+      var a = c
+      while (GridCell.level(a) > 0) { a = GridCell.parent(a); assert(!set(a)) }
+    }
+    assert(cover.filter(GridCell.level(_) > 0).groupBy(GridCell.parent)
+      .values.forall(_.length < 4))
+    // covering: every sampled interior point lands in some cover cell
+    val rnd = new scala.util.Random(11)
+    var checked = 0
+    while (checked < 500) {
+      val x = rnd.nextDouble() * 50 - 15
+      val y = rnd.nextDouble() * 55 + 5
+      if (p.contains(x, y)) {
+        assert(cover.exists(c => GridCell.cellBBox(c).containsPoint(x, y)),
+          s"uncovered interior point ($x, $y)")
+        checked += 1
+      }
+    }
+  }
+
+  test("adaptiveCover: degenerate budgets and disjoint polygons") {
+    val p = Polygon.box(BBox(1.0, 2.0, 48.0, 49.0))
+    // budget 1: no split fits, the root covers everything
+    assert(GridCell.adaptiveCover(p, 1).toSeq === Seq(GridCell.pack(0, 0, 0)))
+    // tighter budget -> never more cells than a looser one
+    val small = GridCell.adaptiveCover(p, 8, maxLevel = 10)
+    val big = GridCell.adaptiveCover(p, 256, maxLevel = 10)
+    assert(small.length <= 8 && big.length <= 256)
+    assert(small.nonEmpty && big.length >= small.length)
+  }
 }
