@@ -57,7 +57,7 @@ object Bench {
     "raster_convolve_mad", "raster_distance", "raster_zonal", "raster_vectorize",
     "raster_predict_merge", "text_langid", "text_repetition", "text_tfidf",
     "text_winnow_pairs",
-    "geo_cell_compact",
+    "geo_cell_compact", "geo_cover_pip",
     "url_host_stats", "mm_features",
     // gz ingest throughput: synth -> records -> per-record gzip members ->
     // segment blobs -> member split + inflate + parse back
