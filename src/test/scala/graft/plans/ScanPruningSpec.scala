@@ -107,6 +107,23 @@ class ScanPruningSpec extends AnyFunSuite {
       "uncompact should shuffle exactly once (the distinct):\n" + p.take(1500))
   }
 
+  test("cover-prefilter PIP broadcasts both small sides and shuffles once") {
+    // geo_cover_pip's scale shape: ancestor-chain generator (map-only),
+    // the adaptive covers and the rect verify table both BROADCAST, and
+    // the only Exchange is the final per-polygon aggregate. A refactor
+    // that degrades either join to shuffle/cartesian re-keys the whole
+    // page corpus.
+    val p = physical("geo_cover_pip")
+    assert(p.contains("Generate"), "ancestor-chain generator missing:\n" + p.take(1200))
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      "cover/verify join not broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "prefilter join degraded:\n" + p.take(1500))
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "should shuffle exactly once (the final agg):\n" + p.take(1500))
+  }
+
   test("exact dedup aggregates map-side before its single shuffle") {
     val p = physical("dedup_exact")
     assert(p.contains("partial_count") || p.contains("partial_"),
