@@ -868,6 +868,18 @@ object SparkEntry {
       val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
       WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
     },
+    "web_pagerank" -> { (s, dir) =>
+      // host-graph PageRank on a deterministic synthetic link graph
+      // (each page emits two host→host links keyed on doc_id); exact
+      // integer fixed-point, so the unrolled DuckDB CTE chain is a
+      // bit-identical mirror of all 5 distributed iterations
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      WebOps.pageRank(e1.unionByName(e2), iters = 5)
+    },
     "text_pack" -> { (s, dir) =>
       // 512-token packing manifest; bucket=64 so the distributed
       // prefix-sum path (bucket offsets + local cumsum) actually
@@ -3177,6 +3189,43 @@ object SparkEntry {
                '/.*$', ''), ':[0-9]+$', '') AS host
            FROM pages)
          WHERE host NOT IN ('host0.example', 'host13.example', 'host51.example')"""),
+
+    "web_pagerank" -> {
+      // unrolled mirror of WebOps.pageRank's 5 integer fixed-point
+      // iterations: same floor divisions in the same operand order;
+      // every SUM is CAST back to BIGINT (DuckDB widens to HUGEINT)
+      val scale = 1000000000000L
+      def iter(k: Int): String =
+        s""", dang$k AS (
+             SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS d
+             FROM r${k - 1} WHERE host NOT IN (SELECT src FROM edges)),
+           r$k AS (
+             SELECT n.host,
+                    (($scale * 3) // (20 * (SELECT cnt FROM nn)))
+                  + (((SELECT d FROM dang$k) * 17) // (20 * (SELECT cnt FROM nn)))
+                  + COALESCE(c.contrib, 0) AS rank
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst AS host,
+                      CAST(SUM((r.rank * 17) // (20 * dg.deg)) AS BIGINT) AS contrib
+               FROM r${k - 1} r
+               JOIN edges e ON r.host = e.src
+               JOIN deg dg ON dg.src = e.src
+               GROUP BY e.dst) c ON n.host = c.host)"""
+      s"""WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst),
+         nodes AS (
+           SELECT DISTINCT host FROM (
+             SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+         nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         r0 AS (SELECT host, $scale // (SELECT cnt FROM nn) AS rank FROM nodes)
+         ${(1 to 5).map(iter).mkString("\n")}
+         SELECT host, rank FROM r5"""
+    },
 
     "text_pack" ->
       // naive global-window form — identical to the engine's bucketed

@@ -121,6 +121,90 @@ object WebOps {
   def extractText(html: Column): Column =
     regexp_replace(regexp_replace(html, "<head>.*?</head>", ""), "<[^>]*>", "")
 
+  /** Host-graph PageRank with EXACT integer fixed-point arithmetic —
+    * the link-based quality prior crawl-curation pipelines weight
+    * sampling by (the published recipe: Page et al. 1999; used as a
+    * corpus-quality signal in CCNet/RefinedWeb-style curation).
+    *
+    * Why integer fixed-point: floating-point PageRank sums incoming
+    * contributions in partition order, so two runs (or Spark vs the
+    * DuckDB oracle) disagree in the last ulps. Here ranks live on an
+    * integer grid of `scale` total mass units and every step is Long
+    * arithmetic — per-edge contribution `(r*dampNum) div (dampDen*deg)`,
+    * uniform dangling redistribution, and the teleport base — so sums
+    * are order-independent and the result is bit-identical at any
+    * parallelism AND in ANSI SQL (`div` and DuckDB's `//` agree on
+    * non-negative operands, and every quantity here is non-negative).
+    * Quantization loss is bounded: each division floors away < 1 unit
+    * per (edge ∪ node), so total mass drifts < (|E|+2|V|)·iters units
+    * of `scale` — at the default 10^12 scale that is a 10^-12-relative
+    * error per edge, far below float noise.
+    *
+    * Scale shape (10^9 hosts, 10^11 edges): edges are deduped,
+    * self-loop-stripped, repartitioned ONCE on src and persisted; the
+    * out-degree table reuses that exchange. Each round is two shuffles
+    * (ranks → src partitioning for the join, contributions → dst for
+    * the sum) with map-side combine on the contribution aggregate, so a
+    * hot authority (10^8 in-links) costs its reducer merged partials,
+    * not raw edges. The dangling mass is ONE Long collected per round
+    * (bounded driver traffic) and its collect doubles as the round's
+    * materializing action for the lazy lineage checkpoint — the same
+    * fused-job pattern as [[Dedup.connectedComponentsWithRounds]].
+    *
+    * Input: `edges(src, dst)` host ids (any integral/string type;
+    * duplicates and self-loops tolerated). Returns `(host, rank)` for
+    * every host appearing in any edge; Σrank ≈ scale.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               scale: Long = 1000000000000L,
+               dampNum: Long = 17, dampDen: Long = 20): DataFrame = {
+    require(iters >= 1 && scale > 0 && dampNum >= 0 && dampDen > dampNum,
+      s"pageRank: need iters>=1, scale>0, 0<=dampNum<dampDen; got " +
+        s"iters=$iters scale=$scale damp=$dampNum/$dampDen")
+    val e = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct()
+      .persist()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty edge set")
+    // teleport base: floor(scale*(1-d)/N) in the same op order as the SQL
+    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var ranks = nodes.select(col("host"), lit(scale / n).as("rank"))
+      .localCheckpoint(eager = false)
+    var it = 0
+    while (it < iters) {
+      // dangling mass of the CURRENT ranks — one Long; the collect is
+      // also the job that materializes this round's input checkpoint
+      val dangRow = ranks.join(deg.select(col("src").as("host")),
+          Seq("host"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0)
+      val dang = dangRow.getLong(0)
+      val dShare = (dang * dampNum) / (dampDen * n)
+      val contrib = ranks.join(e, ranks("host") === e("src"))
+        .join(deg, "src")
+        .select(col("dst"),
+          expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, nodes("host") === contrib("dst"), "left")
+        .select(col("host"),
+          (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("rank"))
+        .localCheckpoint(eager = false)
+      it += 1
+    }
+    val out = ranks
+    out.count() // materialize before unpersisting the inputs it no longer needs
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Per-host corpus statistics: page count, distinct languages, total
     * text characters, first/last crawl timestamp. One hash aggregation
     * with map-side combine on the host key — the host distribution of a
