@@ -934,6 +934,13 @@ object SparkEntry {
       Dedup.jaccardSimilarPairs(documentsOf(s, dir), threshold = 0.8,
         probeFilter = col("doc_id") % 10 === 0)
     },
+    "dedup_cosine_pairs" -> { (s, dir) =>
+      // weighted AllPairs (Bayardo WWW'07): cosine >= 3/5 over integer
+      // quantized-idf vectors; the acceptance test is an exact integer
+      // certificate, so the plain all-pairs SQL join is a bit mirror
+      Dedup.cosineSimilarPairs(documentsOf(s, dir), tNum = 3, tDen = 5,
+        probeFilter = col("doc_id") % 10 === 0)
+    },
     "dedup_simhash" -> { (s, dir) => Dedup.simhash16(documentsOf(s, dir)) },
     "dedup_minhash_shingles" -> { (s, dir) =>
       // 3-gram shingle MinHash: same signature machinery over the
@@ -3327,6 +3334,28 @@ object SparkEntry {
         JOIN sizes na ON na.doc_id = i.doc_a
         JOIN sizes nb ON nb.doc_id = i.doc_b
         WHERE CAST(i.i AS DOUBLE) / CAST(na.n_toks + nb.n_toks - i.i AS DOUBLE) >= 0.8"""),
+
+    "dedup_cosine_pairs" -> (sqlToks +
+      // semantic mirror of the prefix-filtered AllPairs join: plain
+      // all-pairs over shared tokens with the same integer weights
+      // w = tf * (10^6 // df) and the same exact HUGEINT certificate
+      // dot^2 * tDen^2 >= tNum^2 * na2 * nb2 (prefix filtering is
+      // lossless, so the outputs coincide row-for-row)
+      """, tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        w AS (SELECT t.doc_id, t.tok, CAST(t.tf * (1000000 // d.df) AS BIGINT) AS w
+              FROM tf t JOIN dfr d ON t.tok = d.tok),
+        norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS na2 FROM w GROUP BY doc_id),
+        dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+                 FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                 WHERE a.doc_id % 10 = 0 AND a.w > 0 AND b.w > 0
+                 GROUP BY 1, 2)
+        SELECT d.doc_a, d.doc_b, d.dot, na.na2 AS na2, nb.na2 AS nb2
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.doc_a
+        JOIN norms nb ON nb.doc_id = d.doc_b
+        WHERE CAST(d.dot AS HUGEINT) * d.dot * 25 >= CAST(na.na2 AS HUGEINT) * nb.na2 * 9"""),
 
     "dedup_simhash" -> (sqlToks + simhashOracleTail),
 

@@ -244,6 +244,76 @@ object Dedup {
     verifyJaccardFrom(toks, sizes, cand).filter(col("jaccard") >= threshold)
   }
 
+  /** Exact all-pairs COSINE similarity ≥ tNum/tDen over quantized-idf
+    * token vectors, with suffix-norm prefix filtering (the weighted
+    * AllPairs candidate rule — Bayardo, Ma & Srikant, WWW 2007, public
+    * algorithm; [[jaccardSimilarPairs]] is its unweighted PPJoin cousin).
+    *
+    * Vector weights are INTEGERS so the whole join is exact and
+    * parallelism-independent: w(doc, tok) = tf · (idfScale div df).
+    * `idfScale div df` is a quantized inverse-document-frequency — rare
+    * tokens get weight ≈ idfScale, stopword-frequency tokens round to 0
+    * and drop out of the index entirely (built-in stopword suppression).
+    * The threshold is a RATIONAL tNum/tDen and acceptance is the integer
+    * certificate dot²·tDen² ≥ tNum²·‖a‖²·‖b‖² evaluated in Decimal(38,0)
+    * (DuckDB: HUGEINT) — no float ever enters, so Spark and the SQL
+    * oracle agree bit-for-bit. Sizing: every per-doc Σw² must stay under
+    * 2^62; the defaults (idfScale 10^6) are safe for documents up to
+    * ~10^5 distinct tokens — shrink idfScale for longer documents.
+    *
+    * Prefix rule: tokens are globally ordered by rarity (df asc, tok);
+    * position i of doc a is in the PREFIX iff the suffix norm² from i
+    * satisfies suf²·tDen² ≥ tNum²·‖a‖². If a qualifying pair shared no
+    * prefix token of a, Cauchy-Schwarz gives dot ≤ ‖a_suffix‖·‖b‖ <
+    * t·‖a‖·‖b‖ — contradiction, so probing prefixes against FULL token
+    * sets is lossless. Hot tokens sort last where suffix norms are
+    * smallest, so they almost never enter a prefix — the same quadratic
+    * blow-up kill as PPJoin, now weight-aware. Candidates then get the
+    * exact integer verify. The df table is NOT hint-forced to broadcast
+    * (the VERDICT r4 tfidf hazard); AQE decides.
+    */
+  def cosineSimilarPairs(docs: DataFrame, tNum: Long = 3, tDen: Long = 5,
+                         idfScale: Long = 1000000L,
+                         probeFilter: Column = lit(true)): DataFrame = {
+    require(tNum >= 1 && tNum <= tDen,
+      s"cosineSimilarPairs: need 0 < tNum/tDen <= 1, got $tNum/$tDen")
+    require(idfScale >= 1, s"cosineSimilarPairs: idfScale must be >= 1")
+    val toks = TextOps.tokenTable(docs) // duplicates kept → term frequency
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"), col("df"),
+        (col("tf") * expr(s"$idfScale div df")).as("w"))
+      .withColumn("w2", col("w") * col("w"))
+    val norms = weighted.groupBy("doc_id").agg(sum(col("w2")).as("na2"))
+    val sufW = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ranked = weighted.filter(col("w") > 0)
+      .withColumn("suf2", sum(col("w2")).over(sufW))
+      .join(norms, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixes = ranked
+      .filter(col("suf2").cast("decimal(38,0)") * lit(tDen * tDen) >=
+        col("na2").cast("decimal(38,0)") * lit(tNum * tNum))
+      .filter(probeFilter)
+    val cand = prefixes.as("p").join(ranked.as("t"),
+        col("p.tok") === col("t.tok") && col("p.doc_id") =!= col("t.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("t.doc_id").as("doc_b"))
+      .distinct()
+    val dot = cand
+      .join(weighted.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(weighted.as("wb"),
+        col("doc_b") === col("wb.doc_id") && col("wa.tok") === col("wb.tok"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa.w") * col("wb.w")).as("dot"))
+    dot
+      .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        col("na.na2").as("na2"), col("nb.na2").as("nb2"))
+      .filter(col("dot").cast("decimal(38,0)") * col("dot") * lit(tDen * tDen) >=
+        col("na2").cast("decimal(38,0)") * col("nb2") * lit(tNum * tNum))
+  }
+
   /** 16-bit SimHash over whitespace tokens (duplicates kept): token hash =
     * first 4 hex chars of md5(token); bit b of the fingerprint is the
     * majority vote of token-hash bits (sum of ±1; ties → 0).
