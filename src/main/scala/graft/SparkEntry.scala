@@ -868,6 +868,23 @@ object SparkEntry {
       val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
       WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
     },
+    "web_robots" -> { (s, dir) =>
+      // robots-compliance sweep: per-host robots.txt synthesized with a
+      // named-agent group (must be ignored), a star group holding a
+      // disallow + a LONGER allow carve-out, and an empty disallow
+      // (matches nothing). Real parse (windowed group assignment) +
+      // longest-match decision, both fully SQL-mirrored.
+      val p = Pages.pages(s, dir)
+      val hosts = p.select(
+        WebOps.hostOf(WebOps.normalizeUrl(col("url"))).as("host")).distinct()
+      val k = regexp_extract(col("host"), "^host([0-9]+)\\.", 1).cast("long")
+      val robots = hosts.select(col("host"), concat(
+        lit("User-Agent: megabot\nDisallow: /\n\nUser-Agent: *\nDisallow: /"),
+        (k % 10).cast("string"),
+        lit("\nAllow: /"), (k % 10).cast("string"), (k % 7).cast("string"),
+        lit("\nDisallow:")).as("robots_txt"))
+      WebOps.robotsFilter(p.select("doc_id", "url"), WebOps.parseRobots(robots))
+    },
     "web_pagerank" -> { (s, dir) =>
       // host-graph PageRank on a deterministic synthetic link graph
       // (each page emits two host→host links keyed on doc_id); exact
@@ -3196,6 +3213,46 @@ object SparkEntry {
                '/.*$', ''), ':[0-9]+$', '') AS host
            FROM pages)
          WHERE host NOT IN ('host0.example', 'host13.example', 'host51.example')"""),
+
+    "web_robots" ->
+      // the oracle RE-PARSES the same synthesized robots.txt with SQL
+      // windows (lag → running-sum group ids → star-group join) and
+      // replays longest-match-then-allow as max(2*len + isAllow)
+      """WITH hostsk AS (SELECT DISTINCT doc_id % 97 AS k FROM documents),
+        robots AS (SELECT k,
+          'User-Agent: megabot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+          'User-Agent: *' || chr(10) || 'Disallow: /' || CAST(k % 10 AS VARCHAR) || chr(10) ||
+          'Allow: /' || CAST(k % 10 AS VARCHAR) || CAST(k % 7 AS VARCHAR) || chr(10) ||
+          'Disallow:' AS txt FROM hostsk),
+        lines AS (SELECT k,
+          generate_subscripts(string_split(txt, chr(10)), 1) AS pos,
+          unnest(string_split(txt, chr(10))) AS line FROM robots),
+        marked AS (SELECT k, pos, line,
+          (lower(trim(line)) LIKE 'user-agent:%') AS is_ua FROM lines),
+        lagged AS (SELECT k, pos, line, is_ua,
+          COALESCE(LAG(is_ua) OVER (PARTITION BY k ORDER BY pos), false) AS prev_ua
+          FROM marked),
+        grps AS (SELECT k, pos, line, is_ua,
+          SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+            OVER (PARTITION BY k ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+          FROM lagged),
+        stars AS (SELECT DISTINCT k, grp FROM grps
+          WHERE is_ua AND trim(substr(trim(line), instr(trim(line), ':') + 1)) = '*'),
+        rules AS (SELECT g.k,
+            trim(substr(trim(g.line), instr(trim(g.line), ':') + 1)) AS prefix,
+            (lower(trim(g.line)) LIKE 'allow:%') AS allow
+          FROM grps g JOIN stars s ON g.k = s.k AND g.grp = s.grp
+          WHERE (lower(trim(g.line)) LIKE 'allow:%' OR lower(trim(g.line)) LIKE 'disallow:%')
+            AND trim(substr(trim(g.line), instr(trim(g.line), ':') + 1)) <> ''),
+        pp AS (SELECT doc_id, doc_id % 97 AS k,
+          'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+          '/' || CAST(doc_id AS VARCHAR) AS path FROM documents),
+        sc AS (SELECT p.doc_id, p.host, p.path,
+          MAX(CASE WHEN substr(p.path, 1, length(r.prefix)) = r.prefix
+                   THEN length(r.prefix) * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END END) AS s
+          FROM pp p LEFT JOIN rules r ON r.k = p.k
+          GROUP BY 1, 2, 3)
+        SELECT doc_id, host, path, COALESCE(s % 2 = 1, true) AS allowed FROM sc""",
 
     "web_pagerank" -> {
       // unrolled mirror of WebOps.pageRank's 5 integer fixed-point

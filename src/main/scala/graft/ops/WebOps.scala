@@ -121,6 +121,80 @@ object WebOps {
   def extractText(html: Column): Column =
     regexp_replace(regexp_replace(html, "<head>.*?</head>", ""), "<[^>]*>", "")
 
+  /** Parse robots.txt documents into `(host, prefix, allow)` path rules
+    * — the crawl-compliance step (robots exclusion protocol, RFC 9309;
+    * prefix-rule subset: no `*`/`$` wildcards, documented below).
+    *
+    * Input: `robots(host, robots_txt)` — one fetched robots.txt per
+    * host. Group semantics per the RFC: a group is a maximal run of
+    * consecutive `User-Agent:` lines followed by its rules; a rule
+    * belongs to the generic crawler iff its group names agent `*`
+    * (named-agent-only groups are skipped). Directive names are
+    * case-insensitive, rule paths case-sensitive; an empty `Disallow:`
+    * matches nothing and is dropped (per the RFC). Everything is
+    * codegen'd string/window expressions over exploded lines — the
+    * group assignment is one `lag` + one running sum per host, so a
+    * 10^9-host robots corpus parses in two window passes with no UDF.
+    */
+  def parseRobots(robots: DataFrame, txtCol: String = "robots_txt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col("host"),
+      posexplode(split(col(txtCol), "\n")).as(Seq("pos", "line")))
+    val lline = lower(trim(col("line")))
+    val w = Window.partitionBy("host").orderBy("pos")
+    val marked = lines.withColumn("is_ua", lline.startsWith("user-agent:"))
+    val grps = marked
+      .withColumn("new_grp",
+        col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
+      .withColumn("grp",
+        sum(when(col("new_grp"), 1).otherwise(0)).over(w))
+    val ruleVal = trim(expr("substr(trim(line), instr(trim(line), ':') + 1)"))
+    val starGrps = grps
+      .filter(col("is_ua") && ruleVal === "*")
+      .select(col("host"), col("grp")).distinct()
+    grps.join(starGrps, Seq("host", "grp"))
+      .filter(lline.startsWith("allow:") || lline.startsWith("disallow:"))
+      .select(col("host"), ruleVal.as("prefix"),
+        lline.startsWith("allow:").as("allow"))
+      .filter(col("prefix") =!= "")
+  }
+
+  /** Robots-compliance decision per page under RFC 9309 longest-match:
+    * among the generic-agent rules of the page's host whose path prefix
+    * matches, the LONGEST wins; a length tie between Allow and Disallow
+    * goes to Allow; no matching rule (or no robots.txt) means allowed.
+    *
+    * MAP-ONLY at corpus scale: the rules collapse to one array row per
+    * host, broadcast, and the winner is folded per page with a codegen'd
+    * higher-order `aggregate` over `score = 2·len(prefix) + isAllow`
+    * (max score ≡ longest-then-allow, no shuffle ever touches the page
+    * table). Rule sets are robots.txt files — kilobytes per host — so
+    * the broadcast side is bounded by host count, not corpus size; for
+    * a host universe too big to broadcast, drop the hint and AQE falls
+    * back to a shuffle join on the same plan.
+    */
+  def robotsFilter(pages: DataFrame, rules: DataFrame): DataFrame = {
+    // host is case-normalized (hostnames are case-insensitive) but the
+    // PATH keeps the original case and trailing slash — RFC 9309 rule
+    // paths are case-sensitive, so it must not ride normalizeUrl
+    val rawPath = regexp_replace(regexp_replace(regexp_replace(col("url"),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://", ""), "#.*$", ""), "\\?.*$", "")
+    val p = pages.select(col("doc_id"), col("url"),
+      hostOf(normalizeUrl(col("url"))).as("host"),
+      coalesce(nullif(regexp_extract(rawPath, "(/.*)$", 1), lit("")), lit("/")).as("path"))
+    val hostRules = rules.groupBy("host")
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("rls"))
+    p.join(broadcast(hostRules), Seq("host"), "left")
+      .withColumn("sc", expr(
+        """aggregate(rls, -1,
+             (acc, r) -> CASE WHEN substr(path, 1, length(r.prefix)) = r.prefix
+                               AND length(r.prefix) * 2 + IF(r.allow, 1, 0) > acc
+                              THEN length(r.prefix) * 2 + IF(r.allow, 1, 0)
+                              ELSE acc END)"""))
+      .select(col("doc_id"), col("host"), col("path"),
+        (col("sc").isNull || col("sc") === -1 || col("sc") % 2 === 1).as("allowed"))
+  }
+
   /** Host-graph PageRank with EXACT integer fixed-point arithmetic —
     * the link-based quality prior crawl-curation pipelines weight
     * sampling by (the published recipe: Page et al. 1999; used as a
