@@ -735,6 +735,22 @@ object SparkEntry {
     "text_substr_dedup" -> { (s, dir) =>
       TextOps.substringDedup(documentsOf(s, dir), k = 8, hashKey = false)
     },
+    "text_fix_encoding" -> { (s, dir) =>
+      // ftfy-style mojibake repair: plant UTF-8-as-Latin-1 corruption on
+      // a doc_id-keyed case lattice (single + double mojibake + a CJK
+      // case), plus a genuine-Latin-1 control that must NOT change; the
+      // oracle replays the closed-form ground truth per case
+      val m = col("doc_id") % 5
+      val planted = concat(col("text"),
+        when(m === 1, lit(" caf\u00c3\u00a9")) // mojibake(e-acute)
+          .when(m === 2, lit(" x\u00c3\u0083\u00c2\u00a9")) // mojibake^2(e-acute)
+          .when(m === 3, lit(" caf\u00e9")) // genuine Latin-1 e-acute
+          .when(m === 4, lit(" y\u00e6\u00bc\u00a2")) // mojibake(U+6F22)
+          .otherwise(lit("")))
+      val fixed = TextOps.fixEncoding(planted, passes = 2)
+      documentsOf(s, dir).select(col("doc_id"), fixed.as("fixed"),
+        (fixed =!= planted).as("changed"))
+    },
     "text_gopher_rules" -> { (s, dir) => TextOps.gopherRules(documentsOf(s, dir)) },
     "text_repetition" -> { (s, dir) => TextOps.repetitionMetrics(documentsOf(s, dir)) },
     "url_normalize" -> { (s, dir) => WebOps.urlNormalize(Pages.pages(s, dir)) },
@@ -2415,6 +2431,21 @@ object SparkEntry {
           COALESCE(r.n_kept, 0) AS n_kept,
           COALESCE(r.clean_text, '') AS clean_text
         FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
+
+    "text_fix_encoding" ->
+      // closed-form ground truth of the planted corruption lattice:
+      // cases 1/2/4 repair to the real char (chr = Unicode codepoint),
+      // case 3 is genuine Latin-1 (invalid as UTF-8 bytes -> untouched),
+      // case 0 is pure ASCII (round-trips equal -> untouched)
+      """SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 1 THEN text || ' caf' || chr(233)
+             WHEN 2 THEN text || ' x' || chr(233)
+             WHEN 3 THEN text || ' caf' || chr(233)
+             WHEN 4 THEN text || ' y' || chr(28450)
+             ELSE text END AS fixed,
+           (doc_id % 5) IN (1, 2, 4) AS changed
+         FROM documents""",
 
     "text_gopher_rules" ->
       // exact integer counts + single IEEE divisions → bitwise-portable,

@@ -842,4 +842,56 @@ object TextOps {
           .cast("long").as("n_bpe_tokens"),
         md5(col("seg")).as("seg_md5"))
   }
+
+  /** One mojibake-repair pass (the ftfy recipe, Speer 2019, for the
+    * dominant web corruption: UTF-8 bytes mis-decoded as Latin-1, e.g.
+    * `Ã©` for `é`, `â€”` for `—`, the `Â `-before-NBSP artifact).
+    *
+    * Repair = re-encode the string as ISO-8859-1 (a clean bijection
+    * between U+0000–U+00FF and bytes — unlike cp1252, which has five
+    * holes) and re-decode as UTF-8. ACCEPTED only under the exact
+    * certificate, all codegen'd built-ins, no UDF:
+    *  1. every char is ≤ U+00FF (otherwise Latin-1 encoding is lossy),
+    *  2. read as bytes, the chars form WELL-FORMED UTF-8 — checked
+    *     BEFORE decoding with the RFC 3629 byte-DFA as a character
+    *     regex over the U+0000–U+00FF alphabet (overlongs, surrogates
+    *     and 5/6-byte forms all excluded); Spark 4's ANSI `decode`
+    *     throws on malformed input, so validity must gate the decode —
+    *     `CASE WHEN` and `AND` short-circuit per row, making this safe,
+    *  3. the candidate is strictly shorter (real multi-byte collapse;
+    *     pure ASCII round-trips equal and is left untouched).
+    * Genuine Latin-1 text (a bare `é`) fails check 2 and passes
+    * through unchanged; an already-repaired string fails 1 or 2, so
+    * the pass is idempotent on its own output.
+    */
+  def fixEncodingOnce(s: Column): Column = {
+    val latin1able = s.rlike("\\A[\\x00-\\xff]*\\z")
+    val validUtf8 = s.rlike(Utf8OverLatin1)
+    val cand = decode(encode(s, "ISO-8859-1"), "UTF-8")
+    when(latin1able && validUtf8 && length(cand) < length(s), cand)
+      .otherwise(s)
+  }
+
+  /** RFC 3629 well-formed-UTF-8 grammar, expressed over chars U+0000–
+    * U+00FF (each char stands for its identically-valued byte).
+    */
+  private val Utf8OverLatin1: String =
+    "\\A(?:[\\x00-\\x7f]" +
+      "|[\\xc2-\\xdf][\\x80-\\xbf]" +
+      "|\\xe0[\\xa0-\\xbf][\\x80-\\xbf]" +
+      "|[\\xe1-\\xec][\\x80-\\xbf]{2}" +
+      "|\\xed[\\x80-\\x9f][\\x80-\\xbf]" +
+      "|[\\xee-\\xef][\\x80-\\xbf]{2}" +
+      "|\\xf0[\\x90-\\xbf][\\x80-\\xbf]{2}" +
+      "|[\\xf1-\\xf3][\\x80-\\xbf]{3}" +
+      "|\\xf4[\\x80-\\x8f][\\x80-\\xbf]{2})*\\z"
+
+  /** Iterated [[fixEncodingOnce]]: `passes` = 2 also unwinds
+    * double-mojibake (text corrupted through two decode round trips —
+    * common when a bad dump is re-crawled). Map-only column expression.
+    */
+  def fixEncoding(s: Column, passes: Int = 2): Column = {
+    require(passes >= 1, s"fixEncoding: passes must be >= 1, got $passes")
+    (1 to passes).foldLeft(s)((c, _) => fixEncodingOnce(c))
+  }
 }
