@@ -884,6 +884,27 @@ object SparkEntry {
       val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
       WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
     },
+    "vector_simplify" -> { (s, _) =>
+      // fixture-input (sf-independent): 20 LCG-amplitude polylines + 4
+      // notched squares with dented holes, Douglas-Peucker at eps 1.0.
+      // A pure per-row recursion (fixed split order, first-max ties) —
+      // parallelism cannot touch a row's own result, so the oracle is
+      // pinned constants (tools/pin_oracle.py flow, like ann_pq)
+      import s.implicits._
+      val feats = (0 until 20).map { id =>
+        val pts = (0 until 10).map { i =>
+          val amp = ((id * 31 + i * 17) % 13) - 6
+          s"$i $amp"
+        }.mkString("LINESTRING (", ", ", ")")
+        (id.toLong, pts)
+      } ++ (20 until 24).map { id =>
+        val d = 0.3 + 0.5 * (id - 20) // notch depths straddle eps
+        (id.toLong,
+          s"POLYGON ((0 0, 10 0, 10 10, 5 ${10 + d}, 0 10, 0 0), " +
+            s"(2 2, 6 2, 6 6, 4 ${6 + d}, 2 6, 2 2))")
+      }
+      graft.ops.VectorOps.simplify(feats.toDF("fid", "wkt"), "fid", "wkt", eps = 1.0)
+    },
     "web_robots" -> { (s, dir) =>
       // robots-compliance sweep: per-host robots.txt synthesized with a
       // named-agent group (must be ignored), a star group holding a
@@ -3244,6 +3265,35 @@ object SparkEntry {
                '/.*$', ''), ':[0-9]+$', '') AS host
            FROM pages)
          WHERE host NOT IN ('host0.example', 'host13.example', 'host51.example')"""),
+
+    // pinned-constant oracle (pin_oracle.py flow): fixture input,
+    // pure per-row recursion, verified bit-identical at local[7/32]
+"vector_simplify" -> """SELECT * FROM (VALUES
+      (0, 10, 6, 'LINESTRING (0.0 -6.0, 3.0 6.0, 4.0 -3.0, 6.0 5.0, 7.0 -4.0, 9.0 4.0)'),
+      (1, 10, 7, 'LINESTRING (0.0 -1.0, 1.0 3.0, 2.0 -6.0, 5.0 6.0, 6.0 -3.0, 8.0 5.0, 9.0 -4.0)'),
+      (10, 10, 7, 'LINESTRING (0.0 5.0, 1.0 -4.0, 3.0 4.0, 4.0 -5.0, 6.0 3.0, 7.0 -6.0, 9.0 2.0)'),
+      (11, 10, 7, 'LINESTRING (0.0 -3.0, 2.0 5.0, 3.0 -4.0, 5.0 4.0, 6.0 -5.0, 8.0 3.0, 9.0 -6.0)'),
+      (12, 10, 8, 'LINESTRING (0.0 2.0, 1.0 6.0, 2.0 -3.0, 4.0 5.0, 5.0 -4.0, 7.0 4.0, 8.0 -5.0, 9.0 -1.0)'),
+      (13, 10, 6, 'LINESTRING (0.0 -6.0, 3.0 6.0, 4.0 -3.0, 6.0 5.0, 7.0 -4.0, 9.0 4.0)'),
+      (14, 10, 7, 'LINESTRING (0.0 -1.0, 1.0 3.0, 2.0 -6.0, 5.0 6.0, 6.0 -3.0, 8.0 5.0, 9.0 -4.0)'),
+      (15, 10, 7, 'LINESTRING (0.0 4.0, 1.0 -5.0, 3.0 3.0, 4.0 -6.0, 7.0 6.0, 8.0 -3.0, 9.0 1.0)'),
+      (16, 10, 6, 'LINESTRING (0.0 -4.0, 2.0 4.0, 3.0 -5.0, 5.0 3.0, 6.0 -6.0, 9.0 6.0)'),
+      (17, 10, 8, 'LINESTRING (0.0 1.0, 1.0 5.0, 2.0 -4.0, 4.0 4.0, 5.0 -5.0, 7.0 3.0, 8.0 -6.0, 9.0 -2.0)'),
+      (18, 10, 7, 'LINESTRING (0.0 6.0, 1.0 -3.0, 3.0 5.0, 4.0 -4.0, 6.0 4.0, 7.0 -5.0, 9.0 3.0)'),
+      (19, 10, 7, 'LINESTRING (0.0 -2.0, 2.0 6.0, 3.0 -3.0, 5.0 5.0, 6.0 -4.0, 8.0 4.0, 9.0 -5.0)'),
+      (2, 10, 7, 'LINESTRING (0.0 4.0, 1.0 -5.0, 3.0 3.0, 4.0 -6.0, 7.0 6.0, 8.0 -3.0, 9.0 1.0)'),
+      (20, 10, 8, 'POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0), (2.0 2.0, 6.0 2.0, 6.0 6.0, 2.0 6.0, 2.0 2.0))'),
+      (21, 10, 8, 'POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0), (2.0 2.0, 6.0 2.0, 6.0 6.0, 2.0 6.0, 2.0 2.0))'),
+      (22, 10, 10, 'POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 5.0 11.3, 0.0 10.0, 0.0 0.0), (2.0 2.0, 6.0 2.0, 6.0 6.0, 4.0 7.3, 2.0 6.0, 2.0 2.0))'),
+      (23, 10, 10, 'POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 5.0 11.8, 0.0 10.0, 0.0 0.0), (2.0 2.0, 6.0 2.0, 6.0 6.0, 4.0 7.8, 2.0 6.0, 2.0 2.0))'),
+      (3, 10, 6, 'LINESTRING (0.0 -4.0, 2.0 4.0, 3.0 -5.0, 5.0 3.0, 6.0 -6.0, 9.0 6.0)'),
+      (4, 10, 8, 'LINESTRING (0.0 1.0, 1.0 5.0, 2.0 -4.0, 4.0 4.0, 5.0 -5.0, 7.0 3.0, 8.0 -6.0, 9.0 -2.0)'),
+      (5, 10, 7, 'LINESTRING (0.0 6.0, 1.0 -3.0, 3.0 5.0, 4.0 -4.0, 6.0 4.0, 7.0 -5.0, 9.0 3.0)'),
+      (6, 10, 7, 'LINESTRING (0.0 -2.0, 2.0 6.0, 3.0 -3.0, 5.0 5.0, 6.0 -4.0, 8.0 4.0, 9.0 -5.0)'),
+      (7, 10, 7, 'LINESTRING (0.0 3.0, 1.0 -6.0, 4.0 6.0, 5.0 -3.0, 7.0 5.0, 8.0 -4.0, 9.0 0.0)'),
+      (8, 10, 6, 'LINESTRING (0.0 -5.0, 2.0 3.0, 3.0 -6.0, 6.0 6.0, 7.0 -3.0, 9.0 5.0)'),
+      (9, 10, 7, 'LINESTRING (0.0 0.0, 1.0 4.0, 2.0 -5.0, 4.0 3.0, 5.0 -6.0, 8.0 6.0, 9.0 -3.0)'))
+      AS t("fid", "n_in", "n_out", "wkt")""",
 
     "web_robots" ->
       // the oracle RE-PARSES the same synthesized robots.txt with SQL

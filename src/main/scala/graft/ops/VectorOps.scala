@@ -483,4 +483,52 @@ object VectorOps {
         when(col("conv_wkt").startsWith("MULTIPOLYGON"), "MULTIPOLYGON")
           .otherwise("POLYGON"))
   }
+
+  /** Douglas–Peucker simplification per feature — LINESTRING and
+    * POLYGON (holes included). Rings use [[graft.geo.Simplify.ring]]'s
+    * two-anchor arc split; a ring collapsing below 3 vertices is
+    * dropped (a collapsed SHELL drops the feature, like fixGeometry's
+    * degenerate rows). Returns (fid, n_in, n_out, wkt) with vertex
+    * counts over all rings (closing duplicates not counted).
+    *
+    * Scale shape: a pure per-row function over a typed Dataset — no
+    * shuffle, no state; geometry size bounds per-task memory, feature
+    * count bounds nothing (map-only at 10^12 rows).
+    */
+  def simplify(df: DataFrame, idCol: String, wktCol: String,
+               eps: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wktCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (fid, wkt) =>
+        val u = wkt.trim.toUpperCase
+        if (u.startsWith("LINESTRING")) {
+          val i = wkt.indexOf('('); val j = wkt.lastIndexOf(')')
+          val pts = wkt.substring(i + 1, j).split(",").map(_.trim)
+            .filter(_.nonEmpty).flatMap { p =>
+              val xy = p.split("\\s+"); Array(xy(0).toDouble, xy(1).toDouble)
+            }
+          val out = graft.geo.Simplify.polyline(pts, eps)
+          val line = out.grouped(2).map(a => s"${a(0)} ${a(1)}")
+            .mkString("LINESTRING (", ", ", ")")
+          Some((fid, pts.length / 2, out.length / 2, line))
+        } else {
+          val poly = Wkt.parsePolygon(wkt)
+          val opened = poly.rings.map { r =>
+            if (r.length >= 4 && r(0) == r(r.length - 2) && r(1) == r(r.length - 1))
+              r.dropRight(2)
+            else r
+          }
+          val nIn = opened.map(_.length / 2).sum
+          val simplified = opened.map(graft.geo.Simplify.ring(_, eps))
+          if (simplified(0).isEmpty) None // shell collapsed
+          else {
+            val rings = simplified.filter(_.nonEmpty)
+            val nOut = rings.map(_.length / 2).sum
+            Some((fid, nIn, nOut, Wkt.toWkt(Polygon(rings))))
+          }
+        }
+      }.toDF("fid", "n_in", "n_out", "wkt")
+  }
 }
