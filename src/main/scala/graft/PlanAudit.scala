@@ -30,7 +30,13 @@ object PlanAudit {
       // round 5: winnow fingerprints (map-only), cell-set compaction
       // (log-depth contraction + parent anti join, chunked generator)
       "text_winnow", "text_winnow_pairs", "geo_cell_compact",
-      "geo_cell_uncompact")
+      "geo_cell_uncompact",
+      // round 5b: PageRank round (two shuffles + map-side combine),
+      // weighted AllPairs cosine (prefix filter, no forced broadcast),
+      // robots decision (map-only behind one broadcast join), mojibake
+      // repair + DP simplify (pure per-row, zero exchanges)
+      "web_pagerank", "dedup_cosine_pairs", "web_robots",
+      "text_fix_encoding", "vector_simplify")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

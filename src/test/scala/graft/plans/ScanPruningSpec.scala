@@ -133,4 +133,35 @@ class ScanPruningSpec extends AnyFunSuite {
       .count(_ == "Exchange hashpartitioning") == 1,
       "dedup_exact should shuffle exactly once:\n" + p.take(1500))
   }
+
+  test("robots decision is map-only on the page side behind one broadcast join") {
+    // all shuffles must belong to the (tiny) rules side: the PAGE-side
+    // subtree above the BroadcastHashJoin's streamed input may contain
+    // no Exchange — a refactor that re-keys the corpus by host would
+    // shuffle 10^12 rows for a kilobyte-per-host decision
+    val df = graft.SparkEntry.queries("web_robots")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    val streamedSide = p.substring(p.indexOf("BroadcastHashJoin"))
+      .split("BroadcastExchange")(0) // text between the join and its build side
+    assert(!streamedSide.contains("Exchange hashpartitioning"),
+      "page side of web_robots shuffles:\n" + p.take(2000))
+  }
+
+  test("mojibake repair and DP simplify run with zero exchanges") {
+    for (name <- Seq("text_fix_encoding", "vector_simplify")) {
+      val p = physical(name)
+      assert(!p.contains("Exchange"),
+        s"$name should be map-only:\n" + p.take(1500))
+    }
+  }
+
+  test("cosine AllPairs does not force-broadcast the df table (same hazard as tfidf)") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.SparkEntry.queries("dedup_cosine_pairs")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty,
+      s"no join in cosineSimilarPairs may be hint-forced, found ${hints.size}")
+  }
+
 }
