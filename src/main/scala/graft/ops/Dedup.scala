@@ -285,6 +285,9 @@ object Dedup {
       .select(col("doc_id"), col("tok"), col("df"),
         (col("tf") * expr(s"$idfScale div df")).as("w"))
       .withColumn("w2", col("w") * col("w"))
+      // consumed 4× (norms, ranked, both verify sides) — without the
+      // cache the tokenize+tf+df join recomputes each time
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = weighted.groupBy("doc_id").agg(sum(col("w2")).as("na2"))
     val sufW = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
