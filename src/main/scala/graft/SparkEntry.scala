@@ -905,6 +905,27 @@ object SparkEntry {
       }
       graft.ops.VectorOps.simplify(feats.toDF("fid", "wkt"), "fid", "wkt", eps = 1.0)
     },
+    "web_links" -> { (s, dir) =>
+      // link-graph construction: synthesize pages whose bodies carry the
+      // SAME two host links the web_pagerank fixture uses (plus a
+      // no-link case every 11th doc), then harvest hrefs with the
+      // codegen'd extractor; the oracle re-runs the identical regex in
+      // DuckDB over the identically-built HTML
+      val p = Pages.pages(s, dir)
+      val l1 = concat(lit("https://host"),
+        ((col("doc_id") * 31 + 7) % 97).cast("string"),
+        lit(".example/a"), col("doc_id").cast("string"))
+      val l2 = concat(lit("https://host"),
+        ((col("doc_id") * 17 + 3) % 97).cast("string"),
+        lit(".example/b"), col("doc_id").cast("string"))
+      val anchors = when(col("doc_id") % 11 === 0, lit(""))
+        .otherwise(concat(lit("<a class=\"nav\" href=\""), l1,
+          lit("\">one</a><img src=\"skip.png\"/><a href=\""), l2,
+          lit("\">two</a>")))
+      val html = concat(lit("<!DOCTYPE html><html><head><title>t</title></head><body><p>"),
+        col("text"), lit("</p>"), anchors, lit("</body></html>"))
+      WebOps.extractLinks(p.select(col("doc_id"), html.as("html")), "html")
+    },
     "web_robots" -> { (s, dir) =>
       // robots-compliance sweep: per-host robots.txt synthesized with a
       // named-agent group (must be ignored), a star group holding a
@@ -3294,6 +3315,27 @@ object SparkEntry {
       (8, 10, 6, 'LINESTRING (0.0 -5.0, 2.0 3.0, 3.0 -6.0, 6.0 6.0, 7.0 -3.0, 9.0 5.0)'),
       (9, 10, 7, 'LINESTRING (0.0 0.0, 1.0 4.0, 2.0 -5.0, 4.0 3.0, 5.0 -6.0, 8.0 6.0, 9.0 -3.0)'))
       AS t("fid", "n_in", "n_out", "wkt")""",
+
+    "web_links" ->
+      // identical HTML rebuilt in SQL, identical regex replayed by
+      // DuckDB's RE2 (no lookaround/backrefs -> engines agree), 1-based
+      // subscripts shifted to posexplode's 0-based ordinal
+      """WITH h AS (SELECT doc_id,
+           '<!DOCTYPE html><html><head><title>t</title></head><body><p>' || text || '</p>' ||
+           CASE WHEN doc_id % 11 = 0 THEN '' ELSE
+             '<a class="nav" href="https://host' || CAST((doc_id * 31 + 7) % 97 AS VARCHAR) ||
+             '.example/a' || CAST(doc_id AS VARCHAR) ||
+             '">one</a><img src="skip.png"/><a href="https://host' ||
+             CAST((doc_id * 17 + 3) % 97 AS VARCHAR) ||
+             '.example/b' || CAST(doc_id AS VARCHAR) || '">two</a>' END
+           || '</body></html>' AS html
+           FROM documents),
+         x AS (SELECT doc_id,
+           regexp_extract_all(html, '<a[^>]*href="([^"]*)"', 1) AS hrefs FROM h)
+         SELECT doc_id,
+           CAST(generate_subscripts(hrefs, 1) - 1 AS INT) AS link_no,
+           unnest(hrefs) AS href
+         FROM x""",
 
     "web_robots" ->
       // the oracle RE-PARSES the same synthesized robots.txt with SQL

@@ -121,6 +121,22 @@ object WebOps {
   def extractText(html: Column): Column =
     regexp_replace(regexp_replace(html, "<head>.*?</head>", ""), "<[^>]*>", "")
 
+  /** Outbound links per page: `href` attributes of anchor tags pulled
+    * with ONE codegen'd `regexp_extract_all` — the link-graph
+    * construction step that feeds [[pageRank]] (at crawl scale this is
+    * the map-only pass producing the 10^11-edge host graph). One output
+    * row per (page, href) with the link's document-order ordinal.
+    * Scope: double-quoted `<a ... href="...">` attributes (the form
+    * every serializer emits); unquoted/single-quoted attributes are out
+    * of scope, as elsewhere in the engine's regex-based HTML layer. The
+    * pattern is RE2/Java-agnostic (no lookaround, no backrefs) so a SQL
+    * oracle can replay it verbatim.
+    */
+  def extractLinks(pages: DataFrame, htmlCol: String = "html"): DataFrame =
+    pages.select(col("doc_id"),
+      posexplode(regexp_extract_all(col(htmlCol).cast("string"),
+        lit("<a[^>]*href=\"([^\"]*)\""), lit(1))).as(Seq("link_no", "href")))
+
   /** Parse robots.txt documents into `(host, prefix, allow)` path rules
     * — the crawl-compliance step (robots exclusion protocol, RFC 9309;
     * prefix-rule subset: no `*`/`$` wildcards, documented below).
