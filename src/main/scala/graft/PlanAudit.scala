@@ -36,7 +36,9 @@ object PlanAudit {
       // robots decision (map-only behind one broadcast join), mojibake
       // repair + DP simplify (pure per-row, zero exchanges)
       "web_pagerank", "dedup_cosine_pairs", "web_robots",
-      "text_fix_encoding", "vector_simplify")
+      "text_fix_encoding", "vector_simplify",
+      // link-graph construction (map-only regex explode)
+      "web_links")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

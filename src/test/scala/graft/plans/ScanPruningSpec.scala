@@ -85,6 +85,22 @@ class ScanPruningSpec extends AnyFunSuite {
       "phashClusters degraded to a non-equi join:\n" + cp.take(1500))
   }
 
+  test("link extraction is map-only (zero shuffles) and prunes to (doc_id, html)") {
+    // extractLinks is one codegen'd regexp_extract_all + posexplode per
+    // page; at crawl scale this is the pass producing the 10^11-edge
+    // link graph, so a refactor that sneaks in an Exchange (or drags
+    // unused page columns through the scan) is a full-corpus regression.
+    import org.apache.spark.sql.functions._
+    val pages = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), concat(lit("<a href=\"h"),
+        col("doc_id").cast("string"), lit("\">x</a>")).as("html"))
+    val p = graft.ops.WebOps.extractLinks(pages, "html")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "extractLinks gained a shuffle:\n" + p.take(1500))
+    assert(!p.contains("text") && !p.contains("n_chars"),
+      "scan reads columns link extraction never uses:\n" + p.take(1200))
+  }
+
   test("winnow fingerprint selection is map-only (zero shuffles)") {
     // The whole selection — grams, hashes, window minima, within-doc
     // distinct — is per-row column expressions; a refactor that
