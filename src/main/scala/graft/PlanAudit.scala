@@ -37,8 +37,9 @@ object PlanAudit {
       // repair + DP simplify (pure per-row, zero exchanges)
       "web_pagerank", "dedup_cosine_pairs", "web_robots",
       "text_fix_encoding", "vector_simplify",
-      // link-graph construction (map-only regex explode)
-      "web_links")
+      // link-graph construction (map-only regex explode) + HITS
+      // (per-half-round join + map-side-combined agg)
+      "web_links", "web_hits")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

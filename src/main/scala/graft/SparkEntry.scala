@@ -77,6 +77,29 @@ object SparkEntry {
     .mkString("(VALUES ", ", ", ") AS zones(zone, zx0, zx1, zy0, zy1)")
 
   /** Shared oracle CTEs for the text/dedup family. */
+  /** SQL mirror of [[anchorFixture]] plus the two-group anchor regex —
+    * shared by the web_anchors / web_anchor_terms oracles.
+    */
+  private val sqlAnchorFixture =
+    """WITH h AS (SELECT doc_id,
+         '<!DOCTYPE html><html><head><title>t</title></head><body><p>' || text || '</p>' ||
+         CASE WHEN doc_id % 11 = 0 THEN '' ELSE
+           '<a class="nav" href="https://host' ||
+           CAST((doc_id * 31 + 7) % 97 AS VARCHAR) || '.example/">' ||
+           CASE WHEN doc_id % 4 = 0 THEN 'home page'
+                WHEN doc_id % 4 = 1 THEN 'latest news'
+                WHEN doc_id % 4 = 2 THEN 'about us' ELSE 'home' END ||
+           '</a><img src="skip.png"/><a href="https://host' ||
+           CAST((doc_id * 17 + 3) % 97 AS VARCHAR) || '.example/about">' ||
+           CASE WHEN doc_id % 3 = 0 THEN 'click here'
+                WHEN doc_id % 3 = 1 THEN 'read more' ELSE 'home' END ||
+           '</a>' END || '</body></html>' AS html
+         FROM documents),
+       x AS (SELECT doc_id,
+         regexp_extract_all(html, '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS hrefs,
+         regexp_extract_all(html, '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS texts
+         FROM h)"""
+
   private val sqlToks =
     """WITH toks AS (SELECT doc_id, tok FROM
          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -286,6 +309,35 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
   private def eventsOf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
+
+  /** Shared HTML fixture for the anchor queries: two anchors per page at
+    * COLLIDING host targets (no per-doc path suffix — ~97 hosts each
+    * draw many inlinks, so the anchor-term aggregation is non-trivial)
+    * with vocab-keyed anchor texts, and none on every 11th page. The
+    * SQL oracles rebuild the identical string character-for-character.
+    */
+  private def anchorFixture(s: SparkSession, dir: String): DataFrame = {
+    val p = Pages.pages(s, dir)
+    val l1 = concat(lit("https://host"),
+      ((col("doc_id") * 31 + 7) % 97).cast("string"), lit(".example/"))
+    val l2 = concat(lit("https://host"),
+      ((col("doc_id") * 17 + 3) % 97).cast("string"), lit(".example/about"))
+    val t1 = when(col("doc_id") % 4 === 0, lit("home page"))
+      .when(col("doc_id") % 4 === 1, lit("latest news"))
+      .when(col("doc_id") % 4 === 2, lit("about us"))
+      .otherwise(lit("home"))
+    val t2 = when(col("doc_id") % 3 === 0, lit("click here"))
+      .when(col("doc_id") % 3 === 1, lit("read more"))
+      .otherwise(lit("home"))
+    val anchors = when(col("doc_id") % 11 === 0, lit(""))
+      .otherwise(concat(lit("<a class=\"nav\" href=\""), l1, lit("\">"), t1,
+        lit("</a><img src=\"skip.png\"/><a href=\""), l2, lit("\">"), t2,
+        lit("</a>")))
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>t</title></head><body><p>"),
+      col("text"), lit("</p>"), anchors, lit("</body></html>"))
+    p.select(col("doc_id"), html.as("html"))
+  }
 
   /** Deterministic 60-image PNG fixture shared by the mm_phash_* queries:
     * 12 pattern families × 5 sparse-noise variants, 48×32 RGB.
@@ -926,6 +978,28 @@ object SparkEntry {
         col("text"), lit("</p>"), anchors, lit("</body></html>"))
       WebOps.extractLinks(p.select(col("doc_id"), html.as("html")), "html")
     },
+    "web_anchors" -> { (s, dir) =>
+      // (href, anchor text) pairs per page: COLLIDING targets (no doc
+      // suffix, so ~97 hosts each draw many inlinks) and vocab-keyed
+      // anchor texts; the oracle replays the same two-group regex in
+      // DuckDB, zipping the parallel group extractions positionally
+      WebOps.extractAnchors(anchorFixture(s, dir), "html")
+    },
+    "web_anchor_terms" -> { (s, dir) =>
+      // anchor-term index over the same fixture: top-3 terms per target
+      // by (count desc, term asc) — the boilerplate anchors ("click
+      // here", "home page") dominate each host's index deterministically
+      WebOps.anchorTermIndex(
+        WebOps.extractAnchors(anchorFixture(s, dir), "html"), k = 3)
+    },
+    "text_inverted" -> { (s, dir) =>
+      // inverted index with exact df and a deterministic postings cap;
+      // flattened to scalars (tok, df, slot, doc_id) for the oracle —
+      // slot is the 0-based position in the ascending postings array
+      TextOps.invertedIndex(documentsOf(s, dir), minDf = 2, maxPostings = 8)
+        .select(col("tok"), col("df"),
+          posexplode(col("postings")).as(Seq("slot", "doc_id")))
+    },
     "web_robots" -> { (s, dir) =>
       // robots-compliance sweep: per-host robots.txt synthesized with a
       // named-agent group (must be ignored), a star group holding a
@@ -954,6 +1028,20 @@ object SparkEntry {
       val e2 = d.select((col("doc_id") % 97).as("src"),
         ((col("doc_id") * 17 + 3) % 97).as("dst"))
       WebOps.pageRank(e1.unionByName(e2), iters = 5)
+    },
+    "web_hits" -> { (s, dir) =>
+      // HITS on the same deterministic host graph as web_pagerank: two
+      // exact alternating-walk-count rounds, cast long for the oracle
+      // (fixture counts are far below 2^63; the operator keeps
+      // decimal(38,0))
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      WebOps.hits(e1.unionByName(e2), iters = 2)
+        .select(col("node"), col("hub").cast("long").as("hub"),
+          col("auth").cast("long").as("auth"))
     },
     "text_pack" -> { (s, dir) =>
       // 512-token packing manifest; bucket=64 so the distributed
@@ -3337,6 +3425,38 @@ object SparkEntry {
            unnest(hrefs) AS href
          FROM x""",
 
+    "web_anchors" ->
+      // identical fixture HTML rebuilt in SQL; the two capture groups of
+      // the SAME pattern are extracted as parallel lists and DuckDB's
+      // positional multi-unnest zips them, exactly like arrays_zip
+      (sqlAnchorFixture +
+        """ SELECT doc_id,
+           CAST(generate_subscripts(hrefs, 1) - 1 AS INT) AS link_no,
+           unnest(hrefs) AS href, unnest(texts) AS anchor
+         FROM x"""),
+
+    "web_anchor_terms" ->
+      (sqlAnchorFixture +
+        """, a AS (SELECT unnest(hrefs) AS href, unnest(texts) AS anchor FROM x),
+         t AS (SELECT href, tok AS term FROM
+           (SELECT href, unnest(string_split(anchor, ' ')) AS tok FROM a)
+           WHERE tok <> ''),
+         c AS (SELECT href, term, CAST(count(*) AS BIGINT) AS cnt
+               FROM t GROUP BY 1, 2)
+         SELECT href, term, cnt, CAST(rnk AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY href
+             ORDER BY cnt DESC, term) AS rnk FROM c)
+         WHERE rnk <= 3"""),
+
+    "text_inverted" -> (sqlToks +
+      """, d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                 FROM dtoks GROUP BY tok),
+         r AS (SELECT tok, doc_id, row_number() OVER (PARTITION BY tok
+                 ORDER BY doc_id) AS rn FROM dtoks)
+         SELECT r.tok, d.df, CAST(r.rn - 1 AS INT) AS slot, r.doc_id
+         FROM r JOIN d USING (tok)
+         WHERE d.df >= 2 AND r.rn <= 8"""),
+
     "web_robots" ->
       // the oracle RE-PARSES the same synthesized robots.txt with SQL
       // windows (lag → running-sum group ids → star-group join) and
@@ -3413,6 +3533,33 @@ object SparkEntry {
          ${(1 to 5).map(iter).mkString("\n")}
          SELECT host, rank FROM r5"""
     },
+
+    "web_hits" ->
+      // two unrolled alternating-walk-count rounds on the same edge
+      // fixture; hub_1 = outdegree (auth_0 = 1 everywhere), every SUM
+      // cast back down (DuckDB widens to HUGEINT, Spark stays
+      // decimal(38,0) — both fit BIGINT on this fixture)
+      """WITH e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst),
+         nodes AS (
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         h1 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS hub
+                FROM e GROUP BY src),
+         a1 AS (SELECT e.dst AS node, CAST(SUM(h1.hub) AS BIGINT) AS auth
+                FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+         h2 AS (SELECT e.src AS node, CAST(SUM(a1.auth) AS BIGINT) AS hub
+                FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+         a2 AS (SELECT e.dst AS node, CAST(SUM(h2.hub) AS BIGINT) AS auth
+                FROM e JOIN h2 ON e.src = h2.node GROUP BY e.dst)
+         SELECT n.node, COALESCE(h2.hub, 0) AS hub, COALESCE(a2.auth, 0) AS auth
+         FROM nodes n
+         LEFT JOIN h2 ON n.node = h2.node
+         LEFT JOIN a2 ON n.node = a2.node""",
 
     "text_pack" ->
       // naive global-window form — identical to the engine's bucketed

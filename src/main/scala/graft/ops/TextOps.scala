@@ -293,6 +293,36 @@ object TextOps {
       .select("doc_id", "n_tokens", "dup_tok_frac")
   }
 
+  /** Inverted index: `(tok, df, postings)` with `postings` the ASCENDING
+    * doc_id array capped at `maxPostings` (lowest ids kept — the cap is
+    * a documented, deterministic index truncation, not a race). `df`
+    * stays EXACT: it is counted before the cap, so a capped stopword row
+    * still reports its true document frequency. `minDf` prunes the hapax
+    * tail, which on a web corpus is ~half the vocabulary carrying no
+    * retrieval value.
+    *
+    * Scale shape: the (doc, token) distinct and the df count are
+    * map-side-combined hash aggregations; the cap is a rank filter Spark
+    * plans as a WindowGroupLimit (partial top-k BELOW the exchange), so
+    * a token appearing in 10^11 documents ships at most `maxPostings`
+    * rows into the final list aggregation instead of holding a
+    * 10^11-element aggregation state. The df/postings join keys both
+    * sides on the token and is left to AQE.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 1L,
+                    maxPostings: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = tokenTable(docs).distinct()
+    val dfreq = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val w = Window.partitionBy("tok").orderBy(col("doc_id"))
+    val capped = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPostings)
+    val postings = capped.groupBy("tok")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    dfreq.join(postings, "tok").select("tok", "df", "postings")
+  }
+
   /** Top-k TF-IDF terms per document: tf = raw occurrence count, idf =
     * ln((N + 1) / (df + 1)) + 1 (smoothed, the sklearn formulation),
     * score = tf · idf, ranked (score desc, tok asc) within each doc.

@@ -137,6 +137,57 @@ object WebOps {
       posexplode(regexp_extract_all(col(htmlCol).cast("string"),
         lit("<a[^>]*href=\"([^\"]*)\""), lit(1))).as(Seq("link_no", "href")))
 
+  /** Anchor pattern shared by the extractor and its SQL oracle: one
+    * pattern, two capture groups (href, direct text content). Anchor
+    * text scope is pure-text anchors only (`[^<]*</a>`): an anchor
+    * wrapping child markup (`<a href=..><b>t</b></a>`) yields NO row —
+    * [[extractLinks]] is the markup-tolerant link harvester; this
+    * extractor trades recall for the exact text signal, the same
+    * documented regex-layer scope as [[extractText]]. No
+    * lookaround/backrefs, so Java regex and RE2 agree match-for-match.
+    */
+  val anchorPattern: String = "<a[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** `(doc_id, link_no, href, anchor)` per anchor element — link graph
+    * plus the anchor-text ranking signal in one map-only pass. Both
+    * groups come from the SAME pattern run twice with different group
+    * indexes, so the two arrays are positionally aligned by construction
+    * and `arrays_zip` is exact; still zero joins, zero shuffles, one
+    * whole-stage-codegen span over the page scan.
+    */
+  def extractAnchors(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol).cast("string")
+    pages
+      .select(col("doc_id"),
+        posexplode(arrays_zip(
+          regexp_extract_all(h, lit(anchorPattern), lit(1)).as("href"),
+          regexp_extract_all(h, lit(anchorPattern), lit(2)).as("anchor")))
+          .as(Seq("link_no", "za")))
+      .select(col("doc_id"), col("link_no"),
+        col("za.href").as("href"), col("za.anchor").as("anchor"))
+  }
+
+  /** Anchor-term index: for every link TARGET, the top-k whitespace
+    * terms of all anchor texts pointing at it — the classic web ranking
+    * signal (anchor text describes the target better than the target
+    * describes itself). Plan shape at 10^12 links: one map-side-combined
+    * hash aggregation on (href, term) — the combine collapses the
+    * repeated boilerplate anchors ("home", "click here") before the
+    * shuffle — then a rank-k WindowGroupLimit (partial top-k below the
+    * exchange), so a homepage with 10^8 inlinks never materializes a
+    * per-target list. Ties break on the term for a deterministic index.
+    */
+  def anchorTermIndex(anchors: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = anchors.select(col("href"),
+      explode(TextOps.tokens(col("anchor"))).as("term"))
+    val counts = terms.groupBy("href", "term").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("href").orderBy(col("cnt").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("href", "term", "cnt", "rank")
+  }
+
   /** Parse robots.txt documents into `(host, prefix, allow)` path rules
     * — the crawl-compliance step (robots exclusion protocol, RFC 9309;
     * prefix-rule subset: no `*`/`$` wildcards, documented below).
@@ -245,6 +296,67 @@ object WebOps {
     * duplicates and self-loops tolerated). Returns `(host, rank)` for
     * every host appearing in any edge; Σrank ≈ scale.
     */
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) in exact fixed-iteration form:
+    * auth₀ = 1 for every node, then `iters` rounds of
+    *   hub_k(u)  = Σ_{u→v} auth_{k-1}(v)
+    *   auth_k(v) = Σ_{u→v} hub_k(u)
+    * with NO per-round normalization: every score is an exact
+    * alternating-walk count in decimal(38,0) — order-independent sums,
+    * so the result is bit-identical at any parallelism, and ANSI mode
+    * turns overflow into a loud error instead of corruption. Ranking is
+    * what the signal is for and ranks are normalization-free; `iters`
+    * is capped at 4 because walk counts grow like (max degree)^(2·iters)
+    * and 4 rounds keep a 10⁸-max-degree graph inside 38 digits.
+    *
+    * Plan shape per half-round: one equi-join (edge side re-keyed once
+    * per direction and reused every round) + one map-side-combined hash
+    * aggregation — the same 10¹²-edge-safe shape as [[pageRank]], with
+    * no driver-side state at all (HITS has no dangling-mass scalar).
+    * Output: `(node, hub, auth)` for every node in the edge set, zeros
+    * for sink/source-only nodes.
+    */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 4,
+      s"hits: iters must be in [1, 4] (exact decimal(38,0) headroom), got $iters")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val bySrc = e.repartition(col("src")).persist()
+    val byDst = e.repartition(col("dst")).persist()
+    var auth = nodes.select(col("node"), lit(1L).cast("decimal(38,0)").as("auth"))
+    var hub: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      hub = byDst.join(auth, byDst("dst") === auth("node"))
+        .groupBy(byDst("src").as("node"))
+        .agg(sum(col("auth")).cast("decimal(38,0)").as("hub"))
+      auth = bySrc.join(hub, bySrc("src") === hub("node"))
+        .groupBy(bySrc("dst").as("node"))
+        .agg(sum(col("hub")).cast("decimal(38,0)").as("auth"))
+      it += 1
+    }
+    val zero = lit(0L).cast("decimal(38,0)")
+    val out = nodes
+      .join(hub.withColumnRenamed("node", "hn"), col("node") === col("hn"), "left")
+      .join(auth.withColumnRenamed("node", "an"), col("node") === col("an"), "left")
+      .select(col("node"), coalesce(col("hub"), zero).as("hub"),
+        coalesce(col("auth"), zero).as("auth"))
+      // lazy checkpoint: the count below materializes the result blocks
+      // in the same job, so downstream consumers never recompute through
+      // the edge caches released right after
+      .localCheckpoint(eager = false)
+    out.count()
+    e.unpersist(); nodes.unpersist(); bySrc.unpersist(); byDst.unpersist()
+    out
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 5,
                scale: Long = 1000000000000L,
                dampNum: Long = 17, dampDen: Long = 20): DataFrame = {

@@ -92,4 +92,65 @@ class PageRankSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       WebOps.pageRank(Seq((5L, 5L)).toDF("src", "dst"), iters = 1))
   }
+
+  /** Independent HITS reference: exact BigInt alternating-walk counts,
+    * auth_0 = 1 everywhere, no normalization.
+    */
+  private def refHits(edges: Seq[(Long, Long)],
+                      iters: Int): Map[Long, (BigInt, BigInt)] = {
+    val e = edges.filter { case (s, d) => s != d }.distinct
+    val nodes = e.flatMap { case (s, d) => Seq(s, d) }.distinct
+    var auth = nodes.map(_ -> BigInt(1)).toMap
+    var hub = Map.empty[Long, BigInt]
+    for (_ <- 1 to iters) {
+      hub = e.groupBy(_._1).map { case (s, out) =>
+        s -> out.map { case (_, d) => auth(d) }.sum
+      }
+      auth = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => hub(s) }.sum
+      }
+    }
+    nodes.map(n => n ->
+      (hub.getOrElse(n, BigInt(0)), auth.getOrElse(n, BigInt(0)))).toMap
+  }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int,
+                      parts: Int = 4): Map[Long, (BigInt, BigInt)] = {
+    import spark.implicits._
+    WebOps.hits(edges.toDF("src", "dst").repartition(parts), iters = iters)
+      .collect().map(r => r.getLong(0) ->
+        (BigInt(r.getDecimal(1).toBigInteger),
+          BigInt(r.getDecimal(2).toBigInteger))).toMap
+  }
+
+  test("hits matches the BigInt reference, including source/sink zeros") {
+    // 3 is a pure sink (auth only), 4 a pure source (hub only)
+    val edges = Seq[(Long, Long)]((0, 1), (1, 0), (2, 0), (2, 1), (0, 3), (4, 2))
+    for (iters <- Seq(1, 2, 4)) {
+      val got = runHits(edges, iters)
+      assert(got === refHits(edges, iters), s"iters=$iters")
+    }
+    val two = runHits(edges, 2)
+    assert(two(3L)._1 === BigInt(0)) // sink: no outlinks -> hub 0
+    assert(two(4L)._2 === BigInt(0)) // source: no inlinks -> auth 0
+  }
+
+  test("hits hub round 1 is the outdegree (auth_0 = 1 everywhere)") {
+    val edges = Seq[(Long, Long)]((0, 1), (0, 2), (0, 3), (1, 2))
+    val got = runHits(edges, 1)
+    assert(got(0L)._1 === BigInt(3) && got(1L)._1 === BigInt(1))
+  }
+
+  test("hits is deterministic across parallelism levels") {
+    val edges = (0L until 300L).flatMap(i =>
+      Seq((i % 29, (i * 31 + 7) % 29), (i % 29, (i * 13 + 5) % 29)))
+    assert(runHits(edges, 3, parts = 1) === runHits(edges, 3, parts = 16))
+  }
+
+  test("hits rejects out-of-headroom iteration counts") {
+    import spark.implicits._
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](WebOps.hits(e, iters = 0))
+    intercept[IllegalArgumentException](WebOps.hits(e, iters = 5))
+  }
 }

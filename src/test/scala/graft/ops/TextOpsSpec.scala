@@ -349,4 +349,34 @@ class TextOpsSpec extends AnyFunSuite {
         col("doc_id") % 3 === 0).orderBy("doc_id").collect().toSeq
     assert(run(1) == run(16))
   }
+
+  test("invertedIndex: ascending postings, exact df beyond the cap, minDf") {
+    val df = docs(
+      5L -> "beta common",
+      1L -> "alpha common common", // within-doc dup counted once
+      3L -> "common hapax",
+      2L -> "alpha common",
+      4L -> "common")
+    val out = TextOps.invertedIndex(df, minDf = 2L, maxPostings = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2).toList)).toSeq.sortBy(_._1)
+    // hapax (df 1) and beta (df 1) pruned by minDf; common df stays the
+    // EXACT 5 while its postings truncate to the 3 lowest doc ids
+    assert(out === Seq(
+      ("alpha", 2L, List(1L, 2L)),
+      ("common", 5L, List(1L, 2L, 3L))))
+  }
+
+  test("invertedIndex postings are parallelism-independent") {
+    val rows = (0L until 97L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 7} filler$i"))
+    def run(parts: Int) = {
+      import spark.implicits._
+      TextOps.invertedIndex(rows.toDF("doc_id", "text").repartition(parts),
+        minDf = 2L, maxPostings = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[Long](2).toList)).toSeq.sortBy(_._1)
+    }
+    assert(run(1) == run(16))
+  }
 }
