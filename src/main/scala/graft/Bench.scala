@@ -51,7 +51,8 @@ object Bench {
   private val headline = Seq(
     "tpch_q1", "tpch_q3", "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs",
     "dedup_lsh_pairs_md5oracle",
-    "dedup_jaccard_pairs", "dedup_simhash", "ann_topk", "ann_lsh",
+    "dedup_jaccard_pairs", "dedup_simhash", "dedup_simhash_pairs",
+    "ann_topk", "ann_lsh",
     "dedup_clusters",
     "geo_pip", "geo_cell_counts", "geo_knn_cell", "raster_convolve_median",
     "raster_convolve_mad", "raster_distance", "raster_zonal", "raster_vectorize",
@@ -79,6 +80,10 @@ object Bench {
     "dedup_clusters" -> { (s, dir) =>
       Dedup.lshClusters(s.read.parquet(s"$dir/documents.parquet"),
         k = 8, bands = 4, family = "xxhash64")
+    },
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+        family = "xxhash64")
     })
 
   /** Gate-family variants recorded alongside, under distinct names. */

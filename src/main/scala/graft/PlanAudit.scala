@@ -39,7 +39,10 @@ object PlanAudit {
       "text_fix_encoding", "vector_simplify",
       // link-graph construction (map-only regex explode) + HITS
       // (per-half-round join + map-side-combined agg)
-      "web_links", "web_hits")
+      "web_links", "web_hits",
+      // simhash pairs: one hash-agg fingerprint + capped pigeonhole
+      // band join + popcount verify before the distinct
+      "dedup_simhash_pairs")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -1105,6 +1105,14 @@ object SparkEntry {
         probeFilter = col("doc_id") % 10 === 0)
     },
     "dedup_simhash" -> { (s, dir) => Dedup.simhash16(documentsOf(s, dir)) },
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      // Manku WWW'07: 64-bit simhash + lossless 4x16-bit pigeonhole
+      // hamming join at distance <= 3 (md5prefix oracle family; the
+      // xxhash64 production default is benched separately). The oracle
+      // is the BRUTE-FORCE all-pairs SQL join, so a hash-exact match
+      // proves the banded join lossless end-to-end on this corpus.
+      Dedup.simhashPairs(documentsOf(s, dir), family = "md5prefix")
+    },
     "dedup_minhash_shingles" -> { (s, dir) =>
       // 3-gram shingle MinHash: same signature machinery over the
       // shingle alphabet (md5prefix family for the oracle)
@@ -3686,6 +3694,8 @@ object SparkEntry {
 
     "dedup_simhash" -> (sqlToks + simhashOracleTail),
 
+    "dedup_simhash_pairs" -> (sqlToks + simhash64PairsOracleTail),
+
     "dedup_minhash_shingles" ->
       // 3-gram shingle signature: shingles rebuilt by ranked self-joins
       // (rn+1, rn+2), then the SAME md5prefix min-hash over the gram
@@ -5227,6 +5237,38 @@ object SparkEntry {
     s""", hvt AS (SELECT doc_id, $hv AS hv FROM toks),
        bits AS (SELECT doc_id, $bitSums FROM hvt GROUP BY doc_id)
        SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits"""
+  }
+
+  /** Generated DuckDB tail for the 64-bit simhash PAIR oracle: the
+    * md5prefix token hash split hi/lo 32-bit (each fits a non-negative
+    * BIGINT in both engines), 64 majority-vote bit sums, two's-complement
+    * assembly through HUGEINT (bit 63 wraps mod 2^64 → BIGINT), then the
+    * BRUTE-FORCE all-pairs hamming join at distance ≤ 3 — deliberately
+    * NOT the banded join, so a hash-exact match certifies the Spark
+    * pigeonhole join lossless on this corpus.
+    */
+  private def simhash64PairsOracleTail: String = {
+    val bitsLo = (0 until 32).map(b =>
+      s"sum(CASE WHEN (lo // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val bitsHi = (0 until 32).map(b =>
+      s"sum(CASE WHEN (hi // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b${b + 32}").mkString(", ")
+    val asm = (0 until 64).map { b =>
+      val pow = if (b == 63) "CAST('9223372036854775808' AS HUGEINT)"
+                else s"CAST(${1L << b} AS HUGEINT)"
+      s"(CASE WHEN b$b > 0 THEN $pow ELSE 0 END)"
+    }.mkString(" + ")
+    s""", hvt AS (SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo FROM toks),
+       bits AS (SELECT doc_id, $bitsLo, $bitsHi FROM hvt GROUP BY doc_id),
+       sh AS (SELECT doc_id,
+         CAST(CASE WHEN ($asm) >= CAST('9223372036854775808' AS HUGEINT)
+              THEN ($asm) - CAST('18446744073709551616' AS HUGEINT)
+              ELSE ($asm) END AS BIGINT) AS simhash FROM bits)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
   }
 
   /** Generated DuckDB oracle for quantized-dot-product top-k (64 dims). */

@@ -336,6 +336,61 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** 64-bit SimHash (Charikar STOC'02, deployed form: Manku, Jain, Das
+    * Sarma — "Detecting Near-Duplicates for Web Crawling", WWW'07) over
+    * whitespace tokens, duplicates kept: bit b of the fingerprint is the
+    * majority vote of bit b across the per-token 64-bit hashes (sum of
+    * ±1 per token; ties → 0). One projection + one hash aggregation with
+    * map-side combine — the scale shape of [[simhash16]], widened so the
+    * fingerprint supports the WWW'07 hamming near-dup join.
+    *
+    * `family`: "xxhash64" (production default — one codegen'd hash per
+    * token) or "md5prefix" (oracle mirror: first 16 hex chars of
+    * md5(tok), split hi/lo 32-bit so every intermediate fits a
+    * non-negative BIGINT in both engines). Bit 63 assembles via two's
+    * complement (Long.MinValue), so the Spark BIGINT and a DuckDB
+    * HUGEINT-mod-2^64 mirror agree bitwise.
+    */
+  def simhash64(docs: DataFrame, family: String = "xxhash64"): DataFrame = {
+    val toks = TextOps.tokenTable(docs) // duplicates kept
+    val bitOf: Int => Column = family match {
+      case "xxhash64" =>
+        b => shiftrightunsigned(xxhash64(col("tok")), b).bitwiseAND(lit(1L))
+      case "md5prefix" =>
+        val hi = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+        val lo = conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long")
+        b => if (b < 32) shiftrightunsigned(lo, b).bitwiseAND(lit(1L))
+             else shiftrightunsigned(hi, b - 32).bitwiseAND(lit(1L))
+      case other => throw new IllegalArgumentException(
+        s"simhash64: unknown hash family '$other' (xxhash64 | md5prefix)")
+    }
+    val bitSums = (0 until 64).map { b =>
+      sum(when(bitOf(b) === 1L, 1L).otherwise(-1L)).as(s"b$b")
+    }
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        ((0 until 63).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))) :+
+          when(col("b63") > 0, lit(Long.MinValue)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs within `maxDist` hamming bits — the
+    * Manku WWW'07 join realized on the shared 4×16-bit pigeonhole
+    * machinery ([[ImageHash.hammingPairs]]): a pair within distance ≤ 3
+    * must agree exactly on one of the four 16-bit words, so a 4-band
+    * equi-join + codegen'd popcount verify is LOSSLESS for maxDist ≤ 3
+    * and never all-pairs. Hot buckets (boilerplate pages collapsing onto
+    * one word) are capped deterministically at `capPerBucket` index
+    * members; identical-fingerprint groups are quadratic in their own
+    * output by definition — contract them with
+    * [[ImageHash.phashClusters]] over this table when pair enumeration
+    * isn't literally the requirement.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, capPerBucket: Int = 1024,
+                   family: String = "xxhash64"): DataFrame =
+    ImageHash.hammingPairs(simhash64(docs, family), "doc_id", maxDist, capPerBucket,
+      hashCol = "simhash")
+
   /** Connected components over an undirected edge list via alternating
     * large-star / small-star contraction (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC 2014 — public algorithm).

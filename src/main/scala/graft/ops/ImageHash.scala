@@ -174,14 +174,15 @@ object ImageHash {
     * within hamming distance ≤ 3 must agree EXACTLY on at least one of
     * the four 16-bit words.
     */
-  private[ops] def bandedWords(hashes: DataFrame, idCol: String): DataFrame = {
+  private[ops] def bandedWords(hashes: DataFrame, idCol: String,
+                               hashCol: String = "phash"): DataFrame = {
     val words: Column = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("word"))
+        shiftrightunsigned(col(hashCol), b * 16).bitwiseAND(lit(0xffffL)).as("word"))
     }: _*)
     hashes
-      .select(col(idCol).as("id"), col("phash"), explode(words).as("bw"))
-      .select(col("id"), col("phash"), col("bw.band").as("band"), col("bw.word").as("word"))
+      .select(col(idCol).as("id"), col(hashCol).as("h"), explode(words).as("bw"))
+      .select(col("id"), col("h"), col("bw.band").as("band"), col("bw.word").as("word"))
   }
 
   /** Near-dup pairs within `maxDist` hamming bits (default 3, the
@@ -205,11 +206,12 @@ object ImageHash {
     * isn't literally the requirement.
     */
   def hammingPairs(hashes: DataFrame, idCol: String = "doc_id",
-                   maxDist: Int = 3, capPerBucket: Int = 1024): DataFrame = {
+                   maxDist: Int = 3, capPerBucket: Int = 1024,
+                   hashCol: String = "phash"): DataFrame = {
     require(maxDist <= 3, s"4x16-bit pigeonhole is lossless only to distance 3, got $maxDist")
     require(capPerBucket > 0 || capPerBucket == -1,
       s"capPerBucket must be positive, or -1 for uncapped, got $capPerBucket")
-    val banded = bandedWords(hashes, idCol)
+    val banded = bandedWords(hashes, idCol, hashCol)
     val idx =
       if (capPerBucket == -1) banded
       else {
@@ -222,7 +224,7 @@ object ImageHash {
           col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("doc_a"),
         greatest(col("a.id"), col("b.id")).as("doc_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("dist"))
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
   }

@@ -83,6 +83,14 @@ class ScanPruningSpec extends AnyFunSuite {
       capPerBucket = 8).queryExecution.executedPlan.toString
     assert(!cp.contains("CartesianProduct") && !cp.contains("BroadcastNestedLoopJoin"),
       "phashClusters degraded to a non-equi join:\n" + cp.take(1500))
+    // the text form (simhashPairs) rides the same machinery: exactly one
+    // fingerprint HashAggregate pair feeding the band join, no theta-join
+    val docs = (0L until 8L).map(i => (i, s"tok$i alpha beta"))
+      .toDF("doc_id", "text")
+    val sp = graft.ops.Dedup.simhashPairs(docs, capPerBucket = 8)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("CartesianProduct") && !sp.contains("BroadcastNestedLoopJoin"),
+      "simhashPairs degraded to a non-equi join:\n" + sp.take(1500))
   }
 
   test("link extraction is map-only (zero shuffles) and prunes to (doc_id, html)") {
