@@ -42,7 +42,10 @@ object PlanAudit {
       "web_links", "web_hits",
       // simhash pairs: one hash-agg fingerprint + capped pigeonhole
       // band join + popcount verify before the distinct
-      "dedup_simhash_pairs")
+      "dedup_simhash_pairs",
+      // seeded-teleport PageRank (same 2-shuffle round as web_pagerank,
+      // plus the broadcast-able seed-flag join)
+      "web_trustrank")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

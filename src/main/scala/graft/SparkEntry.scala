@@ -1029,6 +1029,22 @@ object SparkEntry {
         ((col("doc_id") * 17 + 3) % 97).as("dst"))
       WebOps.pageRank(e1.unionByName(e2), iters = 5)
     },
+    "web_trustrank" -> { (s, dir) =>
+      // TrustRank on the same deterministic host graph as web_pagerank,
+      // seeds = hosts divisible by 13; exact integer fixed-point, so
+      // the unrolled seeded-teleport CTE chain mirrors bit-identically.
+      // Hosts unreachable from every seed must land at exactly 0.
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      val edges = e1.unionByName(e2)
+      val seeds = edges.select(col("src").as("host"))
+        .unionByName(edges.select(col("dst").as("host")))
+        .filter(col("host") % 13 === 0).distinct()
+      WebOps.trustRank(edges, seeds, iters = 5)
+    },
     "web_hits" -> { (s, dir) =>
       // HITS on the same deterministic host graph as web_pagerank: two
       // exact alternating-walk-count rounds, cast long for the oracle
@@ -3538,6 +3554,52 @@ object SparkEntry {
          nn AS (SELECT COUNT(*) AS cnt FROM nodes),
          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
          r0 AS (SELECT host, $scale // (SELECT cnt FROM nn) AS rank FROM nodes)
+         ${(1 to 5).map(iter).mkString("\n")}
+         SELECT host, rank FROM r5"""
+    },
+
+    "web_trustrank" -> {
+      // unrolled mirror of WebOps.trustRank's 5 seeded integer
+      // fixed-point iterations: teleport + dangling mass go to the seed
+      // set only, floor divisions in the same operand order as the Scala
+      val scale = 1000000000000L
+      def iter(k: Int): String =
+        s""", dang$k AS (
+             SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS d
+             FROM r${k - 1} WHERE host NOT IN (SELECT src FROM edges)),
+           r$k AS (
+             SELECT n.host,
+                    (CASE WHEN s.host IS NOT NULL
+                      THEN (($scale * 3) // (20 * (SELECT cnt FROM sn)))
+                         + (((SELECT d FROM dang$k) * 17) // (20 * (SELECT cnt FROM sn)))
+                      ELSE 0 END)
+                  + COALESCE(c.contrib, 0) AS rank
+             FROM nodes n
+             LEFT JOIN seeds s ON n.host = s.host
+             LEFT JOIN (
+               SELECT e.dst AS host,
+                      CAST(SUM((r.rank * 17) // (20 * dg.deg)) AS BIGINT) AS contrib
+               FROM r${k - 1} r
+               JOIN edges e ON r.host = e.src
+               JOIN deg dg ON dg.src = e.src
+               GROUP BY e.dst) c ON n.host = c.host)"""
+      s"""WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst),
+         nodes AS (
+           SELECT DISTINCT host FROM (
+             SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+         seeds AS (SELECT host FROM nodes WHERE host % 13 = 0),
+         sn AS (SELECT COUNT(*) AS cnt FROM seeds),
+         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         r0 AS (
+           SELECT n.host,
+                  CASE WHEN s.host IS NOT NULL
+                       THEN $scale // (SELECT cnt FROM sn) ELSE 0 END AS rank
+           FROM nodes n LEFT JOIN seeds s ON n.host = s.host)
          ${(1 to 5).map(iter).mkString("\n")}
          SELECT host, rank FROM r5"""
     },

@@ -407,6 +407,78 @@ object WebOps {
     out
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen — "Combating Web Spam
+    * with TrustRank", VLDB 2004): PageRank with the teleport vector
+    * restricted to a trusted seed set, so rank can only flow OUT of the
+    * seeds along links — spam farms unreachable from any seed end at
+    * exactly zero. Same exact integer fixed-point arithmetic as
+    * [[pageRank]] (order-independent Long sums, floor divisions in a
+    * pinned operand order), so the result is bit-identical at any
+    * parallelism and a DuckDB CTE chain mirrors it exactly.
+    *
+    * `seeds`: one `host` column; entries absent from the graph are
+    * ignored (requires ≥ 1 live seed). Teleport and dangling mass are
+    * split uniformly over the live seeds only. Scale shape is
+    * pageRank's: 2 shuffles per round with map-side combine, the seed
+    * flag rides a broadcast-able equi-join, dangling mass is one
+    * collected Long whose job materializes the round's lazy checkpoint.
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                scale: Long = 1000000000000L,
+                dampNum: Long = 17, dampDen: Long = 20): DataFrame = {
+    require(iters >= 1 && scale > 0 && dampNum >= 0 && dampDen > dampNum,
+      s"trustRank: need iters>=1, scale>0, 0<=dampNum<dampDen; got " +
+        s"iters=$iters scale=$scale damp=$dampNum/$dampDen")
+    val e = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct()
+      .persist()
+    val seed = nodes
+      .join(seeds.select(col("host")).filter(col("host").isNotNull).distinct(),
+        Seq("host"))
+      .select(col("host"), lit(1).as("is_seed"))
+      .persist()
+    val sN = seed.count()
+    require(sN > 0, "trustRank: no seed host present in the graph")
+    val base = (scale * (dampDen - dampNum)) / (dampDen * sN)
+    var ranks = nodes.join(seed, Seq("host"), "left")
+      .select(col("host"),
+        when(col("is_seed").isNotNull, lit(scale / sN)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint(eager = false)
+    var it = 0
+    while (it < iters) {
+      val dangRow = ranks.join(deg.select(col("src").as("host")),
+          Seq("host"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0)
+      val dang = dangRow.getLong(0)
+      val dShare = (dang * dampNum) / (dampDen * sN)
+      val contrib = ranks.join(e, ranks("host") === e("src"))
+        .join(deg, "src")
+        .select(col("dst"),
+          expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(seed, Seq("host"), "left")
+        .join(contrib, col("host") === contrib("dst"), "left")
+        .select(col("host"),
+          (when(col("is_seed").isNotNull, lit(base + dShare)).otherwise(lit(0L)) +
+            coalesce(col("contrib"), lit(0L))).as("rank"))
+        .localCheckpoint(eager = false)
+      it += 1
+    }
+    val out = ranks
+    out.count() // materialize before unpersisting the inputs it no longer needs
+    e.unpersist(); nodes.unpersist(); seed.unpersist()
+    out
+  }
+
   /** Per-host corpus statistics: page count, distinct languages, total
     * text characters, first/last crawl timestamp. One hash aggregation
     * with map-side combine on the host key — the host distribution of a

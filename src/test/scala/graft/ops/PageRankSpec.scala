@@ -153,4 +153,75 @@ class PageRankSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WebOps.hits(e, iters = 0))
     intercept[IllegalArgumentException](WebOps.hits(e, iters = 5))
   }
+
+  // ---------------- TrustRank ----------------
+
+  /** Seeded-teleport reference: same op order as WebOps.trustRank. */
+  private def refTrust(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+                       scale: Long = 1000000000000L,
+                       num: Long = 17, den: Long = 20): Map[Long, Long] = {
+    val e = edges.filter { case (s, d) => s != d }.distinct
+    val nodes = e.flatMap { case (s, d) => Seq(s, d) }.distinct.sorted
+    val live = seeds.intersect(nodes.toSet)
+    val sN = live.size.toLong
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val base = (scale * (den - num)) / (den * sN)
+    var r = nodes.map(nd => nd -> (if (live(nd)) scale / sN else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(deg.contains).map(r).sum
+      val dShare = (dang * num) / (den * sN)
+      val contrib = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => (r(s) * num) / (den * deg(s)) }.sum
+      }
+      r = nodes.map(nd => nd ->
+        ((if (live(nd)) base + dShare else 0L) + contrib.getOrElse(nd, 0L))).toMap
+    }
+    r
+  }
+
+  private def runTrust(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                       iters: Int, parts: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    WebOps.trustRank(edges.toDF("src", "dst").repartition(parts),
+        seeds.toDF("host"), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("trustRank matches the seeded reference; unreachable hosts land at exactly 0") {
+    // component A: 0 <-> 1 -> 2 (seed 0); component B: 10 -> 11 (no seed)
+    val edges = Seq[(Long, Long)]((0, 1), (1, 0), (1, 2), (10, 11))
+    for (iters <- Seq(1, 3, 5)) {
+      val got = runTrust(edges, Seq(0L), iters)
+      assert(got === refTrust(edges, Set(0L), iters), s"iters=$iters")
+      assert(got(10L) === 0L && got(11L) === 0L,
+        "hosts unreachable from every seed must hold exactly zero trust")
+      // node 2 is TWO hops from seed 0, so trust reaches it from iter 2 on
+      if (iters >= 2) assert(got(2L) > 0L, "seed-reachable host must accrue trust")
+    }
+  }
+
+  test("trustRank ignores seeds absent from the graph; rejects an empty live seed set") {
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2), (2, 0), (2, 3))
+    // 999 is not in the graph -> identical to seeding {0} alone
+    assert(runTrust(edges, Seq(0L, 999L), 3) === refTrust(edges, Set(0L), 3))
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      WebOps.trustRank(edges.toDF("src", "dst"), Seq(999L).toDF("host")))
+  }
+
+  test("trustRank with a dangling node redistributes its mass to the seeds only") {
+    // 3 is dangling; verify vs reference across iterations (the dangling
+    // share re-enters through the seeds, never uniformly)
+    val edges = Seq[(Long, Long)]((0, 1), (1, 3), (2, 3), (0, 2))
+    val seeds = Set(0L, 2L)
+    for (iters <- Seq(1, 2, 5))
+      assert(runTrust(edges, seeds.toSeq, iters) === refTrust(edges, seeds, iters))
+  }
+
+  test("trustRank is deterministic across parallelism levels") {
+    val edges = (0L until 300L).flatMap(i =>
+      Seq((i % 31, (i * 31 + 7) % 31), (i % 31, (i * 13 + 5) % 31)))
+    val seeds = Seq(0L, 13L, 26L)
+    assert(runTrust(edges, seeds, 5, parts = 1) === runTrust(edges, seeds, 5, parts = 16))
+  }
 }
