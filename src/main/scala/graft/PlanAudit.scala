@@ -45,7 +45,9 @@ object PlanAudit {
       "dedup_simhash_pairs",
       // seeded-teleport PageRank (same 2-shuffle round as web_pagerank,
       // plus the broadcast-able seed-flag join)
-      "web_trustrank")
+      "web_trustrank",
+      // frontier BFS (per-round frontier x edges equi-join + anti join)
+      "web_reach")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -1045,6 +1045,19 @@ object SparkEntry {
         .filter(col("host") % 13 === 0).distinct()
       WebOps.trustRank(edges, seeds, iters = 5)
     },
+    "web_reach" -> { (s, dir) =>
+      // frontier BFS from seed host 0 on the deterministic host graph,
+      // capped at 6 hops (the graph's eccentricity from 0 is 8, so the
+      // cap is LIVE: hosts at hops 7-8 must be absent). Exact min-hop
+      // semantics mirror a 6-round relaxation CTE.
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      val seeds = d.sparkSession.range(1).select(lit(0L).as("host"))
+      WebOps.reachable(e1.unionByName(e2), seeds, maxHops = 6)
+    },
     "web_hits" -> { (s, dir) =>
       // HITS on the same deterministic host graph as web_pagerank: two
       // exact alternating-walk-count rounds, cast long for the oracle
@@ -3602,6 +3615,28 @@ object SparkEntry {
            FROM nodes n LEFT JOIN seeds s ON n.host = s.host)
          ${(1 to 5).map(iter).mkString("\n")}
          SELECT host, rank FROM r5"""
+    },
+
+    "web_reach" -> {
+      // 6-round min-hop relaxation over the same edge fixture; BFS and
+      // relaxation agree exactly on shortest hop counts
+      def iter(k: Int): String =
+        s""", r$k AS (
+             SELECT host, CAST(MIN(hops) AS INT) AS hops FROM (
+               SELECT host, hops FROM r${k - 1}
+               UNION ALL
+               SELECT e.dst AS host, r.hops + 1 AS hops
+               FROM r${k - 1} r JOIN edges e ON r.host = e.src)
+             GROUP BY host)"""
+      s"""WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst),
+         r0 AS (SELECT CAST(0 AS BIGINT) AS host, CAST(0 AS INT) AS hops)
+         ${(1 to 6).map(iter).mkString("\n")}
+         SELECT host, hops FROM r6"""
     },
 
     "web_hits" ->

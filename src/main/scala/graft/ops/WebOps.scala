@@ -479,6 +479,53 @@ object WebOps {
     out
   }
 
+  /** Minimum-hop reachability from a seed host set (frontier BFS) — the
+    * crawl-frontier / link-distance primitive behind seed-proximity
+    * filters (OPIC-style crawl prioritization, TrustRank seed expansion).
+    * Returns (host, hops) for every host whose shortest link distance
+    * from any seed is ≤ maxHops; hop counts are exact minima, so the
+    * result is plan- and parallelism-independent.
+    *
+    * Scale shape: round k joins only the CURRENT frontier against the
+    * src-partitioned edge list (equi-join, map-side combine on the
+    * distinct), then one left-anti join against the visited set — never
+    * the whole graph against itself. The visited set is lazily
+    * localCheckpoint'ed per round (the frontier count materializes it in
+    * the same job), truncating lineage exactly like the CC/pageRank
+    * loops; an empty frontier exits early.
+    */
+  def reachable(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 0, s"reachable: maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var frontier = seeds.select(col("host")).filter(col("host").isNotNull)
+      .distinct()
+      .select(col("host"), lit(0).as("hops"))
+      .localCheckpoint(eager = false)
+    var visited = frontier
+    var k = 1
+    var frontierSize = frontier.count() // materializes the checkpoint
+    while (k <= maxHops && frontierSize > 0) {
+      val next = frontier.join(e, frontier("host") === e("src"))
+        .select(col("dst").as("host"), lit(k).as("hops"))
+        .distinct()
+        .join(visited, Seq("host"), "left_anti")
+        .localCheckpoint(eager = false)
+      frontierSize = next.count()
+      visited = visited.union(next).localCheckpoint(eager = false)
+      frontier = next
+      k += 1
+    }
+    val out = visited
+    out.count()
+    e.unpersist()
+    out
+  }
+
   /** Per-host corpus statistics: page count, distinct languages, total
     * text characters, first/last crawl timestamp. One hash aggregation
     * with map-side combine on the host key — the host distribution of a

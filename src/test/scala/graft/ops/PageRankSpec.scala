@@ -218,6 +218,62 @@ class PageRankSpec extends AnyFunSuite {
       assert(runTrust(edges, seeds.toSeq, iters) === refTrust(edges, seeds, iters))
   }
 
+  // ---------------- reachable (frontier BFS) ----------------
+
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     maxHops: Int): Map[Long, Int] = {
+    val e = edges.filter { case (s, d) => s != d }.distinct
+    val adj = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    var k = 1
+    while (k <= maxHops && frontier.nonEmpty) {
+      val next = frontier.flatMap(h => adj.getOrElse(h, Nil))
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> k)
+      frontier = next
+      k += 1
+    }
+    dist
+  }
+
+  private def runReach(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                       maxHops: Int, parts: Int = 4): Map[Long, Int] = {
+    import spark.implicits._
+    WebOps.reachable(edges.toDF("src", "dst").repartition(parts),
+        seeds.toDF("host"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("reachable computes exact min hops; the cap excludes deeper hosts") {
+    // two paths to 4: 0->1->2->3->4 (4 hops) and 0->9->4 (2 hops);
+    // 7->8 is disconnected from the seed
+    val edges = Seq[(Long, Long)](
+      (0, 1), (1, 2), (2, 3), (3, 4), (0, 9), (9, 4), (4, 5), (7, 8))
+    val exp = refBfs(edges, Set(0L), 3)
+    val got = runReach(edges, Seq(0L), 3)
+    assert(got === exp)
+    assert(got(4L) === 2, "min-hop path must win")
+    assert(!got.contains(3L) || got(3L) === 3)
+    assert(!got.contains(7L) && !got.contains(8L), "disconnected hosts leak in")
+  }
+
+  test("reachable matches reference BFS on a random multi-seed graph; early exit is safe") {
+    val edges = (0L until 400L).map(i =>
+      ((i * 7 + 1) % 61, (i * i * 13 + i * 5 + 3) % 61))
+    val seeds = Seq(0L, 17L)
+    // maxHops far beyond the eccentricity: loop must exit on empty frontier
+    val got = runReach(edges, seeds, 50)
+    assert(got === refBfs(edges, seeds.toSet, 50))
+    // and the capped form agrees too
+    assert(runReach(edges, seeds, 2) === refBfs(edges, seeds.toSet, 2))
+  }
+
+  test("reachable with maxHops 0 returns exactly the seed set at hop 0") {
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2))
+    assert(runReach(edges, Seq(0L, 5L), 0) === Map(0L -> 0, 5L -> 0))
+  }
+
   test("trustRank is deterministic across parallelism levels") {
     val edges = (0L until 300L).flatMap(i =>
       Seq((i % 31, (i * 31 + 7) % 31), (i % 31, (i * 13 + 5) % 31)))
