@@ -47,7 +47,9 @@ object PlanAudit {
       // plus the broadcast-able seed-flag join)
       "web_trustrank",
       // frontier BFS (per-round frontier x edges equi-join + anti join)
-      "web_reach")
+      "web_reach",
+      // eTLD+1: map-only page side behind k broadcast suffix probes
+      "url_reg_domain")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

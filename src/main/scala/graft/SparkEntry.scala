@@ -806,6 +806,28 @@ object SparkEntry {
     "text_gopher_rules" -> { (s, dir) => TextOps.gopherRules(documentsOf(s, dir)) },
     "text_repetition" -> { (s, dir) => TextOps.repetitionMetrics(documentsOf(s, dir)) },
     "url_normalize" -> { (s, dir) => WebOps.urlNormalize(Pages.pages(s, dir)) },
+    "url_reg_domain" -> { (s, dir) =>
+      // eTLD+1 extraction over an 8-pattern host fixture exercising:
+      // multi-label suffix (co.uk), longest-match (gov.uk over uk),
+      // deep subdomains, unknown TLD (implicit 1-label rule), a bare
+      // 1-label host, and a host that IS a public suffix (-> null).
+      // The oracle is the CLOSED-FORM expected registered domain per
+      // pattern — fully independent of the engine's join recipe.
+      import s.implicits._
+      val g = (col("doc_id") % 5).cast("string")
+      val m = col("doc_id") % 8
+      val host = when(m === 0, concat(lit("www.site"), g, lit(".co.uk")))
+        .when(m === 1, concat(lit("blog.site"), g, lit(".com")))
+        .when(m === 2, concat(lit("site"), g, lit(".gov.uk")))
+        .when(m === 3, concat(lit("a.b.site"), g, lit(".org")))
+        .when(m === 4, concat(lit("site"), g, lit(".example")))
+        .when(m === 5, lit("localhost"))
+        .when(m === 6, lit("co.uk"))
+        .otherwise(concat(lit("x.y.z.w.site"), g, lit(".co.uk")))
+      val suffixes = Seq("co.uk", "gov.uk", "com", "org", "uk").toDF("suffix")
+      WebOps.registeredDomain(
+        documentsOf(s, dir).select(col("doc_id"), host.as("host")), suffixes)
+    },
     "url_host_stats" -> { (s, dir) => WebOps.hostStats(Pages.pages(s, dir)) },
     "url_dedup_latest" -> { (s, dir) =>
       // recrawl-collapse fixture: every third page is fetched twice (the
@@ -2675,6 +2697,30 @@ object SparkEntry {
           CAST(COALESCE(t.top_bigram_cnt, 0) * length(COALESCE(t.top_bigram, '')) AS DOUBLE)
             / CAST(b.n_chars AS DOUBLE) AS top_bigram_char_frac
         FROM perdoc p JOIN base b USING (doc_id) LEFT JOIN top t USING (doc_id)""",
+
+    "url_reg_domain" ->
+      // closed-form per-pattern expected values (publicsuffix.org
+      // semantics worked out by hand), independent of the join recipe
+      """WITH h AS (SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS g,
+           doc_id % 8 AS m FROM documents)
+         SELECT doc_id,
+           CASE m WHEN 0 THEN 'www.site' || g || '.co.uk'
+                  WHEN 1 THEN 'blog.site' || g || '.com'
+                  WHEN 2 THEN 'site' || g || '.gov.uk'
+                  WHEN 3 THEN 'a.b.site' || g || '.org'
+                  WHEN 4 THEN 'site' || g || '.example'
+                  WHEN 5 THEN 'localhost'
+                  WHEN 6 THEN 'co.uk'
+                  ELSE 'x.y.z.w.site' || g || '.co.uk' END AS host,
+           CASE m WHEN 0 THEN 'site' || g || '.co.uk'
+                  WHEN 1 THEN 'site' || g || '.com'
+                  WHEN 2 THEN 'site' || g || '.gov.uk'
+                  WHEN 3 THEN 'site' || g || '.org'
+                  WHEN 4 THEN 'site' || g || '.example'
+                  WHEN 5 THEN NULL
+                  WHEN 6 THEN NULL
+                  ELSE 'site' || g || '.co.uk' END AS reg_domain
+         FROM h""",
 
     "url_normalize" -> Pages.sqlWith(
       // same regexp_replace chain as WebOps.normalizeUrl; every pattern

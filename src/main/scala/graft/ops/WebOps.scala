@@ -407,6 +407,60 @@ object WebOps {
     out
   }
 
+  /** Registered domain (eTLD+1) extraction against a public-suffix
+    * table — the rollup key behind per-domain host caps, domain dedup,
+    * and ownership statistics (publicsuffix.org semantics: the
+    * registered domain is one label more than the LONGEST matching
+    * public suffix; a host that IS a public suffix has none; an unknown
+    * TLD falls back to the implicit 1-label `*` rule). Wildcard and
+    * exception PSL rules are not interpreted — expand them to literal
+    * rows upstream.
+    *
+    * Scale shape: MAP-ONLY. The candidate suffixes (the host's last
+    * 1..`maxSuffixLabels` labels) become columns, each probed by one
+    * broadcast left join against the suffix table (~10k rows for the
+    * real PSL — always broadcast-able); no shuffle ever touches the
+    * page side, so the op composes with scans at any corpus size.
+    *
+    * Input needs a `hostCol` string column; appends `reg_domain`
+    * (null when the host itself is a public suffix or empty). The
+    * `suffixes` frame carries one `suffix` column of lowercase literal
+    * suffixes ("com", "co.uk", ...).
+    */
+  def registeredDomain(df: DataFrame, suffixes: DataFrame,
+                       hostCol: String = "host",
+                       maxSuffixLabels: Int = 4): DataFrame = {
+    require(maxSuffixLabels >= 1 && maxSuffixLabels <= 8,
+      s"registeredDomain: maxSuffixLabels in [1, 8], got $maxSuffixLabels")
+    // one distinct over the suffix table, shared by every probe join
+    // (lazy localCheckpoint: the first broadcast materializes it; the
+    // k probes then broadcast the same blocks instead of re-running the
+    // distinct per join, and the page-side plan stays zero-Exchange)
+    val sfx = suffixes.select(lower(col("suffix")).as("suffix")).distinct()
+      .localCheckpoint(eager = false)
+    val labels = split(lower(col(hostCol)), "\\.")
+    var out = df.withColumn("_labels", labels)
+      .withColumn("_n", size(col("_labels")))
+    for (k <- 1 to maxSuffixLabels) {
+      val cand = when(col("_n") >= k,
+        array_join(slice(col("_labels"), -k, k), ".")).otherwise(lit(null))
+      out = out.join(
+        broadcast(sfx.select(col("suffix").as(s"_m$k"))),
+        cand === col(s"_m$k"), "left")
+    }
+    // longest explicit match wins; the implicit `*` rule matches one label
+    val matchedLen = (2 to maxSuffixLabels).foldLeft(lit(1)) {
+      case (acc, k) => when(col(s"_m$k").isNotNull, lit(k)).otherwise(acc)
+    }
+    val regLen = (matchedLen + lit(1)).cast("int")
+    val regDomain = when(col("_n") > matchedLen,
+      array_join(slice(col("_labels"), -regLen, regLen), "."))
+      .otherwise(lit(null))
+    out.withColumn("reg_domain",
+        when(length(col(hostCol)) > 0, regDomain).otherwise(lit(null)))
+      .drop((1 to maxSuffixLabels).map(k => s"_m$k") :+ "_labels" :+ "_n": _*)
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen — "Combating Web Spam
     * with TrustRank", VLDB 2004): PageRank with the teleport vector
     * restricted to a trusted seed set, so rank can only flow OUT of the
