@@ -766,6 +766,22 @@ object SparkEntry {
     "text_bpe_tokens" -> { (s, dir) => TextOps.bpeTokenCount(documentsOf(s, dir)) },
     "text_quality" -> { (s, dir) => TextOps.qualityScore(documentsOf(s, dir)) },
     "text_langid" -> { (s, dir) => TextOps.langId(documentsOf(s, dir)) },
+    "text_scripts" -> { (s, dir) =>
+      // Unicode script profile over a planted multi-script fixture:
+      // pure Cyrillic/Greek/CJK docs, an Arabic-suffixed Latin doc
+      // (mixed counts, Latin stays dominant), and a digits-only doc
+      // (dominant "none"). The oracle re-counts every block with RE2
+      // \x{...} classes — engine-independent same-math mirror.
+      val d = documentsOf(s, dir)
+      val m = col("doc_id") % 6
+      val t = when(m === 1, lit(ScriptFixture.cyr))
+        .when(m === 2, concat(substring(col("text"), 1, 20), lit(ScriptFixture.cjk)))
+        .when(m === 3, lit(ScriptFixture.grk))
+        .when(m === 4, concat(col("text"), lit(ScriptFixture.arb)))
+        .when(m === 5, lit(ScriptFixture.none))
+        .otherwise(col("text"))
+      TextOps.scriptProfile(d.select(col("doc_id"), t.as("text")))
+    },
     "text_fingerprint" -> { (s, dir) => TextOps.fingerprint(documentsOf(s, dir)) },
     // winnowing fingerprint selection (Schleimer et al. 2003 / MOSS);
     // md5prefix family so DuckDB reproduces the hash — production is
@@ -2490,6 +2506,8 @@ object SparkEntry {
         FROM documents d LEFT JOIN
           (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
            FROM toks GROUP BY doc_id) tc USING (doc_id)"""),
+
+    "text_scripts" -> scriptProfileOracle,
 
     "text_langid" ->
       """WITH cnts AS (SELECT doc_id, lang,
@@ -5380,6 +5398,53 @@ object SparkEntry {
     s""", hvt AS (SELECT doc_id, $hv AS hv FROM toks),
        bits AS (SELECT doc_id, $bitSums FROM hvt GROUP BY doc_id)
        SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits"""
+  }
+
+  /** Multi-script fixture literals shared by the `text_scripts` query
+    * and its oracle (identical strings interpolated into both engines).
+    */
+  private object ScriptFixture {
+    val cyr: String = "привет мир снова " * 4
+    val cjk: String = "你好世界汉字测试" * 5
+    val grk: String = "γεια σου κόσμε " * 4
+    val arb: String = " مرحبا بالعالم"
+    val none: String = "12345 .,!? 67890"
+  }
+
+  /** Generated DuckDB oracle for the Unicode script profile: the same
+    * count-by-strip math over RE2 \x{...} block classes, dominant =
+    * first block (in the pinned order) reaching the max, all-zero →
+    * 'none' — the exact fold semantics of TextOps.scriptProfile.
+    */
+  private def scriptProfileOracle: String = {
+    val blocks = Seq(
+      "latin" -> "[A-Za-z]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "greek" -> "[\\x{0370}-\\x{03FF}]",
+      "arabic" -> "[\\x{0600}-\\x{06FF}]",
+      "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+      "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
+      "devanagari" -> "[\\x{0900}-\\x{097F}]")
+    val names = blocks.map(_._1)
+    val counts = blocks.map { case (n, cls) =>
+      s"CAST(length(t) - length(regexp_replace(t, '$cls', '', 'g')) AS BIGINT) AS n_$n"
+    }.mkString(", ")
+    val mx = s"GREATEST(${names.map("n_" + _).mkString(", ")})"
+    val dom = names.map(n => s"WHEN n_$n = mx THEN '$n'").mkString(" ")
+    s"""WITH fx AS (SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 1 THEN '${ScriptFixture.cyr}'
+           WHEN 2 THEN substr(text, 1, 20) || '${ScriptFixture.cjk}'
+           WHEN 3 THEN '${ScriptFixture.grk}'
+           WHEN 4 THEN text || '${ScriptFixture.arb}'
+           WHEN 5 THEN '${ScriptFixture.none}'
+           ELSE text END AS t
+         FROM documents),
+       c AS (SELECT doc_id, $counts FROM fx),
+       d AS (SELECT *, $mx AS mx FROM c)
+       SELECT doc_id, ${names.map("n_" + _).mkString(", ")},
+         CASE WHEN mx <= 0 THEN 'none' $dom END AS dominant
+       FROM d"""
   }
 
   /** Generated DuckDB tail for the 64-bit simhash PAIR oracle: the

@@ -84,6 +84,48 @@ object TextOps {
     withCounts.select(col("doc_id"), col("lang"), best._1.as("pred_lang"), best._2.as("n_markers"))
   }
 
+  /** Unicode scripts profiled by [[scriptProfile]], in tie-break order.
+    * Each entry is (name, BMP block character class) — the blocks that
+    * separate the major writing systems a web crawl actually mixes.
+    */
+  val scriptBlocks: Seq[(String, String)] = {
+    def cls(lo: Int, hi: Int) = s"[${lo.toChar}-${hi.toChar}]"
+    Seq(
+      "latin" -> "[A-Za-z]",
+      "cyrillic" -> cls(0x0400, 0x04FF),
+      "greek" -> cls(0x0370, 0x03FF),
+      "arabic" -> cls(0x0600, 0x06FF),
+      "cjk" -> cls(0x4E00, 0x9FFF),
+      "hangul" -> cls(0xAC00, 0xD7AF),
+      "devanagari" -> cls(0x0900, 0x097F))
+  }
+
+  /** Per-document Unicode script profile: character count per major
+    * script block plus the dominant script (argmax, ties broken by the
+    * [[scriptBlocks]] order; all-zero → "none"). The script mix is the
+    * standard routing/quality signal next to [[langId]] — mixed-script
+    * spam, mojibake residue, and wrong-language boilerplate all show up
+    * as off-profile rows.
+    *
+    * Scale shape: pure per-row projection (codegen'd regexp counts),
+    * zero shuffles; counts are `length(text) - length(strip(block))`,
+    * which any engine reproduces exactly on BMP input.
+    */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    val counts = scriptBlocks.map { case (name, cls) =>
+      (length(col("text")) -
+        length(regexp_replace(col("text"), cls, ""))).cast("long").as(s"n_$name")
+    }
+    val withCounts = docs.select(col("doc_id") +: counts: _*)
+    val best = scriptBlocks.map(_._1).foldLeft((lit("none"), lit(0L))) {
+      case ((bl, bc), name) =>
+        val c = col(s"n_$name")
+        (when(c > bc, lit(name)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }
+    withCounts.select((col("doc_id") +: scriptBlocks.map(s => col(s"n_${s._1}"))) :+
+      best._1.as("dominant"): _*)
+  }
+
   /** Document fingerprint: md5 of the text with whitespace stripped —
     * whitespace-insensitive exact-dup key.
     */

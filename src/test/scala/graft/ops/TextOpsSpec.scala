@@ -379,4 +379,35 @@ class TextOpsSpec extends AnyFunSuite {
     }
     assert(run(1) == run(16))
   }
+
+  test("scriptProfile counts per-block chars and picks the dominant script") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "hello world"),                 // latin 10
+      (1L, "привет мир"),                  // cyrillic 9
+      (2L, "ab мир"),                      // latin 2, cyrillic 3 -> cyrillic
+      (3L, "abc мир"),                     // 3 vs 3 tie -> latin (block order)
+      (4L, "你好世界 γεια"),                // cjk 4, greek 4 -> greek (order)
+      (5L, "123 .,!?"),                    // no script chars -> none
+      (6L, "مرحبا देवनागरी 한글"))          // arabic 5, deva 8, hangul 2 -> deva
+    val got = TextOps.scriptProfile(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5), r.getString(8))).toMap
+    assert(got(0L) === ((10L, 0L, 0L, "latin")))
+    assert(got(1L) === ((0L, 9L, 0L, "cyrillic")))
+    assert(got(2L)._4 === "cyrillic")
+    assert(got(3L)._4 === "latin", "ties must break by block order")
+    assert(got(4L)._4 === "greek")
+    assert(got(5L)._4 === "none")
+    assert(got(6L)._4 === "devanagari")
+    assert(got(6L)._3 === 0L) // n_cjk stays zero on the arabic/deva/hangul row
+    assert(got(4L)._3 === 4L) // n_cjk counted on the cjk+greek row
+  }
+
+  test("scriptProfile is a pure projection: zero exchanges in the plan") {
+    import spark.implicits._
+    val plan = TextOps.scriptProfile(Seq((1L, "abc")).toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "scriptProfile shuffled:\n" + plan.take(1200))
+  }
 }
