@@ -49,7 +49,9 @@ object PlanAudit {
       // frontier BFS (per-round frontier x edges equi-join + anti join)
       "web_reach",
       // eTLD+1: map-only page side behind k broadcast suffix probes
-      "url_reg_domain")
+      "url_reg_domain",
+      // co-citation: capped per-source window + one self-equi-join
+      "web_cocite")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

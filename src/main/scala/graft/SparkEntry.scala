@@ -1067,6 +1067,20 @@ object SparkEntry {
         ((col("doc_id") * 17 + 3) % 97).as("dst"))
       WebOps.pageRank(e1.unionByName(e2), iters = 5)
     },
+    "web_cocite" -> { (s, dir) =>
+      // co-citation over a 3-family host graph (29 hosts, out-degree up
+      // to 3); capPerSource=2 is LIVE (out-degree-3 sources are
+      // deterministically trimmed to their two lowest targets) and the
+      // oracle mirrors the cap exactly — cap semantics are part of the
+      // contract, not a fuzzy heuristic
+      val d = documentsOf(s, dir)
+      val fams = Seq((31L, 7L), (17L, 3L), (23L, 11L)).map { case (p, q) =>
+        d.select((col("doc_id") % 29).as("src"),
+          ((col("doc_id") * p + q) % 29).as("dst"))
+      }
+      WebOps.cocitationPairs(fams.reduce(_ unionByName _),
+        minShared = 1, capPerSource = 2)
+    },
     "web_trustrank" -> { (s, dir) =>
       // TrustRank on the same deterministic host graph as web_pagerank,
       // seeds = hosts divisible by 13; exact integer fixed-point, so
@@ -3634,6 +3648,24 @@ object SparkEntry {
          ${(1 to 5).map(iter).mkString("\n")}
          SELECT host, rank FROM r5"""
     },
+
+    "web_cocite" ->
+      """WITH e AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 29 AS src, (doc_id * 31 + 7) % 29 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 29, (doc_id * 17 + 3) % 29 FROM documents
+             UNION ALL
+             SELECT doc_id % 29, (doc_id * 23 + 11) % 29 FROM documents)
+           WHERE src <> dst),
+         c AS (SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+               FROM e),
+         capped AS (SELECT src, dst FROM c WHERE rn <= 2)
+         SELECT a.dst AS t1, b.dst AS t2, COUNT(*) AS n_shared
+         FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
+         GROUP BY 1, 2
+         HAVING COUNT(*) >= 1""",
 
     "web_trustrank" -> {
       // unrolled mirror of WebOps.trustRank's 5 seeded integer

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL-level operators for web-corpus pipelines over the `pages` table
@@ -460,6 +461,52 @@ object WebOps {
         when(length(col(hostCol)) > 0, regDomain).otherwise(lit(null)))
       .drop((1 to maxSuffixLabels).map(k => s"_m$k") :+ "_labels" :+ "_n": _*)
   }
+
+  /** Co-citation pairs (Small 1973, the classic link-similarity signal):
+    * target pairs ranked by how many common sources link to BOTH — the
+    * host/page relatedness measure behind "related pages" and seed
+    * expansion. Bibliographic coupling (shared out-neighbors) is the
+    * same op on reversed edges ([[couplingPairs]]).
+    *
+    * Scale shape: one self-equi-join on `src` + one map-side-combined
+    * count. The hazard is out-degree skew — a directory page with 10⁴
+    * out-links alone emits 10⁸ pairs — so each source's out-list is
+    * CAPPED at `capPerSource` targets (deterministic: lowest dst ids;
+    * -1 = uncapped). The cap is part of the op's semantics (same
+    * trade-off as winnowPairs' bucket cap) and is mirrored exactly by
+    * the oracle, not a best-effort heuristic.
+    */
+  def cocitationPairs(edges: DataFrame, minShared: Long = 2,
+                      capPerSource: Int = 256): DataFrame = {
+    require(minShared >= 1, s"cocitationPairs: minShared >= 1, got $minShared")
+    require(capPerSource > 0 || capPerSource == -1,
+      s"capPerSource must be positive, or -1 for uncapped, got $capPerSource")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val capped =
+      if (capPerSource == -1) e
+      else {
+        val w = Window.partitionBy("src").orderBy("dst")
+        e.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= capPerSource).drop("rn")
+      }
+    capped.as("a").join(capped.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("t1"), col("b.dst").as("t2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Bibliographic coupling (Kessler 1963): source pairs sharing
+    * out-neighbors — [[cocitationPairs]] over reversed edges.
+    */
+  def couplingPairs(edges: DataFrame, minShared: Long = 2,
+                    capPerSource: Int = 256): DataFrame =
+    cocitationPairs(
+      edges.select(col("dst").as("src"), col("src").as("dst")),
+      minShared, capPerSource)
 
   /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen — "Combating Web Spam
     * with TrustRank", VLDB 2004): PageRank with the teleport vector

@@ -274,6 +274,50 @@ class PageRankSpec extends AnyFunSuite {
     assert(runReach(edges, Seq(0L, 5L), 0) === Map(0L -> 0, 5L -> 0))
   }
 
+  // ---------------- co-citation / coupling ----------------
+
+  test("cocitationPairs matches brute force; coupling is cocitation of the reverse") {
+    import spark.implicits._
+    val edges = (0L until 300L).flatMap(i =>
+      Seq((i % 13, (i * 7 + 1) % 17), (i % 13, (i * 11 + 5) % 17),
+          (i % 13, (i * 3 + 2) % 17)))
+      .map { case (s, d) => (s, d + 100) } // disjoint src/dst id spaces
+    val clean = edges.filter { case (s, d) => s != d }.distinct
+    val bySrc = clean.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val exp = bySrc.values.flatMap { ds =>
+      for (i <- ds.indices; j <- (i + 1) until ds.size) yield (ds(i), ds(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 2)
+    val got = WebOps.cocitationPairs(edges.toDF("src", "dst"),
+        minShared = 2, capPerSource = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === exp)
+    assert(got.nonEmpty, "fixture produced no shared pairs — too weak")
+    // coupling(edges) == cocitation(reversed edges)
+    val coup = WebOps.couplingPairs(edges.toDF("src", "dst"), 2, -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rev = WebOps.cocitationPairs(
+        edges.map(_.swap).toDF("src", "dst"), 2, -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(coup === rev)
+  }
+
+  test("cocitationPairs cap bounds a directory-page source deterministically") {
+    import spark.implicits._
+    // one hub source linking 100 targets + a small honest source
+    val hub = (0L until 100L).map(t => (1000L, t))
+    val small = Seq((5L, 0L), (5L, 1L), (5L, 2L))
+    val got = WebOps.cocitationPairs((hub ++ small).toDF("src", "dst"),
+        minShared = 1, capPerSource = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // hub contributes C(4,2)=6 pairs over its 4 LOWEST targets; source 5
+    // contributes C(3,2)=3 pairs; overlap on (0,1),(0,2),(1,2) -> n=2
+    assert(got.size === 6)
+    assert(got.contains((0L, 1L, 2L)) && got.contains((2L, 3L, 1L)))
+    assert(!got.exists { case (a, b, _) => a >= 4L || b > 4L },
+      "cap leaked a high target id from the hub")
+  }
+
   test("trustRank is deterministic across parallelism levels") {
     val edges = (0L until 300L).flatMap(i =>
       Seq((i % 31, (i * 31 + 7) % 31), (i % 31, (i * 13 + 5) % 31)))
