@@ -1186,6 +1186,15 @@ object SparkEntry {
         probeFilter = col("doc_id") % 10 === 0)
     },
     "dedup_simhash" -> { (s, dir) => Dedup.simhash16(documentsOf(s, dir)) },
+    "dedup_contain_pairs" -> { (s, dir) =>
+      // asymmetric containment |A∩B|/|A| >= 9/10 (quote/excerpt
+      // detection); rational threshold, all-integer certificates; the
+      // oracle is the brute-force inverted-index SQL join. 9/10 + the
+      // sparser probe keeps the dup-heavy corpus's output bounded (the
+      // op is output-bound by construction)
+      Dedup.containmentPairs(documentsOf(s, dir), tNum = 9, tDen = 10,
+        probeFilter = col("doc_id") % 25 === 0)
+    },
     "dedup_simhash_pairs" -> { (s, dir) =>
       // Manku WWW'07: 64-bit simhash + lossless 4x16-bit pigeonhole
       // hamming join at distance <= 3 (md5prefix oracle family; the
@@ -3888,6 +3897,19 @@ object SparkEntry {
     "dedup_simhash" -> (sqlToks + simhashOracleTail),
 
     "dedup_simhash_pairs" -> (sqlToks + simhash64PairsOracleTail),
+
+    "dedup_contain_pairs" -> (sqlToks +
+      """, inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+           WHERE a.doc_id % 25 = 0
+           GROUP BY 1, 2)
+         SELECT i.doc_a, i.doc_b, i.inter,
+                na.n_toks AS n_a, nb.n_toks AS n_b
+         FROM inter i
+         JOIN sizes na ON i.doc_a = na.doc_id
+         JOIN sizes nb ON i.doc_b = nb.doc_id
+         WHERE i.inter * 10 >= 9 * na.n_toks"""),
 
     "dedup_minhash_shingles" ->
       // 3-gram shingle signature: shingles rebuilt by ranked self-joins

@@ -244,6 +244,67 @@ object Dedup {
     verifyJaccardFrom(toks, sizes, cand).filter(col("jaccard") >= threshold)
   }
 
+  /** Exact all-pairs CONTAINMENT join: ordered pairs (a, b) with
+    * |tokens(a) ∩ tokens(b)| / |tokens(a)| ≥ tNum/tDen — the asymmetric
+    * cousin of [[jaccardSimilarPairs]], used for quote / excerpt /
+    * subset-page detection where a short document is near-contained in
+    * a longer one (Jaccard misses these: a 50-token quote inside a
+    * 5000-token page has J ≈ 0.01 but containment 1.0).
+    *
+    * The threshold is RATIONAL and every bound is integer arithmetic —
+    * prefix length, positional prune, and the accept certificate
+    * inter·tDen ≥ tNum·|a| are all exact (⌈t·n⌉ = (tNum·n + tDen − 1)
+    * div tDen), so no float slack term is needed anywhere and the SQL
+    * oracle mirrors bit-for-bit.
+    *
+    * Prefix rule (probe side a): if a qualifying pair shared no token in
+    * a's |a| − ⌈t·|a|⌉ + 1 rarest tokens, the overlap is at most
+    * |a| − prefixLen < ⌈t·|a|⌉ — contradiction; probing prefixes against
+    * FULL token sets is lossless. Positional prune: a shared token at
+    * rarity ranks (i, j) caps the overlap at min(|a|−i, |b|−j) + 1.
+    * Same df-ordered machinery as PPJoin; the df join is NOT hint-forced
+    * to broadcast (AQE decides — the VERDICT r4 tfidf hazard).
+    */
+  def containmentPairs(docs: DataFrame, tNum: Long = 4, tDen: Long = 5,
+                       probeFilter: Column = lit(true)): DataFrame = {
+    require(tNum >= 1 && tDen >= tNum,
+      s"containmentPairs: need 0 < tNum/tDen <= 1, got $tNum/$tDen")
+    val (toks, sizes) = tokenArtifacts(docs)
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val ranked = toks
+      .join(dfreq, "tok")
+      .withColumn("pos", row_number().over(byRarity))
+      .join(sizes, "doc_id")
+      .select("doc_id", "tok", "pos", "n_toks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ⌈t·n⌉ exactly: floor((tNum·n + tDen−1)/tDen); the double division
+    // is exact below 2^53, far above any real token count
+    def ceilT(n: Column): Column =
+      floor((lit(tNum) * n + lit(tDen - 1)) / lit(tDen)).cast("long")
+    val minOverlap = ceilT(col("p.n_toks"))
+    val prefixes = ranked
+      .filter(col("pos") <= col("n_toks") - ceilT(col("n_toks")) + 1)
+      .filter(probeFilter)
+    val cand = prefixes.as("p").join(ranked.as("t"),
+        col("p.tok") === col("t.tok") && col("p.doc_id") =!= col("t.doc_id") &&
+          least(col("p.n_toks") - col("p.pos"), col("t.n_toks") - col("t.pos")) +
+            lit(1) >= minOverlap)
+      .select(col("p.doc_id").as("doc_a"), col("t.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(toks.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("na.n_toks").as("n_a"), col("nb.n_toks").as("n_b"))
+      .filter(col("inter") * lit(tDen) >= lit(tNum) * col("n_a"))
+  }
+
   /** Exact all-pairs COSINE similarity ≥ tNum/tDen over quantized-idf
     * token vectors, with suffix-norm prefix filtering (the weighted
     * AllPairs candidate rule — Bayardo, Ma & Srikant, WWW 2007, public

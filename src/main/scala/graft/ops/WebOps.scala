@@ -550,9 +550,14 @@ object WebOps {
     val sN = seed.count()
     require(sN > 0, "trustRank: no seed host present in the graph")
     val base = (scale * (dampDen - dampNum)) / (dampDen * sN)
-    var ranks = nodes.join(seed, Seq("host"), "left")
+    // flag the nodes ONCE; every round reuses the materialized frame
+    // instead of re-running the seed join (one join per round saved)
+    val flagged = nodes.join(seed, Seq("host"), "left")
+      .select(col("host"), col("is_seed").isNotNull.as("seeded"))
+      .persist()
+    var ranks = flagged
       .select(col("host"),
-        when(col("is_seed").isNotNull, lit(scale / sN)).otherwise(lit(0L)).as("rank"))
+        when(col("seeded"), lit(scale / sN)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint(eager = false)
     var it = 0
     while (it < iters) {
@@ -566,17 +571,17 @@ object WebOps {
         .select(col("dst"),
           expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(seed, Seq("host"), "left")
+      ranks = flagged
         .join(contrib, col("host") === contrib("dst"), "left")
         .select(col("host"),
-          (when(col("is_seed").isNotNull, lit(base + dShare)).otherwise(lit(0L)) +
+          (when(col("seeded"), lit(base + dShare)).otherwise(lit(0L)) +
             coalesce(col("contrib"), lit(0L))).as("rank"))
         .localCheckpoint(eager = false)
       it += 1
     }
     val out = ranks
     out.count() // materialize before unpersisting the inputs it no longer needs
-    e.unpersist(); nodes.unpersist(); seed.unpersist()
+    e.unpersist(); nodes.unpersist(); seed.unpersist(); flagged.unpersist()
     out
   }
 

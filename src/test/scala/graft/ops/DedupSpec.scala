@@ -168,6 +168,51 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(false, true))
   }
 
+  test("containmentPairs matches brute force; catches quotes Jaccard misses") {
+    import spark.implicits._
+    val long = (0 until 200).map(i => s"w$i").mkString(" ")
+    val quote = (0 until 40).map(i => s"w$i").mkString(" ")   // ⊂ long, J=0.2
+    val near = (0 until 40).map(i => if (i < 36) s"w$i" else s"z$i").mkString(" ")
+    val other = (0 until 50).map(i => s"q$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, quote), (3L, near), (4L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over distinct token sets
+    val sets = Map(1L -> (0 until 200).map(i => s"w$i").toSet,
+      2L -> (0 until 40).map(i => s"w$i").toSet,
+      3L -> (0 until 40).map(i => if (i < 36) s"w$i" else s"z$i").toSet,
+      4L -> (0 until 50).map(i => s"q$i").toSet)
+    val exp = (for {
+      a <- sets.keys; b <- sets.keys; if a != b
+      inter = (sets(a) & sets(b)).size.toLong
+      if inter * 5 >= 4 * sets(a).size
+    } yield (a, b) -> inter).toMap
+    assert(got === exp)
+    assert(got.contains((2L, 1L)) && got((2L, 1L)) === 40L,
+      "exact quote must be contained in the long doc")
+    assert(!got.contains((1L, 2L)), "containment is asymmetric")
+    // near: 36 of 40 in long -> 36*5 = 180 >= 4*40 = 160 -> accepted
+    assert(got.contains((3L, 1L)))
+    // the same pair is invisible to symmetric Jaccard at 0.5
+    val j = Dedup.jaccardSimilarPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((2L, 1L)) && !j.contains((1L, 2L)))
+  }
+
+  test("containmentPairs rational threshold boundary is exact (no float slack)") {
+    import spark.implicits._
+    // |A|=5, threshold 4/5: inter=4 accepted (4*5 >= 4*5), inter=3 rejected
+    val a = "t1 t2 t3 t4 t5"
+    val b4 = "t1 t2 t3 t4 x1 x2"       // shares exactly 4
+    val b3 = "t1 t2 t3 y1 y2 y3"       // shares exactly 3
+    val docs = Seq((1L, a), (2L, b4), (3L, b3)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, tNum = 4, tDen = 5,
+        probeFilter = col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(2L -> 4L))
+  }
+
   test("sigPrunePairs: prunes sub-threshold band collisions, loses no dup") {
     // Sparse-corpus shape: families sharing a small token core (J ≈ 0.18,
     // junk that still collides in 2-row bands) plus planted near-dups
