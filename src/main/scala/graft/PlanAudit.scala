@@ -51,7 +51,9 @@ object PlanAudit {
       // eTLD+1: map-only page side behind k broadcast suffix probes
       "url_reg_domain",
       // co-citation: capped per-source window + one self-equi-join
-      "web_cocite")
+      "web_cocite",
+      // containment: prefix-filtered probe join + integer verify
+      "dedup_contain_pairs")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -1067,6 +1067,36 @@ object SparkEntry {
         ((col("doc_id") * 17 + 3) % 97).as("dst"))
       WebOps.pageRank(e1.unionByName(e2), iters = 5)
     },
+    "web_sitemaps" -> { (s, dir) =>
+      // group-independent Sitemap harvest: directives above, inside, and
+      // after UA groups (all must surface), mixed case, a lookalike
+      // directive (sitemapfoo:) and an empty value (both dropped)
+      val p = Pages.pages(s, dir)
+      val hosts = p.select(
+        WebOps.hostOf(WebOps.normalizeUrl(col("url"))).as("host")).distinct()
+      val k = regexp_extract(col("host"), "^host([0-9]+)\\.", 1).cast("long")
+      val robots = hosts.select(col("host"), concat(
+        lit("Sitemap: https://"), col("host"), lit("/s"), (k % 3).cast("string"),
+        lit(".xml\nUser-Agent: *\nDisallow: /x\nsitemapfoo: junk\n"),
+        when(k % 2 === 0,
+          concat(lit("sitemap: https://"), col("host"), lit("/alt.xml\n")))
+          .otherwise(lit("")),
+        lit("Sitemap:\nSitemap: https://"), col("host"), lit("/last.xml"))
+        .as("robots_txt"))
+      WebOps.sitemaps(robots)
+    },
+    "web_scc_seed" -> { (s, dir) =>
+      // bounded-hop SCC membership around seed host 0 (8 hops covers
+      // the fixture's eccentricity both ways); forward ∩ backward
+      // frontier BFS with both hop distances
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      val seeds = d.sparkSession.range(1).select(lit(0L).as("host"))
+      WebOps.sccOfSeed(e1.unionByName(e2), seeds, maxHops = 8)
+    },
     "web_cocite" -> { (s, dir) =>
       // co-citation over a 3-family host graph (29 hosts, out-degree up
       // to 3); capPerSource=2 is LIVE (out-degree-3 sources are
@@ -3656,6 +3686,59 @@ object SparkEntry {
          r0 AS (SELECT host, $scale // (SELECT cnt FROM nn) AS rank FROM nodes)
          ${(1 to 5).map(iter).mkString("\n")}
          SELECT host, rank FROM r5"""
+    },
+
+    "web_sitemaps" ->
+      // re-split the same synthesized robots.txt; the LIKE prefix test,
+      // first-colon value extraction, and empty-value drop replay the
+      // engine's codegen'd string ops exactly (pos is 0-based in Spark's
+      // posexplode, 1-based in generate_subscripts — hence pos - 1)
+      """WITH hostsk AS (SELECT DISTINCT doc_id % 97 AS k FROM documents),
+        robots AS (SELECT 'host' || CAST(k AS VARCHAR) || '.example' AS host,
+          'Sitemap: https://host' || CAST(k AS VARCHAR) || '.example/s' ||
+            CAST(k % 3 AS VARCHAR) || '.xml' || chr(10) ||
+          'User-Agent: *' || chr(10) || 'Disallow: /x' || chr(10) ||
+          'sitemapfoo: junk' || chr(10) ||
+          CASE WHEN k % 2 = 0 THEN 'sitemap: https://host' || CAST(k AS VARCHAR)
+            || '.example/alt.xml' || chr(10) ELSE '' END ||
+          'Sitemap:' || chr(10) ||
+          'Sitemap: https://host' || CAST(k AS VARCHAR) || '.example/last.xml'
+          AS txt FROM hostsk),
+        lines AS (SELECT host,
+          generate_subscripts(string_split(txt, chr(10)), 1) - 1 AS pos,
+          unnest(string_split(txt, chr(10))) AS line FROM robots),
+        hits AS (SELECT host,
+            trim(substr(trim(line), instr(trim(line), ':') + 1)) AS sitemap,
+            CAST(pos AS INT) AS ord
+          FROM lines WHERE lower(trim(line)) LIKE 'sitemap:%')
+        SELECT host, sitemap, ord FROM hits WHERE sitemap <> ''""",
+
+    "web_scc_seed" -> {
+      // forward and backward 8-round min-hop relaxation chains joined on
+      // host — the SQL twin of sccOfSeed's two frontier BFS passes
+      def chain(p: String, srcCol: String, dstCol: String): String = {
+        val iters = (1 to 8).map { k =>
+          s""", $p$k AS (
+               SELECT host, CAST(MIN(hops) AS INT) AS hops FROM (
+                 SELECT host, hops FROM $p${k - 1}
+                 UNION ALL
+                 SELECT e.$dstCol AS host, r.hops + 1 AS hops
+                 FROM $p${k - 1} r JOIN edges e ON r.host = e.$srcCol)
+               GROUP BY host)"""
+        }.mkString("\n")
+        s""", ${p}0 AS (SELECT CAST(0 AS BIGINT) AS host, CAST(0 AS INT) AS hops)
+           $iters"""
+      }
+      s"""WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst)
+         ${chain("f", "src", "dst")}
+         ${chain("b", "dst", "src")}
+         SELECT f8.host, f8.hops AS hops_fwd, b8.hops AS hops_bwd
+         FROM f8 JOIN b8 ON f8.host = b8.host"""
     },
 
     "web_cocite" ->

@@ -632,6 +632,42 @@ object WebOps {
     out
   }
 
+  /** Bounded-hop strongly-connected membership around a seed set: the
+    * hosts reachable FROM a seed AND able to reach a seed back, with
+    * both hop distances — exact SCC membership whenever `maxHops` covers
+    * the graph's diameter, and the standard crawl-trap / link-farm
+    * detector either way (a spider trap is reachable from the frontier
+    * but has no path back to the well-linked core, so it never appears
+    * here). Two [[reachable]] frontier BFS passes (forward, and over
+    * reversed edges) + one equi-join; inherits their scale shape.
+    */
+  def sccOfSeed(edges: DataFrame, seeds: DataFrame, maxHops: Int = 16): DataFrame = {
+    val fwd = reachable(edges, seeds, maxHops)
+      .select(col("host"), col("hops").as("hops_fwd"))
+    val bwd = reachable(
+        edges.select(col("dst").as("src"), col("src").as("dst")), seeds, maxHops)
+      .select(col("host"), col("hops").as("hops_bwd"))
+    fwd.join(bwd, Seq("host"))
+  }
+
+  /** Sitemap directives from robots.txt (RFC 9309 §2.3: `Sitemap:` lines
+    * are GROUP-INDEPENDENT, unlike allow/disallow — they apply from
+    * anywhere in the file, so this harvest deliberately ignores the
+    * user-agent grouping [[parseRobots]] builds). Returns (host,
+    * sitemap, ord) with `ord` the 0-based line ordinal, keeping document
+    * order for crawlers that treat earlier sitemaps as preferred.
+    * Map-only: one split + posexplode + codegen'd string ops per host.
+    */
+  def sitemaps(robots: DataFrame, txtCol: String = "robots_txt"): DataFrame = {
+    val lines = robots.select(col("host"),
+      posexplode(split(col(txtCol), "\n")).as(Seq("pos", "line")))
+    lines.filter(lower(trim(col("line"))).startsWith("sitemap:"))
+      .select(col("host"),
+        trim(expr("substr(trim(line), instr(trim(line), ':') + 1)")).as("sitemap"),
+        col("pos").cast("int").as("ord"))
+      .filter(col("sitemap") =!= "")
+  }
+
   /** Per-host corpus statistics: page count, distinct languages, total
     * text characters, first/last crawl timestamp. One hash aggregation
     * with map-side combine on the host key — the host distribution of a

@@ -274,6 +274,22 @@ class PageRankSpec extends AnyFunSuite {
     assert(runReach(edges, Seq(0L, 5L), 0) === Map(0L -> 0, 5L -> 0))
   }
 
+  test("sccOfSeed keeps the cycle core and excludes a crawl trap") {
+    import spark.implicits._
+    // core cycle 0->1->2->0 ; trap: 2->10->11->10 (reachable, no way back);
+    // upstream-only: 20->0 (reaches the seed, unreachable from it)
+    val edges = Seq[(Long, Long)](
+      (0, 1), (1, 2), (2, 0), (2, 10), (10, 11), (11, 10), (20, 0))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("host")
+    val got = WebOps.sccOfSeed(edges, seeds, maxHops = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    assert(got(0L) === ((0, 0)))
+    assert(got(1L) === ((1, 2))) // 1 hop out, 2 hops back (1->2->0)
+    assert(got(2L) === ((2, 1)))
+  }
+
   // ---------------- co-citation / coupling ----------------
 
   test("cocitationPairs matches brute force; coupling is cocitation of the reverse") {

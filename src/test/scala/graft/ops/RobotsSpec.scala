@@ -88,4 +88,31 @@ class RobotsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(got === Map(1L -> false, 2L -> true, 3L -> true))
   }
+
+  test("sitemaps are harvested group-independently, in document order") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.example",
+        "Sitemap: https://a.example/top.xml\n" +   // before any group
+        "User-Agent: onlybot\nDisallow: /\n" +
+        "SITEMAP: https://a.example/in-named-group.xml\n" + // inside a NAMED group — still applies
+        "User-Agent: *\nDisallow: /x\n" +
+        "sitemap:https://a.example/nospace.xml\n" +  // no space after colon
+        "sitemapfoo: junk\n" +                       // lookalike directive
+        "Sitemap:\n" +                               // empty value
+        "Sitemap: https://a.example/last.xml"),
+      ("b.example", "User-Agent: *\nDisallow: /"))   // no sitemaps at all
+      .toDF("host", "robots_txt")
+    val got = WebOps.sitemaps(robots)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._3)
+    assert(got.forall(_._1 == "a.example"))
+    assert(got.map(_._2).toSeq === Seq(
+      "https://a.example/top.xml",
+      "https://a.example/in-named-group.xml",
+      "https://a.example/nospace.xml",
+      "https://a.example/last.xml"))
+    assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted,
+      "ordinals must preserve document order")
+  }
 }
