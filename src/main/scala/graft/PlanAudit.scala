@@ -53,7 +53,10 @@ object PlanAudit {
       // co-citation: capped per-source window + one self-equi-join
       "web_cocite",
       // containment: prefix-filtered probe join + integer verify
-      "dedup_contain_pairs")
+      "dedup_contain_pairs",
+      // boilerplate strip: line explode + doc-frequency agg + equi-join
+      // back + one bounded per-doc reassembly agg
+      "web_boilerplate")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

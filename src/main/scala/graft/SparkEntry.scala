@@ -1154,6 +1154,25 @@ object SparkEntry {
         .select(col("node"), col("hub").cast("long").as("hub"),
           col("auth").cast("long").as("auth"))
     },
+    "web_boilerplate" -> { (s, dir) =>
+      // host-level boilerplate line removal at threshold 1/2: every page
+      // of host k carries the host's header plus the cross-host footer
+      // (both 100% — dropped), a "promo line" on even doc_ids only
+      // (~half of each host's pages, so the integer threshold test is
+      // LIVE on odd-sized hosts), and two unique lines that must survive
+      // byte-identically in document order
+      val p = Pages.pages(s, dir)
+      val k = (col("doc_id") % 97).cast("string")
+      val boilered = concat(
+        lit("(c) host"), k, lit(" header\n"),
+        lit("body "), col("doc_id").cast("string"), lit("\n"),
+        when(col("doc_id") % 2 === 0, lit("promo line\n")).otherwise(lit("")),
+        substring(col("text"), 1, 40),
+        lit("\nfooter common"))
+      WebOps.stripBoilerplate(
+        p.select(col("doc_id"), col("url"), boilered.as("text")),
+        fracNum = 1, fracDen = 2, minHostDocs = 2)
+    },
     "text_pack" -> { (s, dir) =>
       // 512-token packing manifest; bucket=64 so the distributed
       // prefix-sum path (bucket offsets + local cumsum) actually
@@ -3758,6 +3777,42 @@ object SparkEntry {
          FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
          GROUP BY 1, 2
          HAVING COUNT(*) >= 1""",
+
+    "web_boilerplate" ->
+      // rebuild the same boilerplated text, replay the per-(host, line)
+      // document frequency and the integer cross-multiplied threshold
+      // (n_docs*2 >= n_host_docs*1, hosts with >= 2 pages), then
+      // reassemble survivors in document order (pos is 0-based in Spark's
+      // posexplode, 1-based in generate_subscripts — hence pos - 1;
+      // string_agg over zero survivors is NULL — hence the COALESCE,
+      // matching Spark's array_join over an empty array)
+      Pages.sqlWith("""
+        , p AS (SELECT doc_id,
+            'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+            '(c) host' || CAST(doc_id % 97 AS VARCHAR) || ' header' || chr(10) ||
+            'body ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+            CASE WHEN doc_id % 2 = 0 THEN 'promo line' || chr(10) ELSE '' END ||
+            substr(text, 1, 40) || chr(10) || 'footer common' AS t
+          FROM pages),
+        lns AS (SELECT doc_id, host,
+            generate_subscripts(string_split(t, chr(10)), 1) - 1 AS pos,
+            unnest(string_split(t, chr(10))) AS line FROM p),
+        hd AS (SELECT host, COUNT(*) AS n_host_docs FROM p GROUP BY host),
+        lf AS (SELECT host, line, COUNT(DISTINCT doc_id) AS n_docs
+               FROM lns GROUP BY host, line),
+        boiler AS (SELECT lf.host, lf.line FROM lf JOIN hd ON lf.host = hd.host
+                   WHERE lf.n_docs * 2 >= hd.n_host_docs * 1
+                     AND hd.n_host_docs >= 2),
+        flag AS (SELECT l.doc_id, l.host, l.pos, l.line,
+                   b.line IS NOT NULL AS is_b
+                 FROM lns l LEFT JOIN boiler b
+                   ON l.host = b.host AND l.line = b.line)
+        SELECT doc_id, host,
+          COALESCE(string_agg(CASE WHEN NOT is_b THEN line END,
+                              chr(10) ORDER BY pos), '') AS clean_text,
+          COUNT(CASE WHEN NOT is_b THEN 1 END) AS n_kept,
+          COUNT(CASE WHEN is_b THEN 1 END) AS n_dropped
+        FROM flag GROUP BY doc_id, host"""),
 
     "web_trustrank" -> {
       // unrolled mirror of WebOps.trustRank's 5 seeded integer

@@ -668,6 +668,62 @@ object WebOps {
       .filter(col("sitemap") =!= "")
   }
 
+  /** Host-level boilerplate line removal — the CCNet/RefinedWeb curation
+    * step that strips navigation chrome, cookie banners, and copyright
+    * footers: a line is boilerplate for a host iff it appears in at least
+    * `fracNum/fracDen` of that host's pages (pages counted once per line,
+    * however often the line repeats inside one page) and the host has at
+    * least `minHostDocs` pages (below that, frequency is meaningless and
+    * nothing is stripped). The threshold test is an integer
+    * cross-multiplication (`n_docs·fracDen ≥ n_host_docs·fracNum`) — no
+    * float ever enters, so the kept/dropped decision is exact and a SQL
+    * oracle mirrors it verbatim.
+    *
+    * Scale shape at 10^12 pages: one map-only line explode; the per-(host,
+    * line) document frequency is a distinct + map-side-combined count (the
+    * combine collapses a hot host's repeated banner lines before the
+    * shuffle); the boilerplate set joins back as a plain equi-join on
+    * (host, line) — it holds only lines crossing the frequency threshold,
+    * a small fraction of the distinct-line universe, and AQE picks
+    * broadcast vs shuffle per its actual size. Per-doc reassembly is ONE
+    * hash aggregation whose state is bounded by the page's own line count
+    * (collect_list of (pos, line) survivors, sorted — pos makes the sort
+    * key unique, so the rebuilt text is parallelism-independent).
+    *
+    * Returns one row per page: (doc_id, host, clean_text, n_kept,
+    * n_dropped); `clean_text` is the surviving lines in document order
+    * ("" when every line was boilerplate).
+    */
+  def stripBoilerplate(pages: DataFrame, fracNum: Int = 1, fracDen: Int = 2,
+                       minHostDocs: Int = 2,
+                       textCol: String = "text"): DataFrame = {
+    require(fracNum >= 1 && fracDen >= fracNum,
+      s"stripBoilerplate: need 1 <= fracNum <= fracDen, got $fracNum/$fracDen")
+    require(minHostDocs >= 2,
+      s"stripBoilerplate: minHostDocs must be >= 2, got $minHostDocs")
+    val p = pages.select(col("doc_id"),
+      hostOf(normalizeUrl(col("url"))).as("host"), col(textCol).as("t"))
+    val lines = p.select(col("doc_id"), col("host"),
+      posexplode(split(col("t"), "\n")).as(Seq("pos", "line")))
+    val hostDocs = p.groupBy("host")
+      .agg(count(lit(1)).as("n_host_docs"))
+    val lineFreq = lines.select("host", "line", "doc_id").distinct()
+      .groupBy("host", "line").agg(count(lit(1)).as("n_docs"))
+    val boiler = lineFreq.join(hostDocs, "host")
+      .filter(col("n_docs") * fracDen >= col("n_host_docs") * fracNum &&
+        col("n_host_docs") >= minHostDocs)
+      .select(col("host"), col("line"), lit(true).as("is_b"))
+    lines.join(boiler, Seq("host", "line"), "left")
+      .groupBy("doc_id", "host")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("is_b").isNull, struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(when(col("is_b").isNull, 1)).as("n_kept"),
+        count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
+  }
+
   /** Per-host corpus statistics: page count, distinct languages, total
     * text characters, first/last crawl timestamp. One hash aggregation
     * with map-side combine on the host key — the host distribution of a
