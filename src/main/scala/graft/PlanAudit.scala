@@ -56,7 +56,10 @@ object PlanAudit {
       "dedup_contain_pairs",
       // boilerplate strip: line explode + doc-frequency agg + equi-join
       // back + one bounded per-doc reassembly agg
-      "web_boilerplate")
+      "web_boilerplate",
+      // triangles: degree-ordered orientation, wedge self-equi-join with
+      // the order predicate as a join filter, closing equi-join
+      "web_triangles")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

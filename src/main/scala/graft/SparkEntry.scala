@@ -1154,6 +1154,18 @@ object SparkEntry {
         .select(col("node"), col("hub").cast("long").as("hub"),
           col("auth").cast("long").as("auth"))
     },
+    "web_triangles" -> { (s, dir) =>
+      // degree-ordered triangle counting over the 3-family undirected
+      // host graph (19 triangles at sf0.001 — enough that per-node
+      // counts, zero-triangle nodes, and the orientation tie-break are
+      // all exercised)
+      val d = documentsOf(s, dir)
+      val fams = Seq((31L, 7L), (17L, 3L), (23L, 11L)).map { case (p, q) =>
+        d.select((col("doc_id") % 97).as("src"),
+          ((col("doc_id") * p + q) % 97).as("dst"))
+      }
+      WebOps.triangleCounts(fams.reduce(_ unionByName _))
+    },
     "web_boilerplate" -> { (s, dir) =>
       // host-level boilerplate line removal at threshold 1/2: every page
       // of host k carries the host's header plus the cross-host footer
@@ -3777,6 +3789,36 @@ object SparkEntry {
          FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
          GROUP BY 1, 2
          HAVING COUNT(*) >= 1""",
+
+    "web_triangles" ->
+      // replay the canonicalize → degree → orient → wedge-join → close
+      // pipeline; the (ddeg, dst) lexicographic wedge order and the
+      // deg_a <= deg_b orientation tie-break mirror the Scala exactly
+      """WITH raw AS (
+           SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+           UNION ALL SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents
+           UNION ALL SELECT doc_id % 97, (doc_id * 23 + 11) % 97 FROM documents),
+         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                 FROM raw WHERE src <> dst),
+         deg AS (SELECT node, COUNT(*) AS deg FROM (
+                   SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+                 GROUP BY node),
+         o AS (SELECT CASE WHEN da.deg <= db.deg THEN u.a ELSE u.b END AS src,
+                      CASE WHEN da.deg <= db.deg THEN u.b ELSE u.a END AS dst,
+                      CASE WHEN da.deg <= db.deg THEN db.deg ELSE da.deg END AS ddeg
+               FROM und u JOIN deg da ON u.a = da.node
+                          JOIN deg db ON u.b = db.node),
+         tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                 FROM o e1 JOIN o e2 ON e1.src = e2.src
+                   AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+                 JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         cnt AS (SELECT node, COUNT(*) AS n_tri FROM (
+                   SELECT x AS node FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+                 GROUP BY node)
+         SELECT d.node, d.deg, COALESCE(c.n_tri, 0) AS n_tri
+         FROM deg d LEFT JOIN cnt c ON d.node = c.node""",
 
     "web_boilerplate" ->
       // rebuild the same boilerplated text, replay the per-(host, line)
