@@ -59,7 +59,10 @@ object PlanAudit {
       "web_boilerplate",
       // triangles: degree-ordered orientation, wedge self-equi-join with
       // the order predicate as a join filter, closing equi-join
-      "web_triangles")
+      "web_triangles",
+      // HLL sketch: map-only register derivation + one (group, register)
+      // hash agg with map-side combine; summary folds m-bounded state
+      "url_host_hll")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
 import graft.joins.{KnnJoin, SpatialJoins}
-import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, TextOps, WebOps}
+import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, Sketches, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
 import graft.tiles.{PatchGrid, RasterSpec, TileOps, TileOps2}
 
@@ -1153,6 +1153,28 @@ object SparkEntry {
       WebOps.hits(e1.unionByName(e2), iters = 2)
         .select(col("node"), col("hub").cast("long").as("hub"),
           col("auth").cast("long").as("auth"))
+    },
+    "url_hll_regs" -> { (s, dir) =>
+      // HyperLogLog register table (p=9, md5prefix oracle family) of
+      // distinct normalized URLs per lang — the mergeable sketch artifact
+      // itself, bit-exact because registers are pure hash-derived maxima
+      val p = Pages.pages(s, dir)
+      val n = p.select(col("lang"),
+        WebOps.normalizeUrl(col("url")).as("nurl"))
+      Sketches.hllRegisters(n, "nurl", Seq("lang"), p = 9,
+        family = "md5prefix")
+    },
+    "url_host_hll" -> { (s, dir) =>
+      // integer HLL summary per lang (occupied registers, zeros, exact
+      // integer indicator zint = 2^52·Z) — the estimate is one division
+      // away but stays out of the hash-checked artifact
+      val p = Pages.pages(s, dir)
+      val n = p.select(col("lang"),
+        WebOps.normalizeUrl(col("url")).as("nurl"))
+      Sketches.hllSummary(
+        Sketches.hllRegisters(n, "nurl", Seq("lang"), p = 9,
+          family = "md5prefix"),
+        Seq("lang"), p = 9)
     },
     "web_triangles" -> { (s, dir) =>
       // degree-ordered triangle counting over the 3-family undirected
@@ -3789,6 +3811,49 @@ object SparkEntry {
          FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
          GROUP BY 1, 2
          HAVING COUNT(*) >= 1""",
+
+    "url_hll_regs" ->
+      // replay hash60 (top 60 bits of md5), the p=9 bucket/suffix split,
+      // and the rank = 52 − bit_length(suffix) rule; to_base(rest, 2) is
+      // DuckDB's twin of Spark's conv(rest, 10, 2)
+      Pages.sqlWith("""
+        , n AS (SELECT lang,
+            'host' || CAST(doc_id % 97 AS VARCHAR) || '.example/' ||
+              CAST(doc_id AS VARCHAR) AS nurl
+          FROM pages),
+        h AS (SELECT lang,
+            CAST('0x' || substr(md5(nurl), 1, 15) AS BIGINT) AS h60 FROM n),
+        r AS (SELECT lang, h60 & 511 AS reg_no, h60 >> 9 AS rest FROM h),
+        k AS (SELECT lang, reg_no,
+            CASE WHEN rest = 0 THEN 52
+                 ELSE 52 - length(to_base(rest, 2)) END AS rank FROM r)
+        SELECT lang, reg_no, CAST(MAX(rank) AS INT) AS reg
+        FROM k GROUP BY lang, reg_no"""),
+
+    "url_host_hll" ->
+      // same register table folded to the integer summary: occupied
+      // count, zeros, and zint = Σ 2^(52−M_j) over all 512 registers
+      // (empty registers at rank 0 contribute 2^52 each)
+      Pages.sqlWith("""
+        , n AS (SELECT lang,
+            'host' || CAST(doc_id % 97 AS VARCHAR) || '.example/' ||
+              CAST(doc_id AS VARCHAR) AS nurl
+          FROM pages),
+        h AS (SELECT lang,
+            CAST('0x' || substr(md5(nurl), 1, 15) AS BIGINT) AS h60 FROM n),
+        r AS (SELECT lang, h60 & 511 AS reg_no, h60 >> 9 AS rest FROM h),
+        k AS (SELECT lang, reg_no,
+            CASE WHEN rest = 0 THEN 52
+                 ELSE 52 - length(to_base(rest, 2)) END AS rank FROM r),
+        regs AS (SELECT lang, reg_no, MAX(rank) AS reg
+                 FROM k GROUP BY lang, reg_no),
+        s AS (SELECT lang, COUNT(*) AS nonzero,
+                SUM(CAST((CAST(1 AS BIGINT) << (52 - reg)) AS HUGEINT)) AS znon
+              FROM regs GROUP BY lang)
+        SELECT lang, nonzero, 512 - nonzero AS zeros,
+          CAST(znon + CAST((512 - nonzero) AS HUGEINT) *
+               (CAST(1 AS BIGINT) << 52) AS DECIMAL(38,0)) AS zint
+        FROM s"""),
 
     "web_triangles" ->
       // replay the canonicalize → degree → orient → wedge-join → close

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches for corpus accounting at crawl scale —
+  * approximate distinct counts (URLs per host, hosts per cell, tokens per
+  * shard) where an exact `count(DISTINCT …)` would shuffle the full key
+  * universe. The engine's exact salted count-distinct
+  * (`geo_cell_distinct_salted`) stays the right tool when exactness is
+  * required; the sketch is the right tool when 10¹² keys must fold into
+  * kilobytes per group.
+  *
+  * The HyperLogLog implementation (Flajolet et al. 2007) is DETERMINISTIC
+  * by construction: registers are derived from a fixed hash family, and
+  * every combining step is a max / integer sum — order-independent and
+  * parallelism-independent, so register tables and the integer summary
+  * are bit-exact against a SQL oracle (the float estimate is one final
+  * division from exact integers). Register max is associative and
+  * commutative, which is the 100-TB property: per-partition sketches
+  * merge map-side, daily sketches merge across snapshots, and no stage
+  * ever sees raw keys after the first map pass.
+  */
+object Sketches {
+
+  /** 60-bit non-negative hash of `key` under the shared two-family
+    * convention: "xxhash64" (production — one codegen'd hash, top 60
+    * bits) or "md5prefix" (oracle mirror — first 15 hex chars of md5,
+    * `CAST('0x' || substr(md5(k),1,15) AS BIGINT)` on the SQL side).
+    */
+  private def hash60(key: Column, family: String): Column = family match {
+    case "xxhash64" => shiftrightunsigned(xxhash64(key), 4)
+    case "md5prefix" =>
+      conv(substring(md5(encode(key.cast("string"), "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
+    case other => throw new IllegalArgumentException(
+      s"hll: unknown hash family '$other' (xxhash64 | md5prefix)")
+  }
+
+  /** HyperLogLog register table: one row per (group, non-empty register)
+    * with the register's max rank. `p` index bits → m = 2^p registers;
+    * rank = leading-zero count of the (60−p)-bit hash suffix + 1
+    * (∈ [1, 61−p]; an all-zero suffix takes the max). Empty registers
+    * are implicit (rank 0) — the summary reconstructs them from m, so
+    * the table stays sparse for small groups.
+    *
+    * Plan shape: one map-only projection (hash → bucket split → rank via
+    * a codegen'd binary-string length) + ONE hash aggregation on
+    * (group, register) with map-side combine — a hot group costs its
+    * reducer at most m merged partials, never raw keys. Register tables
+    * from different shards union + re-max into a valid merged sketch.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                   p: Int = 9, family: String = "xxhash64"): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll: p must be in [4, 16], got $p")
+    val m = 1L << p
+    val suffix = 60 - p
+    val h = hash60(col(keyCol), family)
+    val rest = shiftrightunsigned(h, p)
+    // bit length of the suffix via decimal→binary string conv — exact,
+    // codegen'd, and replayable in SQL as length(to_base(rest, 2))
+    val rank = when(rest === 0L, lit(suffix + 1))
+      .otherwise(lit(suffix + 1) - length(conv(rest.cast("string"), 10, 2)))
+    df.select(groupCols.map(col) :+
+        h.bitwiseAND(lit(m - 1)).as("reg_no") :+ rank.as("rank"): _*)
+      .groupBy(groupCols.map(col) :+ col("reg_no"): _*)
+      .agg(max(col("rank")).cast("int").as("reg"))
+  }
+
+  /** Integer sketch summary per group from a register table:
+    * `nonzero` = occupied registers, `zeros` = m − nonzero, and
+    * `zint` = Σ_j 2^(R − M_j) over ALL m registers (R = 61−p the max
+    * rank, empty registers at rank 0) as decimal(38,0) — the exact
+    * integer form of HLL's indicator Z = zint / 2^R. Everything is a
+    * max/sum of integers: bit-exact at any parallelism and in SQL.
+    */
+  def hllSummary(registers: DataFrame, groupCols: Seq[String],
+                 p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll: p must be in [4, 16], got $p")
+    val m = 1L << p
+    val maxRank = 61 - p
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("nonzero"),
+        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $maxRank - reg) AS DECIMAL(38,0))"))
+          .as("znon"))
+      .select(groupCols.map(col) :+
+        col("nonzero") :+
+        (lit(m) - col("nonzero")).as("zeros") :+
+        (col("znon") +
+          (lit(m) - col("nonzero")).cast("decimal(38,0)") *
+            lit(1L << maxRank).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("zint"): _*)
+  }
+
+  /** Distinct-count estimate per group: the raw HLL estimator
+    * α_m·m²·2^R / zint with the standard small-range linear-counting
+    * correction (zeros > 0 and raw ≤ 2.5m → m·ln(m/zeros)). The only
+    * non-integer steps are one division and (in the small branch) one
+    * `ln` — deterministic on a given JVM; the hash-exact artifacts are
+    * [[hllRegisters]]/[[hllSummary]], this is the human-facing number.
+    */
+  def hllEstimate(summary: DataFrame, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll: p must be in [4, 16], got $p")
+    val m = (1L << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val maxRank = 61 - p
+    val raw = lit(alpha * m * m * math.pow(2.0, maxRank)) /
+      col("zint").cast("double")
+    val est = when(col("zeros") > 0 && raw <= lit(2.5 * m),
+        lit(m) * log(lit(m) / col("zeros").cast("double")))
+      .otherwise(raw)
+    summary.withColumn("est", est)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HyperLogLog sketch: a pure-JVM register reference for the md5prefix
+  * family (bucket/rank bit-identity), the merge property (shard sketches
+  * re-maxed ≡ whole-corpus sketch), summary arithmetic, and estimate
+  * accuracy on known cardinalities.
+  */
+class SketchesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("sketches-spec").getOrCreate()
+
+  private val P = 9
+  private val M = 1 << P
+
+  /** JVM reference of the md5prefix register derivation. */
+  private def refReg(key: String): (Long, Int) = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    val h60 = java.lang.Long.parseLong(hex, 16)
+    val regNo = h60 & (M - 1)
+    val rest = h60 >>> P
+    val rank = if (rest == 0L) 52 else 52 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+    (regNo, rank)
+  }
+
+  private def keysDf(keys: Seq[String]) = {
+    import spark.implicits._
+    keys.map(k => ("g", k)).toDF("grp", "key")
+  }
+
+  private def regsOf(keys: Seq[String]): Map[Long, Int] =
+    Sketches.hllRegisters(keysDf(keys), "key", Seq("grp"), P, "md5prefix")
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+
+  test("registers match the pure-JVM md5prefix reference") {
+    val keys = (0 until 300).map(i => s"key-$i")
+    val want = keys.map(refReg)
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(regsOf(keys) === want)
+  }
+
+  test("rank takes the all-zero-suffix branch consistently with the ref") {
+    // structural bounds on a larger corpus: every rank in [1, 52], every
+    // bucket in [0, m)
+    val regs = regsOf((0 until 5000).map(i => s"u$i"))
+    assert(regs.keys.forall(b => b >= 0 && b < M))
+    assert(regs.values.forall(r => r >= 1 && r <= 52))
+  }
+
+  test("shard sketches re-maxed equal the whole-corpus sketch") {
+    val all = (0 until 2000).map(i => s"doc-$i")
+    val (s1, s2) = all.splitAt(700)
+    val whole = regsOf(all)
+    val merged = (regsOf(s1).toSeq ++ regsOf(s2).toSeq)
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(merged === whole)
+  }
+
+  test("duplicates do not move the sketch") {
+    val uniq = (0 until 500).map(i => s"x$i")
+    assert(regsOf(uniq ++ uniq ++ uniq.take(100)) === regsOf(uniq))
+  }
+
+  test("summary arithmetic: zeros + nonzero = m, zint reconstructs") {
+    val keys = (0 until 800).map(i => s"s$i")
+    val regs = regsOf(keys)
+    val sm = Sketches.hllSummary(
+        Sketches.hllRegisters(keysDf(keys), "key", Seq("grp"), P, "md5prefix"),
+        Seq("grp"), P)
+      .collect()(0)
+    val nonzero = sm.getLong(1); val zeros = sm.getLong(2)
+    val zint = sm.getDecimal(3)
+    assert(nonzero === regs.size.toLong)
+    assert(zeros === (M - regs.size).toLong)
+    val want = regs.values.map(r => BigInt(1) << (52 - r)).sum +
+      BigInt(M - regs.size) * (BigInt(1) << 52)
+    assert(BigInt(zint.toBigInteger) === want)
+  }
+
+  test("estimate lands within 10% on known cardinalities") {
+    for (n <- Seq(200, 1000, 5000)) {
+      val keys = (0 until n).map(i => s"est-$i-$n")
+      val est = Sketches.hllEstimate(
+          Sketches.hllSummary(
+            Sketches.hllRegisters(keysDf(keys), "key", Seq("grp"), P, "md5prefix"),
+            Seq("grp"), P),
+          P)
+        .collect()(0).getDouble(4)
+      assert(math.abs(est - n) / n < 0.10,
+        s"n=$n est=$est off by ${math.abs(est - n) / n}")
+    }
+  }
+
+  test("xxhash64 production family produces a valid, merge-stable sketch") {
+    import spark.implicits._
+    val df = (0 until 1500).map(i => ("g", s"p$i")).toDF("grp", "key")
+    val regs = Sketches.hllRegisters(df, "key", Seq("grp"), P, "xxhash64")
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(regs.keys.forall(b => b >= 0 && b < M))
+    assert(regs.values.forall(r => r >= 1 && r <= 52))
+    val est = Sketches.hllEstimate(
+        Sketches.hllSummary(
+          Sketches.hllRegisters(df, "key", Seq("grp"), P, "xxhash64"),
+          Seq("grp"), P),
+        P)
+      .collect()(0).getDouble(4)
+    assert(math.abs(est - 1500) / 1500.0 < 0.10, s"est=$est")
+  }
+}
