@@ -62,7 +62,10 @@ object PlanAudit {
       "web_triangles",
       // HLL sketch: map-only register derivation + one (group, register)
       // hash agg with map-side combine; summary folds m-bounded state
-      "url_host_hll")
+      "url_host_hll",
+      // collocations: map-only bigram transform, two count aggs, un-hinted
+      // vocab joins, TakeOrdered top-k (never a global sort)
+      "text_collocations")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -1207,6 +1207,12 @@ object SparkEntry {
         p.select(col("doc_id"), col("url"), boilered.as("text")),
         fracNum = 1, fracDen = 2, minHostDocs = 2)
     },
+    "text_collocations" -> { (s, dir) =>
+      // top-50 PMI collocations at minCount=5; the integer score is the
+      // monotone core of PMI, so the ranking (and the limit boundary,
+      // tie-broken on the pair) is exact
+      TextOps.collocations(documentsOf(s, dir), minCount = 5, topK = 50)
+    },
     "text_pack" -> { (s, dir) =>
       // 512-token packing manifest; bucket=64 so the distributed
       // prefix-sum path (bucket offsets + local cumsum) actually
@@ -4015,6 +4021,30 @@ object SparkEntry {
          FROM nodes n
          LEFT JOIN h2 ON n.node = h2.node
          LEFT JOIN a2 ON n.node = a2.node""",
+
+    "text_collocations" ->
+      // adjacency via row_number over surviving (non-empty) tokens —
+      // the SQL twin of Spark's filtered token array; HUGEINT keeps the
+      // c_xy·N·10⁹ product exact, // is the same floor division as div
+      """WITH l AS (SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT doc_id, pos, tok FROM l WHERE tok <> ''),
+         seq AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p, tok
+           FROM f),
+         uni AS (SELECT tok, COUNT(*) AS c FROM f GROUP BY tok),
+         tot AS (SELECT SUM(c) AS n FROM uni),
+         bi AS (SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS cxy
+                FROM seq a JOIN seq b
+                  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         SELECT w1, w2, cxy, ux.c AS cx, uy.c AS cy,
+           CAST((CAST(cxy AS HUGEINT) * (SELECT n FROM tot) * 1000000000)
+                // (CAST(ux.c AS HUGEINT) * uy.c) AS BIGINT) AS score
+         FROM bi JOIN uni ux ON bi.w1 = ux.tok
+                 JOIN uni uy ON bi.w2 = uy.tok
+         ORDER BY score DESC, w1, w2 LIMIT 50""",
 
     "text_pack" ->
       // naive global-window form — identical to the engine's bucketed

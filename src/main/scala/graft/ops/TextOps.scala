@@ -10,6 +10,55 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Corpus-level PMI collocation mining — the phrase-discovery /
+    * tokenizer-merge-candidate signal (Church & Hanks 1990 association
+    * ratio): adjacent whitespace-token bigrams ranked by pointwise mutual
+    * information, with PMI's monotone core kept in EXACT integer
+    * arithmetic: `score = ⌊c_xy·N·10⁹ / (c_x·c_y)⌋` (PMI = log(score)−9,
+    * and log is monotone, so the integer ranking IS the PMI ranking —
+    * no float ever decides an ordering). Intermediates ride
+    * decimal(38,0)/HUGEINT so a 10¹²-token corpus cannot overflow.
+    *
+    * Scale shape: bigram generation is a map-only indexed `transform`
+    * over each doc's token array; unigram and bigram counts are
+    * map-side-combined hash aggregations; the two count joins are plain
+    * equi-joins on the vocabulary (NOT hint-forced — a web-scale
+    * distinct-bigram table must be allowed to shuffle; AQE broadcasts
+    * when it actually fits, the text_tfidf lesson); the corpus total is
+    * one broadcast scalar; and the global top-k is TakeOrdered (per
+    * partition top-k, then a k-row driver merge — never a full sort).
+    * `minCount` prunes the hapax tail before the joins, which is also
+    * what makes PMI statistically meaningful.
+    *
+    * Returns the top-k rows as (w1, w2, cxy, cx, cy, score), ordered and
+    * tie-broken deterministically by (score desc, w1, w2).
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && topK >= 1,
+      s"collocations: need minCount >= 1 and topK >= 1, got $minCount/$topK")
+    val toks = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n"))
+    val bi = toks.select(explode(expr(
+        """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+             (x, i) -> named_struct('w1', x, 'w2', toks[i + 1]))""")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    bi
+      .join(uni.select(col("tok").as("w1"), col("c").as("cx")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("cy")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("score", expr(
+        """(CAST(cxy AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * 1000000000)
+           div (CAST(cx AS DECIMAL(38,0)) * CAST(cy AS DECIMAL(38,0)))"""))
+      .select("w1", "w2", "cxy", "cx", "cy", "score")
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Whitespace tokens, empties dropped, duplicates kept. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
