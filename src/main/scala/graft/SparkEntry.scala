@@ -1154,6 +1154,19 @@ object SparkEntry {
         .select(col("node"), col("hub").cast("long").as("hub"),
           col("auth").cast("long").as("auth"))
     },
+    "url_change_rate" -> { (s, dir) =>
+      // recrawl churn over 100 synthetic URLs (5 fetches each at
+      // sf0.001): every 3rd page serves pinned content (0 changes), the
+      // rest serve the per-fetch document text (changes on every
+      // distinct refetch)
+      val p = Pages.pages(s, dir)
+      val m = col("doc_id") % 100
+      val content = when(m % 3 === 0,
+        concat(lit("stable-"), m.cast("string"))).otherwise(col("text"))
+      WebOps.urlChangeRate(p.select(
+        concat(lit("https://crawl.example/p"), m.cast("string")).as("url"),
+        col("warc_sec"), content.as("text")))
+    },
     "url_hll_regs" -> { (s, dir) =>
       // HyperLogLog register table (p=9, md5prefix oracle family) of
       // distinct normalized URLs per lang — the mergeable sketch artifact
@@ -3817,6 +3830,27 @@ object SparkEntry {
          FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
          GROUP BY 1, 2
          HAVING COUNT(*) >= 1""",
+
+    "url_change_rate" ->
+      // same (warc_sec, hash)-ordered lag walk per canonical URL; md5 is
+      // lowercase hex in both engines so version identity agrees
+      Pages.sqlWith("""
+        , p AS (SELECT
+            'crawl.example/p' || CAST(doc_id % 100 AS VARCHAR) AS norm_url,
+            warc_sec,
+            md5(CASE WHEN (doc_id % 100) % 3 = 0
+                     THEN 'stable-' || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE text END) AS h
+          FROM pages),
+        q AS (SELECT norm_url, warc_sec, h,
+            lag(h) OVER (PARTITION BY norm_url ORDER BY warc_sec, h) AS prev
+          FROM p)
+        SELECT norm_url, COUNT(*) AS n_fetches,
+          COUNT(DISTINCT h) AS n_versions,
+          COUNT(CASE WHEN prev IS NOT NULL AND prev <> h THEN 1 END)
+            AS n_changes,
+          MIN(warc_sec) AS first_sec, MAX(warc_sec) AS last_sec
+        FROM q GROUP BY norm_url"""),
 
     "url_hll_regs" ->
       // replay hash60 (top 60 bits of md5), the p=9 bucket/suffix split,

@@ -724,6 +724,39 @@ object WebOps {
         count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Per-URL recrawl churn statistics — the crawl-scheduling signal
+    * (Cho & Garcia-Molina 2003 "Effective page refresh policies"):
+    * how often a page's content actually changed across its fetches
+    * drives how often it deserves re-crawling, and which corpus
+    * snapshot versions are worth keeping. For every canonical URL:
+    * fetch count, distinct content versions, the number of
+    * consecutive-fetch content changes, and the first/last fetch time.
+    *
+    * Determinism: fetches are ordered by (warc_sec, content hash) — the
+    * hash breaks same-second ties totally, so `n_changes` is
+    * plan-independent (two identical-content same-second fetches
+    * contribute 0 either way; differing ones are counted in one fixed
+    * order). Scale shape: ONE shuffle — the window partitions by
+    * norm_url and the aggregation groups by the same key, so Spark
+    * reuses the exchange; per-URL state is that URL's own fetch list
+    * (refetch counts are crawl-bounded, not corpus-bounded).
+    */
+  def urlChangeRate(pages: DataFrame, textCol: String = "text"): DataFrame = {
+    val p = pages.select(normalizeUrl(col("url")).as("norm_url"),
+      col("warc_sec"),
+      md5(encode(col(textCol).cast("string"), "UTF-8")).as("h"))
+    val w = Window.partitionBy("norm_url").orderBy(col("warc_sec"), col("h"))
+    p.withColumn("prev", lag(col("h"), 1).over(w))
+      .groupBy("norm_url")
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        countDistinct(col("h")).as("n_versions"),
+        count(when(col("prev").isNotNull && col("prev") =!= col("h"), 1))
+          .as("n_changes"),
+        min(col("warc_sec")).as("first_sec"),
+        max(col("warc_sec")).as("last_sec"))
+  }
+
   /** Per-node triangle counts over the undirected host graph — the local
     * clustering signal behind link-farm detection (a spam ring is a
     * near-clique: triangle-dense far beyond organic linking) and
