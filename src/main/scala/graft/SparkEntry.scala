@@ -1189,6 +1189,18 @@ object SparkEntry {
           family = "md5prefix"),
         Seq("lang"), p = 9)
     },
+    "web_components" -> { (s, dir) =>
+      // connected components of a sparse 997-host graph via the same
+      // alternating star contraction that powers dedup_clusters — the
+      // mirror-site / link-farm grouping primitive; component id = min
+      // member, matching the oracle's transitive-closure min
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 997).as("src"),
+        ((col("doc_id") * 31 + 7) % 997).as("dst"))
+      val e2 = d.select((col("doc_id") % 997).as("src"),
+        ((col("doc_id") * 17 + 3) % 997).as("dst"))
+      Dedup.connectedComponents(e1.unionByName(e2))
+    },
     "web_triangles" -> { (s, dir) =>
       // degree-ordered triangle counting over the 3-family undirected
       // host graph (19 triangles at sf0.001 — enough that per-node
@@ -3894,6 +3906,22 @@ object SparkEntry {
           CAST(znon + CAST((512 - nonzero) AS HUGEINT) *
                (CAST(1 AS BIGINT) << 52) AS DECIMAL(38,0)) AS zint
         FROM s"""),
+
+    "web_components" ->
+      // symmetric-edge transitive closure with a min-per-component
+      // reduction — identical connectivity to the engine's star
+      // contraction, therefore identical components
+      """WITH RECURSIVE raw AS (
+           SELECT doc_id % 997 AS src, (doc_id * 31 + 7) % 997 AS dst FROM documents
+           UNION ALL SELECT doc_id % 997, (doc_id * 17 + 3) % 997 FROM documents),
+         edges AS (SELECT DISTINCT u, v FROM (
+           SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+           UNION ALL SELECT dst, src FROM raw WHERE src <> dst)),
+         reach(src, dst) AS (
+           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+           UNION
+           SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)
+         SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src""",
 
     "web_triangles" ->
       // replay the canonicalize → degree → orient → wedge-join → close
