@@ -65,7 +65,9 @@ object PlanAudit {
       "url_host_hll",
       // collocations: map-only bigram transform, two count aggs, un-hinted
       // vocab joins, TakeOrdered top-k (never a global sort)
-      "text_collocations")
+      "text_collocations",
+      // k-core: per-round degree agg + two anti joins, lazy-checkpointed
+      "web_kcore")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

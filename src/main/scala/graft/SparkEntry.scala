@@ -1189,6 +1189,17 @@ object SparkEntry {
           family = "md5prefix"),
         Seq("lang"), p = 9)
     },
+    "web_kcore" -> { (s, dir) =>
+      // 5-core of the 3-family host graph: peeling is LIVE (two
+      // simultaneous rounds remove 5 hosts) and the surviving 92-node
+      // core is non-trivial
+      val d = documentsOf(s, dir)
+      val fams = Seq((31L, 7L), (17L, 3L), (23L, 11L)).map { case (p, q) =>
+        d.select((col("doc_id") % 97).as("src"),
+          ((col("doc_id") * p + q) % 97).as("dst"))
+      }
+      WebOps.kCore(fams.reduce(_ unionByName _), k = 5)
+    },
     "web_components" -> { (s, dir) =>
       // connected components of a sparse 997-host graph via the same
       // alternating star contraction that powers dedup_clusters — the
@@ -3906,6 +3917,30 @@ object SparkEntry {
           CAST(znon + CAST((512 - nonzero) AS HUGEINT) *
                (CAST(1 AS BIGINT) << 52) AS DECIMAL(38,0)) AS zint
         FROM s"""),
+
+    "web_kcore" -> {
+      // unrolled simultaneous peeling: each round recomputes degrees and
+      // keeps edges whose BOTH endpoints clear k; 4 rounds cover the
+      // fixture's 2 live rounds with margin (simultaneous peeling is
+      // order-free, so converged prefixes are stable)
+      def round(i: Int): String =
+        s""", d$i AS (SELECT node, COUNT(*) AS deg FROM (
+               SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+             GROUP BY node),
+           e$i AS (SELECT u, v FROM e${i - 1}
+                   WHERE u NOT IN (SELECT node FROM d$i WHERE deg < 5)
+                     AND v NOT IN (SELECT node FROM d$i WHERE deg < 5))"""
+      s"""WITH raw AS (
+           SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+           UNION ALL SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents
+           UNION ALL SELECT doc_id % 97, (doc_id * 23 + 11) % 97 FROM documents),
+         e0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                FROM raw WHERE src <> dst)
+         ${(1 to 4).map(round).mkString("\n")}
+         SELECT node, COUNT(*) AS deg FROM (
+           SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+         GROUP BY node"""
+    },
 
     "web_components" ->
       // symmetric-edge transitive closure with a min-per-component

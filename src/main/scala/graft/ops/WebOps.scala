@@ -724,6 +724,56 @@ object WebOps {
         count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** k-core of the undirected host graph — simultaneous-peeling
+    * decomposition (Seidman 1983; the distributed formulation of
+    * Montresor et al.): repeatedly delete EVERY node of degree < k until
+    * none remains, returning `(node, deg)` for the surviving core with
+    * in-core degrees. The k-core is the standard link-farm / dense-spam
+    * detector (organic web neighborhoods thin out; farms survive deep
+    * cores) and a seed-set filter for TrustRank.
+    *
+    * Simultaneous peeling is deterministic — the result is the unique
+    * maximal subgraph with min degree ≥ k regardless of order, so any
+    * parallelism and a round-unrolled SQL oracle agree exactly. Scale
+    * shape per round: one map-side-combined degree aggregation + two
+    * anti joins against the (small) sub-threshold node set; the edge
+    * frame is lazily localCheckpoint'ed and materialized by the round's
+    * own count, the CC/pageRank fused-job pattern. Round count is
+    * data-dependent (worst case a path peels end-inward), so `maxRounds`
+    * fails loudly rather than silently returning a non-core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kCore: maxRounds must be >= 1, got $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var cur = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var done = false
+    var r = 0
+    while (!done && r < maxRounds) {
+      val bad = degrees(cur).filter(col("deg") < k).select("node").persist()
+      if (bad.count() == 0) done = true
+      else {
+        cur = cur
+          .join(bad.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(bad.select(col("node").as("v")), Seq("v"), "left_anti")
+          .localCheckpoint(eager = false)
+        cur.count() // materialize this round before bad is released
+        r += 1
+      }
+      bad.unpersist()
+    }
+    require(done, s"kCore: did not converge within $maxRounds peeling rounds")
+    degrees(cur)
+  }
+
   /** Per-URL recrawl churn statistics — the crawl-scheduling signal
     * (Cho & Garcia-Molina 2003 "Effective page refresh policies"):
     * how often a page's content actually changed across its fetches
