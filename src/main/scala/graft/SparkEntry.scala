@@ -1243,6 +1243,11 @@ object SparkEntry {
         p.select(col("doc_id"), col("url"), boilered.as("text")),
         fracNum = 1, fracDen = 2, minHostDocs = 2)
     },
+    "text_length_quantiles" -> { (s, dir) =>
+      // exact per-lang p50/p90/p99 of token counts via the bounded-domain
+      // counting method (the exact counterpart to percentile_approx)
+      TextOps.lengthQuantiles(documentsOf(s, dir))
+    },
     "text_collocations" -> { (s, dir) =>
       // top-50 PMI collocations at minCount=5; the integer score is the
       // monotone core of PMI, so the ranking (and the limit boundary,
@@ -4118,6 +4123,27 @@ object SparkEntry {
          FROM nodes n
          LEFT JOIN h2 ON n.node = h2.node
          LEFT JOIN a2 ON n.node = a2.node""",
+
+    "text_length_quantiles" ->
+      // the same histogram + running-sum + integer cross-multiplied
+      // threshold; window SUMs are HUGEINT in DuckDB, hence the BIGINT
+      // cast on n_docs
+      """WITH sized AS (SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_toks
+           FROM documents),
+         hist AS (SELECT lang, n_toks, COUNT(*) AS c FROM sized GROUP BY 1, 2),
+         cum AS (SELECT lang, n_toks, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_toks) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+           FROM hist)
+         SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+           MIN(n_toks) AS min_toks,
+           MIN(CASE WHEN cum * 100 >= n * 50 THEN n_toks END) AS p50,
+           MIN(CASE WHEN cum * 100 >= n * 90 THEN n_toks END) AS p90,
+           MIN(CASE WHEN cum * 100 >= n * 99 THEN n_toks END) AS p99,
+           MAX(n_toks) AS max_toks
+         FROM cum GROUP BY lang""",
 
     "text_collocations" ->
       // adjacency via row_number over surviving (non-empty) tokens —

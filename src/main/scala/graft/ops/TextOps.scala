@@ -10,6 +10,43 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** EXACT per-group token-length quantiles via counting, not sorting —
+    * the length-distribution audit every curation pipeline runs before
+    * picking sequence-length / truncation budgets. Percentile q is the
+    * lower discrete quantile: the smallest length v whose cumulative
+    * count reaches ⌈q·n/100⌉, tested as the integer cross-multiplication
+    * `cum·100 ≥ q·n` — no float, no interpolation, bit-exact in SQL.
+    *
+    * Why this beats a sort or a sketch here: token lengths live on a
+    * BOUNDED domain (a document has at most ~10⁶ tokens), so the
+    * histogram `(group, length) → count` is a map-side-combined
+    * aggregation whose reducer state is domain-bounded — at 10¹² docs
+    * the per-group window scans ≤ |domain| rows, never n. Exact answers
+    * at scan cost; `percentile_approx` (see raster_zonal_approx) is for
+    * UNBOUNDED domains where this histogram cannot exist.
+    *
+    * Returns (group, n_docs, min_toks, p<q>…, max_toks).
+    */
+  def lengthQuantiles(docs: DataFrame, groupCol: String = "lang",
+                      qs: Seq[Int] = Seq(50, 90, 99),
+                      textCol: String = "text"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"lengthQuantiles: percentiles must be in [1, 100], got $qs")
+    val sized = docs.select(col(groupCol),
+      size(tokens(col(textCol))).cast("long").as("n_toks"))
+    val hist = sized.groupBy(groupCol, "n_toks").agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(groupCol).orderBy("n_toks")
+    val wAll = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val qCols = qs.map(q =>
+      min(when(col("cum") * 100 >= col("n") * q, col("n_toks"))).as(s"p$q"))
+    val aggs = max(col("n")).as("n_docs") +: min(col("n_toks")).as("min_toks") +:
+      qCols :+ max(col("n_toks")).as("max_toks")
+    cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Corpus-level PMI collocation mining — the phrase-discovery /
     * tokenizer-merge-candidate signal (Church & Hanks 1990 association
     * ratio): adjacent whitespace-token bigrams ranked by pointwise mutual
