@@ -1154,6 +1154,26 @@ object SparkEntry {
         .select(col("node"), col("hub").cast("long").as("hub"),
           col("auth").cast("long").as("auth"))
     },
+    "crawl_diff" -> { (s, dir) =>
+      // two overlapping synthetic crawls over 150 URLs: before covers
+      // m<120, after covers m>=30 (30 removed, 30 added), every 5th
+      // common page gains a " v2" suffix in the after-crawl (changed),
+      // every 3rd serves pinned content (unchanged); both sides carry
+      // multiple fetches so the latest-wins collapse is live
+      val p = Pages.pages(s, dir)
+      val m = col("doc_id") % 150
+      val content = when(m % 3 === 0,
+        concat(lit("c"), m.cast("string"))).otherwise(col("text"))
+      val base = p.select(col("doc_id"),
+        concat(lit("https://crawl.example/p"), m.cast("string")).as("url"),
+        col("warc_sec"), content.as("text"), m.as("m"))
+      val before = base.filter(col("m") < 120).drop("m")
+      val after = base.filter(col("m") >= 30)
+        .select(col("doc_id"), col("url"), col("warc_sec"),
+          concat(col("text"),
+            when(col("m") % 5 === 0, lit(" v2")).otherwise(lit(""))).as("text"))
+      WebOps.snapshotDiff(before, after)
+    },
     "url_change_rate" -> { (s, dir) =>
       // recrawl churn over 100 synthetic URLs (5 fetches each at
       // sf0.001): every 3rd page serves pinned content (0 changes), the
@@ -3858,6 +3878,30 @@ object SparkEntry {
          FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
          GROUP BY 1, 2
          HAVING COUNT(*) >= 1""",
+
+    "crawl_diff" ->
+      // latest fetch per URL per side (warc_sec is strictly increasing in
+      // doc_id, so the engine's max-of-struct argmax is max doc_id), then
+      // text equality across a full outer join — md5 equality in the
+      // engine iff text equality here
+      Pages.sqlWith("""
+        , p AS (SELECT doc_id, doc_id % 150 AS m, warc_sec,
+            CASE WHEN (doc_id % 150) % 3 = 0
+                 THEN 'c' || CAST(doc_id % 150 AS VARCHAR)
+                 ELSE text END AS t
+          FROM pages),
+        a AS (SELECT m, t FROM p WHERE m < 120
+              QUALIFY row_number() OVER (PARTITION BY m ORDER BY doc_id DESC) = 1),
+        b AS (SELECT m,
+                t || CASE WHEN m % 5 = 0 THEN ' v2' ELSE '' END AS t
+              FROM p WHERE m >= 30
+              QUALIFY row_number() OVER (PARTITION BY m ORDER BY doc_id DESC) = 1)
+        SELECT 'crawl.example/p' || CAST(COALESCE(a.m, b.m) AS VARCHAR) AS norm_url,
+          CASE WHEN a.m IS NULL THEN 'added'
+               WHEN b.m IS NULL THEN 'removed'
+               WHEN a.t = b.t THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.m = b.m"""),
 
     "url_change_rate" ->
       // same (warc_sec, hash)-ordered lag walk per canonical URL; md5 is

@@ -724,6 +724,32 @@ object WebOps {
         count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Snapshot diff between two crawls — the incremental-curation
+    * primitive (what changed since the last monthly crawl decides what
+    * re-enters the dedup/quality pipeline): per canonical URL, whether
+    * it was `added`, `removed`, `changed`, or `unchanged` between the
+    * `before` and `after` page sets. Each side is first collapsed to its
+    * LATEST fetch per URL with [[urlDedupLatest]]'s max-of-struct argmax
+    * (one map-side-combined aggregation), then content identity is one
+    * md5 compare across a single full-outer equi-join on the canonical
+    * URL — two aggs + one shuffle join at any corpus size, with AQE
+    * skew-splitting the join if one crawl is lopsided.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    def latest(df: DataFrame): DataFrame =
+      urlDedupLatest(df).select(col("norm_url"),
+        md5(encode(col(textCol).cast("string"), "UTF-8")).as("h"))
+    latest(before).withColumnRenamed("h", "h_before")
+      .join(latest(after).withColumnRenamed("h", "h_after"),
+        Seq("norm_url"), "full_outer")
+      .select(col("norm_url"),
+        when(col("h_before").isNull, "added")
+          .when(col("h_after").isNull, "removed")
+          .when(col("h_before") === col("h_after"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** k-core of the undirected host graph — simultaneous-peeling
     * decomposition (Seidman 1983; the distributed formulation of
     * Montresor et al.): repeatedly delete EVERY node of degree < k until
