@@ -61,7 +61,7 @@ object Bench {
     "geo_cell_compact", "geo_cover_pip",
     "url_host_stats", "mm_features",
     "web_pagerank", "dedup_cosine_pairs", "web_robots", "text_fix_encoding",
-    "web_boilerplate",
+    "web_boilerplate", "text_lm_score", "web_kcore",
     // gz ingest throughput: synth -> records -> per-record gzip members ->
     // segment blobs -> member split + inflate + parse back
     "warc_gz_roundtrip")

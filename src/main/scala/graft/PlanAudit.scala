@@ -67,7 +67,10 @@ object PlanAudit {
       // vocab joins, TakeOrdered top-k (never a global sort)
       "text_collocations",
       // k-core: per-round degree agg + two anti joins, lazy-checkpointed
-      "web_kcore")
+      "web_kcore",
+      // LM scoring: un-hinted left joins against the reference count
+      // tables + one broadcast scalar + per-doc agg
+      "text_lm_score")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -1263,6 +1263,13 @@ object SparkEntry {
         p.select(col("doc_id"), col("url"), boilered.as("text")),
         fracNum = 1, fracDen = 2, minHostDocs = 2)
     },
+    "text_lm_score" -> { (s, dir) =>
+      // stupid-backoff bigram LM: reference = every 10th document,
+      // scored = the whole corpus (so in-reference docs score high and
+      // the backoff + OOV paths are exercised by the rest)
+      val d = documentsOf(s, dir)
+      TextOps.lmScore(d, d.filter(col("doc_id") % 10 === 0))
+    },
     "text_length_quantiles" -> { (s, dir) =>
       // exact per-lang p50/p90/p99 of token counts via the bounded-domain
       // counting method (the exact counterpart to percentile_approx)
@@ -4167,6 +4174,45 @@ object SparkEntry {
          FROM nodes n
          LEFT JOIN h2 ON n.node = h2.node
          LEFT JOIN a2 ON n.node = a2.node""",
+
+    "text_lm_score" ->
+      // reference counts over doc_id % 10 = 0, row_number adjacency for
+      // bigrams, the same two-branch integer score with HUGEINT
+      // intermediates and // floor division
+      """WITH l AS (SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT doc_id, pos, tok FROM l WHERE tok <> ''),
+         seq AS (SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p, tok
+           FROM f),
+         runi AS (SELECT tok, COUNT(*) AS cw FROM f
+                  WHERE doc_id % 10 = 0 GROUP BY tok),
+         tot AS (SELECT SUM(cw) AS n FROM runi),
+         rbi AS (SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS cxy
+                 FROM seq a JOIN seq b
+                   ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                 WHERE a.doc_id % 10 = 0
+                 GROUP BY 1, 2),
+         dbi AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                 FROM seq a JOIN seq b
+                   ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+         sc AS (SELECT d.doc_id,
+             CASE WHEN rb.cxy IS NOT NULL
+               THEN CAST((CAST(rb.cxy AS HUGEINT) * 1000000000)
+                         // up.cw AS BIGINT)
+               ELSE CAST((CAST(COALESCE(uw.cw, 0) AS HUGEINT) * 400000000)
+                         // (SELECT n FROM tot) AS BIGINT) END AS s
+           FROM dbi d
+           LEFT JOIN rbi rb ON d.w1 = rb.w1 AND d.w2 = rb.w2
+           LEFT JOIN runi up ON d.w1 = up.tok
+           LEFT JOIN runi uw ON d.w2 = uw.tok),
+         agg AS (SELECT doc_id, COUNT(*) AS n_big, SUM(s) AS score
+                 FROM sc GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(a.n_big, 0) AS n_big,
+           CAST(COALESCE(a.score, 0) AS BIGINT) AS score
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN agg a ON d.doc_id = a.doc_id""",
 
     "text_length_quantiles" ->
       // the same histogram + running-sum + integer cross-multiplied

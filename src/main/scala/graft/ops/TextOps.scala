@@ -10,6 +10,62 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Bigram language-model fluency scoring against a reference corpus —
+    * the CCNet/Gopher "LM filter" stage, re-expressed in EXACT integer
+    * arithmetic. The model is stupid backoff (Brants et al. 2007 "Large
+    * language models in machine translation": count ratios, no
+    * normalization, backoff factor 0.4): each position of a scored doc
+    * contributes the scaled transition probability
+    *   s = ⌊c(prev,w)·10⁹ / c(prev)⌋        when the bigram is in the ref
+    *   s = ⌊c(w)·4·10⁸ / N⌋                 otherwise (0.4 backoff; OOV→0)
+    * and the doc's score is (n_big, Σs) — mean transition probability
+    * rather than log-perplexity, so every decision stays integer and a
+    * SQL oracle is bit-exact (a caller wanting log space applies one
+    * per-row log to the ratio afterwards; the RANKING the filter needs
+    * is already here).
+    *
+    * Scale shape: reference counts are two map-side-combined aggs; the
+    * scored side's bigram stream LEFT-joins the count tables as plain
+    * un-hinted equi-joins (a web-scale bigram vocabulary must be allowed
+    * to shuffle — the text_tfidf lesson); N is one broadcast scalar; the
+    * final per-doc agg is map-side combinable. Docs with < 2 tokens
+    * score (0, 0).
+    */
+  def lmScore(docs: DataFrame, ref: DataFrame,
+              textCol: String = "text"): DataFrame = {
+    val bigramExpr =
+      """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+           (x, i) -> named_struct('w1', x, 'w2', toks[i + 1]))"""
+    val uni = ref.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cw"))
+    val total = uni.agg(sum(col("cw")).as("n"))
+    val refBi = ref.select(tokens(col(textCol)).as("toks"))
+      .select(explode(expr(bigramExpr)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+    val docBi = docs.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(expr(bigramExpr)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val scored = docBi
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("tok").as("w1"), col("cw").as("cprev")),
+        Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("cw").as("cw2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("s", when(col("cxy").isNotNull, expr(
+          "(CAST(cxy AS DECIMAL(38,0)) * 1000000000) div CAST(cprev AS DECIMAL(38,0))"))
+        .otherwise(expr(
+          "(CAST(coalesce(cw2, 0) AS DECIMAL(38,0)) * 400000000) div CAST(n AS DECIMAL(38,0))")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"), sum(col("s")).as("score"))
+    docs.select(col("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** EXACT per-group token-length quantiles via counting, not sorting —
     * the length-distribution audit every curation pipeline runs before
     * picking sequence-length / truncation budgets. Percentile q is the
