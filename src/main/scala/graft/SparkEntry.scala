@@ -1209,6 +1209,15 @@ object SparkEntry {
           family = "md5prefix"),
         Seq("lang"), p = 9)
     },
+    "web_host_quality" -> { (s, dir) =>
+      // Wilson lower-bound gate at τ=1/2, z=1.96: hosts hold ~5 pages at
+      // sf0.001 so the small-sample correction is the whole story (5/5
+      // good passes, 4/5 fails — a raw-rate gate would pass both)
+      val p = Pages.pages(s, dir)
+      WebOps.hostQualityGate(p.select(
+        WebOps.hostOf(WebOps.normalizeUrl(col("url"))).as("host"),
+        (col("doc_id") % 4 =!= 0).as("good")))
+    },
     "web_kcore" -> { (s, dir) =>
       // 5-core of the 3-family host graph: peeling is LIVE (two
       // simultaneous rounds remove 5 hosts) and the surviving 92-node
@@ -3973,6 +3982,25 @@ object SparkEntry {
           CAST(znon + CAST((512 - nonzero) AS HUGEINT) *
                (CAST(1 AS BIGINT) << 52) AS DECIMAL(38,0)) AS zint
         FROM s"""),
+
+    "web_host_quality" ->
+      // the same integer certificate with z²=2401/625, t=1/2: AI ≥ 0 and
+      // 4·c·d·tD²·k(n−k) + c²·tD²·n ≤ n·AI², all in HUGEINT
+      Pages.sqlWith("""
+        , a AS (SELECT 'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+            COUNT(*) AS n,
+            COUNT(CASE WHEN doc_id % 4 <> 0 THEN 1 END) AS k
+          FROM pages GROUP BY 1),
+        w AS (SELECT host, n, k,
+            CAST(2500 AS HUGEINT) * k + 4802
+              - CAST(2 AS HUGEINT) * (625 * n + 2401) AS ai
+          FROM a)
+        SELECT host, n, k,
+          (ai >= 0 AND
+           CAST(24010000 AS HUGEINT) * k * (n - k)
+             + CAST(23059204 AS HUGEINT) * n
+             <= CAST(n AS HUGEINT) * ai * ai) AS pass
+        FROM w"""),
 
     "web_kcore" -> {
       // unrolled simultaneous peeling: each round recomputes degrees and

@@ -724,6 +724,47 @@ object WebOps {
         count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Host quality gate by Wilson score lower bound — the small-sample-
+    * safe way to decide "is this host's good-page rate really above τ?"
+    * (a host with 3/3 good pages must NOT outrank one with 95/100; the
+    * Wilson interval (1927) is the standard fix). The decision
+    *   lower_bound(k, n, z) ≥ tNum/tDen
+    * is evaluated as an EXACT INTEGER CERTIFICATE: with z² = c/d
+    * rational (default z = 49/25 = 1.96), the bound inequality is
+    * cleared of its square root by the equivalent polynomial test
+    *   AI = 2·d·tD·k + c·tD − 2·tN·(d·n + c)   must be ≥ 0, and
+    *   4·c·d·tD²·k·(n−k) + c²·tD²·n  ≤  n·AI²
+    * — algebra: multiply the bound's numerator/denominator by n, isolate
+    * the sqrt, square (valid once AI ≥ 0), clear denominators. No float
+    * is ever computed, so the gate is bit-exact in SQL and at any
+    * parallelism; decimal(38,0) intermediates keep the certificate exact
+    * for per-host page counts up to ~10¹⁰.
+    *
+    * Input: one row per page with a boolean `goodCol`. One map-side-
+    * combined aggregation + per-row integer arithmetic. Returns
+    * (host, n, k, pass).
+    */
+  def hostQualityGate(pages: DataFrame, goodCol: String = "good",
+                      zNum: Long = 49, zDen: Long = 25,
+                      tNum: Long = 1, tDen: Long = 2): DataFrame = {
+    require(zNum > 0 && zDen > 0 && tNum >= 0 && tDen > 0 && tNum <= tDen,
+      s"hostQualityGate: need z > 0 and 0 <= t <= 1, got z=$zNum/$zDen t=$tNum/$tDen")
+    val c = zNum * zNum
+    val d = zDen * zDen
+    pages.groupBy("host")
+      .agg(count(lit(1)).as("n"), count(when(col(goodCol), 1)).as("k"))
+      .withColumn("ai", expr(
+        s"""CAST(${2 * d * tDen} AS DECIMAL(38,0)) * k
+            + ${c * tDen}
+            - CAST(${2 * tNum} AS DECIMAL(38,0)) * ($d * n + $c)"""))
+      .withColumn("pass",
+        col("ai") >= 0 && expr(
+          s"""CAST(${4 * c * d * tDen * tDen} AS DECIMAL(38,0)) * k * (n - k)
+              + CAST(${c * c * tDen * tDen} AS DECIMAL(38,0)) * n
+              <= CAST(n AS DECIMAL(38,0)) * ai * ai"""))
+      .select("host", "n", "k", "pass")
+  }
+
   /** Snapshot diff between two crawls — the incremental-curation
     * primitive (what changed since the last monthly crawl decides what
     * re-enters the dedup/quality pipeline): per canonical URL, whether
