@@ -2280,6 +2280,15 @@ object SparkEntry {
         Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
         .select(col("doc_id"), col("lang"), col("keep_p"))
     },
+    "select_systematic" -> { (s, dir) =>
+      // token-weighted systematic sample of exactly 100 copies; bucket=64
+      // keeps the two-level prefix-sum path live at sf0.01
+      val d = documentsOf(s, dir)
+      val sized = d.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("w"))
+      graft.ops.Selection.systematicSample(sized, k = 100, weightCol = "w",
+        bucket = 64)
+    },
     "split_by_hash" -> { (s, dir) =>
       // md5prefix family so the DuckDB oracle reproduces every bucket
       // decision; the xxhash64 production family has the same plan shape
@@ -5143,6 +5152,25 @@ object SparkEntry {
         FROM documents d JOIN rates r ON d.lang = r.lang
         WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
             / 1152921504606846976.0 < r.keep_p""",
+
+    "select_systematic" ->
+      // one global ordered window is fine oracle-side; the engine's
+      // bucketed prefix sum is identical by associativity. // mirrors div
+      """WITH sized AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS w
+           FROM documents
+           WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+         c AS (SELECT doc_id, w,
+             COALESCE(SUM(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0,
+             SUM(w) OVER () AS tw
+           FROM sized)
+         SELECT doc_id, w,
+           CAST(((cum0 + w) * 100) // tw - (cum0 * 100) // tw AS BIGINT)
+             AS n_copies
+         FROM c
+         WHERE ((cum0 + w) * 100) // tw - (cum0 * 100) // tw >= 1""",
 
     "split_by_hash" ->
       """WITH b AS (SELECT

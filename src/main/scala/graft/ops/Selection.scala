@@ -19,6 +19,49 @@ object Selection {
     (conv(substring(md5(encode(idCol.cast("string"), "UTF-8")), 1, 15), 16, 10)
       .cast("double") / lit(1152921504606846976.0 /* 2^60 */))
 
+  /** Weighted systematic sampling (Madow 1949) — draw a training subset
+    * of EXACTLY `k` copies with inclusion proportional to an integer
+    * weight (token count, quality score), fully deterministically: item i
+    * with cumulative weight interval [cum, cum+w) over total W receives
+    *   n_copies = ⌊(cum+w)·k/W⌋ − ⌊cum·k/W⌋
+    * — the number of k-grid boundaries its interval crosses. Σ n_copies
+    * = k exactly (telescoping), a heavy item can legitimately earn
+    * multiple copies (the up-sampling a training-mix wants), and there
+    * is NO randomness to seed — reruns are bit-identical anywhere.
+    *
+    * Scale shape: the cumulative weights ride the same two-level
+    * distributed prefix sum as [[TextOps.packSequences]] (per-bucket
+    * sums + one tiny ordered window over bucket offsets + a local
+    * window inside each bucket — never one global window); the total is
+    * one broadcast scalar; the boundary arithmetic is per-row
+    * decimal(38,0), exact up to W·k < 10³⁸. Items are ordered by
+    * `doc_id` — the systematic order is part of the op's contract.
+    * Zero/negative weights are excluded.
+    */
+  def systematicSample(df: DataFrame, k: Long, weightCol: String,
+                       bucket: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"systematicSample: k must be >= 1, got $k")
+    require(bucket >= 1, s"systematicSample: bucket must be >= 1, got $bucket")
+    val sized = df.select(col("doc_id"), col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("bkt", expr(s"doc_id DIV $bucket"))
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy("bkt").agg(sum("w").as("bsum"))
+      .withColumn("boff", coalesce(sum("bsum").over(wOff), lit(0L)))
+      .select("bkt", "boff")
+    val wLoc = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = sized.agg(sum("w").as("tw"))
+    sized.join(offsets, "bkt")
+      .withColumn("cum0", col("boff") + coalesce(sum("w").over(wLoc), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("n_copies", expr(
+        s"""(CAST(cum0 + w AS DECIMAL(38,0)) * $k) div tw
+            - (CAST(cum0 AS DECIMAL(38,0)) * $k) div tw"""))
+      .filter(col("n_copies") >= 1)
+      .select("doc_id", "w", "n_copies")
+  }
+
   /** split_train_val (reference selection.py:11-69): adds a `split`
     * column ("train"/"val") by deterministic hash threshold.
     */
