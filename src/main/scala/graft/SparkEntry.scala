@@ -1209,6 +1209,20 @@ object SparkEntry {
           family = "md5prefix"),
         Seq("lang"), p = 9)
     },
+    "web_reciprocity" -> { (s, dir) =>
+      // 3 organic families + a planted reverse of family 1 on every 4th
+      // doc: 194 reciprocal directed edges, so per-host n_recip spans
+      // the live range instead of degenerating to zeros
+      val d = documentsOf(s, dir)
+      val fams = Seq((31L, 7L), (17L, 3L), (23L, 11L)).map { case (p, q) =>
+        d.select((col("doc_id") % 97).as("src"),
+          ((col("doc_id") * p + q) % 97).as("dst"))
+      }
+      val planted = d.filter(col("doc_id") % 4 === 0)
+        .select(((col("doc_id") * 31 + 7) % 97).as("src"),
+          (col("doc_id") % 97).as("dst"))
+      WebOps.reciprocity((fams :+ planted).reduce(_ unionByName _))
+    },
     "web_host_quality" -> { (s, dir) =>
       // Wilson lower-bound gate at τ=1/2, z=1.96: hosts hold ~5 pages at
       // sf0.001 so the small-sample correction is the whole story (5/5
@@ -3991,6 +4005,22 @@ object SparkEntry {
           CAST(znon + CAST((512 - nonzero) AS HUGEINT) *
                (CAST(1 AS BIGINT) << 52) AS DECIMAL(38,0)) AS zint
         FROM s"""),
+
+    "web_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT src, dst FROM (
+           SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+           UNION ALL SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents
+           UNION ALL SELECT doc_id % 97, (doc_id * 23 + 11) % 97 FROM documents
+           UNION ALL SELECT (doc_id * 31 + 7) % 97, doc_id % 97
+             FROM documents WHERE doc_id % 4 = 0)
+           WHERE src <> dst),
+         r AS (SELECT e.src, e.dst FROM e
+               WHERE EXISTS (SELECT 1 FROM e e2
+                             WHERE e2.src = e.dst AND e2.dst = e.src))
+         SELECT o.host, o.n_out, COALESCE(q.n_recip, 0) AS n_recip
+         FROM (SELECT src AS host, COUNT(*) AS n_out FROM e GROUP BY src) o
+         LEFT JOIN (SELECT src AS host, COUNT(*) AS n_recip FROM r GROUP BY src) q
+           ON o.host = q.host""",
 
     "web_host_quality" ->
       // the same integer certificate with z²=2401/625, t=1/2: AI ≥ 0 and

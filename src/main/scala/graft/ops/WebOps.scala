@@ -724,6 +724,35 @@ object WebOps {
         count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Per-host link reciprocity — the link-exchange / link-farm signal
+    * (organic linking is overwhelmingly one-directional; paid exchanges
+    * and farm rings reciprocate): for every host with out-links, its
+    * out-degree and how many of those out-links point at hosts that link
+    * back. One self equi-join on the full (src, dst) key (the reverse
+    * side is the same deduped edge frame re-keyed — a semi join, so
+    * nothing is materialized per match) + two map-side-combined
+    * aggregations. Returns (host, n_out, n_recip).
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val out = e.groupBy(col("src").as("host")).agg(count(lit(1)).as("n_out"))
+      .join(recip.groupBy(col("src").as("host")).agg(count(lit(1)).as("n_recip")),
+        Seq("host"), "left")
+      .select(col("host"), col("n_out"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+      .localCheckpoint(eager = false)
+    out.count()
+    e.unpersist()
+    out
+  }
+
   /** Host quality gate by Wilson score lower bound — the small-sample-
     * safe way to decide "is this host's good-page rate really above τ?"
     * (a host with 3/3 good pages must NOT outrank one with 95/100; the
