@@ -243,6 +243,22 @@ object StreamOps {
       .toDF("user_id", "session_start_ms", "n_events")
   }
 
+  /** Streaming HyperLogLog registers: the incremental form of
+    * [[graft.ops.Sketches.hllRegisters]] — live approximate distinct
+    * counts (URLs per language, hosts per cell) over an unbounded crawl
+    * stream. The batch op IS streaming-legal as written: one stateful
+    * max-aggregation whose state is bounded by groups × 2^p registers
+    * (kilobytes per group FOREVER, regardless of how many keys stream
+    * through — that is the sketch's whole point), emitted in complete
+    * mode. Register max is order-insensitive, so the streaming result
+    * after any prefix equals the batch sketch of that prefix exactly
+    * (StreamingSpec pins streaming ≡ batch).
+    */
+  def hllRegisterStream(rows: DataFrame, keyCol: String,
+                        groupCols: Seq[String], p: Int = 9,
+                        family: String = "xxhash64"): DataFrame =
+    graft.ops.Sketches.hllRegisters(rows, keyCol, groupCols, p, family)
+
   /** Streaming tiling: geocode each page record and count per hex cell —
     * the incremental form of Pipeline.tilePages. Works on any stream with
     * a `url` column.

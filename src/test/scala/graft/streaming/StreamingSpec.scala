@@ -20,6 +20,26 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("streaming HLL registers equal the batch sketch exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = graft.ops.Sketches
+      .hllRegisters(docs.select(col("lang"), col("text")),
+        "text", Seq("lang"), p = 9, family = "xxhash64")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(stageDir("/root/testdata/sf0.001/documents.parquet"))
+      .select(col("lang"), col("text"))
+    val q = StreamOps.hllRegisterStream(stream, "text", Seq("lang"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_regs").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hll_regs")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch computation") {
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val stream = StreamOps.eventStream(spark,
