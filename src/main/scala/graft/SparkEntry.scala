@@ -1293,6 +1293,24 @@ object SparkEntry {
       val d = documentsOf(s, dir)
       TextOps.lmScore(d, d.filter(col("doc_id") % 10 === 0))
     },
+    "text_cms" -> { (s, dir) =>
+      // Count-Min registers (width 256 × depth 4, md5prefix oracle
+      // family) over the global token stream — the mergeable frequency
+      // sketch artifact itself
+      Sketches.cmsRegisters(TextOps.tokenTable(documentsOf(s, dir)),
+        "tok", Seq(), width = 256, depth = 4, family = "md5prefix")
+    },
+    "text_cms_probe" -> { (s, dir) =>
+      // point estimates vs exact counts for every distinct token: est is
+      // min-over-depth and never underestimates (the oracle recomputes
+      // both sides, so the sketch arithmetic is hash-checked end-to-end)
+      val toks = TextOps.tokenTable(documentsOf(s, dir))
+      val regs = Sketches.cmsRegisters(toks, "tok", Seq(),
+        width = 256, depth = 4, family = "md5prefix")
+      val est = Sketches.cmsEstimate(regs, toks.select("tok").distinct(),
+        "tok", Seq(), width = 256, depth = 4, family = "md5prefix")
+      est.join(toks.groupBy("tok").agg(count(lit(1)).as("exact")), "tok")
+    },
     "text_length_quantiles" -> { (s, dir) =>
       // exact per-lang p50/p90/p99 of token counts via the bounded-domain
       // counting method (the exact counterpart to percentile_approx)
@@ -4280,6 +4298,53 @@ object SparkEntry {
            CAST(COALESCE(a.score, 0) AS BIGINT) AS score
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
+    "text_cms" ->
+      // one UNION ALL branch per depth row, each replaying the seeded
+      // md5prefix bucket (d ':' tok, top 60 bits, % width)
+      """WITH l AS (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT tok FROM l WHERE tok <> ''),
+         u AS (
+           SELECT CAST(0 AS INT) AS d,
+             CAST('0x' || substr(md5('0:' || tok), 1, 15) AS BIGINT) % 256 AS b FROM f
+           UNION ALL SELECT CAST(1 AS INT),
+             CAST('0x' || substr(md5('1:' || tok), 1, 15) AS BIGINT) % 256 FROM f
+           UNION ALL SELECT CAST(2 AS INT),
+             CAST('0x' || substr(md5('2:' || tok), 1, 15) AS BIGINT) % 256 FROM f
+           UNION ALL SELECT CAST(3 AS INT),
+             CAST('0x' || substr(md5('3:' || tok), 1, 15) AS BIGINT) % 256 FROM f)
+         SELECT d, b, COUNT(*) AS cnt FROM u GROUP BY d, b""",
+
+    "text_cms_probe" ->
+      """WITH l AS (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT tok FROM l WHERE tok <> ''),
+         u AS (
+           SELECT CAST(0 AS INT) AS d,
+             CAST('0x' || substr(md5('0:' || tok), 1, 15) AS BIGINT) % 256 AS b FROM f
+           UNION ALL SELECT CAST(1 AS INT),
+             CAST('0x' || substr(md5('1:' || tok), 1, 15) AS BIGINT) % 256 FROM f
+           UNION ALL SELECT CAST(2 AS INT),
+             CAST('0x' || substr(md5('2:' || tok), 1, 15) AS BIGINT) % 256 FROM f
+           UNION ALL SELECT CAST(3 AS INT),
+             CAST('0x' || substr(md5('3:' || tok), 1, 15) AS BIGINT) % 256 FROM f),
+         regs AS (SELECT d, b, COUNT(*) AS cnt FROM u GROUP BY d, b),
+         probes AS (SELECT DISTINCT tok FROM f),
+         pb AS (
+           SELECT tok, CAST(0 AS INT) AS d,
+             CAST('0x' || substr(md5('0:' || tok), 1, 15) AS BIGINT) % 256 AS b FROM probes
+           UNION ALL SELECT tok, CAST(1 AS INT),
+             CAST('0x' || substr(md5('1:' || tok), 1, 15) AS BIGINT) % 256 FROM probes
+           UNION ALL SELECT tok, CAST(2 AS INT),
+             CAST('0x' || substr(md5('2:' || tok), 1, 15) AS BIGINT) % 256 FROM probes
+           UNION ALL SELECT tok, CAST(3 AS INT),
+             CAST('0x' || substr(md5('3:' || tok), 1, 15) AS BIGINT) % 256 FROM probes),
+         est AS (SELECT pb.tok, MIN(COALESCE(r.cnt, 0)) AS est
+                 FROM pb LEFT JOIN regs r ON pb.d = r.d AND pb.b = r.b
+                 GROUP BY pb.tok),
+         x AS (SELECT tok, COUNT(*) AS exact FROM f GROUP BY tok)
+         SELECT e.tok, e.est, x.exact FROM est e JOIN x ON e.tok = x.tok""",
 
     "text_length_quantiles" ->
       // the same histogram + running-sum + integer cross-multiplied

@@ -93,6 +93,66 @@ object Sketches {
           .cast("decimal(38,0)").as("zint"): _*)
   }
 
+  /** Per-row depth-d bucket under the shared two-family convention
+    * (seeded like Dedup.permHash: seed d prepended). pmod absorbs
+    * xxhash64's sign.
+    */
+  private def cmsBucket(d: Int, key: Column, width: Int,
+                        family: String): Column = family match {
+    case "xxhash64" => pmod(xxhash64(lit(d), key), lit(width.toLong))
+    case "md5prefix" =>
+      pmod(conv(substring(md5(encode(concat(lit(s"$d:"), key.cast("string")),
+        "UTF-8")), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+    case other => throw new IllegalArgumentException(
+      s"cms: unknown hash family '$other' (xxhash64 | md5prefix)")
+  }
+
+  /** Count-Min sketch registers (Cormode & Muthukrishnan 2005): a
+    * depth × width counter matrix per group — the mergeable frequency
+    * sketch for heavy-hitter accounting when the exact per-key count
+    * table (10¹² distinct tokens/URLs) is itself too large to keep.
+    * Point estimates ([[cmsEstimate]]) overestimate by at most
+    * 2·N/width with probability 1 − 2^−depth and never underestimate.
+    *
+    * Determinism/mergeability: counters are SUMS over fixed hash
+    * buckets — order-independent, parallelism-independent, shard
+    * sketches merge by bucket-wise addition, and a SQL oracle replays
+    * them exactly. Plan shape: ONE scan (the depth buckets ride a
+    * posexplode'd array, not depth re-scans) + one map-side-combined
+    * aggregation whose reducer state is bounded by groups × depth ×
+    * width. Empty buckets are implicit zeros.
+    */
+  def cmsRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                   width: Int = 256, depth: Int = 4,
+                   family: String = "xxhash64"): DataFrame = {
+    require(width >= 2 && width <= (1 << 24),
+      s"cms: width must be in [2, 2^24], got $width")
+    require(depth >= 1 && depth <= 16, s"cms: depth must be in [1, 16], got $depth")
+    val buckets = array((0 until depth)
+      .map(d => cmsBucket(d, col(keyCol), width, family)): _*)
+    df.select(groupCols.map(col) :+ posexplode(buckets).as(Seq("d", "b")): _*)
+      .groupBy(groupCols.map(col) :+ col("d") :+ col("b"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-Min point estimates: for each probe key, min over the depth
+    * rows of its bucket counters (absent counter = 0). One left
+    * equi-join per probe stream against the register table + one
+    * min-aggregation — probes never touch the raw corpus.
+    */
+  def cmsEstimate(registers: DataFrame, probes: DataFrame, keyCol: String,
+                  groupCols: Seq[String], width: Int = 256, depth: Int = 4,
+                  family: String = "xxhash64"): DataFrame = {
+    val buckets = array((0 until depth)
+      .map(d => cmsBucket(d, col(keyCol), width, family)): _*)
+    val pb = probes.select(
+      (groupCols.map(col) :+ col(keyCol)) :+
+        posexplode(buckets).as(Seq("d", "b")): _*)
+    pb.join(registers, groupCols :+ "d" :+ "b", "left")
+      .groupBy(groupCols.map(col) :+ col(keyCol): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Distinct-count estimate per group: the raw HLL estimator
     * α_m·m²·2^R / zint with the standard small-range linear-counting
     * correction (zeros > 0 and raw ≤ 2.5m → m·ln(m/zeros)). The only

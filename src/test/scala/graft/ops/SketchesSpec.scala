@@ -101,6 +101,48 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS registers total depth*N and never underestimate a probe") {
+    import spark.implicits._
+    // zipf-ish: key i appears 200/i times
+    val keys = (1 to 40).flatMap(i => Seq.fill(200 / i)(s"k$i"))
+    val df = keys.map(k => ("g", k)).toDF("grp", "key")
+    val regs = Sketches.cmsRegisters(df, "key", Seq("grp"), 64, 4, "md5prefix")
+    val rows = regs.collect()
+    // each depth row partitions the stream: its counters sum to N
+    val byDepth = rows.groupBy(_.getInt(1))
+      .map { case (d, rs) => d -> rs.map(_.getLong(3)).sum }
+    assert(byDepth === (0 until 4).map(_ -> keys.size.toLong).toMap)
+    val exact = keys.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val probes = exact.keys.toSeq.map(k => ("g", k)).toDF("grp", "key")
+    val est = Sketches.cmsEstimate(regs, probes, "key", Seq("grp"), 64, 4, "md5prefix")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    for ((k, c) <- exact) {
+      assert(est(k) >= c, s"$k underestimated: ${est(k)} < $c")
+      assert(est(k) <= c + 2L * keys.size / 64 + 50,
+        s"$k overestimate implausibly large: ${est(k)} vs $c")
+    }
+    // an absent key estimates at most the collision noise (and >= 0)
+    val ghost = Sketches.cmsEstimate(regs,
+        Seq(("g", "never-seen")).toDF("grp", "key"),
+        "key", Seq("grp"), 64, 4, "md5prefix")
+      .collect()(0).getLong(2)
+    assert(ghost >= 0L && ghost <= 2L * keys.size / 64 + 50)
+  }
+
+  test("CMS shard sketches merge by bucket-wise addition") {
+    import spark.implicits._
+    val all = (0 until 900).map(i => ("g", s"m${i % 70}"))
+    val (s1, s2) = all.splitAt(333)
+    def regsOf(rows: Seq[(String, String)]): Map[(Int, Long), Long] =
+      Sketches.cmsRegisters(rows.toDF("grp", "key"), "key", Seq("grp"),
+          32, 3, "xxhash64")
+        .collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val whole = regsOf(all)
+    val merged = (regsOf(s1).toSeq ++ regsOf(s2).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(merged === whole)
+  }
+
   test("xxhash64 production family produces a valid, merge-stable sketch") {
     import spark.implicits._
     val df = (0 until 1500).map(i => ("g", s"p$i")).toDF("grp", "key")
