@@ -1432,6 +1432,16 @@ object SparkEntry {
 
     // --- similarity search ---
     "ann_topk" -> { (s, dir) => Similarity.annTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5) },
+    "emb_quantize" -> { (s, dir) =>
+      // SQ8 codes + per-vector scale, exploded to (vec_id, dim, code)
+      // rows so every code byte is hash-checked
+      Similarity.sq8Quantize(embeddingsOf(s, dir))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("codes")).as(Seq("dim", "code")))
+    },
+    "ann_sq8" -> { (s, dir) =>
+      Similarity.annSq8(embeddingsOf(s, dir), probeMaxId = 50, k = 5)
+    },
     "ann_ivf" -> { (s, dir) =>
       // IVF with nprobe = nlist: the full machinery (k-means training,
       // cell assignment, probe expansion, cell equi-join) runs on the
@@ -4621,6 +4631,50 @@ object SparkEntry {
 
     "ann_topk" -> annTopKOracle,
     "ann_ivf" -> annTopKOracle,
+    "emb_quantize" ->
+      // identical pinned op order: exact max, 127/maxabs division, one
+      // multiply, floor(+0.5); literals cast to DOUBLE (DuckDB parses
+      // bare decimals as DECIMAL)
+      s"""WITH z AS (SELECT vec_id,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          FROM embeddings),
+        q AS (SELECT e.vec_id,
+            CASE WHEN z.maxabs = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+                 ELSE z.maxabs / CAST(127.0 AS DOUBLE) END AS scale,
+            CASE WHEN z.maxabs = CAST(0.0 AS DOUBLE)
+                 THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(e.embedding, x -> CAST(floor(
+                   CAST(x AS DOUBLE) * (CAST(127.0 AS DOUBLE) / z.maxabs)
+                   + CAST(0.5 AS DOUBLE)) AS BIGINT)) END AS codes
+          FROM embeddings e JOIN z ON e.vec_id = z.vec_id)
+        SELECT vec_id, scale,
+          CAST(generate_subscripts(codes, 1) - 1 AS INT) AS dim,
+          unnest(codes) AS code
+        FROM q""",
+    "ann_sq8" -> {
+      val dot = (1 to 64).map(i => s"a.codes[$i] * b.codes[$i]").mkString(" + ")
+      s"""WITH z AS (SELECT vec_id,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+          FROM embeddings),
+        q AS (SELECT e.vec_id,
+            CASE WHEN z.maxabs = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+                 ELSE z.maxabs / CAST(127.0 AS DOUBLE) END AS scale,
+            CASE WHEN z.maxabs = CAST(0.0 AS DOUBLE)
+                 THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(e.embedding, x -> CAST(floor(
+                   CAST(x AS DOUBLE) * (CAST(127.0 AS DOUBLE) / z.maxabs)
+                   + CAST(0.5 AS DOUBLE)) AS BIGINT)) END AS codes
+          FROM embeddings e JOIN z ON e.vec_id = z.vec_id),
+        scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            CAST($dot AS DOUBLE) * a.scale * b.scale AS score
+          FROM q a JOIN q b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 50),
+        ranked AS (SELECT query_id, neighbor_id, score,
+            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5"""
+    },
 
     "raster_resample_avg" -> (sqlPx +
       """ SELECT CAST(x // 4 AS INTEGER) AS x, CAST(y // 4 AS INTEGER) AS y, band,

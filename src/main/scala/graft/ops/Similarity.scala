@@ -37,6 +37,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-vector symmetric int8 scalar quantization (the FAISS "SQ8"
+    * recipe): code_i = ⌊x_i·(127/maxabs) + ½⌋ with the per-vector
+    * dequantization scale maxabs/127 — the 4× memory/bandwidth cut that
+    * makes a 10¹²-vector corpus scannable, with ≤ maxabs/254 per-element
+    * error. Deterministic to the bit: maxabs is an exact max, each code
+    * is one pinned-order double multiply + floor, the scale one pinned
+    * division — so a SQL oracle reproduces codes AND scales exactly.
+    * Zero vectors quantize to zero codes with scale 0. Map-only.
+    */
+  def sq8Quantize(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("maxabs", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("scale",
+        when(col("maxabs") === 0.0, lit(0.0)).otherwise(col("maxabs") / 127.0))
+      .withColumn("codes", expr(
+        """CASE WHEN maxabs = 0.0
+             THEN transform(embedding, x -> CAST(0 AS BIGINT))
+             ELSE transform(embedding, x -> CAST(floor(
+               CAST(x AS DOUBLE) * (CAST(127.0 AS DOUBLE) / maxabs)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) END"""))
+      .select(col("vec_id"), col("scale"), col("codes"))
+
+  /** Exact top-k over SQ8 codes: score = (integer code dot)·s_a·s_b —
+    * the dot is exact integer arithmetic on the hot path (the whole
+    * point of SQ8 scans) and only the final two scale multiplies are
+    * floats, each a single pinned IEEE op, so rankings (ties broken on
+    * neighbor_id) are bit-stable and SQL-mirrorable. Probes broadcast;
+    * the corpus side never shuffles.
+    */
+  def annSq8(embeddings: DataFrame, probeMaxId: Long, k: Int): DataFrame = {
+    val q = sq8Quantize(embeddings)
+    val probes = q.filter(col("vec_id") < probeMaxId)
+      .select(col("vec_id").as("query_id"), col("codes").as("pc"),
+        col("scale").as("ps"))
+    val scored = q.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotQ(col("pc"), col("codes")).cast("double") * col("ps") * col("scale"))
+          .as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Float cosine similarity (real-workload path; not oracle-checked —
     * trig-free but accumulation-order sensitive at the last ulp).
     */
