@@ -1209,6 +1209,28 @@ object SparkEntry {
           family = "md5prefix"),
         Seq("lang"), p = 9)
     },
+    "html_meta" -> { (s, dir) =>
+      // head variants: description on even docs, canonical on every 3rd,
+      // charset missing on every 5th — all four extracts live, absent
+      // fields must surface as ''
+      val p = Pages.pages(s, dir)
+      val d = col("doc_id").cast("string")
+      val head = concat(
+        lit("<html><head><title>Page "), d, lit("</title>"),
+        when(col("doc_id") % 2 === 0, concat(
+          lit("<meta name=\"description\" content=\"desc "), d, lit("\"/>")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://canon.example/"),
+          (col("doc_id") % 50).cast("string"), lit("\"/>")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 =!= 0, lit("<meta charset=\"utf-8\"/>"))
+          .otherwise(lit("")),
+        lit("</head><body>"), substring(col("text"), 1, 30),
+        lit("</body></html>"))
+      WebOps.htmlMeta(p.select(col("doc_id"),
+        encode(head, "UTF-8").as("html")))
+    },
     "web_reciprocity" -> { (s, dir) =>
       // 3 organic families + a planted reverse of family 1 on every 4th
       // doc: 194 reciprocal directed edges, so per-host n_recip spans
@@ -4033,6 +4055,32 @@ object SparkEntry {
           CAST(znon + CAST((512 - nonzero) AS HUGEINT) *
                (CAST(1 AS BIGINT) << 52) AS DECIMAL(38,0)) AS zint
         FROM s"""),
+
+    "html_meta" ->
+      // rebuild the same head and replay the four first-match extracts;
+      // both engines return '' on no match
+      Pages.sqlWith("""
+        , h AS (SELECT doc_id,
+            '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) || '</title>'
+            || CASE WHEN doc_id % 2 = 0
+                 THEN '<meta name="description" content="desc '
+                      || CAST(doc_id AS VARCHAR) || '"/>' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                 THEN '<link rel="canonical" href="https://canon.example/'
+                      || CAST(doc_id % 50 AS VARCHAR) || '"/>' ELSE '' END
+            || CASE WHEN doc_id % 5 <> 0
+                 THEN '<meta charset="utf-8"/>' ELSE '' END
+            || '</head><body>' || substr(text, 1, 30) || '</body></html>'
+            AS html
+          FROM pages)
+        SELECT doc_id,
+          regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+          regexp_extract(html, '<meta name="description" content="([^"]*)"', 1)
+            AS description,
+          regexp_extract(html, '<link rel="canonical" href="([^"]*)"', 1)
+            AS canonical,
+          regexp_extract(html, '<meta charset="([^"]*)"', 1) AS charset
+        FROM h"""),
 
     "web_reciprocity" ->
       """WITH e AS (SELECT DISTINCT src, dst FROM (

@@ -724,6 +724,27 @@ object WebOps {
         count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Head-metadata extraction — title, meta description, `rel=canonical`
+    * target, and declared charset per page, in ONE map-only codegen'd
+    * projection (four first-match regexes, each RE2/Java-agnostic: no
+    * lookaround, no backrefs, double-quoted attributes — the engine's
+    * documented regex-layer scope). The canonical link is the publisher's
+    * own dedup signal (fold variants onto it BEFORE content dedup);
+    * title/description feed the ranking/quality features; charset routes
+    * re-decoding. Absent fields come back as '' (both engines' no-match
+    * value), never null.
+    */
+  def htmlMeta(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val h = col(htmlCol).cast("string")
+    pages.select(col("doc_id"),
+      regexp_extract(h, "<title>([^<]*)</title>", 1).as("title"),
+      regexp_extract(h, "<meta name=\"description\" content=\"([^\"]*)\"", 1)
+        .as("description"),
+      regexp_extract(h, "<link rel=\"canonical\" href=\"([^\"]*)\"", 1)
+        .as("canonical"),
+      regexp_extract(h, "<meta charset=\"([^\"]*)\"", 1).as("charset"))
+  }
+
   /** Per-host link reciprocity — the link-exchange / link-farm signal
     * (organic linking is overwhelmingly one-directional; paid exchanges
     * and farm rings reciprocate): for every host with out-links, its
