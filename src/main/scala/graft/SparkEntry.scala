@@ -864,6 +864,17 @@ object SparkEntry {
         md5(encode(WebOps.extractText(wrapped), "UTF-8")).as("text_md5"),
         (WebOps.extractText(wrapped) === col("text")).as("ok"))
     },
+    "warc_revisit" -> { (s, dir) =>
+      // ingestion-time payload dedup: 120 distinct payloads across the
+      // corpus, so each digest group holds several fetches — exactly one
+      // response, the rest revisit records with exact byte savings
+      import graft.ops.Warc
+      val p = Pages.pages(s, dir)
+      val pay = encode(
+        concat(lit("payload-"), (col("doc_id") % 120).cast("string")), "UTF-8")
+      Warc.revisitTable(p.select(col("doc_id"), col("url"), col("warc_sec"),
+        pay.as("payload")))
+    },
     "warc_roundtrip" -> { (s, dir) =>
       // WARC/1.0 container round trip: pages → codegen'd record synthesis
       // → multi-record segment blobs (64 segments) → from-scratch byte
@@ -3057,6 +3068,29 @@ object SparkEntry {
              '</title><meta charset="utf-8"/></head><body><p id="main">' || text || '</p></body></html>',
              '<head>.*?</head>', ''), '<[^>]*>', '', 'g') = text AS ok
          FROM pages"""),
+
+    "warc_revisit" ->
+      // same (warc_sec, uri, doc_id)-ordered window per digest; DuckDB
+      // md5 over the same payload string agrees byte-for-byte
+      Pages.sqlWith("""
+        , p AS (SELECT doc_id, url, warc_sec,
+            'payload-' || CAST(doc_id % 120 AS VARCHAR) AS pay
+          FROM pages),
+        w AS (SELECT doc_id, url AS uri, warc_sec AS sec,
+            md5(pay) AS digest, length(pay) AS plen,
+            row_number() OVER (PARTITION BY md5(pay)
+              ORDER BY warc_sec, url, doc_id) AS rn,
+            first_value(url) OVER (PARTITION BY md5(pay)
+              ORDER BY warc_sec, url, doc_id) AS orig_uri,
+            first_value(warc_sec) OVER (PARTITION BY md5(pay)
+              ORDER BY warc_sec, url, doc_id) AS orig_sec
+          FROM p)
+        SELECT doc_id, uri, sec, digest,
+          CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS warc_type,
+          CASE WHEN rn = 1 THEN '' ELSE orig_uri END AS refers_to_uri,
+          CASE WHEN rn = 1 THEN 0 ELSE CAST(orig_sec AS BIGINT) END AS refers_to_sec,
+          CASE WHEN rn = 1 THEN 0 ELSE CAST(plen AS BIGINT) END AS saved_bytes
+        FROM w"""),
 
     "warc_roundtrip" -> Pages.sqlWith(
       // record byte length recomputed from first principles: 176 constant

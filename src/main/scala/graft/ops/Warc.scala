@@ -306,6 +306,42 @@ object Warc {
     * call) — hoist ONE MessageDigest per partition instead of paying the
     * JCE provider lookup per record.
     */
+  /** Revisit-record planning — the WARC-level dedup Common Crawl applies
+    * at ingestion (ISO 28500 §6.7: a fetch whose payload digest was
+    * already stored becomes a `revisit` record referencing the original
+    * instead of re-storing the body; in CC's crawls this routinely saves
+    * a third of raw storage). For each fetch: its payload digest, whether
+    * it is the canonical `response` (the FIRST fetch of that digest in
+    * (warc_sec, uri, doc_id) order — a total order, so the plan is
+    * parallelism-independent) or a `revisit`, the original it refers to,
+    * and the payload bytes the revisit saves.
+    *
+    * Scale shape: ONE shuffle on the digest + a per-digest window whose
+    * partitions are duplicate groups (bounded by refetch behavior, not
+    * corpus size); `first_value` under the default running frame reads
+    * the group head without a second join.
+    */
+  def revisitTable(pages: DataFrame, uriCol: String = "url",
+                   secCol: String = "warc_sec",
+                   payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("digest")
+      .orderBy(col(secCol), col(uriCol), col("doc_id"))
+    pages
+      .withColumn("digest", md5(col(payloadCol)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("orig_uri", first_value(col(uriCol)).over(w))
+      .withColumn("orig_sec", first_value(col(secCol)).over(w))
+      .select(col("doc_id"), col(uriCol).as("uri"), col(secCol).as("sec"),
+        col("digest"),
+        when(col("rn") === 1, "response").otherwise("revisit").as("warc_type"),
+        when(col("rn") === 1, "").otherwise(col("orig_uri")).as("refers_to_uri"),
+        when(col("rn") === 1, lit(0L))
+          .otherwise(col("orig_sec").cast("long")).as("refers_to_sec"),
+        when(col("rn") === 1, lit(0L))
+          .otherwise(length(col(payloadCol)).cast("long")).as("saved_bytes"))
+  }
+
   def md5Hex(md: java.security.MessageDigest, data: Array[Byte]): String = {
     md.reset()
     md.digest(data).map("%02x".format(_)).mkString

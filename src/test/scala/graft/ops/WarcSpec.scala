@@ -194,4 +194,43 @@ class WarcSpec extends AnyFunSuite {
       assert(expect == blobs(seg).length, s"trailing bytes in seg $seg")
     }
   }
+
+  test("revisit planning: one response per digest, revisits refer back") {
+    import spark.implicits._
+    val rows = Seq(
+      // digest A fetched three times (out of order ids), B once
+      (3L, "https://h/a3", 30L, "AAAA"),
+      (1L, "https://h/a1", 10L, "AAAA"),
+      (2L, "https://h/a2", 20L, "AAAA"),
+      (9L, "https://h/b", 5L, "BBBB"))
+      .toDF("doc_id", "url", "warc_sec", "s")
+      .select(col("doc_id"), col("url"), col("warc_sec"),
+        encode(col("s"), "UTF-8").as("payload"))
+    val got = Warc.revisitTable(rows)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(4), r.getString(5),
+        r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got(1L) === (("response", "", 0L, 0L)))
+    assert(got(2L) === (("revisit", "https://h/a1", 10L, 4L)))
+    assert(got(3L) === (("revisit", "https://h/a1", 10L, 4L)))
+    assert(got(9L) === (("response", "", 0L, 0L)))
+    // storage accounting: revisits save exactly the duplicate bytes
+    val saved = got.values.map(_._4).sum
+    assert(saved === 8L)
+  }
+
+  test("revisit ties on warc_sec break on uri then doc_id, total order") {
+    import spark.implicits._
+    val rows = Seq(
+      (5L, "https://h/z", 10L, "X"),
+      (4L, "https://h/y", 10L, "X"))
+      .toDF("doc_id", "url", "warc_sec", "s")
+      .select(col("doc_id"), col("url"), col("warc_sec"),
+        encode(col("s"), "UTF-8").as("payload"))
+    val got = Warc.revisitTable(rows)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got(4L) === "response") // "https://h/y" < "https://h/z"
+    assert(got(5L) === "revisit")
+  }
 }
