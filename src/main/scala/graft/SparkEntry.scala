@@ -1220,6 +1220,21 @@ object SparkEntry {
           family = "md5prefix"),
         Seq("lang"), p = 9)
     },
+    "web_redirects" -> { (s, dir) =>
+      // 20 blocks of 10 URLs: normal blocks chain 0→1→…→9 (chains up to
+      // 9 hops, terminal at 9); every 4th block is a planted 10-cycle
+      // that must come back status=cycle_or_long with final/hops NULL
+      val d = documentsOf(s, dir)
+      val m = col("doc_id") % 200
+      val block = expr("(doc_id % 200) div 10")
+      val dstm = when(block % 4 === 3, block * 10 + (m % 10 + 1) % 10)
+        .when(m % 10 < 9, m + 1)
+      WebOps.resolveRedirects(d.select(
+        concat(lit("https://r.example/"), m.cast("string")).as("src"),
+        when(dstm.isNotNull,
+          concat(lit("https://r.example/"), dstm.cast("string"))).as("dst")),
+        maxHops = 16)
+    },
     "html_meta" -> { (s, dir) =>
       // head variants: description on even docs, canonical on every 3rd,
       // charset missing on every 5th — all four extracts live, absent
@@ -4089,6 +4104,31 @@ object SparkEntry {
           CAST(znon + CAST((512 - nonzero) AS HUGEINT) *
                (CAST(1 AS BIGINT) << 52) AS DECIMAL(38,0)) AS zint
         FROM s"""),
+
+    "web_redirects" -> {
+      // one-hop relaxation unrolled 9 rounds (the fixture's max chain) —
+      // resolved finals/hops are algorithm-independent; cycle rows are
+      // masked NULL on both sides, so the doubling schedule never leaks
+      def round(i: Int): String =
+        s""", r$i AS (SELECT p.src, COALESCE(n.dst, p.cur) AS cur,
+               p.hops + CASE WHEN n.dst IS NOT NULL THEN 1 ELSE 0 END AS hops
+             FROM r${i - 1} p LEFT JOIN f n ON p.cur = n.src)"""
+      s"""WITH ms AS (SELECT DISTINCT doc_id % 200 AS m FROM documents),
+         e AS (SELECT m AS src,
+             CASE WHEN (m // 10) % 4 = 3 THEN (m // 10) * 10 + (m % 10 + 1) % 10
+                  WHEN m % 10 < 9 THEN m + 1 END AS dst
+           FROM ms),
+         f AS (SELECT src, dst FROM e WHERE dst IS NOT NULL AND dst <> src),
+         r0 AS (SELECT src, dst AS cur, 1 AS hops FROM f)
+         ${(1 to 9).map(round).mkString("\n")}
+         SELECT 'https://r.example/' || CAST(r9.src AS VARCHAR) AS src,
+           CASE WHEN t.src IS NULL
+                THEN 'https://r.example/' || CAST(r9.cur AS VARCHAR) END AS final,
+           CASE WHEN t.src IS NULL THEN CAST(r9.hops AS BIGINT) END AS hops,
+           CASE WHEN t.src IS NULL THEN 'resolved'
+                ELSE 'cycle_or_long' END AS status
+         FROM r9 LEFT JOIN (SELECT DISTINCT src FROM f) t ON r9.cur = t.src"""
+    },
 
     "html_meta" ->
       // rebuild the same head and replay the four first-match extracts;

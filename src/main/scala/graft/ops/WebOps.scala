@@ -724,6 +724,60 @@ object WebOps {
         count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Redirect-chain resolution by POINTER DOUBLING — every crawl frontier
+    * must fold `src → (301/302) → … → final` chains before URL dedup, and
+    * the naive one-hop-per-round walk needs max-chain-length rounds; the
+    * doubling contraction (p ← p∘p, the classic parallel list-ranking
+    * trick) resolves every chain of length ≤ maxHops in ⌈log₂ maxHops⌉+1
+    * self-joins, each a plain equi-join on the current pointer.
+    *
+    * The redirect relation is made functional first (one outgoing edge
+    * per src — min dst, deterministic). A src resolves when its pointer
+    * reaches a node with no outgoing redirect: status `resolved`, with
+    * the final URL and the exact hop count (unique values, independent
+    * of algorithm). A src still pointing at a redirecting node after the
+    * doubling budget sits on or upstream of a CYCLE (or a chain longer
+    * than maxHops): status `cycle_or_long` with final/hops NULL — the
+    * intermediate pointer would be an artifact of the round schedule, so
+    * it is deliberately not exposed.
+    */
+  def resolveRedirects(redirects: DataFrame, maxHops: Int = 32): DataFrame = {
+    require(maxHops >= 1 && maxHops <= (1 << 20),
+      s"resolveRedirects: maxHops in [1, 2^20], got $maxHops")
+    val nxt = redirects
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .groupBy("src").agg(min(col("dst")).as("dst"))
+      .persist()
+    var ptr = nxt.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
+      .localCheckpoint(eager = false)
+    val rounds = (32 - Integer.numberOfLeadingZeros(maxHops - 1).max(0)) + 1
+    var r = 0
+    while (r < rounds) {
+      val hop = ptr.select(col("src").as("jsrc"), col("cur").as("jcur"),
+        col("hops").as("jhops"))
+      ptr = ptr.join(hop, col("cur") === col("jsrc"), "left")
+        .select(col("src"),
+          coalesce(col("jcur"), col("cur")).as("cur"),
+          (col("hops") + coalesce(col("jhops"), lit(0L))).as("hops"))
+        .localCheckpoint(eager = false)
+      ptr.count() // materialize the round (fused-job pattern)
+      r += 1
+    }
+    val out = ptr
+      .join(nxt.select(col("src").as("cur"), lit(true).as("redirects_on")),
+        Seq("cur"), "left")
+      .select(col("src"),
+        when(col("redirects_on").isNull, col("cur")).as("final"),
+        when(col("redirects_on").isNull, col("hops")).as("hops"),
+        when(col("redirects_on").isNull, "resolved")
+          .otherwise("cycle_or_long").as("status"))
+      .localCheckpoint(eager = false)
+    out.count()
+    nxt.unpersist()
+    out
+  }
+
   /** Head-metadata extraction — title, meta description, `rel=canonical`
     * target, and declared charset per page, in ONE map-only codegen'd
     * projection (four first-match regexes, each RE2/Java-agnostic: no
