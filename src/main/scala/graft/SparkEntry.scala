@@ -1220,6 +1220,33 @@ object SparkEntry {
           family = "md5prefix"),
         Seq("lang"), p = 9)
     },
+    "web_langmix" -> { (s, dir) =>
+      // per-host language Gini over the natural (host, lang) mix of the
+      // corpus — hosts hold several pages across the 5 langs, so the
+      // impurity spans [0, ~0.8] and the exact integer ppm is live
+      WebOps.hostLangMix(Pages.pages(s, dir))
+    },
+    "web_templates" -> { (s, dir) =>
+      // the html_meta head-variant corpus collapses onto the 2×2×2
+      // template lattice; fingerprints group by opening-tag sequence only
+      val p = Pages.pages(s, dir)
+      val d = col("doc_id").cast("string")
+      val head = concat(
+        lit("<html><head><title>Page "), d, lit("</title>"),
+        when(col("doc_id") % 2 === 0, concat(
+          lit("<meta name=\"description\" content=\"desc "), d, lit("\"/>")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://canon.example/"),
+          (col("doc_id") % 50).cast("string"), lit("\"/>")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 =!= 0, lit("<meta charset=\"utf-8\"/>"))
+          .otherwise(lit("")),
+        lit("</head><body>"), substring(col("text"), 1, 30),
+        lit("</body></html>"))
+      WebOps.templateTable(p.select(col("doc_id"),
+        encode(head, "UTF-8").as("html")))
+    },
     "web_redirects" -> { (s, dir) =>
       // 20 blocks of 10 URLs: normal blocks chain 0→1→…→9 (chains up to
       // 9 hops, terminal at 9); every 4th block is a planted 10-cycle
@@ -4104,6 +4131,42 @@ object SparkEntry {
           CAST(znon + CAST((512 - nonzero) AS HUGEINT) *
                (CAST(1 AS BIGINT) << 52) AS DECIMAL(38,0)) AS zint
         FROM s"""),
+
+    "web_langmix" ->
+      Pages.sqlWith("""
+        , c AS (SELECT 'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+            lang, COUNT(*) AS c
+          FROM pages GROUP BY 1, 2)
+        SELECT host, CAST(SUM(c) AS BIGINT) AS n_pages,
+          COUNT(*) AS n_langs,
+          CAST((CAST(SUM(c) AS HUGEINT) * SUM(c)
+                - SUM(CAST(c AS HUGEINT) * c)) * 1000000
+               // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT) AS gini_ppm
+        FROM c GROUP BY host"""),
+
+    "web_templates" ->
+      // rebuild the head lattice, pull the opening-tag sequence with the
+      // same regex, md5 the joined names
+      Pages.sqlWith("""
+        , h AS (SELECT doc_id,
+            '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) || '</title>'
+            || CASE WHEN doc_id % 2 = 0
+                 THEN '<meta name="description" content="desc '
+                      || CAST(doc_id AS VARCHAR) || '"/>' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                 THEN '<link rel="canonical" href="https://canon.example/'
+                      || CAST(doc_id % 50 AS VARCHAR) || '"/>' ELSE '' END
+            || CASE WHEN doc_id % 5 <> 0
+                 THEN '<meta charset="utf-8"/>' ELSE '' END
+            || '</head><body>' || substr(text, 1, 30) || '</body></html>'
+            AS html
+          FROM pages),
+        t AS (SELECT doc_id,
+            md5(array_to_string(
+              regexp_extract_all(html, '<([a-z][a-z0-9]*)', 1), ',')) AS template
+          FROM h)
+        SELECT template, COUNT(*) AS n_pages, MIN(doc_id) AS example_doc
+        FROM t GROUP BY template"""),
 
     "web_redirects" -> {
       // one-hop relaxation unrolled 9 rounds (the fixture's max chain) —

@@ -724,6 +724,43 @@ object WebOps {
         count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Per-host language-mix concentration — the mixed-language /
+    * scraped-content host detector (an organic host is language-coherent;
+    * aggregators and autogenerated spam mix). Diversity is the GINI
+    * impurity 1 − Σ(n_i/n)², kept exact as the integer
+    * `gini_ppm = ⌊(n² − Σn_i²)·10⁶ / n²⌋` — entropy would need a log,
+    * Gini ranks hosts identically for this purpose and stays
+    * SQL-bit-exact. Two map-side-combined aggregations, nothing else.
+    */
+  def hostLangMix(pages: DataFrame): DataFrame =
+    pages
+      .select(hostOf(normalizeUrl(col("url"))).as("host"), col("lang"))
+      .groupBy("host", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("host")
+      .agg(
+        sum(col("c")).as("n_pages"),
+        count(lit(1)).as("n_langs"),
+        expr("""CAST((CAST(sum(c) AS DECIMAL(38,0)) * sum(c)
+                      - sum(CAST(c AS DECIMAL(38,0)) * c)) * 1000000
+                div (CAST(sum(c) AS DECIMAL(38,0)) * sum(c)) AS BIGINT)""")
+          .as("gini_ppm"))
+
+  /** Page-template fingerprinting — cluster pages by their OPENING-TAG
+    * SEQUENCE (text stripped, order kept): boilerplate-templated sites
+    * collapse onto a handful of fingerprints, which is the signal behind
+    * wrapper induction, per-template extraction rules, and
+    * template-skew diagnostics. One map-only codegen'd regex pass +
+    * one map-side-combined aggregation; example_doc = min doc_id keeps
+    * the representative deterministic.
+    */
+  def templateTable(pages: DataFrame, htmlCol: String = "html"): DataFrame =
+    pages
+      .select(col("doc_id"), md5(org.apache.spark.sql.functions.encode(
+        array_join(regexp_extract_all(col(htmlCol).cast("string"),
+          lit("<([a-z][a-z0-9]*)"), lit(1)), ","), "UTF-8")).as("template"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("example_doc"))
+
   /** Redirect-chain resolution by POINTER DOUBLING — every crawl frontier
     * must fold `src → (301/302) → … → final` chains before URL dedup, and
     * the naive one-hop-per-round walk needs max-chain-length rounds; the
