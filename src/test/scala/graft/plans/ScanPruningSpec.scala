@@ -188,4 +188,60 @@ class ScanPruningSpec extends AnyFunSuite {
       s"no join in cosineSimilarPairs may be hint-forced, found ${hints.size}")
   }
 
+  test("collocations/lm_score force-broadcast ONLY their 1-row total scalar") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("text_collocations", "text_lm_score")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.size == 1, s"$q: expected only the total-scalar hint, " +
+        s"found ${hints.size}")
+      assert(hints.head.child.output.map(_.name) == Seq("n"),
+        s"$q: the forced broadcast is not the corpus-total scalar:\n" +
+          hints.head.toString.take(800))
+    }
+  }
+
+  test("HLL register derivation is map-only below its single shuffle") {
+    val p = physical("url_hll_regs")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      "registers must cost exactly one shuffle:\n" + p.take(1500))
+    assert(p.contains("partial_"), "no map-side combine:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(400))
+  }
+
+  test("CMS registers: one scan (posexplode'd depth rows), one shuffle") {
+    val p = physical("text_cms")
+    assert(p.contains("Generate"), "depth rows must ride a generator, " +
+      "not depth re-scans:\n" + p.take(1200))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      "registers must cost exactly one shuffle:\n" + p.take(1500))
+    assert(p.split("FileScan").length - 1 == 1,
+      "CMS must not re-scan the corpus per depth row:\n" + p.take(1500))
+  }
+
+  test("html_meta is a pure projection: zero exchanges") {
+    val p = physical("html_meta")
+    assert(!p.contains("Exchange"), "head extraction must stay map-only:\n" +
+      p.take(1200))
+  }
+
+  test("systematic sampling keeps the global window off the raw rows") {
+    // two tiny global exchanges are legitimate (the per-bucket offsets
+    // window and the 1-row total scalar); the raw rows themselves must
+    // ride a bucket-PARTITIONED window, never a global sort
+    val p = physical("select_systematic")
+    assert(p.split("Exchange SinglePartition").length - 1 <= 2,
+      "unexpected extra global exchange:\n" + p.take(2000))
+    assert(p.contains("windowspecdefinition(bkt"),
+      "the local cumsum window lost its bucket partitioning:\n" + p.take(2000))
+  }
+
+  test("boilerplate strip never goes non-equi") {
+    val p = physical("web_boilerplate")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(1200))
+    assert(p.contains("partial_"), "frequency aggs lost map-side combine:\n" +
+      p.take(1500))
+  }
+
 }
