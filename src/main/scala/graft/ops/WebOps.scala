@@ -890,6 +890,11 @@ object WebOps {
                       tNum: Long = 1, tDen: Long = 2): DataFrame = {
     require(zNum > 0 && zDen > 0 && tNum >= 0 && tDen > 0 && tNum <= tDen,
       s"hostQualityGate: need z > 0 and 0 <= t <= 1, got z=$zNum/$zDen t=$tNum/$tDen")
+    // the Long coefficient products below (c²·tDen² etc.) stay exact only
+    // while c = zNum² ≤ 10⁶ and tDen ≤ 10³ — loud bound, not silent wrap
+    require(zNum <= 1000 && zDen <= 1000 && tDen <= 1000,
+      s"hostQualityGate: zNum/zDen <= 1000 and tDen <= 1000 keep the integer " +
+        s"certificate exact in Long, got z=$zNum/$zDen tDen=$tDen")
     val c = zNum * zNum
     val d = zDen * zDen
     pages.groupBy("host")
