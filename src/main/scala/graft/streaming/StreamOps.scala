@@ -259,6 +259,19 @@ object StreamOps {
                         family: String = "xxhash64"): DataFrame =
     graft.ops.Sketches.hllRegisters(rows, keyCol, groupCols, p, family)
 
+  /** Streaming Count-Min registers: live frequency sketching over an
+    * unbounded key stream (hot tokens, hot hosts) — like
+    * [[hllRegisterStream]], the batch op is streaming-legal as written
+    * (one stateful SUM aggregation, state bounded by groups × depth ×
+    * width forever) and counter sums are order-free, so any prefix's
+    * streaming registers equal the batch sketch of that prefix exactly.
+    */
+  def cmsRegisterStream(rows: DataFrame, keyCol: String,
+                        groupCols: Seq[String], width: Int = 256,
+                        depth: Int = 4,
+                        family: String = "xxhash64"): DataFrame =
+    graft.ops.Sketches.cmsRegisters(rows, keyCol, groupCols, width, depth, family)
+
   /** Streaming tiling: geocode each page record and count per hex cell —
     * the incremental form of Pipeline.tilePages. Works on any stream with
     * a `url` column.

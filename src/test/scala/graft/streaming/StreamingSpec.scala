@@ -40,6 +40,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS registers equal the batch sketch exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = graft.ops.Sketches
+      .cmsRegisters(docs.select(col("lang"), col("text")),
+        "text", Seq("lang"), width = 64, depth = 3, family = "xxhash64")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(stageDir("/root/testdata/sf0.001/documents.parquet"))
+      .select(col("lang"), col("text"))
+    val q = StreamOps.cmsRegisterStream(stream, "text", Seq("lang"),
+        width = 64, depth = 3)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_regs").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cms_regs")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch computation") {
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val stream = StreamOps.eventStream(spark,
