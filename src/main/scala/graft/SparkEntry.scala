@@ -1078,6 +1078,25 @@ object SparkEntry {
         ((col("doc_id") * 17 + 3) % 97).as("dst"))
       WebOps.pageRank(e1.unionByName(e2), iters = 5)
     },
+    "web_crawl_delay" -> { (s, dir) =>
+      // star-group Crawl-delay harvest: a named-agent group's delay (99)
+      // must NOT count, an invalid value inside the star group drops via
+      // try_cast, two valid star directives take the max, fractional
+      // values parse exactly
+      val p = Pages.pages(s, dir)
+      val hosts = p.select(
+        WebOps.hostOf(WebOps.normalizeUrl(col("url"))).as("host")).distinct()
+      val k = regexp_extract(col("host"), "^host([0-9]+)\\.", 1).cast("long")
+      val robots = hosts.select(col("host"), concat(
+        lit("User-Agent: megabot\nCrawl-delay: 99\n\nUser-Agent: *\n"),
+        lit("Disallow: /x\nCrawl-Delay: "), (k % 7).cast("string"),
+        when(k % 2 === 0,
+          concat(lit("\ncrawl-delay: "), (k % 5).cast("string"), lit(".5")))
+          .otherwise(lit("")),
+        when(k % 3 === 0, lit("\nCrawl-delay: soon")).otherwise(lit("")))
+        .as("robots_txt"))
+      WebOps.crawlDelays(robots)
+    },
     "web_sitemaps" -> { (s, dir) =>
       // group-independent Sitemap harvest: directives above, inside, and
       // after UA groups (all must surface), mixed case, a lookalike
@@ -3972,6 +3991,43 @@ object SparkEntry {
          ${(1 to 5).map(iter).mkString("\n")}
          SELECT host, rank FROM r5"""
     },
+
+    "web_crawl_delay" ->
+      // the same lag → running-sum → star-group-join machinery as the
+      // web_robots oracle, on crawl-delay lines with TRY_CAST dropping
+      // the invalid value
+      """WITH hostsk AS (SELECT DISTINCT doc_id % 97 AS k FROM documents),
+        robots AS (SELECT k,
+          'host' || CAST(k AS VARCHAR) || '.example' AS host,
+          'User-Agent: megabot' || chr(10) || 'Crawl-delay: 99' || chr(10) ||
+          chr(10) || 'User-Agent: *' || chr(10) || 'Disallow: /x' || chr(10) ||
+          'Crawl-Delay: ' || CAST(k % 7 AS VARCHAR) ||
+          CASE WHEN k % 2 = 0
+               THEN chr(10) || 'crawl-delay: ' || CAST(k % 5 AS VARCHAR) || '.5'
+               ELSE '' END ||
+          CASE WHEN k % 3 = 0 THEN chr(10) || 'Crawl-delay: soon' ELSE '' END
+          AS txt FROM hostsk),
+        lines AS (SELECT host,
+          generate_subscripts(string_split(txt, chr(10)), 1) AS pos,
+          unnest(string_split(txt, chr(10))) AS line FROM robots),
+        marked AS (SELECT host, pos, line,
+          (lower(trim(line)) LIKE 'user-agent:%') AS is_ua FROM lines),
+        lagged AS (SELECT host, pos, line, is_ua,
+          COALESCE(LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), false) AS prev_ua
+          FROM marked),
+        grps AS (SELECT host, pos, line, is_ua,
+          SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+            OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+          FROM lagged),
+        stars AS (SELECT DISTINCT host, grp FROM grps
+          WHERE is_ua AND trim(substr(trim(line), instr(trim(line), ':') + 1)) = '*'),
+        d AS (SELECT g.host,
+            TRY_CAST(trim(substr(trim(g.line), instr(trim(g.line), ':') + 1))
+                     AS DOUBLE) AS delay
+          FROM grps g JOIN stars s ON g.host = s.host AND g.grp = s.grp
+          WHERE lower(trim(g.line)) LIKE 'crawl-delay:%')
+        SELECT host, MAX(delay) AS crawl_delay_sec, COUNT(*) AS n_directives
+        FROM d WHERE delay IS NOT NULL GROUP BY host""",
 
     "web_sitemaps" ->
       // re-split the same synthesized robots.txt; the LIKE prefix test,

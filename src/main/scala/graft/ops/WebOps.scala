@@ -205,7 +205,20 @@ object WebOps {
     * 10^9-host robots corpus parses in two window passes with no UDF.
     */
   def parseRobots(robots: DataFrame, txtCol: String = "robots_txt"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val lline = lower(trim(col("line")))
+    val ruleVal = trim(expr("substr(trim(line), instr(trim(line), ':') + 1)"))
+    starGroupLines(robots, txtCol)
+      .filter(lline.startsWith("allow:") || lline.startsWith("disallow:"))
+      .select(col("host"), ruleVal.as("prefix"),
+        lline.startsWith("allow:").as("allow"))
+      .filter(col("prefix") =!= "")
+  }
+
+  /** Lines belonging to the generic crawler's (`*`) groups — the shared
+    * group-assignment machinery behind [[parseRobots]] and
+    * [[crawlDelays]]: one lag + one running sum per host.
+    */
+  private def starGroupLines(robots: DataFrame, txtCol: String): DataFrame = {
     val lines = robots.select(col("host"),
       posexplode(split(col(txtCol), "\n")).as(Seq("pos", "line")))
     val lline = lower(trim(col("line")))
@@ -221,10 +234,29 @@ object WebOps {
       .filter(col("is_ua") && ruleVal === "*")
       .select(col("host"), col("grp")).distinct()
     grps.join(starGrps, Seq("host", "grp"))
-      .filter(lline.startsWith("allow:") || lline.startsWith("disallow:"))
-      .select(col("host"), ruleVal.as("prefix"),
-        lline.startsWith("allow:").as("allow"))
-      .filter(col("prefix") =!= "")
+  }
+
+  /** Crawl-delay seconds per host for the generic crawler — the de-facto
+    * politeness directive (not in RFC 9309 but honored by most major
+    * crawlers; a frontier scheduler divides per-host token rates by it).
+    * Scope follows [[parseRobots]]'s group semantics: only `*`-group
+    * directives count. Multiple valid directives take the MAX (the
+    * conservative politeness choice); non-numeric values are dropped via
+    * try_cast (loud ANSI casts would kill a 10⁹-host parse on one typo).
+    * Returns (host, crawl_delay_sec, n_directives) for hosts that
+    * declare one.
+    */
+  def crawlDelays(robots: DataFrame, txtCol: String = "robots_txt"): DataFrame = {
+    val lline = lower(trim(col("line")))
+    starGroupLines(robots, txtCol)
+      .filter(lline.startsWith("crawl-delay:"))
+      .select(col("host"),
+        expr("try_cast(trim(substr(trim(line), instr(trim(line), ':') + 1)) AS DOUBLE)")
+          .as("delay"))
+      .filter(col("delay").isNotNull)
+      .groupBy("host")
+      .agg(max(col("delay")).as("crawl_delay_sec"),
+        count(lit(1)).as("n_directives"))
   }
 
   /** Robots-compliance decision per page under RFC 9309 longest-match:

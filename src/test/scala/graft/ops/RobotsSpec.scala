@@ -42,6 +42,31 @@ class RobotsSpec extends AnyFunSuite {
     assert(rulesOf("h", txt) === Set(("/X", false), ("/Xy", true)))
   }
 
+  test("crawl-delay: star group only, max wins, invalid drops, fractional") {
+    import spark.implicits._
+    val txt =
+      """User-Agent: megabot
+        |Crawl-delay: 99
+        |
+        |User-Agent: *
+        |Disallow: /a
+        |Crawl-Delay: 2
+        |crawl-delay: 3.5
+        |Crawl-delay: soon""".stripMargin
+    val got = WebOps.crawlDelays(Seq(("h", txt)).toDF("host", "robots_txt"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === Map("h" -> ((3.5, 2L))))
+  }
+
+  test("crawl-delay: hosts without a star-group directive emit no row") {
+    import spark.implicits._
+    val rows = Seq(
+      ("named", "User-Agent: megabot\nCrawl-delay: 10"),
+      ("none", "User-Agent: *\nDisallow: /x"))
+    val got = WebOps.crawlDelays(rows.toDF("host", "robots_txt")).collect()
+    assert(got.isEmpty)
+  }
+
   test("decisions: longest match wins, allow wins length ties, default allow") {
     import spark.implicits._
     val rules = Seq(
