@@ -1204,6 +1204,21 @@ object SparkEntry {
             when(col("m") % 5 === 0, lit(" v2")).otherwise(lit(""))).as("text"))
       WebOps.snapshotDiff(before, after)
     },
+    "url_features" -> { (s, dir) =>
+      // richer synthetic URLs: section segment, per-rule .html leaf or
+      // bare numeric slug, query string on every 4th page — every
+      // feature column takes both branches
+      val p = Pages.pages(s, dir)
+      val k = (col("doc_id") % 97).cast("string")
+      val d = col("doc_id").cast("string")
+      val url2 = concat(
+        lit("https://host"), k, lit(".example/sec"),
+        (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, concat(lit("/page"), d, lit(".html")))
+          .otherwise(concat(lit("/"), d)),
+        when(col("doc_id") % 4 === 0, lit("?ref=rss")).otherwise(lit("")))
+      WebOps.urlFeatures(p.select(col("doc_id"), url2.as("url")))
+    },
     "url_change_rate" -> { (s, dir) =>
       // recrawl churn over 100 synthetic URLs (5 fetches each at
       // sf0.001): every 3rd page serves pinned content (0 changes), the
@@ -4123,6 +4138,35 @@ object SparkEntry {
                WHEN a.t = b.t THEN 'unchanged'
                ELSE 'changed' END AS status
         FROM a FULL OUTER JOIN b ON a.m = b.m"""),
+
+    "url_features" ->
+      Pages.sqlWith("""
+        , u AS (SELECT doc_id,
+            'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.example/sec'
+            || CAST(doc_id % 7 AS VARCHAR)
+            || CASE WHEN doc_id % 3 = 0
+                 THEN '/page' || CAST(doc_id AS VARCHAR) || '.html'
+                 ELSE '/' || CAST(doc_id AS VARCHAR) END
+            || CASE WHEN doc_id % 4 = 0 THEN '?ref=rss' ELSE '' END AS url
+          FROM pages),
+        s AS (SELECT doc_id, url,
+            regexp_replace(regexp_replace(regexp_replace(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '#.*$', ''), '\?.*$', '')
+              AS nq
+          FROM u),
+        p AS (SELECT doc_id, url,
+            COALESCE(NULLIF(regexp_extract(nq, '(/.*)$', 1), ''), '/') AS path
+          FROM s)
+        SELECT doc_id,
+          'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+          path,
+          CAST(length(path) - length(replace(path, '/', '')) AS BIGINT) AS depth,
+          CAST(length(path) AS BIGINT) AS path_len,
+          CAST(length(regexp_replace(path, '[^0-9]', '', 'g')) AS BIGINT)
+            AS n_digits,
+          contains(url, '?') AS has_query,
+          regexp_matches(path, '\.[a-z0-9]{1,5}$') AS has_ext
+        FROM p"""),
 
     "url_change_rate" ->
       // same (warc_sec, hash)-ordered lag walk per canonical URL; md5 is

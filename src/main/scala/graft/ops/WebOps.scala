@@ -756,6 +756,31 @@ object WebOps {
         count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Per-page URL shape features — the RefinedWeb/UT1-style URL-level
+    * quality signals (deep paths, digit-heavy slugs, and query-string
+    * pages correlate with calendars, session junk, and autogenerated
+    * spam): path depth, path length, digit count, query-string and
+    * file-extension flags. ONE map-only codegen'd projection; the path
+    * keeps its original case and query split per RFC semantics (same
+    * layering as [[robotsFilter]]'s rawPath).
+    */
+  def urlFeatures(pages: DataFrame): DataFrame = {
+    val noScheme = regexp_replace(col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val noQuery = regexp_replace(noFrag, "\\?.*$", "")
+    val path = coalesce(nullif(regexp_extract(noQuery, "(/.*)$", 1), lit("")),
+      lit("/"))
+    pages.select(col("doc_id"),
+      hostOf(normalizeUrl(col("url"))).as("host"),
+      path.as("path"),
+      (length(path) - length(regexp_replace(path, "/", ""))).cast("long")
+        .as("depth"),
+      length(path).cast("long").as("path_len"),
+      length(regexp_replace(path, "[^0-9]", "")).cast("long").as("n_digits"),
+      col("url").contains("?").as("has_query"),
+      path.rlike("\\.[a-z0-9]{1,5}$").as("has_ext"))
+  }
+
   /** Per-host language-mix concentration — the mixed-language /
     * scraped-content host detector (an organic host is language-coherent;
     * aggregators and autogenerated spam mix). Diversity is the GINI

@@ -43,4 +43,22 @@ class HtmlMetaSpec extends AnyFunSuite {
     val h = "<title>first</title><title>second</title>"
     assert(run(Seq((1L, h)))(1L)._1 === "first")
   }
+
+  test("url features: depth, digits, query, extension on hand URLs") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://a.example/blog/2024/03/x1.html?utm=1#frag"),
+      (2L, "https://a.example/"),
+      (3L, "http://b.example"),
+      (4L, "https://b.example/p123"))
+    val got = WebOps.urlFeatures(rows.toDF("doc_id", "url"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6), r.getBoolean(7))))
+      .toMap
+    assert(got(1L) === (("/blog/2024/03/x1.html", 4L, 21L, 7L, true, true)))
+    assert(got(2L) === (("/", 1L, 1L, 0L, false, false)))
+    assert(got(3L) === (("/", 1L, 1L, 0L, false, false))) // hostname-only
+    assert(got(4L) === (("/p123", 1L, 5L, 3L, false, false)))
+  }
 }
