@@ -1204,6 +1204,16 @@ object SparkEntry {
             when(col("m") % 5 === 0, lit(" v2")).otherwise(lit(""))).as("text"))
       WebOps.snapshotDiff(before, after)
     },
+    "web_dup_report" -> { (s, dir) =>
+      // plant per-host duplication: every 3rd page of a host serves the
+      // host's template text, the rest stay unique — dup_ppm is live and
+      // varies by host size
+      val p = Pages.pages(s, dir)
+      val k = (col("doc_id") % 97).cast("string")
+      val t = when(col("doc_id") % 3 === 0,
+        concat(lit("template-"), k)).otherwise(col("text"))
+      WebOps.hostDupReport(p.select(col("doc_id"), col("url"), t.as("text")))
+    },
     "url_features" -> { (s, dir) =>
       // richer synthetic URLs: section segment, per-rule .html leaf or
       // bare numeric slug, query string on every 4th page — every
@@ -4138,6 +4148,18 @@ object SparkEntry {
                WHEN a.t = b.t THEN 'unchanged'
                ELSE 'changed' END AS status
         FROM a FULL OUTER JOIN b ON a.m = b.m"""),
+
+    "web_dup_report" ->
+      Pages.sqlWith("""
+        , p AS (SELECT 'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+            md5(CASE WHEN doc_id % 3 = 0
+                     THEN 'template-' || CAST(doc_id % 97 AS VARCHAR)
+                     ELSE text END) AS h
+          FROM pages)
+        SELECT host, COUNT(*) AS n_pages, COUNT(DISTINCT h) AS n_unique,
+          CAST(((COUNT(*) - COUNT(DISTINCT h)) * CAST(1000000 AS HUGEINT))
+               // COUNT(*) AS BIGINT) AS dup_ppm
+        FROM p GROUP BY host"""),
 
     "url_features" ->
       Pages.sqlWith("""

@@ -756,6 +756,22 @@ object WebOps {
         count(when(col("is_b").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Per-host duplication report — the template-farm triage view (which
+    * hosts are mostly one page stamped thousands of times): page count,
+    * distinct content count, and the duplication ratio as the exact
+    * integer `dup_ppm = (n − uniq)·10⁶ div n`. One aggregation with a
+    * map-side-combined exact distinct on the content hash.
+    */
+  def hostDupReport(pages: DataFrame, textCol: String = "text"): DataFrame =
+    pages
+      .select(hostOf(normalizeUrl(col("url"))).as("host"),
+        md5(encode(col(textCol).cast("string"), "UTF-8")).as("h"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("h")).as("n_unique"))
+      .withColumn("dup_ppm", expr(
+        "CAST(((n_pages - n_unique) * CAST(1000000 AS DECIMAL(38,0))) div n_pages AS BIGINT)"))
+
   /** Per-page URL shape features — the RefinedWeb/UT1-style URL-level
     * quality signals (deep paths, digit-heavy slugs, and query-string
     * pages correlate with calendars, session junk, and autogenerated

@@ -30,6 +30,19 @@ class HostMixSpec extends AnyFunSuite {
     assert(got("tri.example") === ((3L, 3L, 666666L)))      // floor(2/3 ppm)
   }
 
+  test("dup report: exact ppm on hand distributions") {
+    import spark.implicits._
+    val rows =
+      Seq(("https://a.example/1", "same"), ("https://a.example/2", "same"),
+        ("https://a.example/3", "same"), ("https://a.example/4", "other")) ++
+      Seq(("https://b.example/1", "x"), ("https://b.example/2", "y"))
+    val got = WebOps.hostDupReport(rows.toDF("url", "text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a.example") === ((4L, 2L, 500000L))) // 2 dup of 4
+    assert(got("b.example") === ((2L, 2L, 0L)))
+  }
+
   test("templates group by tag sequence, independent of text content") {
     import spark.implicits._
     val rows = Seq(
