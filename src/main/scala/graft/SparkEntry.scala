@@ -1441,6 +1441,13 @@ object SparkEntry {
       // tie-broken on the pair) is exact
       TextOps.collocations(documentsOf(s, dir), minCount = 5, topK = 50)
     },
+    "events_funnel" -> { (s, dir) =>
+      // ordered view→click→purchase funnel, first-touch semantics with
+      // exact microsecond reach times and integer conversion ppm
+      Events.funnel(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq("view", "click", "purchase"))
+    },
     "text_pack" -> { (s, dir) =>
       // 512-token packing manifest; bucket=64 so the distributed
       // prefix-sum path (bucket offsets + local cumsum) actually
@@ -4683,6 +4690,32 @@ object SparkEntry {
            MIN(CASE WHEN cum * 100 >= n * 99 THEN n_toks END) AS p99,
            MAX(n_toks) AS max_toks
          FROM cum GROUP BY lang""",
+
+    "events_funnel" ->
+      // the same per-step min-reach-time chain; epoch_us is DuckDB's
+      // unix_micros twin, // the same floor division on the ppm
+      """WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         r1 AS (SELECT user_id, MIN(us) AS t FROM b
+                WHERE event_type = 'view' GROUP BY user_id),
+         r2 AS (SELECT b.user_id, MIN(b.us) AS t FROM b
+                JOIN r1 ON b.user_id = r1.user_id
+                WHERE b.event_type = 'click' AND b.us >= r1.t
+                GROUP BY b.user_id),
+         r3 AS (SELECT b.user_id, MIN(b.us) AS t FROM b
+                JOIN r2 ON b.user_id = r2.user_id
+                WHERE b.event_type = 'purchase' AND b.us >= r2.t
+                GROUP BY b.user_id)
+         SELECT CAST(1 AS INT) AS step_no, 'view' AS step,
+           CAST((SELECT COUNT(*) FROM r1) AS BIGINT) AS n_users,
+           CAST(1000000 AS BIGINT) AS conv_ppm
+         UNION ALL SELECT CAST(2 AS INT), 'click',
+           CAST((SELECT COUNT(*) FROM r2) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM r2) * 1000000
+                // (SELECT COUNT(*) FROM r1) AS BIGINT)
+         UNION ALL SELECT CAST(3 AS INT), 'purchase',
+           CAST((SELECT COUNT(*) FROM r3) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM r3) * 1000000
+                // (SELECT COUNT(*) FROM r2) AS BIGINT)""",
 
     "text_collocations" ->
       // adjacency via row_number over surviving (non-empty) tokens —

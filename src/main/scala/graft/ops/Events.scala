@@ -26,6 +26,44 @@ object Events {
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
         min("event_id").as("min_ev"), max("event_id").as("max_ev"))
 
+  /** Ordered funnel analysis — how many users progressed through the
+    * step sequence IN TIME ORDER (step k counts only events at or after
+    * the user's reach-time of step k−1; first-touch semantics). The
+    * classic product-analytics query, exact: reach times are integer
+    * microsecond minima with (us, event_id) unavailable ties broken by
+    * min over the full event set — min is order-free, so the funnel is
+    * parallelism-independent and SQL-mirrorable.
+    *
+    * Scale shape: one filtered map-side-combined min-agg per step plus
+    * one user-keyed equi-join per step transition — k steps cost k aggs
+    * + (k−1) joins, all on user_id, never a window over the raw stream.
+    * Returns one row per step: (step_no, step, n_users, conv_ppm) where
+    * conv_ppm = ⌊n_k·10⁶ / n_{k−1}⌋ (10⁶ for step 1).
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnel: need >= 2 steps, got ${steps.size}")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val base = events.select(col("user_id"), col("event_type"), us.as("us"))
+    var reached = base.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("us")).as("t"))
+    var counts = Vector(reached.count())
+    for (s <- steps.tail) {
+      reached = base.filter(col("event_type") === s)
+        .join(reached.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .filter(col("us") >= col("t_prev"))
+        .groupBy("user_id").agg(min(col("us")).as("t"))
+      counts :+= reached.count()
+    }
+    steps.zipWithIndex.map { case (s, i) =>
+      val conv = if (i == 0) 1000000L
+      else if (counts(i - 1) == 0L) 0L
+      else counts(i) * 1000000L / counts(i - 1)
+      (i + 1, s, counts(i), conv)
+    }.toDF("step_no", "step", "n_users", "conv_ppm")
+  }
+
   /** Sessionization: per-user event gaps > 30 minutes start a new session.
     * Returns per-user session/event counts. Window over (user, time) —
     * the shuffle is on user_id; state is O(1) per row (lag).
