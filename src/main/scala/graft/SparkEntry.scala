@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
-import graft.joins.{KnnJoin, SpatialJoins}
+import graft.joins.{KnnJoin, RangeJoin, SpatialJoins}
 import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, Sketches, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
 import graft.tiles.{PatchGrid, RasterSpec, TileOps, TileOps2}
@@ -532,6 +532,18 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("lon_udeg").as("x"), col("lat_udeg").as("y"))
       val probes = pts.filter(col("id") < 100)
       KnnJoin.knnBroadcastProbes(pts, probes, k = 3)
+    },
+
+    "geo_range_join" -> { (s, dir) =>
+      // distance-within join: pages within 3 degrees of each probe page,
+      // via a broadcast cell-cover prefilter + exact integer verify. The
+      // oracle is the BRUTE-FORCE theta join, so the hash-exact match
+      // certifies the prefilter lossless end-to-end (the geo_cover_pip
+      // proof pattern, applied to the radius-join family).
+      val pts = Pages.pages(s, dir)
+        .select(col("doc_id").as("id"), col("lon_udeg").as("x"), col("lat_udeg").as("y"))
+      val probes = pts.filter(col("id") < 40)
+      RangeJoin.rangeJoinCells(pts, probes, radiusUdeg = 3000000L, level = 6)
     },
 
     "geo_s2_cells" -> { (s, dir) =>
@@ -2709,6 +2721,16 @@ object SparkEntry {
               (p.lon_udeg - t.lon_udeg) * (p.lon_udeg - t.lon_udeg)
                 + (p.lat_udeg - t.lat_udeg) * (p.lat_udeg - t.lat_udeg), t.doc_id) AS rank
           FROM pages p JOIN pages t ON t.doc_id <> p.doc_id) WHERE rank <= 3"""),
+
+    "geo_range_join" -> Pages.sqlWith(
+      """SELECT pr.doc_id AS probe_id, t.doc_id AS target_id,
+          (t.lon_udeg - pr.lon_udeg) * (t.lon_udeg - pr.lon_udeg)
+            + (t.lat_udeg - pr.lat_udeg) * (t.lat_udeg - pr.lat_udeg) AS dist2
+        FROM pages t JOIN pages pr
+          ON pr.doc_id < 40
+         AND (t.lon_udeg - pr.lon_udeg) * (t.lon_udeg - pr.lon_udeg)
+            + (t.lat_udeg - pr.lat_udeg) * (t.lat_udeg - pr.lat_udeg)
+            <= 9000000000000"""),
 
     "geo_knn" -> Pages.sqlWith(
       """SELECT query_id, neighbor_id, dist2, CAST(rank AS INTEGER) AS rank FROM (

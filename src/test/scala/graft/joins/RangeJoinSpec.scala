@@ -1,0 +1,70 @@
+package graft.joins
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pts(n: Int) = spark.range(n).select(
+    col("id"),
+    ((col("id") * 1103515245L + 12345L) % 360000000L - 180000000L).as("x"),
+    ((col("id") * 2654435761L + 99991L) % 170000000L - 85000000L).as("y"))
+
+  private def brute(n: Int, probeMax: Long, r: Long): Set[(Long, Long, Long)] = {
+    val all = pts(n).collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    val probes = all.filter(_._1 < probeMax)
+    (for {
+      (pid, px, py) <- probes
+      (tid, tx, ty) <- all
+      d2 = (tx - px) * (tx - px) + (ty - py) * (ty - py)
+      if d2 <= r * r
+    } yield (pid, tid, d2)).toSet
+  }
+
+  private def joined(n: Int, probeMax: Long, r: Long, level: Int): Set[(Long, Long, Long)] = {
+    val p = pts(n)
+    RangeJoin.rangeJoinCells(p, p.filter(col("id") < probeMax), r, level)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+  }
+
+  test("cell-prefiltered join equals brute force at several levels") {
+    val exact = brute(2000, 30, 5000000L)
+    assert(exact.size > 30, s"fixture too sparse: ${exact.size}")
+    for (level <- Seq(4, 6, 8))
+      assert(joined(2000, 30, 5000000L, level) == exact, s"level $level diverged")
+  }
+
+  test("boundary dist2 == r^2 is included") {
+    import spark.implicits._
+    val t = Seq((1L, 0L, 0L), (2L, 3000L, 4000L), (3L, 3000L, 4001L))
+      .toDF("id", "x", "y")
+    val got = RangeJoin.rangeJoinCells(t, t.filter(col("id") === 1), 5000L, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // (3000,4000) sits exactly on the circle: 3000^2+4000^2 = 5000^2
+    assert(got == Set((1L, 0L), (2L, 25000000L)))
+  }
+
+  test("radius 0 pairs only coincident points") {
+    import spark.implicits._
+    val t = Seq((1L, 7L, 9L), (2L, 7L, 9L), (3L, 7L, 10L)).toDF("id", "x", "y")
+    val got = RangeJoin.rangeJoinCells(t, t.filter(col("id") === 1), 0L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (1L, 2L)))
+  }
+
+  test("plan is one broadcast equi-join on the cell id, never a theta join") {
+    val p = pts(500)
+    val df = RangeJoin.rangeJoinCells(p, p.filter(col("id") < 10), 3000000L, 6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"theta join leaked into:\n$plan")
+  }
+}
