@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
+import graft.index.Geohash
 import graft.joins.{KnnJoin, RangeJoin, SpatialJoins}
 import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, Sketches, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
@@ -292,6 +293,33 @@ object SparkEntry {
   private val sqlVals16: String =
     (0 to 15).map(t => s"($t)").mkString("(VALUES ", ", ", ") AS ts(t)")
 
+  /** DuckDB twin of [[graft.index.Geohash.encodeCol]] (even precision):
+    * a CTE chain ending in `gh(doc_id, gh$p)` — the same axis floors,
+    * magic-mask bit spreads, interleave, and base-32 chars, op for op.
+    */
+  private def sqlGeohash(p: Int): String = {
+    require(5 * p % 2 == 0, s"sqlGeohash: even precision only, got $p")
+    val n = 1L << (5 * p / 2)
+    val masks = Seq(
+      (16, 0x0000ffff0000ffffL), (8, 0x00ff00ff00ff00ffL),
+      (4, 0x0f0f0f0f0f0f0f0fL), (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+    val steps = masks.zipWithIndex.map { case ((sh, m), i) =>
+      s"gh${i + 1} AS (SELECT doc_id, ((gx | (gx << $sh)) & $m) AS gx, " +
+        s"((gy | (gy << $sh)) & $m) AS gy FROM gh$i)"
+    }.mkString(",\n          ")
+    val chars = (0 until p).map { i =>
+      s"substr('${Geohash.Alphabet}', CAST(((z >> ${5 * (p - 1 - i)}) & 31) AS INT) + 1, 1)"
+    }.mkString(" || ")
+    s"""gh0 AS (SELECT doc_id,
+          CAST(LEAST(GREATEST(floor((lon + 180.0) / 360.0 * $n.0), 0), ${n - 1}) AS BIGINT) AS gx,
+          CAST(LEAST(GREATEST(floor((lat + 90.0) / 180.0 * $n.0), 0), ${n - 1}) AS BIGINT) AS gy
+        FROM pages),
+        $steps,
+        ghz AS (SELECT doc_id, ((gx << 1) | gy) AS z FROM gh${masks.size}),
+        gh AS (SELECT doc_id, $chars AS gh$p FROM ghz)"""
+  }
+
   /** S2 twins (S2Cell layout: face in bits 61..63 — the sign bit
     * participates, so the field ops are bitwise & / arithmetic >> rather
     * than quotients, verified two's-complement-identical in DuckDB).
@@ -544,6 +572,16 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("lon_udeg").as("x"), col("lat_udeg").as("y"))
       val probes = pts.filter(col("id") < 40)
       RangeJoin.rangeJoinCells(pts, probes, radiusUdeg = 3000000L, level = 6)
+    },
+
+    "geo_geohash" -> { (s, dir) =>
+      // base-32 geohash (the interchange cell index): pure bit arithmetic,
+      // one codegen span, mirrored op-for-op in SQL (sqlGeohash). gh4 is
+      // the string-prefix rollup — exact because the axis quotient is
+      // multiplied by a power of two (see Geohash scaladoc).
+      Pages.pages(s, dir)
+        .select(col("doc_id"), Geohash.encodeCol(col("lon"), col("lat"), 8).as("gh8"))
+        .withColumn("gh4", substring(col("gh8"), 1, 4))
     },
 
     "geo_s2_cells" -> { (s, dir) =>
@@ -2603,6 +2641,9 @@ object SparkEntry {
         FROM scored s JOIN norms na ON na.vec_id = s.vec_a
           JOIN norms nb ON nb.vec_id = s.vec_b
         WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3""",
+
+    "geo_geohash" -> Pages.sqlWith(
+      s", ${sqlGeohash(8)} SELECT doc_id, gh8, substr(gh8, 1, 4) AS gh4 FROM gh"),
 
     "geo_s2_cells" -> Pages.sqlWith(
       s", ${sqlS2Cell(10)} SELECT s2, CAST(count(*) AS BIGINT) AS n_pages, " +
