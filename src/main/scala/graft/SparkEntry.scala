@@ -2553,6 +2553,8 @@ object SparkEntry {
     // --- event streams ---
     "events_hourly" -> { (s, dir) => Events.hourlyWindows(eventsOf(s, dir)) },
     "events_sessionize" -> { (s, dir) => Events.sessionize(eventsOf(s, dir)) },
+    "events_retention" -> { (s, dir) => Events.retention(eventsOf(s, dir)) },
+    "events_transitions" -> { (s, dir) => Events.transitions(eventsOf(s, dir)) },
     "events_typestats" -> { (s, dir) => Events.typeStats(eventsOf(s, dir)) }
   )
 
@@ -6198,6 +6200,28 @@ object SparkEntry {
         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
           CAST(count(*) AS BIGINT) AS n_events
         FROM g GROUP BY user_id""",
+
+    "events_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+            CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+         s AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_n FROM f GROUP BY 1),
+         a AS (SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+                 CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+               FROM d JOIN f USING (user_id) GROUP BY 1, 2)
+        SELECT a.cohort_day, a.day_offset, a.n_active,
+          a.n_active * 1000000 // s.cohort_n AS ret_ppm
+        FROM a JOIN s USING (cohort_day)""",
+
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         p AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                 AS from_type, event_type AS to_type FROM e),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+        FROM c""",
 
     "events_typestats" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -80,6 +80,51 @@ object Events {
       .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Cohort retention: users grouped by their first active day (the
+    * cohort); for each (cohort_day, day_offset) the number of cohort
+    * members active that day plus the retention rate in exact ppm
+    * (⌊n_active·10⁶ / cohort_n⌋ — integer division, parallelism-free).
+    *
+    * Scale shape: the raw event stream collapses to distinct user-days
+    * FIRST (one map-side-combined agg), so everything after runs on
+    * user-days, not events; cohort sizes are a tiny frame joined back at
+    * the end. No window over the raw stream.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val days = events
+      .select(col("user_id"), floor(us / lit(86400000000.0)).as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
+    days.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        expr("CAST(n_active * 1000000 DIV cohort_n AS BIGINT)").as("ret_ppm"))
+  }
+
+  /** First-order Markov transition matrix over event types: consecutive
+    * per-user event pairs in (time, event_id) order, counted per
+    * (from_type, to_type) with the per-source transition probability in
+    * exact ppm. The only shuffle on the raw stream is the per-user sort
+    * window (lag is O(1) state); the count matrix is |types|² rows, so
+    * the normalizing window is free.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("from_type", lag("event_type", 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total_from", sum("n").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("CAST(n * 1000000 DIV total_from AS BIGINT)").as("prob_ppm"))
+  }
+
   /** Per-type value stats with json-ish prop extraction (props is
     * '{"k": NN}'): exact integer parse both engines via substring.
     */
