@@ -1314,6 +1314,25 @@ object SparkEntry {
           family = "md5prefix"),
         Seq("lang"), p = 9)
     },
+    "url_kmv" -> { (s, dir) =>
+      // KMV bottom-k distinct sketch (k=16, md5prefix oracle family) of
+      // normalized URLs per lang — registers double as a uniform key
+      // sample; bottom-k of a set is order-free, so rows are bit-exact
+      val p = Pages.pages(s, dir)
+      val n = p.select(col("lang"), WebOps.normalizeUrl(col("url")).as("nurl"))
+      Sketches.kmvRegisters(n, "nurl", Seq("lang"), k = 16, family = "md5prefix")
+    },
+    "url_kmv_est" -> { (s, dir) =>
+      // the KMV estimate is itself exact integer arithmetic —
+      // ⌊(k−1)·2^60 / h_(k)⌋, or the exact count when the group holds
+      // fewer than k distinct keys — so unlike HLL the ESTIMATE is in
+      // the hash-checked artifact
+      val p = Pages.pages(s, dir)
+      val n = p.select(col("lang"), WebOps.normalizeUrl(col("url")).as("nurl"))
+      Sketches.kmvEstimate(
+        Sketches.kmvRegisters(n, "nurl", Seq("lang"), k = 16, family = "md5prefix"),
+        Seq("lang"), k = 16)
+    },
     "web_langmix" -> { (s, dir) =>
       // per-host language Gini over the natural (host, lang) mix of the
       // corpus — hosts hold several pages across the 5 langs, so the
@@ -4300,6 +4319,40 @@ object SparkEntry {
                  ELSE 52 - length(to_base(rest, 2)) END AS rank FROM r)
         SELECT lang, reg_no, CAST(MAX(rank) AS INT) AS reg
         FROM k GROUP BY lang, reg_no"""),
+
+    "url_kmv" ->
+      // replay hash60 (top 60 bits of md5) over DISTINCT keys, rank by
+      // hash per lang, keep the bottom 16
+      Pages.sqlWith("""
+        , n AS (SELECT lang,
+            'host' || CAST(doc_id % 97 AS VARCHAR) || '.example/' ||
+              CAST(doc_id AS VARCHAR) AS nurl
+          FROM pages),
+        h AS (SELECT DISTINCT lang,
+            CAST('0x' || substr(md5(nurl), 1, 15) AS BIGINT) AS hv FROM n),
+        r AS (SELECT lang, hv,
+            row_number() OVER (PARTITION BY lang ORDER BY hv) AS slot FROM h)
+        SELECT lang, CAST(slot AS INT) AS slot, hv FROM r WHERE slot <= 16"""),
+
+    "url_kmv_est" ->
+      // fold the bottom-16 registers to (n_slots, kth, est) with the
+      // exact integer estimator ⌊15·2^60 / kth⌋ (HUGEINT headroom)
+      Pages.sqlWith("""
+        , n AS (SELECT lang,
+            'host' || CAST(doc_id % 97 AS VARCHAR) || '.example/' ||
+              CAST(doc_id AS VARCHAR) AS nurl
+          FROM pages),
+        h AS (SELECT DISTINCT lang,
+            CAST('0x' || substr(md5(nurl), 1, 15) AS BIGINT) AS hv FROM n),
+        r AS (SELECT lang, hv,
+            row_number() OVER (PARTITION BY lang ORDER BY hv) AS slot FROM h),
+        b AS (SELECT lang, slot, hv FROM r WHERE slot <= 16)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_slots,
+          max(CASE WHEN slot = 16 THEN hv END) AS kth,
+          CAST(CASE WHEN count(*) < 16 THEN count(*)
+               ELSE CAST(15 AS HUGEINT) * 1152921504606846976
+                    // max(CASE WHEN slot = 16 THEN hv END) END AS BIGINT) AS est
+        FROM b GROUP BY lang"""),
 
     "url_host_hll" ->
       // same register table folded to the integer summary: occupied

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches for corpus accounting at crawl scale —
@@ -151,6 +152,52 @@ object Sketches {
     pb.join(registers, groupCols :+ "d" :+ "b", "left")
       .groupBy(groupCols.map(col) :+ col(keyCol): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** KMV (k minimum values / bottom-k) distinct sketch, Bar-Yossef et al.
+    * 2002: the k smallest DISTINCT 60-bit key hashes per group, as rows
+    * (group…, slot ∈ [1,k], hv). The third cardinality tool next to HLL
+    * (smaller state, float estimate) and the salted exact count-distinct
+    * (exact, key-universe shuffle): KMV's register table doubles as a
+    * uniform key sample, shards merge by "union, re-rank, keep bottom k",
+    * and — because the bottom-k of a SET is order-free — the whole
+    * sketch AND its estimate are exact integer arithmetic, bit-identical
+    * at any parallelism and in SQL.
+    *
+    * Plan shape: map projection → one hash-dedup agg on (group, hv) with
+    * map-side combine → a rank-≤-k window that Spark rewrites to
+    * WindowGroupLimit, so every partition pre-trims to its local
+    * bottom-k below the exchange; a 10¹²-key group never materializes
+    * more than k rows per partition past the dedup.
+    */
+  def kmvRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                   k: Int = 64, family: String = "xxhash64"): DataFrame = {
+    require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
+    val hashes = df
+      .select(groupCols.map(col) :+ hash60(col(keyCol), family).as("hv"): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("hv"))
+    hashes.withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= k)
+      .select(groupCols.map(col) :+ col("slot").cast("int").as("slot") :+ col("hv"): _*)
+  }
+
+  /** Exact-integer KMV estimate per group: when the group holds fewer
+    * than k distinct hashes the sketch IS the set (est = n_slots,
+    * exact); otherwise est = ⌊(k−1)·2^60 / h_(k)⌋ — one integer
+    * division, no floats anywhere.
+    */
+  def kmvEstimate(registers: DataFrame, groupCols: Seq[String],
+                  k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_slots"),
+        max(when(col("slot") === k, col("hv"))).as("kth"))
+      .select(groupCols.map(col) :+ col("n_slots") :+ col("kth") :+
+        when(col("n_slots") < k, col("n_slots"))
+          .otherwise(expr(
+            s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * ${1L << 60} DIV kth AS BIGINT)"))
+          .as("est"): _*)
   }
 
   /** Distinct-count estimate per group: the raw HLL estimator

@@ -143,6 +143,62 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged === whole)
   }
 
+  /** 60-bit md5prefix hash, the JVM reference for KMV. */
+  private def h60(key: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def kmvOf(keys: Seq[String], k: Int): Seq[(Int, Long)] =
+    Sketches.kmvRegisters(keysDf(keys), "key", Seq("grp"), k, "md5prefix")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+
+  test("KMV registers are the bottom-k of the JVM reference hash set") {
+    val keys = (0 until 400).map(i => s"kmv-$i")
+    val want = keys.map(h60).distinct.sorted.take(16).zipWithIndex
+      .map { case (h, i) => (i + 1, h) }
+    assert(kmvOf(keys, 16) === want)
+  }
+
+  test("KMV shard sketches merge by union + re-rank") {
+    val all = (0 until 3000).map(i => s"m-$i")
+    val (s1, s2) = all.splitAt(1100)
+    val whole = kmvOf(all, 32)
+    val merged = (kmvOf(s1, 32) ++ kmvOf(s2, 32)).map(_._2)
+      .distinct.sorted.take(32).zipWithIndex.map { case (h, i) => (i + 1, h) }
+    assert(merged === whole)
+  }
+
+  test("KMV duplicates do not move the sketch; below-k groups are exact") {
+    val uniq = (0 until 10).map(i => s"d$i")
+    assert(kmvOf(uniq ++ uniq ++ uniq, 16) === kmvOf(uniq, 16))
+    val est = Sketches.kmvEstimate(
+        Sketches.kmvRegisters(keysDf(uniq), "key", Seq("grp"), 16, "md5prefix"),
+        Seq("grp"), 16)
+      .collect()(0)
+    assert(est.getLong(1) === 10L)      // n_slots
+    assert(est.isNullAt(2))             // kth absent below k
+    assert(est.getLong(3) === 10L)      // est EXACT below k
+  }
+
+  test("KMV integer estimate lands within 30% on known cardinalities") {
+    for (family <- Seq("md5prefix", "xxhash64"); n <- Seq(500, 5000)) {
+      val keys = (0 until n).map(i => s"e-$family-$i")
+      val row = Sketches.kmvEstimate(
+          Sketches.kmvRegisters(keysDf(keys), "key", Seq("grp"), 64, family),
+          Seq("grp"), 64)
+        .collect()(0)
+      val est = row.getLong(3)
+      assert(math.abs(est - n).toDouble / n < 0.30,
+        s"family=$family n=$n est=$est")
+      // estimator replay: ⌊63·2^60 / kth⌋
+      val kth = row.getLong(2)
+      assert(est === (BigInt(63) * (BigInt(1) << 60) / kth).toLong)
+    }
+  }
+
   test("xxhash64 production family produces a valid, merge-stable sketch") {
     import spark.implicits._
     val df = (0 until 1500).map(i => ("g", s"p$i")).toDF("grp", "key")
