@@ -7,7 +7,7 @@ import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
 import graft.index.Geohash
 import graft.joins.{KnnJoin, RangeJoin, SpatialJoins}
-import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, Sketches, TextOps, WebOps}
+import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, Sketches, SpatialStats, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
 import graft.tiles.{PatchGrid, RasterSpec, TileOps, TileOps2}
 
@@ -572,6 +572,18 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("lon_udeg").as("x"), col("lat_udeg").as("y"))
       val probes = pts.filter(col("id") < 40)
       RangeJoin.rangeJoinCells(pts, probes, radiusUdeg = 3000000L, level = 6)
+    },
+
+    "geo_moran" -> { (s, dir) =>
+      // global Moran's I of per-cell page counts (rook adjacency, level
+      // 7): the clustering diagnostic over the tiling spine, as exact
+      // integer certificates + a sign-explicit truncated ppm
+      GraftFunctions.register(s)
+      val c7 = GraftFunctions.gridCell(col("lon"), col("lat"), lit(7))
+      val counts = Pages.pages(s, dir)
+        .select(GraftFunctions.gridX(c7).as("x"), GraftFunctions.gridY(c7).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("v"))
+      SpatialStats.moranI(counts)
     },
 
     "geo_geohash" -> { (s, dir) =>
@@ -2662,6 +2674,26 @@ object SparkEntry {
         FROM scored s JOIN norms na ON na.vec_id = s.vec_a
           JOIN norms nb ON nb.vec_id = s.vec_b
         WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3""",
+
+    "geo_moran" -> Pages.sqlWith(
+      s""", cc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS v FROM (
+            SELECT ${Pages.sqlCellX(7)} AS x, ${Pages.sqlCellY(7)} AS y FROM pages)
+          GROUP BY 1, 2),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s FROM cc),
+        d AS (SELECT x, y, CAST(st.n * cc.v - st.s AS HUGEINT) AS dev FROM cc, st),
+        pr AS (SELECT a.dev * b.dev AS p FROM d a JOIN d b ON b.x = a.x + 1 AND b.y = a.y
+               UNION ALL
+               SELECT a.dev * b.dev AS p FROM d a JOIN d b ON b.x = a.x AND b.y = a.y + 1),
+        nf AS (SELECT COALESCE(sum(p), CAST(0 AS HUGEINT)) AS num_u,
+                 CAST(count(*) AS BIGINT) AS u_pairs FROM pr),
+        df AS (SELECT sum(dev * dev) AS den FROM d)
+        SELECT st.n AS n_cells, st.s AS sum_v, nf.u_pairs * 2 AS w_pairs,
+          CAST(nf.num_u * 2 AS BIGINT) AS num2, CAST(df.den AS BIGINT) AS den,
+          CASE WHEN nf.u_pairs = 0 OR df.den = 0 THEN 0
+               ELSE (CASE WHEN nf.num_u < 0 THEN -1 ELSE 1 END)
+                 * CAST(abs(nf.num_u * 2) * st.n * 1000000
+                        // (nf.u_pairs * 2 * df.den) AS BIGINT) END AS moran_ppm
+        FROM st, nf, df"""),
 
     "geo_geohash" -> Pages.sqlWith(
       s", ${sqlGeohash(8)} SELECT doc_id, gh8, substr(gh8, 1, 4) AS gh4 FROM gh"),

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spatial statistics over the engine's cell lattice — the analytics layer
+  * above the tiling spine (cell assignment → per-cell aggregation →
+  * lattice statistics). First member: global Moran's I spatial
+  * autocorrelation of a per-cell value under rook adjacency, the standard
+  * "is this variable spatially clustered?" diagnostic (hot-cell detection
+  * before salting, crawl-coverage bias, per-tile quality drift).
+  *
+  * Exactness: with x̄ = S/N rational, both Moran numerator and denominator
+  * scale by N² when deviations are taken as integers dev_i = N·v_i − S, and
+  * the N² factors cancel in the ratio — so the whole statistic reduces to
+  * integer sums and products (DECIMAL(38,0) internally), order-independent
+  * and bit-identical at any parallelism and in SQL. The exported ppm is one
+  * truncating division at the end, sign handled explicitly so truncation
+  * direction can't differ between engines.
+  */
+object SpatialStats {
+
+  private val Dec = "decimal(38,0)"
+
+  /** cells: (x long, y long, v long) — one row per OBSERVED lattice cell
+    * (adjacency is among observed cells; absent cells are outside the
+    * study frame, not zeros — the right frame for sparse web corpora).
+    * Returns one row: (n_cells, sum_v, w_pairs, num2, den, moran_ppm)
+    * where w_pairs = directed rook-adjacent pair count, num2 = Σ_directed
+    * dev_i·dev_j, den = Σ dev_i², and
+    * moran_ppm = sign · ⌊|num2| · N · 10⁶ / (W · den)⌋ (0 when W or den
+    * is 0). num2/den are exported as BIGINT certificates (exact for any
+    * corpus whose scaled deviations fit 63 bits; internal arithmetic is
+    * 38-digit decimal).
+    *
+    * Scale shape: the value frame is already one row per cell (the heavy
+    * page→cell aggregation happens upstream with map-side combine); here
+    * are two equi-joins on (x, y) neighbor keys and three scalar
+    * aggregates — no theta joins, no windows.
+    */
+  def moranI(cells: DataFrame): DataFrame = {
+    val base = cells.select(col("x").cast("long").as("x"),
+      col("y").cast("long").as("y"), col("v").cast("long").as("v"))
+    val stats = base.agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val dev = base.crossJoin(broadcast(stats))
+      .select(col("x"), col("y"),
+        (col("n") * col("v") - col("s")).cast(Dec).as("dev"))
+    val right = dev.select(col("x").as("xr"), col("y").as("yr"),
+      col("dev").as("dev2"))
+    val ew = dev.join(right, col("xr") === col("x") + 1 && col("yr") === col("y"))
+    val ns = dev.join(right, col("xr") === col("x") && col("yr") === col("y") + 1)
+    val prods = ew.unionByName(ns)
+      .select((col("dev") * col("dev2")).cast(Dec).as("p"))
+    val numF = prods.agg(
+      coalesce(sum("p"), lit(0).cast(Dec)).cast(Dec).as("num_u"),
+      count(lit(1)).as("u_pairs"))
+    val denF = dev.agg(sum(col("dev") * col("dev")).cast(Dec).as("den"))
+    stats.crossJoin(broadcast(numF)).crossJoin(broadcast(denF))
+      .select(
+        col("n").as("n_cells"), col("s").as("sum_v"),
+        (col("u_pairs") * 2).as("w_pairs"),
+        (col("num_u") * 2).cast(Dec).as("num2d"),
+        col("den"))
+      .select(col("n_cells"), col("sum_v"), col("w_pairs"),
+        col("num2d").cast("long").as("num2"), col("den").cast("long").as("den"),
+        when(col("w_pairs") === 0 || col("den") === lit(0).cast(Dec), lit(0L))
+          .otherwise(
+            when(col("num2d") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr(s"CAST(CAST(abs(num2d) * n_cells * 1000000 AS $Dec) " +
+                s"DIV CAST(w_pairs * den AS $Dec) AS BIGINT)"))
+          .as("moran_ppm"))
+  }
+}
