@@ -1219,6 +1219,33 @@ object SparkEntry {
         .filter(col("host") % 13 === 0).distinct()
       WebOps.trustRank(edges, seeds, iters = 5)
     },
+    "web_spamrank" -> { (s, dir) =>
+      // Anti-TrustRank (spam mass, Krishnan & Raj 2006): badness
+      // propagates BACKWARD from known-spam seeds — a host linking into
+      // spam inherits spam mass — which is exactly trustRank over the
+      // REVERSED edge set. Seeds = hosts divisible by 11, 4 iterations.
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      val rev = e1.unionByName(e2)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val seeds = rev.select(col("src").as("host"))
+        .unionByName(rev.select(col("dst").as("host")))
+        .filter(col("host") % 11 === 0).distinct()
+      WebOps.trustRank(rev, seeds, iters = 4)
+    },
+    "web_assortativity" -> { (s, dir) =>
+      // directed out-in degree assortativity of the host graph as exact
+      // integer certificates (r² in signed ppm; sqrt never evaluated)
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      WebOps.degreeAssortativity(e1.unionByName(e2))
+    },
     "web_reach" -> { (s, dir) =>
       // frontier BFS from seed host 0 on the deterministic host graph,
       // capped at 6 hops (the graph's eccentricity from 0 is 8, so the
@@ -4684,6 +4711,81 @@ object SparkEntry {
          ${(1 to 5).map(iter).mkString("\n")}
          SELECT host, rank FROM r5"""
     },
+
+    "web_spamrank" -> {
+      // trustRank's unrolled CTE chain over the REVERSED edge set
+      // (src/dst swapped at the source), spam seeds = hosts % 11 = 0,
+      // 4 iterations — identical integer fixed-point arithmetic
+      val scale = 1000000000000L
+      def iter(k: Int): String =
+        s""", dang$k AS (
+             SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS d
+             FROM r${k - 1} WHERE host NOT IN (SELECT src FROM edges)),
+           r$k AS (
+             SELECT n.host,
+                    (CASE WHEN s.host IS NOT NULL
+                      THEN (($scale * 3) // (20 * (SELECT cnt FROM sn)))
+                         + (((SELECT d FROM dang$k) * 17) // (20 * (SELECT cnt FROM sn)))
+                      ELSE 0 END)
+                  + COALESCE(c.contrib, 0) AS rank
+             FROM nodes n
+             LEFT JOIN seeds s ON n.host = s.host
+             LEFT JOIN (
+               SELECT e.dst AS host,
+                      CAST(SUM((r.rank * 17) // (20 * dg.deg)) AS BIGINT) AS contrib
+               FROM r${k - 1} r
+               JOIN edges e ON r.host = e.src
+               JOIN deg dg ON dg.src = e.src
+               GROUP BY e.dst) c ON n.host = c.host)"""
+      s"""WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT (doc_id * 31 + 7) % 97 AS src, doc_id % 97 AS dst FROM documents
+             UNION ALL
+             SELECT (doc_id * 17 + 3) % 97, doc_id % 97 FROM documents)
+           WHERE src <> dst),
+         nodes AS (
+           SELECT DISTINCT host FROM (
+             SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+         seeds AS (SELECT host FROM nodes WHERE host % 11 = 0),
+         sn AS (SELECT COUNT(*) AS cnt FROM seeds),
+         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         r0 AS (
+           SELECT n.host,
+                  CASE WHEN s.host IS NOT NULL
+                       THEN $scale // (SELECT cnt FROM sn) ELSE 0 END AS rank
+           FROM nodes n LEFT JOIN seeds s ON n.host = s.host)
+         ${(1 to 4).map(iter).mkString("\n")}
+         SELECT host, rank FROM r4"""
+    },
+
+    "web_assortativity" ->
+      """WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst),
+         od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS j FROM edges GROUP BY src),
+         id_ AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS k FROM edges GROUP BY dst),
+         jk AS (SELECT od.j, id_.k FROM edges e
+                JOIN od ON od.src = e.src JOIN id_ ON id_.dst = e.dst),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(j) AS BIGINT) AS sj, CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(j * k) AS BIGINT) AS sjk,
+                 CAST(SUM(j * j) AS BIGINT) AS sj2,
+                 CAST(SUM(k * k) AS BIGINT) AS sk2 FROM jk),
+         c AS (SELECT m, sj, sk, sjk, sj2, sk2,
+                 CAST(m AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sk AS numd,
+                 CAST(m AS HUGEINT) * sj2 - CAST(sj AS HUGEINT) * sj AS denjd,
+                 CAST(m AS HUGEINT) * sk2 - CAST(sk AS HUGEINT) * sk AS denkd FROM m)
+        SELECT m, sj, sk, sjk, sj2, sk2,
+          CAST(numd AS BIGINT) AS num,
+          CAST(denjd AS BIGINT) AS den_j, CAST(denkd AS BIGINT) AS den_k,
+          CASE WHEN denjd <= 0 OR denkd <= 0 THEN 0
+               ELSE (CASE WHEN numd < 0 THEN -1 ELSE 1 END)
+                 * CAST((numd * numd * 1000000) // (denjd * denkd) AS BIGINT)
+          END AS r2_ppm
+        FROM c""",
 
     "web_reach" -> {
       // 6-round min-hop relaxation over the same edge fixture; BFS and

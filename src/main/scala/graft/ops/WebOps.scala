@@ -1157,6 +1157,51 @@ object WebOps {
     out
   }
 
+  /** Directed out-in degree assortativity (Newman 2002) of the host
+    * graph: across edges (u, v), the Pearson correlation between u's
+    * out-degree and v's in-degree — the "do hubs link to hubs?" spam/
+    * link-farm signal. Exported as EXACT integer certificates (the
+    * Wilson-gate trick): moment sums M, Σj, Σk, Σjk, Σj², Σk², the
+    * covariance numerator num = M·Σjk − Σj·Σk, the variance terms
+    * den_j/den_k, and r²·10⁶ with r's sign — sqrt never evaluated, so
+    * every column is order-free integer arithmetic (decimal(38,0)
+    * internally), bit-identical at any parallelism and in SQL.
+    *
+    * Plan shape: dedup + two degree aggregations + two equi-joins back
+    * to the edge list + one scalar aggregate. Degree frames are
+    * host-sized, edges shuffle on their own keys — no windows, no theta
+    * joins.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val outd = e.groupBy("src").agg(count(lit(1)).as("j"))
+    val ind = e.groupBy("dst").agg(count(lit(1)).as("k"))
+    e.join(outd, "src").join(ind, "dst")
+      .agg(count(lit(1)).as("m"),
+        sum("j").as("sj"), sum("k").as("sk"),
+        sum(col("j") * col("k")).as("sjk"),
+        sum(col("j") * col("j")).as("sj2"),
+        sum(col("k") * col("k")).as("sk2"))
+      .select(col("m"), col("sj"), col("sk"), col("sjk"), col("sj2"), col("sk2"),
+        (col("m") * col("sjk") - col("sj") * col("sk")).cast(dec).as("numd"),
+        (col("m") * col("sj2") - col("sj") * col("sj")).cast(dec).as("denjd"),
+        (col("m") * col("sk2") - col("sk") * col("sk")).cast(dec).as("denkd"))
+      .select(col("m"), col("sj"), col("sk"), col("sjk"), col("sj2"), col("sk2"),
+        col("numd").cast("long").as("num"),
+        col("denjd").cast("long").as("den_j"),
+        col("denkd").cast("long").as("den_k"),
+        when(col("denjd") <= 0 || col("denkd") <= 0, lit(0L))
+          .otherwise(
+            when(col("numd") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr(s"CAST(CAST(numd * numd * 1000000 AS $dec) " +
+                s"DIV CAST(denjd * denkd AS $dec) AS BIGINT)"))
+          .as("r2_ppm"))
+  }
+
   /** Per-host corpus statistics: page count, distinct languages, total
     * text characters, first/last crawl timestamp. One hash aggregation
     * with map-side combine on the host key — the host distribution of a
