@@ -293,6 +293,25 @@ object SparkEntry {
   private val sqlVals16: String =
     (0 to 15).map(t => s"($t)").mkString("(VALUES ", ", ", ") AS ts(t)")
 
+  /** DuckDB twin of [[graft.index.Hilbert.xy2d]]: the per-level
+    * rotate/reflect walk unrolled as CTEs hb1..hb$level over an input CTE
+    * `hb0(doc_id, x, y, d)`; the result lives in `hb$level.d`.
+    */
+  private def sqlHilbert(level: Int): String =
+    (1 to level).map { k =>
+      val s = 1L << (level - k)
+      s"""hb$k AS (SELECT doc_id,
+            CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END)
+                 ELSE x END AS x,
+            CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END)
+                 ELSE y END AS y,
+            d + ${s * s} * xor(3 * rx, ry) AS d
+          FROM (SELECT doc_id, x, y, d,
+                  CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                  CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+                FROM hb${k - 1}) t)"""
+    }.mkString(",\n        ")
+
   /** DuckDB twin of [[graft.index.Geohash.encodeCol]] (even precision):
     * a CTE chain ending in `gh(doc_id, gh$p)` — the same axis floors,
     * magic-mask bit spreads, interleave, and base-32 chars, op for op.
@@ -572,6 +591,19 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("lon_udeg").as("x"), col("lat_udeg").as("y"))
       val probes = pts.filter(col("id") < 40)
       RangeJoin.rangeJoinCells(pts, probes, radiusUdeg = 3000000L, level = 6)
+    },
+
+    "geo_hilbert" -> { (s, dir) =>
+      // Hilbert curve position of each page's level-7 tile — the
+      // locality-preserving sort/cluster key for tile storage (adjacent
+      // curve positions are always adjacent cells, unlike Morton's
+      // quadrant seams). One codegen'd expression; the oracle replays
+      // the 7-step rotate/reflect walk as an unrolled CTE chain.
+      GraftFunctions.register(s)
+      val c7 = GraftFunctions.gridCell(col("lon"), col("lat"), lit(7))
+      Pages.pages(s, dir).select(col("doc_id"),
+        GraftFunctions.hilbertD(
+          GraftFunctions.gridX(c7), GraftFunctions.gridY(c7), lit(7)).as("hd"))
     },
 
     "geo_moran" -> { (s, dir) =>
@@ -2701,6 +2733,12 @@ object SparkEntry {
         FROM scored s JOIN norms na ON na.vec_id = s.vec_a
           JOIN norms nb ON nb.vec_id = s.vec_b
         WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3""",
+
+    "geo_hilbert" -> Pages.sqlWith(
+      s""", hb0 AS (SELECT doc_id, ${Pages.sqlCellX(7)} AS x,
+            ${Pages.sqlCellY(7)} AS y, CAST(0 AS BIGINT) AS d FROM pages),
+        ${sqlHilbert(7)}
+        SELECT doc_id, d AS hd FROM hb7"""),
 
     "geo_moran" -> Pages.sqlWith(
       s""", cc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS v FROM (

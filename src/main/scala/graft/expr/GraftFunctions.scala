@@ -13,6 +13,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("h3_cell", es => H3CellExpr(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("grid_cell", es => GridCellExpr(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("s2_cell", es => S2CellExpr(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("hilbert_d", es => HilbertExpr(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("grid_x", es => GridXExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("grid_y", es => GridYExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("h3_kring", es => KRingExpr(es(0), es(1)), "scala_udf")
@@ -61,6 +62,8 @@ object GraftFunctions {
     call_function("s2_cell", lon.cast("double"), lat.cast("double"), level.cast("int"))
   def s2Parent(cell: Column, steps: Column): Column =
     call_function("s2_parent", cell, steps.cast("int"))
+  def hilbertD(x: Column, y: Column, level: Column): Column =
+    call_function("hilbert_d", x.cast("long"), y.cast("long"), level.cast("int"))
   def gridX(cell: Column): Column = call_function("grid_x", cell)
   def gridY(cell: Column): Column = call_function("grid_y", cell)
   def h3KRing(cell: Column, k: Column): Column = call_function("h3_kring", cell, k.cast("int"))

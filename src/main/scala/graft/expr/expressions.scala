@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.geo.Proj
-import graft.index.{GridCell, HexCell, S2Cell}
+import graft.index.{GridCell, HexCell, Hilbert, S2Cell}
 
 /** Static-call shims for codegen: Scala objects expose static forwarders,
   * so generated Java can call these directly.
@@ -18,6 +18,7 @@ object GeoFun {
   def gridCell(lon: Double, lat: Double, level: Int): Long = GridCell.encode(lon, lat, level)
   def gridX(cell: Long): Long = GridCell.x(cell)
   def gridY(cell: Long): Long = GridCell.y(cell)
+  def hilbertD(x: Long, y: Long, level: Int): Long = Hilbert.xy2d(level, x, y)
   def utmEpsg(lat: Double, lon: Double): Int = Proj.utmEpsg(lat, lon)
 
   /** FNV-1a 64-bit over UTF-8 bytes — the deterministic url hash behind
@@ -119,6 +120,18 @@ case class GridCellExpr(first: Expression, second: Expression, third: Expression
     GeoFun.gridCell(lon.asInstanceOf[Double], lat.asInstanceOf[Double], level.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (lon, lat, lvl) => s"graft.expr.GeoFun.gridCell($lon, $lat, $lvl)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** `hilbert_d(x, y, level)` → Hilbert curve position of grid cell (x, y). */
+case class HilbertExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any, level: Any): Any =
+    GeoFun.hilbertD(x.asInstanceOf[Long], y.asInstanceOf[Long], level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, lvl) => s"graft.expr.GeoFun.hilbertD($x, $y, $lvl)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(f, s, t)
 }
