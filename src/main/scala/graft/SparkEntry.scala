@@ -593,6 +593,37 @@ object SparkEntry {
       RangeJoin.rangeJoinCells(pts, probes, radiusUdeg = 3000000L, level = 6)
     },
 
+    "geo_pyramid" -> { (s, dir) =>
+      // the tile PYRAMID in one scan: every page explodes its level-4..8
+      // ancestor chain (pure bit ops on the level-8 cell — exact because
+      // the axis quotient scales by powers of two) and ONE aggregation
+      // builds all five zoom levels; the oracle re-encodes each level
+      // independently from lon/lat, so the match proves parent-shift ≡
+      // direct encode level-for-level.
+      GraftFunctions.register(s)
+      val pages = Pages.pages(s, dir)
+        .withColumn("c8", GraftFunctions.gridCell(col("lon"), col("lat"), lit(8)))
+      val morton = col("c8").bitwiseAND(lit(0x03ffffffffffffffL))
+      pages
+        .withColumn("cell", explode(transform(sequence(lit(4), lit(8)), l =>
+          shiftleft(l.cast("long"), 58) + call_function("shiftrightunsigned",
+            morton, (lit(8) - l) * 2))))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_pages"), min("doc_id").as("min_doc"))
+    },
+
+    "geo_hotspots" -> { (s, dir) =>
+      // local hotspot scores (Getis-Ord Gi* recipe, exact integers) of
+      // per-cell page counts at level 7: rook-stencil neighborhood sums
+      // vs the global mean density, excess in signed ppm
+      GraftFunctions.register(s)
+      val c7 = GraftFunctions.gridCell(col("lon"), col("lat"), lit(7))
+      val counts = Pages.pages(s, dir)
+        .select(GraftFunctions.gridX(c7).as("x"), GraftFunctions.gridY(c7).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("v"))
+      SpatialStats.hotspots(counts)
+    },
+
     "geo_hilbert" -> { (s, dir) =>
       // Hilbert curve position of each page's level-7 tile — the
       // locality-preserving sort/cluster key for tile storage (adjacent
@@ -2733,6 +2764,30 @@ object SparkEntry {
         FROM scored s JOIN norms na ON na.vec_id = s.vec_a
           JOIN norms nb ON nb.vec_id = s.vec_b
         WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3""",
+
+    "geo_pyramid" -> Pages.sqlWith {
+      val levels = (4 to 8).map { l =>
+        s"SELECT doc_id, ${sqlGridId(l, Pages.sqlCellX(l), Pages.sqlCellY(l))} AS cell FROM pages"
+      }.mkString(" UNION ALL ")
+      s"""SELECT cell, CAST(count(*) AS BIGINT) AS n_pages, min(doc_id) AS min_doc
+        FROM ($levels) GROUP BY 1"""
+    },
+
+    "geo_hotspots" -> Pages.sqlWith(
+      s""", cc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS v FROM (
+            SELECT ${Pages.sqlCellX(7)} AS x, ${Pages.sqlCellY(7)} AS y FROM pages)
+          GROUP BY 1, 2),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s FROM cc),
+        sten AS (SELECT x + dx AS x, y + dy AS y, v FROM cc
+                 CROSS JOIN (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)),
+        nb AS (SELECT x, y, CAST(sum(v) AS BIGINT) AS nbr_sum,
+                 CAST(count(*) AS BIGINT) AS nbr_n FROM sten GROUP BY 1, 2)
+        SELECT cc.x, cc.y, cc.v, nb.nbr_n, nb.nbr_sum,
+          (CASE WHEN CAST(st.n AS HUGEINT) * nb.nbr_sum - CAST(nb.nbr_n AS HUGEINT) * st.s < 0
+                THEN -1 ELSE 1 END)
+            * CAST(abs(CAST(st.n AS HUGEINT) * nb.nbr_sum - CAST(nb.nbr_n AS HUGEINT) * st.s)
+                   * 1000000 // (CAST(nb.nbr_n AS HUGEINT) * st.s) AS BIGINT) AS excess_ppm
+        FROM cc JOIN nb ON nb.x = cc.x AND nb.y = cc.y, st"""),
 
     "geo_hilbert" -> Pages.sqlWith(
       s""", hb0 AS (SELECT doc_id, ${Pages.sqlCellX(7)} AS x,

@@ -38,6 +38,43 @@ object SpatialStats {
     * are two equi-joins on (x, y) neighbor keys and three scalar
     * aggregates — no theta joins, no windows.
     */
+  /** Local hotspot scores (the Getis-Ord Gi* recipe in exact integers):
+    * for each observed cell, the rook-stencil neighborhood sum (self +
+    * up to 4 neighbors present in the frame) compared against the global
+    * mean density — excess_ppm = sign · ⌊|N·G_i − m_i·S| · 10⁶ /
+    * (m_i·S)⌋, i.e. the neighborhood's percentage-above-average density
+    * in signed ppm (0 ppm = exactly average, 10⁶ = double the average).
+    * All integer certificates; decimal(38,0) internally.
+    *
+    * Scale shape: the stencil is an EXPLODE of each cell's 5 positions
+    * (map-only) + one map-side-combined aggregation + one equi-join back
+    * to the observed frame — the convolution pattern, never a window or
+    * theta join. Input is the per-cell value frame (the page→cell agg
+    * happens upstream).
+    */
+  def hotspots(cells: DataFrame): DataFrame = {
+    val base = cells.select(col("x").cast("long").as("x"),
+      col("y").cast("long").as("y"), col("v").cast("long").as("v"))
+    val stats = base.agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val stencil = Seq((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+    val contrib = base
+      .select(explode(array(stencil.map { case (dx, dy) =>
+        struct((col("x") + dx).as("nx"), (col("y") + dy).as("ny"))
+      }: _*)).as("p"), col("v"))
+      .select(col("p.nx").as("x"), col("p.ny").as("y"), col("v"))
+      .groupBy("x", "y")
+      .agg(sum("v").as("nbr_sum"), count(lit(1)).as("nbr_n"))
+    base.join(contrib, Seq("x", "y"))
+      .crossJoin(broadcast(stats))
+      .select(col("x"), col("y"), col("v"), col("nbr_n"), col("nbr_sum"),
+        (col("n") * col("nbr_sum") - col("nbr_n") * col("s")).cast(Dec).as("exc"),
+        (col("nbr_n") * col("s")).cast(Dec).as("base_mass"))
+      .select(col("x"), col("y"), col("v"), col("nbr_n"), col("nbr_sum"),
+        (when(col("exc") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr(s"CAST(CAST(abs(exc) * 1000000 AS $Dec) DIV base_mass AS BIGINT)"))
+          .as("excess_ppm"))
+  }
+
   def moranI(cells: DataFrame): DataFrame = {
     val base = cells.select(col("x").cast("long").as("x"),
       col("y").cast("long").as("y"), col("v").cast("long").as("v"))

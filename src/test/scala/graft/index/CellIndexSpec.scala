@@ -342,4 +342,19 @@ class CellIndexSpec extends AnyFunSuite {
     assert(small.length <= 8 && big.length <= 256)
     assert(small.nonEmpty && big.length >= small.length)
   }
+
+  test("grid cell: ancestor shift of a fine cell equals direct encode at every level") {
+    // the geo_pyramid identity: because (lon+180)/360 is computed once and
+    // multiplied by powers of two, floor at level L == floor at level 8
+    // shifted right — so one fine cell generates the whole pyramid by bit ops
+    for (_ <- 1 to 500) {
+      val lon = randLon(); val lat = randLat()
+      val c8 = GridCell.encode(lon, lat, 8)
+      for (l <- 0 to 8) {
+        val shifted = GridCell.pack(
+          GridCell.x(c8) >> (8 - l), GridCell.y(c8) >> (8 - l), l)
+        assert(shifted === GridCell.encode(lon, lat, l), s"level $l lon=$lon lat=$lat")
+      }
+    }
+  }
 }

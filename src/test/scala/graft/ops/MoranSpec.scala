@@ -61,6 +61,50 @@ class MoranSpec extends AnyFunSuite {
     }
   }
 
+  /** BigInt hotspot reference: (x, y) -> (v, nbr_n, nbr_sum, excess_ppm). */
+  private def hotRef(cells: Seq[(Long, Long, Long)]): Map[(Long, Long), (Long, Long, BigInt, Long)] = {
+    val m = cells.map { case (x, y, v) => (x, y) -> v }.toMap
+    val n = BigInt(cells.size)
+    val s = BigInt(cells.map(_._3).sum)
+    m.map { case ((x, y), v) =>
+      val nbr = Seq((0L, 0L), (1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L))
+        .flatMap { case (dx, dy) => m.get((x + dx, y + dy)) }
+      val g = nbr.map(BigInt(_)).sum
+      val mi = BigInt(nbr.size)
+      val exc = n * g - mi * s
+      val ppm = (exc.signum * (exc.abs * 1000000 / (mi * s))).toLong
+      (x, y) -> (v, mi.toLong, g, ppm)
+    }
+  }
+
+  private def runHot(cells: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    SpatialStats.hotspots(cells.toDF("x", "y", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), BigInt(r.getLong(4)), r.getLong(5))).toMap
+  }
+
+  test("hotspots: a hot cell in a cold plain scores positive, the plain negative") {
+    val cells = (for (x <- 0L until 5L; y <- 0L until 5L)
+      yield (x, y, if (x == 2 && y == 2) 100L else 1L))
+    val got = runHot(cells)
+    assert(got == hotRef(cells))
+    assert(got((2L, 2L))._4 > 1000000L, s"hot center should exceed double-average: $got")
+    assert(got((0L, 0L))._4 < 0L, "cold corner should be below average")
+    // the hot cell's rook neighbors inherit positive excess from the stencil
+    assert(got((2L, 1L))._4 > 0L)
+  }
+
+  test("hotspots: random lattices match the BigInt reference exactly") {
+    val rnd = new scala.util.Random(23)
+    (1 to 4).foreach { _ =>
+      val cells = (0 until 60).map(_ =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong, (rnd.nextInt(500) + 1).toLong))
+        .distinctBy(c => (c._1, c._2))
+      assert(runHot(cells) == hotRef(cells))
+    }
+  }
+
   test("degenerate frames: no adjacency and constant value give ppm 0") {
     // isolated cells (no rook neighbors)
     val iso = Seq((0L, 0L, 5L), (10L, 10L, 9L), (20L, 0L, 1L))
