@@ -29,7 +29,7 @@ object Sketches {
     * bits) or "md5prefix" (oracle mirror — first 15 hex chars of md5,
     * `CAST('0x' || substr(md5(k),1,15) AS BIGINT)` on the SQL side).
     */
-  private def hash60(key: Column, family: String): Column = family match {
+  private[graft] def hash60(key: Column, family: String): Column = family match {
     case "xxhash64" => shiftrightunsigned(xxhash64(key), 4)
     case "md5prefix" =>
       conv(substring(md5(encode(key.cast("string"), "UTF-8")), 1, 15), 16, 10)

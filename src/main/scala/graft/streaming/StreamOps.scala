@@ -259,6 +259,42 @@ object StreamOps {
                         family: String = "xxhash64"): DataFrame =
     graft.ops.Sketches.hllRegisters(rows, keyCol, groupCols, p, family)
 
+  /** Streaming KMV registers: live bottom-k distinct sketching over an
+    * unbounded key stream. Unlike HLL/CMS the batch op ranks with a
+    * window (not streaming-legal), so the streaming form keeps the
+    * bottom-k as EXPLICIT bounded state — at most k longs per group,
+    * FOREVER — folding each trigger's hashes in with a capped ordered
+    * set and re-emitting the group's full register set (Update-mode
+    * downstream keeps the newest emission). Bottom-k of a set is
+    * order-free, so any prefix's streaming registers equal the batch
+    * [[graft.ops.Sketches.kmvRegisters]] of that prefix exactly.
+    */
+  def kmvRegisterStream(rows: DataFrame, keyCol: String, groupCol: String,
+                        k: Int = 64, family: String = "xxhash64"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 2 && k <= 65536, s"kmv: k must be in [2, 65536], got $k")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val hashed = rows.select(col(groupCol).cast("string").as("grp"),
+      graft.ops.Sketches.hash60(col(keyCol), family).as("hv"))
+      .as[(String, Long)]
+    hashed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (String, Int, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val buf = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(_.foreach(buf += _))
+          it.foreach { r =>
+            val h = r._2
+            if (buf.size < k) buf += h
+            else if (h < buf.last) { buf += h; if (buf.size > k) buf -= buf.last }
+          }
+          val regs = buf.toArray
+          state.update(regs)
+          regs.iterator.zipWithIndex.map { case (h, i) => (key, i + 1, h) }
+      }.toDF(groupCol, "slot", "hv")
+  }
+
   /** Streaming Count-Min registers: live frequency sketching over an
     * unbounded key stream (hot tokens, hot hosts) — like
     * [[hllRegisterStream]], the batch op is streaming-legal as written

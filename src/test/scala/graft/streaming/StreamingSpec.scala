@@ -40,6 +40,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV registers equal the batch sketch exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val want = graft.ops.Sketches
+      .kmvRegisters(docs.select(col("lang"), col("text")),
+        "text", Seq("lang"), k = 16, family = "xxhash64")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(stageDir("/root/testdata/sf0.001/documents.parquet"))
+      .select(col("lang"), col("text"))
+    val q = StreamOps.kmvRegisterStream(stream, "text", "lang", k = 16)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmv_regs").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kmv_regs")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming CMS registers equal the batch sketch exactly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val want = graft.ops.Sketches
