@@ -1299,6 +1299,22 @@ object SparkEntry {
         .filter(col("host") % 11 === 0).distinct()
       WebOps.trustRank(rev, seeds, iters = 4)
     },
+    "web_bowtie" -> { (s, dir) =>
+      // bow-tie decomposition around seeds = hosts % 29 == 0, hop budget
+      // 8: core/in/out/other per host with both hop distances. The
+      // oracle runs two 8-round min-hop relaxation chains (forward +
+      // reversed) and classifies with the same CASE.
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      val edges = e1.unionByName(e2)
+      val seeds = edges.select(col("src").as("host"))
+        .unionByName(edges.select(col("dst").as("host")))
+        .filter(col("host") % 29 === 0).distinct()
+      WebOps.bowtie(edges, seeds, maxHops = 8)
+    },
     "web_assortativity" -> { (s, dir) =>
       // directed out-in degree assortativity of the host graph as exact
       // integer certificates (r² in signed ppm; sqrt never evaluated)
@@ -2012,6 +2028,9 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         s.read.parquet(s"$dir/orders.parquet"),
         s.read.parquet(s"$dir/customer.parquet"))
+    },
+    "tpch_q6" -> { (s, dir) =>
+      Relational.forecastRevenue(s.read.parquet(s"$dir/lineitem.parquet"))
     },
     "tpch_q5" -> { (s, dir) =>
       Relational.revenuePerNation(
@@ -4851,6 +4870,40 @@ object SparkEntry {
          SELECT host, rank FROM r4"""
     },
 
+    "web_bowtie" -> {
+      // two 8-round min-hop relaxation chains (fk forward over edges,
+      // bk backward over reversed edges) + the classifying CASE
+      def iter(t: String, src: String, dst: String)(k: Int): String =
+        s""", $t$k AS (
+             SELECT host, CAST(MIN(hops) AS INT) AS hops FROM (
+               SELECT host, hops FROM $t${k - 1}
+               UNION ALL
+               SELECT e.$dst AS host, r.hops + 1 AS hops
+               FROM $t${k - 1} r JOIN edges e ON r.host = e.$src)
+             GROUP BY host)"""
+      s"""WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst),
+         nodes AS (
+           SELECT DISTINCT host FROM (
+             SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+         f0 AS (SELECT host, CAST(0 AS INT) AS hops FROM nodes WHERE host % 29 = 0),
+         b0 AS (SELECT host, CAST(0 AS INT) AS hops FROM nodes WHERE host % 29 = 0)
+         ${(1 to 8).map(iter("f", "src", "dst")).mkString("\n")}
+         ${(1 to 8).map(iter("b", "dst", "src")).mkString("\n")}
+         SELECT n.host, f.hops AS hops_fwd, b.hops AS hops_bwd,
+           CASE WHEN f.host IS NOT NULL AND b.host IS NOT NULL THEN 'core'
+                WHEN b.host IS NOT NULL THEN 'in'
+                WHEN f.host IS NOT NULL THEN 'out'
+                ELSE 'other' END AS klass
+         FROM nodes n
+         LEFT JOIN f8 f ON f.host = n.host
+         LEFT JOIN b8 b ON b.host = n.host"""
+    },
+
     "web_assortativity" ->
       """WITH edges AS (
            SELECT DISTINCT src, dst FROM (
@@ -5668,6 +5721,13 @@ object SparkEntry {
          CAST(count(*) AS BIGINT) AS n
        FROM lineitem WHERE l_quantity < 30
        GROUP BY 1, 2""",
+
+    "tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_q,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
 
     "tpch_q3" ->
       """WITH rev AS (SELECT l_orderkey,

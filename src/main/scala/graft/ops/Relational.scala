@@ -43,6 +43,21 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q6-style forecasting-revenue-change: one tight scan whose
+    * date/discount/quantity predicates all push into the parquet reader,
+    * folding to a single quantized sum + count. The canonical
+    * pushdown-and-prune probe: no join, no shuffle beyond the final
+    * 1-row combine.
+    */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(q4(col("l_extendedprice") * col("l_discount"))).as("revenue_q"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q5-style: revenue per nation where customer and supplier share
     * the nation, rolled up through region. Dimension tables broadcast.
     */

@@ -682,6 +682,36 @@ object WebOps {
     fwd.join(bwd, Seq("host"))
   }
 
+  /** Bow-tie decomposition (Broder et al. WWW 2000) of the link graph
+    * around a seed set, within a hop budget: every node classified as
+    * `core` (reachable from the seeds AND reaching them back — the SCC
+    * when maxHops covers the diameter), `in` (reaches the seeds only),
+    * `out` (reached only), or `other` (tendrils/tubes/disconnected
+    * within the budget). The crawl-planning map: `in` is where new
+    * frontier comes from, `out` is where traps live, `other` is dark
+    * matter. Two [[reachable]] frontier BFS passes + two left joins
+    * against the node set; hop distances carried (null = unreached).
+    */
+  def bowtie(edges: DataFrame, seeds: DataFrame, maxHops: Int = 8): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val fwd = reachable(edges, seeds, maxHops)
+      .select(col("host"), col("hops").as("hops_fwd"))
+    val bwd = reachable(
+        edges.select(col("dst").as("src"), col("src").as("dst")), seeds, maxHops)
+      .select(col("host"), col("hops").as("hops_bwd"))
+    nodes.join(fwd, Seq("host"), "left").join(bwd, Seq("host"), "left")
+      .select(col("host"), col("hops_fwd"), col("hops_bwd"),
+        when(col("hops_fwd").isNotNull && col("hops_bwd").isNotNull, lit("core"))
+          .when(col("hops_bwd").isNotNull, lit("in"))
+          .when(col("hops_fwd").isNotNull, lit("out"))
+          .otherwise(lit("other")).as("klass"))
+  }
+
   /** Sitemap directives from robots.txt (RFC 9309 §2.3: `Sitemap:` lines
     * are GROUP-INDEPENDENT, unlike allow/disallow — they apply from
     * anywhere in the file, so this harvest deliberately ignores the
