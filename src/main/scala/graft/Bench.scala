@@ -64,7 +64,11 @@ object Bench {
     "web_boilerplate", "text_lm_score", "web_kcore",
     // gz ingest throughput: synth -> records -> per-record gzip members ->
     // segment blobs -> member split + inflate + parse back
-    "warc_gz_roundtrip")
+    "warc_gz_roundtrip",
+    // round 5 final session: radius join (broadcast cover prefilter),
+    // Hilbert encode (codegen-only map), tile pyramid (one shuffle for
+    // five levels), KMV bottom-k (WindowGroupLimit), hotspot stencil
+    "geo_range_join", "geo_hilbert", "geo_pyramid", "url_kmv", "geo_hotspots")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

@@ -70,7 +70,16 @@ object PlanAudit {
       "web_kcore",
       // LM scoring: un-hinted left joins against the reference count
       // tables + one broadcast scalar + per-doc agg
-      "text_lm_score")
+      "text_lm_score",
+      // round 5 final session: radius join (broadcast cell cover +
+      // integer verify — must stay a hash equi-join), KMV bottom-k
+      // (WindowGroupLimit partial trim), tile pyramid (one generator +
+      // one shuffle for five levels), hotspot stencil (generator +
+      // combine-friendly agg), Moran's I (two rook equi-joins + three
+      // scalar aggs), bow-tie (two frontier BFS legs + left joins),
+      // Q6 (pure pushdown scan)
+      "geo_range_join", "url_kmv", "geo_pyramid", "geo_hotspots",
+      "geo_moran", "web_bowtie", "tpch_q6")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -244,4 +244,63 @@ class ScanPruningSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("range join rides one broadcast cell equi-join, never a theta join") {
+    // geo_range_join's 100-TB shape: the target side is map-only into a
+    // BroadcastHashJoin on the cell id; a refactor that degrades to
+    // BroadcastNestedLoopJoin (the default for non-equi conditions)
+    // re-introduces the O(N×P) scan the cover prefilter exists to kill.
+    val p = physical("geo_range_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "range join went non-equi:\n" + p.take(1500))
+  }
+
+  test("KMV rank filter rewrites to WindowGroupLimit below the exchange") {
+    // url_kmv must pre-trim every partition to its local bottom-k before
+    // the shuffle — without WindowGroupLimit a 10^12-key group sorts its
+    // full distinct hash set on one reducer.
+    val p = physical("url_kmv")
+    assert(p.contains("WindowGroupLimit"),
+      "bottom-k lost the partial group-limit rewrite:\n" + p.take(1500))
+  }
+
+  test("tile pyramid: one generator, one shuffle for all five levels") {
+    val p = physical("geo_pyramid")
+    assert(p.contains("Generate explode"),
+      "pyramid lost its ancestor-chain generator:\n" + p.take(1500))
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "pyramid should shuffle exactly once:\n" + p.take(1500))
+    assert(p.contains("partial_"), "pyramid agg lost map-side combine:\n" +
+      p.take(1500))
+  }
+
+  test("hilbert and geohash encoders are map-only projections") {
+    for (name <- Seq("geo_hilbert", "geo_geohash")) {
+      val p = physical(name)
+      assert(!p.contains("Exchange"), s"$name gained a shuffle:\n" + p.take(1500))
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$name fell out of codegen:\n" + p.take(1200))
+    }
+  }
+
+  test("tpch_q6 pushes all three predicates into the parquet scan") {
+    val p = physical("tpch_q6")
+    assert(p.split("PushedFilters: \\[").drop(1).exists(s => !s.startsWith("]")),
+      "no filter reached the lineitem scan:\n" + p.take(1500))
+    // scan must not read the columns Q6 never touches
+    assert(!p.contains("l_returnflag") && !p.contains("l_partkey"),
+      "scan reads columns Q6 never uses:\n" + p.take(1500))
+  }
+
+  test("hotspot stencil is a generator + one combine-friendly aggregation") {
+    val p = physical("geo_hotspots")
+    assert(p.contains("Generate explode"),
+      "hotspots lost the stencil generator:\n" + p.take(1500))
+    assert(p.contains("partial_"), "stencil agg lost map-side combine:\n" +
+      p.take(1500))
+    // the only non-equi join allowed is the broadcast 1-row stats frame
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
 }
