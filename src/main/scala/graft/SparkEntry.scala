@@ -293,6 +293,45 @@ object SparkEntry {
   private val sqlVals16: String =
     (0 to 15).map(t => s"($t)").mkString("(VALUES ", ", ", ") AS ts(t)")
 
+  /** Shared CTE block of the cosineDupPairs mirror: quantize → hyperplane
+    * bits → band keys → capped candidates → exact integer dot/self-dots →
+    * `epairs(vec_a, vec_b, dot, cos)` filtered at cos ≥ 0.3. Used by the
+    * emb_dup_pairs oracle directly and closed transitively by
+    * emb_clusters.
+    */
+  private val sqlEmbPairCtes: String =
+    """q AS (SELECT vec_id, d,
+           CAST(ROUND(CAST(embedding[d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+         FROM embeddings, range(64) t(d)),
+        bits AS (SELECT vec_id, p,
+          CASE WHEN CAST(SUM(CASE WHEN CAST(FLOOR((d * 2654435761 + p * 40503 + 11) / 65536.0) AS BIGINT) % 2 = 0
+                         THEN qv ELSE -qv END) AS BIGINT) > 0
+               THEN 1 ELSE 0 END AS bit
+         FROM q, range(16) pp(p) GROUP BY vec_id, p),
+        bkeys AS (SELECT vec_id, p // 8 AS band,
+          CAST(SUM(bit * (1::BIGINT << (p % 8))) AS BIGINT) AS key
+         FROM bits GROUP BY vec_id, p // 8),
+        idx AS (SELECT vec_id, band, key,
+          row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
+         FROM bkeys),
+        cand AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+                   greatest(a.vec_id, b.vec_id) AS vec_b
+         FROM bkeys a JOIN idx b
+           ON a.band = b.band AND a.key = b.key
+           AND a.vec_id <> b.vec_id AND b.rn <= 128),
+        norms AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nq FROM q GROUP BY vec_id),
+        scored AS (SELECT c.vec_a, c.vec_b, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         FROM cand c
+           JOIN q qa ON qa.vec_id = c.vec_a
+           JOIN q qb ON qb.vec_id = c.vec_b AND qb.d = qa.d
+         GROUP BY 1, 2),
+        epairs AS (SELECT vec_a, vec_b, dot, cos FROM (
+          SELECT s.vec_a, s.vec_b, s.dot,
+            CAST(s.dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+          FROM scored s JOIN norms na ON na.vec_id = s.vec_a
+            JOIN norms nb ON nb.vec_id = s.vec_b) t
+         WHERE cos >= 0.3)"""
+
   /** DuckDB twin of [[graft.index.Hilbert.xy2d]]: the per-level
     * rotate/reflect walk unrolled as CTEs hb1..hb$level over an input CTE
     * `hb0(doc_id, x, y, d)`; the result lives in `hb$level.d`.
@@ -1796,6 +1835,29 @@ object SparkEntry {
         numPlanes = 16, bands = 2, capPerBucket = 128)
     },
 
+    "emb_clusters" -> { (s, dir) =>
+      // SemDeDup end-to-end: the cosine near-dup pairs above feed the
+      // same star-contraction CC that powers dedup_clusters; every
+      // embedding gets its semantic cluster id (= min member),
+      // singletons keep themselves
+      val emb = embeddingsOf(s, dir)
+      val pairs = Similarity.cosineDupPairs(emb, threshold = 0.3,
+          numPlanes = 16, bands = 2, capPerBucket = 128)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val cc = Dedup.connectedComponents(pairs)
+      emb.select(col("vec_id"))
+        .join(cc, col("vec_id") === col("node"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster"))
+    },
+
+    "events_anomaly" -> { (s, dir) =>
+      // trailing-24h rate-spike detection per event type: exact integer
+      // spike ppm over a RANGE frame on the integer hour (missing hours
+      // weigh zero without gap-filling)
+      Events.hourlyAnomaly(eventsOf(s, dir), windowHours = 24)
+    },
+
     // --- resampling variants / robust slope / DEM / more hood methods ---
     "raster_resample_avg" -> { (s, _) =>
       TileOps.toPixels(TileOps2.resampleAverage(
@@ -2753,36 +2815,38 @@ object SparkEntry {
       // cosineDupPairs mirror: same banding/cap skeleton as ann_lsh, then
       // exact integer dot + self-dots (order-independent BIGINT sums) and
       // one division by the sqrt product — bitwise-portable
-      """WITH q AS (SELECT vec_id, d,
-           CAST(ROUND(CAST(embedding[d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
-         FROM embeddings, range(64) t(d)),
-        bits AS (SELECT vec_id, p,
-          CASE WHEN CAST(SUM(CASE WHEN CAST(FLOOR((d * 2654435761 + p * 40503 + 11) / 65536.0) AS BIGINT) % 2 = 0
-                         THEN qv ELSE -qv END) AS BIGINT) > 0
-               THEN 1 ELSE 0 END AS bit
-         FROM q, range(16) pp(p) GROUP BY vec_id, p),
-        bkeys AS (SELECT vec_id, p // 8 AS band,
-          CAST(SUM(bit * (1::BIGINT << (p % 8))) AS BIGINT) AS key
-         FROM bits GROUP BY vec_id, p // 8),
-        idx AS (SELECT vec_id, band, key,
-          row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
-         FROM bkeys),
-        cand AS (SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
-                   greatest(a.vec_id, b.vec_id) AS vec_b
-         FROM bkeys a JOIN idx b
-           ON a.band = b.band AND a.key = b.key
-           AND a.vec_id <> b.vec_id AND b.rn <= 128),
-        norms AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nq FROM q GROUP BY vec_id),
-        scored AS (SELECT c.vec_a, c.vec_b, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
-         FROM cand c
-           JOIN q qa ON qa.vec_id = c.vec_a
-           JOIN q qb ON qb.vec_id = c.vec_b AND qb.d = qa.d
-         GROUP BY 1, 2)
-        SELECT vec_a, vec_b, dot,
-          CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
-        FROM scored s JOIN norms na ON na.vec_id = s.vec_a
-          JOIN norms nb ON nb.vec_id = s.vec_b
-        WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) >= 0.3""",
+      s"""WITH $sqlEmbPairCtes
+        SELECT vec_a, vec_b, dot, cos FROM epairs""",
+
+    "emb_clusters" ->
+      // the same verified pair set closed transitively (recursive CTE,
+      // min-per-component) — identical connectivity to the engine's
+      // star contraction; singletons label themselves
+      s"""WITH RECURSIVE $sqlEmbPairCtes,
+        eedges AS (SELECT DISTINCT u, v FROM (
+          SELECT vec_a AS u, vec_b AS v FROM epairs
+          UNION ALL SELECT vec_b, vec_a FROM epairs)),
+        ereach(src, dst) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM eedges)
+          UNION
+          SELECT r.src, e.v FROM ereach r JOIN eedges e ON e.u = r.dst),
+        ecomp AS (SELECT src AS vec_id, MIN(dst) AS cluster FROM ereach GROUP BY src)
+        SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
+        FROM embeddings e LEFT JOIN ecomp c USING (vec_id)""",
+
+    "events_anomaly" ->
+      """WITH h AS (SELECT event_type,
+           CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2)
+        SELECT event_type, hour, n,
+          CAST(COALESCE(sum(n) OVER tw, 0) AS BIGINT) AS prev_sum,
+          CAST(count(n) OVER tw AS BIGINT) AS prev_hours,
+          CASE WHEN COALESCE(sum(n) OVER tw, 0) = 0 THEN NULL
+               ELSE CAST(n * 24 * 1000000 // sum(n) OVER tw AS BIGINT) END AS spike_ppm
+        FROM h
+        WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)""",
 
     "geo_pyramid" -> Pages.sqlWith {
       val levels = (4 to 8).map { l =>

@@ -105,6 +105,35 @@ object Events {
         expr("CAST(n_active * 1000000 DIV cohort_n AS BIGINT)").as("ret_ppm"))
   }
 
+  /** Trailing-window rate anomaly: each (event_type, hour) bucket's count
+    * against the SUM of the previous `windowHours` hourly buckets — the
+    * live traffic-spike / outage detector. spike_ppm =
+    * ⌊n·windowHours·10⁶ / prev_sum⌋ (10⁶ = exactly the trailing average;
+    * null when the trailing window is empty) — exact integer, and the
+    * RANGE frame is over the integer hour so missing hours weigh zero
+    * without gap-filling.
+    *
+    * Scale shape: the raw stream folds to hourly buckets first (one
+    * map-side-combined agg); the window then runs on |types|×|hours|
+    * rows, not events.
+    */
+  def hourlyAnomaly(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    require(windowHours >= 1, s"hourlyAnomaly: windowHours must be >= 1, got $windowHours")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val hourly = events
+      .withColumn("hour", floor(us / lit(3600000000.0)))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("hour"))
+      .rangeBetween(-windowHours, -1)
+    hourly
+      .withColumn("prev_sum", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("prev_hours", count(lit(1)).over(w))
+      .select(col("event_type"), col("hour"), col("n"), col("prev_sum"), col("prev_hours"),
+        when(col("prev_sum") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"CAST(n * $windowHours * 1000000 DIV prev_sum AS BIGINT)"))
+          .as("spike_ppm"))
+  }
+
   /** First-order Markov transition matrix over event types: consecutive
     * per-user event pairs in (time, event_id) order, counted per
     * (from_type, to_type) with the per-source transition probability in

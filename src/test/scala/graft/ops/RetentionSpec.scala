@@ -49,6 +49,31 @@ class RetentionSpec extends AnyFunSuite {
       ("x", "y", 1L, 1000000L)))
   }
 
+  test("trailing-window anomaly: spike ppm, empty window, and gap handling") {
+    import spark.implicits._
+    def ev(id: Long, hour: Long, typ: String) = (id, ts(0, hour * 3600), 1L, typ)
+    // type "a": 2,2,2 in hours 0-2, then a spike of 12 in hour 3;
+    // a gap (hour 4 empty) then 1 in hour 5 — the RANGE frame must span
+    // calendar hours, so hour 5's window still sees hours 1-3 (wait: 24h
+    // window sees all of 0-4 -> sum 18)
+    val rows = (
+      (1L to 2L).map(i => ev(i, 0, "a")) ++ (3L to 4L).map(i => ev(i, 1, "a")) ++
+      (5L to 6L).map(i => ev(i, 2, "a")) ++ (7L to 18L).map(i => ev(i, 3, "a")) ++
+      Seq(ev(19L, 5, "a")) ++ Seq(ev(20L, 0, "b"))
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.hourlyAnomaly(rows, windowHours = 24).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+         if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    // hour 0: empty trailing window -> null ppm
+    assert(got(("a", 0L)) == (2L, 0L, 0L, None))
+    assert(got(("b", 0L)) == (1L, 0L, 0L, None))
+    // hour 3: n=12 vs prev_sum=6 over 3 occupied hours -> 12*24e6/6 = 48e6
+    assert(got(("a", 3L)) == (12L, 6L, 3L, Some(48000000L)))
+    // hour 5 skips the empty hour 4: prev_sum = 2+2+2+12 = 18
+    assert(got(("a", 5L)) == (1L, 18L, 4L, Some(1333333L)))
+  }
+
   test("single-event users produce no transitions and full day-0 retention") {
     import spark.implicits._
     val ev = Seq((1L, ts(2), 7L, "solo")).toDF("event_id", "ts", "user_id", "event_type")
