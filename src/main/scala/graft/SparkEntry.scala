@@ -620,6 +620,17 @@ object SparkEntry {
       KnnJoin.knnBroadcastProbes(pts, probes, k = 3)
     },
 
+    "vector_nearest" -> { (s, dir) =>
+      // nearest-feature join: each page's closest fixture rectangle
+      // (point-to-box distance, 0 inside; ties by feature id) — the GIS
+      // "nearest facility" primitive, exact IEEE arithmetic both engines
+      import s.implicits._
+      val rects = Fixtures.rects.toDF("poly_id", "x_min", "x_max", "y_min", "y_max")
+      SpatialJoins.nearestRectJoin(
+        Pages.pages(s, dir).select("doc_id", "lon", "lat"),
+        rects, "doc_id", "lon", "lat")
+    },
+
     "geo_range_join" -> { (s, dir) =>
       // distance-within join: pages within 3 degrees of each probe page,
       // via a broadcast cell-cover prefilter + exact integer verify. The
@@ -3018,6 +3029,18 @@ object SparkEntry {
               (p.lon_udeg - t.lon_udeg) * (p.lon_udeg - t.lon_udeg)
                 + (p.lat_udeg - t.lat_udeg) * (p.lat_udeg - t.lat_udeg), t.doc_id) AS rank
           FROM pages p JOIN pages t ON t.doc_id <> p.doc_id) WHERE rank <= 3"""),
+
+    "vector_nearest" -> Pages.sqlWith(
+      s""", scored AS (
+          SELECT doc_id, poly_id,
+            greatest(x_min - lon, lon - x_max, 0) AS dx,
+            greatest(y_min - lat, lat - y_max, 0) AS dy
+          FROM pages CROSS JOIN ${Fixtures.sqlRectValues}),
+        r AS (SELECT doc_id, poly_id, dx * dx + dy * dy AS dist2,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY dx * dx + dy * dy, poly_id) AS rn FROM scored)
+        SELECT doc_id, CAST(poly_id AS BIGINT) AS nearest_id, dist2
+        FROM r WHERE rn = 1"""),
 
     "geo_range_join" -> Pages.sqlWith(
       """SELECT pr.doc_id AS probe_id, t.doc_id AS target_id,

@@ -146,6 +146,32 @@ object SpatialJoins {
       .withColumn("poly_id", explode(matchCol))
   }
 
+  /** Nearest-feature join: each point paired with its closest rectangle
+    * feature — squared Euclidean point-to-box distance (dist2 = 0 inside
+    * the box), ties broken by ascending feature id. The classic GIS
+    * "nearest facility" join next to PIP/kNN/radius, reference
+    * semantics: buteo's proximity metrics (buteo/raster/proximity.py).
+    *
+    * Exactness: dx = max(x_min−lon, lon−x_max, 0) and the dist2 products
+    * are pinned-order IEEE ops, bit-identical in SQL. Scale shape: the
+    * feature frame BROADCASTS (crossJoin against a handful of features is
+    * a map-side stencil, like the hotspot kernel); the rank-1 filter
+    * rides WindowGroupLimit so every partition pre-trims to its local
+    * argmin below the exchange.
+    */
+  def nearestRectJoin(points: DataFrame, rects: DataFrame, idCol: String,
+                      lonCol: String, latCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dx = greatest(col("x_min") - col(lonCol), col(lonCol) - col("x_max"), lit(0.0))
+    val dy = greatest(col("y_min") - col(latCol), col(latCol) - col("y_max"), lit(0.0))
+    val scored = points.crossJoin(broadcast(rects))
+      .withColumn("dist2", dx * dx + dy * dy)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist2"), col("poly_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col(idCol), col("poly_id").as("nearest_id"), col("dist2"))
+  }
+
   /** Left-semi flavor: points that fall in at least one polygon (invert =
     * left-anti: points in none). Reference semantics:
     * buteo/vector/extract_by_location.py:142-169 (invert at :164).
