@@ -1678,6 +1678,11 @@ object SparkEntry {
       // tie-broken on the pair) is exact
       TextOps.collocations(documentsOf(s, dir), minCount = 5, topK = 50)
     },
+    "text_keyphrases" -> { (s, dir) =>
+      // RAKE keyphrases: stopword-delimited candidate runs scored by
+      // Σ deg(w)/freq(w) in exact integer ppm, top 3 per document
+      TextOps.keyphrases(documentsOf(s, dir), topK = 3)
+    },
     "events_funnel" -> { (s, dir) =>
       // ordered view→click→purchase funnel, first-touch semantics with
       // exact microsecond reach times and integer conversion ppm
@@ -5201,6 +5206,37 @@ object SparkEntry {
            CAST((SELECT COUNT(*) FROM r3) AS BIGINT),
            CAST((SELECT COUNT(*) FROM r3) * 1000000
                 // (SELECT COUNT(*) FROM r2) AS BIGINT)""",
+
+    "text_keyphrases" ->
+      // replay the stopword→chr(30) marking, phrase split/trim, the
+      // occurrence-level (freq, deg) stats, per-word truncating ppm
+      // ratio, and the distinct-phrase score sum + rank
+      """WITH marked AS (SELECT doc_id,
+           array_to_string(list_transform(
+             list_filter(string_split(text, ' '), t -> t <> ''),
+             t -> CASE WHEN t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')
+                  THEN chr(30) ELSE t END), ' ') AS m
+         FROM documents),
+        ph AS (SELECT doc_id, p AS phrase FROM (
+           SELECT doc_id, unnest(list_transform(string_split(m, chr(30)),
+             s -> trim(s))) AS p FROM marked) WHERE p <> ''),
+        words AS (SELECT doc_id, phrase,
+           len(string_split(phrase, ' ')) AS plen,
+           unnest(string_split(phrase, ' ')) AS word FROM ph),
+        stats AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(plen) AS BIGINT) AS deg FROM words GROUP BY 1, 2),
+        rat AS (SELECT doc_id, word, deg * 1000000 // freq AS ratio_ppm FROM stats),
+        dph AS (SELECT DISTINCT doc_id, phrase FROM ph),
+        pw AS (SELECT doc_id, phrase,
+           unnest(string_split(phrase, ' ')) AS word FROM dph),
+        sc AS (SELECT pw.doc_id, pw.phrase, CAST(sum(r.ratio_ppm) AS BIGINT) AS score_ppm
+           FROM pw JOIN rat r ON r.doc_id = pw.doc_id AND r.word = pw.word
+           GROUP BY 1, 2),
+        rk AS (SELECT doc_id, phrase, score_ppm,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_ppm DESC, phrase) AS rank FROM sc)
+        SELECT doc_id, phrase, score_ppm, CAST(rank AS INT) AS rank
+        FROM rk WHERE rank <= 3""",
 
     "text_collocations" ->
       // adjacency via row_number over surviving (non-empty) tokens —

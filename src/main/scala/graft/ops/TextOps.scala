@@ -326,6 +326,47 @@ object TextOps {
     */
   val gopherStops: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal runs of non-stopword tokens; each word scores
+    * deg(w)/freq(w) over the document's phrase occurrences (deg = Σ
+    * phrase length over occurrences containing w) and a phrase scores
+    * the sum of its words — all in exact integer ppm (per-word
+    * truncating division, then integer sums, so the ranking is
+    * deterministic and SQL-mirrorable). Returns the top-k distinct
+    * phrases per document by (score desc, phrase asc).
+    *
+    * Scale shape: phrase segmentation is a pure per-row array transform
+    * (stopwords → a separator char, split, trim); stats and scores are
+    * doc-keyed aggs, and the final rank ≤ k rides WindowGroupLimit.
+    */
+  def keyphrases(docs: DataFrame, stops: Seq[String] = gopherStops,
+                 topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"keyphrases: topK must be >= 1, got $topK")
+    val marked = transform(
+      filter(split(col("text"), " "), t => t =!= ""),
+      t => when(t.isInCollection(stops), lit("\u001e")).otherwise(t))
+    val phrases = filter(
+      transform(split(array_join(marked, " "), "\u001e"), p => trim(p)),
+      p => p =!= "")
+    val ph = docs.select(col("doc_id"), explode(phrases).as("phrase"))
+    val words = ph.select(col("doc_id"), col("phrase"),
+      size(split(col("phrase"), " ")).as("plen"),
+      explode(split(col("phrase"), " ")).as("word"))
+    val stats = words.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("ratio_ppm", expr("CAST(deg * 1000000 DIV freq AS BIGINT)"))
+    val phWords = ph.distinct()
+      .select(col("doc_id"), col("phrase"),
+        explode(split(col("phrase"), " ")).as("word"))
+    val scored = phWords
+      .join(stats.select("doc_id", "word", "ratio_ppm"), Seq("doc_id", "word"))
+      .groupBy("doc_id", "phrase")
+      .agg(sum("ratio_ppm").as("score_ppm"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("phrase"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
   /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
     * Models", table A1): per-document token count, mean token length,
     * stopword count and alphabetic-character ratio, plus the composite

@@ -410,4 +410,30 @@ class TextOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "scriptProfile shuffled:\n" + plan.take(1200))
   }
+
+  test("RAKE keyphrases: hand-computed deg/freq scores and ranking") {
+    import spark.implicits._
+    val doc = Seq((1L, "deep learning of deep graph models and fast graph scan"))
+      .toDF("doc_id", "text")
+    // phrases: [deep learning][deep graph models][fast graph scan]
+    // deg/freq: deep 5/2, learning 2/1, graph 6/2, models 3/1, fast 3/1, scan 3/1
+    val got = TextOps.keyphrases(doc, topK = 3).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == Set(
+      ("fast graph scan", 9000000L, 1),
+      ("deep graph models", 8500000L, 2),
+      ("deep learning", 4500000L, 3)))
+  }
+
+  test("RAKE keyphrases: duplicate phrases score once; all-stop docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big scan of big scan"),
+      (2L, "the of and a to in is"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.keyphrases(docs, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // big: freq 2, deg 4 -> 2e6; scan same -> phrase score 4e6, ONE row
+    assert(got == Set((1L, "big scan", 4000000L)))
+  }
 }
