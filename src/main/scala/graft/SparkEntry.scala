@@ -631,6 +631,17 @@ object SparkEntry {
         rects, "doc_id", "lon", "lat")
     },
 
+    "geo_pair_join" -> { (s, dir) =>
+      // SELF distance join: every unordered page pair within 2 degrees,
+      // both sides big (nothing broadcast) — cell bucketing with a
+      // provably covering 3×3 neighborhood, certified lossless by the
+      // brute-force oracle. The hot city cluster makes the hot-cell path
+      // live (the 50 co-located pages pair quadratically by geometry).
+      val pts = Pages.pages(s, dir)
+        .select(col("doc_id").as("id"), col("lon_udeg").as("x"), col("lat_udeg").as("y"))
+      RangeJoin.selfJoinCells(pts, radiusUdeg = 2000000L, level = 6)
+    },
+
     "geo_range_join" -> { (s, dir) =>
       // distance-within join: pages within 3 degrees of each probe page,
       // via a broadcast cell-cover prefilter + exact integer verify. The
@@ -3046,6 +3057,16 @@ object SparkEntry {
               ORDER BY dx * dx + dy * dy, poly_id) AS rn FROM scored)
         SELECT doc_id, CAST(poly_id AS BIGINT) AS nearest_id, dist2
         FROM r WHERE rn = 1"""),
+
+    "geo_pair_join" -> Pages.sqlWith(
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          (a.lon_udeg - b.lon_udeg) * (a.lon_udeg - b.lon_udeg)
+            + (a.lat_udeg - b.lat_udeg) * (a.lat_udeg - b.lat_udeg) AS dist2
+        FROM pages a JOIN pages b
+          ON a.doc_id < b.doc_id
+         AND (a.lon_udeg - b.lon_udeg) * (a.lon_udeg - b.lon_udeg)
+            + (a.lat_udeg - b.lat_udeg) * (a.lat_udeg - b.lat_udeg)
+            <= 4000000000000"""),
 
     "geo_range_join" -> Pages.sqlWith(
       """SELECT pr.doc_id AS probe_id, t.doc_id AS target_id,

@@ -39,6 +39,53 @@ object RangeJoin {
     * broadcast size for candidate selectivity. Cell width should be on
     * the order of the radius: ~2-5 cells per probe per axis.
     */
+  /** SELF distance join (pair form — both sides big, nothing broadcast):
+    * every unordered point pair within `radiusUdeg`, via cell bucketing.
+    * The level must satisfy cellHeight ≥ radius (the latitude axis is
+    * the binding one: 180·10⁶/2^level µdeg), so a point's 3×3 cell
+    * neighborhood PROVABLY covers every partner within the radius —
+    * lossless by construction, certified end-to-end by the brute-force
+    * oracle. One side explodes its 9 neighbor cells (out-of-range
+    * neighbors dropped, not clamped — clamping would double-match edge
+    * cells), the other carries its own cell; a partner's cell is unique,
+    * so each pair matches exactly once and needs no distinct. Plain
+    * equi-join on the cell key → shuffles on cell, AQE handles the hot
+    * cells; emission is canonical (id_a < id_b).
+    */
+  def selfJoinCells(points: DataFrame, radiusUdeg: Long, level: Int): DataFrame = {
+    require(radiusUdeg >= 0, s"selfJoinCells: negative radius $radiusUdeg")
+    require(level >= 0 && level <= GridCell.MaxLevel,
+      s"selfJoinCells: level out of range: $level")
+    require((180000000L >> level) >= radiusUdeg,
+      s"selfJoinCells: cell height ${180000000L >> level} udeg at level $level " +
+        s"is smaller than the radius $radiusUdeg — the 3x3 cover would be lossy")
+    val spark = points.sparkSession
+    GraftFunctions.register(spark)
+    val n = 1L << level
+    val cell = GraftFunctions.gridCell(col("x") / lit(1000000.0),
+      col("y") / lit(1000000.0), lit(level))
+    val base = points.select(col("id"), col("x"), col("y"),
+      GraftFunctions.gridX(cell).as("cx"), GraftFunctions.gridY(cell).as("cy"))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+    val left = base
+      .withColumn("o", explode(array(offsets.map { case (dx, dy) =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      }: _*)))
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        (col("cx") + col("o.dx")).as("nx"), (col("cy") + col("o.dy")).as("ny"))
+      .filter(col("nx") >= 0 && col("nx") < n && col("ny") >= 0 && col("ny") < n)
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("nx") * n + col("ny")).as("key"))
+    val right = base.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), (col("cx") * n + col("cy")).as("key"))
+    val dx = col("xa") - col("xb")
+    val dy = col("ya") - col("yb")
+    left.join(right, Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (dx * dx + dy * dy).as("dist2"))
+      .filter(col("dist2") <= lit(radiusUdeg * radiusUdeg))
+  }
+
   def rangeJoinCells(targets: DataFrame, probes: DataFrame,
                      radiusUdeg: Long, level: Int): DataFrame = {
     require(radiusUdeg >= 0, s"rangeJoinCells: negative radius $radiusUdeg")

@@ -59,6 +59,46 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L), (1L, 2L)))
   }
 
+  test("self join equals the brute-force pair set at its coarsest legal level") {
+    import spark.implicits._
+    // clusters straddling cell boundaries + global scatter
+    val rnd = new scala.util.Random(31)
+    val all = (0 until 800).map { i =>
+      val (cx, cy) =
+        if (i % 4 == 0) (0L, 0L)                  // straddles the lon/lat origin seams
+        else if (i % 4 == 1) (23500000L, 48800000L)
+        else if (i % 4 == 2) (-100000000L, -40000000L)
+        else ((rnd.nextLong() % 170000000L), (rnd.nextLong() % 80000000L))
+      (i.toLong, cx + rnd.nextLong() % 3000000L, cy + rnd.nextLong() % 3000000L)
+    }
+    val df = all.toDF("id", "x", "y")
+    val r = 2000000L
+    val exact = (for {
+      (ia, xa, ya) <- all; (ib, xb, yb) <- all if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= r * r
+    } yield (ia, ib, d2)).toSet
+    assert(exact.size > 1000, s"fixture too sparse: ${exact.size}")
+    for (level <- Seq(4, 6)) { // 180e6>>6 = 2812500 >= r: both legal
+      val got = RangeJoin.selfJoinCells(df, r, level)
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+      assert(got == exact, s"level $level diverged")
+    }
+  }
+
+  test("self join rejects a level whose cells are smaller than the radius") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.selfJoinCells(pts(10), 2000000L, 8) // 180e6>>8 = 703125 < r
+    }
+  }
+
+  test("self join plan is an equi-join on the cell key, never a theta join") {
+    val df = RangeJoin.selfJoinCells(pts(500), 1000000L, 7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"theta join leaked into:\n$plan")
+  }
+
   test("plan is one broadcast equi-join on the cell id, never a theta join") {
     val p = pts(500)
     val df = RangeJoin.rangeJoinCells(p, p.filter(col("id") < 10), 3000000L, 6)
