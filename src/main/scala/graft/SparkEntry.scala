@@ -1991,6 +1991,14 @@ object SparkEntry {
         dstNodata = Some(-1.0))
       TileOps.toPixels(warped, dstSpec.tileSize)
     },
+    "raster_hillshade" -> { (s, _) =>
+      // GDAL-formula hillshade (az 315, alt 45) over the DEM fixture —
+      // the ROUND-9 trig recipe of the DEM family (dem.py:242-350)
+      val spec = rasterSpec.copy(bands = 1)
+      val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      TileOps.toPixels(TileOps2.demHillshade(dem), rasterSpec.tileSize)
+        .select(col("x"), col("y"), col("band"), round(col("v"), 9).as("v"))
+    },
     "raster_dem_orientation" -> { (s, _) =>
       // rounded to 9 decimals: same sin/cos 1-ulp mitigation as
       // encode_latlng (aspect branch flips at ulp boundaries are harmless
@@ -5680,6 +5688,7 @@ object SparkEntry {
 
     "raster_dem_gradients" -> demGradOracle,
     "raster_dem_orientation" -> demOrientOracle,
+    "raster_hillshade" -> demHillshadeOracle,
     // inverse mapping per 4326 target pixel center: forward Mercator to
     // 3857 meters, floor to the 1000 m source grid, sample the closed
     // form; outside the 128×128 source → dst_nodata (-1)
@@ -7040,6 +7049,32 @@ object SparkEntry {
         ROUND(CASE WHEN CAST((x * 3 + y * 5) % 41 AS DOUBLE) <> 0.0
                    THEN CAST((x * 3 + y * 5) % 41 AS DOUBLE) / 8849.0
                    ELSE 0.0 END, 9) AS v FROM base"""
+  }
+
+  /** Hillshade oracle mirroring TileOps2.demHillshade: the same Horn
+    * gradients, then the GDAL formula sin(alt)·cos(slope) +
+    * cos(alt)·sin(slope)·cos(az − π/2 − aspect), max(0, 255·shade),
+    * ROUND(·, 9) both sides (the DEM-family trig recipe).
+    */
+  private def demHillshadeOracle: String = {
+    def z(dx: Int, dy: Int): String =
+      s"""(CASE WHEN x + ($dx) BETWEEN 0 AND 255 AND y + ($dy) BETWEEN 0 AND 255
+         THEN CAST(((x + ($dx)) * 3 + (y + ($dy)) * 5) % 41 AS DOUBLE)
+         ELSE CAST((x * 3 + y * 5) % 41 AS DOUBLE) END)"""
+    val (a, b, c) = (z(-1, -1), z(0, -1), z(1, -1))
+    val (d, f) = (z(-1, 0), z(1, 0))
+    val (g, h, i) = (z(-1, 1), z(0, 1), z(1, 1))
+    val gx = s"((($c + 2.0 * $f + $i) - ($a + 2.0 * $d + $g)) / (8.0 * 0.25))"
+    val gy = s"((($g + 2.0 * $h + $i) - ($a + 2.0 * $b + $c)) / (8.0 * 0.25))"
+    s"""WITH base AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
+        FROM range(256) r1(x), range(256) r2(y)),
+      grad AS (SELECT x, y, $gx AS gx, $gy AS gy FROM base)
+      SELECT x, y, 0 AS band,
+        ROUND(GREATEST(0.0, 255.0 * (
+          sin(radians(45.0)) * cos(atan(sqrt(gx * gx + gy * gy)))
+          + cos(radians(45.0)) * sin(atan(sqrt(gx * gx + gy * gy)))
+            * cos(radians(315.0) - pi() / 2.0 - atan2(gy, -gx)))), 9) AS v
+      FROM grad"""
   }
 
   /** Generated DuckDB tail for the 16-bit simhash oracle (hex-digit value
