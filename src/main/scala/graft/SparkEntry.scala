@@ -698,6 +698,17 @@ object SparkEntry {
           GraftFunctions.gridX(c7), GraftFunctions.gridY(c7), lit(7)).as("hd"))
     },
 
+    "geo_cell_skew" -> { (s, dir) =>
+      // skew report over level-7 tile loads: hot-cell mass + exact Gini
+      // ppm — the "does this tiling need salting?" planning diagnostic
+      GraftFunctions.register(s)
+      val c7 = GraftFunctions.gridCell(col("lon"), col("lat"), lit(7))
+      val counts = Pages.pages(s, dir)
+        .select((GraftFunctions.gridX(c7) * 128 + GraftFunctions.gridY(c7)).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("v"))
+      SpatialStats.cellSkew(counts)
+    },
+
     "geo_moran" -> { (s, dir) =>
       // global Moran's I of per-cell page counts (rook adjacency, level
       // 7): the clustering diagnostic over the tiling spine, as exact
@@ -2912,6 +2923,22 @@ object SparkEntry {
             ${Pages.sqlCellY(7)} AS y, CAST(0 AS BIGINT) AS d FROM pages),
         ${sqlHilbert(7)}
         SELECT doc_id, d AS hd FROM hb7"""),
+
+    "geo_cell_skew" -> Pages.sqlWith(
+      s""", cc AS (SELECT cell, CAST(count(*) AS BIGINT) AS v FROM (
+            SELECT ${Pages.sqlCellX(7)} * 128 + ${Pages.sqlCellY(7)} AS cell FROM pages)
+          GROUP BY 1),
+        rk AS (SELECT cell, v, row_number() OVER (ORDER BY v, cell) AS i FROM cc),
+        ag AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(v) AS BIGINT) AS total, max(v) AS v_max,
+                 min(CASE WHEN v = (SELECT max(v) FROM rk) THEN cell END) AS top_cell,
+                 CAST(sum(CAST(i AS HUGEINT) * 2 * v) AS HUGEINT) AS ri2
+               FROM rk)
+        SELECT n_cells, total, v_max, top_cell,
+          CAST(v_max * 1000000 // total AS BIGINT) AS top_share_ppm,
+          CAST((ri2 - CAST(n_cells + 1 AS HUGEINT) * total) * 1000000
+               // (CAST(n_cells AS HUGEINT) * total) AS BIGINT) AS gini_ppm
+        FROM ag"""),
 
     "geo_moran" -> Pages.sqlWith(
       s""", cc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS v FROM (

@@ -38,6 +38,41 @@ object SpatialStats {
     * are two equi-joins on (x, y) neighbor keys and three scalar
     * aggregates — no theta joins, no windows.
     */
+  /** Skew report over the cell-load distribution — the planning
+    * diagnostic that decides whether a tiling job needs salting before
+    * it runs: hot-cell mass, and the exact Gini coefficient of per-cell
+    * loads as integer ppm (Gini = Σ(2i−n−1)·v_(i) / (n·S) over loads
+    * sorted ascending with (v, cell) rank ties — every term integer,
+    * deterministic at any parallelism). Returns ONE row: (n_cells,
+    * total, v_max, top_cell, top_share_ppm, gini_ppm).
+    *
+    * Scale shape: input is the per-cell load frame (bounded by 4^level
+    * cells regardless of corpus size), so the rank window and the scalar
+    * fold are tiny; the heavy page→cell agg happens upstream with
+    * map-side combine.
+    */
+  def cellSkew(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = cells.select(col("cell").cast("long").as("cell"),
+      col("v").cast("long").as("v"))
+    val w = Window.orderBy(col("v"), col("cell"))
+    val ranked = base.withColumn("i", row_number().over(w))
+    ranked
+      .agg(count(lit(1)).as("n_cells"), sum("v").as("total"),
+        max("v").as("v_max"),
+        max(struct(col("v").as("v"), (-col("cell")).as("negcell"))).as("top"),
+        sum((col("i") * 2).cast(Dec) * col("v")).cast(Dec).as("ri2"))
+      .select(col("n_cells"), col("total"), col("v_max"),
+        (-col("top.negcell")).as("top_cell"),
+        expr("CAST(v_max * 1000000 DIV total AS BIGINT)").as("top_share_ppm"),
+        (col("ri2") - (col("n_cells") + 1).cast(Dec) * col("total").cast(Dec))
+          .cast(Dec).as("gnum"),
+        (col("n_cells").cast(Dec) * col("total").cast(Dec)).cast(Dec).as("gden"))
+      .select(col("n_cells"), col("total"), col("v_max"), col("top_cell"),
+        col("top_share_ppm"),
+        expr(s"CAST(CAST(gnum * 1000000 AS $Dec) DIV gden AS BIGINT)").as("gini_ppm"))
+  }
+
   /** Local hotspot scores (the Getis-Ord Gi* recipe in exact integers):
     * for each observed cell, the rook-stencil neighborhood sum (self +
     * up to 4 neighbors present in the frame) compared against the global

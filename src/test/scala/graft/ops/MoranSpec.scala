@@ -105,6 +105,45 @@ class MoranSpec extends AnyFunSuite {
     }
   }
 
+  /** BigInt skew reference. */
+  private def skewRef(cells: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, Long) = {
+    val n = cells.size.toLong
+    val s = cells.map(_._2).sum
+    val vMax = cells.map(_._2).max
+    val topCell = cells.filter(_._2 == vMax).map(_._1).min
+    val sorted = cells.sortBy(c => (c._2, c._1))
+    val gnum = sorted.zipWithIndex.map { case ((_, v), i0) =>
+      BigInt(2L * (i0 + 1) - n - 1) * v
+    }.sum
+    (n, s, vMax, topCell, vMax * 1000000L / s,
+      (gnum * 1000000 / (BigInt(n) * s)).toLong)
+  }
+
+  private def runSkew(cells: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val r = SpatialStats.cellSkew(cells.toDF("cell", "v")).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+  }
+
+  test("cell skew: uniform loads have Gini 0; one hot cell dominates") {
+    val uniform = (0L until 10L).map(c => (c, 7L))
+    val u = runSkew(uniform)
+    assert(u == skewRef(uniform))
+    assert(u._6 == 0L)
+    val hot = Seq((5L, 1L), (6L, 1L), (7L, 1L), (3L, 97L))
+    val h = runSkew(hot)
+    assert(h == skewRef(hot))
+    assert(h == (4L, 100L, 97L, 3L, 970000L, 720000L))
+  }
+
+  test("cell skew: random loads match the BigInt reference exactly") {
+    val rnd = new scala.util.Random(41)
+    (1 to 4).foreach { _ =>
+      val cells = (0 until 70).map(i => (i.toLong, (rnd.nextInt(1000) + 1).toLong))
+      assert(runSkew(cells) == skewRef(cells))
+    }
+  }
+
   test("degenerate frames: no adjacency and constant value give ppm 0") {
     // isolated cells (no rook neighbors)
     val iso = Seq((0L, 0L, 5L), (10L, 10L, 9L), (20L, 0L, 1L))
