@@ -68,7 +68,9 @@ object Bench {
     // round 5 final session: radius join (broadcast cover prefilter),
     // Hilbert encode (codegen-only map), tile pyramid (one shuffle for
     // five levels), KMV bottom-k (WindowGroupLimit), hotspot stencil
-    "geo_range_join", "geo_hilbert", "geo_pyramid", "url_kmv", "geo_hotspots")
+    "geo_range_join", "geo_hilbert", "geo_pyramid", "url_kmv", "geo_hotspots",
+    // self distance join (the hot-cell pair pattern) + SemDeDup clusters
+    "geo_pair_join", "emb_clusters")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

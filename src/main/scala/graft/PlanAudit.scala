@@ -79,7 +79,11 @@ object PlanAudit {
       // scalar aggs), bow-tie (two frontier BFS legs + left joins),
       // Q6 (pure pushdown scan)
       "geo_range_join", "url_kmv", "geo_pyramid", "geo_hotspots",
-      "geo_moran", "web_bowtie", "tpch_q6")
+      "geo_moran", "web_bowtie", "tpch_q6",
+      // self distance join (cell-bucketed pair join, AQE on hot cells),
+      // SemDeDup clusters (pair join + star contraction), nearest-feature
+      // join (broadcast stencil + WindowGroupLimit argmin)
+      "geo_pair_join", "emb_clusters", "vector_nearest")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)
