@@ -1804,6 +1804,13 @@ object SparkEntry {
       // size); md5prefix family so DuckDB mirrors the band keys
       Dedup.lshClusters(documentsOf(s, dir), k = 8, bands = 4, family = "md5prefix")
     },
+    "dedup_calibration" -> { (s, dir) =>
+      // sketch-tuning measurement: signature-estimated vs exact Jaccard
+      // (both integer ppm) for every banding candidate — the table you
+      // read before committing K/bands for the 10^12-doc job
+      Dedup.sketchCalibration(documentsOf(s, dir), k = 8, bands = 4,
+        family = "md5prefix")
+    },
     "dedup_cluster_keep" -> { (s, dir) =>
       // retention policy over the clusters: keep the densest member per
       // near-dup cluster (ties → lowest doc_id)
@@ -5501,6 +5508,46 @@ object SparkEntry {
         comp AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
         SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
         FROM documents d LEFT JOIN comp c USING (doc_id)"""),
+
+    "dedup_calibration" ->
+      // mirror: md5prefix signatures, the same 4-band md5 keys, canonical
+      // candidates, slot-match count vs exact token-set Jaccard, both
+      // as truncating integer ppm
+      (sqlToks + ", " + sqlMinhashSig(8) +
+      """, bands AS (
+          SELECT doc_id, 0 AS band, md5(s1 || s2) AS key FROM sig UNION ALL
+          SELECT doc_id, 1, md5(s3 || s4) FROM sig UNION ALL
+          SELECT doc_id, 2, md5(s5 || s6) FROM sig UNION ALL
+          SELECT doc_id, 3, md5(s7 || s8) FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        est AS (SELECT c.doc_a, c.doc_b,
+            CAST((CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.s4 = b.s4 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.s5 = b.s5 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.s6 = b.s6 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.s7 = b.s7 THEN 1 ELSE 0 END)
+               + (CASE WHEN a.s8 = b.s8 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+          FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+            JOIN sig b ON b.doc_id = c.doc_b),
+        ints AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+          FROM cand c
+            JOIN dtoks ta ON ta.doc_id = c.doc_a
+            JOIN dtoks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+          GROUP BY 1, 2)
+        SELECT e.doc_a, e.doc_b, e.n_match,
+          CAST(e.n_match * 1000000 // 8 AS BIGINT) AS est_ppm,
+          COALESCE(i.inter, 0) AS inter,
+          na.n_toks + nb.n_toks - COALESCE(i.inter, 0) AS union_n,
+          CAST(COALESCE(i.inter, 0) * 1000000
+               // (na.n_toks + nb.n_toks - COALESCE(i.inter, 0)) AS BIGINT) AS true_ppm
+        FROM est e
+        LEFT JOIN ints i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN sizes na ON na.doc_id = e.doc_a
+        JOIN sizes nb ON nb.doc_id = e.doc_b"""),
 
     "dedup_cluster_keep" ->
       // same component closure + density argmax: keep = first by

@@ -123,6 +123,39 @@ object Dedup {
     verifyJaccardFrom(dtoks, sizes, pruned).filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash calibration table: for every LSH candidate pair (canonical
+    * doc_a < doc_b), the signature-estimated Jaccard (matching slots / k)
+    * NEXT TO the exact token-set Jaccard, both as exact integer ppm —
+    * the measurement behind sketch tuning ("is K big enough? where do I
+    * set the threshold?"). Produced at candidate cost: the pairs scored
+    * are exactly the ones banding surfaces, never all-pairs; run it on a
+    * corpus sample before committing K/bands for the 10¹²-doc job.
+    */
+  def sketchCalibration(docs: DataFrame, k: Int, bands: Int,
+                        family: String = "xxhash64"): DataFrame = {
+    val (dtoks, sizes) = tokenArtifacts(docs)
+    val sig = minhashSignatureFrom(dtoks, k, family)
+    val banded = bandTable(sig, k, bands, family)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nMatch = (1 to k).map(i =>
+      when(col(s"sa.s$i") === col(s"sb.s$i"), 1L).otherwise(0L): Column).reduce(_ + _)
+    val est = cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+    val ver = verifyJaccardFrom(dtoks, sizes, cand)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_n"))
+    est.join(ver, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        expr(s"CAST(n_match * 1000000 DIV $k AS BIGINT)").as("est_ppm"),
+        col("inter"), col("union_n"),
+        expr("CAST(inter * 1000000 DIV union_n AS BIGINT)").as("true_ppm"))
+  }
+
   /** Signature-estimate pre-prune between LSH candidate generation and the
     * exact verify join. The MinHash component-match fraction is an unbiased
     * estimator of Jaccard, so a candidate whose K-component match fraction

@@ -253,4 +253,31 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(trueDups.subsetOf(kept), "prune dropped a true duplicate pair")
   }
+
+  test("sketchCalibration: identical docs estimate 10^6; true ppm is exact Jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),       // identical to 1
+      (3L, "alpha beta gamma delta epsilon ETA"),        // J = 5/7 with 1
+      (4L, "totally different words here entirely")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.sketchCalibration(docs, k = 8, bands = 4, family = "md5prefix")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // identical docs share every signature slot AND every band bucket
+    val id = rows((1L, 2L))
+    assert(id == (8L, 1000000L, 6L, 6L, 1000000L))
+    // est is slot-matches/k in truncating ppm; true is exact |∩|/|∪|
+    rows.foreach { case (_, (nm, est, inter, uni, tru)) =>
+      assert(est == nm * 1000000L / 8L)
+      assert(tru == inter * 1000000L / uni)
+      assert(nm >= 1L) // a banding candidate shares at least one full band
+    }
+    // near-dup pair (1,3) must surface with its exact 5/7 Jaccard
+    rows.get((1L, 3L)).foreach { case (_, _, inter, uni, tru) =>
+      assert(inter == 5L && uni == 7L && tru == 714285L)
+    }
+    assert(!rows.contains((1L, 4L)), "unrelated docs should not band together")
+  }
 }
