@@ -308,6 +308,25 @@ object StreamOps {
                         family: String = "xxhash64"): DataFrame =
     graft.ops.Sketches.cmsRegisters(rows, keyCol, groupCols, width, depth, family)
 
+  /** Streaming geofence: pages geocoded and point-in-polygon matched
+    * against a broadcast polygon set AS THEY ARRIVE — the live alerting
+    * form of the batch PIP join. Stateless (geocode + broadcast R-tree
+    * probe are per-row codegen'd expressions), so the batch operator is
+    * streaming-legal unchanged, Append-mode clean, and any prefix's
+    * alert stream equals the batch join of that prefix exactly.
+    */
+  def geofenceStream(pages: DataFrame,
+                     polys: Seq[(Long, graft.geo.Polygon)]): DataFrame = {
+    graft.expr.GraftFunctions.register(pages.sparkSession)
+    import graft.expr.GraftFunctions._
+    val pts = pages
+      .withColumn("geo", geocodeUrl(col("url")))
+      .withColumn("lon", col("geo.lon"))
+      .withColumn("lat", col("geo.lat"))
+    graft.joins.SpatialJoins.pipJoinBroadcast(pts, polys, "lon", "lat")
+      .select(col("url"), col("lon"), col("lat"), col("poly_id"))
+  }
+
   /** Streaming tiling: geocode each page record and count per hex cell —
     * the incremental form of Pipeline.tilePages. Works on any stream with
     * a `url` column.

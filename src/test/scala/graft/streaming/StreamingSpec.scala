@@ -40,6 +40,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming geofence alerts equal the batch PIP join exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("https://host"), (col("doc_id") % 97).cast("string"),
+          lit(".example/"), col("doc_id").cast("string")).as("url"))
+    val polys = graft.pipeline.Fixtures.polygons
+    val want = StreamOps.geofenceStream(docs, polys)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(want.nonEmpty, "geofence fixture should alert on some pages")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet({
+        val dir = java.nio.file.Files.createTempDirectory("geofence_src")
+        docs.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/d")
+        dir.toString + "/d"
+      })
+    val q = StreamOps.geofenceStream(stream, polys)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("geofence").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("geofence")
+        .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming KMV registers equal the batch sketch exactly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val want = graft.ops.Sketches
