@@ -2009,6 +2009,14 @@ object SparkEntry {
         dstNodata = Some(-1.0))
       TileOps.toPixels(warped, dstSpec.tileSize)
     },
+    "raster_ndvi" -> { (s, _) =>
+      // normalized band difference (b1−b0)/(b1+b0) over the 2-band
+      // fixture — integer-valued pixels make the one IEEE division
+      // bitwise-portable, no rounding needed
+      TileOps.toPixels(TileOps2.normalizedDiff(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), bandA = 1, bandB = 0),
+        rasterSpec.tileSize)
+    },
     "raster_hillshade" -> { (s, _) =>
       // GDAL-formula hillshade (az 315, alt 45) over the DEM fixture —
       // the ROUND-9 trig recipe of the DEM family (dem.py:242-350)
@@ -5763,6 +5771,11 @@ object SparkEntry {
     "raster_dem_gradients" -> demGradOracle,
     "raster_dem_orientation" -> demOrientOracle,
     "raster_hillshade" -> demHillshadeOracle,
+    "raster_ndvi" -> (sqlPx +
+      """ SELECT a.x, a.y, 0 AS band,
+          CASE WHEN a.v + b.v = 0.0 THEN 0.0 ELSE (a.v - b.v) / (a.v + b.v) END AS v
+        FROM px a JOIN px b ON a.x = b.x AND a.y = b.y
+        WHERE a.band = 1 AND b.band = 0"""),
     // inverse mapping per 4326 target pixel center: forward Mercator to
     // 3857 meters, floor to the 1000 m source grid, sample the closed
     // form; outside the 128×128 source → dst_nodata (-1)

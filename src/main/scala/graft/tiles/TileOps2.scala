@@ -517,6 +517,37 @@ object TileOps2 {
     }(TileOps.tileEnc)
   }
 
+  /** Normalized band difference (b_A − b_B) / (b_A + b_B) — the
+    * NDVI/NDWI/NDBI family of remote-sensing band indices (the band-math
+    * idiom buteo's raster toolbox feeds into its workflows). Zero where
+    * the band sum is zero (the conventional flat guard). The two bands
+    * of a cell meet in one group — shuffle on the cell id only, exact
+    * IEEE ops so a SQL oracle mirrors bitwise.
+    */
+  def normalizedDiff(tiles: Dataset[Tile], bandA: Int = 1,
+                     bandB: Int = 0): Dataset[Tile] = {
+    require(bandA != bandB, s"normalizedDiff: bands must differ, got $bandA")
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.filter(t => t.band == bandA || t.band == bandB)
+      .groupByKey(t => (t.cellX, t.cellY))
+      .mapGroups { (_: (Int, Int), it: Iterator[Tile]) =>
+        val bands = it.toArray
+        val a = bands.find(_.band == bandA).getOrElse(
+          throw new IllegalArgumentException(s"normalizedDiff: band $bandA missing"))
+        val b = bands.find(_.band == bandB).getOrElse(
+          throw new IllegalArgumentException(s"normalizedDiff: band $bandB missing"))
+        val out = new Array[Double](a.pixels.length)
+        var i = 0
+        while (i < out.length) {
+          val s = a.pixels(i) + b.pixels(i)
+          out(i) = if (s == 0.0) 0.0 else (a.pixels(i) - b.pixels(i)) / s
+          i += 1
+        }
+        a.copy(band = 0, pixels = out)
+      }(TileOps.tileEnc)
+  }
+
   /** Theil–Sen-style robust slope: median of pairwise slopes along the
     * band (time) axis (reference: buteo/array/timeseries.py:50-113 —
     * outlier-robust alternative to OLS). Bounded band count → exact

@@ -186,4 +186,23 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(TileOps2.findCommonProjection(Seq(a, a, b)) == 4326)
     assert(TileOps2.findCommonProjection(Seq(a, b)) == 3857)
   }
+
+  test("normalizedDiff computes (bA-bB)/(bA+bB) with the zero-sum guard") {
+    val spec = RasterSpec(0.0, 16.0, 1.0, -1.0, 16, 16, 8, 2)
+    // band 0: x, band 1: y — pixel (0,0) has sum 0 and must yield 0
+    val r = TileOps.createRaster(spark, spec)((x, y, b) =>
+      if (b == 0) x.toDouble else y.toDouble)
+    val got = TileOps.toPixels(TileOps2.normalizedDiff(r, bandA = 1, bandB = 0), 8)
+      .collect().map(row => ((row.getInt(0), row.getInt(1)), row.getDouble(3))).toMap
+    assert(got.size == 256)
+    for (x <- 0 until 16; y <- 0 until 16) {
+      val want = if (x + y == 0) 0.0 else (y.toDouble - x) / (y.toDouble + x)
+      assert(got((x, y)) == want, s"ndvi($x,$y)")
+    }
+    // swapping the bands flips the sign
+    val swapped = TileOps.toPixels(TileOps2.normalizedDiff(r, bandA = 0, bandB = 1), 8)
+      .collect().map(row => ((row.getInt(0), row.getInt(1)), row.getDouble(3))).toMap
+    for (x <- 1 until 16; y <- 0 until 16)
+      assert(swapped((x, y)) == -got((x, y)), s"sign($x,$y)")
+  }
 }
