@@ -1371,6 +1371,17 @@ object SparkEntry {
         .filter(col("host") % 11 === 0).distinct()
       WebOps.trustRank(rev, seeds, iters = 4)
     },
+    "web_lpa" -> { (s, dir) =>
+      // synchronous label propagation (3 rounds, min-label tie-break)
+      // over the symmetrized 997-host graph — denser communities than
+      // plain connectivity; oracle unrolls the same three rounds
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 997).as("src"),
+        ((col("doc_id") * 31 + 7) % 997).as("dst"))
+      val e2 = d.select((col("doc_id") % 997).as("src"),
+        ((col("doc_id") * 17 + 3) % 997).as("dst"))
+      WebOps.lpaCommunities(e1.unionByName(e2), rounds = 3)
+    },
     "web_bowtie" -> { (s, dir) =>
       // bow-tie decomposition around seeds = hosts % 29 == 0, hop budget
       // 8: core/in/out/other per host with both hop distances. The
@@ -5031,6 +5042,28 @@ object SparkEntry {
            FROM nodes n LEFT JOIN seeds s ON n.host = s.host)
          ${(1 to 4).map(iter).mkString("\n")}
          SELECT host, rank FROM r4"""
+    },
+
+    "web_lpa" -> {
+      // three unrolled synchronous LPA rounds: per-(node, label) neighbor
+      // counts + argmax with (cnt DESC, label ASC) — the engine's
+      // max-of-struct tie-break, window form in SQL
+      def round(k: Int): String =
+        s""", c$k AS (SELECT e.src AS host, l.label, CAST(count(*) AS BIGINT) AS cnt
+             FROM sym e JOIN l${k - 1} l ON l.host = e.dst GROUP BY 1, 2),
+           l$k AS (SELECT host, label FROM (
+             SELECT host, label,
+               row_number() OVER (PARTITION BY host ORDER BY cnt DESC, label) AS rn
+             FROM c$k) WHERE rn = 1)"""
+      s"""WITH raw AS (
+           SELECT doc_id % 997 AS src, (doc_id * 31 + 7) % 997 AS dst FROM documents
+           UNION ALL SELECT doc_id % 997, (doc_id * 17 + 3) % 997 FROM documents),
+         sym AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM raw WHERE src <> dst
+           UNION ALL SELECT dst, src FROM raw WHERE src <> dst)),
+         l0 AS (SELECT DISTINCT src AS host, src AS label FROM sym)
+         ${(1 to 3).map(round).mkString("\n")}
+         SELECT host, label AS community FROM l3"""
     },
 
     "web_bowtie" -> {
