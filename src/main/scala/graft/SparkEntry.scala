@@ -9,7 +9,7 @@ import graft.index.Geohash
 import graft.joins.{KnnJoin, RangeJoin, SpatialJoins}
 import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, Sketches, SpatialStats, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
-import graft.tiles.{PatchGrid, RasterSpec, TileOps, TileOps2}
+import graft.tiles.{Flow, PatchGrid, RasterSpec, TileOps, TileOps2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
   *
@@ -2027,6 +2027,25 @@ object SparkEntry {
       TileOps.toPixels(TileOps2.normalizedDiff(
         TileOps.createRaster(s, rasterSpec)(rasterValue), bandA = 1, bandB = 0),
         rasterSpec.tileSize)
+    },
+    "raster_flowdir" -> { (s, _) =>
+      // D8 steepest-descent direction codes over the DEM fixture — the
+      // drop comparison is exact (integer elevations, one IEEE divide by
+      // sqrt(2) both engines round identically), so the argmax code is
+      // bitwise-portable with no rounding
+      val spec = rasterSpec.copy(bands = 1)
+      val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      TileOps.toPixels(Flow.flowDir(dem), rasterSpec.tileSize)
+    },
+    "raster_watershed" -> { (s, _) =>
+      // flow-sink resolution: every pixel's D8 path followed to its pit
+      // by pointer doubling (the redirect-resolver reused over the flow
+      // graph — log L rounds, provably acyclic); oracle walks the same
+      // paths one hop at a time with a recursive CTE
+      val spec = rasterSpec.copy(bands = 1)
+      val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      Flow.flowSinks(TileOps.toPixels(Flow.flowDir(dem), rasterSpec.tileSize),
+        width = spec.width, maxHops = 64)
     },
     "raster_hillshade" -> { (s, _) =>
       // GDAL-formula hillshade (az 315, alt 45) over the DEM fixture —
@@ -5801,6 +5820,33 @@ object SparkEntry {
         FROM sl JOIN mad USING (x, y)
         GROUP BY sl.x, sl.y, mad.m, mad.ms""",
 
+    "raster_flowdir" -> (d8OracleHead +
+      """ SELECT d.x, d.y, 0 AS band,
+          CAST(CASE WHEN b.md <= 0.0 THEN 0 ELSE min(d.code) END AS DOUBLE) AS v
+        FROM drops d JOIN best b ON d.x = b.x AND d.y = b.y
+        WHERE b.md <= 0.0 OR d.dr = b.md
+        GROUP BY d.x, d.y, b.md"""),
+    // walks every D8 path one hop at a time; the Spark side resolves the
+    // same function by pointer doubling, so a hash match certifies both
+    // the sink assignment AND the exact hop counts
+    "raster_watershed" -> ("WITH RECURSIVE " + d8OracleBody +
+      """, fd AS (SELECT d.x, d.y,
+            CAST(CASE WHEN b.md <= 0.0 THEN 0 ELSE min(d.code) END AS INTEGER) AS code
+          FROM drops d JOIN best b ON d.x = b.x AND d.y = b.y
+          WHERE b.md <= 0.0 OR d.dr = b.md
+          GROUP BY d.x, d.y, b.md),
+        step AS (SELECT f.x, f.y, f.code, d.dx, d.dy
+          FROM fd f LEFT JOIN dirs d ON d.code = f.code),
+        walk AS (
+          SELECT x AS x0, y AS y0, x, y, 0 AS hops FROM fd
+          UNION ALL
+          SELECT w.x0, w.y0, w.x + s.dx, w.y + s.dy, w.hops + 1
+          FROM walk w JOIN step s ON s.x = w.x AND s.y = w.y AND s.code <> 0)
+        SELECT w.x0 AS x, w.y0 AS y,
+          CAST(w.x AS INTEGER) AS sink_x, CAST(w.y AS INTEGER) AS sink_y,
+          CAST(w.hops AS BIGINT) AS hops
+        FROM walk w JOIN fd f ON f.x = w.x AND f.y = w.y
+        WHERE f.code = 0"""),
     "raster_dem_gradients" -> demGradOracle,
     "raster_dem_orientation" -> demOrientOracle,
     "raster_hillshade" -> demHillshadeOracle,
@@ -7112,6 +7158,29 @@ object SparkEntry {
   /** Horn-gradient oracle: 8 clamped-neighbor terms over the synthetic
     * DEM z(x,y) = (x*3 + y*5) % 41, px 0.25 — band 0 = dz/dx, band 1 = dz/dy.
     */
+  /** Shared D8 CTE block for the flow oracles: the 256×256 DEM fixture,
+    * the 8 direction rows (ESRI codes, √2 diagonal distance), every
+    * in-bounds (pixel, neighbor) drop, and the per-pixel max drop. The
+    * drop arithmetic is exact-portable (integer elevations, IEEE divide
+    * by sqrt(2.0) rounds identically in both engines), so the argmax
+    * code needs no rounding; `dr` because DROP is a keyword.
+    */
+  private def d8OracleBody: String =
+    """base AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
+        FROM range(256) r1(x), range(256) r2(y)),
+      dirs(code, dx, dy, dist) AS (VALUES
+        (1, 1, 0, 1.0), (2, 1, 1, sqrt(2.0)), (4, 0, 1, 1.0),
+        (8, -1, 1, sqrt(2.0)), (16, -1, 0, 1.0), (32, -1, -1, sqrt(2.0)),
+        (64, 0, -1, 1.0), (128, 1, -1, sqrt(2.0))),
+      drops AS (SELECT b.x, b.y, d.code,
+          (CAST((b.x * 3 + b.y * 5) % 41 AS DOUBLE)
+           - CAST(((b.x + d.dx) * 3 + (b.y + d.dy) * 5) % 41 AS DOUBLE)) / d.dist AS dr
+        FROM base b JOIN dirs d
+          ON b.x + d.dx BETWEEN 0 AND 255 AND b.y + d.dy BETWEEN 0 AND 255),
+      best AS (SELECT x, y, max(dr) AS md FROM drops GROUP BY x, y)"""
+
+  private def d8OracleHead: String = "WITH " + d8OracleBody
+
   private def demGradOracle: String = {
     def z(dx: Int, dy: Int): String =
       s"""(CASE WHEN x + ($dx) BETWEEN 0 AND 255 AND y + ($dy) BETWEEN 0 AND 255
