@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
 import graft.index.Geohash
-import graft.joins.{KnnJoin, RangeJoin, SpatialJoins}
+import graft.joins.{AsofJoin, KnnJoin, RangeJoin, SpatialJoins}
 import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, Sketches, SpatialStats, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
 import graft.tiles.{Flow, PatchGrid, RasterSpec, TileOps, TileOps2}
@@ -107,6 +107,14 @@ object SparkEntry {
          WHERE tok <> ''),
        dtoks AS (SELECT DISTINCT doc_id, tok FROM toks),
        sizes AS (SELECT doc_id, count(*) AS n_toks FROM dtoks GROUP BY doc_id)"""
+
+  /** Bit-identical float constant for a SQL mirror: Scala's Double
+    * toString round-trips exactly and DuckDB's string→DOUBLE parse is
+    * correctly rounded, so both engines hold the same bits (a bare SQL
+    * decimal literal would parse as DECIMAL — the raster_reproject
+    * lesson).
+    */
+  private def sqlDouble(v: Double): String = s"CAST('$v' AS DOUBLE)"
 
   private def sqlMinhashSig(k: Int): String = {
     // top 60 bits of md5('$i:'||tok) as BIGINT — Dedup's md5prefix family
@@ -1133,6 +1141,15 @@ object SparkEntry {
           col("payload_md5"), lit(true).as("fetch_ok"))
     },
     "text_tfidf" -> { (s, dir) => TextOps.tfidf(documentsOf(s, dir), k = 5) },
+    "text_bm25" -> { (s, dir) =>
+      // ROUND-9 both sides: Spark's log is StrictMath.log, DuckDB's ln is
+      // libm — 1-ulp apart on many args. Rank-safe: the smallest nonzero
+      // adjacent-rank score gap through the cut is ~1.3e-5, ten orders
+      // above the cross-engine error, and exact ties break on tok in
+      // both engines
+      TextOps.bm25(documentsOf(s, dir), k = 5)
+        .withColumn("score", round(col("score"), 9))
+    },
     "text_curate" -> { (s, dir) => TextOps.curate(documentsOf(s, dir), maxDupFrac = 0.6) },
     // distributed tokenizer training: one corpus pass, then vocabulary-
     // bounded merge iterations. Trains on a pinned deterministic corpus
@@ -1912,6 +1929,28 @@ object SparkEntry {
       // spike ppm over a RANGE frame on the integer hour (missing hours
       // weigh zero without gap-filling)
       Events.hourlyAnomaly(eventsOf(s, dir), windowHours = 24)
+    },
+    "events_asof" -> { (s, dir) =>
+      // as-of join: each error picks up the user's latest purchase at or
+      // before it — UNION + one window, no join (AsofJoin.scala); the
+      // oracle is DuckDB's NATIVE ASOF LEFT JOIN, so a hash match
+      // certifies the windowed composition against an independent
+      // first-class implementation of the operator
+      val ev = eventsOf(s, dir)
+      val probe = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts", "value")
+      val build = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(struct(col("event_id"), col("value"))).as("s"))
+        .select(col("user_id"), col("ts").as("b_ts"),
+          col("s.event_id").as("b_event_id"), col("s.value").as("b_value"))
+        .withColumn("ts", col("b_ts"))
+      AsofJoin.asofJoin(probe, build, Seq("user_id"), "ts",
+          Seq("b_event_id", "b_ts", "b_value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof_b_event_id").as("asof_event_id"),
+          col("asof_b_ts").as("asof_ts"),
+          col("asof_b_value").as("asof_value"))
     },
 
     // --- resampling variants / robust slope / DEM / more hood methods ---
@@ -2925,6 +2964,20 @@ object SparkEntry {
         SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
         FROM embeddings e LEFT JOIN ecomp c USING (vec_id)""",
 
+    // independent oracle: DuckDB's NATIVE ASOF LEFT JOIN vs our windowed
+    // composition — the build side is collapsed to unique (user, ts) by
+    // argmax(event_id) in BOTH engines (the operator's contract)
+    "events_asof" ->
+      """WITH probe AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'error'),
+         build AS (SELECT user_id, ts, max(event_id) AS b_event_id,
+             arg_max(value, event_id) AS b_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+          b.b_event_id AS asof_event_id, b.ts AS asof_ts,
+          b.b_value AS asof_value
+        FROM probe p ASOF LEFT JOIN build b
+          ON p.user_id = b.user_id AND p.ts >= b.ts""",
     "events_anomaly" ->
       """WITH h AS (SELECT event_type,
            CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,
@@ -3671,6 +3724,33 @@ object SparkEntry {
                (ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) + 1.0) AS score
            FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n)
         SELECT doc_id, tok, tf, df, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, tok) AS rn FROM scored)
+        WHERE rn <= 5"""),
+
+    // BM25: the float constants reach SQL as CAST('…' AS DOUBLE) of the
+    // Scala Doubles' round-trip toString, so k1, b, k1+1 are bit-identical
+    // across engines; everything else is integer counts + the same
+    // parenthesized IEEE expression (the text_tfidf ln precedent)
+    "text_bm25" -> (sqlToks +
+      s""", tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                  FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         st AS (SELECT n_docs,
+             CAST(total_toks AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+           FROM (SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+                        (SELECT sum(tf) FROM tf) AS total_toks)),
+         scored AS (SELECT t.doc_id, t.tok, t.tf, d.df, l.dl,
+             ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                      / (CAST(d.df AS DOUBLE) + 0.5))
+             * ((CAST(t.tf AS DOUBLE) * ${sqlDouble(1.2 + 1.0)})
+                / (CAST(t.tf AS DOUBLE) + ${sqlDouble(1.2)} *
+                   (1.0 - ${sqlDouble(0.75)} + ${sqlDouble(0.75)} *
+                    (CAST(l.dl AS DOUBLE) / s.avgdl)))) AS score
+           FROM tf t JOIN dfreq d USING (tok) JOIN dl l USING (doc_id)
+           CROSS JOIN st s)
+        SELECT doc_id, tok, tf, df, dl, ROUND(score, 9) AS score FROM (
           SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY score DESC, tok) AS rn FROM scored)
         WHERE rn <= 5"""),

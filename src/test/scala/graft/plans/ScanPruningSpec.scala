@@ -65,6 +65,19 @@ class ScanPruningSpec extends AnyFunSuite {
       "the forced broadcast is not the n_docs scalar:\n" + hints.head.toString.take(1500))
   }
 
+  test("bm25 does not force-broadcast the vocabulary df table (tfidf lesson)") {
+    // same hazard as tfidf: the only permitted plan-time hint is the
+    // 1-row (n_docs, avgdl) stats scalar, never the per-token df side
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.SparkEntry.queries("text_bm25")(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1,
+      s"expected exactly the stats-scalar broadcast hint, found ${hints.size}:\n" +
+        hints.mkString("\n").take(1500))
+    assert(hints.head.child.output.map(_.name) == Seq("n_docs", "avgdl"),
+      "the forced broadcast is not the stats scalar:\n" + hints.head.toString.take(1500))
+  }
+
   test("hamming near-dup join is a bucket equi-join, never a nested-loop/cartesian") {
     // The pigeonhole banding must reach the physical plan as an equi-join
     // on (band, word) with the capped index side built by a window rank —
