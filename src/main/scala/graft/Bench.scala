@@ -70,7 +70,14 @@ object Bench {
     // five levels), KMV bottom-k (WindowGroupLimit), hotspot stencil
     "geo_range_join", "geo_hilbert", "geo_pyramid", "url_kmv", "geo_hotspots",
     // self distance join (the hot-cell pair pattern) + SemDeDup clusters
-    "geo_pair_join", "emb_clusters")
+    "geo_pair_join", "emb_clusters",
+    // 2026-08-20 session: as-of join (one window, zero joins), BM25
+    // (tf/df/dl aggs + un-hinted vocab join + top-k window), D8 flow
+    // direction (one halo exchange) + watershed (pointer doubling)
+    "events_asof", "text_bm25", "raster_flowdir", "raster_watershed",
+    // interval-overlap self join (bucket-explode equi), 2-D skyline
+    // (bucketed prefix-max), Q13 outer-join distribution, nearest-anchor
+    "events_copresence", "part_skyline", "tpch_q13", "geo_haversine")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

@@ -83,7 +83,13 @@ object PlanAudit {
       // self distance join (cell-bucketed pair join, AQE on hot cells),
       // SemDeDup clusters (pair join + star contraction), nearest-feature
       // join (broadcast stencil + WindowGroupLimit argmin)
-      "geo_pair_join", "emb_clusters", "vector_nearest")
+      "geo_pair_join", "emb_clusters", "vector_nearest",
+      // as-of join: ONE exchange, ZERO join nodes; BM25: un-hinted vocab
+      // join + WindowGroupLimit; watershed: log-round doubling joins
+      "events_asof", "text_bm25", "raster_watershed",
+      // interval join (bucket equi + overlap-start dedup), skyline
+      // (bucketed prefix-max, no dominance theta-join)
+      "events_copresence", "part_skyline")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

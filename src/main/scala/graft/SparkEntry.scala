@@ -108,6 +108,21 @@ object SparkEntry {
        dtoks AS (SELECT DISTINCT doc_id, tok FROM toks),
        sizes AS (SELECT doc_id, count(*) AS n_toks FROM dtoks GROUP BY doc_id)"""
 
+  /** Eight world-city anchors for the nearest-anchor (reverse-geocode)
+    * query — coordinates live as STRINGS so the Scala side (toDouble)
+    * and the SQL side (CAST('…' AS DOUBLE)) parse identical bits.
+    */
+  private object AnchorFixture {
+    val raw: Seq[(Long, String, String)] = Seq(
+      (0L, "-74.0", "40.7"), (1L, "2.35", "48.85"), (2L, "139.7", "35.7"),
+      (3L, "151.2", "-33.9"), (4L, "-0.1", "51.5"), (5L, "77.2", "28.6"),
+      (6L, "-46.6", "-23.5"), (7L, "31.2", "30.0"))
+    def rows: Seq[(Long, Double, Double)] =
+      raw.map { case (id, lo, la) => (id, lo.toDouble, la.toDouble) }
+    def sqlValues: String = raw.map { case (id, lo, la) =>
+      s"($id, CAST('$lo' AS DOUBLE), CAST('$la' AS DOUBLE))" }.mkString(", ")
+  }
+
   /** Bit-identical float constant for a SQL mirror: Scala's Double
     * toString round-trips exactly and DuckDB's string→DOUBLE parse is
     * correctly rounded, so both engines hold the same bits (a bare SQL
@@ -506,6 +521,16 @@ object SparkEntry {
       Pages.pages(s, dir).select("doc_id", "lon_udeg", "lat_udeg", "lon", "lat")
     },
 
+    "geo_haversine" -> { (s, dir) =>
+      // nearest-anchor labeling by great-circle distance (broadcast
+      // anchors, one min(struct) argmin, ROUND-9 meters — the trig
+      // recipe); anchor coords are shared string constants so both
+      // engines parse identical doubles
+      import s.implicits._
+      val anchors = AnchorFixture.rows.toDF("anchor_id", "a_lon", "a_lat")
+      SpatialStats.nearestAnchor(
+        Pages.pages(s, dir).select("doc_id", "lon", "lat"), anchors)
+    },
     "geo_cells" -> { (s, dir) =>
       GraftFunctions.register(s)
       val p = Pages.pages(s, dir)
@@ -1953,6 +1978,13 @@ object SparkEntry {
           col("asof_b_value").as("asof_value"))
     },
 
+    "events_copresence" -> { (s, dir) =>
+      // self interval-overlap join over gap-rule sessions: bucket-explode
+      // equi-join, pair emitted only from the overlap-start bucket (dedup
+      // rides the join); brute-force oracle certifies losslessness
+      Events.copresencePairs(eventsOf(s, dir))
+    },
+
     // --- resampling variants / robust slope / DEM / more hood methods ---
     "raster_resample_avg" -> { (s, _) =>
       TileOps.toPixels(TileOps2.resampleAverage(
@@ -2223,6 +2255,35 @@ object SparkEntry {
     },
     "tpch_q6" -> { (s, dir) =>
       Relational.forecastRevenue(s.read.parquet(s"$dir/lineitem.parquet"))
+    },
+    "tpch_q4" -> { (s, dir) =>
+      // Q4-style EXISTS as a LEFT SEMI join (late shipment = shipdate
+      // more than 60 days past the order date — this schema has no
+      // commit/receipt dates)
+      Relational.latePriorityOrders(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))
+    },
+    "tpch_q14" -> { (s, dir) =>
+      // Q14-style promo revenue share; ppm via decimal cross-multiply +
+      // truncating DIV (Long·10⁶ overflows at warehouse scale)
+      Relational.promoRevenueShare(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        from = "1996-01-01", until = "1996-03-01")
+    },
+    "tpch_q13" -> { (s, dir) =>
+      // Q13-style order-count distribution: zero-order customers kept by
+      // the left join (the outer-join-preserving-zeros shape)
+      Relational.orderCountDistribution(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))
+    },
+    "part_skyline" -> { (s, dir) =>
+      // 2-D Pareto skyline (min price, max size) via the bucketed
+      // prefix-max — no global window, no dominance theta-join; the
+      // NOT-EXISTS oracle certifies the reduction lossless
+      Relational.skyline(s.read.parquet(s"$dir/part.parquet"))
     },
     "tpch_q5" -> { (s, dir) =>
       Relational.revenuePerNation(
@@ -2902,6 +2963,25 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "geo_geocode" -> Pages.sqlWith(
       "SELECT doc_id, lon_udeg, lat_udeg, lon, lat FROM pages"),
+
+    // haversine mirrored term-for-term (radians/sin/cos/asin/sqrt are
+    // 1 ulp apart between JVM and libm — whole-meter BIGINT after the
+    // argmin, because ROUND-9 is a no-op at 1e7-meter magnitude; an
+    // argmin flip would need two anchors within ~1e-9 relative distance)
+    "geo_haversine" -> Pages.sqlWith(
+      s""", anchors(anchor_id, a_lon, a_lat) AS (VALUES ${AnchorFixture.sqlValues}),
+        d AS (SELECT p.doc_id, a.anchor_id,
+            2.0 * 6378137.0 * asin(LEAST(1.0, sqrt(
+              pow(sin(radians(a.a_lat - p.lat) / 2.0), 2)
+              + cos(radians(p.lat)) * cos(radians(a.a_lat))
+                * pow(sin(radians(a.a_lon - p.lon) / 2.0), 2)))) AS dist_m
+          FROM pages p CROSS JOIN anchors a),
+        best AS (SELECT doc_id, anchor_id, dist_m,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY dist_m, anchor_id) AS rn FROM d)
+        SELECT doc_id, CAST(anchor_id AS BIGINT) AS anchor_id,
+          CAST(ROUND(dist_m, 0) AS BIGINT) AS dist_m
+        FROM best WHERE rn = 1"""),
 
     "ann_lsh" ->
       // full mirror of Similarity.lshBucketTopK (16 planes, 2 bands of 8,
@@ -6127,6 +6207,66 @@ object SparkEntry {
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+    "tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+           AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+       GROUP BY 1""",
+
+    "tpch_q14" ->
+      """WITH li AS (SELECT l_partkey,
+           CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT) AS rev_q
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-03-01'),
+        t AS (SELECT
+           CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN li.rev_q ELSE 0 END) AS BIGINT) AS promo_q,
+           CAST(sum(li.rev_q) AS BIGINT) AS total_q
+         FROM li JOIN part p ON li.l_partkey = p.p_partkey)
+        SELECT promo_q, total_q,
+          CAST((CAST(promo_q AS HUGEINT) * 1000000) // total_q AS BIGINT) AS promo_ppm
+        FROM t""",
+
+    "tpch_q13" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS cnt FROM orders
+         WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+       SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+         SELECT CAST(coalesce(pc.cnt, 0) AS BIGINT) AS c_count
+         FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey)
+       GROUP BY 1""",
+
+    // dominance on the quantized price (1e-4 ticks), exactly like the
+    // Spark side; duplicated (price, size) points are mutually
+    // non-dominating and both survive
+    "part_skyline" ->
+      """WITH q AS (SELECT p_partkey, p_retailprice, p_size,
+           CAST(round(p_retailprice * 10000.0) AS BIGINT) AS price_q FROM part)
+       SELECT a.p_partkey, a.p_retailprice, a.p_size FROM q a
+       WHERE NOT EXISTS (SELECT 1 FROM q b WHERE b.price_q <= a.price_q
+         AND b.p_size >= a.p_size
+         AND (b.price_q < a.price_q OR b.p_size > a.p_size))""",
+
+    // brute-force interval self-join over the SAME gap-rule session
+    // CTE chain — a hash match certifies the bucket-explode equi-join +
+    // overlap-start dedup lossless and duplicate-free
+    "events_copresence" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        l AS (SELECT user_id, us, event_id,
+            lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        br AS (SELECT user_id, us, event_id,
+            CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+        s AS (SELECT user_id, us,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM br),
+        iv AS (SELECT user_id, sid, min(us) AS t0, max(us) AS t1 FROM s GROUP BY 1, 2)
+        SELECT a.user_id AS user_a, b2.user_id AS user_b,
+          CAST(a.sid AS BIGINT) AS sid_a, CAST(b2.sid AS BIGINT) AS sid_b,
+          greatest(a.t0, b2.t0) AS ov_start_us,
+          least(a.t1, b2.t1) - greatest(a.t0, b2.t0) AS ov_us
+        FROM iv a JOIN iv b2 ON a.user_id < b2.user_id
+          AND a.t0 <= b2.t1 AND b2.t0 <= a.t1""",
 
     "tpch_q3" ->
       """WITH rev AS (SELECT l_orderkey,

@@ -154,6 +154,62 @@ object Events {
         expr("CAST(n * 1000000 DIV total_from AS BIGINT)").as("prob_ppm"))
   }
 
+  /** Gap-rule session INTERVALS: per-user sessions (same rule as
+    * sessionize) with exact [t0, t1] epoch-microsecond bounds and the
+    * per-user 1-based session ordinal. The lag + running-sum windows
+    * shuffle once on user_id; everything downstream runs on sessions,
+    * not events.
+    */
+  def sessionIntervals(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev", lag("us", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("t0"), max("us").as("t1"), count(lit(1)).as("n_events"))
+  }
+
+  /** Self interval-overlap join (co-presence): cross-user pairs of
+    * sessions that overlap in time, with the exact overlap bounds — the
+    * time-domain twin of geo_pair_join. The interval join becomes an
+    * EQUI-join by exploding each session across the time buckets it
+    * covers; a pair is emitted ONLY from the bucket containing the
+    * overlap start (greatest(t0a, t0b) lies in exactly one bucket both
+    * sides cover), so the join is duplicate-free WITHOUT a distinct —
+    * the dedup predicate rides the join and the brute-force oracle
+    * certifies losslessness end to end.
+    *
+    * Scale shape: explode factor = ceil(duration/bucketUs) per session
+    * (bounded for gap-rule sessions); the join keys on the bucket so a
+    * flash-crowd bucket is an AQE skew-join split, never a cartesian;
+    * output is bounded by true overlaps, which the caller's bucketUs
+    * does not affect.
+    */
+  def copresencePairs(events: DataFrame, gapMinutes: Int = 30,
+                      bucketUs: Long = 3600L * 1000000L): DataFrame = {
+    val iv = sessionIntervals(events, gapMinutes)
+      .select(col("user_id"), col("sid"), col("t0"), col("t1"))
+      .withColumn("bkt", explode(sequence(
+        expr(s"t0 DIV ${bucketUs}L"), expr(s"t1 DIV ${bucketUs}L"))))
+    val a = iv.select(col("bkt"), col("user_id").as("user_a"),
+      col("sid").as("sid_a"), col("t0").as("t0a"), col("t1").as("t1a"))
+    val b = iv.select(col("bkt"), col("user_id").as("user_b"),
+      col("sid").as("sid_b"), col("t0").as("t0b"), col("t1").as("t1b"))
+    a.join(b, Seq("bkt"))
+      .filter(col("user_a") < col("user_b") &&
+        col("t0a") <= col("t1b") && col("t0b") <= col("t1a") &&
+        col("bkt") === expr(s"greatest(t0a, t0b) DIV ${bucketUs}L"))
+      .select(col("user_a"), col("user_b"), col("sid_a"), col("sid_b"),
+        greatest(col("t0a"), col("t0b")).as("ov_start_us"),
+        (least(col("t1a"), col("t1b")) - greatest(col("t0a"), col("t0b")))
+          .as("ov_us"))
+  }
+
   /** Per-type value stats with json-ish prop extraction (props is
     * '{"k": NN}'): exact integer parse both engines via substring.
     */

@@ -58,6 +58,105 @@ object Relational {
       .agg(sum(q4(col("l_extendedprice") * col("l_discount"))).as("revenue_q"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q4-style order-priority check, adapted to this schema's
+    * columns (no commit/receipt dates): an order counts when ANY of its
+    * lineitems shipped more than `lateDays` after the order date. The
+    * EXISTS is a LEFT SEMI join — the probe never duplicates orders, so
+    * the count is per-order exactly like Q4's correlated EXISTS.
+    *
+    * Scale shape: the semi join keys on orderkey (the residual date
+    * predicate rides the join), lineitem prunes to two columns at the
+    * scan, and the priority rollup is a map-side-combined count over the
+    * handful of priority values.
+    */
+  def latePriorityOrders(lineitem: DataFrame, orders: DataFrame,
+                         lateDays: Int = 60): DataFrame =
+    orders
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** TPC-H Q14-style promotion-revenue share over a shipdate window:
+    * promo and total revenue as exact quantized sums plus the share in
+    * exact ppm (decimal(38,0) cross-multiply + truncating DIV — the
+    * Long·10⁶ product would overflow at warehouse scale). Part is the
+    * canonical broadcast dimension.
+    */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        from: String, until: String): DataFrame = {
+    val rev = q4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(from)) &&
+        col("l_shipdate") < to_timestamp(lit(until)))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).as("promo_q"),
+        sum(rev).as("total_q"))
+      .select(col("promo_q"), col("total_q"),
+        expr("CAST((CAST(promo_q AS DECIMAL(38,0)) * 1000000) DIV total_q AS BIGINT)")
+          .as("promo_ppm"))
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed exactly k (non-excluded) orders, INCLUDING the
+    * zero-order customers — the classic outer-join-preserving-zeros
+    * shape the rest of the relational surface was missing.
+    *
+    * Scale shape: orders collapse to (custkey, count) FIRST with
+    * map-side combine, the left join keys on custkey (equi, both sides
+    * shuffle-partitioned on it), and the distribution rollup is a tiny
+    * second agg over |distinct counts| rows.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame,
+                             excludePriority: String = "1-URGENT"): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(
+        orders.filter(col("o_orderpriority") =!= excludePriority)
+          .groupBy("o_custkey").agg(count(lit(1)).as("cnt")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+
+  /** 2-D Pareto skyline (minimize price, maximize size): every part not
+    * dominated by another (price_q ≤, size ≥, one strict; price
+    * quantized to exact 1e-4 ticks so dominance is integer). Duplicated
+    * (price, size) points are mutually non-dominating — both stay.
+    *
+    * Scale shape — NO global window and NO dominance theta-join: for a
+    * 2-D skyline, a row survives iff its size equals its price-group max
+    * AND strictly exceeds the running max over all cheaper groups. That
+    * prefix-max runs BUCKETED (the packSequences prefix-sum pattern):
+    * per-price-group agg (map-side combined, output ≤ |distinct prices|,
+    * domain-bounded), per-bucket partials, and ONE ordered window over
+    * the per-bucket frame whose row count is priceRange/bucket —
+    * independent of N. The brute-force NOT-EXISTS oracle certifies the
+    * whole reduction lossless.
+    */
+  def skyline(parts: DataFrame, bucket: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = parts.select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+      q4(col("p_retailprice")).as("price_q"), col("p_size").cast("long").as("size_l"))
+    val grp = q.groupBy("price_q").agg(max("size_l").as("gmax"))
+      .withColumn("bkt", expr(s"price_q DIV $bucket"))
+    val wB = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val prevBucket = grp.groupBy("bkt").agg(max("gmax").as("bmax"))
+      .withColumn("prev_bmax", max("bmax").over(wB))
+      .select("bkt", "prev_bmax")
+    val wIn = Window.partitionBy("bkt").orderBy("price_q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = grp.join(prevBucket, "bkt")
+      .withColumn("pmax",
+        greatest(coalesce(col("prev_bmax"), lit(Long.MinValue)),
+          coalesce(max("gmax").over(wIn), lit(Long.MinValue))))
+      .select(col("price_q"), col("gmax"), col("pmax"))
+    q.join(pref, "price_q")
+      .filter(col("size_l") === col("gmax") && col("size_l") > col("pmax"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+  }
+
   /** TPC-H Q5-style: revenue per nation where customer and supplier share
     * the nation, rolled up through region. Dimension tables broadcast.
     */

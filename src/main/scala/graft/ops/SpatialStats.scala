@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Spatial statistics over the engine's cell lattice — the analytics layer
@@ -51,6 +51,46 @@ object SpatialStats {
     * fold are tiny; the heavy page→cell agg happens upstream with
     * map-side combine.
     */
+  /** Spherical haversine distance in meters as a pure COLUMN expression
+    * (same formula as geo.Proj.haversineMeters, WGS84 semi-major axis) —
+    * codegen'd functions end to end, no UDF, so it rides whole-stage
+    * codegen and mirrors term-for-term in SQL.
+    */
+  def haversineCol(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / lit(2.0)), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / lit(2.0)), 2)
+    lit(2.0) * lit(graft.geo.Proj.EarthRadius) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** Nearest-anchor labeling (reverse geocode to the closest of a small
+    * reference set — cities, datacenters, ground stations): every point
+    * gets its closest anchor by great-circle distance, ties to the
+    * lowest anchor_id, distance reported in ROUND-9 meters (the trig
+    * recipe — JVM and libm trig are 1 ulp apart).
+    *
+    * Scale shape: the anchor set is BROADCAST (it is small by
+    * definition); the argmin is ONE map-side-combined min(struct) per
+    * point — no window, no shuffle wider than doc_id. K anchors cost a
+    * K-fold map-side expansion, nothing more.
+    *
+    * The reported distance is WHOLE METERS as a BIGINT: at 10^7-meter
+    * magnitudes a double's ulp is ~2e-9 m, so ROUND(·, 9) would be a
+    * no-op and JVM-vs-libm trig ulp noise would leak; a 1-meter grid
+    * makes a boundary flip a ~1e-8-per-row event.
+    */
+  def nearestAnchor(points: DataFrame, anchors: DataFrame): DataFrame =
+    points.crossJoin(broadcast(anchors))
+      .select(col("doc_id"),
+        struct(
+          haversineCol(col("lon"), col("lat"), col("a_lon"), col("a_lat"))
+            .as("dist_m"),
+          col("anchor_id")).as("cand"))
+      .groupBy("doc_id").agg(min(col("cand")).as("best"))
+      .select(col("doc_id"), col("best.anchor_id").as("anchor_id"),
+        round(col("best.dist_m"), 0).cast("long").as("dist_m"))
+
   def cellSkew(cells: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = cells.select(col("cell").cast("long").as("cell"),

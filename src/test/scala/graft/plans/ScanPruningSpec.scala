@@ -306,6 +306,40 @@ class ScanPruningSpec extends AnyFunSuite {
       "scan reads columns Q6 never uses:\n" + p.take(1500))
   }
 
+  test("copresence interval join stays an equi-join on the time bucket") {
+    // the overlap predicate must RIDE the bucket equi-join; a refactor
+    // that lifts it into the join keys' absence degrades to a
+    // nested-loop over all session pairs — the exact O(N²) the
+    // bucket-explode exists to kill
+    val p = physical("events_copresence")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "interval join went non-equi:\n" + p.take(1500))
+    assert(p.contains("Generate explode"),
+      "lost the bucket-explode generator:\n" + p.take(1500))
+  }
+
+  test("skyline prefix-max never windows or sorts the raw part rows") {
+    // the global ordered window is allowed ONLY over the per-bucket
+    // frame (row count = priceRange/bucket, independent of N); the raw
+    // rows contribute through a map-side-combined price-group agg and a
+    // bucket-PARTITIONED window
+    val p = physical("part_skyline")
+    assert(p.contains("partial_"), "price-group agg lost map-side combine:\n" +
+      p.take(1500))
+    assert(p.contains("windowspecdefinition(bkt"),
+      "in-bucket prefix max lost its bucket partitioning:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "skyline grew a dominance theta-join:\n" + p.take(1500))
+  }
+
+  test("q13 zero-preserving join stays equi with map-side order counts") {
+    val p = physical("tpch_q13")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      p.take(1200))
+    assert(p.contains("partial_"), "order counts lost map-side combine:\n" +
+      p.take(1500))
+  }
+
   test("hotspot stencil is a generator + one combine-friendly aggregation") {
     val p = physical("geo_hotspots")
     assert(p.contains("Generate explode"),
