@@ -9,7 +9,7 @@ import graft.index.Geohash
 import graft.joins.{AsofJoin, KnnJoin, RangeJoin, SpatialJoins}
 import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, Sketches, SpatialStats, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
-import graft.tiles.{Flow, PatchGrid, RasterSpec, TileOps, TileOps2}
+import graft.tiles.{Contours, Flow, PatchGrid, RasterSpec, TileOps, TileOps2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
   *
@@ -2117,6 +2117,15 @@ object SparkEntry {
       val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
       Flow.flowSinks(TileOps.toPixels(Flow.flowDir(dem), rasterSpec.tileSize),
         width = spec.width, maxHops = 64)
+    },
+    "raster_contours" -> { (s, _) =>
+      // marching-squares isoline segments at level 20.5 over the DEM
+      // fixture — one halo exchange then map-only emission; integer
+      // pixels + a .5 level make every interpolated endpoint one
+      // correctly-rounded IEEE divide, so the mirror is bitwise
+      val spec = rasterSpec.copy(bands = 1)
+      val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      Contours.contourSegments(dem, spec.tileSize, level = 20.5)
     },
     "raster_hillshade" -> { (s, _) =>
       // GDAL-formula hillshade (az 315, alt 45) over the DEM fixture —
@@ -5986,6 +5995,55 @@ object SparkEntry {
         FROM drops d JOIN best b ON d.x = b.x AND d.y = b.y
         WHERE b.md <= 0.0 OR d.dr = b.md
         GROUP BY d.x, d.y, b.md"""),
+
+    // the marching-squares case table replayed as a VALUES relation
+    // (edge ids 0=top 1=right 2=bottom 3=left; saddles keyed on the
+    // center-average decider) — a hash match certifies the Spark halo
+    // walk emits exactly one segment set per 2x2 cell
+    "raster_contours" ->
+      """WITH cell AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST((x*3 + y*5) % 41 AS DOUBLE) AS z00,
+           CAST(((x+1)*3 + y*5) % 41 AS DOUBLE) AS z10,
+           CAST((x*3 + (y+1)*5) % 41 AS DOUBLE) AS z01,
+           CAST(((x+1)*3 + (y+1)*5) % 41 AS DOUBLE) AS z11
+         FROM range(255) r1(x), range(255) r2(y)),
+        m AS (SELECT *,
+           (CASE WHEN z00 > 20.5 THEN 1 ELSE 0 END
+            + CASE WHEN z10 > 20.5 THEN 2 ELSE 0 END
+            + CASE WHEN z11 > 20.5 THEN 4 ELSE 0 END
+            + CASE WHEN z01 > 20.5 THEN 8 ELSE 0 END) AS mask,
+           (z00 + z10 + z01 + z11) / 4.0 > 20.5 AS ctr FROM cell),
+        st(mask, saddle_in, seg, e0, e1) AS (VALUES
+          (1, NULL, 0, 3, 0), (2, NULL, 0, 0, 1), (3, NULL, 0, 3, 1),
+          (4, NULL, 0, 1, 2),
+          (5, TRUE, 0, 0, 1), (5, TRUE, 1, 3, 2),
+          (5, FALSE, 0, 3, 0), (5, FALSE, 1, 1, 2),
+          (6, NULL, 0, 0, 2), (7, NULL, 0, 3, 2), (8, NULL, 0, 3, 2),
+          (9, NULL, 0, 0, 2),
+          (10, TRUE, 0, 3, 0), (10, TRUE, 1, 1, 2),
+          (10, FALSE, 0, 0, 1), (10, FALSE, 1, 3, 2),
+          (11, NULL, 0, 1, 2), (12, NULL, 0, 3, 1), (13, NULL, 0, 0, 1),
+          (14, NULL, 0, 3, 0)),
+        j AS (SELECT m.*, st.seg, st.e0, st.e1 FROM m JOIN st
+          ON m.mask = st.mask AND (st.saddle_in IS NULL OR st.saddle_in = m.ctr))
+        SELECT x, y, 0 AS band, seg,
+          CASE e0 WHEN 0 THEN x + (20.5 - z00) / (z10 - z00)
+                  WHEN 1 THEN CAST(x + 1 AS DOUBLE)
+                  WHEN 2 THEN x + (20.5 - z01) / (z11 - z01)
+                  ELSE CAST(x AS DOUBLE) END AS x0,
+          CASE e0 WHEN 0 THEN CAST(y AS DOUBLE)
+                  WHEN 1 THEN y + (20.5 - z10) / (z11 - z10)
+                  WHEN 2 THEN CAST(y + 1 AS DOUBLE)
+                  ELSE y + (20.5 - z00) / (z01 - z00) END AS y0,
+          CASE e1 WHEN 0 THEN x + (20.5 - z00) / (z10 - z00)
+                  WHEN 1 THEN CAST(x + 1 AS DOUBLE)
+                  WHEN 2 THEN x + (20.5 - z01) / (z11 - z01)
+                  ELSE CAST(x AS DOUBLE) END AS x1,
+          CASE e1 WHEN 0 THEN CAST(y AS DOUBLE)
+                  WHEN 1 THEN y + (20.5 - z10) / (z11 - z10)
+                  WHEN 2 THEN CAST(y + 1 AS DOUBLE)
+                  ELSE y + (20.5 - z00) / (z01 - z00) END AS y1
+        FROM j""",
     // walks every D8 path one hop at a time; the Spark side resolves the
     // same function by pointer doubling, so a hash match certifies both
     // the sink assignment AND the exact hop counts
