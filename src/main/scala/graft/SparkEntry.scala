@@ -2118,6 +2118,16 @@ object SparkEntry {
       Flow.flowSinks(TileOps.toPixels(Flow.flowDir(dem), rasterSpec.tileSize),
         width = spec.width, maxHops = 64)
     },
+    "raster_flowacc" -> { (s, _) =>
+      // D8 flow accumulation (upstream-cell count, ESRI convention) via
+      // TauDEM-style tile condensation: within-tile Kahn counts map-only
+      // after one halo exchange, cross-tile forwarding on the condensed
+      // entry graph (perimeter-bounded rounds); oracle re-walks every
+      // path one hop at a time and counts landings
+      val spec = rasterSpec.copy(bands = 1)
+      val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      Flow.flowAccumulation(Flow.flowDir(dem), rasterSpec.tileSize, width = spec.width)
+    },
     "raster_contours" -> { (s, _) =>
       // marching-squares isoline segments at level 20.5 over the DEM
       // fixture — one halo exchange then map-only emission; integer
@@ -6044,6 +6054,25 @@ object SparkEntry {
                   WHEN 2 THEN CAST(y + 1 AS DOUBLE)
                   ELSE y + (20.5 - z00) / (z01 - z00) END AS y1
         FROM j""",
+    // re-walks every D8 path one hop at a time and counts landings per
+    // cell; a hash match certifies the two-level tile condensation
+    // (within-tile Kahn + cross-tile entry forwarding) end to end
+    "raster_flowacc" -> ("WITH RECURSIVE " + d8OracleBody +
+      """, fd AS (SELECT d.x, d.y,
+            CAST(CASE WHEN b.md <= 0.0 THEN 0 ELSE min(d.code) END AS INTEGER) AS code
+          FROM drops d JOIN best b ON d.x = b.x AND d.y = b.y
+          WHERE b.md <= 0.0 OR d.dr = b.md
+          GROUP BY d.x, d.y, b.md),
+        step AS (SELECT f.x, f.y, f.code, d.dx, d.dy
+          FROM fd f LEFT JOIN dirs d ON d.code = f.code),
+        walk AS (
+          SELECT x, y, 0 AS hops FROM fd
+          UNION ALL
+          SELECT w.x + s.dx, w.y + s.dy, w.hops + 1
+          FROM walk w JOIN step s ON s.x = w.x AND s.y = w.y AND s.code <> 0),
+        ups AS (SELECT x, y, count(*) AS n FROM walk WHERE hops >= 1 GROUP BY x, y)
+        SELECT f.x, f.y, CAST(COALESCE(u.n, 0) AS BIGINT) AS acc
+        FROM fd f LEFT JOIN ups u ON u.x = f.x AND u.y = f.y"""),
     // walks every D8 path one hop at a time; the Spark side resolves the
     // same function by pointer doubling, so a hash match certifies both
     // the sink assignment AND the exact hop counts
