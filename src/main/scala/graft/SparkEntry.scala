@@ -9,7 +9,7 @@ import graft.index.Geohash
 import graft.joins.{AsofJoin, KnnJoin, RangeJoin, SpatialJoins}
 import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, Sketches, SpatialStats, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
-import graft.tiles.{Contours, Flow, PatchGrid, RasterSpec, TileOps, TileOps2}
+import graft.tiles.{Contours, CostDist, Flow, PatchGrid, RasterSpec, TileOps, TileOps2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
   *
@@ -2117,6 +2117,19 @@ object SparkEntry {
       val dem = TileOps.createRaster(s, spec)((x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
       Flow.flowSinks(TileOps.toPixels(Flow.flowDir(dem), rasterSpec.tileSize),
         width = spec.width, maxHops = 64)
+    },
+    "raster_costdist" -> { (s, _) =>
+      // multi-source obstacle-aware octile distance (cost-distance with
+      // unit cost): wall at x=128 with one gap at (128,200), sources on
+      // both sides — cross-side wavefronts must route through the gap.
+      // Exact-integer (straight, diagonal) state makes the minimum a
+      // unique integer pair; FP enters only in the final s + d*sqrt(2)
+      // the oracle mirrors as a closed form (direct vs through-gap)
+      val spec = rasterSpec.copy(bands = 1)
+      val mask = TileOps.createRaster(s, spec)((x, y, _) =>
+        if (x == 128 && y != 200) 0.0 else 1.0)
+      CostDist.octileDistance(mask, Seq((10, 30), (240, 60)),
+        rasterSpec.tileSize, width = spec.width)
     },
     "raster_flowacc" -> { (s, _) =>
       // D8 flow accumulation (upstream-cell count, ESRI convention) via
@@ -6054,6 +6067,36 @@ object SparkEntry {
                   WHEN 2 THEN CAST(y + 1 AS DOUBLE)
                   ELSE y + (20.5 - z00) / (z01 - z00) END AS y1
         FROM j""",
+    // closed-form octile metric: same-side targets take the direct
+    // (max-min) + min*sqrt2 geodesic, cross-side targets the through-gap
+    // sum — integer move counts all the way, one FP expression at the
+    // end, argmin by value then counts; a hash match certifies the
+    // exact-integer Dijkstra + cross-tile iteration end to end
+    "raster_costdist" ->
+      """WITH cells AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
+           FROM range(256) r1(x), range(256) r2(y)
+           WHERE x <> 128 OR y = 200),
+        src(sx, sy) AS (VALUES (10, 30), (240, 60)),
+        direct AS (SELECT c.x, c.y,
+            GREATEST(abs(c.x - s.sx), abs(c.y - s.sy))
+              - LEAST(abs(c.x - s.sx), abs(c.y - s.sy)) AS cs,
+            LEAST(abs(c.x - s.sx), abs(c.y - s.sy)) AS cd
+          FROM cells c JOIN src s ON ((c.x < 128) = (s.sx < 128)) AND c.x <> 128),
+        viag AS (SELECT c.x, c.y,
+            (GREATEST(abs(128 - s.sx), abs(200 - s.sy))
+              - LEAST(abs(128 - s.sx), abs(200 - s.sy)))
+            + (GREATEST(abs(c.x - 128), abs(c.y - 200))
+              - LEAST(abs(c.x - 128), abs(c.y - 200))) AS cs,
+            LEAST(abs(128 - s.sx), abs(200 - s.sy))
+              + LEAST(abs(c.x - 128), abs(c.y - 200)) AS cd
+          FROM cells c CROSS JOIN src s),
+        allc AS (SELECT * FROM direct UNION ALL SELECT * FROM viag),
+        best AS (SELECT x, y, cs, cd, row_number() OVER (
+            PARTITION BY x, y ORDER BY cs + cd * sqrt(2.0), cd) AS rn
+          FROM allc)
+        SELECT x, y, CAST(cs AS INTEGER) AS s, CAST(cd AS INTEGER) AS d,
+          cs + cd * sqrt(2.0) AS dist
+        FROM best WHERE rn = 1""",
     // re-walks every D8 path one hop at a time and counts landings per
     // cell; a hash match certifies the two-level tile condensation
     // (within-tile Kahn + cross-tile entry forwarding) end to end
