@@ -7,7 +7,7 @@ import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
 import graft.index.Geohash
 import graft.joins.{AsofJoin, KnnJoin, RangeJoin, SpatialJoins}
-import graft.ops.{CellSets, Dedup, Events, Relational, Similarity, Sketches, SpatialStats, TextOps, WebOps}
+import graft.ops.{CellSets, Dedup, Events, LineOps, Relational, Similarity, Sketches, SpatialStats, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
 import graft.tiles.{Contours, CostDist, Flow, PatchGrid, RasterSpec, TileOps, TileOps2}
 
@@ -411,6 +411,44 @@ object SparkEntry {
   private def sqlS2ParentN(c: String, n: Int): String =
     s"((($c) & $s2FaceMask) + (${sqlS2Lvl(c)} - $n) * ${1L << 56} " +
       s"+ ((($c) & $s2MortonMask) // ${1L << (2 * n)}))"
+
+  /** Polyline point-table fixture for the LineOps queries: 12 lines of 7
+    * vertices whose deltas are Pythagorean (or axis) vectors, so every
+    * segment length is an exact FP integer — prefix sums of lengths are
+    * then order-independent and the oracles hash-exact.
+    */
+  private val lineDeltas: Array[(Int, Int)] = Array(
+    (3, 4), (6, -8), (-5, 12), (8, 15), (-7, -24), (20, -21), (0, 9), (11, 0))
+  private def lineFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows = for (fid <- 0 until 12; k <- 0 to 6) yield {
+      var x = fid * 3; var y = fid * 5
+      for (j <- 1 to k) {
+        val (dx, dy) = lineDeltas((fid * 7 + j * 5 + 3) % 8)
+        x += dx; y += dy
+      }
+      (fid.toLong, k, x.toDouble, y.toDouble)
+    }
+    rows.toDF("fid", "seq", "x", "y")
+  }
+  /** The same fixture as a DuckDB relation (`pts`). */
+  private val sqlLinePts =
+    """d(j, ddx, ddy) AS (VALUES (0,3,4),(1,6,-8),(2,-5,12),(3,8,15),
+        (4,-7,-24),(5,20,-21),(6,0,9),(7,11,0)),
+      raw AS (SELECT f.fid, k.k, COALESCE(d.ddx, 0) AS sdx, COALESCE(d.ddy, 0) AS sdy
+        FROM range(12) f(fid) CROSS JOIN range(7) k(k)
+        LEFT JOIN d ON k.k > 0 AND d.j = (f.fid*7 + k.k*5 + 3) % 8),
+      pts AS (SELECT fid, k AS seq,
+        CAST(fid*3 + SUM(sdx) OVER (PARTITION BY fid ORDER BY k) AS DOUBLE) AS x,
+        CAST(fid*5 + SUM(sdy) OVER (PARTITION BY fid ORDER BY k) AS DOUBLE) AS y
+        FROM raw),
+      sg AS (SELECT fid, seg, x, y, x1 - x AS dx, y1 - y AS dy,
+          sqrt((x1-x)*(x1-x) + (y1-y)*(y1-y)) AS len
+        FROM (SELECT fid, seq AS seg, x, y,
+            lead(x) OVER (PARTITION BY fid ORDER BY seq) AS x1,
+            lead(y) OVER (PARTITION BY fid ORDER BY seq) AS y1
+          FROM pts)
+        WHERE x1 IS NOT NULL)"""
 
   private def documentsOf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -1223,6 +1261,25 @@ object SparkEntry {
       import s.implicits._
       val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
       WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
+    },
+    "vector_segments" -> { (s, _) =>
+      // per-segment length + azimuth over the Pythagorean polyline
+      // fixture: integer vertices make dx/dy exact and every length an
+      // exact integer; azimuth carries the ROUND-9 trig recipe
+      LineOps.segmentMetrics(lineFixture(s))
+    },
+    "vector_densify" -> { (s, _) =>
+      // ST_Segmentize semantics at maxLen 4: evenly spaced intermediate
+      // vertices, one generator + one fid window — mirrored expression
+      // for expression in the oracle
+      LineOps.densify(lineFixture(s), maxLen = 4.0)
+    },
+    "vector_line_interp" -> { (s, _) =>
+      // ST_LineInterpolatePoint at 1/4, 1/2, 3/4: the Pythagorean fixture
+      // keeps every cumulative length an exact FP integer, so the window
+      // prefix sum is order-independent and the winning segment (and its
+      // one IEEE divide) hash-match regardless of engine
+      LineOps.interpolate(lineFixture(s), Seq(0.25, 0.5, 0.75))
     },
     "vector_simplify" -> { (s, _) =>
       // fixture-input (sf-independent): 20 LCG-amplitude polylines + 4
@@ -4507,6 +4564,39 @@ object SparkEntry {
 
     // pinned-constant oracle (pin_oracle.py flow): fixture input,
     // pure per-row recursion, verified bit-identical at local[7/32]
+    // integer vertices -> exact dx/dy and exact integer lengths; azimuth
+    // is the one libm call, absorbed by ROUND-9 on both engines
+    "vector_segments" -> (s"WITH $sqlLinePts" +
+      """ SELECT fid, CAST(seg AS INTEGER) AS seg, len,
+          ROUND(degrees(atan2(dx, dy)), 9) AS az FROM sg"""),
+    // expression-for-expression mirror of LineOps.densify at maxLen 4;
+    // the last segment (seg = 5 on the 7-point fixture) also emits its
+    // terminal vertex (i = n)
+    "vector_densify" -> (s"WITH $sqlLinePts," +
+      """ dn AS (SELECT fid, seg, x, y, dx, dy,
+            GREATEST(CAST(CEIL(len / 4.0) AS INTEGER), 1) AS n FROM sg),
+        gen AS (SELECT fid, seg, x, y, dx, dy, n,
+            unnest(generate_series(0, CASE WHEN seg = 5 THEN n ELSE n - 1 END)) AS i
+          FROM dn)
+        SELECT fid, CAST(seg AS INTEGER) AS seg, CAST(i AS INTEGER) AS i,
+          x + (CAST(i AS DOUBLE) / CAST(n AS DOUBLE)) * dx AS px,
+          y + (CAST(i AS DOUBLE) / CAST(n AS DOUBLE)) * dy AS py
+        FROM gen"""),
+    // prefix sums of exact-integer lengths are order-independent, so the
+    // winning segment predicate (cum <= f*total < cum+len) and the single
+    // IEEE divide/multiply/add agree bitwise across engines
+    "vector_line_interp" -> (s"WITH $sqlLinePts," +
+      """ cums AS (SELECT *,
+            SUM(len) OVER (PARTITION BY fid ORDER BY seg
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS cum,
+            SUM(len) OVER (PARTITION BY fid) AS total FROM sg),
+        fr(frac) AS (VALUES (0.25), (0.5), (0.75))
+        SELECT fid, CAST(frac AS DOUBLE) AS frac,
+          x + ((CAST(frac AS DOUBLE) * total - cum) / len) * dx AS px,
+          y + ((CAST(frac AS DOUBLE) * total - cum) / len) * dy AS py
+        FROM cums CROSS JOIN fr
+        WHERE cum <= CAST(frac AS DOUBLE) * total
+          AND CAST(frac AS DOUBLE) * total < cum + len"""),
 "vector_simplify" -> """SELECT * FROM (VALUES
       (0, 10, 6, 'LINESTRING (0.0 -6.0, 3.0 6.0, 4.0 -3.0, 6.0 5.0, 7.0 -4.0, 9.0 4.0)'),
       (1, 10, 7, 'LINESTRING (0.0 -1.0, 1.0 3.0, 2.0 -6.0, 5.0 6.0, 6.0 -3.0, 8.0 5.0, 9.0 -4.0)'),
