@@ -2353,6 +2353,20 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         s.read.parquet(s"$dir/orders.parquet"))
     },
+    "tpch_q12" -> { (s, dir) =>
+      // Q12-style conditional two-way count after an equi-join with a
+      // residual lateness predicate (return flag stands in for shipmode)
+      Relational.lateByFlag(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))
+    },
+    "tpch_q19" -> { (s, dir) =>
+      // Q19-style OR-of-conjunctions over both join sides: broadcast the
+      // part dim, evaluate the residual disjunction post-join
+      Relational.brandRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"))
+    },
     "tpch_q14" -> { (s, dir) =>
       // Q14-style promo revenue share; ppm via decimal cross-multiply +
       // truncating DIV (Long·10⁶ overflows at warehouse scale)
@@ -6434,6 +6448,24 @@ object SparkEntry {
          WHERE l.l_orderkey = o.o_orderkey
            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
        GROUP BY 1""",
+
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+       GROUP BY 1""",
+
+    "tpch_q19" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_q,
+         CAST(count(*) AS BIGINT) AS n_items
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#33' AND p_size BETWEEN 25 AND 50 AND l_quantity BETWEEN 20 AND 30)""",
 
     "tpch_q14" ->
       """WITH li AS (SELECT l_partkey,

@@ -79,6 +79,49 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
 
+  /** TPC-H Q12-style shipping-priority split, adapted to this schema
+    * (no shipmode — the classifier is the return flag): per flag, how
+    * many LATE lineitems (shipped > `lateDays` after the order date)
+    * belong to critical-priority orders vs not. The Q12 shape: one
+    * equi-join with a residual date predicate, then a conditional
+    * two-way count rolled up map-side over a 3-value key.
+    */
+  def lateByFlag(lineitem: DataFrame, orders: DataFrame,
+                 lateDays: Int = 60): DataFrame = {
+    val crit = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    lineitem.select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q19-style discounted revenue under an OR-of-conjunctions
+    * predicate (brand × size-range × quantity-range disjuncts): the
+    * disjunction can only partially push down (each disjunct references
+    * BOTH sides), so the plan shape is a partkey equi-join — part is
+    * dimension-sized, so AQE broadcasts it — with the residual OR
+    * evaluated post-join, folding to one quantized sum.
+    */
+  def brandRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val d1 = col("p_brand") === "Brand#11" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val d2 = col("p_brand") === "Brand#22" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 20)
+    val d3 = col("p_brand") === "Brand#33" &&
+      col("p_size").between(25, 50) && col("l_quantity").between(20, 30)
+    lineitem.select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(part.select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(d1 || d2 || d3)
+      .agg(sum(q4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_q"), count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q14-style promotion-revenue share over a shipdate window:
     * promo and total revenue as exact quantized sums plus the share in
     * exact ppm (decimal(38,0) cross-multiply + truncating DIV — the
