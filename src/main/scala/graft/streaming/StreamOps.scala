@@ -327,6 +327,36 @@ object StreamOps {
       .select(col("url"), col("lon"), col("lat"), col("poly_id"))
   }
 
+  /** Stream-stream interval join: pairs of events of the same type from
+    * distinct users within ±`deltaSec` of each other — the live form of
+    * Events.copresencePairs' interval overlap. A true two-sided
+    * stream-stream inner join: BOTH sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can size the join
+    * state to watermark + delta and evict symmetric state as the
+    * watermark advances (bounded state at web-scale ingest; this is the
+    * only join shape Structured Streaming admits between two unbounded
+    * streams, and exactly why the op is expressed this way).
+    * `user_a < user_b` canonicalizes pairs so each fires once.
+    */
+  def copresenceStream(left: DataFrame, right: DataFrame,
+                       deltaSec: Long = 300,
+                       watermark: String = "2 hours"): DataFrame = {
+    val a = left.select(col("user_id").as("user_a"),
+        col("event_id").as("ev_a"), col("event_type").as("etype"),
+        col("ts").cast("timestamp").as("ts_a"))
+      .withWatermark("ts_a", watermark)
+    val b = right.select(col("user_id").as("user_b"),
+        col("event_id").as("ev_b"), col("event_type").as("etype_b"),
+        col("ts").cast("timestamp").as("ts_b"))
+      .withWatermark("ts_b", watermark)
+    a.join(b, col("etype") === col("etype_b") &&
+        col("user_a") < col("user_b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $deltaSec SECONDS") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $deltaSec SECONDS"))
+      .select(col("user_a"), col("user_b"), col("ev_a"), col("ev_b"),
+        col("etype"), col("ts_a"), col("ts_b"))
+  }
+
   /** Streaming tiling: geocode each page record and count per hex cell —
     * the incremental form of Pipeline.tilePages. Works on any stream with
     * a `url` column.

@@ -66,6 +66,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch self-join pair set") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val want = StreamOps.copresenceStream(events, events)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty, "interval-join fixture should pair some events")
+    def stream() = spark.readStream.schema(events.schema)
+      .parquet(stageDir("/root/testdata/sf0.001/events.parquet"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val q = StreamOps.copresenceStream(stream(), stream())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("copresence_join").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("copresence_join")
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming KMV registers equal the batch sketch exactly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val want = graft.ops.Sketches
