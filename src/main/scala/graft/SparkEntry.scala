@@ -431,6 +431,36 @@ object SparkEntry {
     }
     rows.toDF("fid", "seq", "x", "y")
   }
+  /** Closed-form octile cost field for the wall-and-gap fixture, shared
+    * by the costdist and backlink oracles: per passable cell the exact
+    * integer (cs, cd) move counts of the minimum-cost path (direct when
+    * source and cell share a side of the x=128 wall, else through the
+    * (128,200) gap), argmin by value then counts.
+    */
+  private val sqlCostBest =
+    """cells AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
+         FROM range(256) r1(x), range(256) r2(y)
+         WHERE x <> 128 OR y = 200),
+      src(sx, sy) AS (VALUES (10, 30), (240, 60)),
+      direct AS (SELECT c.x, c.y,
+          GREATEST(abs(c.x - s.sx), abs(c.y - s.sy))
+            - LEAST(abs(c.x - s.sx), abs(c.y - s.sy)) AS cs,
+          LEAST(abs(c.x - s.sx), abs(c.y - s.sy)) AS cd
+        FROM cells c JOIN src s ON ((c.x < 128) = (s.sx < 128)) AND c.x <> 128),
+      viag AS (SELECT c.x, c.y,
+          (GREATEST(abs(128 - s.sx), abs(200 - s.sy))
+            - LEAST(abs(128 - s.sx), abs(200 - s.sy)))
+          + (GREATEST(abs(c.x - 128), abs(c.y - 200))
+            - LEAST(abs(c.x - 128), abs(c.y - 200))) AS cs,
+          LEAST(abs(128 - s.sx), abs(200 - s.sy))
+            + LEAST(abs(c.x - 128), abs(c.y - 200)) AS cd
+        FROM cells c CROSS JOIN src s),
+      allc AS (SELECT * FROM direct UNION ALL SELECT * FROM viag),
+      bestr AS (SELECT x, y, cs, cd, row_number() OVER (
+          PARTITION BY x, y ORDER BY cs + cd * sqrt(2.0), cd) AS rn
+        FROM allc),
+      bestd AS (SELECT x, y, cs, cd FROM bestr WHERE rn = 1)"""
+
   /** The same fixture as a DuckDB relation (`pts`). */
   private val sqlLinePts =
     """d(j, ddx, ddy) AS (VALUES (0,3,4),(1,6,-8),(2,-5,12),(3,8,15),
@@ -2187,6 +2217,17 @@ object SparkEntry {
         if (x == 128 && y != 200) 0.0 else 1.0)
       CostDist.octileDistance(mask, Seq((10, 30), (240, 60)),
         rasterSpec.tileSize, width = spec.width)
+    },
+    "raster_cost_backlink" -> { (s, _) =>
+      // ESRI CostBackLink analog over the same wall-and-gap field: the
+      // best-predecessor D8 code per cell, derived by exact integer
+      // (s,d) equality from the converged distance state — greedy
+      // descent of these codes IS the least-cost path
+      val spec = rasterSpec.copy(bands = 1)
+      val mask = TileOps.createRaster(s, spec)((x, y, _) =>
+        if (x == 128 && y != 200) 0.0 else 1.0)
+      CostDist.costBacklink(CostDist.octileDistance(mask,
+        Seq((10, 30), (240, 60)), rasterSpec.tileSize, width = spec.width))
     },
     "raster_flowacc" -> { (s, _) =>
       // D8 flow accumulation (upstream-cell count, ESRI convention) via
@@ -6176,31 +6217,27 @@ object SparkEntry {
     // sum — integer move counts all the way, one FP expression at the
     // end, argmin by value then counts; a hash match certifies the
     // exact-integer Dijkstra + cross-tile iteration end to end
-    "raster_costdist" ->
-      """WITH cells AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y
-           FROM range(256) r1(x), range(256) r2(y)
-           WHERE x <> 128 OR y = 200),
-        src(sx, sy) AS (VALUES (10, 30), (240, 60)),
-        direct AS (SELECT c.x, c.y,
-            GREATEST(abs(c.x - s.sx), abs(c.y - s.sy))
-              - LEAST(abs(c.x - s.sx), abs(c.y - s.sy)) AS cs,
-            LEAST(abs(c.x - s.sx), abs(c.y - s.sy)) AS cd
-          FROM cells c JOIN src s ON ((c.x < 128) = (s.sx < 128)) AND c.x <> 128),
-        viag AS (SELECT c.x, c.y,
-            (GREATEST(abs(128 - s.sx), abs(200 - s.sy))
-              - LEAST(abs(128 - s.sx), abs(200 - s.sy)))
-            + (GREATEST(abs(c.x - 128), abs(c.y - 200))
-              - LEAST(abs(c.x - 128), abs(c.y - 200))) AS cs,
-            LEAST(abs(128 - s.sx), abs(200 - s.sy))
-              + LEAST(abs(c.x - 128), abs(c.y - 200)) AS cd
-          FROM cells c CROSS JOIN src s),
-        allc AS (SELECT * FROM direct UNION ALL SELECT * FROM viag),
-        best AS (SELECT x, y, cs, cd, row_number() OVER (
-            PARTITION BY x, y ORDER BY cs + cd * sqrt(2.0), cd) AS rn
-          FROM allc)
-        SELECT x, y, CAST(cs AS INTEGER) AS s, CAST(cd AS INTEGER) AS d,
+    "raster_costdist" -> (s"WITH $sqlCostBest" +
+      """ SELECT x, y, CAST(cs AS INTEGER) AS s, CAST(cd AS INTEGER) AS d,
           cs + cd * sqrt(2.0) AS dist
-        FROM best WHERE rn = 1""",
+        FROM bestd"""),
+    // every non-source cell's best predecessor derived from the SAME
+    // closed-form field: neighbor u qualifies iff dist(v) = dist(u)+step
+    // EXACTLY in the integer (s,d) algebra; min code mirrors the Spark
+    // tie-break, sources coalesce to 0
+    "raster_cost_backlink" -> (s"WITH $sqlCostBest," +
+      """ d8(code, dx, dy, diag) AS (VALUES
+          (1, 1, 0, FALSE), (2, 1, 1, TRUE), (4, 0, 1, FALSE),
+          (8, -1, 1, TRUE), (16, -1, 0, FALSE), (32, -1, -1, TRUE),
+          (64, 0, -1, FALSE), (128, 1, -1, TRUE)),
+        bk AS (SELECT v.x, v.y, min(m.code) AS code
+          FROM bestd v CROSS JOIN d8 m
+          JOIN bestd u ON u.x = v.x + m.dx AND u.y = v.y + m.dy
+          WHERE (NOT m.diag AND u.cs + 1 = v.cs AND u.cd = v.cd)
+             OR (m.diag AND u.cs = v.cs AND u.cd + 1 = v.cd)
+          GROUP BY v.x, v.y)
+        SELECT v.x, v.y, CAST(COALESCE(bk.code, 0) AS INTEGER) AS code
+        FROM bestd v LEFT JOIN bk ON bk.x = v.x AND bk.y = v.y"""),
     // re-walks every D8 path one hop at a time and counts landings per
     // cell; a hash match certifies the two-level tile condensation
     // (within-tile Kahn + cross-tile entry forwarding) end to end

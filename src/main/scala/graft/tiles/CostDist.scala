@@ -182,6 +182,13 @@ object CostDist {
 
     val sqrt2 = math.sqrt(2.0)
     val w = width // avoid capturing `this`
+    emitDist(cur, tileSize, sqrt2)
+  }
+
+  private def emitDist(cur: org.apache.spark.sql.Dataset[DistTile],
+                       tileSize: Int, sqrt2: Double): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
     cur.flatMap { t =>
       val baseX = t.cellX * tileSize; val baseY = t.cellY * tileSize
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Double)]
@@ -195,5 +202,40 @@ object CostDist {
       }
       out
     }.toDF("x", "y", "s", "d", "dist")
+  }
+
+  /** Backlink raster (ESRI CostBackLink analog): for every reachable
+    * non-source cell, the D8 code of its best predecessor — the neighbor
+    * u whose state satisfies dist(v) = dist(u) + step EXACTLY in the
+    * integer (s, d) algebra ((s+1, d) straight, (s, d+1) diagonal);
+    * greedy-descending these codes from any cell traces a least-cost
+    * path to its source. Sources (and only sources) emit code 0.
+    *
+    * Takes the `octileDistance` output table. One broadcast 8-row move
+    * explode + one coordinate equi-join + one min agg — the same cost
+    * class as a stencil op, no iteration (all path information is
+    * already in the distance field).
+    */
+  def costBacklink(dist: DataFrame): DataFrame = {
+    val spark = dist.sparkSession
+    // ESRI D8 codes, diag marks the √2 moves
+    val mv = spark.createDataFrame(Seq(
+      (1, 1, 0, false), (2, 1, 1, true), (4, 0, 1, false), (8, -1, 1, true),
+      (16, -1, 0, false), (32, -1, -1, true), (64, 0, -1, false),
+      (128, 1, -1, true))).toDF("code", "dx", "dy", "diag")
+    val v = dist.select(col("x"), col("y"), col("s"), col("d"))
+    val u = dist.select(col("x").as("nx"), col("y").as("ny"),
+      col("s").as("ns"), col("d").as("nd"))
+    val bk = v.crossJoin(broadcast(mv))
+      .select(col("x"), col("y"), col("s"), col("d"), col("code"),
+        (col("x") + col("dx")).as("nx"), (col("y") + col("dy")).as("ny"),
+        col("diag"))
+      .join(u, Seq("nx", "ny"))
+      .filter((!col("diag") && col("ns") + 1 === col("s") && col("nd") === col("d")) ||
+        (col("diag") && col("ns") === col("s") && col("nd") + 1 === col("d")))
+      .groupBy("x", "y").agg(min("code").as("code"))
+    dist.select(col("x"), col("y"))
+      .join(bk, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), coalesce(col("code"), lit(0)).as("code"))
   }
 }

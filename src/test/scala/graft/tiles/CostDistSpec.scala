@@ -102,6 +102,30 @@ class CostDistSpec extends AnyFunSuite {
     assert(far._1 + far._2 > 2 * W, s"maze not serpentine enough: $far")
   }
 
+  test("backlink greedy descent traces a least-cost path to the source") {
+    val spec = RasterSpec(0.0, 64.0, 0.25, -0.25, W, W, 8, 1)
+    val m = TileOps.createRaster(spark, spec)((x, y, _) => if (mazeMask(x, y)) 1.0 else 0.0)
+    val dist = CostDist.octileDistance(m, Seq((0, 0)), 8, width = W)
+    val dmap = dist.collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    val code = CostDist.costBacklink(dist).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(code((0, 0)) === 0, "source must be the only code-0 cell on its path")
+    val delta = Flow.D8.map(d => d._1 -> (d._2, d._3)).toMap
+    var cur = (W - 1, W - 1) // far end of the serpentine
+    var steps = 0
+    while (code(cur) != 0) {
+      val (dx, dy) = delta(code(cur))
+      val next = (cur._1 + dx, cur._2 + dy)
+      assert(CostDist.less(dmap(next)._1, dmap(next)._2, dmap(cur)._1, dmap(cur)._2),
+        s"descent not strictly decreasing at $cur -> $next")
+      cur = next; steps += 1
+      assert(steps <= W * W, "backlink descent cycled")
+    }
+    assert(cur === ((0, 0)), s"descent ended at $cur, not the source")
+    val far = dmap((W - 1, W - 1))
+    assert(steps === far._1 + far._2, "path length must equal s + d moves")
+  }
+
   test("walls and unreachable pockets are absent from the output") {
     val got = sparkDist(mazeMask, Seq((0, 0)), 16)
     for (x <- 0 until W; y <- 0 until W if !mazeMask(x, y))
