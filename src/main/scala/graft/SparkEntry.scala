@@ -1292,6 +1292,21 @@ object SparkEntry {
       val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
       WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
     },
+    "vector_polylabel" -> { (s, _) =>
+      // pole of inaccessibility (Mapbox polylabel), fixture-input: four
+      // asymmetric shapes incl. a holed rect and an L — pure per-row
+      // quadtree refinement with a TOTAL cell order, so the answer is
+      // parallelism-independent and the oracle pinned constants
+      // (tools/pin_oracle.py flow, like vector_simplify)
+      import s.implicits._
+      val feats = Seq(
+        (0L, "POLYGON ((0 0, 10 0, 10 4, 4 4, 4 12, 0 12, 0 0))"),
+        (1L, "POLYGON ((0 0, 20 0, 20 10, 0 10, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))"),
+        (2L, "POLYGON ((0 0, 30 1, 2 5, 0 0))"),
+        (3L, "POLYGON ((0 0, 12 2, 16 9, 7 14, -2 8, 0 0))")).toDF("fid", "wkt")
+      graft.ops.VectorOps2.poleOfInaccessibility(feats, "fid", "wkt",
+        precision = 1e-3)
+    },
     "vector_segments" -> { (s, _) =>
       // per-segment length + azimuth over the Pythagorean polyline
       // fixture: integer vertices make dx/dy exact and every length an
@@ -4652,6 +4667,14 @@ object SparkEntry {
         FROM cums CROSS JOIN fr
         WHERE cum <= CAST(frac AS DOUBLE) * total
           AND CAST(frac AS DOUBLE) * total < cum + len"""),
+    // pinned constants (pin_oracle.py flow): per-row quadtree refinement
+    // with a total cell order — verified bit-stable local[2] vs local[32]
+    "vector_polylabel" -> """SELECT * FROM (VALUES
+      (0, '2.3431396484375'::DOUBLE, '2.3431396484375'::DOUBLE, '2.3431396484375'::DOUBLE),
+      (1, '15.0'::DOUBLE, '5.0'::DOUBLE, '5.0'::DOUBLE),
+      (2, '3.4796142578125'::DOUBLE, '2.4407958984375'::DOUBLE, '2.3235182713948768'::DOUBLE),
+      (3, '7.27764892578125'::DOUBLE, '7.14825439453125'::DOUBLE, '5.854556587409686'::DOUBLE))
+      AS t("fid", "px", "py", "clearance")""",
 "vector_simplify" -> """SELECT * FROM (VALUES
       (0, 10, 6, 'LINESTRING (0.0 -6.0, 3.0 6.0, 4.0 -3.0, 6.0 5.0, 7.0 -4.0, 9.0 4.0)'),
       (1, 10, 7, 'LINESTRING (0.0 -1.0, 1.0 3.0, 2.0 -6.0, 5.0 6.0, 6.0 -3.0, 8.0 5.0, 9.0 -4.0)'),

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.geo.{Polygon, PolyUnion, Proj, RectUnion, RTree, Wkt}
+import graft.geo.{Polygon, Polylabel, PolyUnion, Proj, RectUnion, RTree, Wkt}
 
 /** Round-3 vector-layer operators: clip (intersection geometry), buffer,
   * and whole-layer reprojection — the three core vector verbs VERDICT r2
@@ -477,5 +477,23 @@ object VectorOps2 {
           b.xMin, b.xMax, b.yMin, b.yMax, Wkt.toWkt(q))
       }
       .toDF("fid", "n_rings", "n_pts", "x_min", "x_max", "y_min", "y_max", "wkt")
+  }
+
+  /** Pole of inaccessibility per feature (Mapbox polylabel quadtree,
+    * geo/Polylabel.scala): the optimal label point and its clearance
+    * radius. Map-only — each polygon refines independently; a 10⁹-row
+    * layer costs one scan, no shuffle at all.
+    */
+  def poleOfInaccessibility(df: DataFrame, idCol: String, wktCol: String,
+                            precision: Double = 1e-6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wktCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (fid, wkt) =>
+        val (x, y, d) = Polylabel.pole(Wkt.parsePolygon(wkt), precision)
+        (fid, x, y, d)
+      }
+      .toDF("fid", "px", "py", "clearance")
   }
 }
