@@ -589,6 +589,16 @@ object SparkEntry {
       Pages.pages(s, dir).select("doc_id", "lon_udeg", "lat_udeg", "lon", "lat")
     },
 
+    "geo_destination" -> { (s, dir) =>
+      // spherical direct geodesic (ST_Project): deterministic per-doc
+      // bearing (doc_id%360 deg) and range (1km x (doc_id%50+1)); the
+      // trig recipe (ROUND-9 degrees) absorbs libm ulp
+      SpatialStats.destinationPoint(
+        Pages.pages(s, dir).select(col("doc_id"), col("lon"), col("lat"),
+          (col("doc_id") % 360).cast("double").as("brg"),
+          (lit(1000.0) * ((col("doc_id") % 50) + 1).cast("double")).as("dist_m")),
+        "brg", "dist_m")
+    },
     "geo_haversine" -> { (s, dir) =>
       // nearest-anchor labeling by great-circle distance (broadcast
       // anchors, one min(struct) argmin, ROUND-9 meters — the trig
@@ -1285,6 +1295,11 @@ object SparkEntry {
       // family, pinned HERE only — the production default is xxhash64
       TextOps.dsirWeights(documentsOf(s, dir), col("lang") === "en",
         buckets = 4096, family = "md5prefix")
+    },
+    "text_readability" -> { (s, dir) =>
+      // Flesch + ARI as exact integer ppm over [aeiouy]+ syllable runs
+      // and [.!?]+ sentence runs — marker-free run counting, DIV-only
+      TextOps.readability(documentsOf(s, dir))
     },
     "url_host_cap" -> { (s, dir) => WebOps.capPerHost(Pages.pages(s, dir), n = 3) },
     "url_blocklist" -> { (s, dir) =>
@@ -2088,6 +2103,13 @@ object SparkEntry {
     },
 
     // --- resampling variants / robust slope / DEM / more hood methods ---
+    "raster_overviews" -> { (s, _) =>
+      // COG overview chain: 4 successive 2x average reductions, each from
+      // the previous level; integer pixels keep every level exact
+      TileOps2.overviewPyramid(
+        TileOps.createRaster(s, rasterSpec)(rasterValue),
+        rasterSpec.tileSize, levels = 4)
+    },
     "raster_resample_avg" -> { (s, _) =>
       TileOps.toPixels(TileOps2.resampleAverage(
         TileOps.createRaster(s, rasterSpec)(rasterValue), 4), rasterSpec.tileSize / 4)
@@ -3127,6 +3149,17 @@ object SparkEntry {
     // 1 ulp apart between JVM and libm — whole-meter BIGINT after the
     // argmin, because ROUND-9 is a no-op at 1e7-meter magnitude; an
     // argmin flip would need two anchors within ~1e-9 relative distance)
+    "geo_destination" -> Pages.sqlWith(
+      """, d AS (SELECT doc_id, radians(lat) AS la1, radians(lon) AS lo1,
+            radians(CAST(doc_id % 360 AS DOUBLE)) AS th,
+            (1000.0 * CAST(doc_id % 50 + 1 AS DOUBLE)) / 6378137.0 AS dl
+          FROM pages),
+        e AS (SELECT doc_id, la1, lo1, th, dl,
+            sin(la1) * cos(dl) + cos(la1) * sin(dl) * cos(th) AS sl2 FROM d)
+        SELECT doc_id, ROUND(degrees(asin(sl2)), 9) AS dest_lat,
+          ROUND(degrees(lo1 + atan2(sin(th) * sin(dl) * cos(la1),
+            cos(dl) - sin(la1) * sl2)), 9) AS dest_lon
+        FROM e"""),
     "geo_haversine" -> Pages.sqlWith(
       s""", anchors(anchor_id, a_lon, a_lat) AS (VALUES ${AnchorFixture.sqlValues}),
         d AS (SELECT p.doc_id, a.anchor_id,
@@ -3596,6 +3629,27 @@ object SparkEntry {
             AS n_ws_tokens
         FROM documents""",
 
+    // marker-free run counting (len(sub(p,'x')) - len(sub(p,''))) and
+    // truncating integer division on positive operands — no FP anywhere,
+    // so the ppm scores hash-exact
+    "text_readability" -> (sqlToks + """,
+        base AS (SELECT d.doc_id,
+          GREATEST(COALESCE(tc.n, 0), 1) AS n_words,
+          GREATEST(length(regexp_replace(lower(d.text), '[.!?]+', 'x', 'g'))
+            - length(regexp_replace(lower(d.text), '[.!?]+', '', 'g')), 1) AS n_sents,
+          length(regexp_replace(lower(d.text), '[aeiouy]+', 'x', 'g'))
+            - length(regexp_replace(lower(d.text), '[aeiouy]+', '', 'g')) AS n_syll,
+          length(regexp_replace(d.text, '\s', '', 'g')) AS n_chars_ns
+        FROM documents d LEFT JOIN
+          (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id) tc USING (doc_id))
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+          CAST(n_sents AS BIGINT) AS n_sents, CAST(n_syll AS BIGINT) AS n_syll,
+          CAST(n_chars_ns AS BIGINT) AS n_chars_ns,
+          CAST(206835000 - (1015000 * n_words) // n_sents
+            - (84600000 * n_syll) // n_words AS BIGINT) AS flesch_ppm,
+          CAST((4710000 * n_chars_ns) // n_words
+            + (500000 * n_words) // n_sents - 21430000 AS BIGINT) AS ari_ppm
+        FROM base"""),
     "text_stats" -> (sqlToks +
       """ SELECT d.doc_id, length(d.text) AS n_chars,
           COALESCE(tc.n_tokens, 0) AS n_tokens,
@@ -6060,6 +6114,20 @@ object SparkEntry {
         FROM ranked WHERE rank <= 5"""
     },
 
+    // chained 2x reductions, each level from the previous — integer base
+    // pixels make every level an exact binary fraction (denominator 4^k),
+    // so the group-sum order is immaterial and the chain hash-exact
+    "raster_overviews" -> (sqlPx + """,
+        lv1 AS (SELECT CAST(x // 2 AS INTEGER) AS x, CAST(y // 2 AS INTEGER) AS y,
+          band, sum(v) / 4.0 AS v FROM px GROUP BY 1, 2, 3),
+        lv2 AS (SELECT CAST(x // 2 AS INTEGER) AS x, CAST(y // 2 AS INTEGER) AS y,
+          band, sum(v) / 4.0 AS v FROM lv1 GROUP BY 1, 2, 3),
+        lv3 AS (SELECT CAST(x // 2 AS INTEGER) AS x, CAST(y // 2 AS INTEGER) AS y,
+          band, sum(v) / 4.0 AS v FROM lv2 GROUP BY 1, 2, 3),
+        lv4 AS (SELECT CAST(x // 2 AS INTEGER) AS x, CAST(y // 2 AS INTEGER) AS y,
+          band, sum(v) / 4.0 AS v FROM lv3 GROUP BY 1, 2, 3)
+        SELECT 1 AS level, * FROM lv1 UNION ALL SELECT 2, * FROM lv2
+        UNION ALL SELECT 3, * FROM lv3 UNION ALL SELECT 4, * FROM lv4"""),
     "raster_resample_avg" -> (sqlPx +
       """ SELECT CAST(x // 4 AS INTEGER) AS x, CAST(y // 4 AS INTEGER) AS y, band,
           sum(v) / 16.0 AS v

@@ -80,6 +80,26 @@ object SpatialStats {
     * no-op and JVM-vs-libm trig ulp noise would leak; a 1-meter grid
     * makes a boundary flip a ~1e-8-per-row event.
     */
+  /** Spherical destination point (the direct geodesic on a sphere —
+    * PostGIS ST_Project semantics, spherical model): from each point,
+    * travel `distCol` meters on initial bearing `bearingCol` degrees.
+    * Standard formulas lat2 = asin(sin φ cos δ + cos φ sin δ cos θ),
+    * lon2 = λ + atan2(sin θ sin δ cos φ, cos δ − sin φ sin φ₂), with
+    * δ = d/R. Map-only, codegen'd; ROUND-9 degrees absorbs JVM-vs-libm
+    * trig ulp (the established trig recipe).
+    */
+  def destinationPoint(points: DataFrame, bearingCol: String,
+                       distCol: String, radiusM: Double = 6378137.0): DataFrame = {
+    val la1 = radians(col("lat")); val lo1 = radians(col("lon"))
+    val th = radians(col(bearingCol))
+    val dl = col(distCol) / radiusM
+    val sl2 = sin(la1) * cos(dl) + cos(la1) * sin(dl) * cos(th)
+    points.select(col("doc_id"),
+      round(degrees(asin(sl2)), 9).as("dest_lat"),
+      round(degrees(lo1 + atan2(sin(th) * sin(dl) * cos(la1),
+        cos(dl) - sin(la1) * sl2)), 9).as("dest_lon"))
+  }
+
   def nearestAnchor(points: DataFrame, anchors: DataFrame): DataFrame =
     points.crossJoin(broadcast(anchors))
       .select(col("doc_id"),

@@ -173,6 +173,33 @@ object TextOps {
       (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
         .cast("long").as("n_spaces"))
 
+  /** Readability scores (Flesch reading-ease + Automated Readability
+    * Index) in exact integer ppm — the classic quality-filter features a
+    * training-data pipeline gates on alongside the Gopher rules. Syllables
+    * are approximated as maximal [aeiouy]+ runs (the standard heuristic),
+    * sentences as [.!?]+ runs with a floor of 1. Run counting uses the
+    * marker-free identity  runs = len(sub(s, p, "x")) − len(sub(s, p, ""))
+    * so no sentinel can collide with corpus bytes, and every division is
+    * a truncating integer DIV on positive operands — bit-identical in any
+    * engine, no FP anywhere. Map-only; one scan at any corpus size.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    def runs(c: Column, pat: String): Column =
+      (length(regexp_replace(c, pat, "x")) - length(regexp_replace(c, pat, "")))
+        .cast("long")
+    val low = lower(col("text"))
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("n_words", greatest(size(tokens(col("text"))).cast("long"), lit(1L)))
+      .withColumn("n_sents", greatest(runs(low, "[.!?]+"), lit(1L)))
+      .withColumn("n_syll", runs(low, "[aeiouy]+"))
+      .withColumn("n_chars_ns", length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("flesch_ppm", expr(
+        "206835000L - (1015000L * n_words) DIV n_sents - (84600000L * n_syll) DIV n_words"))
+      .withColumn("ari_ppm", expr(
+        "(4710000L * n_chars_ns) DIV n_words + (500000L * n_words) DIV n_sents - 21430000L"))
+      .drop("text")
+  }
+
   /** GPT-2-style BPE pretokenizer pattern, minus the trailing-space
     * lookahead (RE2-incompatible) so the SAME regex runs in the DuckDB
     * oracle: contractions, space-prefixed letter/digit/punctuation runs,

@@ -471,6 +471,31 @@ object TileOps2 {
     }
   }
 
+  /** Overview pyramid (the Cloud-Optimized-GeoTIFF / gdaladdo convention):
+    * `levels` successive 2× average reductions, EACH LEVEL COMPUTED FROM
+    * THE PREVIOUS one — the COG recipe, which differs from sampling the
+    * base at 2^k when values are non-dyadic, so the chain order is part
+    * of the contract. Output: (level, x, y, band, v) across all levels.
+    *
+    * Scale shape: every reduction is map-only inside its tile (factor 2
+    * divides the tile size), so the whole pyramid costs one scan of the
+    * base raster and geometrically less from there — no shuffle anywhere;
+    * at 100 TB the pyramid is ~33% extra I/O, exactly like COG overviews.
+    * Exactness: integer base pixels make every level's values exact
+    * binary fractions (denominator 4^k), so any summation order agrees.
+    */
+  def overviewPyramid(tiles: Dataset[Tile], tileSize: Int,
+                      levels: Int): DataFrame = {
+    require(levels >= 1 && (tileSize % (1 << levels)) == 0,
+      s"overviewPyramid: 2^levels must divide tileSize ($tileSize, $levels)")
+    var cur = tiles
+    (1 to levels).map { k =>
+      cur = resampleAverage(cur, 2)
+      TileOps.toPixels(cur, tileSize >> k).withColumn("level", lit(k))
+        .select("level", "x", "y", "band", "v")
+    }.reduce(_ union _)
+  }
+
   /** Bilinear UPsample by an integer factor (tile-local with one halo
     * exchange for the right/bottom edge samples — resample enum entry
     * 'bilinear'). Target pixel centers interpolate the 4 surrounding
