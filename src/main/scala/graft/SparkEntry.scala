@@ -2907,6 +2907,36 @@ object SparkEntry {
       }.toDF("doc_id", "png")
       graft.ops.Multimodal.imageFeatures(docs, "doc_id", "png")
     },
+    "mm_gif_decode" -> { (s, _) =>
+      // REAL GIF decode (LZW, cross-validated against ImageIO both
+      // directions in GifSpec): 100 deterministic paletted 40x30 frames;
+      // oracle recomputes channel sums from the palette formula without
+      // touching GIF
+      import s.implicits._
+      val docs = s.range(100).map { id =>
+        val w = 40; val h = 30; val n = 64
+        val pal = new Array[Byte](3 * n)
+        var i = 0
+        while (i < n) {
+          pal(3 * i) = ((i * 37 + 11) % 256).toByte
+          pal(3 * i + 1) = ((i * 73 + 5) % 256).toByte
+          pal(3 * i + 2) = ((i * 151 + 99) % 256).toByte
+          i += 1
+        }
+        val idx = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            idx(y * w + x) = (((x * 3 + y * 7 + id) % n) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, graft.ops.Codecs.encodeGif(w, h, pal, idx))
+      }.toDF("doc_id", "gif")
+      graft.ops.Multimodal.imageFeatures(docs, "doc_id", "gif")
+    },
     "mm_phash_pairs" -> { (s, _) =>
       // image near-dup dedup: 12 pattern families × 5 sparse-noise
       // variants → DCT pHash → 4×16-bit pigeonhole hamming join (banding
@@ -7393,6 +7423,19 @@ object SparkEntry {
           CAST(sum((x*7 + y*3 + id) % 256) AS BIGINT) AS ch0_sum,
           CAST(sum((x*5 + y*11 + 2*id) % 256) AS BIGINT) AS ch1_sum,
           CAST(sum((x*13 + y + 3*id) % 256) AS BIGINT) AS ch2_sum,
+          CAST(0 AS BIGINT) AS ch3_sum
+        FROM px GROUP BY id""",
+
+    // palette formula replayed per pixel index — no GIF bytes anywhere
+    // near the oracle, so a hash match certifies header walk + LZW +
+    // palette expansion end to end
+    "mm_gif_decode" ->
+      """WITH px AS (SELECT d.id, (x.x*3 + y.y*7 + d.id) % 64 AS ci
+           FROM range(100) d(id), range(40) x(x), range(30) y(y))
+        SELECT id AS doc_id, 40 AS width, 30 AS height, 3 AS channels,
+          CAST(sum((ci*37 + 11) % 256) AS BIGINT) AS ch0_sum,
+          CAST(sum((ci*73 + 5) % 256) AS BIGINT) AS ch1_sum,
+          CAST(sum((ci*151 + 99) % 256) AS BIGINT) AS ch2_sum,
           CAST(0 AS BIGINT) AS ch3_sum
         FROM px GROUP BY id""",
 

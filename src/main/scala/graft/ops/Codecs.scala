@@ -310,4 +310,260 @@ object Codecs {
     require(rate > 0 && samples != null, "missing fmt/data chunk")
     Audio(rate, samples)
   }
+
+  // ---- GIF (89a, LZW) — from the published spec (CompuServe GIF89a,
+  // 1990; LZW per Welch 1984 with the GIF variable-code-size variant).
+  // Paletted single-frame images; interlace and local color tables are
+  // rejected with clear errors (the web-corpus fast path is the global-
+  // table still frame).
+
+  /** LSB-first bit writer packed into 255-byte sub-blocks. */
+  private final class LzwBitSink {
+    private val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    private var acc = 0L
+    private var nbits = 0
+    def put(code: Int, size: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += size
+      while (nbits >= 8) {
+        out += (acc & 0xff).toByte
+        acc >>>= 8; nbits -= 8
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (nbits > 0) { out += (acc & 0xff).toByte; nbits = 0 }
+      out.toArray
+    }
+  }
+
+  /** Encode a paletted frame as GIF89a. `palette` is 3·nColors RGB bytes
+    * (nColors a power of two, 2..256); `indices` row-major w·h entries.
+    */
+  def encodeGif(width: Int, height: Int, palette: Array[Byte],
+                indices: Array[Byte]): Array[Byte] = {
+    val nColors = palette.length / 3
+    require(nColors >= 2 && (nColors & (nColors - 1)) == 0 && nColors <= 256,
+      s"palette size must be a power of two in [2,256], got $nColors")
+    require(indices.length == width * height, "indices must be w*h")
+    val bpp = 32 - Integer.numberOfLeadingZeros(nColors - 1) // log2
+    val minCode = math.max(2, bpp)
+    val clear = 1 << minCode; val end = clear + 1
+    val sink = new LzwBitSink
+    var codeSize = minCode + 1
+    var next = end + 1
+    val dict = new java.util.HashMap[Long, Integer]()
+    sink.put(clear, codeSize)
+    var cur = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val b = indices(i) & 0xff
+      val key = cur.toLong << 8 | b
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        sink.put(cur, codeSize)
+        if (next < 4096) {
+          dict.put(key, next)
+          next += 1
+          // canonical (giflib/ImageIO) timing: widen only when the NEXT
+          // emission could not fit, i.e. when next EXCEEDS 2^codeSize —
+          // one step later than the naive == rule (the decoder's table
+          // lags the encoder's by one entry, so == desyncs every stream
+          // at the first width change)
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        } else { // dict full: reset
+          sink.put(clear, codeSize)
+          dict.clear(); codeSize = minCode + 1; next = end + 1
+        }
+        cur = b
+      }
+      i += 1
+    }
+    sink.put(cur, codeSize)
+    sink.put(end, codeSize)
+    val lzw = sink.finish()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0x80 | (bpp - 1) << 4 | (bpp - 1)) // GCT present, size 2^bpp
+    out.write(0); out.write(0)                    // bg index, aspect
+    out.write(palette)
+    out.write(0x2c)                               // image descriptor
+    out.write(le16(0)); out.write(le16(0))
+    out.write(le16(width)); out.write(le16(height))
+    out.write(0)                                  // no LCT, not interlaced
+    out.write(minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode a (single-frame, non-interlaced) GIF to RGB. Extensions are
+    * skipped; local color tables override the global one per the spec.
+    */
+  def decodeGif(bytes: Array[Byte]): Image = {
+    require(bytes.length > 13 &&
+      new String(bytes, 0, 3, "US-ASCII") == "GIF", "not a GIF file")
+    val w0 = readLe16(bytes, 6); val h0 = readLe16(bytes, 8)
+    var off = 10
+    val packed = bytes(off) & 0xff
+    off += 3 // packed + bg + aspect
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      gct = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+      off += 3 * n
+    }
+    while (true) {
+      require(off < bytes.length, "truncated GIF: no trailer")
+      (bytes(off) & 0xff) match {
+        case 0x21 => // extension: label then sub-blocks
+          off += 2
+          require(off < bytes.length, "truncated extension")
+          while ((bytes(off) & 0xff) != 0) {
+            off += 1 + (bytes(off) & 0xff)
+            require(off < bytes.length, "truncated extension sub-block")
+          }
+          off += 1
+        case 0x3b => throw new IllegalArgumentException("GIF has no image data")
+        case 0x2c =>
+          require(off + 10 <= bytes.length, "truncated image descriptor")
+          val iw = readLe16(bytes, off + 5); val ih = readLe16(bytes, off + 7)
+          val ip = bytes(off + 9) & 0xff
+          val interlaced = (ip & 0x40) != 0
+          off += 10
+          var table = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            require(off + 3 * n <= bytes.length, "truncated local color table")
+            table = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+            off += 3 * n
+          }
+          require(table != null, "GIF image with no color table")
+          require(off < bytes.length, "truncated before LZW min code")
+          val minCode = bytes(off) & 0xff
+          require(minCode >= 2 && minCode <= 11, s"bad LZW min code $minCode")
+          off += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var more = true
+          while (more) {
+            require(off < bytes.length, "truncated sub-block length")
+            val n = bytes(off) & 0xff
+            if (n == 0) { more = false; off += 1 }
+            else {
+              require(off + 1 + n <= bytes.length, "truncated sub-block")
+              data.write(bytes, off + 1, n)
+              off += 1 + n
+            }
+          }
+          val lzw = data.toByteArray
+          val raw = lzwDecode(lzw, minCode, iw * ih)
+          // interlace (GIF89a appendix E): rows arrive in four passes
+          val idx = if (!interlaced) raw else {
+            val o = new Array[Byte](iw * ih)
+            var src = 0
+            for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+              var row = start
+              while (row < ih) {
+                System.arraycopy(raw, src * iw, o, row * iw, iw)
+                src += 1; row += step
+              }
+            }
+            o
+          }
+          val px = new Array[Byte](iw * ih * 3)
+          var i = 0
+          while (i < iw * ih) {
+            val c = (idx(i) & 0xff) * 3
+            require(c + 2 < table.length, s"palette index ${idx(i) & 0xff} out of range")
+            px(3 * i) = table(c); px(3 * i + 1) = table(c + 1)
+            px(3 * i + 2) = table(c + 2)
+            i += 1
+          }
+          // spec allows frames smaller than the logical screen; callers
+          // get the frame raster (w0/h0 only matter for composition)
+          val _ = (w0, h0)
+          return Image(iw, ih, 3, px)
+        case other =>
+          throw new IllegalArgumentException(f"unexpected GIF block 0x$other%02x")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** GIF-variant LZW: variable code size from minCode+1 to 12 bits,
+    * LSB-first, clear/end codes, KwKwK case, deferred-clear tolerant.
+    *
+    * Code-size timing: the decoder's dictionary lags the encoder's by
+    * one entry (the encoder defines an entry as it EMITS a code, the
+    * decoder only when it has read the NEXT one), so sizing must track a
+    * separate per-read counter `sizeNext` — the giflib RunningCode
+    * device — not the entry count, or every stream desynchronizes at the
+    * first width change.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int, expect: Int): Array[Byte] = {
+    val clear = 1 << minCode; val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](expect)
+    var outLen = 0
+    var codeSize = minCode + 1
+    var next = end + 1     // actual entries defined
+    var sizeNext = end + 1 // encoder-mirrored counter driving codeSize
+    var prev = -1
+    var acc = 0L; var nbits = 0; var pos = 0
+    while (outLen < expect) {
+      while (nbits < codeSize && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << nbits
+        nbits += 8; pos += 1
+      }
+      require(nbits >= codeSize, "truncated LZW stream")
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize; nbits -= codeSize
+      if (code == clear) {
+        codeSize = minCode + 1; next = end + 1; sizeNext = end + 1; prev = -1
+      } else if (code == end) {
+        require(outLen == expect, s"LZW ended early: $outLen of $expect")
+      } else {
+        require(code < clear || code > end, "reserved LZW code in stream")
+        require(code < next || (code == next && prev >= 0),
+          s"LZW code $code out of range (next=$next)")
+        var sp = 0
+        var c = code
+        if (code == next) { // KwKwK: prev + first(prev)
+          c = prev
+          stack(sp) = 0; sp += 1 // placeholder, patched below
+        }
+        while (c >= end + 1) { // expand via the chain (literals < clear)
+          stack(sp) = suffix(c); sp += 1
+          c = prefix(c)
+        }
+        val first = c.toByte // literal head
+        stack(sp) = first; sp += 1
+        if (code == next) stack(0) = first // the KwKwK trailing byte
+        var k = sp - 1
+        while (k >= 0) {
+          require(outLen < expect, "LZW produced too many pixels")
+          out(outLen) = stack(k); outLen += 1
+          k -= 1
+        }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+        }
+        sizeNext += 1
+        if (sizeNext > (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = code
+      }
+    }
+    out
+  }
 }

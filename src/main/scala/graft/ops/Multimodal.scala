@@ -21,6 +21,8 @@ object Multimodal {
       Some(Codecs.decodePng(bytes))
     else if (bytes.length > 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       Some(Jpeg.decode(bytes))
+    else if (bytes.length > 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      Some(Codecs.decodeGif(bytes))
     else None
 
   val featureSchema: StructType = StructType(Seq(
