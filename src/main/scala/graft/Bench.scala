@@ -77,7 +77,15 @@ object Bench {
     "events_asof", "text_bm25", "raster_flowdir", "raster_watershed",
     // interval-overlap self join (bucket-explode equi), 2-D skyline
     // (bucketed prefix-max), Q13 outer-join distribution, nearest-anchor
-    "events_copresence", "part_skyline", "tpch_q13", "geo_haversine")
+    "events_copresence", "part_skyline", "tpch_q13", "geo_haversine",
+    // 2026-08-20 continuation: flow accumulation (tile condensation),
+    // octile cost-distance + backlink (iterate-to-fixpoint halo Dijkstra),
+    // contour extraction (one halo + map emission), Q19 (broadcast dim +
+    // residual OR), COG overviews (map-only chain), GIF decode, polyline
+    // densify (one window + generator), readability (map-only)
+    "raster_flowacc", "raster_costdist", "raster_cost_backlink",
+    "raster_contours", "tpch_q19", "raster_overviews", "mm_gif_decode",
+    "vector_densify", "text_readability")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

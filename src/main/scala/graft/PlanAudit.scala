@@ -89,7 +89,14 @@ object PlanAudit {
       "events_asof", "text_bm25", "raster_watershed",
       // interval join (bucket equi + overlap-start dedup), skyline
       // (bucketed prefix-max, no dominance theta-join)
-      "events_copresence", "part_skyline")
+      "events_copresence", "part_skyline",
+      // round 5 continuation: Q19 (residual OR after a broadcast-able dim
+      // join), Q12 (join + conditional two-way combine), line ops (one
+      // fid window + generator, no extra exchange), backlink (one stencil
+      // equi-join + min agg), flow accumulation (halo groupByKey + entry
+      // forwarding joins), readability (map-only, zero exchanges)
+      "tpch_q19", "tpch_q12", "vector_densify", "vector_line_interp",
+      "raster_cost_backlink", "raster_flowacc", "text_readability")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -340,6 +340,39 @@ class ScanPruningSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("q19 broadcasts the part dim and pushes scan filters (never SMJ)") {
+    val p = physical("tpch_q19")
+    assert(p.contains("BroadcastHashJoin"),
+      "q19's dim join is not broadcast:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    assert(p.contains("PushedFilters: ["), p.take(400))
+  }
+
+  test("q12 stays one broadcast join + conditional map-side combine") {
+    val p = physical("tpch_q12")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("partial_"),
+      "q12 split counts lost map-side combine:\n" + p.take(1500))
+  }
+
+  test("densify/interpolate cost exactly ONE exchange (the fid window)") {
+    for (n <- Seq("vector_densify", "vector_line_interp")) {
+      val p = physical(n)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges === 1, s"$n grew to $exchanges exchanges:\n" + p.take(1500))
+      assert(!p.contains("CartesianProduct") && !p.contains("Join"), p.take(1200))
+    }
+  }
+
+  test("readability is map-only: zero exchanges, pruned scan") {
+    val p = physical("text_readability")
+    assert(!p.contains("Exchange"),
+      "readability must not shuffle:\n" + p.take(1500))
+    assert(!p.contains("source"), // untouched documents columns pruned
+      "scan reads columns the query never uses:\n" + p.take(1200))
+  }
+
   test("hotspot stencil is a generator + one combine-friendly aggregation") {
     val p = physical("geo_hotspots")
     assert(p.contains("Generate explode"),
