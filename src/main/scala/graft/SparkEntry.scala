@@ -1307,6 +1307,45 @@ object SparkEntry {
       val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
       WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
     },
+    "events_decay" -> { (s, dir) =>
+      // recency-weighted activity in EXACT integer decay units 2^-30
+      // (dyadic half-life weights: no FP, no rounding recipe, no
+      // summation-order sensitivity)
+      Events.decayScores(eventsOf(s, dir))
+    },
+    "raster_reclass" -> { (s, _) =>
+      // range reclassification: half-open bins over the integer fixture
+      TileOps.toPixels(TileOps2.reclassify(
+        TileOps.createRaster(s, rasterSpec)(rasterValue),
+        breaks = Array(20.0, 40.0, 60.0, 80.0),
+        classes = Array(1.0, 2.0, 3.0, 4.0, 5.0)), rasterSpec.tileSize)
+    },
+    "geo_coverage" -> { (s, _) =>
+      // exactextract-style per-cell coverage fractions: quarter-aligned
+      // rect features on the unit grid keep every clip vertex, shoelace
+      // product, and fraction an exact binary fraction — the SQL mirror
+      // is the closed-form rect overlap
+      import s.implicits._
+      val feats = (0 until 10).map { fid =>
+        val x0 = fid * 3 + 0.25; val y0 = fid * 2 + 0.5
+        val x1 = x0 + 2.5; val y1 = y0 + 1.75
+        (fid.toLong, s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))")
+      }.toDF("fid", "wkt")
+      graft.ops.VectorOps2.coverageFractions(feats, "fid", "wkt", cellSize = 1.0)
+    },
+    "geo_sph_area" -> { (s, _) =>
+      // spherical polygon area (Chamberlain & Duquette) — per-row
+      // sequential trig fold, pinned-constant oracle (bit-stable across
+      // parallelism by construction)
+      import s.implicits._
+      val feats = Seq(
+        (0L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        (1L, "POLYGON ((10 50, 11 50, 11 51, 10 51, 10 50))"),
+        (2L, "POLYGON ((-3 -2, 4 -1, 3 5, -4 4, -3 -2))"),
+        (3L, "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 5 2, 5 5, 2 5, 2 2))"))
+        .toDF("fid", "wkt")
+      graft.ops.VectorOps2.sphericalArea(feats, "fid", "wkt")
+    },
     "vector_polylabel" -> { (s, _) =>
       // pole of inaccessibility (Mapbox polylabel), fixture-input: four
       // asymmetric shapes incl. a holed rect and an L — pure per-row
@@ -4751,6 +4790,48 @@ object SparkEntry {
         FROM cums CROSS JOIN fr
         WHERE cum <= CAST(frac AS DOUBLE) * total
           AND CAST(frac AS DOUBLE) * total < cum + len"""),
+    // dyadic half-life weights: integer shifts summed as BIGINT — the
+    // exactness-by-construction alternative to the order-sensitive
+    // exp(-λΔt) float fold
+    "events_decay" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        e AS (SELECT user_id,
+            LEAST((m.max_us - epoch_us(ts)) // 3600000000, 30) AS k
+          FROM events, m)
+        SELECT user_id,
+          CAST(sum(CAST(1 AS BIGINT) << CAST(30 - k AS INTEGER)) AS BIGINT) AS decay_units,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM e GROUP BY user_id""",
+    "raster_reclass" -> (sqlPx +
+      """ SELECT x, y, band,
+          CASE WHEN v < 20.0 THEN 1.0 WHEN v < 40.0 THEN 2.0
+               WHEN v < 60.0 THEN 3.0 WHEN v < 80.0 THEN 4.0
+               ELSE 5.0 END AS v
+        FROM px"""),
+    // closed-form rect overlap on the unit grid; quarter-aligned coords
+    // keep every product an exact binary fraction, so the clip+shoelace
+    // engine path must match bitwise
+    "geo_coverage" ->
+      """WITH f AS (SELECT fid,
+            fid*3 + 0.25 AS x0, fid*2 + 0.5 AS y0,
+            fid*3 + 2.75 AS x1, fid*2 + 2.25 AS y1
+          FROM range(10) t(fid)),
+        c AS (SELECT f.fid, f.x0, f.y0, f.x1, f.y1, cx.cx, cy.cy
+          FROM f, range(0, 32) cx(cx), range(0, 22) cy(cy)
+          WHERE cx.cx >= FLOOR(f.x0) AND cx.cx < CEIL(f.x1)
+            AND cy.cy >= FLOOR(f.y0) AND cy.cy < CEIL(f.y1))
+        SELECT fid, CAST(cx AS INTEGER) AS cx, CAST(cy AS INTEGER) AS cy,
+          (LEAST(x1, CAST(cx + 1 AS DOUBLE)) - GREATEST(x0, CAST(cx AS DOUBLE)))
+          * (LEAST(y1, CAST(cy + 1 AS DOUBLE)) - GREATEST(y0, CAST(cy AS DOUBLE))) AS frac
+        FROM c""",
+    // pinned constants (pin_oracle.py flow): per-row sequential trig fold,
+    // verified bit-stable local[2] vs local[8] before pinning
+    "geo_sph_area" -> """SELECT * FROM (VALUES
+      (0, '12391399902.071104'::DOUBLE),
+      (1, '7882199726.472636'::DOUBLE),
+      (2, '532400015441.36896'::DOUBLE),
+      (3, '679207896806.537'::DOUBLE))
+      AS t("fid", "area_m2")""",
     // pinned constants (pin_oracle.py flow): per-row quadtree refinement
     // with a total cell order — verified bit-stable local[2] vs local[32]
     "vector_polylabel" -> """SELECT * FROM (VALUES

@@ -210,6 +210,31 @@ object Events {
           .as("ov_us"))
   }
 
+  /** Exponential time-decay activity score per user — the recency
+    * weighting a training-mix / freshness sampler runs over an event log.
+    * Weight of an event aged k whole hours (vs the corpus max timestamp)
+    * is 2^(-min(k, 30)); the score is reported in integer "decay units"
+    * of 2^-30: unit(e) = 2^(30 - min(k, 30)). EXACT by construction —
+    * pure integer shifts summed as longs, so no FP, no rounding recipe,
+    * no summation-order sensitivity (the usual exp(-λΔt) float fold is
+    * order-dependent at the last ulp and NOT gate-safe). The 30-hour
+    * floor changes scores by < 1e-9 relative — far below any ranking
+    * use — and is what buys exactness.
+    *
+    * Scale shape: one scalar max (broadcast 1-row), then a map-side-
+    * combined per-user sum. One shuffle.
+    */
+  def decayScores(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val maxT = events.agg(max(us).as("max_us"))
+    events.select(col("user_id"), us.as("us"))
+      .crossJoin(broadcast(maxT))
+      .withColumn("k", expr("least((max_us - us) DIV 3600000000, 30)"))
+      .groupBy("user_id")
+      .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(30 - k AS INT)))")
+        .as("decay_units"), count(lit(1)).as("n_events"))
+  }
+
   /** Per-type value stats with json-ish prop extraction (props is
     * '{"k": NN}'): exact integer parse both engines via substring.
     */

@@ -479,6 +479,76 @@ object VectorOps2 {
       .toDF("fid", "n_rings", "n_pts", "x_min", "x_max", "y_min", "y_max", "wkt")
   }
 
+  /** Per-cell polygon coverage fractions (the exactextract / ESRI
+    * TabulateArea primitive — area-weighted rasterization, upgrading
+    * zonal stats from center-in-cell sampling): for every `cellSize`
+    * grid cell touching the feature's bbox, |poly ∩ cell| / |cell| via
+    * Sutherland–Hodgman clip + shoelace (geo/ClipArea). Holes subtract.
+    * Map-only per feature; output bounded by the feature's bbox cell
+    * count, zero-fraction cells dropped.
+    */
+  def coverageFractions(df: DataFrame, idCol: String, wktCol: String,
+                        cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"cellSize > 0, got $cellSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wktCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (fid, wkt) =>
+        val p = Wkt.parsePolygon(wkt)
+        val b = p.bbox
+        val cx0 = math.floor(b.xMin / cellSize).toInt
+        val cx1 = math.ceil(b.xMax / cellSize).toInt
+        val cy0 = math.floor(b.yMin / cellSize).toInt
+        val cy1 = math.ceil(b.yMax / cellSize).toInt
+        val cellArea = cellSize * cellSize
+        for {
+          cx <- cx0 until cx1
+          cy <- cy0 until cy1
+          a = graft.geo.ClipArea.intersectionArea(p,
+            cx * cellSize, cy * cellSize, (cx + 1) * cellSize, (cy + 1) * cellSize)
+          if a > 0.0
+        } yield (fid, cx, cy, a / cellArea)
+      }
+      .toDF("fid", "cx", "cy", "frac")
+  }
+
+  /** Spherical polygon area (Chamberlain & Duquette, JPL 2007 — the
+    * lat/lon analog of planar shoelace; PostGIS-spherical semantics):
+    * A = R²·|Σ (λᵢ₊₁−λᵢ)(sin φᵢ + sin φᵢ₊₁)| / 2 over the outer ring,
+    * holes subtracted. Pure per-row sequential fold (deterministic
+    * term order), map-only — oracle class: pinned constants, like
+    * polylabel. Not meant for dateline-wrapping rings.
+    */
+  def sphericalArea(df: DataFrame, idCol: String, wktCol: String,
+                    radiusM: Double = 6378137.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ringArea(r: Array[Double]): Double = {
+      val n = r.length / 2
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val j = if (i == n - 1) 0 else i + 1
+        val lam1 = math.toRadians(r(2 * i)); val phi1 = math.toRadians(r(2 * i + 1))
+        val lam2 = math.toRadians(r(2 * j)); val phi2 = math.toRadians(r(2 * j + 1))
+        s += (lam2 - lam1) * (math.sin(phi1) + math.sin(phi2))
+        i += 1
+      }
+      math.abs(s) * radiusM * radiusM / 2.0
+    }
+    df.select(col(idCol).cast("long"), col(wktCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (fid, wkt) =>
+        val p = Wkt.parsePolygon(wkt)
+        var a = ringArea(p.rings(0))
+        var h = 1
+        while (h < p.rings.length) { a -= ringArea(p.rings(h)); h += 1 }
+        (fid, a)
+      }
+      .toDF("fid", "area_m2")
+  }
+
   /** Pole of inaccessibility per feature (Mapbox polylabel quadtree,
     * geo/Polylabel.scala): the optimal label point and its clearance
     * radius. Map-only — each polygon refines independently; a 10⁹-row

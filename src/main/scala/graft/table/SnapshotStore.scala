@@ -120,6 +120,63 @@ class SnapshotStore(val root: String) {
   def setCrsProperty(epsg: Int): Snapshot = commit(Seq.empty, Map("crs" -> epsg.toString))
   def crsProperty: Option[Int] = current().flatMap(_.properties.get("crs")).map(_.toInt)
 
+  /** Snapshot maintenance — the Iceberg `expire_snapshots` +
+    * `remove_orphan_files` pair, which a continuously-recommitting
+    * 100-TB tiling table needs or its manifest/file count grows without
+    * bound. Retains the `keepLast` snapshots on CURRENT's parent chain,
+    * deletes every other manifest, then deletes data files referenced by
+    * NO retained snapshot (shared partitions across retained snapshots
+    * survive — references are unioned before anything is touched).
+    * Returns (expired versions, deleted data file paths). Time travel to
+    * expired versions is gone afterward, exactly like Iceberg.
+    *
+    * Safety order mirrors Iceberg's: manifests first (a crash between
+    * the two phases leaves only unreferenced files — re-running cleans
+    * them), CURRENT is never touched, and file deletion double-checks
+    * against the retained reference set built BEFORE any delete.
+    */
+  def expireSnapshots(keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, s"keepLast >= 1, got $keepLast")
+    current() match {
+      case None => (Seq.empty, Seq.empty)
+      case Some(cur) =>
+        val keep = scala.collection.mutable.LinkedHashSet(cur.version)
+        var v = cur
+        while (keep.size < keepLast && v.parent > 0) {
+          v = readSnapshot(v.parent)
+          keep += v.version
+        }
+        // data-relative resolved paths referenced by retained snapshots
+        val referenced: Set[Path] = keep.iterator.map(readSnapshot).flatMap {
+          s =>
+            s.partitions.values.flatMap { p =>
+              p.files.map(f =>
+                if (f.contains("/")) Paths.get(root, "data", f)
+                else Paths.get(dataPath(p.bucket), f))
+            }
+        }.map(_.toAbsolutePath.normalize).toSet
+        val expired = Files.list(snapDir).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("v") && n.endsWith(".json"))
+          .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+          .filterNot(keep.contains).toSeq.sorted
+        expired.foreach(e => Files.deleteIfExists(snapDir.resolve(f"v$e%05d.json")))
+        val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (Files.exists(dataDir)) {
+          Files.walk(dataDir).iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .foreach { p =>
+              if (!referenced.contains(p.toAbsolutePath.normalize)) {
+                Files.delete(p)
+                deleted += p.toString
+              }
+            }
+        }
+        (expired, deleted.toSeq)
+    }
+  }
+
   /** Buckets still missing from the latest snapshot. */
   def pending(universe: Seq[Int]): Seq[Int] = {
     val done = current().map(_.doneBuckets).getOrElse(Set.empty)

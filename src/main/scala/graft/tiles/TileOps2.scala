@@ -471,6 +471,34 @@ object TileOps2 {
     }
   }
 
+  /** Range reclassification (gdal_calc / ESRI Reclassify): value v maps
+    * to classes(i) for the first i with v < breaks(i), else
+    * classes(breaks.length) — i.e. half-open bins (-inf, b0), [b0, b1),
+    * …, [bLast, +inf). Map-only, tile-local, codegen-trivial; NaN
+    * (nodata) passes through unchanged.
+    */
+  def reclassify(tiles: Dataset[Tile], breaks: Array[Double],
+                 classes: Array[Double]): Dataset[Tile] = {
+    require(classes.length == breaks.length + 1,
+      s"need breaks+1 classes, got ${breaks.length} breaks / ${classes.length} classes")
+    require(breaks.sameElements(breaks.sorted), "breaks must be ascending")
+    tiles.map { t =>
+      val out = new Array[Double](t.pixels.length)
+      var i = 0
+      while (i < out.length) {
+        val v = t.pixels(i)
+        if (v.isNaN) out(i) = v
+        else {
+          var j = 0
+          while (j < breaks.length && v >= breaks(j)) j += 1
+          out(i) = classes(j)
+        }
+        i += 1
+      }
+      t.copy(pixels = out)
+    }
+  }
+
   /** Overview pyramid (the Cloud-Optimized-GeoTIFF / gdaladdo convention):
     * `levels` successive 2× average reductions, EACH LEVEL COMPUTED FROM
     * THE PREVIOUS one — the COG recipe, which differs from sampling the

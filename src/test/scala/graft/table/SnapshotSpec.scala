@@ -138,4 +138,34 @@ class SnapshotSpec extends AnyFunSuite {
     val expect1 = input.filter(col("bucket") < 3).select("id").collect().map(_.getLong(0)).toSet
     assert(ids1 === expect1)
   }
+
+  test("expire_snapshots + remove_orphan_files: retained reads intact") {
+    val root = freshRoot()
+    val store = new SnapshotStore(root)
+    val w = new CheckpointedWriter(store, "src@test")
+    w.run(input, 8, 2, failAfterCommits = 1) // v1: buckets 0..1
+    w.run(input, 8, 2, failAfterCommits = 1) // v2: buckets 2..3
+    w.run(input, 8, 2)                       // v3, v4: the rest
+    val cur = store.current().get.version
+    assert(cur >= 3)
+    // plant an ORPHAN: a data file present on disk but referenced by no
+    // manifest (the residue a failed task attempt leaves behind)
+    val extra = java.nio.file.Paths.get(store.dataPath(0), "orphan.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Files.list(java.nio.file.Paths.get(store.dataPath(0)))
+        .iterator().next(), extra)
+    val before = store.readVersion(spark, cur).count()
+    val (expired, deleted) = store.expireSnapshots(keepLast = 2)
+    // v1 (and v2 when cur=4) expired; orphan.parquet deleted
+    assert(expired.nonEmpty && expired.forall(_ <= cur - 2))
+    assert(deleted.exists(_.endsWith("orphan.parquet")), deleted.mkString(","))
+    // retained snapshots still read exactly as before
+    assert(store.readVersion(spark, cur).count() === before)
+    assert(store.readVersion(spark, cur - 1).count() > 0)
+    // expired manifest is gone
+    intercept[Exception](store.readSnapshot(expired.head))
+    // idempotent: second run deletes nothing further
+    val (e2, d2) = store.expireSnapshots(keepLast = 2)
+    assert(e2.isEmpty && d2.isEmpty)
+  }
 }
