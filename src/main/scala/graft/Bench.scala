@@ -85,7 +85,11 @@ object Bench {
     // densify (one window + generator), readability (map-only)
     "raster_flowacc", "raster_costdist", "raster_cost_backlink",
     "raster_contours", "tpch_q19", "raster_overviews", "mm_gif_decode",
-    "vector_densify", "text_readability")
+    "vector_densify", "text_readability",
+    // 2026-08-20 session 2: area-weighted zonal (broadcast R-tree +
+    // exact clip kernel, one map-side-combined shuffle), vector tiling
+    // cut (map-only fan-out), recency decay (integer shifts, one agg)
+    "raster_zonal_weighted", "vector_tile_clip", "events_decay")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

@@ -96,7 +96,10 @@ object PlanAudit {
       // equi-join + min agg), flow accumulation (halo groupByKey + entry
       // forwarding joins), readability (map-only, zero exchanges)
       "tpch_q19", "tpch_q12", "vector_densify", "vector_line_interp",
-      "raster_cost_backlink", "raster_flowacc", "text_readability")
+      "raster_cost_backlink", "raster_flowacc", "text_readability",
+      // area-weighted zonal (broadcast zones, pixels never shuffle, one
+      // map-side-combined agg) + the vector tiling cut (map-only fan-out)
+      "raster_zonal_weighted", "vector_tile_clip")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

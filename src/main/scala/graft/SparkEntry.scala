@@ -77,6 +77,24 @@ object SparkEntry {
     .map { case (id, x0, x1, y0, y1) => s"($id, $x0, $x1, $y0, $y1)" }
     .mkString("(VALUES ", ", ", ") AS zones(zone, zx0, zx1, zy0, zy1)")
 
+  /** Zones for the AREA-WEIGHTED zonal query: sixteenth-aligned edges
+    * (multiples of 0.0625 = the cell area quantum) sit strictly INSIDE
+    * pixel cells, so boundary fractions ∈ {1/4, 1/2, 3/4} per axis are
+    * live everywhere — and every fraction/product/partial sum stays an
+    * exact binary fraction (order-independent FP ⇒ hash-exact oracle).
+    */
+  private val wzoneRects: Seq[(Long, Double, Double, Double, Double)] = Seq(
+    (1L, 0.0625, 16.1875, 48.0625, 63.8125),
+    (2L, 16.3125, 47.9375, 16.1875, 47.8125),
+    (3L, 48.0625, 63.8125, 0.1875, 15.9375),
+    (4L, 8.3125, 55.6875, 30.5625, 33.1875),
+    (5L, 61.9375, 70.0, 59.8125, 70.0)) // partially outside the raster
+  private def wzonePolys = wzoneRects.map { case (id, x0, x1, y0, y1) =>
+    (id, Polygon.box(BBox(x0, x1, y0, y1))) }
+  private val sqlWZones = wzoneRects
+    .map { case (id, x0, x1, y0, y1) => s"($id, $x0, $x1, $y0, $y1)" }
+    .mkString("(VALUES ", ", ", ") AS zones(zone, zx0, zx1, zy0, zy1)")
+
   /** Shared oracle CTEs for the text/dedup family. */
   /** SQL mirror of [[anchorFixture]] plus the two-group anchor regex —
     * shared by the web_anchors / web_anchor_terms oracles.
@@ -956,6 +974,14 @@ object SparkEntry {
         TileOps.createRaster(s, rasterSpec)(rasterValue), zonePolys)
     },
 
+    "raster_zonal_weighted" -> { (s, _) =>
+      // exactextract-style area-weighted zonal stats: coverage fractions
+      // from the exact clip kernel; sixteenth-aligned zones keep every
+      // fraction/partial sum an exact binary fraction (order-free FP)
+      graft.tiles.Zonal.zonalWeighted(
+        TileOps.createRaster(s, rasterSpec)(rasterValue), wzonePolys)
+    },
+
     "raster_coregister" -> { (s, _) =>
       // EFolki dense-flow coregistration of a synthetically shifted pair.
       // Iterative LK flow has no SQL mirror, but the per-tile mean flow is
@@ -1332,6 +1358,19 @@ object SparkEntry {
         (fid.toLong, s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))")
       }.toDF("fid", "wkt")
       graft.ops.VectorOps2.coverageFractions(feats, "fid", "wkt", cellSize = 1.0)
+    },
+    "vector_tile_clip" -> { (s, _) =>
+      // polygon layer partitioned onto a 4.0 tile grid (the vector-tile
+      // cut / overlay shuffle key): rect features spanning 2-3 tiles per
+      // axis; canonical-ring WKT makes the emit string-exact against the
+      // closed-form rect∩tile mirror
+      import s.implicits._
+      val feats = (0 until 12).map { fid =>
+        val x0 = fid * 1.75 + 0.25; val y0 = fid * 1.25 + 0.5
+        val x1 = x0 + 6.5; val y1 = y0 + 3.75
+        (fid.toLong, s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))")
+      }.toDF("fid", "wkt")
+      graft.ops.VectorOps2.clipToGrid(feats, "fid", "wkt", tileSize = 4.0)
     },
     "geo_sph_area" -> { (s, _) =>
       // spherical polygon area (Chamberlain & Duquette) — per-row
@@ -3606,6 +3645,23 @@ object SparkEntry {
 
     "raster_zonal_full" -> zonalFullOracle,
 
+    // closed-form rect∩cell overlap; sixteenth-aligned zones keep every
+    // fraction, product, and partial sum an exact binary fraction on
+    // both engines, so the clip+shoelace path must match bitwise
+    "raster_zonal_weighted" -> (sqlPx +
+      s""" SELECT CAST(zone AS BIGINT) AS zone, band,
+          CAST(count(*) AS BIGINT) AS n_cells,
+          sum(frac) AS cov_px, sum(v * frac) AS wsum,
+          sum(v * frac) / sum(frac) AS wmean
+        FROM (SELECT zone, band, v,
+            (LEAST(zx1, (x + 1) * 0.25) - GREATEST(zx0, x * 0.25))
+            * (LEAST(zy1, 64.0 - y * 0.25) - GREATEST(zy0, 64.0 - (y + 1) * 0.25))
+            / 0.0625 AS frac
+          FROM px JOIN $sqlWZones
+            ON (x + 1) * 0.25 > zx0 AND x * 0.25 < zx1
+            AND 64.0 - y * 0.25 > zy0 AND 64.0 - (y + 1) * 0.25 < zy1)
+        WHERE frac > 0 GROUP BY 1, 2"""),
+
     "raster_convolve_sum" -> (sqlPxConv +
       """ SELECT a.x, a.y, a.band, (sum(b.v) * 9.0) / count(*) AS v
         FROM px a JOIN px b
@@ -4824,6 +4880,24 @@ object SparkEntry {
           (LEAST(x1, CAST(cx + 1 AS DOUBLE)) - GREATEST(x0, CAST(cx AS DOUBLE)))
           * (LEAST(y1, CAST(cy + 1 AS DOUBLE)) - GREATEST(y0, CAST(cy AS DOUBLE))) AS frac
         FROM c""",
+    // closed-form rect∩tile with string-exact canonical WKT (CCW from the
+    // bottom-left vertex — the engine canonicalizes clip output to exactly
+    // this form); DuckDB CAST(DOUBLE AS VARCHAR) prints quarter-dyadics
+    // identically to Java Double.toString
+    "vector_tile_clip" ->
+      """WITH f AS (SELECT fid, fid*1.75 + 0.25 AS x0, fid*1.25 + 0.5 AS y0,
+            fid*1.75 + 6.75 AS x1, fid*1.25 + 4.25 AS y1 FROM range(12) t(fid)),
+        c AS (SELECT fid, CAST(tx.tx AS INTEGER) AS tx, CAST(ty.ty AS INTEGER) AS ty,
+            GREATEST(x0, tx.tx * 4.0) AS cx0, GREATEST(y0, ty.ty * 4.0) AS cy0,
+            LEAST(x1, tx.tx * 4.0 + 4.0) AS cx1, LEAST(y1, ty.ty * 4.0 + 4.0) AS cy1
+          FROM f, range(0, 8) tx(tx), range(0, 6) ty(ty))
+        SELECT fid, tx, ty, (cx1 - cx0) * (cy1 - cy0) AS part_area,
+          'POLYGON ((' || CAST(cx0 AS VARCHAR) || ' ' || CAST(cy0 AS VARCHAR) || ', '
+            || CAST(cx1 AS VARCHAR) || ' ' || CAST(cy0 AS VARCHAR) || ', '
+            || CAST(cx1 AS VARCHAR) || ' ' || CAST(cy1 AS VARCHAR) || ', '
+            || CAST(cx0 AS VARCHAR) || ' ' || CAST(cy1 AS VARCHAR) || ', '
+            || CAST(cx0 AS VARCHAR) || ' ' || CAST(cy0 AS VARCHAR) || '))' AS wkt
+        FROM c WHERE cx1 > cx0 AND cy1 > cy0""",
     // pinned constants (pin_oracle.py flow): per-row sequential trig fold,
     // verified bit-stable local[2] vs local[8] before pinning
     "geo_sph_area" -> """SELECT * FROM (VALUES

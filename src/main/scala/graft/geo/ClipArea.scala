@@ -86,4 +86,66 @@ object ClipArea {
       java.util.Arrays.copyOf(r, n - 2)
     else r
   }
+
+  /** Ring clipped to the box (open form, possibly closed input), with
+    * consecutive-duplicate vertices collapsed (Sutherland–Hodgman emits
+    * them when a vertex lies ON a clip edge). Empty result ⇒ no overlap.
+    */
+  def clipRing(ring: Array[Double], x0: Double, y0: Double,
+               x1: Double, y1: Double): Array[Double] =
+    dedupVertices(clipRingToBox(toOpenRing(ring), x0, y0, x1, y1))
+
+  private def dedupVertices(r: Array[Double]): Array[Double] = {
+    val n = r.length / 2
+    if (n == 0) return r
+    val out = new scala.collection.mutable.ArrayBuffer[Double](r.length)
+    var i = 0
+    while (i < n) {
+      val j = if (i == n - 1) 0 else i + 1
+      if (r(2 * i) != r(2 * j) || r(2 * i + 1) != r(2 * j + 1)) {
+        out += r(2 * i); out += r(2 * i + 1)
+      }
+      i += 1
+    }
+    if (out.length >= 6) out.toArray else Array.empty[Double]
+  }
+
+  /** Canonical form of an open ring: rotated to start at the
+    * lexicographically smallest (x, y) vertex, oriented CCW when
+    * `ccw` (shell convention) else CW (hole convention). Makes clip
+    * output independent of the clipper's emission order — required for
+    * string-exact WKT oracles and stable dedup keys.
+    */
+  def canonicalRing(ring: Array[Double], ccw: Boolean): Array[Double] = {
+    val n = ring.length / 2
+    if (n == 0) return ring
+    val oriented =
+      if ((shoelace(ring) >= 0.0) == ccw) ring
+      else {
+        val rev = new Array[Double](ring.length)
+        var i = 0
+        while (i < n) {
+          rev(2 * i) = ring(2 * (n - 1 - i))
+          rev(2 * i + 1) = ring(2 * (n - 1 - i) + 1)
+          i += 1
+        }
+        rev
+      }
+    var best = 0
+    var i = 1
+    while (i < n) {
+      val bx = oriented(2 * best); val by = oriented(2 * best + 1)
+      val x = oriented(2 * i); val y = oriented(2 * i + 1)
+      if (x < bx || (x == bx && y < by)) best = i
+      i += 1
+    }
+    val out = new Array[Double](ring.length)
+    i = 0
+    while (i < n) {
+      val s = (best + i) % n
+      out(2 * i) = oriented(2 * s); out(2 * i + 1) = oriented(2 * s + 1)
+      i += 1
+    }
+    out
+  }
 }

@@ -513,6 +513,53 @@ object VectorOps2 {
       .toDF("fid", "cx", "cy", "frac")
   }
 
+  /** Polygon layer partitioned onto a square tile grid (the vector-tile
+    * / spatial-partitioning primitive: tippecanoe's tiling cut, or the
+    * shuffle key a 100-TB vector overlay co-locates on): each feature is
+    * clipped to every `tileSize` grid tile its bbox touches
+    * (Sutherland–Hodgman per ring, holes clipped independently — valid
+    * because the tile is convex). Output rings are CANONICAL (shell CCW,
+    * holes CW, start = lexicographically smallest vertex) so the emitted
+    * WKT is a deterministic function of the geometry, independent of the
+    * clipper's walk order. Map-only: no shuffle, each feature fans out to
+    * its own tiles; downstream ops co-locate by (tx, ty).
+    */
+  def clipToGrid(df: DataFrame, idCol: String, wktCol: String,
+                 tileSize: Double): DataFrame = {
+    require(tileSize > 0, s"tileSize > 0, got $tileSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wktCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (fid, wkt) =>
+        val p = Wkt.parsePolygon(wkt)
+        val b = p.bbox
+        val tx0 = math.floor(b.xMin / tileSize).toInt
+        val tx1 = math.ceil(b.xMax / tileSize).toInt
+        val ty0 = math.floor(b.yMin / tileSize).toInt
+        val ty1 = math.ceil(b.yMax / tileSize).toInt
+        for {
+          tx <- tx0 until tx1
+          ty <- ty0 until ty1
+          x0 = tx * tileSize; y0 = ty * tileSize
+          shell = graft.geo.ClipArea.clipRing(p.rings(0),
+            x0, y0, x0 + tileSize, y0 + tileSize)
+          if shell.nonEmpty
+        } yield {
+          val rings = Array(graft.geo.ClipArea.canonicalRing(shell, ccw = true)) ++
+            p.rings.drop(1).iterator
+              .map(h => graft.geo.ClipArea.clipRing(h, x0, y0, x0 + tileSize, y0 + tileSize))
+              .filter(_.nonEmpty)
+              .map(h => graft.geo.ClipArea.canonicalRing(h, ccw = false))
+          val part = Polygon(rings)
+          (fid, tx, ty, Wkt.area(part), Wkt.toWkt(part))
+        }
+      }
+      // zero-area parts (edge-touch slivers, hole-swallowed tiles) drop
+      .filter(_._4 > 0.0)
+      .toDF("fid", "tx", "ty", "part_area", "wkt")
+  }
+
   /** Spherical polygon area (Chamberlain & Duquette, JPL 2007 — the
     * lat/lon analog of planar shoelace; PostGIS-spherical semantics):
     * A = R²·|Σ (λᵢ₊₁−λᵢ)(sin φᵢ + sin φᵢ₊₁)| / 2 over the outer ring,

@@ -307,4 +307,76 @@ object Zonal {
         (col("vmin") + (col("bin").cast("double") + lit(0.5))
           * (col("vmax") - col("vmin")) / lit(bins)).as("mode_binned"))
   }
+
+  /** AREA-WEIGHTED zonal statistics — the exactextract / GDAL
+    * `-weighted` upgrade over center-in-cell sampling: each pixel
+    * contributes `|zone ∩ cell| / |cell|` of its value, so a boundary
+    * cell that is 30% covered weighs 0.3 instead of the all-or-nothing
+    * center test (reference's zonal path is center-in:
+    * buteo/vector/zonal_statistics.py:141-162; this is its published
+    * refinement). Coverage comes from the exact Sutherland–Hodgman clip
+    * + shoelace kernel (geo/ClipArea) — on dyadic-aligned zones every
+    * fraction, product, and partial sum is an exact binary fraction, so
+    * the result is bit-identical at any parallelism.
+    *
+    * Distribution shape: pixels never shuffle. The zone R-tree
+    * broadcasts; each tile scans only the pixel index window of
+    * zone-bbox ∩ tile; one map-side-combined shuffle aggregates the
+    * per-(zone, band) partials (n_cells, Σfrac, Σfrac·v).
+    */
+  def zonalWeighted(tiles: Dataset[Tile], zones: Seq[(Long, Polygon)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val zoneArr = zones.toArray
+    val tree = RTree.build(zoneArr.map(_._2.bbox))
+    val bc = spark.sparkContext.broadcast((zoneArr, tree))
+
+    val partials = tiles.flatMap { t =>
+      val (zs, tr) = bc.value
+      val tb = t.bbox
+      val cand = tr.query(tb.xMin, tb.xMax, tb.yMin, tb.yMax)
+      val cellArea = math.abs(t.pxW * t.pxH)
+      val out = collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double, Double)]
+      var ci = 0
+      while (ci < cand.length) {
+        val (zid, zp) = zs(cand(ci))
+        val zb = zp.bbox
+        // pixel index window of zone-bbox ∩ tile (pxH < 0: y grows down)
+        val colLo = math.max(0, math.floor((zb.xMin - t.originX) / t.pxW).toInt)
+        val colHi = math.min(t.w - 1, math.ceil((zb.xMax - t.originX) / t.pxW).toInt)
+        val rowLo = math.max(0, math.floor((zb.yMax - t.originY) / t.pxH).toInt)
+        val rowHi = math.min(t.h - 1, math.ceil((zb.yMin - t.originY) / t.pxH).toInt)
+        var nCells = 0L; var cov = 0.0; var wsum = 0.0
+        var r = rowLo
+        while (r <= rowHi) {
+          val gy1 = t.originY + r * t.pxH       // cell top
+          val gy0 = t.originY + (r + 1) * t.pxH // cell bottom
+          var c = colLo
+          while (c <= colHi) {
+            val v = t.pixels(r * t.w + c)
+            if (v != t.nodata && !v.isNaN) {
+              val gx0 = t.originX + c * t.pxW
+              val a = graft.geo.ClipArea.intersectionArea(
+                zp, gx0, gy0, gx0 + t.pxW, gy1)
+              if (a > 0.0) {
+                val frac = a / cellArea
+                nCells += 1L; cov += frac; wsum += frac * v
+              }
+            }
+            c += 1
+          }
+          r += 1
+        }
+        if (nCells > 0) out += ((zid, t.band, nCells, cov, wsum))
+        ci += 1
+      }
+      out.iterator
+    }.toDF("zone", "band", "n_cells", "cov", "wsum")
+
+    partials.groupBy("zone", "band")
+      .agg(sum("n_cells").as("n_cells"), sum("cov").as("cov_px"),
+        sum("wsum").as("wsum"))
+      .withColumn("wmean", col("wsum") / col("cov_px"))
+  }
 }

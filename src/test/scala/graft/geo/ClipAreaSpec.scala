@@ -46,4 +46,36 @@ class ClipAreaSpec extends AnyFunSuite {
     val closed = Polygon(Array(Array(0, 0, 2, 0, 2, 2, 0, 2, 0, 0)))
     assert(ClipArea.intersectionArea(closed, 0, 0, 2, 2) === 4.0)
   }
+
+  test("canonicalRing: rotation + orientation to CCW-from-min-vertex") {
+    // same square entered in 4 rotations × both orientations all map to
+    // the single canonical form
+    val want = Array[Double](1, 1, 3, 1, 3, 3, 1, 3)
+    val base = Array[Double](1, 1, 3, 1, 3, 3, 1, 3)
+    for (rot <- 0 until 4) {
+      val rotated = Array.tabulate(8) { i =>
+        base((2 * rot + i) % 8)
+      }
+      assert(ClipArea.canonicalRing(rotated, ccw = true).toSeq === want.toSeq,
+        s"rot $rot")
+      val rev = rotated.grouped(2).toSeq.reverse.flatten.toArray
+      assert(ClipArea.canonicalRing(rev, ccw = true).toSeq === want.toSeq,
+        s"rot $rot reversed")
+    }
+    // hole convention: CW
+    val cw = ClipArea.canonicalRing(base, ccw = false)
+    assert(ClipArea.shoelace(cw) < 0 && cw(0) == 1.0 && cw(1) == 1.0)
+  }
+
+  test("clipRing: edge-touch collapses to empty; boundary dups removed") {
+    // square touching the clip window only along x=2
+    val r = Array[Double](2, 0, 4, 0, 4, 2, 2, 2)
+    assert(ClipArea.clipRing(r, 0, 0, 2, 2).isEmpty)
+    // square with a vertex ON the clip edge: no consecutive duplicates
+    val s = Array[Double](1, 1, 3, 1, 3, 3, 1, 3)
+    val c = ClipArea.clipRing(s, 1, 1, 2, 2)
+    val pts = c.grouped(2).map(a => (a(0), a(1))).toSeq
+    assert(pts.distinct.length === pts.length, s"dup vertices in $pts")
+    assert(math.abs(ClipArea.shoelace(ClipArea.canonicalRing(c, ccw = true))) === 1.0)
+  }
 }

@@ -108,6 +108,73 @@ class MixedOpsR5Spec extends AnyFunSuite {
     assert(got(3L) > 50 * want0 && got(3L) < 56 * want0)
   }
 
+  test("zonal weighted: hand-computed boundary fractions and nodata skip") {
+    import graft.geo.{BBox, Polygon}
+    // 4×4 px raster, 1.0 pixels, origin (0,4): v = x + 4y
+    val spec = RasterSpec(0.0, 4.0, 1.0, -1.0, 4, 4, 2, 1)
+    val r = TileOps.createRaster(spark, spec)((x, y, _) => (x + 4 * y).toDouble)
+    // zone = [0.5, 2.5] × [2.5, 3.5] in geo coords: covers the y=0 px row
+    // half-height and y=1 row half-height; x fractions 0.5, 1, 0.5
+    val z = Seq((7L, Polygon.box(BBox(0.5, 2.5, 2.5, 3.5))))
+    val got = graft.tiles.Zonal.zonalWeighted(r, z).collect()
+    assert(got.length === 1)
+    val row = got(0)
+    assert(row.getLong(row.fieldIndex("n_cells")) === 6L)
+    assert(row.getDouble(row.fieldIndex("cov_px")) === 2.0)
+    // top row (y=0): v = 0,1,2 w/ fracs .25,.5,.25 ; row y=1: v = 4,5,6
+    val wsum = 0.25 * 0 + 0.5 * 1 + 0.25 * 2 + 0.25 * 4 + 0.5 * 5 + 0.25 * 6
+    assert(row.getDouble(row.fieldIndex("wsum")) === wsum)
+    assert(row.getDouble(row.fieldIndex("wmean")) === wsum / 2.0)
+    // weighted ≠ center-in: center test would count 2 cells (centers at
+    // y=3.5 row, x=1.5/2.5? centers (0.5..3.5)) — distinct semantics pinned
+    // by the exact fractions above
+  }
+
+  test("zonal weighted: shard merge ≡ whole (partial-sum exactness)") {
+    import graft.geo.{BBox, Polygon}
+    val spec = RasterSpec(0.0, 64.0, 0.25, -0.25, 64, 64, 8, 1)
+    val r = TileOps.createRaster(spark, spec)((x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
+    val z = Seq((1L, Polygon.box(BBox(0.0625, 15.8125, 48.1875, 63.9375))))
+    val whole = graft.tiles.Zonal.zonalWeighted(r, z).collect()(0)
+    val re = graft.tiles.Zonal.zonalWeighted(r.repartition(13), z).collect()(0)
+    for (f <- Seq("n_cells", "cov_px", "wsum", "wmean"))
+      assert(whole.get(whole.fieldIndex(f)) === re.get(re.fieldIndex(f)), f)
+  }
+
+  test("clipToGrid: spanning rect tiles exactly, areas partition") {
+    import spark.implicits._
+    val feats = Seq((5L, "POLYGON ((1.25 0.5, 9.75 0.5, 9.75 6.5, 1.25 6.5, 1.25 0.5))"))
+      .toDF("fid", "wkt")
+    val parts = VectorOps2.clipToGrid(feats, "fid", "wkt", 4.0).collect()
+    // bbox spans tx 0..2, ty 0..1 → 6 parts
+    assert(parts.length === 6)
+    val total = parts.map(_.getDouble(3)).sum
+    assert(total === 8.5 * 6.0)
+    // the fully-interior tile (1,0)... tile [4,8]×[0,4] clipped: full width
+    val p10 = parts.find(r => r.getInt(1) == 1 && r.getInt(2) == 0).get
+    assert(p10.getString(4) ===
+      "POLYGON ((4.0 0.5, 8.0 0.5, 8.0 4.0, 4.0 4.0, 4.0 0.5))")
+  }
+
+  test("clipToGrid: holes clip per-tile; hole-swallowed tile drops") {
+    import spark.implicits._
+    // shell [0,8]², hole [3,5]² centered on the 4-grid cross point: every
+    // tile keeps a quarter of the hole
+    val feats = Seq((1L,
+      "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (3 3, 5 3, 5 5, 3 5, 3 3))"))
+      .toDF("fid", "wkt")
+    val parts = VectorOps2.clipToGrid(feats, "fid", "wkt", 4.0).collect()
+    assert(parts.length === 4)
+    assert(parts.map(_.getDouble(3)).sum === 64.0 - 4.0)
+    // hole-swallows-tile: shell [0,8]², hole [3.5,8.5]×[3.5,8.5] — covers
+    // nothing fully, but hole [4,8]² would; plant that
+    val feats2 = Seq((2L,
+      "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (4 4, 8 4, 8 8, 4 8, 4 4))"))
+      .toDF("fid", "wkt")
+    val p2 = VectorOps2.clipToGrid(feats2, "fid", "wkt", 4.0).collect()
+    assert(p2.length === 3, p2.mkString(";")) // tile (1,1) is all hole → dropped
+  }
+
   test("destination point: cardinal bearings match closed forms") {
     import spark.implicits._
     val R = 6378137.0

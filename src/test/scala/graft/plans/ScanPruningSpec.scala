@@ -383,4 +383,37 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("area-weighted zonal: pixels never shuffle, one combined agg") {
+    // zones broadcast; each tile emits per-(zone,band) PARTIALS, so the
+    // only Exchange is the final aggregate and it must combine map-side.
+    // A refactor emitting per-PIXEL rows re-keys the whole raster.
+    val p = physical("raster_zonal_weighted")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "weighted zonal should shuffle exactly once:\n" + p.take(1500))
+    assert(p.contains("partial_"),
+      "weighted zonal lost its map-side combine:\n" + p.take(1500))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("vector tiling cut is map-only fan-out: zero exchanges, no join") {
+    val p = physical("vector_tile_clip")
+    assert(!p.contains("Exchange"),
+      "clipToGrid gained a shuffle:\n" + p.take(1500))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("decay scores: one broadcast scalar + one combined agg") {
+    // the corpus-max timestamp is a 1-row broadcast; the page side keeps
+    // its single shuffle (the per-user agg) with map-side combine
+    val p = physical("events_decay")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "max-ts frame not broadcast:\n" + p.take(1500))
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "decay scores should shuffle exactly once:\n" + p.take(1500))
+    assert(p.contains("partial_"),
+      "decay agg lost its map-side combine:\n" + p.take(1500))
+  }
+
 }
