@@ -89,7 +89,10 @@ object Bench {
     // 2026-08-20 session 2: area-weighted zonal (broadcast R-tree +
     // exact clip kernel, one map-side-combined shuffle), vector tiling
     // cut (map-only fan-out), recency decay (integer shifts, one agg)
-    "raster_zonal_weighted", "vector_tile_clip", "events_decay")
+    "raster_zonal_weighted", "vector_tile_clip", "events_decay",
+    // JL projection (map-only Long sums), per-user trajectory (one
+    // shared exchange), Brovey pan-sharpen (one tile-key shuffle)
+    "emb_rp", "events_trajectory", "raster_pansharpen")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

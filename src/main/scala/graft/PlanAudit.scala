@@ -99,7 +99,9 @@ object PlanAudit {
       "raster_cost_backlink", "raster_flowacc", "text_readability",
       // area-weighted zonal (broadcast zones, pixels never shuffle, one
       // map-side-combined agg) + the vector tiling cut (map-only fan-out)
-      "raster_zonal_weighted", "vector_tile_clip")
+      "raster_zonal_weighted", "vector_tile_clip",
+      // JL sketch (map-only), trajectory (window+agg on one exchange)
+      "emb_rp", "events_trajectory")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -1339,12 +1339,38 @@ object SparkEntry {
       // summation-order sensitivity)
       Events.decayScores(eventsOf(s, dir))
     },
+    "events_trajectory" -> { (s, dir) =>
+      // per-user movement summary: event positions synthesized as exact
+      // dyadic halves from event_id (both engines parse identical
+      // doubles); hop lengths in ROUND-0 whole meters (trig recipe)
+      val pts = eventsOf(s, dir).select(col("user_id"), col("ts"),
+        col("event_id").as("seq"),
+        (((col("event_id") * 29) % 720).cast("double") / 2.0 - 180.0).as("lon"),
+        (((col("event_id") * 37) % 320).cast("double") / 2.0 - 80.0).as("lat"))
+      Events.trajectorySummary(pts)
+    },
+    "emb_rp" -> { (s, dir) =>
+      // Johnson–Lindenstrauss ±1 projection 64→8 in exact Long
+      // arithmetic; flattened via posexplode for the oracle
+      val proj = Similarity.randomProjection(
+        s.read.parquet(s"$dir/embeddings.parquet"), outDims = 8)
+      proj.select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "pv")))
+    },
     "raster_reclass" -> { (s, _) =>
       // range reclassification: half-open bins over the integer fixture
       TileOps.toPixels(TileOps2.reclassify(
         TileOps.createRaster(s, rasterSpec)(rasterValue),
         breaks = Array(20.0, 40.0, 60.0, 80.0),
         classes = Array(1.0, 2.0, 3.0, 4.0, 5.0)), rasterSpec.tileSize)
+    },
+    "raster_pansharpen" -> { (s, _) =>
+      // Brovey ratio pan-sharpen: integer MS and pan products are exact,
+      // the single ratio division mirrors op-for-op in SQL
+      val ms = TileOps.createRaster(s, rasterSpec)(rasterValue)
+      val pan = TileOps.createRaster(s, rasterSpec.copy(bands = 1))(
+        (x, y, _) => ((x * 11 + y * 3) % 97).toDouble)
+      TileOps.toPixels(TileOps2.pansharpen(ms, pan, rasterSpec.bands),
+        rasterSpec.tileSize)
     },
     "geo_coverage" -> { (s, _) =>
       // exactextract-style per-cell coverage fractions: quarter-aligned
@@ -4858,12 +4884,52 @@ object SparkEntry {
           CAST(sum(CAST(1 AS BIGINT) << CAST(30 - k AS INTEGER)) AS BIGINT) AS decay_units,
           CAST(count(*) AS BIGINT) AS n_events
         FROM e GROUP BY user_id""",
+    // hop lengths in whole meters (the geo_haversine trig recipe) so the
+    // per-user totals are exact BIGINT sums
+    "events_trajectory" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS seq,
+            CAST((event_id * 29) % 720 AS DOUBLE) / 2.0 - 180.0 AS lon,
+            CAST((event_id * 37) % 320 AS DOUBLE) / 2.0 - 80.0 AS lat
+          FROM events),
+        h AS (SELECT user_id, lon, lat,
+            lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+          FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, seq)),
+        d AS (SELECT user_id,
+            CAST(ROUND(2.0 * 6378137.0 * asin(LEAST(1.0, sqrt(
+              pow(sin(radians(lat - plat) / 2.0), 2)
+              + cos(radians(plat)) * cos(radians(lat))
+                * pow(sin(radians(lon - plon) / 2.0), 2)))), 0) AS BIGINT) AS hop_m
+          FROM h WHERE plon IS NOT NULL)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_hops,
+          CAST(sum(hop_m) AS BIGINT) AS dist_m, max(hop_m) AS max_hop_m
+        FROM d GROUP BY 1""",
+    // JL sketch mirror: same quantization + Knuth sign mix as the ann_lsh
+    // oracle (division by 65536 = 2^16 exact, so bit draws match bitwise)
+    "emb_rp" ->
+      """WITH q AS (SELECT vec_id, d,
+           CAST(ROUND(CAST(embedding[d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+         FROM embeddings, range(64) t(d))
+        SELECT vec_id, CAST(j AS INTEGER) AS j,
+          CAST(SUM(CASE WHEN CAST(FLOOR((d * 2654435761 + j * 40503 + 11) / 65536.0) AS BIGINT) % 2 = 0
+                        THEN qv ELSE -qv END) AS BIGINT) AS pv
+        FROM q, range(8) jj(j) GROUP BY vec_id, j""",
     "raster_reclass" -> (sqlPx +
       """ SELECT x, y, band,
           CASE WHEN v < 20.0 THEN 1.0 WHEN v < 40.0 THEN 2.0
                WHEN v < 60.0 THEN 3.0 WHEN v < 80.0 THEN 4.0
                ELSE 5.0 END AS v
         FROM px"""),
+    // Brovey: v·pan exact integer product; mean = (v0+v1)/2 exact; the one
+    // double division mirrors op-for-op
+    "raster_pansharpen" -> (sqlPx +
+      """ SELECT x, y, band,
+          CASE WHEN (b0 + b1) / 2.0 = 0.0 THEN 0.0
+               ELSE v * pan / ((b0 + b1) / 2.0) END AS v
+        FROM (SELECT x, y, band, v,
+            CAST((x*11 + y*3) % 97 AS DOUBLE) AS pan,
+            sum(CASE WHEN band = 0 THEN v END) OVER (PARTITION BY x, y) AS b0,
+            sum(CASE WHEN band = 1 THEN v END) OVER (PARTITION BY x, y) AS b1
+          FROM px)"""),
     // closed-form rect overlap on the unit grid; quarter-aligned coords
     // keep every product an exact binary fraction, so the clip+shoelace
     // engine path must match bitwise

@@ -235,6 +235,33 @@ object Events {
         .as("decay_units"), count(lit(1)).as("n_events"))
   }
 
+  /** Per-user trajectory summary — the movement-analytics primitive over
+    * a positioned event stream (user_id, ts, seq, lon, lat): hops are
+    * consecutive points in (ts, seq) order; each hop's great-circle
+    * length is reported in WHOLE METERS as a BIGINT (the geo_haversine
+    * trig recipe — at 10^7-m magnitudes a 1-m grid makes a JVM-vs-libm
+    * ulp boundary flip a ~1e-8-per-row event), so the per-user totals
+    * are exact integer sums, order-free.
+    *
+    * Scale shape: ONE exchange on user_id serves both the lag window and
+    * the summary aggregate (Catalyst reuses the partitioning); nothing
+    * wider than a user's own event list ever colocates.
+    */
+  def trajectorySummary(pts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("seq"))
+    val hops = pts
+      .withColumn("plon", lag("lon", 1).over(w))
+      .withColumn("plat", lag("lat", 1).over(w))
+      .filter(col("plon").isNotNull)
+      .withColumn("hop_m",
+        round(SpatialStats.haversineCol(col("plon"), col("plat"),
+          col("lon"), col("lat")), 0).cast("long"))
+    hops.groupBy("user_id").agg(
+      count(lit(1)).as("n_hops"),
+      sum("hop_m").as("dist_m"),
+      max("hop_m").as("max_hop_m"))
+  }
+
   /** Per-type value stats with json-ish prop extraction (props is
     * '{"k": NN}'): exact integer parse both engines via substring.
     */

@@ -467,4 +467,29 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("adc_score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Johnson–Lindenstrauss sketch via a deterministic ±1 sign matrix
+    * (Achlioptas 2003: Rademacher entries preserve pairwise distances
+    * with the same JL bound as Gaussians, and ±1·integer arithmetic is
+    * EXACT) — dimensionality reduction ahead of ANN/dedup at 100-TB
+    * embedding scale: 64→`outDims` cuts every downstream shuffle and
+    * dot product proportionally. The sign family is the SAME Knuth
+    * multiplicative mix as the LSH hyperplanes (bit 16 of (dim, j) —
+    * not the parity-degenerate low bit), so one proven generator serves
+    * both. proj_j = Σ_i sign(i,j)·q_i over the ×1000-quantized vector:
+    * pure Long arithmetic, order-free, map-only (zero exchanges).
+    */
+  def randomProjection(embeddings: DataFrame, outDims: Int): DataFrame = {
+    require(outDims >= 1, s"outDims >= 1, got $outDims")
+    val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val projs = (0 until outDims).map { j =>
+      aggregate(
+        zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
+          (x, i) => when(
+            pmod(floor((i * lit(2654435761L) + lit(j * 40503L + 11L)) / lit(65536L)), lit(2)) === 0,
+            x).otherwise(-x)),
+        lit(0L), (acc, v) => acc + v).as(s"p$j")
+    }
+    q.select(col("vec_id"), array(projs: _*).as("proj"))
+  }
 }

@@ -601,6 +601,49 @@ object TileOps2 {
       }(TileOps.tileEnc)
   }
 
+  /** Brovey pan-sharpening (the classic ratio transform: each
+    * multispectral band is scaled by pan / mean(MS bands), injecting the
+    * pan band's spatial detail while preserving band ratios). Same-grid
+    * form — for the usual 2-4× resolution gap, compose with the
+    * resample family first (resampleNearest/bilinear are gated ops).
+    * Zero MS mean ⇒ 0 output (the GDAL convention for empty spectra);
+    * nodata passes through. One shuffle on the tile key, in-group
+    * arithmetic only.
+    */
+  def pansharpen(ms: Dataset[Tile], pan: Dataset[Tile], nBands: Int): Dataset[Tile] = {
+    require(nBands >= 1, s"nBands >= 1, got $nBands")
+    val spark = ms.sparkSession
+    import spark.implicits._
+    val tagged = ms.unionByName(pan.map(t => t.copy(band = -1)))
+    tagged
+      .groupByKey(t => (t.cellX, t.cellY))
+      .flatMapGroups { (_: (Int, Int), it: Iterator[Tile]) =>
+        val ts = it.toArray
+        val p = ts.find(_.band == -1).getOrElse(
+          throw new IllegalArgumentException("pansharpen: pan tile missing"))
+        val bands = ts.filter(_.band >= 0).sortBy(_.band)
+        require(bands.length == nBands,
+          s"pansharpen: expected $nBands MS bands, got ${bands.length}")
+        bands.iterator.map { t =>
+          val out = new Array[Double](t.pixels.length)
+          var i = 0
+          while (i < out.length) {
+            val v = t.pixels(i)
+            if (v == t.nodata || v.isNaN) out(i) = v
+            else {
+              var s = 0.0
+              var b = 0
+              while (b < nBands) { s += bands(b).pixels(i); b += 1 }
+              val m = s / nBands
+              out(i) = if (m == 0.0) 0.0 else v * p.pixels(i) / m
+            }
+            i += 1
+          }
+          t.copy(pixels = out)
+        }
+      }(TileOps.tileEnc)
+  }
+
   /** Theil–Sen-style robust slope: median of pairwise slopes along the
     * band (time) axis (reference: buteo/array/timeseries.py:50-113 —
     * outlier-robust alternative to OLS). Bounded band count → exact

@@ -175,6 +175,66 @@ class MixedOpsR5Spec extends AnyFunSuite {
     assert(p2.length === 3, p2.mkString(";")) // tile (1,1) is all hole → dropped
   }
 
+  test("trajectory summary: hop order by (ts, seq), whole-meter sums") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-10 12:00:00")
+    def at(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // user 1: equator walk 0→1→3 deg lon (two hops, second twice the first);
+    // same-ts tiebreak by seq pins the 0→1→3 order, not 0→3→1
+    val pts = Seq(
+      (1L, at(0), 1L, 0.0, 0.0), (1L, at(1), 2L, 1.0, 0.0), (1L, at(1), 3L, 3.0, 0.0),
+      (2L, at(0), 4L, 10.0, 20.0) // single point: no hops → absent
+    ).toDF("user_id", "ts", "seq", "lon", "lat")
+    val got = Events.trajectorySummary(pts).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!got.contains(2L))
+    val oneDeg = math.round(graft.geo.Proj.haversineMeters(0.0, 0.0, 1.0, 0.0))
+    val twoDeg = math.round(graft.geo.Proj.haversineMeters(1.0, 0.0, 3.0, 0.0))
+    assert(got(1L) === ((2L, oneDeg + twoDeg, twoDeg)))
+  }
+
+  test("pansharpen: band ratios preserved, zero-mean and nodata conventions") {
+    import graft.tiles.Tile
+    import spark.implicits._
+    val mk = (band: Int, px: Array[Double]) => Tile(0, 0, band, 2, 2,
+      0.0, 0.0, 1.0, -1.0, px, -9999.0, 4326)
+    val ms = spark.createDataset(Seq(
+      mk(0, Array(10.0, 0.0, 6.0, -9999.0)),
+      mk(1, Array(30.0, 0.0, 2.0, 8.0))))
+    val pan = spark.createDataset(Seq(mk(0, Array(40.0, 7.0, 4.0, 4.0))))
+    val out = TileOps2.pansharpen(ms, pan, 2).collect().sortBy(_.band)
+    // pixel 0: mean 20, out0 = 10*40/20 = 20, out1 = 30*40/20 = 60 —
+    // ratio 1:3 preserved, intensity replaced by pan
+    assert(out(0).pixels(0) === 20.0 && out(1).pixels(0) === 60.0)
+    // pixel 1: zero spectral mean → 0 by convention
+    assert(out(0).pixels(1) === 0.0 && out(1).pixels(1) === 0.0)
+    // pixel 2: mean 4, pan 4 → unchanged values
+    assert(out(0).pixels(2) === 6.0 && out(1).pixels(2) === 2.0)
+    // pixel 3: band0 nodata passes through; band1 computed against the
+    // nodata-poisoned mean is still emitted from its own value
+    assert(out(0).pixels(3) === -9999.0)
+  }
+
+  test("random projection: linearity + exact sign-sum on a hand vector") {
+    import spark.implicits._
+    // one-hot on dim 5 (value 1.0 → qv 1000): proj_j = ±1000 by sign(5, j)
+    val emb = Seq((1L, Array.tabulate(64)(d => if (d == 5) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(emb, 4).collect()(0)
+      .getSeq[Long](1)
+    def sign(d: Long, j: Long): Long =
+      if (math.floor((d * 2654435761L + j * 40503L + 11L) / 65536.0).toLong % 2 == 0) 1L else -1L
+    for (j <- 0 until 4) assert(got(j) === sign(5, j) * 1000L, s"j=$j")
+    // linearity: proj(a + b) = proj(a) + proj(b) on exact integer inputs
+    val a = Array.tabulate(64)(d => (d % 7 - 3).toFloat)
+    val b = Array.tabulate(64)(d => ((d * 3) % 5 - 2).toFloat)
+    val ab = Array.tabulate(64)(d => a(d) + b(d))
+    val three = Seq((1L, a), (2L, b), (3L, ab)).toDF("vec_id", "embedding")
+    val m = Similarity.randomProjection(three, 6).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (j <- 0 until 6) assert(m(3L)(j) === m(1L)(j) + m(2L)(j), s"j=$j")
+  }
+
   test("destination point: cardinal bearings match closed forms") {
     import spark.implicits._
     val R = 6378137.0

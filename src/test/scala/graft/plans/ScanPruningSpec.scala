@@ -403,6 +403,24 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("trajectory summary: the user_id exchange is shared by window and agg") {
+    // lag window partitioned by user_id + groupBy user_id must reuse ONE
+    // Exchange; a second would mean the summary re-shuffles the hops
+    val p = physical("events_trajectory")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "trajectory grew a second shuffle:\n" + p.take(1500))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("random projection is map-only: zero exchanges, pruned scan") {
+    val p = physical("emb_rp")
+    assert(!p.contains("Exchange"),
+      "emb_rp gained a shuffle:\n" + p.take(1500))
+    assert(!p.contains("label"), // untouched embeddings column pruned
+      "scan reads columns the query never uses:\n" + p.take(1200))
+  }
+
   test("decay scores: one broadcast scalar + one combined agg") {
     // the corpus-max timestamp is a 1-row broadcast; the page side keeps
     // its single shuffle (the per-user agg) with map-side combine
