@@ -92,7 +92,10 @@ object Bench {
     "raster_zonal_weighted", "vector_tile_clip", "events_decay",
     // JL projection (map-only Long sums), per-user trajectory (one
     // shared exchange), Brovey pan-sharpen (one tile-key shuffle)
-    "emb_rp", "events_trajectory", "raster_pansharpen")
+    "emb_rp", "events_trajectory", "raster_pansharpen",
+    // DBSCAN (cell-bucket pairs + star-contraction CC), k-centers
+    // (k max-struct scans), Euclidean allocation (one halo superstep)
+    "geo_dbscan", "select_kcenters", "raster_allocation")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

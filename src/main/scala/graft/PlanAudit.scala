@@ -101,7 +101,10 @@ object PlanAudit {
       // map-side-combined agg) + the vector tiling cut (map-only fan-out)
       "raster_zonal_weighted", "vector_tile_clip",
       // JL sketch (map-only), trajectory (window+agg on one exchange)
-      "emb_rp", "events_trajectory")
+      "emb_rp", "events_trajectory",
+      // DBSCAN: the ε-pair cell join + degree agg + CC + border argmin —
+      // every join must stay an equi-join (hot cells are AQE's job)
+      "geo_dbscan")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -1356,6 +1356,19 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), outDims = 8)
       proj.select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "pv")))
     },
+    "select_kcenters" -> { (s, dir) =>
+      // Gonzalez farthest-point traversal, k=5, exact integer distances;
+      // oracle is the unrolled per-round argmax CTE chain
+      graft.ops.Selection.kCenters(s.read.parquet(s"$dir/embeddings.parquet"), k = 5)
+    },
+    "geo_dbscan" -> { (s, dir) =>
+      // density clustering over page locations: ε = 2°, minPts = 4 —
+      // the Paris hot cluster is one dense component, sparse randoms
+      // contribute cores/borders/noise; lowest-label border contract
+      val pts = Pages.pages(s, dir).select(col("doc_id").as("id"),
+        col("lon_udeg").as("x"), col("lat_udeg").as("y"))
+      graft.ops.Dbscan.dbscan(pts, epsUdeg = 2000000L, minPts = 4, level = 6)
+    },
     "raster_reclass" -> { (s, _) =>
       // range reclassification: half-open bins over the integer fixture
       TileOps.toPixels(TileOps2.reclassify(
@@ -2910,6 +2923,16 @@ object SparkEntry {
       val r = TileOps.createRaster(s, convSpec.copy(bands = 1))(
         (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
       TileOps.toPixels(graft.tiles.TileOps3.distanceTransformEuclid(r, 0.0, 3.0),
+        convSpec.tileSize)
+    },
+
+    "raster_allocation" -> { (s, _) =>
+      // Euclidean allocation: sparse sources carry unique ids (x*256+y+1);
+      // every pixel takes its nearest source's id under the pinned
+      // (d², dy, dx) tie order, radius 12
+      val r = TileOps.createRaster(s, convSpec.copy(bands = 1))(
+        (x, y, _) => if ((x * 31 + y * 17) % 193 == 0) (x * 256 + y + 1).toDouble else 0.0)
+      TileOps.toPixels(graft.tiles.TileOps3.allocation(r, maxDist = 12),
         convSpec.tileSize)
     },
 
@@ -4913,6 +4936,42 @@ object SparkEntry {
           CAST(SUM(CASE WHEN CAST(FLOOR((d * 2654435761 + j * 40503 + 11) / 65536.0) AS BIGINT) % 2 = 0
                         THEN qv ELSE -qv END) AS BIGINT) AS pv
         FROM q, range(8) jj(j) GROUP BY vec_id, j""",
+    "select_kcenters" -> kCentersOracle(5),
+    // brute-force ε-pairs + recursive min-label closure over core-core
+    // edges; border points take the LOWEST neighboring core's cluster
+    // (the engine's pinned contract)
+    "geo_dbscan" ->
+      s"""WITH RECURSIVE pages AS (${Pages.sqlPages}),
+        prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pages a JOIN pages b
+            ON a.doc_id < b.doc_id
+           AND (a.lon_udeg - b.lon_udeg) * (a.lon_udeg - b.lon_udeg)
+             + (a.lat_udeg - b.lat_udeg) * (a.lat_udeg - b.lat_udeg)
+             <= 4000000000000),
+        deg AS (SELECT id, count(*) AS n FROM (
+            SELECT id_a AS id FROM prs UNION ALL SELECT id_b FROM prs)
+          GROUP BY id),
+        core AS (SELECT id FROM deg WHERE n + 1 >= 4),
+        ce AS (SELECT DISTINCT u, v FROM (
+            SELECT p.id_a AS u, p.id_b AS v FROM prs p
+              JOIN core ca ON ca.id = p.id_a JOIN core cb ON cb.id = p.id_b
+            UNION ALL
+            SELECT p.id_b, p.id_a FROM prs p
+              JOIN core ca ON ca.id = p.id_a JOIN core cb ON cb.id = p.id_b)),
+        reach(src, dst) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM ce)
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN ce e ON e.u = r.dst),
+        comp AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
+        corelab AS (SELECT c.id, COALESCE(m.cluster, c.id) AS cluster
+          FROM core c LEFT JOIN comp m USING (id)),
+        cand AS (SELECT id_a AS p, id_b AS c FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs)
+        SELECT id, cluster, 'core' AS role FROM corelab
+        UNION ALL
+        SELECT cand.p AS id, MIN(cl.cluster) AS cluster, 'border' AS role
+        FROM cand JOIN corelab cl ON cl.id = cand.c
+        WHERE cand.p NOT IN (SELECT id FROM core) GROUP BY cand.p""",
     "raster_reclass" -> (sqlPx +
       """ SELECT x, y, band,
           CASE WHEN v < 20.0 THEN 1.0 WHEN v < 40.0 THEN 2.0
@@ -7433,6 +7492,28 @@ object SparkEntry {
           ON b.x BETWEEN a.x - 3 AND a.x + 3 AND b.y BETWEEN a.y - 3 AND a.y + 3
         GROUP BY a.x, a.y, a.band, a.v""",
 
+    // nearest-source id under the pinned (d², dy, dx) candidate order —
+    // the same total order the engine's sorted-offset scan walks
+    "raster_allocation" ->
+      """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           0 AS band,
+           CASE WHEN (x*31 + y*17) % 193 = 0
+                THEN CAST(x*256 + y + 1 AS DOUBLE) ELSE 0.0 END AS v
+         FROM range(96) r1(x), range(96) r2(y)),
+        src AS (SELECT x, y, v FROM px WHERE v <> 0),
+        cand AS (SELECT p.x, p.y, s.v AS sv,
+            (s.y - p.y)*(s.y - p.y) + (s.x - p.x)*(s.x - p.x) AS d2,
+            s.y - p.y AS dy, s.x - p.x AS dx
+          FROM px p JOIN src s
+            ON s.x BETWEEN p.x - 12 AND p.x + 12
+            AND s.y BETWEEN p.y - 12 AND p.y + 12
+          WHERE (s.y - p.y)*(s.y - p.y) + (s.x - p.x)*(s.x - p.x) <= 144),
+        best AS (SELECT x, y, sv,
+            row_number() OVER (PARTITION BY x, y ORDER BY d2, dy, dx) AS rn
+          FROM cand)
+        SELECT p.x, p.y, p.band, COALESCE(b.sv, 0.0) AS v
+        FROM px p LEFT JOIN best b ON b.x = p.x AND b.y = p.y AND b.rn = 1""",
+
     "raster_fill" ->
       """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
            0 AS band,
@@ -7766,6 +7847,36 @@ object SparkEntry {
     def at(i: String) = s"min(v) FILTER (WHERE cume > $i)"
     s"""CASE WHEN $pos - $flo = 0 THEN ${at(flo)}
         ELSE ${at(flo)} + (${at(s"($flo) + 1")} - ${at(flo)}) * ($pos - $flo) END"""
+  }
+
+  /** Oracle for Selection.kCenters: the unrolled k-round farthest-point
+    * CTE chain — round r computes every point's exact integer distance²
+    * to center r−1, folds it into the running min, and takes the
+    * (mind2 DESC, vec_id ASC) argmax as center r.
+    */
+  private def kCentersOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH q AS (SELECT vec_id, d,
+           CAST(ROUND(CAST(embedding[d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+         FROM embeddings, range(64) t(d)),
+        m0 AS (SELECT min(vec_id) AS cid, CAST(0 AS BIGINT) AS r2 FROM embeddings)"""
+    for (r <- 1 until k) {
+      sb ++= s""",
+        d$r AS (SELECT p.vec_id,
+            CAST(SUM((p.qv - c.qv) * (p.qv - c.qv)) AS BIGINT) AS d2
+          FROM q p JOIN m${r - 1} m ON TRUE
+          JOIN q c ON c.vec_id = m.cid AND c.d = p.d
+          GROUP BY p.vec_id),
+        dist$r AS (SELECT a.vec_id, ${
+        if (r == 1) "a.d2 AS mind2" else s"LEAST(p.mind2, a.d2) AS mind2"}
+          FROM d$r a${if (r == 1) "" else s" JOIN dist${r - 1} p USING (vec_id)"}),
+        m$r AS (SELECT vec_id AS cid, mind2 AS r2 FROM dist$r
+          ORDER BY mind2 DESC, vec_id LIMIT 1)"""
+    }
+    sb ++= (0 until k).map(r =>
+      s"\n        SELECT CAST($r AS INTEGER) AS round, cid AS vec_id, r2 AS radius2 FROM m$r")
+      .mkString("", "\n        UNION ALL", "")
+    sb.toString
   }
 
   /** Oracle for the full 21-stat zonal enum (Zonal.zonalStatsFull): power

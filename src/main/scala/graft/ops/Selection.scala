@@ -134,4 +134,46 @@ object Selection {
     df.join(broadcast(rates.toDF(classCol, "keep_p")), classCol)
       .filter(u01(col(idCol)) < col("keep_p"))
   }
+
+  /** Greedy k-center selection (Gonzalez 1985 farthest-point traversal —
+    * the 2-approximation coreset a diversity-driven training-data
+    * selector runs over an embedding table): start from the lowest
+    * vec_id, then k−1 times pick the point farthest from every chosen
+    * center (ties → lowest id). Distances are EXACT integer squared L2
+    * over the ×1000-quantized vectors, so the traversal is bit-identical
+    * at any parallelism. Returns (round, vec_id, radius2) — radius2 is
+    * the selected point's distance² at selection time, the monotone
+    * nonincreasing covering-radius certificate.
+    *
+    * Scale shape: k map-side-combined max(struct) aggregations over a
+    * once-cached quantized table; centers travel driver→executor as one
+    * 64-long array each round. Never a shuffle of the corpus.
+    */
+  def kCenters(embeddings: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .persist()
+    def d2To(center: Array[Long]): Column =
+      aggregate(zip_with(col("q"), lit(center), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, v) => a + v)
+    try {
+      val first = q.orderBy("vec_id").head()
+      val out = collection.mutable.ArrayBuffer((0, first.getLong(0), 0L))
+      var cur = q.withColumn("mind2", d2To(first.getSeq[Long](1).toArray))
+      for (r <- 1 until k) {
+        val best = cur
+          .agg(max(struct(col("mind2"), (-col("vec_id")).as("nid"),
+            col("q"))).as("b"))
+          .head().getStruct(0)
+        out += ((r, -best.getLong(1), best.getLong(0)))
+        if (r < k - 1)
+          cur = cur.withColumn("mind2",
+            least(col("mind2"), d2To(best.getSeq[Long](2).toArray)))
+      }
+      out.toSeq.toDF("round", "vec_id", "radius2")
+    } finally q.unpersist()
+  }
 }

@@ -193,4 +193,55 @@ object TileOps3 {
     }
     cur
   }
+
+  /** Euclidean ALLOCATION — the argmin-ID half of gdal_proximity /
+    * ESRI Euclidean Allocation: every pixel takes the VALUE of its
+    * nearest source pixel (source ⇔ v ≠ 0), within `maxDist` cells;
+    * source pixels keep their own value, pixels with no source in range
+    * take 0. Ties are broken by the TOTAL candidate order (d², dy, dx) —
+    * a contract, not an accident, so the output is deterministic and
+    * SQL-mirrorable. Pairs with distanceTransformEuclid (which reports
+    * the distance; this reports WHO).
+    *
+    * Same one-superstep shape as every hood op: one radius-`maxDist`
+    * halo exchange (maxDist ≤ tileSize), per-pixel sorted-offset scan
+    * with early exit.
+    */
+  def allocation(tiles: Dataset[Tile], maxDist: Int): Dataset[Tile] = {
+    require(maxDist >= 1, s"maxDist >= 1, got $maxDist")
+    val r = maxDist
+    val offsets: Array[(Int, Int)] = (for {
+      dy <- -r to r
+      dx <- -r to r
+      if (dx != 0 || dy != 0) && dy * dy + dx * dx <= r * r
+    } yield (dy, dx))
+      .sortBy { case (dy, dx) => (dy * dy + dx * dx, dy, dx) }
+      .toArray
+    TileOps.convolvePad(tiles, r).map { case (t, pad, pw, _) =>
+      val out = new Array[Double](t.w * t.h)
+      def isSource(v: Double): Boolean = !v.isNaN && v != 0.0 && v != t.nodata
+      var row = 0
+      while (row < t.h) {
+        var c = 0
+        while (c < t.w) {
+          val px = c + r; val py = row + r
+          val self = pad(py * pw + px)
+          var alloc = 0.0
+          if (isSource(self)) alloc = self
+          else {
+            var i = 0
+            while (alloc == 0.0 && i < offsets.length) {
+              val v = pad((py + offsets(i)._1) * pw + (px + offsets(i)._2))
+              if (isSource(v)) alloc = v
+              i += 1
+            }
+          }
+          out(row * t.w + c) = alloc
+          c += 1
+        }
+        row += 1
+      }
+      t.copy(pixels = out)
+    }
+  }
 }

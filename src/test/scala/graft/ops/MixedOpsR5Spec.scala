@@ -235,6 +235,45 @@ class MixedOpsR5Spec extends AnyFunSuite {
     for (j <- 0 until 6) assert(m(3L)(j) === m(1L)(j) + m(2L)(j), s"j=$j")
   }
 
+  test("allocation: nearest-source ids, pinned tie order, empty-range zero") {
+    import graft.tiles.TileOps3
+    // 16×16, tile 8: sources at (2,2)→id 3 and (10,2)→id 11 (values x+1
+    // on row y=2); pixel (6,2) is equidistant (d²=16) → tie goes to the
+    // (d², dy, dx) order: dy=0 both, dx=-4 < +4 → source at x=2 wins
+    val spec = RasterSpec(0.0, 16.0, 1.0, -1.0, 16, 16, 8, 1)
+    val r = TileOps.createRaster(spark, spec)((x, y, _) =>
+      if (y == 2 && (x == 2 || x == 10)) (x + 1).toDouble else 0.0)
+    val out = TileOps.toPixels(TileOps3.allocation(r, maxDist = 5), 8)
+      .collect().map(row => (row.getInt(0), row.getInt(1)) -> row.getDouble(3)).toMap
+    assert(out((2, 2)) === 3.0 && out((10, 2)) === 11.0) // sources keep own id
+    assert(out((6, 2)) === 3.0)                          // tie → lower dx
+    assert(out((5, 2)) === 3.0 && out((7, 2)) === 11.0)  // clear nearest
+    assert(out((2, 6)) === 3.0)                          // cross-tile? vertical d=4
+    assert(out((15, 15)) === 0.0)                        // nothing within 5
+  }
+
+  test("k-centers: farthest-point traversal on a hand line, radius monotone") {
+    import spark.implicits._
+    // 1-D embeddings on a line: ids 1..5 at positions 0, 1, 4, 9, 10
+    // (dim 0; the rest zero). Traversal: c0 = id1(0). farthest = id5(10).
+    // then id4(9)? min-dist after {0,10}: id2:1, id3:4, id4:1 → id3 (pos 4,
+    // d²=16·10⁶). then id2 (pos1: min(1,9,...)… recompute) etc.
+    val emb = Seq((1L, 0.0f), (2L, 1.0f), (3L, 4.0f), (4L, 9.0f), (5L, 10.0f))
+      .map { case (id, p) => (id, Array.tabulate(64)(d => if (d == 0) p else 0.0f)) }
+      .toDF("vec_id", "embedding")
+    val got = Selection.kCenters(emb, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def q(x: Double) = math.round(x * 1000)
+    def d2(a: Double, b: Double) = (q(a) - q(b)) * (q(a) - q(b))
+    assert(got(0) === ((0, 1L, 0L)))
+    assert(got(1) === ((1, 5L, d2(0, 10))))   // farthest from 0
+    assert(got(2) === ((2, 3L, d2(4, 0))))    // min-dists: 1,4,1 → id3
+    // round 3: remaining 2 (mind 1e6), 4 (mind 1e6) → tie by lowest id → 2
+    assert(got(3) === ((3, 2L, d2(1, 0))))
+    // covering radius nonincreasing
+    assert(got.map(_._3).drop(1).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("destination point: cardinal bearings match closed forms") {
     import spark.implicits._
     val R = 6378137.0
