@@ -1658,6 +1658,19 @@ object SparkEntry {
         ((col("doc_id") * 17 + 3) % 997).as("dst"))
       WebOps.lpaCommunities(e1.unionByName(e2), rounds = 3)
     },
+    "web_modularity" -> { (s, dir) =>
+      // Newman modularity of the 3-round LPA partition over the same
+      // 997-host graph: one exact-integer certificate row (q_ppm
+      // truncate-toward-zero); oracle = the LPA CTE chain + the same
+      // integer fold
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 997).as("src"),
+        ((col("doc_id") * 31 + 7) % 997).as("dst"))
+      val e2 = d.select((col("doc_id") % 997).as("src"),
+        ((col("doc_id") * 17 + 3) % 997).as("dst"))
+      val edges = e1.unionByName(e2)
+      WebOps.modularity(edges, WebOps.lpaCommunities(edges, rounds = 3))
+    },
     "web_bowtie" -> { (s, dir) =>
       // bow-tie decomposition around seeds = hosts % 29 == 0, hop budget
       // 8: core/in/out/other per host with both hop distances. The
@@ -5809,6 +5822,42 @@ object SparkEntry {
          SELECT host, label AS community FROM l3"""
     },
 
+    "web_modularity" -> {
+      // the web_lpa round chain + the exact integer modularity fold:
+      // Qnum = 2m·Σe2_c − Σd_c², q_ppm sign-explicit truncation
+      def round(k: Int): String =
+        s""", c$k AS (SELECT e.src AS host, l.label, CAST(count(*) AS BIGINT) AS cnt
+             FROM sym e JOIN l${k - 1} l ON l.host = e.dst GROUP BY 1, 2),
+           l$k AS (SELECT host, label FROM (
+             SELECT host, label,
+               row_number() OVER (PARTITION BY host ORDER BY cnt DESC, label) AS rn
+             FROM c$k) WHERE rn = 1)"""
+      s"""WITH raw AS (
+           SELECT doc_id % 997 AS src, (doc_id * 31 + 7) % 997 AS dst FROM documents
+           UNION ALL SELECT doc_id % 997, (doc_id * 17 + 3) % 997 FROM documents),
+         sym AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM raw WHERE src <> dst
+           UNION ALL SELECT dst, src FROM raw WHERE src <> dst)),
+         l0 AS (SELECT DISTINCT src AS host, src AS label FROM sym)
+         ${(1 to 3).map(round).mkString("\n")},
+         labpairs AS (SELECT ls.label AS cs, ld.label AS cd
+           FROM sym e JOIN l3 ls ON ls.host = e.src JOIN l3 ld ON ld.host = e.dst),
+         perc AS (SELECT cs AS community, CAST(count(*) AS BIGINT) AS d_c,
+             CAST(sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT) AS e2_c
+           FROM labpairs GROUP BY cs),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(sum(d_c) AS BIGINT) AS two_m,
+             CAST(sum(e2_c) AS BIGINT) AS e2_sum,
+             CAST(sum(d_c * d_c) AS BIGINT) AS d2_sum
+           FROM perc)
+         SELECT n_communities, two_m, e2_sum, d2_sum,
+           CAST(two_m * e2_sum - d2_sum AS BIGINT) AS q_num,
+           CAST(CASE WHEN two_m * e2_sum - d2_sum >= 0
+             THEN (two_m * e2_sum - d2_sum) * 1000000 // (two_m * two_m)
+             ELSE -((d2_sum - two_m * e2_sum) * 1000000 // (two_m * two_m))
+             END AS BIGINT) AS q_ppm
+         FROM tot"""
+    },
     "web_bowtie" -> {
       // two 8-round min-hop relaxation chains (fk forward over edges,
       // bk backward over reversed edges) + the classifying CASE

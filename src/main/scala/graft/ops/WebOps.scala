@@ -1292,4 +1292,45 @@ object WebOps {
         sum(col("n_chars")).as("total_chars"),
         min(col("warc_sec")).as("first_sec"),
         max(col("warc_sec")).as("last_sec"))
+
+  /** Newman–Girvan modularity of a node partition over the undirected
+    * simple graph — the quality certificate for [[lpaCommunities]] (a
+    * partition with Q near 0 is no better than random; link-farm
+    * detection reads high-Q tight blocks). Everything is an EXACT
+    * integer: with 2m = Σdeg and e2_c = DOUBLE-counted intra-community
+    * edges, Q = Σ_c [e2_c/2m − (d_c/2m)²] = Qnum / (2m)² where
+    * Qnum = 2m·Σe2_c − Σ(d_c²) — no division until the final
+    * truncate-toward-zero ppm (sign-explicit, the geo_moran
+    * convention; the whole-graph partition lands at exactly 0). One row:
+    * (n_communities, two_m, e2_sum, d2_sum, q_num, q_ppm).
+    *
+    * Scale shape: two equi-joins of the symmetrized edge list against
+    * the (small) label table, two map-side-combined aggs, one scalar
+    * fold. No window, no theta-join.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val lab = labels.select(col("host"), col("community"))
+    val both = sym
+      .join(lab.select(col("host").as("src"), col("community").as("cs")), "src")
+      .join(lab.select(col("host").as("dst"), col("community").as("cd")), "dst")
+    val perC = both
+      .groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("d_c"), // Σ over members of their degree
+        sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("e2_c"))
+    perC.agg(
+        count(lit(1)).as("n_communities"),
+        sum("d_c").as("two_m"),
+        sum("e2_c").as("e2_sum"),
+        sum(col("d_c") * col("d_c")).as("d2_sum"))
+      .withColumn("q_num", col("two_m") * col("e2_sum") - col("d2_sum"))
+      .withColumn("q_ppm",
+        when(col("q_num") >= 0,
+          expr("CAST(q_num * 1000000 DIV (two_m * two_m) AS BIGINT)"))
+          .otherwise(-expr("CAST((-q_num) * 1000000 DIV (two_m * two_m) AS BIGINT)")))
+  }
 }
