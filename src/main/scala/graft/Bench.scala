@@ -95,7 +95,9 @@ object Bench {
     "emb_rp", "events_trajectory", "raster_pansharpen",
     // DBSCAN (cell-bucket pairs + star-contraction CC), k-centers
     // (k max-struct scans), Euclidean allocation (one halo superstep)
-    "geo_dbscan", "select_kcenters", "raster_allocation", "web_modularity")
+    "geo_dbscan", "select_kcenters", "raster_allocation", "web_modularity",
+    // exact-rational Lloyd (map-only assignment vs broadcast centroids)
+    "emb_kmeans")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

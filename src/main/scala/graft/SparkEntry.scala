@@ -1369,6 +1369,12 @@ object SparkEntry {
         col("lon_udeg").as("x"), col("lat_udeg").as("y"))
       graft.ops.Dbscan.dbscan(pts, epsUdeg = 2000000L, minPts = 4, level = 6)
     },
+    "emb_kmeans" -> { (s, dir) =>
+      // exact-rational Lloyd: k=4 Gonzalez seeds, 3 assignment rounds,
+      // Decimal cross-multiplied argmin; oracle unrolls the same rounds
+      Similarity.kMeans(s.read.parquet(s"$dir/embeddings.parquet"),
+        k = 4, iters = 3)
+    },
     "raster_reclass" -> { (s, _) =>
       // range reclassification: half-open bins over the integer fixture
       TileOps.toPixels(TileOps2.reclassify(
@@ -4950,6 +4956,7 @@ object SparkEntry {
                         THEN qv ELSE -qv END) AS BIGINT) AS pv
         FROM q, range(8) jj(j) GROUP BY vec_id, j""",
     "select_kcenters" -> kCentersOracle(5),
+    "emb_kmeans" -> kMeansOracle(4, 3),
     // brute-force ε-pairs + recursive min-label closure over core-core
     // edges; border points take the LOWEST neighboring core's cluster
     // (the engine's pinned contract)
@@ -7903,9 +7910,12 @@ object SparkEntry {
     * to center r−1, folds it into the running min, and takes the
     * (mind2 DESC, vec_id ASC) argmax as center r.
     */
-  private def kCentersOracle(k: Int): String = {
+  /** Shared CTE chain: q (quantized dims) + m0..m_{k-1} (the Gonzalez
+    * farthest-point seeds with their covering radii).
+    */
+  private def kCentersChain(k: Int): String = {
     val sb = new StringBuilder
-    sb ++= """WITH q AS (SELECT vec_id, d,
+    sb ++= """q AS (SELECT vec_id, d,
            CAST(ROUND(CAST(embedding[d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
          FROM embeddings, range(64) t(d)),
         m0 AS (SELECT min(vec_id) AS cid, CAST(0 AS BIGINT) AS r2 FROM embeddings)"""
@@ -7922,9 +7932,68 @@ object SparkEntry {
         m$r AS (SELECT vec_id AS cid, mind2 AS r2 FROM dist$r
           ORDER BY mind2 DESC, vec_id LIMIT 1)"""
     }
-    sb ++= (0 until k).map(r =>
-      s"\n        SELECT CAST($r AS INTEGER) AS round, cid AS vec_id, r2 AS radius2 FROM m$r")
-      .mkString("", "\n        UNION ALL", "")
+    sb.toString
+  }
+
+  private def kCentersOracle(k: Int): String =
+    s"WITH ${kCentersChain(k)}" +
+      (0 until k).map(r =>
+        s"\n        SELECT CAST($r AS INTEGER) AS round, cid AS vec_id, r2 AS radius2 FROM m$r")
+        .mkString("", "\n        UNION ALL", "")
+
+  /** Oracle for Similarity.kMeans: the k-centers seed chain, then
+    * `iters` unrolled Lloyd rounds — per-center exact integer cost
+    * a_c = ‖n_c·p⃗ − s⃗_c‖², the assignment fold by HUGEINT
+    * cross-multiplication (ties → lower index, the engine's fold
+    * order), and centroid re-estimation as (Σqv, n) rows with the
+    * emptied-cluster COALESCE keep-previous contract.
+    */
+  private def kMeansOracle(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${kCentersChain(k)}"
+    sb ++= (0 until k).map(c =>
+      s"""SELECT $c AS c, p.d, p.qv AS s, CAST(1 AS BIGINT) AS n
+          FROM q p JOIN m$c m ON p.vec_id = m.cid""")
+      .mkString(",\n        cent0 AS (", "\n          UNION ALL ", ")")
+    for (t <- 1 to iters) {
+      sb ++= s""",
+        a$t AS (SELECT p.vec_id, ct.c,
+            CAST(SUM((ct.n * p.qv - ct.s) * (ct.n * p.qv - ct.s)) AS BIGINT) AS a,
+            MAX(ct.n) AS n
+          FROM q p JOIN cent${t - 1} ct ON ct.d = p.d
+          GROUP BY p.vec_id, ct.c),
+        av$t AS (SELECT vec_id, ${(0 until k).map(c =>
+        s"MAX(CASE WHEN c = $c THEN a END) AS a$c, MAX(CASE WHEN c = $c THEN n END) AS n$c")
+        .mkString(",\n            ")}
+          FROM a$t GROUP BY vec_id)"""
+      // pairwise fold: f{t}_1 .. f{t}_{k-1}
+      for (c <- 1 until k) {
+        val (pb, pa, pn) =
+          if (c == 1) ("0", "a0", "n0") else (s"b${c - 1}", s"ab${c - 1}", s"nb${c - 1}")
+        sb ++= s""",
+        f${t}_$c AS (SELECT *,
+            CASE WHEN CAST(a$c AS HUGEINT) * $pn * $pn < CAST($pa AS HUGEINT) * n$c * n$c
+                 THEN $c ELSE $pb END AS b$c,
+            CASE WHEN CAST(a$c AS HUGEINT) * $pn * $pn < CAST($pa AS HUGEINT) * n$c * n$c
+                 THEN a$c ELSE $pa END AS ab$c,
+            CASE WHEN CAST(a$c AS HUGEINT) * $pn * $pn < CAST($pa AS HUGEINT) * n$c * n$c
+                 THEN n$c ELSE $pn END AS nb$c
+          FROM ${if (c == 1) s"av$t" else s"f${t}_${c - 1}"})"""
+      }
+      sb ++= s""",
+        asg$t AS (SELECT vec_id, CAST(b${k - 1} AS INTEGER) AS cluster FROM f${t}_${k - 1})"""
+      if (t < iters) {
+        sb ++= s""",
+        sums$t AS (SELECT g.cluster, p.d, CAST(SUM(p.qv) AS BIGINT) AS s,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM asg$t g JOIN q p USING (vec_id) GROUP BY g.cluster, p.d),
+        cent$t AS (SELECT prev.c, prev.d,
+            COALESCE(nw.s, prev.s) AS s, COALESCE(nw.n, prev.n) AS n
+          FROM cent${t - 1} prev
+          LEFT JOIN sums$t nw ON nw.cluster = prev.c AND nw.d = prev.d)"""
+      }
+    }
+    sb ++= s"\n        SELECT vec_id, cluster FROM asg$iters"
     sb.toString
   }
 

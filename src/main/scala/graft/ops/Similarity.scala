@@ -468,6 +468,93 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Lloyd k-means over the quantized embedding table with EXACT
+    * RATIONAL centroids — the clustering step of a SemDeDup / data-mix
+    * pipeline, made bit-deterministic at any parallelism: a centroid is
+    * never divided out as a float; it stays the pair (s⃗_c, n_c) of
+    * integer coordinate sums and member count, and the assignment
+    * argmin compares d²(p, c) = ‖n_c·p⃗ − s⃗_c‖²/n_c² by cross-
+    * multiplication in Decimal(38) (headroom to ~10⁹-row clusters at
+    * these magnitudes; the SQL oracle uses HUGEINT). Ties take the
+    * lower center index — the fold order, pinned. Seeds come from
+    * [[graft.ops.Selection.kCenters]] (Gonzalez farthest-point — the
+    * deterministic, spread-out init a one-pass pipeline wants; n=1
+    * exact seeds). An emptied cluster keeps its previous centroid
+    * (documented contract, mirrored in the oracle).
+    *
+    * Scale shape per iteration: assignment is MAP-ONLY against k
+    * broadcast (s⃗, n) literals; the re-estimation is one posexplode +
+    * map-side-combined (cluster, dim) aggregation collecting k·64 rows
+    * to the driver. iters fixed — the oracle unrolls the same rounds.
+    */
+  def kMeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k/iters >= 1, got $k/$iters")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+    val q = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .persist()
+    try {
+      val seedIds = graft.ops.Selection.kCenters(embeddings, k)
+        .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+      val seedRows = q.filter(col("vec_id").isInCollection(seedIds))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      // centers(c) = (coordinate sums, member count)
+      var centers: Array[(Array[Long], Long)] =
+        seedIds.map(id => (seedRows(id), 1L))
+
+      def assignCol(): (Column, Column) = {
+        val a = (0 until k).map { c =>
+          val (s, n) = centers(c)
+          aggregate(
+            zip_with(col("q"), lit(s),
+              (x, sc) => (lit(n) * x - sc) * (lit(n) * x - sc)),
+            lit(0L), (acc, v) => acc + v)
+        }
+        var bestC: Column = lit(0)
+        var bestA: Column = a(0)
+        var bestN: Column = lit(centers(0)._2)
+        for (c <- 1 until k) {
+          val nc = centers(c)._2
+          val cond = a(c).cast(dec) * (bestN * bestN).cast(dec) <
+            bestA.cast(dec) * lit(nc * nc).cast(dec)
+          bestA = when(cond, a(c)).otherwise(bestA)
+          bestN = when(cond, lit(nc)).otherwise(bestN)
+          bestC = when(cond, lit(c)).otherwise(bestC)
+        }
+        (bestC, bestA)
+      }
+
+      // iters assignment rounds; centers update after each but the last
+      // (the returned frame is assignment #iters against the centroids
+      // of update #iters−1 — the contract the oracle unrolls)
+      var assigned: DataFrame = null
+      for (t <- 1 to iters) {
+        val (bc, _) = assignCol()
+        assigned = q.select(col("vec_id"), col("q"), bc.as("cluster"))
+        if (t < iters) {
+          val sums = assigned
+            .select(col("cluster"), posexplode(col("q")).as(Seq("d", "qv")))
+            .groupBy("cluster", "d")
+            .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+            .collect()
+          val byC = sums.groupBy(_.getInt(0))
+          centers = Array.tabulate(k) { c =>
+            byC.get(c) match {
+              case None => centers(c) // emptied: keep previous centroid
+              case Some(rows) =>
+                val s = new Array[Long](centers(c)._1.length)
+                rows.foreach(r => s(r.getInt(1)) = r.getLong(2))
+                (s, rows.head.getLong(3))
+            }
+          }
+        }
+      }
+      assigned.select(col("vec_id"), col("cluster"))
+    } finally q.unpersist()
+  }
+
   /** Johnson–Lindenstrauss sketch via a deterministic ±1 sign matrix
     * (Achlioptas 2003: Rademacher entries preserve pairwise distances
     * with the same JL bound as Gaussians, and ±1·integer arithmetic is
