@@ -97,7 +97,7 @@ object Bench {
     // (k max-struct scans), Euclidean allocation (one halo superstep)
     "geo_dbscan", "select_kcenters", "raster_allocation", "web_modularity",
     // exact-rational Lloyd (map-only assignment vs broadcast centroids)
-    "emb_kmeans")
+    "emb_kmeans", "vector_smooth", "tpch_q10")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

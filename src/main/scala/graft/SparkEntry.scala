@@ -1464,6 +1464,20 @@ object SparkEntry {
       // one IEEE divide) hash-match regardless of engine
       LineOps.interpolate(lineFixture(s), Seq(0.25, 0.5, 0.75))
     },
+    "vector_smooth" -> { (s, _) =>
+      // Chaikin corner cutting, 2 rounds: dyadic ¾/¼ weights on integer
+      // vertices keep every output coordinate exact — no rounding recipe
+      LineOps.chaikin(lineFixture(s), iters = 2)
+    },
+    "tpch_q10" -> { (s, dir) =>
+      // Q10-style returned-item report: filtered big join + broadcast
+      // dims, top-20 on a total order, q4 integer money
+      Relational.returnedItemReport(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"))
+    },
     "vector_simplify" -> { (s, _) =>
       // fixture-input (sf-independent): 20 LCG-amplitude polylines + 4
       // notched squares with dented holes, Douglas-Peucker at eps 1.0.
@@ -4889,6 +4903,28 @@ object SparkEntry {
     // expression-for-expression mirror of LineOps.densify at maxLen 4;
     // the last segment (seg = 5 on the 7-point fixture) also emits its
     // terminal vertex (i = n)
+    // dyadic ¾/¼ cuts on integer vertices: plain arithmetic, exact on
+    // both engines; endpoints kept, keys order the emission
+    "vector_smooth" -> {
+      def iter(t: Int): String =
+        s""",
+          s$t AS (SELECT fid, seq, x, y,
+              lead(x) OVER w AS x1, lead(y) OVER w AS y1
+            FROM c${t - 1} WINDOW w AS (PARTITION BY fid ORDER BY seq)),
+          p$t AS (
+            SELECT fid, CAST(-1 AS BIGINT) AS k, x, y FROM c${t - 1} WHERE seq = 0
+            UNION ALL SELECT fid, CAST(2*seq AS BIGINT),
+              0.75*x + 0.25*x1, 0.75*y + 0.25*y1 FROM s$t WHERE x1 IS NOT NULL
+            UNION ALL SELECT fid, CAST(2*seq + 1 AS BIGINT),
+              0.25*x + 0.75*x1, 0.25*y + 0.75*y1 FROM s$t WHERE x1 IS NOT NULL
+            UNION ALL SELECT fid, CAST(2*seq AS BIGINT), x, y FROM s$t WHERE x1 IS NULL),
+          c$t AS (SELECT fid,
+              row_number() OVER (PARTITION BY fid ORDER BY k) - 1 AS seq, x, y
+            FROM p$t)"""
+      s"WITH $sqlLinePts, c0 AS (SELECT fid, seq, x, y FROM pts)" +
+        (1 to 2).map(iter).mkString +
+        "\n        SELECT fid, CAST(seq AS INTEGER) AS seq, x, y FROM c2"
+    },
     "vector_densify" -> (s"WITH $sqlLinePts," +
       """ dn AS (SELECT fid, seg, x, y, dx, dy,
             GREATEST(CAST(CEIL(len / 4.0) AS INTEGER), 1) AS n FROM sg),
@@ -7022,6 +7058,23 @@ object SparkEntry {
         FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY rev.revenue_q DESC, orderkey LIMIT 10""",
+
+    "tpch_q10" ->
+      """WITH f AS (SELECT l_orderkey, l_extendedprice, l_discount
+           FROM lineitem WHERE l_returnflag = 'R'),
+         ow AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'),
+         j AS (SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT) AS rq,
+             CAST(round(c.c_acctbal * 10000.0) AS BIGINT) AS aq
+           FROM f l JOIN ow ON l.l_orderkey = ow.o_orderkey
+           JOIN customer c ON ow.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        SELECT c_custkey, c_name, n_name,
+          CAST(sum(rq) AS BIGINT) AS revenue_q, max(aq) AS acctbal_q,
+          CAST(count(*) AS BIGINT) AS n_items
+        FROM j GROUP BY 1, 2, 3
+        ORDER BY revenue_q DESC, c_custkey LIMIT 20""",
 
     "tpch_q5" ->
       """SELECT r.r_name, n.n_name,

@@ -97,4 +97,42 @@ object LineOps {
         (col("x") + ((col("target") - col("cum")) / col("len")) * col("dx")).as("px"),
         (col("y") + ((col("target") - col("cum")) / col("len")) * col("dy")).as("py"))
   }
+
+  /** Chaikin corner cutting (1974), `iters` rounds: every segment (P, Q)
+    * contributes the two points ¾P + ¼Q and ¼P + ¾Q; the original
+    * endpoints are kept (open-polyline convention). The weights are
+    * DYADIC, so on dyadic input coordinates every output coordinate is
+    * exact — no rounding recipe, bit-identical at any parallelism, and
+    * the SQL mirror is plain arithmetic. Each round is one fid-window +
+    * a 2× generator on the same key (the exchange is reused; a 10⁹-line
+    * layer stays hash-partitioned by fid throughout).
+    */
+  def chaikin(pts: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"chaikin: iters in [1,8], got $iters")
+    var cur = pts.select(col("fid"), col("seq"), col("x"), col("y"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("fid").orderBy("seq")
+      val seg = cur.select(col("fid"), col("seq"), col("x"), col("y"),
+        lead("x", 1).over(w).as("x1"), lead("y", 1).over(w).as("y1"))
+      val first = cur.where(col("seq") === 0)
+        .select(col("fid"), lit(-1L).as("k"), col("x"), col("y"))
+      val last = seg.where(col("x1").isNull)
+        .select(col("fid"), (col("seq") * 2).cast("long").as("k"), col("x"), col("y"))
+      val cuts = seg.where(col("x1").isNotNull)
+        .select(col("fid"), col("seq"), col("x"), col("y"), col("x1"), col("y1"),
+          explode(array(
+            struct((col("seq") * 2).cast("long").as("k"),
+              (lit(0.75) * col("x") + lit(0.25) * col("x1")).as("px"),
+              (lit(0.75) * col("y") + lit(0.25) * col("y1")).as("py")),
+            struct((col("seq") * 2 + 1).cast("long").as("k"),
+              (lit(0.25) * col("x") + lit(0.75) * col("x1")).as("px"),
+              (lit(0.25) * col("y") + lit(0.75) * col("y1")).as("py")))).as("p"))
+        .select(col("fid"), col("p.k").as("k"), col("p.px").as("x"), col("p.py").as("y"))
+      cur = first.unionByName(cuts).unionByName(last)
+        .withColumn("seq",
+          row_number().over(Window.partitionBy("fid").orderBy("k")) - 1)
+        .select("fid", "seq", "x", "y")
+    }
+    cur
+  }
 }

@@ -215,4 +215,27 @@ object Relational {
       .groupBy("r_name", "n_name")
       .agg(sum(q4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_q"),
         count(lit(1)).as("n_items"))
+
+  /** TPC-H Q10-style returned-item report: customers ranked by revenue
+    * lost to returns in a half-year order window. Scale shape: the
+    * returnflag + date filters push into both scans, the big join is
+    * lineitem×orders on the order key, customer/nation broadcast; the
+    * top-20 is (revenue DESC, custkey) — a total order, so LIMIT is
+    * deterministic. Money stays in q4 integer ten-thousandths.
+    */
+  def returnedItemReport(lineitem: DataFrame, orders: DataFrame,
+                         customer: DataFrame, nation: DataFrame): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-07-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(q4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_q"),
+        max(q4(col("c_acctbal"))).as("acctbal_q"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_q").desc, col("c_custkey"))
+      .limit(20)
 }

@@ -177,6 +177,50 @@ class SnapshotStore(val root: String) {
     }
   }
 
+  /** Small-file compaction — the Iceberg `rewrite_data_files` analog: a
+    * continuously-recommitting table accumulates one file per commit per
+    * bucket, and at 100 TB the file-count (not byte-count) is what kills
+    * scan planning. Every bucket with ≥ `minFiles` files is rewritten as
+    * one file into a fresh `compact-v<N>/bucket=<id>` group dir, then a
+    * single new snapshot swaps the partition file lists. Old files stay
+    * on disk — time travel to pre-compaction versions still works — and
+    * are reclaimed later by [[expireSnapshots]]'s orphan pass (which
+    * also mops up half-written compact dirs after a crash, since nothing
+    * references them until the commit lands). Row counts are re-counted
+    * and REQUIRED to match the manifest before the swap is committed.
+    * Returns (new snapshot, compacted bucket ids).
+    */
+  def compactBuckets(spark: org.apache.spark.sql.SparkSession,
+                     minFiles: Int = 2): (Option[Snapshot], Seq[Int]) = {
+    require(minFiles >= 2, s"minFiles >= 2, got $minFiles")
+    current() match {
+      case None => (None, Seq.empty)
+      case Some(cur) =>
+        val targets = cur.partitions.values.filter(_.files.size >= minFiles)
+          .toSeq.sortBy(_.bucket)
+        if (targets.isEmpty) return (Some(cur), Seq.empty)
+        val newVer = cur.version + 1
+        val rewritten = targets.map { p =>
+          val paths = p.files.map(f =>
+            if (f.contains("/")) s"$root/data/$f" else s"${dataPath(p.bucket)}/$f")
+          val destRel = s"compact-v$newVer/bucket=${p.bucket}"
+          val dest = s"$root/data/$destRel"
+          spark.read.parquet(paths: _*)
+            .coalesce(1).write.mode("overwrite").parquet(dest)
+          val files = Files.list(Paths.get(dest)).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted
+          val rows = spark.read.parquet(dest).count()
+          require(rows == p.rows,
+            s"compaction row drift on bucket ${p.bucket}: manifest ${p.rows}, rewrote $rows")
+          val bytes = files.map(f => Files.size(Paths.get(dest, f))).sum
+          p.copy(files = files.map(f => s"$destRel/$f"), bytes = bytes,
+            lineage = p.lineage + "+compact")
+        }
+        (Some(commit(rewritten)), targets.map(_.bucket))
+    }
+  }
+
   /** Buckets still missing from the latest snapshot. */
   def pending(universe: Seq[Int]): Seq[Int] = {
     val done = current().map(_.doneBuckets).getOrElse(Set.empty)

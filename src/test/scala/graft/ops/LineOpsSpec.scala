@@ -72,6 +72,36 @@ class LineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chaikin: one round matches the closed form; endpoints fixed") {
+    val p = LineOps.linePoints(fixture, "fid", "wkt")
+    val got = LineOps.chaikin(p, iters = 1).collect()
+      .filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    // line 1: (-2,5) (4,5) (4,9) → endpoints + 2 cuts per segment
+    val want = Array((-2.0, 5.0),
+      (0.75 * -2 + 0.25 * 4, 5.0), (0.25 * -2 + 0.75 * 4, 5.0),
+      (4.0, 0.75 * 5 + 0.25 * 9), (4.0, 0.25 * 5 + 0.75 * 9),
+      (4.0, 9.0))
+    assert(got.toSeq === want.toSeq)
+    // vertex count law: n -> 2(n-1) interior cuts + 2 endpoints
+    val all = LineOps.chaikin(p, iters = 1).groupBy("fid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all(0L) === 2L * 4 + 2) // 5 vertices → 10
+    assert(all(2L) === 4L)         // 2 vertices → 4? one segment: P0,Q,R,P1
+    // smoothing reduces total turning: iterated rounds converge toward
+    // a smooth curve — check max corner angle drops
+    val got2 = LineOps.chaikin(p, iters = 3).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    def maxTurn(vs: Array[(Double, Double)]): Double =
+      (1 until vs.length - 1).map { i =>
+        val a = math.atan2(vs(i)._2 - vs(i - 1)._2, vs(i)._1 - vs(i - 1)._1)
+        val b = math.atan2(vs(i + 1)._2 - vs(i)._2, vs(i + 1)._1 - vs(i)._1)
+        math.abs(math.atan2(math.sin(b - a), math.cos(b - a)))
+      }.max
+    assert(maxTurn(got2) < maxTurn(pts(0L)))
+  }
+
   test("segment metrics: cardinal and diagonal azimuths") {
     val p = LineOps.linePoints(fixture, "fid", "wkt")
     val m = LineOps.segmentMetrics(p).collect()

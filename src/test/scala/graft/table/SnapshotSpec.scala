@@ -139,6 +139,50 @@ class SnapshotSpec extends AnyFunSuite {
     assert(ids1 === expect1)
   }
 
+  test("compaction: multi-file buckets rewrite to one file, time travel intact") {
+    val root = freshRoot()
+    val store = new SnapshotStore(root)
+    // bucket 0 with TWO files (two physical writes), bucket 1 with one
+    val d0 = java.nio.file.Paths.get(store.dataPath(0))
+    java.nio.file.Files.createDirectories(d0)
+    def writeFile(bucket: Int, tag: String, lo: Int, hi: Int): String = {
+      val dest = s"${store.dataPath(bucket)}/$tag"
+      spark.range(lo, hi).toDF("id").coalesce(1).write.mode("overwrite").parquet(dest)
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(dest)).iterator()
+      var name = ""
+      while (f.hasNext) { val p = f.next()
+        if (p.getFileName.toString.endsWith(".parquet")) name = p.getFileName.toString }
+      s"$tag/$name"
+    }
+    val f1 = writeFile(0, "g1", 0, 50)
+    val f2 = writeFile(0, "g2", 50, 80)
+    val f3 = writeFile(1, "g3", 100, 130)
+    store.commit(Seq(
+      PartitionMeta(0, 80, 1, "src@t", Seq(s"bucket=0/$f1", s"bucket=0/$f2")),
+      PartitionMeta(1, 30, 1, "src@t", Seq(s"bucket=1/$f3"))))
+    val v1 = store.current().get.version
+    val (snap2, compacted) = store.compactBuckets(spark)
+    assert(compacted === Seq(0)) // only the 2-file bucket
+    val s2 = snap2.get
+    assert(s2.partitions(0).files.length === 1)
+    assert(s2.partitions(0).files.head.startsWith("compact-v"))
+    assert(s2.partitions(0).lineage === "src@t+compact")
+    assert(s2.partitions(1).files === Seq(s"bucket=1/$f3")) // untouched
+    // current reads the compacted file set with identical content
+    val cur = store.readVersion(spark, s2.version).agg(sum("id")).head.getLong(0)
+    assert(cur === (0 until 80).sum + (100 until 130).sum)
+    // time travel to pre-compaction still reads the old 2-file layout
+    val old = store.readVersion(spark, v1).count()
+    assert(old === 110)
+    // idempotent: everything is single-file now
+    val (_, again) = store.compactBuckets(spark)
+    assert(again.isEmpty)
+    // expire reclaims the replaced pre-compaction files
+    val (_, deleted) = store.expireSnapshots(keepLast = 1)
+    assert(deleted.nonEmpty)
+    assert(store.readVersion(spark, s2.version).count() === 110)
+  }
+
   test("expire_snapshots + remove_orphan_files: retained reads intact") {
     val root = freshRoot()
     val store = new SnapshotStore(root)
