@@ -97,7 +97,9 @@ object Bench {
     // (k max-struct scans), Euclidean allocation (one halo superstep)
     "geo_dbscan", "select_kcenters", "raster_allocation", "web_modularity",
     // exact-rational Lloyd (map-only assignment vs broadcast centroids)
-    "emb_kmeans", "vector_smooth", "tpch_q10")
+    "emb_kmeans", "vector_smooth", "tpch_q10",
+    // ZT curvature + sieve (one halo / label lifecycle), rhumb (map-only)
+    "raster_curvature", "raster_sieve", "geo_rhumb")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

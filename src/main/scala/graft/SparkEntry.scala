@@ -627,6 +627,15 @@ object SparkEntry {
       SpatialStats.nearestAnchor(
         Pages.pages(s, dir).select("doc_id", "lon", "lat"), anchors)
     },
+    "geo_rhumb" -> { (s, dir) =>
+      // rhumb-line distance (whole meters) + constant bearing (ROUND-5
+      // degrees) to every anchor — the loxodrome complement to
+      // geo_haversine / geo_destination
+      import s.implicits._
+      val anchors = AnchorFixture.rows.toDF("anchor_id", "a_lon", "a_lat")
+      SpatialStats.rhumbToAnchors(
+        Pages.pages(s, dir).select("doc_id", "lon", "lat"), anchors)
+    },
     "geo_cells" -> { (s, dir) =>
       GraftFunctions.register(s)
       val p = Pages.pages(s, dir)
@@ -2959,6 +2968,31 @@ object SparkEntry {
         convSpec.tileSize)
     },
 
+    "raster_sieve" -> { (s, _) =>
+      // gdal_sieve: planted islands (two of them tile-boundary-spanning)
+      // below 16 px dissolve into the background region; E (72 px) and
+      // F (18 px) survive — the oracle is the closed-form survivor CASE
+      val spec = RasterSpec(0.0, 24.0, 0.25, -0.25, 96, 96, 32, 1)
+      def isl(x: Int, y: Int): Double =
+        if (x >= 30 && x <= 34 && y >= 5 && y <= 7) 10.0        // A 15 px
+        else if (x >= 60 && x <= 62 && y >= 30 && y <= 34) 11.0 // B 15
+        else if (x >= 10 && x <= 11 && y >= 40 && y <= 41) 12.0 // C 4
+        else if (x == 50 && y == 50) 13.0                       // D 1
+        else if (x >= 70 && x <= 78 && y >= 60 && y <= 67) 14.0 // E 72
+        else if (x <= 2 && y >= 90) 15.0                        // F 18
+        else 0.0
+      graft.tiles.Vectorize.sieve(
+        TileOps.createRaster(s, spec)((x, y, _) => isl(x, y)), spec,
+        minPixels = 16)
+    },
+    "raster_curvature" -> { (s, _) =>
+      // Zevenbergen–Thorne curvature triple: general form fully exact
+      // (dyadic quadric coefficients), directional forms share ONE
+      // mirrored IEEE division
+      val r = TileOps.createRaster(s, convSpec.copy(bands = 1))(
+        (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
+      TileOps2.curvature(r, convSpec.tileSize)
+    },
     "raster_allocation" -> { (s, _) =>
       // Euclidean allocation: sparse sources carry unique ids (x*256+y+1);
       // every pixel takes its nearest source's id under the pinned
@@ -3350,6 +3384,26 @@ object SparkEntry {
           ROUND(degrees(lo1 + atan2(sin(th) * sin(dl) * cos(la1),
             cos(dl) - sin(la1) * sl2)), 9) AS dest_lon
         FROM e"""),
+    // loxodrome mirror: identical operation order; whole-meter distance
+    // and ROUND-5 bearing absorb the StrictMath-vs-libm trig/log ulp
+    "geo_rhumb" -> Pages.sqlWith(
+      s""", anchors(anchor_id, a_lon, a_lat) AS (VALUES ${AnchorFixture.sqlValues}),
+        t AS (SELECT p.doc_id, a.anchor_id,
+            radians(a.a_lat) - radians(p.lat) AS dphi,
+            radians(((a.a_lon - p.lon + 540.0) % 360.0) - 180.0) AS dlam,
+            ln(tan(pi() / 4.0 + radians(a.a_lat) / 2.0)
+              / tan(pi() / 4.0 + radians(p.lat) / 2.0)) AS dpsi,
+            CASE WHEN p.lat = a.a_lat THEN cos(radians(p.lat)) ELSE NULL END AS qflat
+          FROM pages p CROSS JOIN anchors a),
+        m AS (SELECT doc_id, anchor_id, dphi, dlam, dpsi,
+            COALESCE(qflat, dphi / dpsi) AS q,
+            degrees(atan2(dlam, dpsi)) AS theta
+          FROM t)
+        SELECT doc_id, anchor_id,
+          CAST(ROUND(sqrt(dphi * dphi + q * q * dlam * dlam) * 6378137.0, 0) AS BIGINT)
+            AS rhumb_m,
+          ROUND((theta + 360.0) % 360.0, 5) AS bearing_deg
+        FROM m"""),
     "geo_haversine" -> Pages.sqlWith(
       s""", anchors(anchor_id, a_lon, a_lat) AS (VALUES ${AnchorFixture.sqlValues}),
         d AS (SELECT p.doc_id, a.anchor_id,
@@ -7601,6 +7655,47 @@ object SparkEntry {
           ON b.x BETWEEN a.x - 3 AND a.x + 3 AND b.y BETWEEN a.y - 3 AND a.y + 3
         GROUP BY a.x, a.y, a.band, a.v""",
 
+    // the engine must DISCOVER the region structure; the oracle states
+    // the closed-form survivors (sub-threshold islands → background 0)
+    "raster_sieve" ->
+      """SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y, 0 AS band,
+          CASE WHEN x BETWEEN 70 AND 78 AND y BETWEEN 60 AND 67 THEN 14.0
+               WHEN x <= 2 AND y >= 90 THEN 15.0
+               ELSE 0.0 END AS v
+        FROM range(96) r1(x), range(96) r2(y)""",
+    // ZT quadric coefficients are exact dyadics (integer z, 2^-2 cell);
+    // the directional forms repeat the engine's operation order verbatim
+    "raster_curvature" ->
+      """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           0 AS band, CAST((x*7 + y*13) % 97 AS DOUBLE) AS v
+         FROM range(96) r1(x), range(96) r2(y)),
+        n AS (SELECT a.x, a.y, a.band, a.v AS z5,
+            COALESCE(MAX(CASE WHEN b.x = a.x-1 AND b.y = a.y-1 THEN b.v END), a.v) AS z1,
+            COALESCE(MAX(CASE WHEN b.x = a.x   AND b.y = a.y-1 THEN b.v END), a.v) AS z2,
+            COALESCE(MAX(CASE WHEN b.x = a.x+1 AND b.y = a.y-1 THEN b.v END), a.v) AS z3,
+            COALESCE(MAX(CASE WHEN b.x = a.x-1 AND b.y = a.y   THEN b.v END), a.v) AS z4,
+            COALESCE(MAX(CASE WHEN b.x = a.x+1 AND b.y = a.y   THEN b.v END), a.v) AS z6,
+            COALESCE(MAX(CASE WHEN b.x = a.x-1 AND b.y = a.y+1 THEN b.v END), a.v) AS z7,
+            COALESCE(MAX(CASE WHEN b.x = a.x   AND b.y = a.y+1 THEN b.v END), a.v) AS z8,
+            COALESCE(MAX(CASE WHEN b.x = a.x+1 AND b.y = a.y+1 THEN b.v END), a.v) AS z9
+          FROM px a LEFT JOIN px b
+            ON b.x BETWEEN a.x-1 AND a.x+1 AND b.y BETWEEN a.y-1 AND a.y+1
+          GROUP BY a.x, a.y, a.band, a.v),
+        q AS (SELECT x, y, band,
+            ((z4 + z6) / 2.0 - z5) / 0.0625 AS dD,
+            ((z2 + z8) / 2.0 - z5) / 0.0625 AS eE,
+            (-z1 + z3 + z7 - z9) / (4.0 * 0.0625) AS fF,
+            (-z4 + z6) / (2.0 * 0.25) AS gG,
+            (z2 - z8) / (2.0 * 0.25) AS hH
+          FROM n)
+        SELECT x, y, band, -2.0 * (dD + eE) * 100.0 AS curv,
+          CASE WHEN gG*gG + hH*hH = 0.0 THEN 0.0
+               ELSE -2.0 * (dD*gG*gG + eE*hH*hH + fF*gG*hH) / (gG*gG + hH*hH) * 100.0
+               END AS prof,
+          CASE WHEN gG*gG + hH*hH = 0.0 THEN 0.0
+               ELSE 2.0 * (dD*hH*hH + eE*gG*gG - fF*gG*hH) / (gG*gG + hH*hH) * 100.0
+               END AS planc
+        FROM q""",
     // nearest-source id under the pinned (d², dy, dx) candidate order —
     // the same total order the engine's sorted-offset scan walks
     "raster_allocation" ->

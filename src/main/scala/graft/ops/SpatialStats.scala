@@ -202,4 +202,33 @@ object SpatialStats {
                 s"DIV CAST(w_pairs * den AS $Dec) AS BIGINT)"))
           .as("moran_ppm"))
   }
+
+  /** Rhumb-line (loxodrome) distance and bearing to each anchor — the
+    * constant-bearing navigation complement to the great-circle pair
+    * (haversineCol / destinationPoint): distance in WHOLE METERS
+    * (ulp-safe grid), bearing in ROUND-5 degrees [0, 360) (≈1 m of
+    * across-track at Earth scale; coarse enough that the StrictMath-vs-
+    * libm 1-ulp gap in log/atan2 — ~1e-14 deg — cannot straddle a
+    * boundary at any realistic row count). Same-latitude legs take the
+    * exact q = cos φ branch (both engines branch on the identical raw
+    * doubles); Δλ wraps through the antimeridian via the +540 pmod.
+    * Map-only behind the anchor broadcast, codegen'd end to end.
+    */
+  def rhumbToAnchors(points: DataFrame, anchors: DataFrame,
+                     radiusM: Double = 6378137.0): DataFrame = {
+    val phi1 = radians(col("lat")); val phi2 = radians(col("a_lat"))
+    val dphi = phi2 - phi1
+    val dlam = radians(
+      pmod(col("a_lon") - col("lon") + lit(540.0), lit(360.0)) - lit(180.0))
+    val dpsi = log(
+      tan(lit(math.Pi / 4.0) + phi2 / lit(2.0)) /
+        tan(lit(math.Pi / 4.0) + phi1 / lit(2.0)))
+    val q = when(col("lat") === col("a_lat"), cos(phi1)).otherwise(dphi / dpsi)
+    val dist = sqrt(dphi * dphi + q * q * dlam * dlam) * lit(radiusM)
+    val theta = degrees(atan2(dlam, dpsi))
+    points.crossJoin(broadcast(anchors))
+      .select(col("doc_id"), col("anchor_id"),
+        round(dist, 0).cast("long").as("rhumb_m"),
+        round(pmod(theta + lit(360.0), lit(360.0)), 5).as("bearing_deg"))
+  }
 }

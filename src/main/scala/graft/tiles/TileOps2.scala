@@ -1185,6 +1185,61 @@ object TileOps2 {
   /** Fuse the two Horn gradient bands through a scalar combiner —
     * single halo pass, no intermediate two-band materialization.
     */
+  /** Zevenbergen–Thorne (1987) surface curvature — the second-derivative
+    * DEM triple completing slope/aspect/hillshade: general curvature
+    * −2(D+E)·100 (ArcGIS scaling), profile (along-slope) and plan
+    * (across-slope) curvature; flat cells (G=H=0) report 0 for both
+    * directional forms. Out-of-raster neighbors take the center value
+    * (the demGradients edge convention). With integer elevations and a
+    * power-of-two cell size every quadric coefficient D..H is an EXACT
+    * dyadic, so the general curvature is exact outright and the two
+    * directional forms come down to ONE shared IEEE division mirrored
+    * op-for-op in SQL. One radius-1 halo superstep, map-only after.
+    * Output rows: (x, y, band, curv, prof, plan).
+    */
+  def curvature(tiles: Dataset[Tile], tileSize: Int): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    TileOps.convolvePad(tiles, 1).flatMap { case (t, pad, pw, _) =>
+      val rows = collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Int, Double, Double, Double)]
+      val l = t.pxW
+      val l2 = l * l
+      var r = 0
+      while (r < t.h) {
+        var c = 0
+        while (c < t.w) {
+          val z5 = t.pixels(r * t.w + c)
+          def at(dx: Int, dy: Int): Double = {
+            val v = pad((r + 1 + dy) * pw + (c + 1 + dx))
+            if (v.isNaN) z5 else v
+          }
+          val z1 = at(-1, -1); val z2 = at(0, -1); val z3 = at(1, -1)
+          val z4 = at(-1, 0); val z6 = at(1, 0)
+          val z7 = at(-1, 1); val z8 = at(0, 1); val z9 = at(1, 1)
+          val dD = ((z4 + z6) / 2.0 - z5) / l2
+          val eE = ((z2 + z8) / 2.0 - z5) / l2
+          val fF = (-z1 + z3 + z7 - z9) / (4.0 * l2)
+          val gG = (-z4 + z6) / (2.0 * l)
+          val hH = (z2 - z8) / (2.0 * l)
+          val curv = -2.0 * (dD + eE) * 100.0
+          val den = gG * gG + hH * hH
+          val prof =
+            if (den == 0.0) 0.0
+            else -2.0 * (dD * gG * gG + eE * hH * hH + fF * gG * hH) / den * 100.0
+          val plan =
+            if (den == 0.0) 0.0
+            else 2.0 * (dD * hH * hH + eE * gG * gG - fF * gG * hH) / den * 100.0
+          rows += ((t.cellX * tileSize + c, t.cellY * tileSize + r, t.band,
+            curv, prof, plan))
+          c += 1
+        }
+        r += 1
+      }
+      rows.iterator
+    }.toDF("x", "y", "band", "curv", "prof", "planc")
+  }
+
   private def gradientsCombine(tiles: Dataset[Tile])
                               (f: (Double, Double) => Double): Dataset[Tile] = {
     val padded = TileOps.convolvePad(tiles, 1)

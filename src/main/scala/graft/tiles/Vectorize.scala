@@ -391,6 +391,178 @@ object Vectorize {
     * has not converged within its round budget rather than returning
     * partial labels. Returns (label, comp) for every input label.
     */
+  /** GDAL-sieve analog (gdal_sieve / SieveFilter): 4-connected regions
+    * smaller than `minPixels` take the VALUE of their largest adjacent
+    * region (ties → lowest region id). SINGLE-PASS CONTRACT: every
+    * small region's target is chosen on the ORIGINAL labeling — GDAL's
+    * iterative smallest-first merge can chain; one deterministic pass is
+    * the contract here (and in the oracle), and repeated application
+    * converges to the iterated form when needed. A small region with no
+    * neighbor (one-region raster) keeps its value.
+    *
+    * Distribution: the [[vectorize]] label lifecycle (per-tile union-
+    * find → boundary-pair label graph → star-contraction/driver resolve)
+    * plus (a) DIFFERENT-value boundary pairs = cross-tile region
+    * adjacency for free from the same edge rows, (b) in-tile adjacency
+    * emitted locally deduped, (c) a per-pixel (pixel → provisional
+    * label) frame that joins the final decision map — the decision map
+    * is REGION-grain (small), so the pixel-grain work stays map-only.
+    *
+    * Output: per-pixel rows (x, y, band, v) of the sieved raster.
+    */
+  def sieve(tiles: Dataset[Tile], spec: RasterSpec, minPixels: Long,
+            maxIters: Int = 32): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val ts = spec.tileSize
+    val W = spec.width.toLong; val H = spec.height.toLong
+
+    // kinds: 0 comp (label, band, v, n) · 1 boundary (label, v, ek, pos)
+    //        2 in-tile adjacency (label, label2) · 3 pixel (label, v, gx, gy)
+    val perTile = tiles.flatMap { t =>
+      val w = t.w; val h = t.h
+      val parent = Array.tabulate(w * h)(identity)
+      def find(a: Int): Int = {
+        var x = a
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      def union(a: Int, b: Int): Unit = {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val px = t.pixels
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val i = r * w + c
+          if (c + 1 < w && px(i) == px(i + 1)) union(i, i + 1)
+          if (r + 1 < h && px(i) == px(i + w)) union(i, i + w)
+          c += 1
+        }
+        r += 1
+      }
+      val baseX = t.cellX.toLong * ts; val baseY = t.cellY.toLong * ts
+      val bandOff = t.band.toLong * W * H
+      def globalLabel(i: Int): Long = {
+        val root = find(i)
+        bandOff + (baseY + root / w) * W + (baseX + root % w)
+      }
+      val out = collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long, Int, Double, Long, Long, Long, Long)]
+      // comps
+      val agg = collection.mutable.HashMap.empty[Int, Long]
+      var i = 0
+      while (i < w * h) {
+        val root = find(i)
+        agg(root) = agg.getOrElse(root, 0L) + 1L
+        i += 1
+      }
+      agg.foreach { case (root, n) =>
+        out += ((0, globalLabel(root), 0L, t.band, px(root), n, 0L, 0L, 0L))
+      }
+      // boundary rows (both same-v merge and diff-v adjacency ride these)
+      def edgeKey(vertical: Boolean, ex: Long, ey: Long): Long =
+        ((ex * 1048576L + ey) * 2L + (if (vertical) 1L else 0L)) * 8L + t.band
+      var rr = 0
+      while (rr < h) {
+        val li = rr * w
+        out += ((1, globalLabel(li), 0L, t.band, px(li), 0L, 0L,
+          edgeKey(vertical = true, t.cellX.toLong, t.cellY.toLong), baseY + rr))
+        val ri = rr * w + (w - 1)
+        out += ((1, globalLabel(ri), 0L, t.band, px(ri), 0L, 0L,
+          edgeKey(vertical = true, t.cellX.toLong + 1L, t.cellY.toLong), baseY + rr))
+        rr += 1
+      }
+      var cc = 0
+      while (cc < w) {
+        out += ((1, globalLabel(cc), 0L, t.band, px(cc), 0L, 0L,
+          edgeKey(vertical = false, t.cellX.toLong, t.cellY.toLong), baseX + cc))
+        val bi = (h - 1) * w + cc
+        out += ((1, globalLabel(bi), 0L, t.band, px(bi), 0L, 0L,
+          edgeKey(vertical = false, t.cellX.toLong, t.cellY.toLong + 1L), baseX + cc))
+        cc += 1
+      }
+      // in-tile adjacency, locally deduped
+      val seen = collection.mutable.HashSet.empty[(Long, Long)]
+      r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val i2 = r * w + c
+          def adj(j: Int): Unit = if (px(i2) != px(j)) {
+            val la = globalLabel(i2); val lb = globalLabel(j)
+            val k = if (la < lb) (la, lb) else (lb, la)
+            if (seen.add(k))
+              out += ((2, k._1, k._2, t.band, 0.0, 0L, 0L, 0L, 0L))
+          }
+          if (c + 1 < w) adj(i2 + 1)
+          if (r + 1 < h) adj(i2 + w)
+          c += 1
+        }
+        r += 1
+      }
+      // pixels: gx rides x1, gy rides pos
+      i = 0
+      while (i < w * h) {
+        out += ((3, globalLabel(i), 0L, t.band, px(i),
+          0L, baseX + i % w, 0L, baseY + i / w))
+        i += 1
+      }
+      out.iterator
+    }.toDF("kind", "label", "label2", "band", "v", "n", "x1", "ek", "pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val comps = perTile.filter(col("kind") === 0)
+      .select(col("label"), col("band"), col("v"), col("n"))
+    val b = perTile.filter(col("kind") === 1)
+      .select(col("label"), col("v"), col("ek"), col("pos"))
+    val sidePairs = b.as("a").join(b.as("bb"),
+        col("a.ek") === col("bb.ek") && col("a.pos") === col("bb.pos") &&
+          col("a.label") < col("bb.label"))
+    val mergeEdges = sidePairs.filter(col("a.v") === col("bb.v"))
+      .select(col("a.label").as("src"), col("bb.label").as("dst")).distinct()
+    val labels = resolveLabels(comps.select(col("label")), mergeEdges, maxIters)
+
+    val regions = comps.join(labels, "label")
+      .groupBy(col("band"), col("comp"))
+      .agg(min(col("v")).as("v"), sum(col("n")).as("n_px"))
+
+    // region adjacency on FINAL labels (both directions)
+    val provAdj = perTile.filter(col("kind") === 2)
+        .select(col("label"), col("label2"))
+      .unionByName(sidePairs.filter(col("a.v") =!= col("bb.v"))
+        .select(col("a.label").as("label"), col("bb.label").as("label2")))
+    val adj = provAdj
+      .join(labels.withColumnRenamed("comp", "ca"), "label")
+      .join(labels.select(col("label").as("label2"), col("comp").as("cb")), "label2")
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb"))
+    val adjBoth = adj.unionByName(adj.select(col("cb").as("ca"), col("ca").as("cb")))
+      .distinct()
+
+    val small = regions.filter(col("n_px") < minPixels)
+      .select(col("band"), col("comp"), col("v").as("v_old"))
+    val decisions = small
+      .join(adjBoth, small("comp") === adjBoth("ca"))
+      .join(regions.select(col("comp").as("cb"), col("n_px").as("nb"),
+        col("v").as("v_new"), col("band").as("band_b")),
+        Seq("cb"))
+      .filter(col("band") === col("band_b"))
+      .groupBy(col("band"), col("comp"))
+      .agg(max(struct(col("nb"), (-col("cb")).as("negc"), col("v_new"))).as("t"))
+      .select(col("band"), col("comp"), col("t.v_new").as("v_new"))
+
+    perTile.filter(col("kind") === 3)
+      .select(col("label"), col("band"), col("v"),
+        col("x1").as("gx"), col("pos").as("gy"))
+      .join(labels, "label")
+      .join(decisions, Seq("band", "comp"), "left")
+      .select(col("gx").cast("int").as("x"), col("gy").cast("int").as("y"),
+        col("band"), coalesce(col("v_new"), col("v")).as("v"))
+  }
+
   private def resolveLabels(labelsOnly: DataFrame, edges: DataFrame,
                             maxIters: Int): DataFrame = {
     val spark = labelsOnly.sparkSession
