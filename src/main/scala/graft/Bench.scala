@@ -99,7 +99,9 @@ object Bench {
     // exact-rational Lloyd (map-only assignment vs broadcast centroids)
     "emb_kmeans", "vector_smooth", "tpch_q10",
     // ZT curvature + sieve (one halo / label lifecycle), rhumb (map-only)
-    "raster_curvature", "raster_sieve", "geo_rhumb")
+    "raster_curvature", "raster_sieve", "geo_rhumb",
+    // session flows + rolling actives (bounded fanout), crosstab, Q18
+    "events_paths", "events_wau", "raster_crosstab", "tpch_q18")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

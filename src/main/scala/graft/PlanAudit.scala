@@ -104,7 +104,7 @@ object PlanAudit {
       "emb_rp", "events_trajectory",
       // DBSCAN: the ε-pair cell join + degree agg + CC + border argmin —
       // every join must stay an equi-join (hot cells are AQE's job)
-      "geo_dbscan", "web_modularity", "emb_kmeans", "vector_smooth", "tpch_q10", "raster_sieve")
+      "geo_dbscan", "web_modularity", "emb_kmeans", "vector_smooth", "tpch_q10", "raster_sieve", "events_wau")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

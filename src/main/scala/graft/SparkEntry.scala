@@ -1342,6 +1342,29 @@ object SparkEntry {
       val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
       WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
     },
+    "events_paths" -> { (s, dir) =>
+      // top-20 session flows: 30-min sessions, first 5 steps, '>'-joined
+      Events.sessionPaths(eventsOf(s, dir))
+    },
+    "events_wau" -> { (s, dir) =>
+      // exact rolling DAU/WAU via the bounded 7× user-day fanout
+      Events.activeUsers(eventsOf(s, dir))
+    },
+    "raster_crosstab" -> { (s, _) =>
+      // TabulateArea: 16-px block classes × the standard value plane
+      val spec = convSpec.copy(bands = 1)
+      val classes = TileOps.createRaster(s, spec)(
+        (x, y, _) => ((x / 16 + y / 16) % 4).toDouble)
+      val values = TileOps.createRaster(s, spec)(
+        (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
+      TileOps2.crosstab(classes, values)
+    },
+    "tpch_q18" -> { (s, dir) =>
+      Relational.largeOrders(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"))
+    },
     "events_decay" -> { (s, dir) =>
       // recency-weighted activity in EXACT integer decay units 2^-30
       // (dyadic half-life weights: no FP, no rounding recipe, no
@@ -5016,6 +5039,52 @@ object SparkEntry {
           CAST(sum(CAST(1 AS BIGINT) << CAST(30 - k AS INTEGER)) AS BIGINT) AS decay_units,
           CAST(count(*) AS BIGINT) AS n_events
         FROM e GROUP BY user_id""",
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+        g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                 OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sid AS (SELECT *, SUM(new_sess) OVER
+            (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM g),
+        st AS (SELECT *, row_number() OVER
+            (PARTITION BY user_id, sess_id ORDER BY us, event_id) AS step
+          FROM sid),
+        paths AS (SELECT user_id, sess_id,
+            string_agg(event_type, '>' ORDER BY step) AS path
+          FROM st WHERE step <= 5 GROUP BY user_id, sess_id)
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 20""",
+    "events_wau" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+            CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day FROM events),
+        mx AS (SELECT max(day) AS max_day FROM d),
+        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+        f AS (SELECT DISTINCT user_id, day + o.o AS day
+          FROM d, range(7) o(o)),
+        wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM f GROUP BY 1)
+        SELECT w.day, COALESCE(dau.dau, 0) AS dau, w.wau
+        FROM wau w LEFT JOIN dau USING (day), mx
+        WHERE w.day <= mx.max_day""",
+    "raster_crosstab" ->
+      """SELECT CAST((x // 16 + y // 16) % 4 AS DOUBLE) AS klass,
+          CAST((x*7 + y*13) % 97 AS DOUBLE) AS v,
+          CAST(count(*) AS BIGINT) AS n_px
+        FROM range(96) r1(x), range(96) r2(y)
+        GROUP BY 1, 2""",
+    "tpch_q18" ->
+      """WITH t AS (SELECT l_orderkey,
+            CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+            CAST(count(*) AS BIGINT) AS n_items
+          FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS BIGINT) > 120)
+        SELECT t.l_orderkey AS orderkey, c.c_custkey, c.c_name,
+          t.total_qty, t.n_items
+        FROM t JOIN orders o ON t.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY total_qty DESC, orderkey LIMIT 50""",
     // hop lengths in whole meters (the geo_haversine trig recipe) so the
     // per-user totals are exact BIGINT sums
     "events_trajectory" ->

@@ -80,6 +80,66 @@ object Events {
       .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Top-k session paths — the product-analytics "user flow" report:
+    * per session (same 30-min-gap rule as [[sessionize]]) the ordered
+    * event-type sequence, truncated to `maxSteps`, joined with '>' and
+    * counted across the corpus. Order inside a session is total
+    * ((ts, event_id)), and collect_list's nondeterministic arrival order
+    * is repaired by array_sort on the unique step index — the output is
+    * bit-identical at any parallelism. The per-session state is bounded
+    * by maxSteps; the path table is tiny, so the global top-k is a
+    * TakeOrdered, never a full sort.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+                   maxSteps: Int = 5, topK: Int = 20): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val bySess = Window.partitionBy("user_id", "sess_id")
+      .orderBy(col("us"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev", lag("us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(byUser))
+      .withColumn("step", row_number().over(bySess))
+      .filter(col("step") <= maxSteps)
+      .groupBy("user_id", "sess_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("step"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
+  /** Rolling distinct active users — the DAU/WAU pair, EXACT: the raw
+    * stream collapses to distinct user-days first, then each user-day
+    * fans out to the `windowDays` trailing report days (bounded 7×
+    * expansion — the standard exact-sliding-distinct shape; never a
+    * distinct over a window). Days past the corpus maximum are cut by
+    * one broadcast scalar. Output (day, dau, wau).
+    */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val days = events
+      .select(col("user_id"), floor(us / lit(86400000000.0)).cast("long").as("day"))
+      .distinct()
+    val maxDay = days.agg(max("day").as("max_day"))
+    val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    // left from the WAU side: a day with no direct events still reports
+    // its trailing-window actives (dau = 0)
+    wau.join(dau, Seq("day"), "left")
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_day"))
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+  }
+
   /** Cohort retention: users grouped by their first active day (the
     * cohort); for each (cohort_day, day_offset) the number of cohort
     * members active that day plus the retention rate in exact ppm

@@ -238,4 +238,24 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue_q").desc, col("c_custkey"))
       .limit(20)
+
+  /** TPC-H Q18-style large-volume customers: orders whose total quantity
+    * exceeds the threshold, joined back to customer. The HAVING runs as
+    * one map-side-combined agg BEFORE any join (the big table collapses
+    * to order grain first); quantities are integral doubles → exact Long.
+    * Top-50 on the (qty DESC, orderkey) total order.
+    */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, minQty: Long = 120): DataFrame =
+    lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"),
+        count(lit(1)).as("n_items"))
+      .filter(col("total_qty") > minQty)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("l_orderkey").as("orderkey"), col("c_custkey"),
+        col("c_name"), col("total_qty"), col("n_items"))
+      .orderBy(col("total_qty").desc, col("orderkey"))
+      .limit(50)
 }

@@ -1185,6 +1185,43 @@ object TileOps2 {
   /** Fuse the two Horn gradient bands through a scalar combiner —
     * single halo pass, no intermediate two-band materialization.
     */
+  /** Raster × raster cross-tabulation (ESRI TabulateArea / combine with
+    * a class raster): per (class value, data value) pixel counts between
+    * two same-grid single-band rasters. Pixels never shuffle raw: each
+    * tile pair builds a LOCAL (class, v) count map, then one map-side-
+    * combined aggregation folds the maps — the zonal-histogram shape
+    * applied to a raster zone layer.
+    */
+  def crosstab(classes: Dataset[Tile], values: Dataset[Tile]): DataFrame = {
+    val spark = classes.sparkSession
+    import spark.implicits._
+    val tagged = classes.map(t => (0, t)).unionByName(values.map(t => (1, t)))
+    tagged
+      .groupByKey { case (_, t) => (t.cellX, t.cellY) }
+      .flatMapGroups { (_: (Int, Int), it: Iterator[(Int, Tile)]) =>
+        val ts = it.toArray
+        val k = ts.find(_._1 == 0).map(_._2).getOrElse(
+          throw new IllegalArgumentException("crosstab: class tile missing"))
+        val v = ts.find(_._1 == 1).map(_._2).getOrElse(
+          throw new IllegalArgumentException("crosstab: value tile missing"))
+        require(k.pixels.length == v.pixels.length,
+          s"crosstab: tile shape mismatch at (${k.cellX},${k.cellY})")
+        val m = collection.mutable.HashMap.empty[(Double, Double), Long]
+        var i = 0
+        while (i < k.pixels.length) {
+          val kk = k.pixels(i); val vv = v.pixels(i)
+          if (!kk.isNaN && !vv.isNaN && kk != k.nodata && vv != v.nodata) {
+            val key = (kk, vv)
+            m(key) = m.getOrElse(key, 0L) + 1L
+          }
+          i += 1
+        }
+        m.iterator.map { case ((kk, vv), n) => (kk, vv, n) }
+      }
+      .toDF("klass", "v", "n")
+      .groupBy("klass", "v").agg(sum("n").as("n_px"))
+  }
+
   /** Zevenbergen–Thorne (1987) surface curvature — the second-derivative
     * DEM triple completing slope/aspect/hillshade: general curvature
     * −2(D+E)·100 (ArcGIS scaling), profile (along-slope) and plan

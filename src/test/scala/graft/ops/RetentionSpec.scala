@@ -82,4 +82,56 @@ class RetentionSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(ret == Set((2L, 0L, 1L, 1000000L)))
   }
+
+  test("session paths: ordering, truncation, and counting") {
+    import spark.implicits._
+    // user 1: one session a>b>c; user 2: two sessions (a>b, a>b) split by
+    // a 2-hour gap; user 3: 7-step session truncated to 5
+    val rows = Seq(
+      (1L, ts(0, 0), 1L, "a"), (2L, ts(0, 60), 1L, "b"), (3L, ts(0, 120), 1L, "c"),
+      (4L, ts(0, 0), 2L, "a"), (5L, ts(0, 30), 2L, "b"),
+      (6L, ts(0, 8000), 2L, "a"), (7L, ts(0, 8030), 2L, "b")) ++
+      (0 until 7).map(k => (10L + k, ts(0, 10 * k), 3L, ('p' + k).toChar.toString))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.sessionPaths(ev, maxSteps = 5, topK = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a>b") === 2L)
+    assert(got("a>b>c") === 1L)
+    assert(got("p>q>r>s>t") === 1L) // truncated at 5 steps
+    assert(got.size === 3)
+    // determinism across partitioning
+    val re = Events.sessionPaths(ev.repartition(7), maxSteps = 5, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re === got)
+  }
+
+  test("active users: exact DAU/WAU incl. a zero-DAU trailing day") {
+    import spark.implicits._
+    // user 1 on days 0 and 2; user 2 on day 0. Day 1: DAU 0, WAU 2.
+    val ev = Seq(
+      (1L, ts(0), 1L, "x"), (2L, ts(0, 5), 1L, "x"), (3L, ts(2), 1L, "x"),
+      (4L, ts(0), 2L, "x")).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.activeUsers(ev, windowDays = 7).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) === ((2L, 2L)))
+    assert(got(1L) === ((0L, 2L))) // no events that day, both in window
+    assert(got(2L) === ((1L, 2L)))
+    assert(!got.contains(3L) || got.keySet.max == 2L) // cut at max day
+    assert(got.keySet.max === 2L)
+  }
+
+  test("crosstab: hand counts, nodata skip, mass conservation") {
+    import graft.tiles.{RasterSpec, Tile, TileOps, TileOps2}
+    val spec = RasterSpec(0.0, 8.0, 1.0, -1.0, 8, 8, 4, 1)
+    val classes = TileOps.createRaster(spark, spec)((x, _, _) => (x / 4).toDouble)
+    val values = TileOps.createRaster(spark, spec)(
+      (x, y, _) => if (x == 0 && y == 0) -9999.0 else ((x + y) % 2).toDouble)
+    val got = TileOps2.crosstab(classes, values).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // class 0 = left half (32 px, one nodata): parity split 16/16 minus
+    // the (0,0) nodata which has parity 0 → (0,0.0)=15, (0,1.0)=16
+    assert(got((0.0, 0.0)) === 15L && got((0.0, 1.0)) === 16L)
+    assert(got((1.0, 0.0)) === 16L && got((1.0, 1.0)) === 16L)
+    assert(got.values.sum === 63L)
+  }
 }
