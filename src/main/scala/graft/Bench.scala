@@ -101,7 +101,9 @@ object Bench {
     // ZT curvature + sieve (one halo / label lifecycle), rhumb (map-only)
     "raster_curvature", "raster_sieve", "geo_rhumb",
     // session flows + rolling actives (bounded fanout), crosstab, Q18
-    "events_paths", "events_wau", "raster_crosstab", "tpch_q18")
+    "events_paths", "events_wau", "raster_crosstab", "tpch_q18",
+    // hashing-trick featurizer (one combined agg) + deflate quality signal
+    "text_hashing", "text_comp_ratio")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

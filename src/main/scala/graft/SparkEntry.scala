@@ -1342,6 +1342,26 @@ object SparkEntry {
       val blocked = Seq("host0.example", "host13.example", "host51.example").toDF("host")
       WebOps.filterHosts(Pages.pages(s, dir).select("doc_id", "url"), blocked)
     },
+    "text_hashing" -> { (s, dir) =>
+      // hashing-trick featurization, md5prefix oracle family (xxhash64
+      // is the production default — same plan, different hash)
+      TextOps.hashingTrick(documentsOf(s, dir), dims = 16, family = "md5prefix")
+    },
+    "text_comp_ratio" -> { (s, dir) =>
+      // deflate redundancy signal over a deterministic fixture corpus
+      // (pinned-constant oracle: zlib output is an environment pin,
+      // the mm_jpeg_decode class)
+      import s.implicits._
+      val docs = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1L, "ab" * 200),
+        (2L, (0 until 400).map(i => ('a' + (i * 17 + 5) % 26).toChar).mkString),
+        (3L, "z"),
+        (4L, ((0 until 60).map(i => s"token${i % 7}")).mkString(" ")),
+        (5L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed do " * 4))
+        .toDF("doc_id", "text")
+      TextOps.compressionRatio(docs)
+    },
     "events_paths" -> { (s, dir) =>
       // top-20 session flows: 30-min sessions, first 5 steps, '>'-joined
       Events.sessionPaths(eventsOf(s, dir))
@@ -5039,6 +5059,24 @@ object SparkEntry {
           CAST(sum(CAST(1 AS BIGINT) << CAST(30 - k AS INTEGER)) AS BIGINT) AS decay_units,
           CAST(count(*) AS BIGINT) AS n_events
         FROM e GROUP BY user_id""",
+    // pinned constants (pin_oracle.py flow): zlib deflate output is an
+    // environment pin (mm_jpeg_decode class); bit-stable local[2] vs [8]
+    "text_comp_ratio" -> """SELECT * FROM (VALUES
+      (0, 63, 57, 904761),
+      (1, 400, 9, 22500),
+      (2, 400, 33, 82500),
+      (3, 1, 3, 3000000),
+      (4, 419, 32, 76372),
+      (5, 256, 63, 246093))
+      AS t("doc_id", "raw_len", "comp_len", "ratio_ppm")""",
+    // occurrence-level signed bucket counts, md5prefix mirror
+    "text_hashing" -> (sqlToks +
+      """ SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(SUM(sgn) AS BIGINT) AS val
+        FROM (SELECT doc_id,
+            CAST('0x' || substr(md5('0:' || tok), 1, 15) AS BIGINT) % 16 AS j,
+            (CAST('0x' || substr(md5('1:' || tok), 1, 15) AS BIGINT) % 2) * 2 - 1 AS sgn
+          FROM toks)
+        GROUP BY doc_id, j HAVING SUM(sgn) <> 0"""),
     "events_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
            FROM events),

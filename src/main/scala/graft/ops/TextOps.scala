@@ -1220,4 +1220,60 @@ object TextOps {
     require(passes >= 1, s"fixEncoding: passes must be >= 1, got $passes")
     (1 to passes).foldLeft(s)((c, _) => fixEncodingOnce(c))
   }
+
+  /** Feature hashing (Weinberger et al. ICML 2009 — the hashing trick):
+    * each token occurrence lands in bucket hash₀(tok) mod `dims` with
+    * sign from hash₁(tok)'s parity; a document's feature vector is the
+    * signed count per bucket — exact integers, no vocabulary state, and
+    * the signed construction keeps inner products unbiased. The hash
+    * family follows the dedup split: "xxhash64" production default,
+    * "md5prefix" oracle mirror. Map-only + ONE map-side-combined
+    * aggregation on (doc_id, bucket); zero buckets are dropped.
+    * Output: (doc_id, j, val).
+    */
+  def hashingTrick(docs: DataFrame, dims: Int = 16,
+                   family: String = "xxhash64"): DataFrame = {
+    require(dims >= 1, s"hashingTrick: dims >= 1, got $dims")
+    def fam(i: Int): Column = family match {
+      case "xxhash64" => xxhash64(lit(i), col("tok"))
+      case "md5prefix" =>
+        conv(substring(md5(encode(concat(lit(s"$i:"), col("tok")), "UTF-8")), 1, 15),
+          16, 10).cast("long")
+      case f => throw new IllegalArgumentException(s"unknown hash family: $f")
+    }
+    tokenTable(docs)
+      .select(col("doc_id"),
+        pmod(fam(0), lit(dims.toLong)).as("j"),
+        (pmod(fam(1), lit(2L)) * lit(2L) - lit(1L)).as("sgn"))
+      .groupBy("doc_id", "j")
+      .agg(sum("sgn").as("val"))
+      .filter(col("val") =!= 0L)
+  }
+
+  /** Deflate compression ratio — the redundancy quality signal the
+    * CCNet/Dolma-style curation stacks use (template/boilerplate text
+    * compresses far below natural prose): ratio_ppm = ⌊deflated·10⁶ /
+    * raw⌋ over UTF-8 bytes at a FIXED level. Deterministic given this
+    * container's zlib (the mm_jpeg_decode environment-pin class — a
+    * platform move re-pins). One Deflater per partition, reset per row.
+    */
+  def compressionRatio(docs: DataFrame, level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(level, true)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          d.reset(); d.setInput(raw); d.finish()
+          var comp = 0L
+          while (!d.finished()) comp += d.deflate(buf)
+          (id, raw.length.toLong, comp,
+            if (raw.length == 0) 0L else comp * 1000000L / raw.length)
+        }
+      }
+      .toDF("doc_id", "raw_len", "comp_len", "ratio_ppm")
+  }
 }

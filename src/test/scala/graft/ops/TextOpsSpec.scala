@@ -436,4 +436,35 @@ class TextOpsSpec extends AnyFunSuite {
     // big: freq 2, deg 4 -> 2e6; scan same -> phrase score 4e6, ONE row
     assert(got == Set((1L, "big scan", 4000000L)))
   }
+
+  test("hashing trick: signed counts are linear; families share structure") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a b a a b a")).toDF("doc_id", "text")
+    for (fam <- Seq("xxhash64", "md5prefix")) {
+      val v = TextOps.hashingTrick(docs, dims = 8, family = fam).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // doc 2 = doc 1 doubled → every bucket value exactly doubles
+      val d1 = v.collect { case ((1L, j), x) => j -> x }
+      d1.foreach { case (j, x) => assert(v((2L, j)) === 2 * x, s"fam=$fam j=$j") }
+      // total mass: |values| sums bounded by token count
+      assert(d1.values.map(math.abs).sum <= 3)
+    }
+  }
+
+  test("compression ratio: redundancy orders, doubling shrinks the ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "all work and no play makes jack a dull boy " * 10),
+      (2L, "the five boxing wizards jump quickly over lazy dogs tonight"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextOps.compressionRatio(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L)._3 < r(2L)._3, "repetitive text must compress harder")
+    assert(r(3L) === ((0L, 2L, 0L)))   // empty: 2-byte empty deflate block, ratio 0
+    // doubling a repetitive doc lowers (or keeps) the ratio
+    val rr = TextOps.compressionRatio(
+      Seq((9L, "all work and no play makes jack a dull boy " * 20)).toDF("doc_id", "text"))
+      .collect()(0).getLong(3)
+    assert(rr <= r(1L)._3)
+  }
 }
