@@ -124,6 +124,10 @@ object Bench {
     "dedup_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
         family = "xxhash64")
+    },
+    "text_hashing" -> { (s, dir) =>
+      graft.ops.TextOps.hashingTrick(
+        s.read.parquet(s"$dir/documents.parquet"), dims = 16)
     })
 
   /** Gate-family variants recorded alongside, under distinct names. */
