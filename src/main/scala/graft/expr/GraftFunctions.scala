@@ -29,6 +29,8 @@ object GraftFunctions {
       es => graft.plans.StContainsPoint(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("cover_cells",
       es => graft.plans.CoverCellsExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("st_dwithin",
+      es => graft.plans.StDwithin(es(0), es(1), es(2), es(3), es(4)), "scala_udf")
     reg.createOrReplaceTempFunction("bloom_contains_all",
       es => BloomContainsAllExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("erase_spans", es =>

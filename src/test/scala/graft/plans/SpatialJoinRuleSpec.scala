@@ -122,4 +122,49 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     }
     assert(nSemi == inAny.toLong)
   }
+
+  test("st_dwithin self theta-join rewrites to the cell-bucket equi-join") {
+    fixtures()
+    val q = spark.sql(
+      """SELECT a.id AS ia, b.id AS ib FROM points a JOIN points b
+         ON st_dwithin(a.lon, a.lat, b.lon, b.lat, 3.0) AND a.id < b.id""")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"),
+      s"dwithin join not rewritten:\n$physical")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference
+    val pts = spark.sql("SELECT * FROM points").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expect = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      dx = a._2 - b._2; dy = a._3 - b._3
+      if dx * dx + dy * dy <= 9.0
+    } yield (a._1, b._1)).toSet
+    assert(got === expect)
+    assert(got.size > 100, s"fixture should pair (got ${got.size})")
+  }
+
+  test("st_dwithin semi join and swapped argument sides both rewrite") {
+    fixtures()
+    spark.createDataFrame(Seq((100L, 10.0, 10.0), (101L, -170.0, 80.0)))
+      .toDF("pid", "plon", "plat").createOrReplaceTempView("probes")
+    // predicate arguments mention (right, left) in that order — the rule
+    // must recognize the swap; semi preserves the probe side
+    val q = spark.sql(
+      """SELECT count(*) FROM points p LEFT SEMI JOIN probes q
+         ON st_dwithin(q.plon, q.plat, p.lon, p.lat, 5.0)""")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"),
+      s"swapped dwithin semi not rewritten:\n$physical")
+    val pts = spark.sql("SELECT * FROM points").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val expect = pts.count { case (lon, lat) =>
+      Seq((10.0, 10.0), (-170.0, 80.0)).exists { case (qx, qy) =>
+        val dx = lon - qx; val dy = lat - qy; dx * dx + dy * dy <= 25.0
+      }
+    }
+    assert(q.collect()(0).getLong(0) === expect.toLong)
+  }
 }
