@@ -103,7 +103,10 @@ object Bench {
     // session flows + rolling actives (bounded fanout), crosstab, Q18
     "events_paths", "events_wau", "raster_crosstab", "tpch_q18",
     // hashing-trick featurizer (one combined agg) + deflate quality signal
-    "text_hashing", "text_comp_ratio")
+    "text_hashing", "text_comp_ratio",
+    // radiometric normalization (two tiny histograms + map-only rewrite)
+    // and the ANN recall harness (exact-sample join)
+    "raster_hist_match", "ann_recall")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

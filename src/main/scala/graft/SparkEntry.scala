@@ -2244,6 +2244,12 @@ object SparkEntry {
       Similarity.lshBucketTopK(embeddingsOf(s, dir), numPlanes = 16, k = 5,
         bands = 2, capPerBucket = 128)
     },
+    "ann_recall" -> { (s, dir) =>
+      // index-quality harness: recall@5 of the LSH path vs the exact
+      // top-5 on the 50-probe set, exact integer ppm
+      Similarity.recallEval(embeddingsOf(s, dir), probeMaxId = 50,
+        numPlanes = 16, k = 5)
+    },
     "emb_dup_pairs" -> { (s, dir) =>
       // embedding-cosine near-dup: LSH candidates + exact quantized-cosine
       // verify (threshold 0.3 fits the synthetic corpus — no planted
@@ -3028,6 +3034,17 @@ object SparkEntry {
         TileOps.createRaster(s, spec)((x, y, _) => isl(x, y)), spec,
         minPixels = 16)
     },
+    "raster_hist_match" -> { (s, _) =>
+      // relative radiometric normalization: source 97-value plane mapped
+      // through the reference 61-value CDF, nearest-rank, all-Long exact
+      val spec = convSpec.copy(bands = 1)
+      val src = TileOps.createRaster(s, spec)(
+        (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
+      val ref = TileOps.createRaster(s, spec)(
+        (x, y, _) => ((x * 5 + y * 11) % 61).toDouble)
+      TileOps.toPixels(graft.tiles.TileOps3.histogramMatch(src, ref),
+        spec.tileSize)
+    },
     "raster_curvature" -> { (s, _) =>
       // Zevenbergen–Thorne curvature triple: general form fully exact
       // (dyadic quadric coefficients), directional forms share ONE
@@ -3462,43 +3479,20 @@ object SparkEntry {
           CAST(ROUND(dist_m, 0) AS BIGINT) AS dist_m
         FROM best WHERE rn = 1"""),
 
-    "ann_lsh" ->
-      // full mirror of Similarity.lshBucketTopK (16 planes, 2 bands of 8,
-      // cap 128, k 5): quantize → deterministic hyperplane bits → band
-      // keys → vec_id-ordered bucket cap → exact integer dot products →
-      // per-query top-5. Division by 65536 = 2^16 is exact in binary, so
-      // the bit draws mirror bitwise; SUM(BIGINT) is cast back from
-      // DuckDB's HUGEINT.
-      """WITH q AS (SELECT vec_id, d,
-           CAST(ROUND(CAST(embedding[d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
-         FROM embeddings, range(64) t(d)),
-        bits AS (SELECT vec_id, p,
-          CASE WHEN CAST(SUM(CASE WHEN CAST(FLOOR((d * 2654435761 + p * 40503 + 11) / 65536.0) AS BIGINT) % 2 = 0
-                         THEN qv ELSE -qv END) AS BIGINT) > 0
-               THEN 1 ELSE 0 END AS bit
-         FROM q, range(16) pp(p) GROUP BY vec_id, p),
-        bkeys AS (SELECT vec_id, p // 8 AS band,
-          CAST(SUM(bit * (1::BIGINT << (p % 8))) AS BIGINT) AS key
-         FROM bits GROUP BY vec_id, p // 8),
-        idx AS (SELECT vec_id, band, key,
-          row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
-         FROM bkeys),
-        cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-         FROM bkeys a JOIN idx b
-           ON a.band = b.band AND a.key = b.key
-           AND a.vec_id <> b.vec_id AND b.rn <= 128),
-        scored AS (SELECT c.query_id, c.neighbor_id,
-          CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS score
-         FROM cand c
-           JOIN q qa ON qa.vec_id = c.query_id
-           JOIN q qb ON qb.vec_id = c.neighbor_id AND qb.d = qa.d
-         GROUP BY c.query_id, c.neighbor_id),
-        ranked AS (SELECT query_id, neighbor_id, score,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY score DESC, neighbor_id) AS rank
-         FROM scored)
-        SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
-        FROM ranked WHERE rank <= 5""",
+    "ann_lsh" -> annLshOracle,
+    // both published mirrors nested verbatim; recall fold is pure integers
+    "ann_recall" ->
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($annTopKOracle)),
+        ap AS (SELECT query_id, neighbor_id FROM ($annLshOracle)
+          WHERE query_id < 50),
+        perq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS kk
+          FROM ex GROUP BY query_id),
+        hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+          FROM ex e JOIN ap a USING (query_id, neighbor_id)
+          GROUP BY e.query_id)
+        SELECT p.query_id, COALESCE(h.hits, 0) AS hits,
+          CAST(COALESCE(h.hits, 0) * 1000000 // p.kk AS BIGINT) AS recall_ppm
+        FROM perq p LEFT JOIN hits h USING (query_id)""",
 
     "emb_dup_pairs" ->
       // cosineDupPairs mirror: same banding/cap skeleton as ann_lsh, then
@@ -7770,6 +7764,25 @@ object SparkEntry {
                WHEN x <= 2 AND y >= 90 THEN 15.0
                ELSE 0.0 END AS v
         FROM range(96) r1(x), range(96) r2(y)""",
+    // nearest-rank inverse-CDF∘CDF in exact integer rank arithmetic
+    "raster_hist_match" ->
+      """WITH s AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST((x*7 + y*13) % 97 AS DOUBLE) AS v
+         FROM range(96) r1(x), range(96) r2(y)),
+        r AS (SELECT CAST((x*5 + y*11) % 61 AS DOUBLE) AS w
+         FROM range(96) r1(x), range(96) r2(y)),
+        sh AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY v),
+        scum AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM sh),
+        rh AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY w),
+        rcum AS (SELECT w, SUM(n) OVER (ORDER BY w) AS rcum FROM rh),
+        tot AS (SELECT (SELECT sum(n) FROM sh) AS srcn,
+                       (SELECT sum(n) FROM rh) AS refn),
+        mapping AS (SELECT sc.v, MIN(rc.w) AS mv
+          FROM scum sc, rcum rc, tot
+          WHERE rc.rcum * tot.srcn >= sc.cum * tot.refn
+          GROUP BY sc.v)
+        SELECT s.x, s.y, 0 AS band, m.mv AS v
+        FROM s JOIN mapping m USING (v)""",
     // ZT quadric coefficients are exact dyadics (integer z, 2^-2 cell);
     // the directional forms repeat the engine's operation order verbatim
     "raster_curvature" ->
@@ -8710,6 +8723,41 @@ object SparkEntry {
   }
 
   /** Generated DuckDB oracle for quantized-dot-product top-k (64 dims). */
+  /** Full mirror of Similarity.lshBucketTopK (also nested by the
+    * ann_recall oracle).
+    */
+  private def annLshOracle: String =
+      """WITH q AS (SELECT vec_id, d,
+           CAST(ROUND(CAST(embedding[d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+         FROM embeddings, range(64) t(d)),
+        bits AS (SELECT vec_id, p,
+          CASE WHEN CAST(SUM(CASE WHEN CAST(FLOOR((d * 2654435761 + p * 40503 + 11) / 65536.0) AS BIGINT) % 2 = 0
+                         THEN qv ELSE -qv END) AS BIGINT) > 0
+               THEN 1 ELSE 0 END AS bit
+         FROM q, range(16) pp(p) GROUP BY vec_id, p),
+        bkeys AS (SELECT vec_id, p // 8 AS band,
+          CAST(SUM(bit * (1::BIGINT << (p % 8))) AS BIGINT) AS key
+         FROM bits GROUP BY vec_id, p // 8),
+        idx AS (SELECT vec_id, band, key,
+          row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
+         FROM bkeys),
+        cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         FROM bkeys a JOIN idx b
+           ON a.band = b.band AND a.key = b.key
+           AND a.vec_id <> b.vec_id AND b.rn <= 128),
+        scored AS (SELECT c.query_id, c.neighbor_id,
+          CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS score
+         FROM cand c
+           JOIN q qa ON qa.vec_id = c.query_id
+           JOIN q qb ON qb.vec_id = c.neighbor_id AND qb.d = qa.d
+         GROUP BY c.query_id, c.neighbor_id),
+        ranked AS (SELECT query_id, neighbor_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+         FROM scored)
+        SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5"""
+
   private def annTopKOracle: String = {
     val dot = (1 to 64).map(i => s"a.q[$i] * b.q[$i]").mkString(" + ")
     s"""WITH q AS (SELECT vec_id,

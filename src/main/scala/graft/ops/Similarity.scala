@@ -555,6 +555,28 @@ object Similarity {
     } finally q.unpersist()
   }
 
+  /** ANN quality evaluation — recall@k of the LSH bucketed index against
+    * the exact top-k on the same probe set (the harness a pipeline runs
+    * before trusting an index at 10¹²-vector scale, where exact scoring
+    * of a probe SAMPLE is cheap but full exact search is not). Per probe:
+    * hits = |lsh∩exact|, recall_ppm = hits·10⁶ DIV k — exact integers.
+    * One row per probe plus deterministic aggregation downstream.
+    */
+  def recallEval(embeddings: DataFrame, probeMaxId: Long, numPlanes: Int,
+                 k: Int, bands: Int = 2, capPerBucket: Int = 128): DataFrame = {
+    val exact = annTopK(embeddings, probeMaxId, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshBucketTopK(embeddings, numPlanes, k, bands, capPerBucket)
+      .filter(col("query_id") < probeMaxId)
+      .select(col("query_id"), col("neighbor_id"))
+    val perQ = exact.groupBy("query_id").agg(count(lit(1)).as("kk"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    perQ.join(hits, Seq("query_id"), "left") // zero-hit probes stay visible
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("CAST(coalesce(hits, 0) * 1000000 DIV kk AS BIGINT)").as("recall_ppm"))
+  }
+
   /** Johnson–Lindenstrauss sketch via a deterministic ±1 sign matrix
     * (Achlioptas 2003: Rademacher entries preserve pairwise distances
     * with the same JL bound as Gaussians, and ±1·integer arithmetic is

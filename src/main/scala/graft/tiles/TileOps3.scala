@@ -194,6 +194,53 @@ object TileOps3 {
     cur
   }
 
+  /** Histogram matching (relative radiometric normalization — the
+    * multi-date harmonization step before change detection): every
+    * source value v maps to the smallest reference value whose CDF
+    * reaches the source CDF at v (inverse-CDF ∘ CDF, nearest-rank
+    * convention — EXACT integer rank arithmetic, no interpolation, so
+    * the mapping is deterministic and SQL-mirrorable). Intended for
+    * bounded-domain (categorical/quantized) payloads, where the value
+    * histogram is small: two map-side-combined histogram aggregations
+    * collect to the driver, the mapping broadcasts, and the rewrite is
+    * map-only over the tiles.
+    */
+  def histogramMatch(source: Dataset[Tile], reference: Dataset[Tile]): Dataset[Tile] = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    def hist(ts: Dataset[Tile]): Array[(Double, Long)] = ts
+      .flatMap(t => t.pixels.iterator.filter(v => !v.isNaN && v != t.nodata))
+      .groupByKey(identity).count().collect().sortBy(_._1)
+    val src = hist(source)
+    val ref = hist(reference)
+    require(src.nonEmpty && ref.nonEmpty, "histogramMatch: empty histogram")
+    val srcN = src.map(_._2).sum
+    val refN = ref.map(_._2).sum
+    // source CDF rank (in reference counts' scale): nearest-rank target =
+    // first ref value with cumRef·srcN ≥ cumSrc·refN — ALL-Long exact
+    // (pixel counts ≤ ~3·10⁹ per side before the cross product nears
+    // Long range; beyond that lift to BigInt, nothing else changes)
+    val refCum = ref.scanLeft(0L)(_ + _._2).tail
+    var cum = 0L
+    val mapping = src.map { case (v, n) =>
+      cum += n
+      var i = 0
+      while (i < ref.length - 1 && refCum(i) * srcN < cum * refN) i += 1
+      v -> ref(i)._1
+    }.toMap
+    val bc = spark.sparkContext.broadcast(mapping)
+    source.map { t =>
+      val out = new Array[Double](t.pixels.length)
+      var i = 0
+      while (i < out.length) {
+        val v = t.pixels(i)
+        out(i) = if (v.isNaN || v == t.nodata) v else bc.value(v)
+        i += 1
+      }
+      t.copy(pixels = out)
+    }(TileOps.tileEnc)
+  }
+
   /** Euclidean ALLOCATION — the argmin-ID half of gdal_proximity /
     * ESRI Euclidean Allocation: every pixel takes the VALUE of its
     * nearest source pixel (source ⇔ v ≠ 0), within `maxDist` cells;

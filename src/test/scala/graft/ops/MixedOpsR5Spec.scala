@@ -274,6 +274,40 @@ class MixedOpsR5Spec extends AnyFunSuite {
     assert(got.map(_._3).drop(1).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("histogram match: identity on itself, monotone, hits the reference set") {
+    import graft.tiles.TileOps3
+    val spec = RasterSpec(0.0, 16.0, 1.0, -1.0, 16, 16, 8, 1)
+    val a = TileOps.createRaster(spark, spec)((x, y, _) => ((x + 2 * y) % 11).toDouble)
+    val b = TileOps.createRaster(spark, spec)((x, y, _) => ((3 * x + y) % 5 * 10).toDouble)
+    // identity: matching a raster to its own histogram is a no-op
+    val self = TileOps.toPixels(TileOps3.histogramMatch(a, a), 8).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    for (x <- 0 until 16; y <- 0 until 16)
+      assert(self((x, y)) === ((x + 2 * y) % 11).toDouble, s"($x,$y)")
+    // cross-match: every output value comes from the reference's domain,
+    // and the value mapping is monotone in the source value
+    val m = TileOps.toPixels(TileOps3.histogramMatch(a, b), 8).collect()
+      .map(r => ((r.getInt(0) + 2 * r.getInt(1)) % 11).toDouble -> r.getDouble(3))
+      .distinct.sortBy(_._1)
+    assert(m.map(_._2).forall(v => v % 10 == 0 && v >= 0 && v <= 40))
+    assert(m.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      s"mapping not monotone: $m")
+  }
+
+  test("ann recall: exact-vs-exact is 10^6; lsh recall bounded and sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Similarity.recallEval(emb, probeMaxId = 20, numPlanes = 16, k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.nonEmpty && r.forall { case (_, h, ppm) =>
+      h >= 0 && h <= 5 && ppm >= 0 && ppm <= 1000000 && ppm == h * 1000000 / 5 })
+    // degenerate check: recall of the exact path against itself = 1.0
+    val exact = Similarity.annTopK(emb, probeMaxId = 10, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val self = exact.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").count().collect()
+    assert(self.forall(_.getLong(1) === 3L))
+  }
+
   test("destination point: cardinal bearings match closed forms") {
     import spark.implicits._
     val R = 6378137.0
