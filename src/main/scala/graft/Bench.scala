@@ -106,7 +106,7 @@ object Bench {
     "text_hashing", "text_comp_ratio",
     // radiometric normalization (two tiny histograms + map-only rewrite)
     // and the ANN recall harness (exact-sample join)
-    "raster_hist_match", "ann_recall")
+    "raster_hist_match", "ann_recall", "web_spam_mass")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

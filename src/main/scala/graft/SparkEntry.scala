@@ -1702,6 +1702,20 @@ object SparkEntry {
         .filter(col("host") % 13 === 0).distinct()
       WebOps.trustRank(edges, seeds, iters = 5)
     },
+    "web_spam_mass" -> { (s, dir) =>
+      // (PR − TR)/PR in sign-explicit ppm — same graph/seeds/iters as
+      // web_pagerank + web_trustrank; the link-farm shortlist metric
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      val edges = e1.unionByName(e2)
+      val seeds = edges.select(col("src").as("host"))
+        .unionByName(edges.select(col("dst").as("host")))
+        .filter(col("host") % 13 === 0).distinct()
+      WebOps.spamMass(edges, seeds, iters = 5)
+    },
     "web_spamrank" -> { (s, dir) =>
       // Anti-TrustRank (spam mass, Krishnan & Raj 2006): badness
       // propagates BACKWARD from known-spam seeds — a host linking into
@@ -5370,42 +5384,7 @@ object SparkEntry {
           GROUP BY 1, 2, 3)
         SELECT doc_id, host, path, COALESCE(s % 2 = 1, true) AS allowed FROM sc""",
 
-    "web_pagerank" -> {
-      // unrolled mirror of WebOps.pageRank's 5 integer fixed-point
-      // iterations: same floor divisions in the same operand order;
-      // every SUM is CAST back to BIGINT (DuckDB widens to HUGEINT)
-      val scale = 1000000000000L
-      def iter(k: Int): String =
-        s""", dang$k AS (
-             SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS d
-             FROM r${k - 1} WHERE host NOT IN (SELECT src FROM edges)),
-           r$k AS (
-             SELECT n.host,
-                    (($scale * 3) // (20 * (SELECT cnt FROM nn)))
-                  + (((SELECT d FROM dang$k) * 17) // (20 * (SELECT cnt FROM nn)))
-                  + COALESCE(c.contrib, 0) AS rank
-             FROM nodes n LEFT JOIN (
-               SELECT e.dst AS host,
-                      CAST(SUM((r.rank * 17) // (20 * dg.deg)) AS BIGINT) AS contrib
-               FROM r${k - 1} r
-               JOIN edges e ON r.host = e.src
-               JOIN deg dg ON dg.src = e.src
-               GROUP BY e.dst) c ON n.host = c.host)"""
-      s"""WITH edges AS (
-           SELECT DISTINCT src, dst FROM (
-             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
-             UNION ALL
-             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
-           WHERE src <> dst),
-         nodes AS (
-           SELECT DISTINCT host FROM (
-             SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
-         nn AS (SELECT COUNT(*) AS cnt FROM nodes),
-         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-         r0 AS (SELECT host, $scale // (SELECT cnt FROM nn) AS rank FROM nodes)
-         ${(1 to 5).map(iter).mkString("\n")}
-         SELECT host, rank FROM r5"""
-    },
+    "web_pagerank" -> webPagerankOracle,
 
     "web_crawl_delay" ->
       // the same lag → running-sum → star-group-join machinery as the
@@ -5906,51 +5885,18 @@ object SparkEntry {
           COUNT(CASE WHEN is_b THEN 1 END) AS n_dropped
         FROM flag GROUP BY doc_id, host"""),
 
-    "web_trustrank" -> {
-      // unrolled mirror of WebOps.trustRank's 5 seeded integer
-      // fixed-point iterations: teleport + dangling mass go to the seed
-      // set only, floor divisions in the same operand order as the Scala
-      val scale = 1000000000000L
-      def iter(k: Int): String =
-        s""", dang$k AS (
-             SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS d
-             FROM r${k - 1} WHERE host NOT IN (SELECT src FROM edges)),
-           r$k AS (
-             SELECT n.host,
-                    (CASE WHEN s.host IS NOT NULL
-                      THEN (($scale * 3) // (20 * (SELECT cnt FROM sn)))
-                         + (((SELECT d FROM dang$k) * 17) // (20 * (SELECT cnt FROM sn)))
-                      ELSE 0 END)
-                  + COALESCE(c.contrib, 0) AS rank
-             FROM nodes n
-             LEFT JOIN seeds s ON n.host = s.host
-             LEFT JOIN (
-               SELECT e.dst AS host,
-                      CAST(SUM((r.rank * 17) // (20 * dg.deg)) AS BIGINT) AS contrib
-               FROM r${k - 1} r
-               JOIN edges e ON r.host = e.src
-               JOIN deg dg ON dg.src = e.src
-               GROUP BY e.dst) c ON n.host = c.host)"""
-      s"""WITH edges AS (
-           SELECT DISTINCT src, dst FROM (
-             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
-             UNION ALL
-             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
-           WHERE src <> dst),
-         nodes AS (
-           SELECT DISTINCT host FROM (
-             SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
-         seeds AS (SELECT host FROM nodes WHERE host % 13 = 0),
-         sn AS (SELECT COUNT(*) AS cnt FROM seeds),
-         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-         r0 AS (
-           SELECT n.host,
-                  CASE WHEN s.host IS NOT NULL
-                       THEN $scale // (SELECT cnt FROM sn) ELSE 0 END AS rank
-           FROM nodes n LEFT JOIN seeds s ON n.host = s.host)
-         ${(1 to 5).map(iter).mkString("\n")}
-         SELECT host, rank FROM r5"""
-    },
+    "web_trustrank" -> webTrustrankOracle,
+    // both unrolled chains nested verbatim; the mass fold is the
+    // engine's sign-explicit integer ppm
+    "web_spam_mass" ->
+      s"""WITH pr AS (SELECT host, rank AS pr FROM ($webPagerankOracle)),
+        tr AS (SELECT host, rank AS tr FROM ($webTrustrankOracle))
+        SELECT pr.host, pr.pr, tr.tr,
+          CAST(CASE WHEN pr.pr = 0 THEN 0
+               WHEN pr.pr >= tr.tr THEN (pr.pr - tr.tr) * 1000000 // pr.pr
+               ELSE -((tr.tr - pr.pr) * 1000000 // pr.pr)
+               END AS BIGINT) AS smass_ppm
+        FROM pr JOIN tr USING (host)""",
 
     "web_spamrank" -> {
       // trustRank's unrolled CTE chain over the REVERSED edge set
@@ -8726,6 +8672,89 @@ object SparkEntry {
   /** Full mirror of Similarity.lshBucketTopK (also nested by the
     * ann_recall oracle).
     */
+  private def webPagerankOracle: String = {
+      // unrolled mirror of WebOps.pageRank's 5 integer fixed-point
+      // iterations: same floor divisions in the same operand order;
+      // every SUM is CAST back to BIGINT (DuckDB widens to HUGEINT)
+      val scale = 1000000000000L
+      def iter(k: Int): String =
+        s""", dang$k AS (
+             SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS d
+             FROM r${k - 1} WHERE host NOT IN (SELECT src FROM edges)),
+           r$k AS (
+             SELECT n.host,
+                    (($scale * 3) // (20 * (SELECT cnt FROM nn)))
+                  + (((SELECT d FROM dang$k) * 17) // (20 * (SELECT cnt FROM nn)))
+                  + COALESCE(c.contrib, 0) AS rank
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst AS host,
+                      CAST(SUM((r.rank * 17) // (20 * dg.deg)) AS BIGINT) AS contrib
+               FROM r${k - 1} r
+               JOIN edges e ON r.host = e.src
+               JOIN deg dg ON dg.src = e.src
+               GROUP BY e.dst) c ON n.host = c.host)"""
+      s"""WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst),
+         nodes AS (
+           SELECT DISTINCT host FROM (
+             SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+         nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         r0 AS (SELECT host, $scale // (SELECT cnt FROM nn) AS rank FROM nodes)
+         ${(1 to 5).map(iter).mkString("\n")}
+         SELECT host, rank FROM r5"""
+    }
+
+  private def webTrustrankOracle: String = {
+      // unrolled mirror of WebOps.trustRank's 5 seeded integer
+      // fixed-point iterations: teleport + dangling mass go to the seed
+      // set only, floor divisions in the same operand order as the Scala
+      val scale = 1000000000000L
+      def iter(k: Int): String =
+        s""", dang$k AS (
+             SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS d
+             FROM r${k - 1} WHERE host NOT IN (SELECT src FROM edges)),
+           r$k AS (
+             SELECT n.host,
+                    (CASE WHEN s.host IS NOT NULL
+                      THEN (($scale * 3) // (20 * (SELECT cnt FROM sn)))
+                         + (((SELECT d FROM dang$k) * 17) // (20 * (SELECT cnt FROM sn)))
+                      ELSE 0 END)
+                  + COALESCE(c.contrib, 0) AS rank
+             FROM nodes n
+             LEFT JOIN seeds s ON n.host = s.host
+             LEFT JOIN (
+               SELECT e.dst AS host,
+                      CAST(SUM((r.rank * 17) // (20 * dg.deg)) AS BIGINT) AS contrib
+               FROM r${k - 1} r
+               JOIN edges e ON r.host = e.src
+               JOIN deg dg ON dg.src = e.src
+               GROUP BY e.dst) c ON n.host = c.host)"""
+      s"""WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst),
+         nodes AS (
+           SELECT DISTINCT host FROM (
+             SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+         seeds AS (SELECT host FROM nodes WHERE host % 13 = 0),
+         sn AS (SELECT COUNT(*) AS cnt FROM seeds),
+         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         r0 AS (
+           SELECT n.host,
+                  CASE WHEN s.host IS NOT NULL
+                       THEN $scale // (SELECT cnt FROM sn) ELSE 0 END AS rank
+           FROM nodes n LEFT JOIN seeds s ON n.host = s.host)
+         ${(1 to 5).map(iter).mkString("\n")}
+         SELECT host, rank FROM r5"""
+    }
+
   private def annLshOracle: String =
       """WITH q AS (SELECT vec_id, d,
            CAST(ROUND(CAST(embedding[d + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv

@@ -1293,6 +1293,27 @@ object WebOps {
         min(col("warc_sec")).as("first_sec"),
         max(col("warc_sec")).as("last_sec"))
 
+  /** Spam mass (Gyöngyi, Garcia-Molina & Pedersen — the TrustRank
+    * paper's companion metric): the fraction of a host's PageRank that
+    * arrives from UNTRUSTED sources, m = (PR − TR)/PR. Both ranks run in
+    * the same exact integer fixed-point units (same graph, same damping,
+    * same iteration count), so the mass is a pure integer fold:
+    * sign-explicit truncate-toward-zero ppm (trusted hubs can exceed
+    * their unpersonalized rank → negative mass, kept signed). High
+    * positive mass + high PR = the link-farm shortlist.
+    */
+  def spamMass(edges: DataFrame, seeds: DataFrame, iters: Int = 5): DataFrame = {
+    val pr = pageRank(edges, iters).withColumnRenamed("rank", "pr")
+    val tr = trustRank(edges, seeds, iters).withColumnRenamed("rank", "tr")
+    pr.join(tr, "host")
+      .select(col("host"), col("pr"), col("tr"),
+        when(col("pr") === 0L, lit(0L))
+          .when(col("pr") >= col("tr"),
+            expr("CAST((pr - tr) * 1000000 DIV pr AS BIGINT)"))
+          .otherwise(-expr("CAST((tr - pr) * 1000000 DIV pr AS BIGINT)"))
+          .as("smass_ppm"))
+  }
+
   /** Newman–Girvan modularity of a node partition over the undirected
     * simple graph — the quality certificate for [[lpaCommunities]] (a
     * partition with Q near 0 is no better than random; link-farm

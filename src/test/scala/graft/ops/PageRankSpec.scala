@@ -340,4 +340,27 @@ class PageRankSpec extends AnyFunSuite {
     val seeds = Seq(0L, 13L, 26L)
     assert(runTrust(edges, seeds, 5, parts = 1) === runTrust(edges, seeds, 5, parts = 16))
   }
+
+  test("spam mass: seed-unreachable island reads exactly 10^6, fold is exact") {
+    import spark.implicits._
+    // component A: 0 <-> 1 (seed 0); island B: 10 <-> 11 (no trust path)
+    val edges = Seq[(Long, Long)]((0, 1), (1, 0), (10, 11), (11, 10))
+    val got = WebOps.spamMass(edges.toDF("src", "dst"),
+        Seq(0L).toDF("host"), iters = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the island receives PageRank but ZERO TrustRank → mass exactly 1.0
+    assert(got(10L)._2 === 0L && got(10L)._3 === 1000000L)
+    assert(got(11L)._2 === 0L && got(11L)._3 === 1000000L)
+    // the seed component concentrates ALL trust → its mass goes negative
+    assert(got(0L)._3 < 0L, s"seed mass should be negative: ${got(0L)}")
+    // fold matches the BigInt definition row by row
+    got.values.foreach { case (pr, tr, m) =>
+      val want =
+        if (pr == 0) 0L
+        else if (pr >= tr) (BigInt(pr - tr) * 1000000 / pr).toLong
+        else -((BigInt(tr - pr) * 1000000 / pr).toLong)
+      assert(m === want)
+    }
+  }
 }
