@@ -2697,6 +2697,88 @@ object SparkEntry {
         s.read.parquet(s"$dir/nation.parquet"),
         s.read.parquet(s"$dir/region.parquet"))
     },
+    "tpch_q2" -> { (s, dir) =>
+      // correlated-MIN decorrelation: per-part min offer joined back on
+      // equality, region-filtered supplier dim broadcast
+      Relational.minCostSupplier(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"))
+    },
+    "tpch_q7" -> { (s, dir) =>
+      Relational.volumeShipping(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"))
+    },
+    "tpch_q8" -> { (s, dir) =>
+      // national market share: exact integer numerator/denominator plus
+      // truncating DECIMAL(38) ppm — no FP division
+      Relational.marketShare(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        targetNation = "NATION_7", regionName = "ASIA", partType = "ECONOMY")
+    },
+    "tpch_q9" -> { (s, dir) =>
+      Relational.productTypeProfit(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/part.parquet"))
+    },
+    "tpch_q11" -> { (s, dir) =>
+      // HAVING-vs-global-scalar decorrelation (1-row broadcast frame,
+      // integer cross-multiplied threshold)
+      Relational.importantStock(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        nationName = "NATION_3")
+    },
+    "tpch_q15" -> { (s, dir) =>
+      Relational.topSupplier(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"))
+    },
+    "tpch_q16" -> { (s, dir) =>
+      Relational.partSupplierCount(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"))
+    },
+    "tpch_q17" -> { (s, dir) =>
+      // correlated-AVG decorrelation with the 5·qty·n < Σqty integer
+      // cross-multiply (no FP average is ever formed)
+      Relational.smallQtyRevenue(s.read.parquet(s"$dir/lineitem.parquet"))
+    },
+    "tpch_q20" -> { (s, dir) =>
+      Relational.dominantSuppliers(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"))
+    },
+    "tpch_q21" -> { (s, dir) =>
+      // the EXISTS / NOT-EXISTS pair as literal semi + anti joins, all
+      // keyed on the order key
+      Relational.waitingSuppliers(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"))
+    },
+    "tpch_q22" -> { (s, dir) =>
+      Relational.salesOpportunity(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))
+    },
 
     // --- vector layer (WKT geometry, attribute ops, vector-vector join) ---
     "vector_wkt_info" -> { (s, _) =>
@@ -7188,6 +7270,147 @@ object SparkEntry {
        JOIN nation n ON s.s_nationkey = n.n_nationkey
        JOIN region r ON n.n_regionkey = r.r_regionkey
        GROUP BY 1, 2""",
+
+    "tpch_q2" ->
+      """WITH sr AS (
+           SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+           FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'),
+         offers AS (
+           SELECT p.p_partkey, p.p_brand, sr.s_suppkey, sr.s_name, sr.s_acctbal, sr.n_name,
+             min(CAST(round(l.l_extendedprice * 10000.0) AS BIGINT)) AS offer_q
+           FROM lineitem l JOIN sr ON l.l_suppkey = sr.s_suppkey
+           JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size >= 30
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         best AS (SELECT p_partkey AS bp, min(offer_q) AS best_q FROM offers GROUP BY 1)
+        SELECT o.p_partkey, o.p_brand, o.s_suppkey, o.s_name,
+          CAST(round(o.s_acctbal * 10000.0) AS BIGINT) AS acctbal_q, o.n_name, o.offer_q
+        FROM offers o JOIN best b ON o.p_partkey = b.bp AND o.offer_q = b.best_q""",
+
+    "tpch_q7" ->
+      """WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+           cn AS (SELECT c_custkey, n_name AS cust_nation
+             FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS INT) AS l_year,
+          CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_q,
+          CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN cn ON o.o_custkey = cn.c_custkey
+        JOIN sn ON l.l_suppkey = sn.s_suppkey
+        WHERE supp_nation <> cust_nation
+        GROUP BY 1, 2, 3""",
+
+    "tpch_q8" ->
+      """WITH cr AS (SELECT c_custkey FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+           sn AS (SELECT s_suppkey, n_name AS supp_nation
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+           vol AS (SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT) AS vol_q,
+               sn.supp_nation
+             FROM lineitem l
+             JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+             JOIN orders o ON l.l_orderkey = o.o_orderkey
+             JOIN sn ON l.l_suppkey = sn.s_suppkey
+             WHERE o.o_custkey IN (SELECT c_custkey FROM cr))
+        SELECT o_year,
+          CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_q ELSE 0 END) AS BIGINT) AS nation_q,
+          CAST(sum(vol_q) AS BIGINT) AS total_q,
+          CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_q ELSE 0 END) AS HUGEINT) * 1000000)
+               // sum(vol_q) AS BIGINT) AS share_ppm
+        FROM vol GROUP BY 1""",
+
+    "tpch_q9" ->
+      """WITH sn AS (SELECT s_suppkey, n_name AS nation
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        SELECT sn.nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+          CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000.0) AS BIGINT)
+                 - CAST(round(p.p_retailprice * 0.6 * l.l_quantity * 10000.0) AS BIGINT)) AS BIGINT) AS profit_q,
+          CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN sn ON l.l_suppkey = sn.s_suppkey
+        GROUP BY 1, 2""",
+
+    "tpch_q11" ->
+      """WITH sg AS (SELECT s_suppkey FROM supplier
+             JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3'),
+           pp AS (SELECT l_partkey AS partkey,
+               CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS BIGINT) AS value_q
+             FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sg) GROUP BY 1),
+           t AS (SELECT CAST(sum(value_q) AS BIGINT) AS total_q FROM pp)
+        SELECT partkey, value_q FROM pp CROSS JOIN t
+        WHERE value_q * 100 > total_q * 1""",
+
+    "tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_q
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1),
+         b AS (SELECT max(revenue_q) AS best_q FROM rev)
+        SELECT s.s_suppkey, s.s_name, r.revenue_q
+        FROM rev r CROSS JOIN b
+        JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.revenue_q = b.best_q""",
+
+    "tpch_q16" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand <> 'Brand#13'
+         GROUP BY 1, 2, 3""",
+
+    "tpch_q17" ->
+      """WITH pp AS (SELECT l_partkey AS a_partkey,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n_lines
+           FROM lineitem GROUP BY 1)
+        SELECT CAST(sum(CAST(round(l.l_extendedprice * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_q,
+          CAST(count(*) AS BIGINT) AS n_lines_small
+        FROM lineitem l JOIN pp ON l.l_partkey = pp.a_partkey
+        WHERE CAST(l.l_quantity AS BIGINT) * 5 * pp.n_lines < pp.sum_qty""",
+
+    "tpch_q20" ->
+      """WITH li AS (SELECT l.l_partkey, l.l_suppkey, CAST(l.l_quantity AS BIGINT) AS qty
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             WHERE p.p_name LIKE '%widget%'),
+           ps AS (SELECT l_partkey, l_suppkey, sum(qty) AS supp_qty FROM li GROUP BY 1, 2),
+           pt AS (SELECT l_partkey AS t_partkey, sum(qty) AS total_qty FROM li GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey
+        FROM supplier s WHERE s.s_suppkey IN (
+          SELECT ps.l_suppkey FROM ps JOIN pt ON ps.l_partkey = pt.t_partkey
+          WHERE ps.supp_qty * 10 > pt.total_qty * 3)""",
+
+    "tpch_q21" ->
+      """WITH li AS (SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY) AS late
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         l1 AS (SELECT DISTINCT l_orderkey AS k1, l_suppkey AS s1 FROM li WHERE late)
+        SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM l1 JOIN supplier s ON l1.s1 = s.s_suppkey
+        WHERE EXISTS (SELECT 1 FROM li a
+            WHERE a.l_orderkey = l1.k1 AND a.l_suppkey <> l1.s1)
+          AND NOT EXISTS (SELECT 1 FROM li b
+            WHERE b.l_orderkey = l1.k1 AND b.l_suppkey <> l1.s1 AND b.late)
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s.s_suppkey LIMIT 20""",
+
+    "tpch_q22" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey % 7 AS cntrycode,
+             CAST(round(c_acctbal * 10000.0) AS BIGINT) AS bal_q
+           FROM customer WHERE (c_nationkey % 7) IN (1, 2, 4)),
+         ap AS (SELECT CAST(sum(bal_q) AS BIGINT) AS sum_bal,
+             CAST(count(*) AS BIGINT) AS n_pos FROM cust WHERE bal_q > 0)
+        SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+          CAST(sum(bal_q) AS BIGINT) AS totacctbal_q
+        FROM cust CROSS JOIN ap
+        WHERE bal_q * n_pos > sum_bal
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY 1""",
 
     "vector_wkt_info" -> (s"WITH $sqlFeats" +
       """ SELECT fid, klass, CAST(w * h AS DOUBLE) AS area,

@@ -258,4 +258,268 @@ object Relational {
         col("c_name"), col("total_qty"), col("n_items"))
       .orderBy(col("total_qty").desc, col("orderkey"))
       .limit(50)
+
+  /** TPC-H Q2-style minimum-cost supplier (adapted: no partsupp table, so
+    * the (part, supplier) "offer" is the minimum quoted line price seen
+    * in lineitem). The correlated MIN subquery decorrelates to a per-part
+    * min agg joined back on equality — the canonical Q2 plan shape: both
+    * sides of the re-join come off the SAME offer frame, region-filtered
+    * suppliers broadcast.
+    */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      regionName: String = "EUROPE", sizeMin: Int = 30): DataFrame = {
+    val supRegion = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region).filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = lineitem
+      .join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part.filter(col("p_size") >= sizeMin)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+      .agg(min(q4(col("l_extendedprice"))).as("offer_q"))
+    val best = offers.groupBy(col("p_partkey").as("bp_partkey"))
+      .agg(min(col("offer_q")).as("best_q"))
+    offers
+      .join(best, col("p_partkey") === col("bp_partkey") &&
+        col("offer_q") === col("best_q"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+        q4(col("s_acctbal")).as("acctbal_q"), col("n_name"), col("offer_q"))
+  }
+
+  /** TPC-H Q7-style volume shipping: discounted revenue flowing between
+    * distinct (supplier nation, customer nation) pairs per ship year.
+    * The one big join is lineitem×orders on the order key; both nation
+    * decorations ride broadcast dims.
+    */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                     supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val sn = supplier.join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cn = customer.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(q4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_q"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q8-style national market share: of all revenue a region's
+    * customers spent on one part type per year, the fraction supplied by
+    * the target nation. Numerator and denominator stay exact integer q4
+    * sums; the share is truncating integer ppm — no FP division anywhere,
+    * so the result is order-free and oracle-portable.
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                  part: DataFrame, targetNation: String = "CHINA",
+                  regionName: String = "ASIA", partType: String = "ECONOMY"): DataFrame = {
+    val custRegion = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region).filter(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val sn = supplier.join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = lineitem
+      .join(broadcast(part.filter(col("p_type") === partType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        q4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("vol_q"),
+        col("supp_nation"))
+    vol.groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === targetNation, col("vol_q"))
+        .otherwise(lit(0L))).as("nation_q"),
+        sum(col("vol_q")).as("total_q"))
+      .withColumn("share_ppm", expr(
+        "CAST((CAST(nation_q AS DECIMAL(38,0)) * 1000000) DIV total_q AS BIGINT)"))
+  }
+
+  /** TPC-H Q9-style product-type profit (adapted: no ps_supplycost — unit
+    * cost proxies as 60% of the part's retail price, documented contract).
+    * Profit per line = q4(revenue) − q4(cost·qty), both quantized BEFORE
+    * the subtraction so every line amount is an exact Long and the
+    * (nation, year) rollup is order-free.
+    */
+  def productTypeProfit(lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, part: DataFrame,
+                        nameToken: String = "widget"): DataFrame = {
+    val sn = supplier.join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(nameToken))
+        .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(q4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+        q4(col("p_retailprice") * lit(0.6) * col("l_quantity"))).as("profit_q"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q11-style important stock (adapted: the held "value" of a part
+    * is the q4 revenue its nation's suppliers shipped). The HAVING vs a
+    * global scalar decorrelates to one 1-row frame cross-joined in — the
+    * grand total never recomputes per group, and the threshold compare is
+    * integer cross-multiplication (value · den > total · num).
+    */
+  def importantStock(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+                     nationName: String = "GERMANY",
+                     fracNum: Long = 1, fracDen: Long = 100): DataFrame = {
+    val supNation = supplier
+      .join(broadcast(nation).filter(col("n_name") === nationName),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitem
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(q4(col("l_extendedprice"))).as("value_q"))
+    val total = perPart.agg(sum(col("value_q")).as("total_q"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_q") * lit(fracDen) > col("total_q") * lit(fracNum))
+      .select(col("l_partkey").as("partkey"), col("value_q"))
+  }
+
+  /** TPC-H Q15-style top supplier: revenue per supplier over a quarter,
+    * then exactly the suppliers tied at the maximum (the view + scalar
+    * MAX decorrelated to a 1-row broadcast frame; equality on exact q4
+    * integers, so the tie set is well-defined).
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+                  from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(from)) &&
+        col("l_shipdate") < to_timestamp(lit(until)))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(q4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_q"))
+    val best = rev.agg(max(col("revenue_q")).as("best_q"))
+    rev.crossJoin(broadcast(best))
+      .filter(col("revenue_q") === col("best_q"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_q"))
+  }
+
+  /** TPC-H Q16-style supplier-relationship count: how many DISTINCT
+    * suppliers ship each (brand, type, size) bucket, minus an excluded
+    * brand. The count-distinct keys on the bucket — Spark's two-phase
+    * distinct agg (partial distinct below the exchange) is the scale
+    * shape; no join bigger than lineitem×broadcast(part).
+    */
+  def partSupplierCount(lineitem: DataFrame, part: DataFrame,
+                        excludeBrand: String = "Brand#13"): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_brand") =!= excludeBrand)
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q17-style small-quantity revenue: lines whose quantity is
+    * below 20% of their part's average. The correlated AVG decorrelates
+    * to a per-part (n, Σqty) agg joined back; the compare is integer
+    * cross-multiplication 5·qty·n < Σqty (quantities are integral), so
+    * no FP average is ever formed.
+    */
+  def smallQtyRevenue(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+    lineitem
+      .join(perPart, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("n_lines") < col("sum_qty"))
+      .agg(sum(q4(col("l_extendedprice"))).as("revenue_q"),
+        count(lit(1)).as("n_lines_small"))
+  }
+
+  /** TPC-H Q20-style dominant suppliers (adapted: a supplier qualifies
+    * when, for some part matching the name token, it shipped strictly
+    * more than 3/10 of that part's global quantity). Two-level agg, the
+    * threshold as integer cross-multiplication, then ONE distinct semi
+    * join up to supplier names — the nested-IN chain decorrelated.
+    */
+  def dominantSuppliers(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                        nameToken: String = "widget",
+                        shareNum: Long = 3, shareDen: Long = 10): DataFrame = {
+    val li = lineitem
+      .join(broadcast(part.filter(col("p_name").contains(nameToken)).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+    val perPartSupp = li.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("qty")).as("supp_qty"))
+    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("qty")).as("total_qty"))
+    supplier
+      .join(perPartSupp
+        .join(perPart, col("l_partkey") === col("t_partkey"))
+        .filter(col("supp_qty") * lit(shareDen) > col("total_qty") * lit(shareNum))
+        .select(col("l_suppkey")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+  }
+
+  /** TPC-H Q21-style suppliers who kept orders waiting: supplier S is
+    * charged for order O when S shipped late on O, at least one OTHER
+    * supplier participated, and NO other supplier shipped late — the
+    * EXISTS / NOT-EXISTS pair as one literal semi + anti join, all three
+    * legs keyed on the order key (co-partitioned; one exchange family).
+    */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame, supplier: DataFrame,
+                       lateDays: Int = 45): DataFrame = {
+    val li = lineitem
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+          .as("late"))
+    val l1 = li.filter(col("late"))
+      .select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1")).distinct()
+    val anyOther = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val lateOther = li.filter(col("late"))
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1
+      .join(anyOther, col("k1") === col("k2") && col("s1") =!= col("s2"), "left_semi")
+      .join(lateOther, col("k1") === col("k3") && col("s1") =!= col("s3"), "left_anti")
+      .join(broadcast(supplier), col("s1") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-style global sales opportunity: customers in a band of
+    * "country codes" (adapted: nationkey mod 7) holding more than the
+    * average positive balance, with NO orders on file. Scalar-AVG
+    * threshold via integer cross-multiplication against a 1-row
+    * broadcast (Σbal, n) frame; the NOT EXISTS is a literal anti join.
+    */
+  def salesOpportunity(customer: DataFrame, orders: DataFrame,
+                       codes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val cust = customer
+      .withColumn("cntrycode", pmod(col("c_nationkey"), lit(7)))
+      .filter(col("cntrycode").isin(codes.map(Integer.valueOf): _*))
+      .select(col("c_custkey"), col("cntrycode"), q4(col("c_acctbal")).as("bal_q"))
+    val avgPos = cust.filter(col("bal_q") > 0)
+      .agg(sum(col("bal_q")).as("sum_bal"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal_q") * col("n_pos") > col("sum_bal"))
+      .join(orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"), sum(col("bal_q")).as("totacctbal_q"))
+  }
 }
