@@ -1623,6 +1623,19 @@ object SparkEntry {
         ((col("doc_id") * 17 + 3) % 97).as("dst"))
       WebOps.pageRank(e1.unionByName(e2), iters = 5)
     },
+    "web_hyperball" -> { (s, dir) =>
+      // HyperBall neighborhood function on the same host graph: per-node
+      // HLL ball sketches grown 3 rounds (register state O(n·m), never
+      // all-pairs BFS), summarized per t as exact integer registers —
+      // the oracle unrolls the identical register-max rounds in SQL
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      WebOps.neighborhoodFunction(e1.unionByName(e2), rounds = 3, p = 9,
+        family = "md5prefix")
+    },
     "web_crawl_delay" -> { (s, dir) =>
       // star-group Crawl-delay harvest: a named-agent group's delay (99)
       // must NOT count, an invalid value inside the star group drops via
@@ -5468,6 +5481,8 @@ object SparkEntry {
 
     "web_pagerank" -> webPagerankOracle,
 
+    "web_hyperball" -> webHyperballOracle,
+
     "web_crawl_delay" ->
       // the same lag → running-sum → star-group-join machinery as the
       // web_robots oracle, on crawl-delay lines with TRY_CAST dropping
@@ -8930,6 +8945,46 @@ object SparkEntry {
          r0 AS (SELECT host, $scale // (SELECT cnt FROM nn) AS rank FROM nodes)
          ${(1 to 5).map(iter).mkString("\n")}
          SELECT host, rank FROM r5"""
+    }
+
+  private def webHyperballOracle: String = {
+      // unrolled mirror of WebOps.neighborhoodFunction: the md5prefix
+      // hash60 → (p=9 bucket, rank) split per node key, then 3 rounds of
+      // register-max over out-edges, each summarized with the exact
+      // integer zsum fold (the url_host_hll idiom summed over all hosts)
+      def round(k: Int): String =
+        s""", regs$k AS (
+             SELECT host, reg_no, MAX(reg) AS reg FROM (
+               SELECT host, reg_no, reg FROM regs${k - 1}
+               UNION ALL
+               SELECT e.src AS host, r.reg_no, r.reg
+               FROM edges e JOIN regs${k - 1} r ON e.dst = r.host)
+             GROUP BY host, reg_no)"""
+      def summ(k: Int): String =
+        s"""SELECT $k AS t, COUNT(DISTINCT host) AS hosts,
+              COUNT(*) AS sum_nonzero,
+              CAST(SUM(CAST((CAST(1 AS BIGINT) << (52 - reg)) AS HUGEINT))
+                 + CAST(COUNT(DISTINCT host) * 512 - COUNT(*) AS HUGEINT) *
+                   (CAST(1 AS BIGINT) << 52) AS DECIMAL(38,0)) AS zsum
+            FROM regs$k"""
+      s"""WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst),
+         nodes AS (SELECT DISTINCT host FROM (
+           SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+         hh AS (SELECT host,
+             CAST('0x' || substr(md5(CAST(host AS VARCHAR)), 1, 15) AS BIGINT) AS h60
+           FROM nodes),
+         rr AS (SELECT host, h60 & 511 AS reg_no, h60 >> 9 AS rest FROM hh),
+         regs0 AS (SELECT host, reg_no,
+             CAST(CASE WHEN rest = 0 THEN 52
+                  ELSE 52 - length(to_base(rest, 2)) END AS INT) AS reg
+           FROM rr)
+         ${(1 to 3).map(round).mkString("\n")}
+         ${(0 to 3).map(summ).mkString("\n UNION ALL \n")}"""
     }
 
   private def webTrustrankOracle: String = {

@@ -1354,4 +1354,106 @@ object WebOps {
           expr("CAST(q_num * 1000000 DIV (two_m * two_m) AS BIGINT)"))
           .otherwise(-expr("CAST((-q_num) * 1000000 DIV (two_m * two_m) AS BIGINT)")))
   }
+
+  /** HyperBall (Boldi & Vigna, WWW 2013): every node carries a
+    * HyperLogLog sketch of its out-ball B(v,t) = {w : dist(v,w) ≤ t};
+    * one round unions each node's sketch with its out-neighbors'
+    * sketches, so after t rounds the sketch covers exactly the t-ball.
+    * This is THE scale design for distance distributions: state is
+    * O(nodes · m) registers (m = 2^p), never the O(n²) of all-pairs
+    * BFS, and a round is ONE register×edge equi-join plus ONE
+    * (host, reg_no) max-agg — both map-side-combinable, both exact
+    * integer maxima, so the register table is bit-identical at any
+    * parallelism (HyperBall's union ≡ register-wise max is lossless
+    * by the HLL merge theorem).
+    *
+    * Returns the register table after `rounds` rounds:
+    * (host, reg_no, reg). Each round localCheckpoints lazily; the
+    * per-round materialization rides the next round's first job (the
+    * pageRank/CC fused-job pattern).
+    */
+  def hyperBall(edges: DataFrame, rounds: Int, p: Int = 9,
+                family: String = "xxhash64"): DataFrame = {
+    require(rounds >= 0, s"hyperBall: rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct()
+    var regs = graft.ops.Sketches.hllRegisters(
+        nodes.withColumn("ball_key", col("host").cast("string")),
+        "ball_key", Seq("host"), p, family)
+      .localCheckpoint(eager = false)
+    var t = 0
+    while (t < rounds) {
+      val contrib = e.join(regs, e("dst") === regs("host"))
+        .select(e("src").as("host"), col("reg_no"), col("reg"))
+      regs = regs.unionByName(contrib)
+        .groupBy("host", "reg_no")
+        .agg(max(col("reg")).cast("int").as("reg"))
+        .localCheckpoint(eager = true)
+      t += 1
+    }
+    e.unpersist()
+    regs
+  }
+
+  /** Neighborhood function from HyperBall: for every t in 0..rounds the
+    * global exact-integer sketch summary over all per-node t-ball
+    * sketches — `sum_nonzero` (occupied registers across all nodes) and
+    * `zsum` = Σ_v Σ_j 2^(R − M_vj) as decimal(38,0), the exact integer
+    * form of the summed HLL indicators (the FP estimate is one division
+    * away and deliberately stays out of the hash-checked artifact,
+    * exactly like [[Sketches.hllSummary]]). Monotonicity in t is a
+    * structural invariant: registers only grow.
+    */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int, p: Int = 9,
+                           family: String = "xxhash64"): DataFrame = {
+    require(rounds >= 0, s"neighborhoodFunction: rounds >= 0, got $rounds")
+    val m = 1L << p
+    val maxRank = 61 - p
+    def summary(regs: DataFrame, t: Int): DataFrame =
+      regs.agg(
+          countDistinct(col("host")).as("hosts"),
+          count(lit(1)).as("sum_nonzero"),
+          sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $maxRank - reg) AS DECIMAL(38,0))"))
+            .as("znon"))
+        .select(lit(t).as("t"), col("hosts"), col("sum_nonzero"),
+          (col("znon") +
+            (col("hosts") * lit(m) - col("sum_nonzero")).cast("decimal(38,0)") *
+              lit(1L << maxRank).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("zsum"))
+    // reuse hyperBall's loop but collect a summary at every t
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct()
+    var regs = graft.ops.Sketches.hllRegisters(
+        nodes.withColumn("ball_key", col("host").cast("string")),
+        "ball_key", Seq("host"), p, family)
+      .localCheckpoint(eager = true)
+    var out = summary(regs, 0)
+    var t = 1
+    while (t <= rounds) {
+      val contrib = e.join(regs, e("dst") === regs("host"))
+        .select(e("src").as("host"), col("reg_no"), col("reg"))
+      regs = regs.unionByName(contrib)
+        .groupBy("host", "reg_no")
+        .agg(max(col("reg")).cast("int").as("reg"))
+        .localCheckpoint(eager = true)
+      out = out.unionByName(summary(regs, t))
+      t += 1
+    }
+    e.unpersist()
+    out
+  }
 }

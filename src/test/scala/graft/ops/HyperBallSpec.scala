@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HyperBall vs an exact BFS-ball reference: the register table after t
+  * rounds must equal the HLL registers of the TRUE t-ball member sets
+  * (HyperBall's union ≡ register-max merge is lossless), the
+  * neighborhood function must be monotone and converge at the graph's
+  * diameter, and everything must be partitioning-independent.
+  */
+class HyperBallSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("hyperball-spec").getOrCreate()
+
+  /** Exact out-ball B(v,t) by plain BFS. */
+  private def balls(edges: Seq[(Long, Long)], t: Int): Map[Long, Set[Long]] = {
+    val e = edges.filter { case (s, d) => s != d }.distinct
+    val nodes = e.flatMap { case (s, d) => Seq(s, d) }.distinct
+    val adj = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    nodes.map { v =>
+      var ball = Set(v)
+      for (_ <- 1 to t)
+        ball = ball ++ ball.flatMap(w => adj.getOrElse(w, Set.empty[Long]))
+      v -> ball
+    }.toMap
+  }
+
+  private val graph: Seq[(Long, Long)] = Seq[(Long, Long)](
+    (0, 1), (1, 2), (2, 3), (3, 4), (4, 0), // 5-cycle (diameter 4)
+    (0, 5), (5, 6),                         // a tail
+    (7, 0))                                 // upstream-only source
+
+  test("registers after t rounds equal the exact t-ball registers") {
+    import spark.implicits._
+    for (t <- Seq(0, 1, 2, 3); family <- Seq("xxhash64", "md5prefix")) {
+      val got = WebOps.hyperBall(graph.toDF("src", "dst"), rounds = t,
+          p = 9, family = family)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val memberRows = balls(graph, t).toSeq.flatMap { case (v, ball) =>
+        ball.toSeq.map(w => (v, w.toString))
+      }
+      val want = Sketches.hllRegisters(
+          memberRows.toDF("host", "ball_key"), "ball_key", Seq("host"),
+          p = 9, family = family)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === want, s"t=$t family=$family")
+    }
+  }
+
+  test("neighborhood function is monotone and converges at the diameter") {
+    import spark.implicits._
+    val nf = WebOps.neighborhoodFunction(graph.toDF("src", "dst"),
+        rounds = 8, p = 9)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    // sum_nonzero only grows with t
+    (1 to 8).foreach(t => assert(nf(t) >= nf(t - 1)))
+    // the longest shortest path is 6 hops (7 -> 0 -> 1 .. -> 4? no:
+    // 7->0->5->6 is 3; 1->2->3->4->0->5->6 is 6); constant after that
+    assert(nf(5) < nf(6) || nf(4) < nf(5)) // still growing before diam
+    assert(nf(6) === nf(7) && nf(7) === nf(8))
+  }
+
+  test("partitioning-independent") {
+    import spark.implicits._
+    def run(parts: Int): Set[(Long, Long, Int)] =
+      WebOps.hyperBall(graph.toDF("src", "dst").repartition(parts),
+          rounds = 3, p = 9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run(1) === run(7))
+  }
+}
