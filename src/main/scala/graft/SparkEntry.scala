@@ -2537,6 +2537,17 @@ object SparkEntry {
       TileOps.toPixels(TileOps2.demOrientation(dem), rasterSpec.tileSize)
         .select(col("x"), col("y"), col("band"), round(col("v"), 9).as("v"))
     },
+    "raster_terrain" -> { (s, _) =>
+      // gdaldem TRI/TPI/roughness as three output bands over the integer
+      // DEM plane — every value an exact dyadic (Σ|Δ|/8, c−Σ/8, max−min)
+      val spec = convSpec.copy(bands = 1)
+      val dem = TileOps.createRaster(s, spec)(
+        (x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      def one(metric: String, code: Int) =
+        TileOps.toPixels(TileOps2.demTerrain(dem, metric), convSpec.tileSize)
+          .select(col("x"), col("y"), lit(code).as("band"), col("v"))
+      one("tri", 0).unionByName(one("tpi", 1)).unionByName(one("roughness", 2))
+    },
     "raster_convolve_quantile" -> { (s, _) =>
       TileOps.toPixels(TileOps.convolve(
         TileOps.createRaster(s, convSpec)(rasterValue), 1, "quantile25"), convSpec.tileSize)
@@ -6969,6 +6980,25 @@ object SparkEntry {
           CAST(w.hops AS BIGINT) AS hops
         FROM walk w JOIN fd f ON f.x = w.x AND f.y = w.y
         WHERE f.code = 0"""),
+    "raster_terrain" ->
+      // 8-neighbor fold with out-of-raster neighbors taking the center
+      // value (the gradientsCombine edge convention); integer DEM makes
+      // every sum/divide exact
+      """WITH d AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST((x*3 + y*5) % 41 AS DOUBLE) AS v
+         FROM range(96) r1(x), range(96) r2(y)),
+        nb AS (SELECT a.x, a.y, a.v AS ctr, COALESCE(b.v, a.v) AS nv
+          FROM d a
+          CROSS JOIN (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),(-1,1),(0,1),(1,1)) o(dx,dy)
+          LEFT JOIN d b ON b.x = a.x + o.dx AND b.y = a.y + o.dy),
+        agg AS (SELECT x, y, ctr,
+            sum(abs(ctr - nv)) AS sabs, sum(nv) AS snv,
+            greatest(max(nv), ctr) AS mx, least(min(nv), ctr) AS mn
+          FROM nb GROUP BY 1, 2, 3)
+        SELECT x, y, 0 AS band, sabs / 8.0 AS v FROM agg
+        UNION ALL SELECT x, y, 1, ctr - snv / 8.0 FROM agg
+        UNION ALL SELECT x, y, 2, mx - mn FROM agg""",
+
     "raster_dem_gradients" -> demGradOracle,
     "raster_dem_orientation" -> demOrientOracle,
     "raster_hillshade" -> demHillshadeOracle,

@@ -1277,6 +1277,60 @@ object TileOps2 {
     }.toDF("x", "y", "band", "curv", "prof", "planc")
   }
 
+  /** The remaining three gdaldem modes next to slope/aspect/hillshade —
+    * TRI (Wilson 2007 mean |Δ| to the 8 neighbors, GDAL's default TRI),
+    * TPI (center − neighbor mean) and roughness (window max − min).
+    * Same ONE-halo-exchange shape as [[gradientsCombine]] and the same
+    * edge convention (an out-of-raster neighbor takes the center value),
+    * so borders are well-defined and the fold mirrors to SQL exactly.
+    * On an integer DEM every output is an exact dyadic value (Σ|Δ|/8,
+    * c − Σ/8, max−min) — order-free FP, oracle-portable.
+    */
+  def demTerrain(tiles: Dataset[Tile], metric: String): Dataset[Tile] = {
+    val mcode = metric match {
+      case "tri" => 0
+      case "tpi" => 1
+      case "roughness" => 2
+      case other => throw new IllegalArgumentException(
+        s"demTerrain: unknown metric '$other' (tri | tpi | roughness)")
+    }
+    val padded = TileOps.convolvePad(tiles, 1)
+    padded.map { case (t, pad, pw, _) =>
+      val out = new Array[Double](t.pixels.length)
+      var r = 0
+      while (r < t.h) {
+        var c = 0
+        while (c < t.w) {
+          val ctr = t.pixels(r * t.w + c)
+          var sumAbs = 0.0; var sum = 0.0
+          var mx = ctr; var mn = ctr
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              if (dx != 0 || dy != 0) {
+                val raw = pad((r + 1 + dy) * pw + (c + 1 + dx))
+                val v = if (raw.isNaN) ctr else raw
+                sumAbs += math.abs(ctr - v); sum += v
+                if (v > mx) mx = v
+                if (v < mn) mn = v
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          out(r * t.w + c) =
+            if (mcode == 0) sumAbs / 8.0
+            else if (mcode == 1) ctr - sum / 8.0
+            else mx - mn
+          c += 1
+        }
+        r += 1
+      }
+      t.copy(band = 0, pixels = out)
+    }(TileOps.tileEnc)
+  }
+
   private def gradientsCombine(tiles: Dataset[Tile])
                               (f: (Double, Double) => Double): Dataset[Tile] = {
     val padded = TileOps.convolvePad(tiles, 1)

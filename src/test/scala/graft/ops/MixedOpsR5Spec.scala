@@ -34,6 +34,33 @@ class MixedOpsR5Spec extends AnyFunSuite {
     }
   }
 
+  test("demTerrain: hand 3x3 fold, edge convention, tile-size invariance") {
+    // 4x4 plane, values row-major 0..15 (v = x + 4y): interior pixel
+    // (1,1)=5 has neighbors 0,4,8,1,9,2,6,10 -> TRI = (5+1+3+4+4+3+1+5)/8
+    val spec = RasterSpec(0.0, 4.0, 1.0, -1.0, 4, 4, 2, 1)
+    val dem = TileOps.createRaster(spark, spec)((x, y, _) => (x + 4 * y).toDouble)
+    def grid(metric: String, tile: Int): Map[(Int, Int), Double] = {
+      val sp = RasterSpec(0.0, 4.0, 1.0, -1.0, 4, 4, tile, 1)
+      val d = TileOps.createRaster(spark, sp)((x, y, _) => (x + 4 * y).toDouble)
+      TileOps.toPixels(TileOps2.demTerrain(d, metric), tile)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    }
+    val tri = grid("tri", 2)
+    assert(tri((1, 1)) === 26.0 / 8.0)
+    // corner (0,0)=0: out-of-raster neighbors take the center (0), real
+    // neighbors 1, 4, 5 -> TRI = (1+4+5)/8
+    assert(tri((0, 0)) === 10.0 / 8.0)
+    val tpi = grid("tpi", 2)
+    assert(tpi((1, 1)) === 0.0) // neighbors sum 0+1+2+4+6+8+9+10 = 40 = 8·ctr
+    assert(tpi((0, 0)) === 0.0 - 10.0 / 8.0) // 5 ghost zeros + 1 + 4 + 5
+    val rough = grid("roughness", 2)
+    assert(rough((1, 1)) === 10.0 - 0.0)
+    assert(rough((0, 0)) === 5.0) // max 5, min = center 0
+    // cross-tile halo: same grid at tile 2 and tile 4 must agree exactly
+    for (m <- Seq("tri", "tpi", "roughness"))
+      assert(grid(m, 2) === grid(m, 4), m)
+  }
+
   test("readability: hand-computed Flesch/ARI on fixed sentences") {
     import spark.implicits._
     val docs = Seq(
