@@ -7,7 +7,7 @@ import graft.expr.GraftFunctions
 import graft.geo.{BBox, Polygon}
 import graft.index.Geohash
 import graft.joins.{AsofJoin, KnnJoin, RangeJoin, SpatialJoins}
-import graft.ops.{CellSets, Dedup, Events, LineOps, Relational, Similarity, Sketches, SpatialStats, TextOps, WebOps}
+import graft.ops.{CellSets, Dedup, Events, LineOps, Quality, Relational, Similarity, Sketches, SpatialStats, TextOps, WebOps}
 import graft.pipeline.{Fixtures, Pages}
 import graft.tiles.{Contours, CostDist, Flow, PatchGrid, RasterSpec, TileOps, TileOps2}
 
@@ -2802,6 +2802,32 @@ object SparkEntry {
       Relational.salesOpportunity(
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"))
+    },
+    "quality_profile" -> { (s, dir) =>
+      // Deequ-style per-column profile: exact counts + truncating
+      // completeness ppm, one column-pruned agg per column
+      Quality.profile(s.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    },
+    "quality_summary" -> { (s, dir) =>
+      // numeric min/max/sum on the q4 integer grid (order-free sums)
+      Quality.numericSummary(s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+    "quality_checks" -> { (s, dir) =>
+      // constraint suite with exact integer certificates; includes two
+      // deliberately failing checks (o_custkey is not a PK, 'P' status
+      // is outside the probed set) so both verdict paths are live
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      Quality.completenessCheck(o, "o_custkey")
+        .unionByName(Quality.uniquenessCheck(o, "o_orderkey"))
+        .unionByName(Quality.uniquenessCheck(o, "o_custkey"))
+        .unionByName(Quality.containmentCheck(o, "o_custkey", c, "c_custkey"))
+        .unionByName(Quality.membershipCheck(o, "o_orderstatus", Seq("F", "O")))
+        .unionByName(Quality.membershipCheck(o, "o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+        .unionByName(Quality.rangeCheck(o, "o_totalprice", 0L, 5000000000L))
     },
 
     // --- vector layer (WKT geometry, attribute ops, vector-vector join) ---
@@ -7456,6 +7482,63 @@ object SparkEntry {
         WHERE bal_q * n_pos > sum_bal
           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
         GROUP BY 1""",
+
+    "quality_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count($c) AS BIGINT) AS n_filled,
+              CAST(count(*) - count($c) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+              CAST(count($c) * 1000000 // count(*) AS BIGINT) AS completeness_ppm
+            FROM orders"""
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+
+    "quality_summary" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS n_filled,
+              min(CAST(round($c * 10000.0) AS BIGINT)) AS min_q,
+              max(CAST(round($c * 10000.0) AS BIGINT)) AS max_q,
+              CAST(sum(CAST(round($c * 10000.0) AS BIGINT)) AS BIGINT) AS sum_q
+            FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+
+    "quality_checks" ->
+      """SELECT 'complete(o_custkey)' AS "check", num, den,
+           num * 1000000 >= 1000000 * den AS passed
+         FROM (SELECT CAST(count(o_custkey) AS BIGINT) AS num,
+                      CAST(count(*) AS BIGINT) AS den FROM orders)
+        UNION ALL
+        SELECT 'unique(o_orderkey)', num, den, num = den
+        FROM (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT),
+                     CAST(count(o_orderkey) AS BIGINT) FROM orders) t1(num, den)
+        UNION ALL
+        SELECT 'unique(o_custkey)', num, den, num = den
+        FROM (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT),
+                     CAST(count(o_custkey) AS BIGINT) FROM orders) t2(num, den)
+        UNION ALL
+        SELECT 'contained(o_custkey)', num, den, num = den
+        FROM (SELECT CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS BIGINT),
+               CAST(count(o_custkey) AS BIGINT) FROM orders) t3(num, den)
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)', num, den, num = den
+        FROM (SELECT CAST(count(CASE WHEN o_orderstatus IN ('F','O') THEN 1 END) AS BIGINT),
+                     CAST(count(o_orderstatus) AS BIGINT) FROM orders) t4(num, den)
+        UNION ALL
+        SELECT 'in_set(o_orderpriority)', num, den, num = den
+        FROM (SELECT CAST(count(CASE WHEN o_orderpriority IN
+                 ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                 THEN 1 END) AS BIGINT),
+               CAST(count(o_orderpriority) AS BIGINT) FROM orders) t5(num, den)
+        UNION ALL
+        SELECT 'range(o_totalprice)', num, den, num = den
+        FROM (SELECT CAST(count(CASE WHEN CAST(round(o_totalprice * 10000.0) AS BIGINT)
+                 BETWEEN 0 AND 5000000000 THEN 1 END) AS BIGINT),
+               CAST(count(o_totalprice) AS BIGINT) FROM orders) t6(num, den)""",
 
     "vector_wkt_info" -> (s"WITH $sqlFeats" +
       """ SELECT fid, klass, CAST(w * h AS DOUBLE) AS area,
