@@ -3199,6 +3199,16 @@ object SparkEntry {
         (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
       TileOps2.curvature(r, convSpec.tileSize)
     },
+    "raster_viewshed" -> { (s, _) =>
+      // bounded-radius line-of-sight from (48,48)+10 over the integer
+      // terrain plane; DDA ray + integer cross-multiplied slope compare
+      // make every visibility bit exact
+      val dem = TileOps.createRaster(s, convSpec.copy(bands = 1))(
+        (x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      TileOps.toPixels(graft.tiles.TileOps3.viewshed(
+        dem, convSpec.tileSize, ox = 48, oy = 48, obsHeight = 10.0,
+        maxDist = 20), convSpec.tileSize)
+    },
     "raster_allocation" -> { (s, _) =>
       // Euclidean allocation: sparse sources carry unique ids (x*256+y+1);
       // every pixel takes its nearest source's id under the pinned
@@ -8115,6 +8125,32 @@ object SparkEntry {
         FROM q""",
     // nearest-source id under the pinned (d², dy, dx) candidate order —
     // the same total order the engine's sorted-offset scan walks
+    "raster_viewshed" ->
+      // same round-half-up DDA ray (floor division (2·d·i + n) // 2n)
+      // and the (h_i−h_o)·n ≥ (h_t−h_o)·i blocker rule
+      """WITH d AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST((x*3 + y*5) % 41 AS DOUBLE) AS v
+         FROM range(96) r1(x), range(96) r2(y)),
+        obs AS (SELECT 48 AS ox, 48 AS oy,
+          (SELECT v FROM d WHERE x = 48 AND y = 48) + 10.0 AS ho),
+        tg AS (SELECT d.x, d.y, d.v,
+            greatest(abs(d.x - o.ox), abs(d.y - o.oy)) AS n, o.ox, o.oy, o.ho
+          FROM d CROSS JOIN obs o),
+        blk AS (SELECT t.x, t.y,
+            bool_or((d2.v - t.ho) * t.n >= (t.v - t.ho) * gs.i) AS blocked
+          FROM tg t
+          JOIN generate_series(1, 19) gs(i) ON gs.i < t.n
+          JOIN d d2 ON d2.x = t.ox + CASE WHEN t.x >= t.ox THEN 1 ELSE -1 END *
+                   ((2*abs(t.x - t.ox)*gs.i + t.n) // (2*t.n))
+                   AND d2.y = t.oy + CASE WHEN t.y >= t.oy THEN 1 ELSE -1 END *
+                   ((2*abs(t.y - t.oy)*gs.i + t.n) // (2*t.n))
+          WHERE t.n BETWEEN 2 AND 20
+          GROUP BY t.x, t.y)
+        SELECT t.x, t.y, 0 AS band,
+          CASE WHEN t.n > 20 THEN 0.0
+               WHEN COALESCE(b.blocked, false) THEN 0.0 ELSE 1.0 END AS v
+        FROM tg t LEFT JOIN blk b ON b.x = t.x AND b.y = t.y""",
+
     "raster_allocation" ->
       """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
            0 AS band,

@@ -254,6 +254,70 @@ object TileOps3 {
     * halo exchange (maxDist ≤ tileSize), per-pixel sorted-offset scan
     * with early exit.
     */
+  /** Bounded-radius viewshed (GDAL gdal_viewshed with max-distance):
+    * 1.0 where the pixel center is visible from the observer at
+    * (ox, oy) raised by `obsHeight`, 0.0 where terrain blocks the ray
+    * or the pixel lies beyond `maxDist` (Chebyshev). The ray is the
+    * round-half-away-from-zero DDA line x_i = ox ± (2·|dx|·i + n) / 2n
+    * sampled at the n−1 intermediate steps (n = Chebyshev distance,
+    * sign-symmetric so both languages' truncating division on the
+    * non-negative magnitude agree), and a target
+    * is blocked iff some intermediate's elevation slope reaches the
+    * target slope — compared by INTEGER cross-multiplication
+    * (h_i − h_o)·n ≥ (h_t − h_o)·i, no FP division, so on an integer
+    * DEM the whole computation is exact and SQL-mirrorable.
+    *
+    * Scale shape: radial sweeps don't tile, but the bounded-radius form
+    * does — every ray cell lies within Chebyshev `maxDist` of its
+    * target, so ONE radius-`maxDist` halo exchange (the allocation /
+    * distance-transform superstep) gives each tile everything it needs;
+    * per-pixel work is O(maxDist) with early exit on the first blocker.
+    */
+  def viewshed(tiles: Dataset[Tile], tileSize: Int, ox: Int, oy: Int,
+               obsHeight: Double, maxDist: Int): Dataset[Tile] = {
+    require(maxDist >= 1 && maxDist <= tileSize,
+      s"viewshed: need 1 <= maxDist <= tileSize, got $maxDist/$tileSize")
+    val r = maxDist
+    TileOps.convolvePad(tiles, r).map { case (t, pad, pw, _) =>
+      val baseX = t.cellX * tileSize; val baseY = t.cellY * tileSize
+      val out = new Array[Double](t.w * t.h)
+      var row = 0
+      while (row < t.h) {
+        var c = 0
+        while (c < t.w) {
+          val tx = baseX + c; val ty = baseY + row
+          val dx = tx - ox; val dy = ty - oy
+          val n = math.max(math.abs(dx), math.abs(dy))
+          var vis = 0.0
+          if (n == 0) vis = 1.0
+          else if (n <= r) {
+            val ho = pad((oy - baseY + r) * pw + (ox - baseX + r)) + obsHeight
+            val ht = pad((row + r) * pw + (c + r))
+            var blocked = false
+            var i = 1
+            while (!blocked && i < n) {
+              // round-half-away-from-zero DDA: symmetric in sign, and
+              // plain truncating division on the non-negative magnitude
+              // matches SQL integer // exactly
+              val sx = (2 * math.abs(dx) * i + n) / (2 * n)
+              val sy = (2 * math.abs(dy) * i + n) / (2 * n)
+              val xi = ox + (if (dx >= 0) sx else -sx)
+              val yi = oy + (if (dy >= 0) sy else -sy)
+              val hi = pad((yi - baseY + r) * pw + (xi - baseX + r))
+              if ((hi - ho) * n >= (ht - ho) * i) blocked = true
+              i += 1
+            }
+            vis = if (blocked) 0.0 else 1.0
+          }
+          out(row * t.w + c) = vis
+          c += 1
+        }
+        row += 1
+      }
+      t.copy(band = 0, pixels = out)
+    }(tileEnc)
+  }
+
   def allocation(tiles: Dataset[Tile], maxDist: Int): Dataset[Tile] = {
     require(maxDist >= 1, s"maxDist >= 1, got $maxDist")
     val r = maxDist

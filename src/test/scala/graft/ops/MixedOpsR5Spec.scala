@@ -61,6 +61,31 @@ class MixedOpsR5Spec extends AnyFunSuite {
       assert(grid(m, 2) === grid(m, 4), m)
   }
 
+  test("viewshed: flat plane, wall shadow, radius cut, tile invariance") {
+    import graft.tiles.TileOps3
+    def run(tile: Int, f: (Int, Int) => Double): Map[(Int, Int), Double] = {
+      val sp = RasterSpec(0.0, 16.0, 1.0, -1.0, 16, 16, tile, 1)
+      val d = TileOps.createRaster(spark, sp)((x, y, _) => f(x, y))
+      TileOps.toPixels(TileOps3.viewshed(d, tile, ox = 8, oy = 8,
+          obsHeight = 2.0, maxDist = 6), tile)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    }
+    // flat terrain: everything within Chebyshev 6 visible, beyond = 0
+    val flat = run(8, (_, _) => 0.0)
+    assert(flat((8, 8)) === 1.0 && flat((14, 8)) === 1.0 && flat((2, 2)) === 1.0)
+    assert(flat((15, 8)) === 0.0 && flat((0, 0)) === 0.0)
+    // a tall wall at x=10 (y anywhere): ground cells behind it on the +x
+    // axis are shadowed, the wall itself is visible
+    val wall = run(8, (x, _) => if (x == 10) 9.0 else 0.0)
+    assert(wall((10, 8)) === 1.0)
+    assert(wall((11, 8)) === 0.0 && wall((12, 8)) === 0.0)
+    assert(wall((9, 8)) === 1.0) // in front of the wall
+    assert(wall((8, 12)) === 1.0) // perpendicular, unobstructed
+    // halo correctness: same answer at tile 8 and tile 16
+    assert(run(8, (x, _) => if (x == 10) 9.0 else 0.0) ===
+      run(16, (x, _) => if (x == 10) 9.0 else 0.0))
+  }
+
   test("readability: hand-computed Flesch/ARI on fixed sentences") {
     import spark.implicits._
     val docs = Seq(
