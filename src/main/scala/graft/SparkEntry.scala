@@ -2307,6 +2307,11 @@ object SparkEntry {
       // weigh zero without gap-filling)
       Events.hourlyAnomaly(eventsOf(s, dir), windowHours = 24)
     },
+    "events_cusum" -> { (s, dir) =>
+      // Page's CUSUM as a closed window form (running sum + running min
+      // on one exchange) — no sequential recursion, exact integers
+      Events.cusum(eventsOf(s, dir), k = 1, h = 5)
+    },
     "events_asof" -> { (s, dir) =>
       // as-of join: each error picks up the user's latest purchase at or
       // before it — UNION + one window, no join (AsofJoin.scala); the
@@ -3199,6 +3204,14 @@ object SparkEntry {
         (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
       TileOps2.curvature(r, convSpec.tileSize)
     },
+    "raster_zone_geom" -> { (s, _) =>
+      // per-label area / 4-connected perimeter / bbox / isoperimetric
+      // compactness over a 12x12-blocked label plane; pixels fold into
+      // per-tile per-label partials, so only |labels| rows shuffle
+      val labels = TileOps.createRaster(s, convSpec.copy(bands = 1))(
+        (x, y, _) => (((x / 12) * 31 + (y / 12) * 17) % 5).toDouble)
+      TileOps2.labelGeometry(labels, convSpec.tileSize)
+    },
     "raster_viewshed" -> { (s, _) =>
       // bounded-radius line-of-sight from (48,48)+10 over the integer
       // terrain plane; DDA ray + integer cross-multiplied slope compare
@@ -3687,6 +3700,22 @@ object SparkEntry {
           b.b_value AS asof_value
         FROM probe p ASOF LEFT JOIN build b
           ON p.user_id = b.user_id AND p.ts >= b.ts""",
+    "events_cusum" ->
+      """WITH h AS (SELECT event_type,
+           CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, hour, n,
+           sum(n - 1) OVER (PARTITION BY event_type ORDER BY hour
+                            ROWS UNBOUNDED PRECEDING) AS p
+         FROM h)
+        SELECT event_type, hour, n,
+          CAST(p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY hour
+                                         ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s,
+          p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY hour
+                                    ROWS UNBOUNDED PRECEDING)) >= 5 AS alarm
+        FROM w""",
+
     "events_anomaly" ->
       """WITH h AS (SELECT event_type,
            CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,
@@ -8125,6 +8154,29 @@ object SparkEntry {
         FROM q""",
     // nearest-source id under the pinned (d², dy, dx) candidate order —
     // the same total order the engine's sorted-offset scan walks
+    "raster_zone_geom" ->
+      // 4-neighbor perimeter via LEFT JOINs (off-raster counts), exact
+      // integer compactness 16·area·10⁶ div P²
+      """WITH px AS (SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+           CAST(((x // 12) * 31 + (y // 12) * 17) % 5 AS BIGINT) AS lab
+         FROM range(96) r1(x), range(96) r2(y)),
+        per AS (SELECT p.x, p.y, p.lab,
+            (CASE WHEN e.lab IS NULL OR e.lab <> p.lab THEN 1 ELSE 0 END
+           + CASE WHEN w.lab IS NULL OR w.lab <> p.lab THEN 1 ELSE 0 END
+           + CASE WHEN s2.lab IS NULL OR s2.lab <> p.lab THEN 1 ELSE 0 END
+           + CASE WHEN n2.lab IS NULL OR n2.lab <> p.lab THEN 1 ELSE 0 END) AS pc
+          FROM px p
+          LEFT JOIN px e ON e.x = p.x + 1 AND e.y = p.y
+          LEFT JOIN px w ON w.x = p.x - 1 AND w.y = p.y
+          LEFT JOIN px s2 ON s2.x = p.x AND s2.y = p.y + 1
+          LEFT JOIN px n2 ON n2.x = p.x AND n2.y = p.y - 1)
+        SELECT lab AS label, CAST(count(*) AS BIGINT) AS area,
+          CAST(sum(pc) AS BIGINT) AS perimeter,
+          CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+          CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max,
+          CAST(count(*) * 16000000 // (sum(pc) * sum(pc)) AS BIGINT) AS compact_ppm
+        FROM per GROUP BY lab""",
+
     "raster_viewshed" ->
       // same round-half-up DDA ray (floor division (2·d·i + n) // 2n)
       // and the (h_i−h_o)·n ≥ (h_t−h_o)·i blocker rule

@@ -194,6 +194,32 @@ object Events {
           .as("spike_ppm"))
   }
 
+  /** CUSUM changepoint detection (Page 1954) over hourly event counts:
+    * per event type, the classic recursion S_t = max(0, S_{t−1} + n_t − k)
+    * is rewritten as the closed window form
+    * S_t = P_t − min(0, min_{j≤t} P_j), P_t = Σ_{j≤t}(n_j − k) —
+    * running sum + running min sharing ONE (type, hour-ordered)
+    * exchange, no sequential recursion, all integers (order-free and
+    * parallelism-stable). Alarm fires at S_t ≥ h. Sparse-hour note:
+    * hours with zero events are absent from the grid, so k is the drift
+    * allowance per PRESENT hour (the gap-free form would gap-fill
+    * first; documented contract).
+    */
+  def cusum(events: DataFrame, k: Long = 3, h: Long = 10): DataFrame = {
+    require(h >= 1, s"cusum: alarm threshold h must be >= 1, got $h")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val hourly = events
+      .withColumn("hour", floor(us / lit(3600000000.0)))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val ord = Window.partitionBy("event_type").orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("p", sum(col("n") - lit(k)).over(ord))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(ord)))
+      .select(col("event_type"), col("hour"), col("n"), col("s"),
+        (col("s") >= lit(h)).as("alarm"))
+  }
+
   /** First-order Markov transition matrix over event types: consecutive
     * per-user event pairs in (time, event_id) order, counted per
     * (from_type, to_type) with the per-source transition probability in

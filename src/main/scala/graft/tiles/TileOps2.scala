@@ -1331,6 +1331,63 @@ object TileOps2 {
     }(TileOps.tileEnc)
   }
 
+  /** Per-label zone geometry over a label raster (ESRI ZonalGeometry /
+    * the region-props step after vectorize/sieve): exact pixel area,
+    * 4-connected perimeter (edges to a different label or off-raster),
+    * bounding box, and the isoperimetric compactness certificate
+    * `compact_ppm = 16·area·10⁶ div perimeter²` (= 10⁶ exactly for any
+    * axis-aligned square, < 10⁶ for everything non-square).
+    *
+    * Scale shape: ONE radius-1 halo exchange; each tile folds its
+    * pixels into per-label partials (a map of |labels-in-tile| entries,
+    * never per-pixel rows), then ONE map-side-combined agg on the label
+    * — pixels themselves never shuffle.
+    */
+  def labelGeometry(tiles: Dataset[Tile], tileSize: Int): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val partials = TileOps.convolvePad(tiles, 1).flatMap { case (t, pad, pw, _) =>
+      val m = scala.collection.mutable.HashMap
+        .empty[Long, Array[Long]] // area, perim, x0, x1, y0, y1
+      var r = 0
+      while (r < t.h) {
+        var c = 0
+        while (c < t.w) {
+          val lab = t.pixels(r * t.w + c).toLong
+          var pc = 0L
+          var k = 0
+          while (k < 4) {
+            val (dx, dy) = k match {
+              case 0 => (1, 0); case 1 => (-1, 0)
+              case 2 => (0, 1); case _ => (0, -1)
+            }
+            val v = pad((r + 1 + dy) * pw + (c + 1 + dx))
+            if (v.isNaN || v.toLong != lab) pc += 1
+            k += 1
+          }
+          val gx = t.cellX.toLong * tileSize + c
+          val gy = t.cellY.toLong * tileSize + r
+          val acc = m.getOrElseUpdate(lab,
+            Array(0L, 0L, Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue))
+          acc(0) += 1; acc(1) += pc
+          if (gx < acc(2)) acc(2) = gx
+          if (gx > acc(3)) acc(3) = gx
+          if (gy < acc(4)) acc(4) = gy
+          if (gy > acc(5)) acc(5) = gy
+          c += 1
+        }
+        r += 1
+      }
+      m.iterator.map { case (lab, a) => (lab, a(0), a(1), a(2), a(3), a(4), a(5)) }
+    }.toDF("label", "area", "perimeter", "x_min", "x_max", "y_min", "y_max")
+    partials.groupBy("label")
+      .agg(sum("area").as("area"), sum("perimeter").as("perimeter"),
+        min("x_min").as("x_min"), max("x_max").as("x_max"),
+        min("y_min").as("y_min"), max("y_max").as("y_max"))
+      .withColumn("compact_ppm",
+        expr("CAST(area * 16000000 DIV (perimeter * perimeter) AS BIGINT)"))
+  }
+
   private def gradientsCombine(tiles: Dataset[Tile])
                               (f: (Double, Double) => Double): Dataset[Tile] = {
     val padded = TileOps.convolvePad(tiles, 1)

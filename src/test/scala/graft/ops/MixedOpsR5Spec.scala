@@ -86,6 +86,53 @@ class MixedOpsR5Spec extends AnyFunSuite {
       run(16, (x, _) => if (x == 10) 9.0 else 0.0))
   }
 
+  test("labelGeometry: hand plane, square compactness, tile invariance") {
+    // 8x8 plane: left 4 columns label 1, right 4 columns label 2 —
+    // two 4x8 rectangles: area 32, perimeter 24 each (border + seam)
+    def run(tile: Int): Map[Long, (Long, Long, Long, Long, Long, Long, Long)] = {
+      val sp = RasterSpec(0.0, 8.0, 1.0, -1.0, 8, 8, tile, 1)
+      val d = TileOps.createRaster(spark, sp)((x, _, _) => if (x < 4) 1.0 else 2.0)
+      TileOps2.labelGeometry(d, tile).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    }
+    val g = run(4)
+    assert(g(1L) === ((32L, 24L, 0L, 3L, 0L, 7L, 32L * 16000000L / (24L * 24L))))
+    assert(g(2L) === ((32L, 24L, 4L, 7L, 0L, 7L, 32L * 16000000L / (24L * 24L))))
+    assert(run(4) === run(8)) // halo across the seam
+    // a lone 4x4 square: compactness exactly 10^6
+    val sq = {
+      val sp = RasterSpec(0.0, 8.0, 1.0, -1.0, 8, 8, 8, 1)
+      val d = TileOps.createRaster(spark, sp)(
+        (x, y, _) => if (x >= 2 && x < 6 && y >= 2 && y < 6) 1.0 else 0.0)
+      TileOps2.labelGeometry(d, 8).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(7))).toMap
+    }
+    assert(sq(1L) === ((16L, 16L, 1000000L)))
+  }
+
+  test("cusum window form equals the sequential recursion") {
+    import spark.implicits._
+    // one type, hand counts per hour: spike at hours 5-6
+    val counts = Seq(1L, 2L, 0L, 1L, 1L, 6L, 7L, 1L, 0L, 2L)
+    val rows = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0L until n).map(i => (h.toLong * 3600L + i, "t"))
+    }.map { case (sec, ty) =>
+      (new java.sql.Timestamp(sec * 1000L), ty)
+    }
+    val df = rows.toDF("ts", "event_type")
+    val got = Events.cusum(df, k = 1, h = 4).collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // sequential reference S_t = max(0, S + n - k) over PRESENT hours
+    var s = 0L
+    val present = counts.zipWithIndex.filter(_._1 > 0)
+    present.foreach { case (n, h) =>
+      s = math.max(0L, s + n - 1)
+      assert(got(h.toLong) === ((s, s >= 4)), s"hour $h")
+    }
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+  }
+
   test("readability: hand-computed Flesch/ARI on fixed sentences") {
     import spark.implicits._
     val docs = Seq(
