@@ -2307,6 +2307,16 @@ object SparkEntry {
       // weigh zero without gap-filling)
       Events.hourlyAnomaly(eventsOf(s, dir), windowHours = 24)
     },
+    "events_scd2" -> { (s, dir) =>
+      // SCD2 dimension build: per-user event_type change intervals with
+      // (ts, event_id) tie order; consecutive-duplicate collapse + lead
+      // + version on one exchange
+      Events.scd2(eventsOf(s, dir), "user_id", "ts", "event_type", "event_id")
+    },
+    "events_rollup" -> { (s, dir) =>
+      // hour-of-day x type ROLLUP with sentinel group markers
+      Events.hourTypeRollup(eventsOf(s, dir))
+    },
     "events_cusum" -> { (s, dir) =>
       // Page's CUSUM as a closed window form (running sum + running min
       // on one exchange) — no sequential recursion, exact integers
@@ -3700,6 +3710,30 @@ object SparkEntry {
           b.b_value AS asof_value
         FROM probe p ASOF LEFT JOIN build b
           ON p.user_id = b.user_id AND p.ts >= b.ts""",
+    "events_scd2" ->
+      """WITH c AS (SELECT user_id, ts, event_type, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_v
+         FROM events),
+        f AS (SELECT user_id, ts, event_type, event_id FROM c
+              WHERE prev_v IS NULL OR prev_v <> event_type)
+        SELECT user_id, event_type, ts AS effective_from,
+          lead(ts) OVER w AS effective_to,
+          CAST(row_number() OVER w AS BIGINT) AS version,
+          lead(ts) OVER w IS NULL AS is_current
+        FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "events_rollup" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+           CAST(COALESCE(hod, -1) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vq) AS BIGINT) AS value_q
+         FROM (SELECT event_type,
+             CAST(floor(epoch_us(ts) / 3600000000.0) % 24 AS INT) AS hod,
+             CAST(round(value * 10000.0) AS BIGINT) AS vq
+           FROM events)
+         GROUP BY ROLLUP (event_type, hod)""",
+
     "events_cusum" ->
       """WITH h AS (SELECT event_type,
            CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,

@@ -194,6 +194,49 @@ object Events {
           .as("spike_ppm"))
   }
 
+  /** Slowly-changing-dimension type-2 build (the warehouse dimension
+    * pattern): from a change log of (key, ts, value) observations,
+    * collapse consecutive duplicates and emit one validity interval per
+    * surviving change — effective_from = its ts, effective_to = the NEXT
+    * change's ts (null while current), version = change ordinal.
+    * Three window functions sharing ONE (key, time-ordered) exchange;
+    * ties on ts break by `ordCol` so the interval chain is total-ordered
+    * and deterministic.
+    */
+  def scd2(log: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           ordCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val changes = log
+      .withColumn("prev_v", lag(col(valCol), 1).over(w))
+      .filter(col("prev_v").isNull || col("prev_v") =!= col(valCol))
+    val w2 = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    changes
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("version", row_number().over(w2))
+      .select(col(keyCol), col(valCol),
+        col(tsCol).as("effective_from"), col("effective_to"),
+        col("version").cast("long").as("version"),
+        col("effective_to").isNull.as("is_current"))
+  }
+
+  /** Hour-of-day × event-type rollup (GROUPING SETS surface): exact
+    * counts and q4 value sums at (type, hour), (type), and grand-total
+    * grain, with NULL group markers coalesced to sentinels ('ALL' / −1)
+    * so every row is totally keyed. One rollup aggregation —
+    * Spark expands grouping sets below the exchange, keeping map-side
+    * combine.
+    */
+  def hourTypeRollup(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    events
+      .withColumn("hod", (floor(us / lit(3600000000.0)) % 24).cast("int"))
+      .withColumn("vq", round(col("value") * lit(10000.0)).cast("long"))
+      .rollup(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("vq")).as("value_q"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hod"), lit(-1)).as("hod"), col("n"), col("value_q"))
+  }
+
   /** CUSUM changepoint detection (Page 1954) over hourly event counts:
     * per event type, the classic recursion S_t = max(0, S_{t−1} + n_t − k)
     * is rewritten as the closed window form

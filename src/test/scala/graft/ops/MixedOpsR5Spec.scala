@@ -111,6 +111,42 @@ class MixedOpsR5Spec extends AnyFunSuite {
     assert(sq(1L) === ((16L, 16L, 1000000L)))
   }
 
+  test("scd2: duplicate collapse, interval chain, one current per key") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 100L, "A", 1L), (1L, 200L, "A", 2L), (1L, 300L, "B", 3L),
+      (1L, 400L, "B", 4L), (1L, 500L, "A", 5L),
+      (2L, 100L, "X", 6L))
+      .map { case (u, s, v, id) => (u, new java.sql.Timestamp(s * 1000L), v, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = Events.scd2(log, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime / 1000L,
+        Option(r.getTimestamp(3)).map(_.getTime / 1000L), r.getLong(4),
+        r.getBoolean(5)))
+    val u1 = out.filter(_._1 == 1L).sortBy(_._5)
+    assert(u1.map(x => (x._2, x._3, x._4)).toSeq ===
+      Seq(("A", 100L, Some(300L)), ("B", 300L, Some(500L)), ("A", 500L, None)))
+    // A->A duplicate at 200/400 collapsed; chain tiles the timeline
+    u1.sliding(2).foreach { case Array(a, b) => assert(a._4 === Some(b._3)) }
+    assert(out.count(x => x._1 == 1L && x._6) === 1)
+    assert(out.filter(_._1 == 2L).toSeq.map(x => (x._2, x._6)) === Seq(("X", true)))
+  }
+
+  test("rollup grains are consistent") {
+    import spark.implicits._
+    val ev = Seq((1L, "a", 2.5), (2L, "a", 1.0), (3L, "b", 4.0)).map {
+      case (id, ty, v) => (id, new java.sql.Timestamp(id * 3600L * 1000L), ty, v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = Events.hourTypeRollup(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("ALL", -1)) === ((3L, 75000L)))
+    assert(out(("a", -1)) === ((2L, 35000L)))
+    assert(out(("b", 3)) === ((1L, 40000L)))
+    // grand total equals the sum of the per-type subtotals
+    assert(out(("a", -1))._1 + out(("b", -1))._1 === out(("ALL", -1))._1)
+  }
+
   test("cusum window form equals the sequential recursion") {
     import spark.implicits._
     // one type, hand counts per hour: spike at hours 5-6
