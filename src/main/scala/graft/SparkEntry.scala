@@ -2818,6 +2818,18 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"))
     },
+    "ml_stump" -> { (s, dir) =>
+      // histogram decision stump (LightGBM/XGBoost 'hist' split-finding)
+      // with EXACT cross-multiplied Gini: label = English-vs-rest, two
+      // integral text features, 16 bins; only the binned class-count agg
+      // touches rows
+      val d = documentsOf(s, dir)
+        .withColumn("label", when(col("lang") === "en", 1L).otherwise(0L))
+        .withColumn("f_chars", col("n_chars"))
+        .withColumn("f_digits", (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
+      graft.ops.Trees.stump(d, "label", Seq("f_chars", "f_digits"), bins = 16)
+    },
     "quality_profile" -> { (s, dir) =>
       // Deequ-style per-column profile: exact counts + truncating
       // completeness ppm, one column-pruned agg per column
@@ -7555,6 +7567,47 @@ object SparkEntry {
         WHERE bal_q * n_pos > sum_bal
           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
         GROUP BY 1""",
+
+    "ml_stump" ->
+      """WITH m AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             'f_chars' AS feature, n_chars AS value FROM documents
+           UNION ALL
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END, 'f_digits',
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+           FROM documents),
+         rg AS (SELECT feature, min(value) AS vmin, max(value) AS vmax FROM m GROUP BY 1),
+         h AS (SELECT m.feature,
+             CAST((m.value - rg.vmin) * 16 // (rg.vmax - rg.vmin + 1) AS INT) AS bin,
+             CAST(count(CASE WHEN label = 0 THEN 1 END) AS BIGINT) AS c0,
+             CAST(count(CASE WHEN label <> 0 THEN 1 END) AS BIGINT) AS c1
+           FROM m JOIN rg ON m.feature = rg.feature GROUP BY 1, 2),
+         c AS (SELECT feature, bin,
+             sum(c0) OVER wo AS c0l, sum(c1) OVER wo AS c1l,
+             sum(c0) OVER wa AS ct0, sum(c1) OVER wa AS ct1
+           FROM h WINDOW wo AS (PARTITION BY feature ORDER BY bin),
+                         wa AS (PARTITION BY feature)),
+         k AS (SELECT feature, bin, CAST(c0l AS BIGINT) AS c0l,
+             CAST(c1l AS BIGINT) AS c1l, CAST(c0l + c1l AS BIGINT) AS nl,
+             CAST(ct0 + ct1 - c0l - c1l AS BIGINT) AS nr,
+             CAST(ct0 - c0l AS BIGINT) AS c0r, CAST(ct1 - c1l AS BIGINT) AS c1r
+           FROM c WHERE c0l + c1l > 0 AND ct0 + ct1 - c0l - c1l > 0),
+         sc AS (SELECT *,
+             CAST((CAST(c0l AS HUGEINT)*c0l + CAST(c1l AS HUGEINT)*c1l) * nr
+                + (CAST(c0r AS HUGEINT)*c0r + CAST(c1r AS HUGEINT)*c1r) * nl
+               AS DECIMAL(38,0)) AS a,
+             CAST(CAST(nl AS HUGEINT) * nr AS DECIMAL(38,0)) AS b
+           FROM k)
+        SELECT sc.feature, sc.bin, sc.nl, sc.nr, sc.c0l, sc.c1l, sc.c0r, sc.c1r,
+          sc.a, sc.b, rg.vmin, rg.vmax
+        FROM sc JOIN rg ON sc.feature = rg.feature
+        WHERE NOT EXISTS (SELECT 1 FROM sc d
+          WHERE (CAST(d.a AS HUGEINT) * CAST(sc.b AS HUGEINT)
+                   > CAST(sc.a AS HUGEINT) * CAST(d.b AS HUGEINT))
+             OR (CAST(d.a AS HUGEINT) * CAST(sc.b AS HUGEINT)
+                   = CAST(sc.a AS HUGEINT) * CAST(d.b AS HUGEINT)
+                 AND (d.feature < sc.feature
+                      OR (d.feature = sc.feature AND d.bin < sc.bin))))""",
 
     "quality_profile" -> {
       def one(c: String) =
