@@ -106,7 +106,15 @@ object Bench {
     "text_hashing", "text_comp_ratio",
     // radiometric normalization (two tiny histograms + map-only rewrite)
     // and the ANN recall harness (exact-sample join)
-    "raster_hist_match", "ann_recall", "web_spam_mass")
+    "raster_hist_match", "ann_recall", "web_spam_mass",
+    // session 3: TPC-H suite completion (Q21 = semi+anti decorrelation
+    // on the order key; Q17 = correlated-AVG via agg-and-rejoin),
+    // HyperBall (register-max rounds), histogram stump (one binned agg),
+    // viewshed (radius-bounded halo), zone geometry (per-tile partials),
+    // quality constraint suite, CUSUM / SCD2 / rollup windows
+    "tpch_q21", "tpch_q17", "tpch_q9", "web_hyperball", "ml_stump",
+    "raster_viewshed", "raster_zone_geom", "quality_checks",
+    "events_cusum", "events_scd2", "events_rollup")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

@@ -104,7 +104,14 @@ object PlanAudit {
       "emb_rp", "events_trajectory",
       // DBSCAN: the ε-pair cell join + degree agg + CC + border argmin —
       // every join must stay an equi-join (hot cells are AQE's job)
-      "geo_dbscan", "web_modularity", "emb_kmeans", "vector_smooth", "tpch_q10", "raster_sieve", "events_wau")
+      "geo_dbscan", "web_modularity", "emb_kmeans", "vector_smooth", "tpch_q10", "raster_sieve", "events_wau",
+      // session 3: Q21 (semi + anti on one order-key exchange family),
+      // Q17 (agg-and-rejoin), Q8 (semi-join region filter + broadcast
+      // dims), stump (one binned agg + broadcast dominance), hyperball
+      // (register-edge join + max agg), quality containment (semi join),
+      // cusum/scd2 (single-exchange windows)
+      "tpch_q21", "tpch_q17", "tpch_q8", "ml_stump", "web_hyperball",
+      "quality_checks", "events_cusum", "events_scd2")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

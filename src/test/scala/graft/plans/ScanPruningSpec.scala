@@ -434,4 +434,51 @@ class ScanPruningSpec extends AnyFunSuite {
       "decay agg lost its map-side combine:\n" + p.take(1500))
   }
 
+  test("q21 decorrelates EXISTS/NOT-EXISTS to semi + anti joins, no CP") {
+    val p = physical("tpch_q21")
+    assert(p.contains("LeftSemi"), "missing semi join:\n" + p.take(1500))
+    assert(p.contains("LeftAnti"), "missing anti join:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q17 correlated AVG becomes one partial agg joined back, no window") {
+    val p = physical("tpch_q17")
+    assert(p.contains("partial_"), "per-part agg lost map-side combine:\n" + p.take(1500))
+    assert(!p.contains("Window"), "q17 must not window the raw lineitem:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("stump: rows feed exactly one binned histogram aggregation") {
+    // the only row-touching pass is the (feature, bin) class-count agg
+    // (partial below its exchange); dominance runs on the tiny candidate
+    // frame via broadcast, never a sort-merge join
+    val p = physical("ml_stump")
+    assert(p.contains("partial_"), "histogram agg lost map-side combine:\n" + p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "dominance must stay broadcast on the candidate frame:\n" + p.take(1500))
+  }
+
+  test("quality containment stays a semi join, never a nested loop on rows") {
+    val p = physical("quality_checks")
+    assert(p.contains("LeftSemi"), "containment lost its semi join:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("cusum: both windows share ONE (event_type) exchange") {
+    val p = physical("events_cusum")
+    // hourly agg shuffles on (type, hour), windows re-key on type: 2 total
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 2,
+      "cusum grew extra shuffles:\n" + p.take(1500))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("scd2: all three windows ride one key-ordered exchange") {
+    val p = physical("events_scd2")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "scd2 grew a second shuffle:\n" + p.take(1500))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
 }
