@@ -2818,6 +2818,24 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"))
     },
+    "raster_hypsometric" -> { (s, _) =>
+      // elevation-area curve: pixels collapse to per-elevation counts,
+      // the running sum rides the tiny value-domain table
+      val dem = TileOps.createRaster(s, convSpec.copy(bands = 1))(
+        (x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      TileOps2.hypsometric(dem, convSpec.tileSize)
+    },
+    "select_reservoir" -> { (s, dir) =>
+      // deterministic per-lang uniform sample: bottom-8 of the md5prefix
+      // hash (order-free, mergeable — the reservoir-sampling replacement)
+      graft.ops.Selection.hashSample(documentsOf(s, dir), "doc_id",
+        Seq("lang"), k = 8, family = "md5prefix")
+    },
+    "dedup_fuzzy_pairs" -> { (s, dir) =>
+      // record linkage by edit distance: 24-char keys, 2-char blocking,
+      // levenshtein <= 2 verify, deterministic per-block cap
+      Dedup.editDistancePairs(documentsOf(s, dir))
+    },
     "ml_stump" -> { (s, dir) =>
       // histogram decision stump (LightGBM/XGBoost 'hist' split-finding)
       // with EXACT cross-multiplied Gini: label = English-vs-rest, two
@@ -7567,6 +7585,39 @@ object SparkEntry {
         WHERE bal_q * n_pos > sum_bal
           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
         GROUP BY 1""",
+
+    "raster_hypsometric" ->
+      """WITH px AS (SELECT CAST((x*3 + y*5) % 41 AS BIGINT) AS elev
+           FROM range(96) r1(x), range(96) r2(y)),
+        pe AS (SELECT elev, CAST(count(*) AS BIGINT) AS area
+               FROM px GROUP BY elev),
+        t AS (SELECT CAST(sum(area) AS BIGINT) AS total_area FROM pe)
+        SELECT elev, area,
+          CAST(sum(area) OVER (ORDER BY elev DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_area_above,
+          t.total_area,
+          CAST(sum(area) OVER (ORDER BY elev DESC ROWS UNBOUNDED PRECEDING)
+               * 1000000 // t.total_area AS BIGINT) AS frac_above_ppm
+        FROM pe CROSS JOIN t""",
+
+    "select_reservoir" ->
+      """WITH h AS (SELECT *,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS sh
+         FROM documents),
+        r AS (SELECT *, row_number() OVER
+           (PARTITION BY lang ORDER BY sh, doc_id) AS rk FROM h)
+        SELECT doc_id, text, lang, source, n_chars FROM r WHERE rk <= 8""",
+
+    "dedup_fuzzy_pairs" ->
+      """WITH keyed AS (SELECT doc_id AS id, substr(text, 1, 24) AS k,
+           substr(text, 1, 2) AS blk FROM documents),
+        capped AS (SELECT * FROM (SELECT *, row_number() OVER
+            (PARTITION BY blk ORDER BY id) AS rnk FROM keyed)
+          WHERE rnk <= 256)
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+        FROM capped a JOIN capped b ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.k, b.k) <= 2""",
 
     "ml_stump" ->
       """WITH m AS (

@@ -703,4 +703,48 @@ object Dedup {
     docs.select(col("doc_id"),
       call_function("bloom_contains_all", pos, typedlit(bits)).as("maybe_seen"))
   }
+
+  /** Record-linkage pairs by EDIT distance with standard blocking — the
+    * fuzzy-match family member next to the token-set joins (PPJoin /
+    * containment) and the hash joins (MinHash / SimHash): two rows pair
+    * when their keys (the first `keyLen` chars of `strCol`) sit in the
+    * same block (first `prefixLen` chars — the classic blocking-key
+    * contract: a first-character typo is out of scope, documented) and
+    * levenshtein ≤ `maxDist`. Levenshtein has identical unit-cost
+    * semantics in Spark and DuckDB, so the verify mirrors exactly.
+    *
+    * Scale shape: ONE equi-join on the block key — never all-pairs —
+    * with the hot-block hazard handled the hammingPairs way: a
+    * deterministic per-block cap (lowest `capPerBlock` ids join, -1 =
+    * uncapped), so a boilerplate block of 10⁶ identical prefixes costs
+    * O(cap²), not O(block²). The cap is WindowGroupLimit-planned
+    * (partial bottom-k below the exchange).
+    */
+  def editDistancePairs(docs: DataFrame, strCol: String = "text",
+                        idCol: String = "doc_id", keyLen: Int = 24,
+                        prefixLen: Int = 2, maxDist: Int = 2,
+                        capPerBlock: Int = 256): DataFrame = {
+    require(keyLen > prefixLen && prefixLen >= 1,
+      s"editDistancePairs: need keyLen > prefixLen >= 1, got $keyLen/$prefixLen")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(capPerBlock > 0 || capPerBlock == -1,
+      s"capPerBlock must be positive, or -1 for uncapped, got $capPerBlock")
+    val keyed = docs.select(col(idCol).as("id"),
+        substring(col(strCol), 1, keyLen).as("k"))
+      .withColumn("blk", substring(col("k"), 1, prefixLen))
+    val capped =
+      if (capPerBlock == -1) keyed
+      else {
+        val w = Window.partitionBy("blk").orderBy("id")
+        keyed.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= capPerBlock).drop("rnk")
+      }
+    val l = capped.select(col("blk"), col("id").as("id_a"), col("k").as("k_a"))
+    val r = capped.select(col("blk"), col("id").as("id_b"), col("k").as("k_b"))
+    l.join(r, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
 }

@@ -149,6 +149,27 @@ object Selection {
     * once-cached quantized table; centers travel driver→executor as one
     * 64-long array each round. Never a shuffle of the corpus.
     */
+  /** Deterministic per-group uniform sample: the k rows with the
+    * smallest `hash60(key)` per group (bottom-k of a hash IS a uniform
+    * sample without replacement, and — unlike reservoir sampling — is
+    * order-free, mergeable, and replayable). Spark plans the rank
+    * filter as WindowGroupLimit: partial bottom-k below the exchange,
+    * so a 10⁹-row group never sorts globally. Ties (hash collisions)
+    * break on the key itself — a total order, so the sample is
+    * bit-stable at any parallelism.
+    */
+  def hashSample(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                 k: Int, family: String = "xxhash64"): DataFrame = {
+    require(k >= 1, s"hashSample: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("sample_h"), col(keyCol))
+    df.withColumn("sample_h", Sketches.hash60(col(keyCol), family))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("sample_h", "sample_rank")
+  }
+
   def kCenters(embeddings: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k >= 1, got $k")
     val spark = embeddings.sparkSession

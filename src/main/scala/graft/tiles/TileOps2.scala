@@ -1388,6 +1388,31 @@ object TileOps2 {
         expr("CAST(area * 16000000 DIV (perimeter * perimeter) AS BIGINT)"))
   }
 
+  /** Hypsometric curve (elevation–area distribution, the hydrology
+    * basin descriptor): per integer elevation value, its pixel area and
+    * the cumulative area at-or-above it, with the fraction as exact
+    * truncating ppm. Pixels collapse to per-elevation counts in ONE
+    * map-side-combined agg; the running sum then runs over the tiny
+    * elevation-domain table (bounded by the value range, not the pixel
+    * count), so the single-partition window is free by construction.
+    */
+  def hypsometric(tiles: Dataset[Tile], tileSize: Int): DataFrame = {
+    val px = TileOps.toPixels(tiles, tileSize).filter(!isnan(col("v")))
+    val perElev = px.groupBy(col("v").cast("long").as("elev"))
+      .agg(count(lit(1)).as("area"))
+    val total = perElev.agg(sum("area").as("total_area"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("elev").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perElev
+      .withColumn("cum_area_above", sum("area").over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("frac_above_ppm",
+        expr("CAST(cum_area_above * 1000000 DIV total_area AS BIGINT)"))
+      .select(col("elev"), col("area"), col("cum_area_above"),
+        col("total_area"), col("frac_above_ppm"))
+  }
+
   private def gradientsCombine(tiles: Dataset[Tile])
                               (f: (Double, Double) => Double): Dataset[Tile] = {
     val padded = TileOps.convolvePad(tiles, 1)

@@ -147,6 +147,56 @@ class MixedOpsR5Spec extends AnyFunSuite {
     assert(out(("a", -1))._1 + out(("b", -1))._1 === out(("ALL", -1))._1)
   }
 
+  test("hashSample: bottom-k property, group bound, partition stability") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val got = Selection.hashSample(df, "doc_id", Seq("lang"), k = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(got.count(_._1 == "a") === 5 && got.count(_._1 == "b") === 5)
+    // the sample IS the 5 smallest hashes per group
+    val hashed = Sketches.hash60(org.apache.spark.sql.functions.col("doc_id"),
+      "xxhash64")
+    val all = df.withColumn("h", hashed).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    for (g <- Seq("a", "b")) {
+      val want = all.filter(_._1 == g).sortBy(x => (x._3, x._2)).take(5)
+        .map(_._2).toSet
+      assert(got.filter(_._1 == g).map(_._2).toSet === want, g)
+    }
+    val again = Selection.hashSample(df.repartition(13), "doc_id",
+      Seq("lang"), k = 5).collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again === got.toSet)
+    // tiny group: returned whole
+    val tiny = Seq((1L, "z")).toDF("doc_id", "lang")
+    assert(Selection.hashSample(tiny, "doc_id", Seq("lang"), 5).count() === 1)
+  }
+
+  test("editDistancePairs: typo recall, blocking contract, block cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "the quick brown fox jumps over at"),  // 1 edit inside key
+      (3L, "thX quick brown fox jumps over it"),  // 1 edit at char 3
+      (4L, "Xhe quick brown fox jumps over it"),  // first-char typo: other block
+      (5L, "completely different text here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)))
+    // the blocking CONTRACT: a first-character typo never pairs
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // planted identical block of 100: cap 8 bounds pairs to C(8,2)
+    val block = (0L until 100L).map(i => (i, "same same same prefix " + i))
+      .toDF("doc_id", "text")
+    val capped = Dedup.editDistancePairs(block, maxDist = 2, capPerBlock = 8)
+    assert(capped.count() <= 28)
+    val ids = capped.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids.forall(_ < 8L)) // deterministic lowest-id cap
+  }
+
   test("cusum window form equals the sequential recursion") {
     import spark.implicits._
     // one type, hand counts per hour: spike at hours 5-6
