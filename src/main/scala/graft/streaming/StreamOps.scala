@@ -361,6 +361,62 @@ object StreamOps {
     * the incremental form of Pipeline.tilePages. Works on any stream with
     * a `url` column.
     */
+  /** Streaming CUSUM: the live form of [[graft.ops.Events.cusum]] —
+    * per-type hourly counts accumulate as bounded open-hour state inside
+    * ONE flatMapGroupsWithState; when the watermark passes an hour's
+    * end, the hour closes IN ORDER and the exact integer recursion
+    * S = max(0, S + n − k) advances (carried as (P, minP), the same
+    * closed form the batch op windows). Alarms emit append-only at hour
+    * close. Rows for already-closed hours are dropped — the late-data
+    * contract a watermarked window agg would apply. State per key =
+    * open hours within the watermark horizon + three Longs, bounded
+    * forever.
+    */
+  def cusumStream(events: DataFrame, k: Long = 1, h: Long = 5,
+                  watermark: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", watermark)
+      .select(col("event_type").cast("string").as("event_type"), col("ets"))
+      .as[(String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(List[(Long, Long)], Long, Long, Long),
+                              (String, Long, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (ty: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[(List[(Long, Long)], Long, Long, Long)]) =>
+          var (open, p, pmin, lastClosed) = state.getOption
+            .getOrElse((List.empty[(Long, Long)], 0L, Long.MaxValue, Long.MinValue))
+          var m = open.toMap
+          rows.foreach { case (_, ts) =>
+            val hr = Math.floorDiv(ts.getTime, 3600000L)
+            if (hr > lastClosed) // late-beyond-watermark rows drop
+              m = m.updated(hr, m.getOrElse(hr, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (closing, staying) = m.partition { case (hr, _) =>
+            (hr + 1) * 3600000L <= wm
+          }
+          val out = closing.toSeq.sortBy(_._1).map { case (hr, n) =>
+            p += n - k
+            if (p < pmin) pmin = p
+            lastClosed = hr
+            val s = p - math.min(0L, pmin)
+            (ty, hr, n, s, s >= h)
+          }
+          state.update((staying.toList, p, pmin, lastClosed))
+          if (staying.nonEmpty)
+            state.setTimeoutTimestamp((staying.keys.min + 1) * 3600000L)
+          else
+            state.setTimeoutTimestamp(wm + 3600000L)
+          out.iterator
+      }
+      .toDF("event_type", "hour", "n", "s", "alarm")
+  }
+
   def streamingTileCounts(pages: DataFrame, res: Int): DataFrame = {
     graft.expr.GraftFunctions.register(pages.sparkSession)
     import graft.expr.GraftFunctions._

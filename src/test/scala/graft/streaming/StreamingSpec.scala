@@ -268,6 +268,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM equals the batch recursion on closed hours") {
+    // wave 1: hand-planted hourly counts for one type (spike at hour 5);
+    // wave 2 three hours later pushes the watermark past every wave-1
+    // hour, closing them all in order
+    val t0 = 1700000000000L // ms, on an hour boundary? align below
+    val h0 = (t0 / 3600000L) * 3600000L
+    val counts = Seq(1L, 2L, 1L, 1L, 1L, 6L, 7L, 1L)
+    val wave1 = counts.zipWithIndex.flatMap { case (n, hi) =>
+      (0L until n).map(i => (hi * 100L + i, "t",
+        new java.sql.Timestamp(h0 + hi * 3600000L + i * 1000L)))
+    }
+    val wave2 = Seq((9999L, "t",
+      new java.sql.Timestamp(h0 + 12L * 3600000L)))
+    val dir = java.nio.file.Files.createTempDirectory("cusum_s").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
+    def stage(sub: String, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      spark.createDataFrame(rows).toDF("event_id", "event_type", "ts")
+        .coalesce(1).write.parquet(s"$dir/$sub")
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/w/$sub.parquet"))
+    }
+    stage("a", wave1)
+    val schema = spark.read.parquet(s"$dir/a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/w")
+    val q = StreamOps.cusumStream(stream, k = 1, h = 4,
+        watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_s").start()
+    try {
+      q.processAllAvailable()
+      stage("b", wave2)
+      q.processAllAvailable()
+      val got = spark.table("cusum_s")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      // batch oracle over wave 1 (every wave-1 hour is closed by wave 2)
+      val batch = graft.ops.Events.cusum(
+          spark.createDataFrame(wave1).toDF("event_id", "event_type", "ts"),
+          k = 1, h = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      assert(got === batch)
+      assert(got.values.exists(_._3) && got.values.exists(!_._3))
+    } finally q.stop()
+  }
+
   test("streaming url keep-latest emits the batch winners at watermark close") {
     // wave 1: two urls, multiple fetches each (one url under differing
     // scheme/www forms); wave 2 (3h later, 30-minute watermark) pushes
