@@ -7515,9 +7515,10 @@ object SparkEntry {
            pp AS (SELECT l_partkey AS partkey,
                CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS BIGINT) AS value_q
              FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM sg) GROUP BY 1),
-           t AS (SELECT CAST(sum(value_q) AS BIGINT) AS total_q FROM pp)
+           t AS (SELECT CAST(sum(value_q) AS BIGINT) AS total_q,
+                 CAST(count(*) AS BIGINT) AS n_parts FROM pp)
         SELECT partkey, value_q FROM pp CROSS JOIN t
-        WHERE value_q * 100 > total_q * 1""",
+        WHERE CAST(value_q AS HUGEINT) * 4 * n_parts > CAST(total_q AS HUGEINT) * 5""",
 
     "tpch_q15" ->
       """WITH rev AS (SELECT l_suppkey,

@@ -281,11 +281,12 @@ object Relational {
       .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
         col("s_acctbal"), col("n_name"))
       .agg(min(q4(col("l_extendedprice"))).as("offer_q"))
-    val best = offers.groupBy(col("p_partkey").as("bp_partkey"))
-      .agg(min(col("offer_q")).as("best_q"))
+    // per-part MIN as a window over the offer frame (not an agg + self
+    // join): one pass, and the part-key exchange is shared with the agg
+    val wPart = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
     offers
-      .join(best, col("p_partkey") === col("bp_partkey") &&
-        col("offer_q") === col("best_q"))
+      .withColumn("best_q", min(col("offer_q")).over(wPart))
+      .filter(col("offer_q") === col("best_q"))
       .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
         q4(col("s_acctbal")).as("acctbal_q"), col("n_name"), col("offer_q"))
   }
@@ -375,11 +376,15 @@ object Relational {
     * is the q4 revenue its nation's suppliers shipped). The HAVING vs a
     * global scalar decorrelates to one 1-row frame cross-joined in — the
     * grand total never recomputes per group, and the threshold compare is
-    * integer cross-multiplication (value · den > total · num).
+    * integer cross-multiplication. Unlike Q11's absolute fraction (which
+    * degenerates as the part count grows), the threshold here is
+    * MEAN-RELATIVE — keep parts with value > (num/den)·(total/n_parts),
+    * i.e. value·den·n > total·num — so the query stays selective AND
+    * non-empty at every scale factor.
     */
   def importantStock(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
                      nationName: String = "GERMANY",
-                     fracNum: Long = 1, fracDen: Long = 100): DataFrame = {
+                     fracNum: Long = 5, fracDen: Long = 4): DataFrame = {
     val supNation = supplier
       .join(broadcast(nation).filter(col("n_name") === nationName),
         col("s_nationkey") === col("n_nationkey"))
@@ -388,9 +393,11 @@ object Relational {
       .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(q4(col("l_extendedprice"))).as("value_q"))
-    val total = perPart.agg(sum(col("value_q")).as("total_q"))
+    val total = perPart.agg(sum(col("value_q")).as("total_q"),
+      count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("value_q") * lit(fracDen) > col("total_q") * lit(fracNum))
+      .filter(col("value_q").cast("decimal(38,0)") * lit(fracDen) * col("n_parts") >
+        col("total_q").cast("decimal(38,0)") * lit(fracNum))
       .select(col("l_partkey").as("partkey"), col("value_q"))
   }
 
