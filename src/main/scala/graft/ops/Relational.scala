@@ -278,9 +278,13 @@ object Relational {
       .join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(part.filter(col("p_size") >= sizeMin)),
         col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
-        col("s_acctbal"), col("n_name"))
-      .agg(min(q4(col("l_extendedprice"))).as("offer_q"))
+      // group on the two integer keys only; the string/balance
+      // decorations are constant per (part, supplier), so max() recovers
+      // them exactly while the exchange hashes narrow Long keys
+      .groupBy(col("p_partkey"), col("s_suppkey"))
+      .agg(min(q4(col("l_extendedprice"))).as("offer_q"),
+        max(col("p_brand")).as("p_brand"), max(col("s_name")).as("s_name"),
+        max(col("s_acctbal")).as("s_acctbal"), max(col("n_name")).as("n_name"))
     // per-part MIN as a window over the offer frame (not an agg + self
     // join): one pass, and the part-key exchange is shared with the agg
     val wPart = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
