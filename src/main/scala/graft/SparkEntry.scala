@@ -2307,6 +2307,15 @@ object SparkEntry {
       // weigh zero without gap-filling)
       Events.hourlyAnomaly(eventsOf(s, dir), windowHours = 24)
     },
+    "events_json" -> { (s, dir) =>
+      // schema-on-read: typed JSON property extraction + per-type rollup
+      Events.jsonPropStats(eventsOf(s, dir))
+    },
+    "events_abtest" -> { (s, dir) =>
+      // two-proportion chi-square as an exact (num, den) certificate,
+      // verdict by cross-multiplication at alpha = 0.05
+      Events.abTest(eventsOf(s, dir))
+    },
     "events_scd2" -> { (s, dir) =>
       // SCD2 dimension build: per-user event_type change intervals with
       // (ts, event_id) tie order; consecutive-duplicate collapse + lead
@@ -3740,6 +3749,44 @@ object SparkEntry {
           b.b_value AS asof_value
         FROM probe p ASOF LEFT JOIN build b
           ON p.user_id = b.user_id AND p.ts >= b.ts""",
+    "events_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct,
+           min(k) AS min_k, max(k) AS max_k,
+           CAST(sum(k) AS BIGINT) AS sum_k
+         FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         GROUP BY 1""",
+
+    "events_abtest" ->
+      """WITH pu AS (SELECT user_id % 2 AS variant, user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         FROM events GROUP BY 1, 2),
+        cells AS (SELECT variant, CAST(count(*) AS BIGINT) AS users,
+            CAST(sum(conv) AS BIGINT) AS converted FROM pu GROUP BY 1),
+        ab AS (SELECT
+          (SELECT users FROM cells WHERE variant = 0) AS users_a,
+          (SELECT converted FROM cells WHERE variant = 0) AS conv_a,
+          (SELECT users FROM cells WHERE variant = 1) AS users_b,
+          (SELECT converted FROM cells WHERE variant = 1) AS conv_b)
+        SELECT users_a, conv_a, users_b, conv_b,
+          CAST((users_a + users_b)
+            * CAST(conv_a*(users_b-conv_b) - conv_b*(users_a-conv_a) AS HUGEINT)
+            * CAST(conv_a*(users_b-conv_b) - conv_b*(users_a-conv_a) AS HUGEINT)
+            AS DECIMAL(38,0)) AS chi2_num,
+          CAST(CAST(users_a AS HUGEINT) * users_b * (conv_a + conv_b)
+            * (users_a + users_b - conv_a - conv_b) AS DECIMAL(38,0)) AS chi2_den,
+          CAST((users_a + users_b)
+            * CAST(conv_a*(users_b-conv_b) - conv_b*(users_a-conv_a) AS HUGEINT)
+            * CAST(conv_a*(users_b-conv_b) - conv_b*(users_a-conv_a) AS HUGEINT)
+            AS HUGEINT) * 1000000
+          >= CAST(CAST(users_a AS HUGEINT) * users_b * (conv_a + conv_b)
+            * (users_a + users_b - conv_a - conv_b) AS HUGEINT) * 3841459
+            AS significant
+        FROM ab""",
+
     "events_scd2" ->
       """WITH c AS (SELECT user_id, ts, event_type, event_id,
            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

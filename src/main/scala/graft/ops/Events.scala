@@ -194,6 +194,56 @@ object Events {
           .as("spike_ppm"))
   }
 
+  /** Semi-structured property extraction + rollup: pull a typed field
+    * out of the JSON `props` column (codegen'd path extraction, no UDF,
+    * identical '$.k' semantics in Spark's get_json_object and DuckDB's
+    * json_extract_string) and aggregate it per event type — the
+    * schema-on-read pattern every event pipeline needs before the JSON
+    * is promoted to a real column. One map-side-combined agg.
+    */
+  def jsonPropStats(events: DataFrame, path: String = "$.k"): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), path).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+        countDistinct(col("k")).as("n_distinct"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+
+  /** Two-proportion A/B test as an exact integer certificate: variant =
+    * user_id mod 2, conversion = the user fired `convType` at least
+    * once. The 2×2 chi-square χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    * is carried as its exact (num, den) pair in Decimal(38), and the
+    * α = 0.05 verdict (χ² ≥ 3.841459) is decided by cross-multiplication
+    * — no FP, so the verdict is order-free and oracle-exact. (Decimal
+    * headroom: num ≤ N⁵ ⇒ exact to N ≈ 3·10⁷ users; beyond, widen.)
+    * Two distinct-aggs on user_id — count-distinct partials keep the
+    * shuffle narrow.
+    */
+  def abTest(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val perUser = events
+      .groupBy((pmod(col("user_id"), lit(2))).as("variant"), col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L)).as("conv"))
+    val cells = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("users"), sum(col("conv")).as("converted"))
+    val a = cells.filter(col("variant") === 0)
+      .select(col("users").as("users_a"), col("converted").as("conv_a"))
+    val b = cells.filter(col("variant") === 1)
+      .select(col("users").as("users_b"), col("converted").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("chi2_num", expr("""CAST(
+        (users_a + users_b) *
+        CAST(conv_a * (users_b - conv_b) - conv_b * (users_a - conv_a) AS DECIMAL(38,0)) *
+        CAST(conv_a * (users_b - conv_b) - conv_b * (users_a - conv_a) AS DECIMAL(38,0))
+        AS DECIMAL(38,0))"""))
+      .withColumn("chi2_den", expr("""CAST(
+        CAST(users_a AS DECIMAL(38,0)) * users_b *
+        (conv_a + conv_b) * (users_a + users_b - conv_a - conv_b)
+        AS DECIMAL(38,0))"""))
+      .withColumn("significant",
+        col("chi2_num") * lit(1000000L) >= col("chi2_den") * lit(3841459L))
+  }
+
   /** Slowly-changing-dimension type-2 build (the warehouse dimension
     * pattern): from a change log of (key, ts, value) observations,
     * collapse consecutive duplicates and emit one validity interval per

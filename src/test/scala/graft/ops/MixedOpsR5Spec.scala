@@ -197,6 +197,33 @@ class MixedOpsR5Spec extends AnyFunSuite {
     assert(ids.forall(_ < 8L)) // deterministic lowest-id cap
   }
 
+  test("abTest chi-square certificate matches the FP formula and verdicts") {
+    import spark.implicits._
+    // variant 0: 30 users, 12 convert; variant 1: 30 users, 3 convert
+    val rows = (0L until 60L).flatMap { u =>
+      val conv = if (u % 2 == 0) (u / 2) % 30 < 12 else (u / 2) % 30 < 3
+      Seq((u, "view", 1000L + u)) ++
+        (if (conv) Seq((u, "purchase", 2000L + u)) else Seq.empty)
+    }.map { case (u, ty, s) => (u, ty, new java.sql.Timestamp(s * 1000L)) }
+    val r = Events.abTest(rows.toDF("user_id", "event_type", "ts")).head
+    val (ua, ca, ub, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert((ua, ca, ub, cb) === ((30L, 12L, 30L, 3L)))
+    val num = r.getDecimal(4).toBigInteger; val den = r.getDecimal(5).toBigInteger
+    val chi2 = new java.math.BigDecimal(num).divide(
+      new java.math.BigDecimal(den), 10, java.math.RoundingMode.HALF_UP)
+    // textbook chi2 for (12/30 vs 3/30): N(ad-bc)^2/prod = 7.2
+    assert(math.abs(chi2.doubleValue - 7.2) < 1e-9)
+    assert(r.getBoolean(6)) // 7.2 >= 3.841459
+    // balanced conversions -> not significant
+    val rows2 = (0L until 60L).flatMap { u =>
+      Seq((u, "view", 1000L + u)) ++
+        (if ((u / 2) % 30 < 10) Seq((u, "purchase", 2000L + u)) else Seq.empty)
+    }.map { case (u, ty, s) => (u, ty, new java.sql.Timestamp(s * 1000L)) }
+    val r2 = Events.abTest(rows2.toDF("user_id", "event_type", "ts")).head
+    assert(!r2.getBoolean(6))
+    assert(r2.getDecimal(4).toBigInteger.signum === 0) // ad = bc exactly
+  }
+
   test("cusum window form equals the sequential recursion") {
     import spark.implicits._
     // one type, hand counts per hour: spike at hours 5-6
