@@ -1623,6 +1623,17 @@ object SparkEntry {
         ((col("doc_id") * 17 + 3) % 97).as("dst"))
       WebOps.pageRank(e1.unionByName(e2), iters = 5)
     },
+    "web_ball_profile" -> { (s, dir) =>
+      // per-node ball-size curve (the closeness/harmonic centrality
+      // artifact): exact integer register counts per (host, t)
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      WebOps.ballProfile(e1.unionByName(e2), rounds = 2, p = 9,
+        family = "md5prefix")
+    },
     "web_hyperball" -> { (s, dir) =>
       // HyperBall neighborhood function on the same host graph: per-node
       // HLL ball sketches grown 3 rounds (register state O(n·m), never
@@ -3252,6 +3263,13 @@ object SparkEntry {
       val r = TileOps.createRaster(s, convSpec.copy(bands = 1))(
         (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
       TileOps2.curvature(r, convSpec.tileSize)
+    },
+    "raster_transect" -> { (s, _) =>
+      // elevation profile along the (3,7)->(91,55) DDA line — map-only,
+      // each tile emits only the steps landing inside it
+      val dem = TileOps.createRaster(s, convSpec.copy(bands = 1))(
+        (x, y, _) => ((x * 3 + y * 5) % 41).toDouble)
+      graft.tiles.TileOps3.transect(dem, convSpec.tileSize, 3, 7, 91, 55)
     },
     "raster_zone_geom" -> { (s, _) =>
       // per-label area / 4-connected perimeter / bbox / isoperimetric
@@ -5669,6 +5687,8 @@ object SparkEntry {
     "web_pagerank" -> webPagerankOracle,
 
     "web_hyperball" -> webHyperballOracle,
+
+    "web_ball_profile" -> webBallProfileOracle,
 
     "web_crawl_delay" ->
       // the same lag → running-sum → star-group-join machinery as the
@@ -8340,6 +8360,16 @@ object SparkEntry {
         FROM q""",
     // nearest-source id under the pinned (d², dy, dx) candidate order —
     // the same total order the engine's sorted-offset scan walks
+    "raster_transect" ->
+      // same DDA as the viewshed oracle over steps 0..88
+      """WITH gs AS (SELECT CAST(i AS BIGINT) AS step,
+           3 + (2*88*i + 88) // (2*88) AS x,
+           7 + (2*48*i + 88) // (2*88) AS y
+         FROM generate_series(0, 88) t(i))
+        SELECT gs.step, CAST(gs.x AS INT) AS x, CAST(gs.y AS INT) AS y,
+          0 AS band, CAST((gs.x*3 + gs.y*5) % 41 AS DOUBLE) AS v
+        FROM gs""",
+
     "raster_zone_geom" ->
       // 4-neighbor perimeter via LEFT JOINs (off-raster counts), exact
       // integer compactness 16·area·10⁶ div P²
@@ -9372,6 +9402,39 @@ object SparkEntry {
            FROM rr)
          ${(1 to 3).map(round).mkString("\n")}
          ${(0 to 3).map(summ).mkString("\n UNION ALL \n")}"""
+    }
+
+  private def webBallProfileOracle: String = {
+      // the webHyperballOracle register rounds, summarized per host
+      def round(k: Int): String =
+        s""", regs$k AS (
+             SELECT host, reg_no, MAX(reg) AS reg FROM (
+               SELECT host, reg_no, reg FROM regs${k - 1}
+               UNION ALL
+               SELECT e.src AS host, r.reg_no, r.reg
+               FROM edges e JOIN regs${k - 1} r ON e.dst = r.host)
+             GROUP BY host, reg_no)"""
+      def prof(k: Int): String =
+        s"""SELECT host, $k AS t, CAST(COUNT(*) AS BIGINT) AS nonzero
+            FROM regs$k GROUP BY host"""
+      s"""WITH edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst FROM documents
+             UNION ALL
+             SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents)
+           WHERE src <> dst),
+         nodes AS (SELECT DISTINCT host FROM (
+           SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+         hh AS (SELECT host,
+             CAST('0x' || substr(md5(CAST(host AS VARCHAR)), 1, 15) AS BIGINT) AS h60
+           FROM nodes),
+         rr AS (SELECT host, h60 & 511 AS reg_no, h60 >> 9 AS rest FROM hh),
+         regs0 AS (SELECT host, reg_no,
+             CAST(CASE WHEN rest = 0 THEN 52
+                  ELSE 52 - length(to_base(rest, 2)) END AS INT) AS reg
+           FROM rr)
+         ${(1 to 2).map(round).mkString("\n")}
+         ${(0 to 2).map(prof).mkString("\n UNION ALL \n")}"""
     }
 
   private def webTrustrankOracle: String = {

@@ -1402,6 +1402,49 @@ object WebOps {
     regs
   }
 
+  /** Per-node ball profile from HyperBall: (host, t, nonzero) for every
+    * t in 0..rounds — the per-node artifact behind closeness/harmonic
+    * centrality estimation (Boldi & Vigna's application: centrality =
+    * a function of the ball-size curve; `nonzero` is the exact integer
+    * piece of each ball's HLL estimate, kept integer so the profile is
+    * hash-checkable; the FP estimate is one formula away). Same loop
+    * and state bound as [[hyperBall]].
+    */
+  def ballProfile(edges: DataFrame, rounds: Int, p: Int = 9,
+                  family: String = "xxhash64"): DataFrame = {
+    require(rounds >= 0, s"ballProfile: rounds >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct()
+    var regs = graft.ops.Sketches.hllRegisters(
+        nodes.withColumn("ball_key", col("host").cast("string")),
+        "ball_key", Seq("host"), p, family)
+      .localCheckpoint(eager = true)
+    def prof(t: Int) = regs.groupBy("host")
+      .agg(count(lit(1)).as("nonzero"))
+      .select(col("host"), lit(t).as("t"), col("nonzero"))
+    var out = prof(0)
+    var t = 1
+    while (t <= rounds) {
+      val contrib = e.join(regs, e("dst") === regs("host"))
+        .select(e("src").as("host"), col("reg_no"), col("reg"))
+      regs = regs.unionByName(contrib)
+        .groupBy("host", "reg_no")
+        .agg(max(col("reg")).cast("int").as("reg"))
+        .localCheckpoint(eager = true)
+      out = out.unionByName(prof(t))
+      t += 1
+    }
+    e.unpersist()
+    out
+  }
+
   /** Neighborhood function from HyperBall: for every t in 0..rounds the
     * global exact-integer sketch summary over all per-node t-ball
     * sketches — `sum_nonzero` (occupied registers across all nodes) and

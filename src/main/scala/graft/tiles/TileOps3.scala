@@ -318,6 +318,35 @@ object TileOps3 {
     }(tileEnc)
   }
 
+  /** Raster transect (elevation profile along a line — gdallocationinfo
+    * over a path): sample the raster at every step of the SAME
+    * round-half-away DDA line [[viewshed]] walks, from (x0, y0) to
+    * (x1, y1) in pixel coordinates. Map-only and shuffle-free: each
+    * sample point lies in exactly one tile, and each tile emits only
+    * the steps that land inside it — O(line length) work per tile, no
+    * halo, no collect.
+    */
+  def transect(tiles: Dataset[Tile], tileSize: Int,
+               x0: Int, y0: Int, x1: Int, y1: Int): org.apache.spark.sql.DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val dx = x1 - x0; val dy = y1 - y0
+    val n = math.max(math.abs(dx), math.abs(dy))
+    tiles.flatMap { t =>
+      val baseX = t.cellX * tileSize; val baseY = t.cellY * tileSize
+      (0 to n).iterator.flatMap { i =>
+        val sx = if (n == 0) 0 else (2 * math.abs(dx) * i + n) / (2 * n)
+        val sy = if (n == 0) 0 else (2 * math.abs(dy) * i + n) / (2 * n)
+        val xi = x0 + (if (dx >= 0) sx else -sx)
+        val yi = y0 + (if (dy >= 0) sy else -sy)
+        val lx = xi - baseX; val ly = yi - baseY
+        if (lx >= 0 && lx < t.w && ly >= 0 && ly < t.h)
+          Iterator((i.toLong, xi, yi, t.band, t.pixels(ly * t.w + lx)))
+        else Iterator.empty
+      }
+    }.toDF("step", "x", "y", "band", "v")
+  }
+
   def allocation(tiles: Dataset[Tile], maxDist: Int): Dataset[Tile] = {
     require(maxDist >= 1, s"maxDist >= 1, got $maxDist")
     val r = maxDist

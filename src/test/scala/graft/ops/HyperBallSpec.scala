@@ -66,6 +66,17 @@ class HyperBallSpec extends AnyFunSuite {
     assert(nf(6) === nf(7) && nf(7) === nf(8))
   }
 
+  test("ballProfile equals per-host register counts of hyperBall at each t") {
+    import spark.implicits._
+    val prof = WebOps.ballProfile(graph.toDF("src", "dst"), rounds = 3, p = 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (t <- 0 to 3) {
+      val regs = WebOps.hyperBall(graph.toDF("src", "dst"), rounds = t, p = 9)
+        .collect().groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+      regs.foreach { case (h, n) => assert(prof((h, t)) === n, s"host $h t $t") }
+    }
+  }
+
   test("partitioning-independent") {
     import spark.implicits._
     def run(parts: Int): Set[(Long, Long, Int)] =

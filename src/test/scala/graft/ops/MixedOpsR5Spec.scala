@@ -246,6 +246,26 @@ class MixedOpsR5Spec extends AnyFunSuite {
     assert(got.values.exists(_._2) && got.values.exists(!_._2))
   }
 
+  test("transect: endpoints, step count, cardinal/diagonal walks, tiles") {
+    import graft.tiles.TileOps3
+    def run(tile: Int, pts: (Int, Int, Int, Int)): Seq[(Long, Int, Int, Double)] = {
+      val sp = RasterSpec(0.0, 16.0, 1.0, -1.0, 16, 16, tile, 1)
+      val d = TileOps.createRaster(spark, sp)((x, y, _) => (x * 16 + y).toDouble)
+      TileOps3.transect(d, tile, pts._1, pts._2, pts._3, pts._4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(4)))
+        .sortBy(_._1).toSeq
+    }
+    val horiz = run(8, (2, 5, 9, 5))
+    assert(horiz.map(p => (p._2, p._3)) === (2 to 9).map(x => (x, 5)))
+    assert(horiz.map(_._4) === (2 to 9).map(x => (x * 16 + 5).toDouble))
+    val diag = run(8, (1, 1, 6, 6))
+    assert(diag.map(p => (p._2, p._3)) === (1 to 6).map(i => (i, i)))
+    // single point
+    assert(run(8, (4, 4, 4, 4)).map(p => (p._2, p._3)) === Seq((4, 4)))
+    // tile invariance across the seam
+    assert(run(8, (2, 3, 14, 11)) === run(16, (2, 3, 14, 11)))
+  }
+
   test("readability: hand-computed Flesch/ARI on fixed sentences") {
     import spark.implicits._
     val docs = Seq(
