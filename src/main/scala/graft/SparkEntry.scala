@@ -2868,6 +2868,12 @@ object SparkEntry {
           length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
       graft.ops.Trees.stump(d, "label", Seq("f_chars", "f_digits"), bins = 16)
     },
+    "basket_pairs" -> { (s, dir) =>
+      // a-priori pair pass: per-order brand co-occurrence + exact lift
+      Relational.basketPairs(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"))
+    },
     "quality_profile" -> { (s, dir) =>
       // Deequ-style per-column profile: exact counts + truncating
       // completeness ppm, one column-pruned agg per column
@@ -7727,6 +7733,25 @@ object SparkEntry {
                    = CAST(sc.a AS HUGEINT) * CAST(d.b AS HUGEINT)
                  AND (d.feature < sc.feature
                       OR (d.feature = sc.feature AND d.bin < sc.bin))))""",
+
+    "basket_pairs" ->
+      """WITH it0 AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        it AS (SELECT okey, brand FROM (SELECT okey, brand,
+            row_number() OVER (PARTITION BY okey ORDER BY brand) AS rnk
+          FROM it0) WHERE rnk <= 32),
+        t AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM it),
+        c AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM it GROUP BY 1),
+        pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+            CAST(count(*) AS BIGINT) AS n_ab
+          FROM it a JOIN it b ON a.okey = b.okey AND a.brand < b.brand
+          GROUP BY 1, 2)
+        SELECT pr.brand_a, pr.brand_b, pr.n_ab, ca.n AS n_a, cb.n AS n_b,
+          t.n_orders,
+          CAST(CAST(pr.n_ab AS HUGEINT) * t.n_orders * 1000000
+               // (CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT) AS lift_ppm
+        FROM pr JOIN c ca ON pr.brand_a = ca.brand
+        JOIN c cb ON pr.brand_b = cb.brand CROSS JOIN t""",
 
     "quality_profile" -> {
       def one(c: String) =

@@ -512,6 +512,52 @@ object Relational {
       .limit(20)
   }
 
+  /** Market-basket co-occurrence with lift (the a-priori pair pass):
+    * distinct (order, brand) items self-join on the order key — output
+    * bounded by Σ basket², never all-pairs across orders — with the
+    * hot-basket hazard handled by a deterministic per-basket cap
+    * (lowest `capPerBasket` brands participate; -1 = uncapped).
+    * `lift_ppm = N·n_ab·10⁶ div (n_a·n_b)` in exact truncating integer
+    * arithmetic (Decimal(38) cross products), so support and lift are
+    * order-free and oracle-exact.
+    */
+  def basketPairs(lineitem: DataFrame, part: DataFrame,
+                  capPerBasket: Int = 32): DataFrame = {
+    require(capPerBasket > 0 || capPerBasket == -1,
+      s"capPerBasket must be positive or -1, got $capPerBasket")
+    val items0 = lineitem
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val items =
+      if (capPerBasket == -1) items0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("okey").orderBy("brand")
+        items0.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= capPerBasket).drop("rnk")
+      }
+    val total = items.agg(countDistinct(col("okey")).as("n_orders"))
+    val counts = items.groupBy("brand").agg(count(lit(1)).as("n"))
+    val pairs = items.select(col("okey"), col("brand").as("brand_a"))
+      .join(items.select(col("okey"), col("brand").as("brand_b")), Seq("okey"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(counts.select(col("brand").as("brand_a"), col("n").as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(counts.select(col("brand").as("brand_b"), col("n").as("n_b"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm", expr(
+        "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000 " +
+          "DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_orders"), col("lift_ppm"))
+  }
+
   /** TPC-H Q22-style global sales opportunity: customers in a band of
     * "country codes" (adapted: nationkey mod 7) holding more than the
     * average positive balance, with NO orders on file. Scalar-AVG
