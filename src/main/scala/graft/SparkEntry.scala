@@ -1109,6 +1109,11 @@ object SparkEntry {
     "text_bpe_tokens" -> { (s, dir) => TextOps.bpeTokenCount(documentsOf(s, dir)) },
     "text_quality" -> { (s, dir) => TextOps.qualityScore(documentsOf(s, dir)) },
     "text_langid" -> { (s, dir) => TextOps.langId(documentsOf(s, dir)) },
+    "text_langid_eval" -> { (s, dir) =>
+      // measure the heuristic against the labeled column: confusion
+      // matrix + global accuracy in exact ppm
+      TextOps.langIdEval(documentsOf(s, dir))
+    },
     "text_scripts" -> { (s, dir) =>
       // Unicode script profile over a planted multi-script fixture:
       // pure Cyrillic/Greek/CJK docs, an Arabic-suffixed Latin doc
@@ -2868,6 +2873,16 @@ object SparkEntry {
           length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
       graft.ops.Trees.stump(d, "label", Seq("f_chars", "f_digits"), bins = 16)
     },
+    "orders_rfm" -> { (s, dir) =>
+      // RFM segmentation: recency vs the corpus max date (1-row
+      // broadcast), quintiles via deterministic total-ordered ntile
+      Relational.rfm(s.read.parquet(s"$dir/orders.parquet"))
+    },
+    "emb_center" -> { (s, dir) =>
+      // exact mean-centering scaled by n: centered_n = q*n − Σq stays
+      // an exact Long per dimension
+      Similarity.centerScaled(embeddingsOf(s, dir))
+    },
     "basket_pairs" -> { (s, dir) =>
       // a-priori pair pass: per-order brand co-occurrence + exact lift
       Relational.basketPairs(
@@ -4287,22 +4302,18 @@ object SparkEntry {
 
     "text_scripts" -> scriptProfileOracle,
 
-    "text_langid" ->
-      """WITH cnts AS (SELECT doc_id, lang,
-           (length(text) - length(replace(text, 'the', ''))) // 3 AS c_en,
-           (length(text) - length(replace(text, 'der', ''))) // 3 AS c_de,
-           (length(text) - length(replace(text, 'les', ''))) // 3 AS c_fr,
-           (length(text) - length(replace(text, 'los', ''))) // 3 AS c_es,
-           (length(text) - length(replace(text, 'spark', ''))) // 5 AS c_zh
-         FROM documents)
-        SELECT doc_id, lang,
-          CASE WHEN c_zh > GREATEST(c_en, c_de, c_fr, c_es) THEN 'zh'
-               WHEN c_es > GREATEST(c_en, c_de, c_fr) THEN 'es'
-               WHEN c_fr > GREATEST(c_en, c_de) THEN 'fr'
-               WHEN c_de > c_en THEN 'de'
-               ELSE 'en' END AS pred_lang,
-          GREATEST(c_en, c_de, c_fr, c_es, c_zh) AS n_markers
-        FROM cnts""",
+    "text_langid" -> langidOracle,
+
+    "text_langid_eval" ->
+      s"""WITH pred AS (SELECT doc_id, lang, pred_lang FROM ($langidOracle)),
+         conf AS (SELECT lang AS true_lang, pred_lang,
+             CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(CASE WHEN lang = pred_lang THEN 1 END) AS BIGINT)
+               AS n_correct FROM pred)
+        SELECT true_lang, pred_lang, n, n_docs, n_correct,
+          CAST(n_correct * 1000000 // n_docs AS BIGINT) AS accuracy_ppm
+        FROM conf CROSS JOIN tot""",
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(replace(text, ' ', '')) AS fp FROM documents",
@@ -7734,6 +7745,30 @@ object SparkEntry {
                  AND (d.feature < sc.feature
                       OR (d.feature = sc.feature AND d.bin < sc.bin))))""",
 
+    "orders_rfm" ->
+      """WITH md AS (SELECT max(o_orderdate) AS max_d FROM orders),
+        per AS (SELECT o_custkey,
+            CAST(datediff('day', max(o_orderdate), (SELECT max_d FROM md)) AS BIGINT)
+              AS recency_days,
+            CAST(count(*) AS BIGINT) AS frequency,
+            CAST(sum(CAST(round(o_totalprice * 10000.0) AS BIGINT)) AS BIGINT)
+              AS monetary_q
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, recency_days, frequency, monetary_q,
+          CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_quintile,
+          CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_quintile,
+          CAST(ntile(5) OVER (ORDER BY monetary_q DESC, o_custkey) AS BIGINT) AS m_quintile
+        FROM per""",
+
+    "emb_center" ->
+      """WITH q AS (SELECT e.vec_id, CAST(gs.i AS INT) AS pos,
+           CAST(round(CAST(e.embedding[gs.i + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS v
+         FROM embeddings e, generate_series(0, 63) gs(i)),
+        s AS (SELECT pos, CAST(sum(v) AS BIGINT) AS dim_sum,
+            CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1)
+        SELECT q.vec_id, q.pos, CAST(q.v * s.n - s.dim_sum AS BIGINT) AS centered_n, s.n
+        FROM q JOIN s ON q.pos = s.pos""",
+
     "basket_pairs" ->
       """WITH it0 AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
@@ -9388,6 +9423,23 @@ object SparkEntry {
          ${(1 to 5).map(iter).mkString("\n")}
          SELECT host, rank FROM r5"""
     }
+
+  private def langidOracle: String =
+    """WITH cnts AS (SELECT doc_id, lang,
+           (length(text) - length(replace(text, 'the', ''))) // 3 AS c_en,
+           (length(text) - length(replace(text, 'der', ''))) // 3 AS c_de,
+           (length(text) - length(replace(text, 'les', ''))) // 3 AS c_fr,
+           (length(text) - length(replace(text, 'los', ''))) // 3 AS c_es,
+           (length(text) - length(replace(text, 'spark', ''))) // 5 AS c_zh
+         FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN c_zh > GREATEST(c_en, c_de, c_fr, c_es) THEN 'zh'
+               WHEN c_es > GREATEST(c_en, c_de, c_fr) THEN 'es'
+               WHEN c_fr > GREATEST(c_en, c_de) THEN 'fr'
+               WHEN c_de > c_en THEN 'de'
+               ELSE 'en' END AS pred_lang,
+          GREATEST(c_en, c_de, c_fr, c_es, c_zh) AS n_markers
+        FROM cnts"""
 
   private def webHyperballOracle: String = {
       // unrolled mirror of WebOps.neighborhoodFunction: the md5prefix

@@ -512,6 +512,34 @@ object Relational {
       .limit(20)
   }
 
+  /** RFM customer segmentation (recency / frequency / monetary with
+    * quintile scores): per customer, days since last order against the
+    * corpus max date (1-row broadcast), order count, and q4 money; the
+    * quintiles are ntile(5) over TOTAL orders (ties broken by custkey,
+    * so every score is deterministic). Quintile convention: 1 = most
+    * recent / most frequent / highest spend. The global ntile sorts the
+    * customer-grain frame — fine while customers ≪ facts; at 10⁹+
+    * customers swap the scoring to the exact counting-quantile op
+    * (the text_length_quantiles machinery).
+    */
+  def rfm(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxD = orders.agg(max(col("o_orderdate")).as("max_d"))
+    val per = orders.crossJoin(broadcast(maxD))
+      .groupBy(col("o_custkey"))
+      .agg(datediff(max(col("max_d")), max(col("o_orderdate")))
+        .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(q4(col("o_totalprice"))).as("monetary_q"))
+    per
+      .withColumn("r_quintile", ntile(5).over(
+        Window.orderBy(col("recency_days"), col("o_custkey"))).cast("long"))
+      .withColumn("f_quintile", ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("o_custkey"))).cast("long"))
+      .withColumn("m_quintile", ntile(5).over(
+        Window.orderBy(col("monetary_q").desc, col("o_custkey"))).cast("long"))
+  }
+
   /** Market-basket co-occurrence with lift (the a-priori pair pass):
     * distinct (order, brand) items self-join on the order key — output
     * bounded by Σ basket², never all-pairs across orders — with the

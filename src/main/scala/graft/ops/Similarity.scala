@@ -588,6 +588,24 @@ object Similarity {
     * both. proj_j = Σ_i sign(i,j)·q_i over the ×1000-quantized vector:
     * pure Long arithmetic, order-free, map-only (zero exchanges).
     */
+  /** Exact mean-centering of the quantized embedding table (the feature
+    * preprocessing step before whitening/PCA): rather than subtract an
+    * FP mean, every centered value is carried SCALED BY n —
+    * centered_n = q·n − Σq per dimension — so it stays an exact Long,
+    * order-free and oracle-portable (callers divide by n when they
+    * leave the exact domain). One posexplode agg produces the |dims|
+    * per-dimension sums, broadcast back over a map-only rewrite.
+    */
+  def centerScaled(embeddings: DataFrame): DataFrame = {
+    val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val sums = q.select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum(col("v")).as("dim_sum"), count(lit(1)).as("n"))
+    q.select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "v")))
+      .join(broadcast(sums), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        (col("v") * col("n") - col("dim_sum")).as("centered_n"), col("n"))
+  }
+
   def randomProjection(embeddings: DataFrame, outDims: Int): DataFrame = {
     require(outDims >= 1, s"outDims >= 1, got $outDims")
     val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))

@@ -253,6 +253,25 @@ object TextOps {
     withCounts.select(col("doc_id"), col("lang"), best._1.as("pred_lang"), best._2.as("n_markers"))
   }
 
+  /** Classifier evaluation for [[langId]] against the labeled `lang`
+    * column: the (true, predicted) confusion matrix plus global accuracy
+    * in exact truncating ppm — the measure-the-filter step every
+    * curation pipeline needs before trusting a heuristic at scale. Two
+    * map-side-combined aggs over the prediction frame; the scalar
+    * (n_docs, n_correct) totals ride a 1-row broadcast.
+    */
+  def langIdEval(docs: DataFrame): DataFrame = {
+    val pred = langId(docs)
+    val conf = pred.groupBy(col("lang").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pred.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+        .as("n_correct"))
+    conf.crossJoin(broadcast(tot))
+      .withColumn("accuracy_ppm",
+        expr("CAST(n_correct * 1000000 DIV n_docs AS BIGINT)"))
+  }
+
   /** Unicode scripts profiled by [[scriptProfile]], in tie-break order.
     * Each entry is (name, BMP block character class) — the blocks that
     * separate the major writing systems a web crawl actually mixes.

@@ -197,6 +197,24 @@ class MixedOpsR5Spec extends AnyFunSuite {
     assert(ids.forall(_ < 8L)) // deterministic lowest-id cap
   }
 
+  test("centerScaled: per-dimension centered sums are exactly zero") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(0.1f, 0.5f, -0.2f), 0),
+      (2L, Array(0.3f, -0.1f, 0.4f), 0),
+      (3L, Array(-0.4f, 0.2f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centerScaled(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.forall(_._4 == 3L))
+    // Σ_v centered_n(v, pos) = Σ q·n − n·Σq = 0 exactly, per pos
+    out.groupBy(_._2).foreach { case (pos, rows) =>
+      assert(rows.map(_._3).sum === 0L, s"pos $pos")
+    }
+    // hand value: pos 0 sums to 0 (100+300-400); centered_n(1,0) = 100·3 − 0
+    assert(out.find(r => r._1 == 1L && r._2 == 0).get._3 === 300L)
+  }
+
   test("abTest chi-square certificate matches the FP formula and verdicts") {
     import spark.implicits._
     // variant 0: 30 users, 12 convert; variant 1: 30 users, 3 convert
