@@ -221,6 +221,50 @@ class SnapshotStore(val root: String) {
     }
   }
 
+  /** MERGE INTO analog — copy-on-write at bucket granularity (Iceberg's
+    * COW merge): upsert `updates` (same schema, including the `bucket`
+    * assignment column) into the current snapshot by `keyCol`. Matched
+    * keys are replaced, unmatched keys insert. ONLY the buckets present
+    * in `updates` are rewritten — into a fresh `merge-v<N>/bucket=<id>`
+    * group dir, swapped by one snapshot commit — while every untouched
+    * bucket keeps its exact file list, its bytes never read. That
+    * asymmetry is the whole point: a MERGE touching 0.1% of buckets on
+    * a 100-TB table costs 0.1% of a rewrite. Old versions still read
+    * the pre-merge data (time travel); replaced files are reclaimed by
+    * [[expireSnapshots]]' orphan pass. Returns (new snapshot, rewritten
+    * bucket ids).
+    */
+  def mergeBuckets(spark: org.apache.spark.sql.SparkSession,
+                   updates: org.apache.spark.sql.DataFrame,
+                   keyCol: String): (Snapshot, Seq[Int]) = {
+    import org.apache.spark.sql.functions.col
+    val cur = current().getOrElse(
+      throw new IllegalStateException("mergeBuckets: no snapshot to merge into"))
+    val touched = updates.select("bucket").distinct()
+      .collect().map(_.get(0).toString.toInt).sorted.toSeq
+    require(touched.forall(cur.partitions.contains),
+      s"mergeBuckets: updates touch buckets absent from the snapshot: " +
+        touched.filterNot(cur.partitions.contains).mkString(","))
+    if (touched.isEmpty) return (cur, Seq.empty)
+    val newVer = cur.version + 1
+    val grp = s"merge-v$newVer"
+    val metas = touched.map { b =>
+      val p = cur.partitions(b)
+      val paths = p.files.map(f =>
+        if (f.contains("/")) s"$root/data/$f" else s"${dataPath(b)}/$f")
+      val existing = spark.read.parquet(paths: _*)
+      val upd = updates.filter(col("bucket") === b)
+      val keys = upd.select(col(keyCol).as("__mk")).distinct()
+      val merged = existing
+        .join(keys, existing(keyCol) === keys("__mk"), "left_anti")
+        .unionByName(upd.select(existing.columns.map(col): _*))
+      val dest = s"$root/data/$grp/bucket=$b"
+      merged.coalesce(1).write.mode("overwrite").parquet(dest)
+      partitionMetaIn(grp, b, p.lineage + "+merge")
+    }
+    (commit(metas), touched)
+  }
+
   /** Buckets still missing from the latest snapshot. */
   def pending(universe: Seq[Int]): Seq[Int] = {
     val done = current().map(_.doneBuckets).getOrElse(Set.empty)

@@ -183,6 +183,42 @@ class SnapshotSpec extends AnyFunSuite {
     assert(store.readVersion(spark, s2.version).count() === 110)
   }
 
+  test("merge: upsert rewrites only touched buckets, time travel intact") {
+    val store = new SnapshotStore(freshRoot())
+    val (snap1, _) = new CheckpointedWriter(store, "src@test").run(input, 8, 8)
+    // updates touch bucket 1 only: replace id=9's value, insert id=1001
+    val updates = spark.createDataFrame(Seq(
+        (9L, 1, 999L), (1001L, 1, 777L)))
+      .toDF("id", "bucket", "value")
+    val (snap2, rewritten) = store.mergeBuckets(spark, updates, "id")
+    assert(rewritten === Seq(1))
+    assert(snap2.partitions(1).files.head.startsWith("merge-v"))
+    assert(snap2.partitions(1).lineage === "src@test+merge")
+    assert(snap2.partitions(1).rows === 126) // 125 + 1 insert
+    // untouched buckets keep their exact file lists
+    (0 until 8).filter(_ != 1).foreach { b =>
+      assert(snap2.partitions(b).files === snap1.partitions(b).files, s"b$b")
+    }
+    // merged read: update applied, insert present, rest unchanged
+    val cur = store.readVersion(spark, snap2.version)
+    assert(cur.filter(col("id") === 9L).select("value").head.getLong(0) === 999L)
+    assert(cur.filter(col("id") === 1001L).count() === 1)
+    assert(cur.count() === 1001)
+    assert(cur.filter(col("id") === 17L).select("value").head.getLong(0) === 51L)
+    // time travel: pre-merge version still reads the original value
+    val old = store.readVersion(spark, snap1.version)
+    assert(old.filter(col("id") === 9L).select("value").head.getLong(0) === 27L)
+    assert(old.count() === 1000)
+    // empty update set is a no-op
+    val (snap3, none) = store.mergeBuckets(spark,
+      updates.filter(col("id") < 0), "id")
+    assert(none.isEmpty && snap3.version === snap2.version)
+    // expire reclaims the replaced pre-merge bucket-1 file
+    val (_, deleted) = store.expireSnapshots(keepLast = 1)
+    assert(deleted.nonEmpty)
+    assert(store.readVersion(spark, snap2.version).count() === 1001)
+  }
+
   test("expire_snapshots + remove_orphan_files: retained reads intact") {
     val root = freshRoot()
     val store = new SnapshotStore(root)
