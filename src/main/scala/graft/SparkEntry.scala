@@ -1628,6 +1628,22 @@ object SparkEntry {
         ((col("doc_id") * 17 + 3) % 97).as("dst"))
       WebOps.pageRank(e1.unionByName(e2), iters = 5)
     },
+    "web_crawl_priority" -> { (s, dir) =>
+      // frontier scheduling: exact fixed-point PageRank x host page
+      // count, top-20 on a total order
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      val pages = d.groupBy((col("doc_id") % 97).as("host"))
+        .agg(count(lit(1)).as("n_pages"))
+      WebOps.crawlPriority(e1.unionByName(e2), pages)
+    },
+    "orders_ltv" -> { (s, dir) =>
+      // cohort LTV triangle: integer months, q4 money, one window + agg
+      Relational.cohortLtv(s.read.parquet(s"$dir/orders.parquet"))
+    },
     "web_ball_profile" -> { (s, dir) =>
       // per-node ball-size curve (the closeness/harmonic centrality
       // artifact): exact integer register counts per (host, t)
@@ -5706,6 +5722,27 @@ object SparkEntry {
     "web_hyperball" -> webHyperballOracle,
 
     "web_ball_profile" -> webBallProfileOracle,
+
+    "web_crawl_priority" ->
+      s"""WITH pr AS (SELECT host, rank FROM ($webPagerankOracle)),
+         pg AS (SELECT doc_id % 97 AS host, CAST(count(*) AS BIGINT) AS n_pages
+           FROM documents GROUP BY 1)
+        SELECT pr.host, pr.rank, pg.n_pages,
+          CAST(CAST(pr.rank AS HUGEINT) * pg.n_pages AS DECIMAL(38,0)) AS priority
+        FROM pr JOIN pg ON pr.host = pg.host
+        ORDER BY priority DESC, pr.host LIMIT 20""",
+
+    "orders_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ord_m,
+           CAST(round(o_totalprice * 10000.0) AS BIGINT) AS vq
+         FROM orders),
+        c AS (SELECT *, min(ord_m) OVER (PARTITION BY o_custkey) AS cohort_m FROM o)
+        SELECT cohort_m, ord_m - cohort_m AS month_idx,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(vq) AS BIGINT) AS revenue_q,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM c GROUP BY 1, 2""",
 
     "web_crawl_delay" ->
       // the same lag → running-sum → star-group-join machinery as the

@@ -540,6 +540,27 @@ object Relational {
         Window.orderBy(col("monetary_q").desc, col("o_custkey"))).cast("long"))
   }
 
+  /** Cohort lifetime-value triangle: customers cohorted by first-order
+    * month, revenue accumulated per (cohort, months-since-first) cell —
+    * the warehouse LTV report. Months are pure integers
+    * (year·12 + month), money is q4, so every cell is exact. One
+    * window (first order per customer, shared exchange with nothing
+    * else) + one map-side-combined agg.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = (year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+      .cast("long")
+    val w = Window.partitionBy("o_custkey")
+    orders
+      .withColumn("ord_m", m)
+      .withColumn("cohort_m", min(col("ord_m")).over(w))
+      .groupBy(col("cohort_m"), (col("ord_m") - col("cohort_m")).as("month_idx"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(q4(col("o_totalprice"))).as("revenue_q"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
   /** Market-basket co-occurrence with lift (the a-priori pair pass):
     * distinct (order, brand) items self-join on the order key — output
     * bounded by Σ basket², never all-pairs across orders — with the

@@ -1402,6 +1402,25 @@ object WebOps {
     regs
   }
 
+  /** Crawl-priority scoring — the frontier scheduler's ranking signal:
+    * exact fixed-point PageRank × the host's page count, both already
+    * exact integers, so the product (Decimal(38): rank ≤ 10¹², count ≤
+    * 10¹² ⇒ headroom) and the (priority DESC, host) top-k total order
+    * are bit-stable and oracle-exact. Composes two artifacts this
+    * engine already certifies — the point is that exact-integer ops
+    * COMPOSE without re-deriving determinism arguments.
+    */
+  def crawlPriority(edges: DataFrame, hostPages: DataFrame,
+                    iters: Int = 5, topK: Int = 20): DataFrame = {
+    val pr = pageRank(edges, iters)
+    pr.join(hostPages, Seq("host"))
+      .withColumn("priority",
+        expr("CAST(CAST(rank AS DECIMAL(38,0)) * n_pages AS DECIMAL(38,0))"))
+      .orderBy(col("priority").desc, col("host"))
+      .limit(topK)
+      .select(col("host"), col("rank"), col("n_pages"), col("priority"))
+  }
+
   /** Per-node ball profile from HyperBall: (host, t, nonzero) for every
     * t in 0..rounds — the per-node artifact behind closeness/harmonic
     * centrality estimation (Boldi & Vigna's application: centrality =
