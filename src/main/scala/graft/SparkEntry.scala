@@ -2339,6 +2339,11 @@ object SparkEntry {
       // weigh zero without gap-filling)
       Events.hourlyAnomaly(eventsOf(s, dir), windowHours = 24)
     },
+    "events_forecast" -> { (s, dir) =>
+      // seasonal-naive baseline error: period shift as a self-join (a
+      // window lag would read across sparse-hour gaps), exact |err| sums
+      Events.seasonalNaiveError(eventsOf(s, dir))
+    },
     "events_json" -> { (s, dir) =>
       // schema-on-read: typed JSON property extraction + per-type rollup
       Events.jsonPropStats(eventsOf(s, dir))
@@ -3804,6 +3809,19 @@ object SparkEntry {
           b.b_value AS asof_value
         FROM probe p ASOF LEFT JOIN build b
           ON p.user_id = b.user_id AND p.ts >= b.ts""",
+    "events_forecast" ->
+      """WITH h AS (SELECT event_type,
+           CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2)
+        SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+          CAST(sum(abs(a.n - f.n)) AS BIGINT) AS sum_abs_err,
+          CAST(sum(a.n) AS BIGINT) AS sum_actual,
+          CAST(sum(abs(a.n - f.n)) * 1000 // count(*) AS BIGINT) AS mae_milli
+        FROM h a JOIN h f
+          ON a.event_type = f.event_type AND a.hour = f.hour + 24
+        GROUP BY 1""",
+
     "events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(count(k) AS BIGINT) AS n_with_k,

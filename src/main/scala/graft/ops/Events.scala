@@ -194,6 +194,32 @@ object Events {
           .as("spike_ppm"))
   }
 
+  /** Seasonal-naive forecast evaluation — the baseline every real
+    * forecasting pipeline is judged against: predict each hour's count
+    * with the count one period earlier and report the exact absolute
+    * error. The period shift is a SELF-JOIN on (type, hour − period),
+    * not a window lag — lag would silently read the previous PRESENT
+    * hour across gaps in the sparse grid. All integers:
+    * mae_milli = 10³·Σ|err| div n.
+    */
+  def seasonalNaiveError(events: DataFrame, periodHours: Long = 24L): DataFrame = {
+    require(periodHours >= 1, s"periodHours >= 1, got $periodHours")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val hourly = events
+      .withColumn("hour", floor(us / lit(3600000000.0)))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val actual = hourly.select(col("event_type"), col("hour"), col("n"))
+    val forecast = hourly.select(col("event_type"),
+      (col("hour") + lit(periodHours)).as("hour"), col("n").as("n_pred"))
+    actual.join(forecast, Seq("event_type", "hour"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("n") - col("n_pred"))).as("sum_abs_err"),
+        sum(col("n")).as("sum_actual"))
+      .withColumn("mae_milli",
+        expr("CAST(sum_abs_err * 1000 DIV n_hours AS BIGINT)"))
+  }
+
   /** Semi-structured property extraction + rollup: pull a typed field
     * out of the JSON `props` column (codegen'd path extraction, no UDF,
     * identical '$.k' semantics in Spark's get_json_object and DuckDB's

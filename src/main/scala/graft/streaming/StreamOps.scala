@@ -417,6 +417,64 @@ object StreamOps {
       .toDF("event_type", "hour", "n", "s", "alarm")
   }
 
+  /** Streaming SCD2: the live form of [[graft.ops.Events.scd2]] — keyed
+    * change-interval tracking where an interval CLOSES (and emits,
+    * append-only) exactly when the next change is finalized by the
+    * watermark. Observations buffer until the watermark passes them,
+    * then fold in (ts, ord) order: consecutive duplicates collapse, a
+    * value change closes the open interval with its effective_to and
+    * version. The still-current interval never emits (it would change —
+    * the sessionizeStream contract). Late-beyond-finalized rows drop.
+    * State per key = the open interval + in-horizon buffer, bounded.
+    */
+  def scd2Stream(log: DataFrame, watermark: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = log.sparkSession
+    import spark.implicits._
+    val typed = log
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ets"),
+        col("event_type").cast("string").as("v"),
+        col("event_id").cast("long").as("ord"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
+    // state: (pending (tsMs, ord, v), open (v, fromMs), version, lastFin)
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (List[(Long, Long, String)], Option[(String, Long)], Long, Long),
+        (Long, String, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (u: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
+         state: GroupState[(List[(Long, Long, String)], Option[(String, Long)], Long, Long)]) =>
+          var (pending, open, ver, lastFin) = state.getOption
+            .getOrElse((List.empty[(Long, Long, String)],
+              Option.empty[(String, Long)], 0L, Long.MinValue))
+          rows.foreach { case (_, ts, v, ord) =>
+            if (ts.getTime > lastFin) pending = (ts.getTime, ord, v) :: pending
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = pending.partition(_._1 <= wm)
+          val out = collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+          ready.sortBy(r => (r._1, r._2)).foreach { case (tsMs, _, v) =>
+            open match {
+              case Some((ov, _)) if ov == v => () // consecutive duplicate
+              case Some((ov, from)) =>
+                out += ((u, ov, from, tsMs, ver))
+                open = Some((v, tsMs)); ver += 1
+              case None =>
+                open = Some((v, tsMs)); ver = 1L
+            }
+            lastFin = math.max(lastFin, tsMs)
+          }
+          state.update((hold, open, ver, lastFin))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(wm + 1, hold.map(_._1).min))
+          out.iterator
+      }
+      .toDF("user_id", "event_type", "effective_from_ms", "effective_to_ms",
+        "version")
+  }
+
   def streamingTileCounts(pages: DataFrame, res: Int): DataFrame = {
     graft.expr.GraftFunctions.register(pages.sparkSession)
     import graft.expr.GraftFunctions._

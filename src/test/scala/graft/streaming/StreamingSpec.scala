@@ -316,6 +316,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 emits exactly the batch's closed intervals") {
+    val h0 = 1700000000000L
+    // user 1: A A B B A (dup collapse + reopen); user 2: X only
+    val wave1 = Seq(
+      (1L, h0 + 100000L, "A", 1L), (1L, h0 + 200000L, "A", 2L),
+      (1L, h0 + 300000L, "B", 3L), (1L, h0 + 400000L, "B", 4L),
+      (1L, h0 + 500000L, "A", 5L),
+      (2L, h0 + 100000L, "X", 6L))
+    val wave2 = Seq((9L, h0 + 4L * 3600000L, "Z", 9L))
+    val dir = java.nio.file.Files.createTempDirectory("scd2_s").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
+    def stage(sub: String, rows: Seq[(Long, Long, String, Long)]): Unit = {
+      spark.createDataFrame(rows.map { case (u, ms, v, id) =>
+          (u, new java.sql.Timestamp(ms), v, id) })
+        .toDF("user_id", "ts", "event_type", "event_id")
+        .coalesce(1).write.parquet(s"$dir/$sub")
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/w/$sub.parquet"))
+    }
+    stage("a", wave1)
+    val schema = spark.read.parquet(s"$dir/a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/w")
+    val q = StreamOps.scd2Stream(stream, watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_s").start()
+    try {
+      q.processAllAvailable()
+      stage("b", wave2)
+      q.processAllAvailable()
+      val got = spark.table("scd2_s").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // batch oracle: scd2 over wave 1, closed (non-current) intervals
+      val batch = graft.ops.Events.scd2(
+          spark.createDataFrame(wave1.map { case (u, ms, v, id) =>
+            (u, new java.sql.Timestamp(ms), v, id) })
+            .toDF("user_id", "ts", "event_type", "event_id"),
+          "user_id", "ts", "event_type", "event_id")
+        .filter(!org.apache.spark.sql.functions.col("is_current"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime, r.getLong(4)))
+        .toSet
+      assert(got === batch)
+      assert(got === Set(
+        (1L, "A", h0 + 100000L, h0 + 300000L, 1L),
+        (1L, "B", h0 + 300000L, h0 + 500000L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming url keep-latest emits the batch winners at watermark close") {
     // wave 1: two urls, multiple fetches each (one url under differing
     // scheme/www forms); wave 2 (3h later, 30-minute watermark) pushes
