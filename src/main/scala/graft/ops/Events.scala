@@ -285,10 +285,9 @@ object Events {
     val changes = log
       .withColumn("prev_v", lag(col(valCol), 1).over(w))
       .filter(col("prev_v").isNull || col("prev_v") =!= col(valCol))
-    val w2 = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
     changes
-      .withColumn("effective_to", lead(col(tsCol), 1).over(w2))
-      .withColumn("version", row_number().over(w2))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
       .select(col(keyCol), col(valCol),
         col(tsCol).as("effective_from"), col("effective_to"),
         col("version").cast("long").as("version"),

@@ -135,20 +135,6 @@ object Selection {
       .filter(u01(col(idCol)) < col("keep_p"))
   }
 
-  /** Greedy k-center selection (Gonzalez 1985 farthest-point traversal —
-    * the 2-approximation coreset a diversity-driven training-data
-    * selector runs over an embedding table): start from the lowest
-    * vec_id, then k−1 times pick the point farthest from every chosen
-    * center (ties → lowest id). Distances are EXACT integer squared L2
-    * over the ×1000-quantized vectors, so the traversal is bit-identical
-    * at any parallelism. Returns (round, vec_id, radius2) — radius2 is
-    * the selected point's distance² at selection time, the monotone
-    * nonincreasing covering-radius certificate.
-    *
-    * Scale shape: k map-side-combined max(struct) aggregations over a
-    * once-cached quantized table; centers travel driver→executor as one
-    * 64-long array each round. Never a shuffle of the corpus.
-    */
   /** Deterministic per-group uniform sample: the k rows with the
     * smallest `hash60(key)` per group (bottom-k of a hash IS a uniform
     * sample without replacement, and — unlike reservoir sampling — is
@@ -170,6 +156,20 @@ object Selection {
       .drop("sample_h", "sample_rank")
   }
 
+  /** Greedy k-center selection (Gonzalez 1985 farthest-point traversal —
+    * the 2-approximation coreset a diversity-driven training-data
+    * selector runs over an embedding table): start from the lowest
+    * vec_id, then k−1 times pick the point farthest from every chosen
+    * center (ties → lowest id). Distances are EXACT integer squared L2
+    * over the ×1000-quantized vectors, so the traversal is bit-identical
+    * at any parallelism. Returns (round, vec_id, radius2) — radius2 is
+    * the selected point's distance² at selection time, the monotone
+    * nonincreasing covering-radius certificate.
+    *
+    * Scale shape: k map-side-combined max(struct) aggregations over a
+    * once-cached quantized table; centers travel driver→executor as one
+    * 64-long array each round. Never a shuffle of the corpus.
+    */
   def kCenters(embeddings: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k >= 1, got $k")
     val spark = embeddings.sparkSession

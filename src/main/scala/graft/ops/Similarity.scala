@@ -577,17 +577,6 @@ object Similarity {
         expr("CAST(coalesce(hits, 0) * 1000000 DIV kk AS BIGINT)").as("recall_ppm"))
   }
 
-  /** Johnson–Lindenstrauss sketch via a deterministic ±1 sign matrix
-    * (Achlioptas 2003: Rademacher entries preserve pairwise distances
-    * with the same JL bound as Gaussians, and ±1·integer arithmetic is
-    * EXACT) — dimensionality reduction ahead of ANN/dedup at 100-TB
-    * embedding scale: 64→`outDims` cuts every downstream shuffle and
-    * dot product proportionally. The sign family is the SAME Knuth
-    * multiplicative mix as the LSH hyperplanes (bit 16 of (dim, j) —
-    * not the parity-degenerate low bit), so one proven generator serves
-    * both. proj_j = Σ_i sign(i,j)·q_i over the ×1000-quantized vector:
-    * pure Long arithmetic, order-free, map-only (zero exchanges).
-    */
   /** Exact mean-centering of the quantized embedding table (the feature
     * preprocessing step before whitening/PCA): rather than subtract an
     * FP mean, every centered value is carried SCALED BY n —
@@ -606,6 +595,17 @@ object Similarity {
         (col("v") * col("n") - col("dim_sum")).as("centered_n"), col("n"))
   }
 
+  /** Johnson–Lindenstrauss sketch via a deterministic ±1 sign matrix
+    * (Achlioptas 2003: Rademacher entries preserve pairwise distances
+    * with the same JL bound as Gaussians, and ±1·integer arithmetic is
+    * EXACT) — dimensionality reduction ahead of ANN/dedup at 100-TB
+    * embedding scale: 64→`outDims` cuts every downstream shuffle and
+    * dot product proportionally. The sign family is the SAME Knuth
+    * multiplicative mix as the LSH hyperplanes (bit 16 of (dim, j) —
+    * not the parity-degenerate low bit), so one proven generator serves
+    * both. proj_j = Σ_i sign(i,j)·q_i over the ×1000-quantized vector:
+    * pure Long arithmetic, order-free, map-only (zero exchanges).
+    */
   def randomProjection(embeddings: DataFrame, outDims: Int): DataFrame = {
     require(outDims >= 1, s"outDims >= 1, got $outDims")
     val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))

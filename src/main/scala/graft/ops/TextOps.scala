@@ -256,17 +256,22 @@ object TextOps {
   /** Classifier evaluation for [[langId]] against the labeled `lang`
     * column: the (true, predicted) confusion matrix plus global accuracy
     * in exact truncating ppm — the measure-the-filter step every
-    * curation pipeline needs before trusting a heuristic at scale. Two
-    * map-side-combined aggs over the prediction frame; the scalar
-    * (n_docs, n_correct) totals ride a 1-row broadcast.
+    * curation pipeline needs before trusting a heuristic at scale. ONE
+    * map-side-combined agg over the prediction frame — the scalar
+    * totals derive from the tiny confusion matrix itself (never a
+    * second classification pass over the corpus) and ride a 1-row
+    * broadcast.
     */
   def langIdEval(docs: DataFrame): DataFrame = {
-    val pred = langId(docs)
-    val conf = pred.groupBy(col("lang").as("true_lang"), col("pred_lang"))
+    // lazy localCheckpoint: the classification pass materializes once,
+    // both the matrix branch and the totals branch read the cached rows
+    val conf = langId(docs)
+      .groupBy(col("lang").as("true_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
-    val tot = pred.agg(count(lit(1)).as("n_docs"),
-      sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
-        .as("n_correct"))
+      .localCheckpoint(eager = false)
+    val tot = conf.agg(sum(col("n")).as("n_docs"),
+      sum(when(col("true_lang") === col("pred_lang"), col("n"))
+        .otherwise(0L)).as("n_correct"))
     conf.crossJoin(broadcast(tot))
       .withColumn("accuracy_ppm",
         expr("CAST(n_correct * 1000000 DIV n_docs AS BIGINT)"))

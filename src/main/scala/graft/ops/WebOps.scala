@@ -1373,7 +1373,19 @@ object WebOps {
     * pageRank/CC fused-job pattern).
     */
   def hyperBall(edges: DataFrame, rounds: Int, p: Int = 9,
-                family: String = "xxhash64"): DataFrame = {
+                family: String = "xxhash64"): DataFrame =
+    ballLoop(edges, rounds, p, family)((_, _) => ())
+
+  /** The shared HyperBall round loop: edge prep (null/self-loop filter,
+    * distinct, one repartition on dst), node-key register init, then
+    * `rounds` register-max rounds, each eagerly localCheckpointed so
+    * lineage stays flat. `observe(regs, t)` fires at t = 0 and after
+    * every round — hyperBall ignores it, ballProfile and
+    * neighborhoodFunction fold their per-round artifacts from it.
+    * Returns the final register table.
+    */
+  private def ballLoop(edges: DataFrame, rounds: Int, p: Int, family: String)
+                      (observe: (DataFrame, Int) => Unit): DataFrame = {
     require(rounds >= 0, s"hyperBall: rounds must be >= 0, got $rounds")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -1387,15 +1399,17 @@ object WebOps {
     var regs = graft.ops.Sketches.hllRegisters(
         nodes.withColumn("ball_key", col("host").cast("string")),
         "ball_key", Seq("host"), p, family)
-      .localCheckpoint(eager = false)
-    var t = 0
-    while (t < rounds) {
+      .localCheckpoint(eager = true)
+    observe(regs, 0)
+    var t = 1
+    while (t <= rounds) {
       val contrib = e.join(regs, e("dst") === regs("host"))
         .select(e("src").as("host"), col("reg_no"), col("reg"))
       regs = regs.unionByName(contrib)
         .groupBy("host", "reg_no")
         .agg(max(col("reg")).cast("int").as("reg"))
         .localCheckpoint(eager = true)
+      observe(regs, t)
       t += 1
     }
     e.unpersist()
@@ -1431,36 +1445,13 @@ object WebOps {
     */
   def ballProfile(edges: DataFrame, rounds: Int, p: Int = 9,
                   family: String = "xxhash64"): DataFrame = {
-    require(rounds >= 0, s"ballProfile: rounds >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct()
-      .repartition(col("dst"))
-      .persist()
-    val nodes = e.select(col("src").as("host"))
-      .union(e.select(col("dst").as("host")))
-      .distinct()
-    var regs = graft.ops.Sketches.hllRegisters(
-        nodes.withColumn("ball_key", col("host").cast("string")),
-        "ball_key", Seq("host"), p, family)
-      .localCheckpoint(eager = true)
-    def prof(t: Int) = regs.groupBy("host")
-      .agg(count(lit(1)).as("nonzero"))
-      .select(col("host"), lit(t).as("t"), col("nonzero"))
-    var out = prof(0)
-    var t = 1
-    while (t <= rounds) {
-      val contrib = e.join(regs, e("dst") === regs("host"))
-        .select(e("src").as("host"), col("reg_no"), col("reg"))
-      regs = regs.unionByName(contrib)
-        .groupBy("host", "reg_no")
-        .agg(max(col("reg")).cast("int").as("reg"))
-        .localCheckpoint(eager = true)
-      out = out.unionByName(prof(t))
-      t += 1
+    var out: DataFrame = null
+    ballLoop(edges, rounds, p, family) { (regs, t) =>
+      val prof = regs.groupBy("host")
+        .agg(count(lit(1)).as("nonzero"))
+        .select(col("host"), lit(t).as("t"), col("nonzero"))
+      out = if (out == null) prof else out.unionByName(prof)
     }
-    e.unpersist()
     out
   }
 
@@ -1475,7 +1466,6 @@ object WebOps {
     */
   def neighborhoodFunction(edges: DataFrame, rounds: Int, p: Int = 9,
                            family: String = "xxhash64"): DataFrame = {
-    require(rounds >= 0, s"neighborhoodFunction: rounds >= 0, got $rounds")
     val m = 1L << p
     val maxRank = 61 - p
     def summary(regs: DataFrame, t: Int): DataFrame =
@@ -1489,33 +1479,11 @@ object WebOps {
             (col("hosts") * lit(m) - col("sum_nonzero")).cast("decimal(38,0)") *
               lit(1L << maxRank).cast("decimal(38,0)"))
             .cast("decimal(38,0)").as("zsum"))
-    // reuse hyperBall's loop but collect a summary at every t
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct()
-      .repartition(col("dst"))
-      .persist()
-    val nodes = e.select(col("src").as("host"))
-      .union(e.select(col("dst").as("host")))
-      .distinct()
-    var regs = graft.ops.Sketches.hllRegisters(
-        nodes.withColumn("ball_key", col("host").cast("string")),
-        "ball_key", Seq("host"), p, family)
-      .localCheckpoint(eager = true)
-    var out = summary(regs, 0)
-    var t = 1
-    while (t <= rounds) {
-      val contrib = e.join(regs, e("dst") === regs("host"))
-        .select(e("src").as("host"), col("reg_no"), col("reg"))
-      regs = regs.unionByName(contrib)
-        .groupBy("host", "reg_no")
-        .agg(max(col("reg")).cast("int").as("reg"))
-        .localCheckpoint(eager = true)
-      out = out.unionByName(summary(regs, t))
-      t += 1
+    var out: DataFrame = null
+    ballLoop(edges, rounds, p, family) { (regs, t) =>
+      val s = summary(regs, t)
+      out = if (out == null) s else out.unionByName(s)
     }
-    e.unpersist()
     out
   }
 }

@@ -28,13 +28,6 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * lit(100.0)).cast("long")).as("cents_sum"))
 
-  /** Stateful streaming sessionization — custom per-key state via
-    * flatMapGroupsWithState (the north-rule "custom state" surface):
-    * events grouped by user; a session closes when `gapSec` passes
-    * without activity (event-time timeout). Emits
-    * (user_id, session_start_ms, n_events) per closed session.
-    * Batch equivalent: ops/Events.sessionize (lag-window form).
-    */
   /** Streaming exact dedup on the content digest — the incremental form
     * of Dedup.exact: first occurrence of each md5(text) within the
     * watermark horizon passes, later duplicates are dropped, and state
@@ -193,6 +186,13 @@ object StreamOps {
       }.toDF("norm_url", "doc_id", "url", "warc_sec")
   }
 
+  /** Stateful streaming sessionization — custom per-key state via
+    * flatMapGroupsWithState (the north-rule "custom state" surface):
+    * events grouped by user; a session closes when `gapSec` passes
+    * without activity (event-time timeout). Emits
+    * (user_id, session_start_ms, n_events) per closed session.
+    * Batch equivalent: ops/Events.sessionize (lag-window form).
+    */
   def sessionizeStream(events: DataFrame, gapSec: Long = 1800): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
@@ -357,10 +357,6 @@ object StreamOps {
         col("etype"), col("ts_a"), col("ts_b"))
   }
 
-  /** Streaming tiling: geocode each page record and count per hex cell —
-    * the incremental form of Pipeline.tilePages. Works on any stream with
-    * a `url` column.
-    */
   /** Streaming CUSUM: the live form of [[graft.ops.Events.cusum]] —
     * per-type hourly counts accumulate as bounded open-hour state inside
     * ONE flatMapGroupsWithState; when the watermark passes an hour's
@@ -408,10 +404,11 @@ object StreamOps {
             (ty, hr, n, s, s >= h)
           }
           state.update((staying.toList, p, pmin, lastClosed))
+          // timeout only while an open hour is waiting on the watermark;
+          // with nothing open, new data re-triggers the group anyway —
+          // re-arming here would wake every key every hour forever
           if (staying.nonEmpty)
             state.setTimeoutTimestamp((staying.keys.min + 1) * 3600000L)
-          else
-            state.setTimeoutTimestamp(wm + 3600000L)
           out.iterator
       }
       .toDF("event_type", "hour", "n", "s", "alarm")
@@ -475,6 +472,10 @@ object StreamOps {
         "version")
   }
 
+  /** Streaming tiling: geocode each page record and count per hex cell —
+    * the incremental form of Pipeline.tilePages. Works on any stream with
+    * a `url` column.
+    */
   def streamingTileCounts(pages: DataFrame, res: Int): DataFrame = {
     graft.expr.GraftFunctions.register(pages.sparkSession)
     import graft.expr.GraftFunctions._

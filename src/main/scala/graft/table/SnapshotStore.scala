@@ -229,7 +229,12 @@ class SnapshotStore(val root: String) {
     * group dir, swapped by one snapshot commit — while every untouched
     * bucket keeps its exact file list, its bytes never read. That
     * asymmetry is the whole point: a MERGE touching 0.1% of buckets on
-    * a 100-TB table costs 0.1% of a rewrite. Old versions still read
+    * a 100-TB table costs 0.1% of a rewrite. Contract: `bucket` must be
+    * the table's bucket function of `keyCol` (a key updated under a
+    * DIFFERENT bucket than it lives in would insert rather than
+    * replace), and the update set carries at most one row per key
+    * (enforced — Iceberg MERGE errors on multiple matches too). Old
+    * versions still read
     * the pre-merge data (time travel); replaced files are reclaimed by
     * [[expireSnapshots]]' orphan pass. Returns (new snapshot, rewritten
     * bucket ids).
@@ -237,15 +242,23 @@ class SnapshotStore(val root: String) {
   def mergeBuckets(spark: org.apache.spark.sql.SparkSession,
                    updates: org.apache.spark.sql.DataFrame,
                    keyCol: String): (Snapshot, Seq[Int]) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit}
     val cur = current().getOrElse(
       throw new IllegalStateException("mergeBuckets: no snapshot to merge into"))
-    val touched = updates.select("bucket").distinct()
+    val up = updates.persist() // read once per touched bucket + twice below
+    // Iceberg MERGE semantics: a source with two rows for one key is an
+    // error, not a silent double-insert
+    val dupKeys = up.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(5).collect().map(_.get(0))
+    require(dupKeys.isEmpty,
+      s"mergeBuckets: duplicate update keys (MERGE requires one row per key): " +
+        dupKeys.mkString(","))
+    val touched = up.select("bucket").distinct()
       .collect().map(_.get(0).toString.toInt).sorted.toSeq
     require(touched.forall(cur.partitions.contains),
       s"mergeBuckets: updates touch buckets absent from the snapshot: " +
         touched.filterNot(cur.partitions.contains).mkString(","))
-    if (touched.isEmpty) return (cur, Seq.empty)
+    if (touched.isEmpty) { up.unpersist(); return (cur, Seq.empty) }
     val newVer = cur.version + 1
     val grp = s"merge-v$newVer"
     val metas = touched.map { b =>
@@ -253,7 +266,7 @@ class SnapshotStore(val root: String) {
       val paths = p.files.map(f =>
         if (f.contains("/")) s"$root/data/$f" else s"${dataPath(b)}/$f")
       val existing = spark.read.parquet(paths: _*)
-      val upd = updates.filter(col("bucket") === b)
+      val upd = up.filter(col("bucket") === b)
       val keys = upd.select(col(keyCol).as("__mk")).distinct()
       val merged = existing
         .join(keys, existing(keyCol) === keys("__mk"), "left_anti")
@@ -262,6 +275,7 @@ class SnapshotStore(val root: String) {
       merged.coalesce(1).write.mode("overwrite").parquet(dest)
       partitionMetaIn(grp, b, p.lineage + "+merge")
     }
+    up.unpersist()
     (commit(metas), touched)
   }
 

@@ -1333,7 +1333,9 @@ object TileOps2 {
 
   /** Per-label zone geometry over a label raster (ESRI ZonalGeometry /
     * the region-props step after vectorize/sieve): exact pixel area,
-    * 4-connected perimeter (edges to a different label or off-raster),
+    * 4-connected perimeter (edges to a different label or off-raster;
+    * NaN nodata pixels belong to NO label — skipped as centers, and a
+    * NaN neighbor counts as boundary like off-raster),
     * bounding box, and the isoperimetric compactness certificate
     * `compact_ppm = 16·area·10⁶ div perimeter²` (= 10⁶ exactly for any
     * axis-aligned square, < 10⁶ for everything non-square).
@@ -1353,7 +1355,10 @@ object TileOps2 {
       while (r < t.h) {
         var c = 0
         while (c < t.w) {
-          val lab = t.pixels(r * t.w + c).toLong
+          val raw = t.pixels(r * t.w + c)
+          if (raw.isNaN) { c += 1 }
+          else {
+          val lab = raw.toLong
           var pc = 0L
           var k = 0
           while (k < 4) {
@@ -1375,6 +1380,7 @@ object TileOps2 {
           if (gy < acc(4)) acc(4) = gy
           if (gy > acc(5)) acc(5) = gy
           c += 1
+          }
         }
         r += 1
       }

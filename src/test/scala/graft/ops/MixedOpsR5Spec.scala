@@ -109,6 +109,19 @@ class MixedOpsR5Spec extends AnyFunSuite {
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(7))).toMap
     }
     assert(sq(1L) === ((16L, 16L, 1000000L)))
+    // NaN (nodata) centers belong to NO label; as neighbors they count
+    // as boundary like off-raster
+    val nn = {
+      val sp = RasterSpec(0.0, 4.0, 1.0, -1.0, 4, 4, 4, 1)
+      val d = TileOps.createRaster(spark, sp)(
+        (x, y, _) => if (x == 0 && y == 0) Double.NaN else 1.0)
+      TileOps2.labelGeometry(d, 4).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(nn.keySet === Set(1L))
+    // outer border contributes 14 edges (the NaN corner owns none),
+    // plus 2 edges of label-1 pixels facing the NaN hole
+    assert(nn(1L) === ((15L, 16L)))
   }
 
   test("scd2: duplicate collapse, interval chain, one current per key") {

@@ -213,6 +213,13 @@ class SnapshotSpec extends AnyFunSuite {
     val (snap3, none) = store.mergeBuckets(spark,
       updates.filter(col("id") < 0), "id")
     assert(none.isEmpty && snap3.version === snap2.version)
+    // duplicate update keys are a MERGE error, not a double-insert
+    val dup = spark.createDataFrame(Seq((9L, 1, 1L), (9L, 1, 2L)))
+      .toDF("id", "bucket", "value")
+    val err = intercept[IllegalArgumentException] {
+      store.mergeBuckets(spark, dup, "id")
+    }
+    assert(err.getMessage.contains("duplicate update keys"))
     // expire reclaims the replaced pre-merge bucket-1 file
     val (_, deleted) = store.expireSnapshots(keepLast = 1)
     assert(deleted.nonEmpty)
