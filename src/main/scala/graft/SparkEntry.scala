@@ -1628,6 +1628,18 @@ object SparkEntry {
         ((col("doc_id") * 17 + 3) % 97).as("dst"))
       WebOps.pageRank(e1.unionByName(e2), iters = 5)
     },
+    "web_pagerank_weighted" -> { (s, dir) =>
+      // weighted PageRank: rank splits proportionally to edge weight
+      // (anchor multiplicity); parallel edges pre-collapse by weight sum
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"),
+        (lit(1) + col("doc_id") % 5).as("w"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"),
+        (lit(1) + col("doc_id") % 3).as("w"))
+      WebOps.pageRankWeighted(e1.unionByName(e2), iters = 5)
+    },
     "web_crawl_priority" -> { (s, dir) =>
       // frontier scheduling: exact fixed-point PageRank x host page
       // count, top-20 on a total order
@@ -5739,6 +5751,8 @@ object SparkEntry {
 
     "web_hyperball" -> webHyperballOracle,
 
+    "web_pagerank_weighted" -> webPagerankWeightedOracle,
+
     "web_ball_profile" -> webBallProfileOracle,
 
     "web_crawl_priority" ->
@@ -9534,6 +9548,43 @@ object SparkEntry {
            FROM rr)
          ${(1 to 3).map(round).mkString("\n")}
          ${(0 to 3).map(summ).mkString("\n UNION ALL \n")}"""
+    }
+
+  private def webPagerankWeightedOracle: String = {
+      // the webPagerankOracle recipe with per-edge weights: contribution
+      // = (rank·17·w) // (20·wsum), parallel edges collapsed by SUM
+      val scale = 1000000000000L
+      def iter(k: Int): String =
+        s""", dang$k AS (
+             SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS d
+             FROM r${k - 1} WHERE host NOT IN (SELECT src FROM edges)),
+           r$k AS (
+             SELECT n.host,
+                    (($scale * 3) // (20 * (SELECT cnt FROM nn)))
+                  + (((SELECT d FROM dang$k) * 17) // (20 * (SELECT cnt FROM nn)))
+                  + COALESCE(c.contrib, 0) AS rank
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst AS host,
+                      CAST(SUM((CAST(r.rank AS HUGEINT) * 17 * e.w)
+                           // (20 * ws.wsum)) AS BIGINT) AS contrib
+               FROM r${k - 1} r
+               JOIN edges e ON r.host = e.src
+               JOIN ws ON ws.src = e.src
+               GROUP BY e.dst) c ON n.host = c.host)"""
+      s"""WITH raw AS (
+           SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst,
+             1 + doc_id % 5 AS w FROM documents
+           UNION ALL
+           SELECT doc_id % 97, (doc_id * 17 + 3) % 97, 1 + doc_id % 3 FROM documents),
+         edges AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM raw
+           WHERE src <> dst GROUP BY 1, 2),
+         ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM edges GROUP BY 1),
+         nodes AS (SELECT DISTINCT host FROM (
+           SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+         nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+         r0 AS (SELECT host, $scale // (SELECT cnt FROM nn) AS rank FROM nodes)
+         ${(1 to 5).map(iter).mkString("\n")}
+         SELECT host, rank FROM r5"""
     }
 
   private def webBallProfileOracle: String = {

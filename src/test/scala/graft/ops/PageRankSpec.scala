@@ -363,4 +363,53 @@ class PageRankSpec extends AnyFunSuite {
       assert(m === want)
     }
   }
+
+  test("weighted pageRank with unit weights equals the unweighted op") {
+    import spark.implicits._
+    val edges = Seq[(Long, Long)]((0, 1), (1, 0), (2, 0), (2, 1), (0, 3), (1, 3))
+    val base = WebOps.pageRank(edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unit = WebOps.pageRankWeighted(
+        edges.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
+        iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unit === base)
+  }
+
+  test("weighted pageRank matches a BigInt reference and splits by weight") {
+    import spark.implicits._
+    // 0 -> 1 (w 3), 0 -> 2 (w 1): node 1 must receive 3x node 2's share
+    val edges = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+    def ref(iters: Int): Map[Long, Long] = {
+      val scale = BigInt(1000000000000L)
+      val nodes = Seq(0L, 1L, 2L)
+      val wsum = Map(0L -> BigInt(4), 1L -> BigInt(1), 2L -> BigInt(1))
+      var r = nodes.map(_ -> scale / 3).toMap
+      val base = (scale * 3) / (20 * 3)
+      for (_ <- 1 to iters) {
+        val contrib = nodes.map { v =>
+          v -> edges.filter(_._2 == v).map { case (u, _, w) =>
+            (r(u) * 17 * w) / (20 * wsum(u))
+          }.sum
+        }.toMap
+        r = nodes.map(v => v -> (base + contrib(v))).toMap
+      }
+      r.map { case (k, v) => k -> v.toLong }
+    }
+    val got = WebOps.pageRankWeighted(edges.toDF("src", "dst", "w"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref(3))
+    assert(got(1L) > got(2L))
+  }
+
+  test("weighted pageRank collapses parallel edges by weight sum") {
+    import spark.implicits._
+    val a = Seq((0L, 1L, 2L), (0L, 1L, 1L), (1L, 0L, 1L)).toDF("src", "dst", "w")
+    val b = Seq((0L, 1L, 3L), (1L, 0L, 1L)).toDF("src", "dst", "w")
+    val ra = WebOps.pageRankWeighted(a, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rb = WebOps.pageRankWeighted(b, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ra === rb)
+  }
 }
