@@ -114,7 +114,11 @@ object Bench {
     // quality constraint suite, CUSUM / SCD2 / rollup windows
     "tpch_q21", "tpch_q17", "tpch_q9", "web_hyperball", "ml_stump",
     "raster_viewshed", "raster_zone_geom", "quality_checks",
-    "events_cusum", "events_scd2", "events_rollup")
+    "events_cusum", "events_scd2", "events_rollup",
+    // session 3 second wave: weighted PR, a-priori basket pass,
+    // edit-distance blocking join, LTV triangle, hash sampling
+    "web_pagerank_weighted", "basket_pairs", "dedup_fuzzy_pairs",
+    "orders_ltv", "select_reservoir")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

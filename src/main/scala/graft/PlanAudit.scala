@@ -111,7 +111,11 @@ object PlanAudit {
       // (register-edge join + max agg), quality containment (semi join),
       // cusum/scd2 (single-exchange windows)
       "tpch_q21", "tpch_q17", "tpch_q8", "ml_stump", "web_hyperball",
-      "quality_checks", "events_cusum", "events_scd2")
+      "quality_checks", "events_cusum", "events_scd2",
+      // second wave: weighted PR round, basket self-join (capped),
+      // edit-distance block join (capped), hash sample (WindowGroupLimit)
+      "web_pagerank_weighted", "basket_pairs", "dedup_fuzzy_pairs",
+      "select_reservoir")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

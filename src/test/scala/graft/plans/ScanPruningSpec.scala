@@ -473,6 +473,19 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("reservoir sample plans as WindowGroupLimit (partial bottom-k)") {
+    val p = physical("select_reservoir")
+    assert(p.contains("WindowGroupLimit"),
+      "hashSample lost its partial bottom-k:\n" + p.take(1500))
+  }
+
+  test("fuzzy pairs: block cap runs below the self-join, no cartesian") {
+    val p = physical("dedup_fuzzy_pairs")
+    assert(p.contains("WindowGroupLimit"),
+      "per-block cap lost its partial form:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("scd2: all three windows ride one key-ordered exchange") {
     val p = physical("events_scd2")
     assert(p.sliding("Exchange hashpartitioning".length)
