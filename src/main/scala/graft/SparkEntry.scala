@@ -3451,6 +3451,35 @@ object SparkEntry {
       }.toDF("doc_id", "png")
       graft.ops.Multimodal.imageFeatures(docs, "doc_id", "png")
     },
+    "mm_tiff_decode" -> { (s, _) =>
+      // REAL GeoTIFF decode (header + IFD walk + strips + geo tags; both
+      // byte orders and ImageIO cross-validated in TiffSpec): encode 100
+      // deterministic georeferenced gray rasters, decode, and report
+      // pixel sums AND the recovered geotransform — the oracle computes
+      // both from the closed form without touching TIFF bytes
+      import s.implicits._
+      s.range(100).map { id =>
+        val w = 32; val h = 24
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) = ((x * 5 + y * 11 + id) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = graft.ops.Tiff.encode(w, h, 1, px,
+          originX = id.toDouble, originY = 100.0 + id, pxW = 0.25, pxH = -0.25)
+        val d = graft.ops.Tiff.decode(bytes)
+        var sum = 0L
+        d.pixels.foreach(b => sum += (b & 0xff))
+        (id, d.width, d.height, d.channels, sum,
+          d.originX, d.originY, d.pxW, d.pxH)
+      }.toDF("doc_id", "width", "height", "channels", "px_sum",
+        "origin_x", "origin_y", "px_w", "px_h")
+    },
     "mm_gif_decode" -> { (s, _) =>
       // REAL GIF decode (LZW, cross-validated against ImageIO both
       // directions in GifSpec): 100 deterministic paletted 40x30 frames;
@@ -8785,6 +8814,15 @@ object SparkEntry {
     // palette formula replayed per pixel index — no GIF bytes anywhere
     // near the oracle, so a hash match certifies header walk + LZW +
     // palette expansion end to end
+    "mm_tiff_decode" ->
+      """WITH px AS (SELECT d.id, (x.x*5 + y.y*11 + d.id) % 256 AS v
+           FROM range(100) d(id), range(32) x(x), range(24) y(y))
+        SELECT id AS doc_id, 32 AS width, 24 AS height, 1 AS channels,
+          CAST(sum(v) AS BIGINT) AS px_sum,
+          CAST(id AS DOUBLE) AS origin_x, CAST(100 + id AS DOUBLE) AS origin_y,
+          0.25 AS px_w, -0.25 AS px_h
+        FROM px GROUP BY id""",
+
     "mm_gif_decode" ->
       """WITH px AS (SELECT d.id, (x.x*3 + y.y*7 + d.id) % 64 AS ci
            FROM range(100) d(id), range(40) x(x), range(30) y(y))
