@@ -3480,6 +3480,29 @@ object SparkEntry {
       }.toDF("doc_id", "width", "height", "channels", "px_sum",
         "origin_x", "origin_y", "px_w", "px_h")
     },
+    "raster_tiff_roundtrip" -> { (s, _) =>
+      // the buteo lifecycle end-to-end on REAL bytes: every tile of the
+      // plane serializes to a georeferenced GeoTIFF (its own per-tile
+      // geotransform), deserializes, and must reproduce pixels AND grid
+      // placement exactly — the oracle is the plain closed form, so a
+      // hash match proves the container round trip lossless
+      val spec = convSpec.copy(bands = 1)
+      val tiles = TileOps.createRaster(s, spec)(
+        (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
+      import s.implicits._
+      val back = tiles.map { t =>
+        val px = new Array[Byte](t.w * t.h)
+        var i = 0
+        while (i < px.length) { px(i) = t.pixels(i).toInt.toByte; i += 1 }
+        val bytes = graft.ops.Tiff.encode(t.w, t.h, 1, px,
+          t.originX, t.originY, t.pxW, t.pxH)
+        val d = graft.ops.Tiff.decode(bytes)
+        t.copy(w = d.width, h = d.height,
+          originX = d.originX, originY = d.originY, pxW = d.pxW, pxH = d.pxH,
+          pixels = d.pixels.map(b => (b & 0xff).toDouble))
+      }(TileOps.tileEnc)
+      TileOps.toPixels(back, convSpec.tileSize)
+    },
     "mm_gif_decode" -> { (s, _) =>
       // REAL GIF decode (LZW, cross-validated against ImageIO both
       // directions in GifSpec): 100 deterministic paletted 40x30 frames;
@@ -8814,6 +8837,11 @@ object SparkEntry {
     // palette formula replayed per pixel index — no GIF bytes anywhere
     // near the oracle, so a hash match certifies header walk + LZW +
     // palette expansion end to end
+    "raster_tiff_roundtrip" ->
+      """SELECT CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y, 0 AS band,
+           CAST((x*7 + y*13) % 97 AS DOUBLE) AS v
+         FROM range(96) r1(x), range(96) r2(y)""",
+
     "mm_tiff_decode" ->
       """WITH px AS (SELECT d.id, (x.x*5 + y.y*11 + d.id) % 256 AS v
            FROM range(100) d(id), range(32) x(x), range(24) y(y))
