@@ -226,6 +226,41 @@ class SnapshotSpec extends AnyFunSuite {
     assert(store.readVersion(spark, snap2.version).count() === 1001)
   }
 
+  test("GeoTIFF tile table: tiles commit as tiff blobs and read back exactly") {
+    import graft.tiles.{RasterSpec, TileOps}
+    import spark.implicits._
+    val spec = RasterSpec(0.0, 16.0, 0.5, -0.5, 32, 32, 8, 1)
+    val tiles = TileOps.createRaster(spark, spec)(
+      (x, y, _) => ((x * 7 + y * 13) % 97).toDouble)
+    val blobs = tiles.map { t =>
+      val px = new Array[Byte](t.w * t.h)
+      var i = 0
+      while (i < px.length) { px(i) = t.pixels(i).toInt.toByte; i += 1 }
+      ((t.cellX * 31 + t.cellY) % 4, t.cellX, t.cellY,
+        graft.ops.Tiff.encode(t.w, t.h, 1, px,
+          t.originX, t.originY, t.pxW, t.pxH))
+    }.toDF("bucket", "cell_x", "cell_y", "tiff")
+    val store = new SnapshotStore(freshRoot())
+    val (snap, n) = new CheckpointedWriter(store, "tiles@tiff")
+      .run(blobs, numBuckets = 4, bucketsPerCommit = 2)
+    assert(n === 4 && snap.partitions.values.map(_.rows).sum === 16)
+    // read back through the snapshot, decode, compare pixels + geort
+    val back = store.readVersion(spark, snap.version)
+      .collect().map { r =>
+        val d = graft.ops.Tiff.decode(r.getAs[Array[Byte]]("tiff"))
+        (r.getAs[Int]("cell_x"), r.getAs[Int]("cell_y")) -> d
+      }.toMap
+    val want = tiles.collect()
+    assert(back.size === 16 && want.length === 16)
+    want.foreach { t =>
+      val d = back((t.cellX, t.cellY))
+      assert(d.pixels.map(b => (b & 0xff).toDouble).toSeq === t.pixels.toSeq,
+        s"tile ${t.cellX},${t.cellY}")
+      assert((d.originX, d.originY, d.pxW, d.pxH) ===
+        ((t.originX, t.originY, t.pxW, t.pxH)))
+    }
+  }
+
   test("expire_snapshots + remove_orphan_files: retained reads intact") {
     val root = freshRoot()
     val store = new SnapshotStore(root)
