@@ -118,7 +118,9 @@ object Bench {
     // session 3 second wave: weighted PR, a-priori basket pass,
     // edit-distance blocking join, LTV triangle, hash sampling
     "web_pagerank_weighted", "basket_pairs", "dedup_fuzzy_pairs",
-    "orders_ltv", "select_reservoir")
+    "orders_ltv", "select_reservoir",
+    // GeoTIFF container: codec throughput + per-tile round trip
+    "mm_tiff_decode", "raster_tiff_roundtrip")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;
