@@ -8,7 +8,8 @@ import java.io.ByteArrayOutputStream
   * parsed from scratch, so binary raster columns round-trip to pixels
   * AND to their geotransform without any native library).
   *
-  * Scope: uncompressed (Compression = 1), stripped, 8-bit grayscale or
+  * Scope: uncompressed (Compression = 1) or PackBits (32773, the
+  * TIFF 6.0 §9 RLE), stripped, 8-bit grayscale or
   * interleaved RGB; BOTH byte orders on read (`II` little / `MM` big),
   * little-endian on write; georeferencing via the standard north-up
   * GeoTIFF encoding — ModelPixelScaleTag (33550, sx sy sz) plus one
@@ -166,7 +167,9 @@ object Tiff {
     }
     val width = num(256).toInt; val height = num(257).toInt
     require(width > 0 && height > 0, s"tiff: bad dimensions ${width}x$height")
-    require(num(259) == 1, s"tiff: compression ${num(259)} unsupported (only 1)")
+    val compression = num(259)
+    require(compression == 1 || compression == 32773,
+      s"tiff: compression $compression unsupported (1 = none, 32773 = PackBits)")
     val channels = fields.get(277).map(_ => num(277).toInt).getOrElse(1)
     require(channels == 1 || channels == 3, s"tiff: $channels samples unsupported")
     val bpsField = fields.getOrElse(258,
@@ -180,10 +183,32 @@ object Tiff {
     (0 until nStrips).foreach { i =>
       val off = num(273, i).toInt; val len = num(279, i).toInt
       r.checked(off, len)
-      require(written + len <= pixels.length,
-        s"tiff: strips exceed ${pixels.length} bytes")
-      System.arraycopy(bytes, off, pixels, written, len)
-      written += len
+      if (compression == 1) {
+        require(written + len <= pixels.length,
+          s"tiff: strips exceed ${pixels.length} bytes")
+        System.arraycopy(bytes, off, pixels, written, len)
+        written += len
+      } else {
+        // PackBits (TIFF 6.0 §9): n in [0,127] → copy n+1 literals;
+        // n in [-127,-1] → repeat next byte 1−n times; -128 is a no-op
+        var p = off
+        val end = off + len
+        while (p < end) {
+          val n = bytes(p).toInt
+          p += 1
+          if (n >= 0) {
+            require(p + n + 1 <= end && written + n + 1 <= pixels.length,
+              "tiff: PackBits literal run overruns")
+            System.arraycopy(bytes, p, pixels, written, n + 1)
+            p += n + 1; written += n + 1
+          } else if (n != -128) {
+            require(p < end && written + (1 - n) <= pixels.length,
+              "tiff: PackBits repeat run overruns")
+            java.util.Arrays.fill(pixels, written, written + (1 - n), bytes(p))
+            p += 1; written += 1 - n
+          }
+        }
+      }
     }
     require(written == pixels.length,
       s"tiff: strips cover $written of ${pixels.length} bytes")

@@ -57,6 +57,50 @@ class TiffSpec extends AnyFunSuite {
       ((0.0, 0.0, 1.0, -1.0)))
   }
 
+  test("PackBits strips decode: ImageIO-written and hand-built runs") {
+    // ImageIO writes PackBits when asked -> our decoder must read it
+    val w = 21; val h = 7
+    val g = Array.tabulate(w * h) { i =>
+      if ((i / w) % 2 == 0) 40.toByte else ((i * 13) % 256).toByte // runs + noise
+    }
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, g(y * w + x) & 0xff)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("PackBits")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val d = Tiff.decode(bos.toByteArray)
+    assert(d.width === w && d.height === h)
+    assert(d.pixels.toSeq === g.toSeq)
+    // hand-built: literal(3) + repeat(4 x 9) + noop + literal(1) = 8 px
+    val enc0 = Tiff.encode(8, 1, 1, new Array[Byte](8), 0, 1, 1, -1)
+    // splice a PackBits strip: find the strip (last 8 bytes) and rewrite
+    val body = Array[Byte](2, 1, 2, 3, -3, 9, -128, 0, 5)
+    val spliced = enc0.dropRight(8) ++ body
+    // patch Compression (tag 259) value and StripByteCounts (279)
+    def patch(bytes: Array[Byte], tag: Int, v: Int): Unit = {
+      val n = ((bytes(9) & 0xff) << 8) | (bytes(8) & 0xff)
+      (0 until n).foreach { i =>
+        val e = 10 + i * 12
+        val t = ((bytes(e + 1) & 0xff) << 8) | (bytes(e) & 0xff)
+        if (t == tag) { bytes(e + 8) = (v & 0xff).toByte
+          bytes(e + 9) = ((v >> 8) & 0xff).toByte }
+      }
+    }
+    patch(spliced, 259, 32773)
+    patch(spliced, 279, body.length)
+    val d2 = Tiff.decode(spliced)
+    assert(d2.pixels.toSeq ===
+      Seq[Byte](1, 2, 3, 9, 9, 9, 9, 5))
+  }
+
   test("big-endian (MM) hand-built file decodes") {
     // 2x1 gray, pixel values 7 and 250, minimal MM layout
     def b16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
