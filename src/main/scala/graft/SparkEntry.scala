@@ -1109,6 +1109,11 @@ object SparkEntry {
     "text_bpe_tokens" -> { (s, dir) => TextOps.bpeTokenCount(documentsOf(s, dir)) },
     "text_quality" -> { (s, dir) => TextOps.qualityScore(documentsOf(s, dir)) },
     "text_langid" -> { (s, dir) => TextOps.langId(documentsOf(s, dir)) },
+    "text_chi2_features" -> { (s, dir) =>
+      // per-class discriminative tokens: exact integer chi-square over
+      // the 2x2 presence table, top-5 per lang on a total order
+      TextOps.chi2Features(documentsOf(s, dir))
+    },
     "text_langid_eval" -> { (s, dir) =>
       // measure the heuristic against the labeled column: confusion
       // matrix + global accuracy in exact ppm
@@ -4399,6 +4404,31 @@ object SparkEntry {
            FROM toks GROUP BY doc_id) tc USING (doc_id)"""),
 
     "text_scripts" -> scriptProfileOracle,
+
+    "text_chi2_features" -> (sqlToks +
+      """, pres AS (SELECT d.lang, t.tok, CAST(count(*) AS BIGINT) AS a
+           FROM dtoks t JOIN documents d ON t.doc_id = d.doc_id
+           GROUP BY 1, 2),
+        nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+               FROM documents GROUP BY 1),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        dft AS (SELECT tok, CAST(sum(a) AS BIGINT) AS df FROM pres GROUP BY 1),
+        sc AS (SELECT p.lang, p.tok, p.a, dft.df,
+            CAST((1000000 * nt.n_docs *
+                  CAST(p.a * (nt.n_docs - nl.n_lang - (dft.df - p.a))
+                       - (nl.n_lang - p.a) * (dft.df - p.a) AS HUGEINT)
+                * CAST(p.a * (nt.n_docs - nl.n_lang - (dft.df - p.a))
+                       - (nl.n_lang - p.a) * (dft.df - p.a) AS HUGEINT))
+              // (CAST(nl.n_lang AS HUGEINT) * (nt.n_docs - nl.n_lang)
+                 * dft.df * (nt.n_docs - dft.df)) AS BIGINT) AS score_ppm
+          FROM pres p JOIN nl ON p.lang = nl.lang
+          JOIN dft ON p.tok = dft.tok CROSS JOIN nt
+          WHERE dft.df < nt.n_docs)
+        SELECT lang, tok, a, df, score_ppm,
+          CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, row_number() OVER
+            (PARTITION BY lang ORDER BY score_ppm DESC, tok) AS rnk FROM sc)
+        WHERE rnk <= 5"""),
 
     "text_langid" -> langidOracle,
 

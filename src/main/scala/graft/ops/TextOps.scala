@@ -253,6 +253,53 @@ object TextOps {
     withCounts.select(col("doc_id"), col("lang"), best._1.as("pred_lang"), best._2.as("n_markers"))
   }
 
+  /** χ² feature selection per class — the classic discriminative-token
+    * selector feeding bag-of-words classifiers: for each (token, class)
+    * the 2×2 presence table (a = class docs containing the token,
+    * b = class docs without, c = other-class docs with, d = the rest)
+    * scores χ²·10⁶ as the exact truncating integer
+    * `10⁶·N·(ad−bc)² div ((a+b)(c+d)(a+c)(b+d))` (the abTest
+    * certificate arithmetic; Decimal(38) ⇒ exact to N ≈ 3·10⁷ docs),
+    * and the top `k` tokens per class rank on (score DESC, tok) — a
+    * total order, WindowGroupLimit-planned. Tokens present in EVERY doc
+    * are excluded (their denominator is zero and they discriminate
+    * nothing).
+    *
+    * Scale shape: one distinct-presence agg on (tok, class) — map-side
+    * combined, never per-occurrence rows downstream — with class sizes
+    * and the doc total on broadcast frames.
+    */
+  def chi2Features(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"chi2Features: k must be >= 1, got $k")
+    val pres = docs
+      .select(col("lang"), col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .groupBy("tok", "lang").agg(count(lit(1)).as("a"))
+    val nLang = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nTot = docs.agg(count(lit(1)).as("n_docs"))
+    val dfTok = pres.groupBy("tok").agg(sum(col("a")).as("df"))
+    val scored = pres
+      .join(broadcast(nLang), "lang")
+      .join(dfTok, "tok")
+      .crossJoin(broadcast(nTot))
+      .filter(col("df") < col("n_docs"))
+      .withColumn("b", col("n_lang") - col("a"))
+      .withColumn("c", col("df") - col("a"))
+      .withColumn("d", col("n_docs") - col("n_lang") - col("c"))
+      .withColumn("score_ppm", expr("""CAST(
+          (1000000 * n_docs *
+           CAST(a * d - b * c AS DECIMAL(38,0)) *
+           CAST(a * d - b * c AS DECIMAL(38,0)))
+          DIV (CAST(n_lang AS DECIMAL(38,0)) * (n_docs - n_lang) * df *
+               (n_docs - df)) AS BIGINT)"""))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score_ppm").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("tok"), col("a"), col("df"),
+        col("score_ppm"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Classifier evaluation for [[langId]] against the labeled `lang`
     * column: the (true, predicted) confusion matrix plus global accuracy
     * in exact truncating ppm — the measure-the-filter step every
