@@ -88,6 +88,74 @@ object Tiff {
     out.toByteArray
   }
 
+  /** TIFF LZW strip decode (TIFF 6.0 §13): MSB-first bit packing,
+    * Clear = 256, EOI = 257, 9→12-bit codes with libtiff's EARLY
+    * code-width change (the width bumps when the dictionary reaches
+    * 2^w − 1, one entry before GIF's rule — pinned by ImageIO
+    * cross-validation exactly like the GIF width-bump study).
+    * Returns bytes written into `out` starting at `outOff`.
+    */
+  private def lzwDecode(bytes: Array[Byte], off: Int, len: Int,
+                        out: Array[Byte], outOff: Int, outCap: Int): Int = {
+    val Clear = 256; val Eoi = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var nextCode = 258
+    var codeSize = 9
+    var bitPos = off.toLong * 8
+    val endBit = (off + len).toLong * 8
+    var written = 0
+    var prev = -1
+    def read(): Int = {
+      if (bitPos + codeSize > endBit) Eoi
+      else {
+        var v = 0; var i = 0
+        while (i < codeSize) {
+          val b = bytes((bitPos >> 3).toInt) & 0xff
+          v = (v << 1) | ((b >> (7 - (bitPos & 7)).toInt) & 1)
+          bitPos += 1; i += 1
+        }
+        v
+      }
+    }
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == Eoi) done = true
+      else if (code == Clear) { nextCode = 258; codeSize = 9; prev = -1 }
+      else {
+        require(code <= nextCode && code < 4096,
+          s"tiff: LZW code $code beyond dictionary $nextCode")
+        // expand (KwKwK: code == nextCode repeats prev's first byte)
+        var sp = 0
+        var c = if (code == nextCode) {
+          require(prev >= 0, "tiff: LZW KwKwK with no previous code")
+          stack(sp) = firstByte(prefix, suffix, prev); sp += 1; prev
+        } else code
+        while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        stack(sp) = c.toByte; sp += 1
+        require(written + sp <= outCap, "tiff: LZW output overruns strip")
+        var i = sp - 1
+        while (i >= 0) { out(outOff + written) = stack(i); written += 1; i -= 1 }
+        if (prev >= 0 && nextCode < 4096) {
+          prefix(nextCode) = prev
+          suffix(nextCode) = stack(sp - 1) // first byte of this expansion
+          nextCode += 1
+        }
+        if (nextCode == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        prev = code
+      }
+    }
+    written
+  }
+
+  private def firstByte(prefix: Array[Int], suffix: Array[Byte], code0: Int): Byte = {
+    var c = code0
+    while (c >= 258) c = prefix(c)
+    c.toByte
+  }
+
   private final class Reader(b: Array[Byte], big: Boolean) {
     def u16(off: Int): Int = {
       checked(off, 2)
@@ -168,8 +236,10 @@ object Tiff {
     val width = num(256).toInt; val height = num(257).toInt
     require(width > 0 && height > 0, s"tiff: bad dimensions ${width}x$height")
     val compression = num(259)
-    require(compression == 1 || compression == 32773,
-      s"tiff: compression $compression unsupported (1 = none, 32773 = PackBits)")
+    require(compression == 1 || compression == 5 || compression == 32773,
+      s"tiff: compression $compression unsupported (1 none, 5 LZW, 32773 PackBits)")
+    fields.get(317).foreach(_ => require(num(317) == 1,
+      s"tiff: predictor ${num(317)} unsupported (only 1)"))
     val channels = fields.get(277).map(_ => num(277).toInt).getOrElse(1)
     require(channels == 1 || channels == 3, s"tiff: $channels samples unsupported")
     val bpsField = fields.getOrElse(258,
@@ -188,6 +258,9 @@ object Tiff {
           s"tiff: strips exceed ${pixels.length} bytes")
         System.arraycopy(bytes, off, pixels, written, len)
         written += len
+      } else if (compression == 5) {
+        written += lzwDecode(bytes, off, len, pixels, written,
+          pixels.length - written)
       } else {
         // PackBits (TIFF 6.0 §9): n in [0,127] → copy n+1 literals;
         // n in [-127,-1] → repeat next byte 1−n times; -128 is a no-op

@@ -101,6 +101,32 @@ class TiffSpec extends AnyFunSuite {
       Seq[Byte](1, 2, 3, 9, 9, 9, 9, 5))
   }
 
+  test("LZW strips decode ImageIO-written files, incl. dictionary growth") {
+    // big enough (and repetitive enough) to push the dictionary through
+    // the 9->10->11-bit width changes — wrong early-change timing
+    // desyncs immediately
+    val w = 200; val h = 120
+    val g = Array.tabulate(w * h) { i =>
+      if (i % 3 == 0) 7.toByte else ((i / 7 * 31) % 256).toByte
+    }
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, g(y * w + x) & 0xff)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val d = Tiff.decode(bos.toByteArray)
+    assert(d.width === w && d.height === h)
+    assert(d.pixels.toSeq === g.toSeq)
+  }
+
   test("big-endian (MM) hand-built file decodes") {
     // 2x1 gray, pixel values 7 and 250, minimal MM layout
     def b16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
