@@ -228,6 +228,31 @@ class MixedOpsR5Spec extends AnyFunSuite {
     assert(out.find(r => r._1 == 1L && r._2 == 0).get._3 === 300L)
   }
 
+  test("chi2Features: perfect discriminator ranks first, all-docs token excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "alpha shared filler one"),
+      (2L, "en", "alpha shared filler two"),
+      (3L, "en", "alpha shared other words"),
+      (4L, "de", "beta shared filler one"),
+      (5L, "de", "beta shared filler two"),
+      (6L, "de", "beta shared other words"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.chi2Features(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4), r.getLong(5)))
+    // 'shared' appears in every doc -> excluded entirely
+    assert(!out.exists(_._2 == "shared"))
+    // the perfect discriminators rank #1 for their class with the max
+    // score: a=3,b=0,c=0,d=3 -> chi2 = N = 6 -> 6,000,000 ppm
+    val en1 = out.find(x => x._1 == "en" && x._4 == 1L).get
+    val de1 = out.find(x => x._1 == "de" && x._4 == 1L).get
+    assert(en1._2 === "alpha" && en1._3 === 6000000L)
+    assert(de1._2 === "beta" && de1._3 === 6000000L)
+    // class-independent tokens score 0: 'filler' is in 2 of each class
+    val filler = out.filter(_._2 == "filler")
+    assert(filler.forall(_._3 === 0L))
+  }
+
   test("abTest chi-square certificate matches the FP formula and verdicts") {
     import spark.implicits._
     // variant 0: 30 users, 12 convert; variant 1: 30 users, 3 convert
