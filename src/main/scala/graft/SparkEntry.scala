@@ -1657,6 +1657,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pages"))
       WebOps.crawlPriority(e1.unionByName(e2), pages)
     },
+    "orders_pareto" -> { (s, dir) =>
+      // revenue-concentration curve at exact decile boundaries
+      Relational.paretoCurve(s.read.parquet(s"$dir/orders.parquet"))
+    },
+    "text_vocab_growth" -> { (s, dir) =>
+      // Heaps curve at doubling prefixes via first-occurrence min —
+      // exact with no ordered scan
+      TextOps.vocabGrowth(documentsOf(s, dir))
+    },
     "orders_ltv" -> { (s, dir) =>
       // cohort LTV triangle: integer months, q4 money, one window + agg
       Relational.cohortLtv(s.read.parquet(s"$dir/orders.parquet"))
@@ -5845,6 +5854,33 @@ object SparkEntry {
           CAST(CAST(pr.rank AS HUGEINT) * pg.n_pages AS DECIMAL(38,0)) AS priority
         FROM pr JOIN pg ON pr.host = pg.host
         ORDER BY priority DESC, pr.host LIMIT 20""",
+
+    "orders_pareto" ->
+      """WITH per AS (SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 10000.0) AS BIGINT)) AS BIGINT) AS rev_q
+         FROM orders GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+              CAST(sum(rev_q) AS BIGINT) AS total_q FROM per),
+        r AS (SELECT o_custkey, rev_q,
+            row_number() OVER (ORDER BY rev_q DESC, o_custkey) AS rank,
+            sum(rev_q) OVER (ORDER BY rev_q DESC, o_custkey
+                             ROWS UNBOUNDED PRECEDING) AS cum_q
+          FROM per)
+        SELECT d.decile, CAST(r.rank AS BIGINT) AS n_top,
+          CAST(r.cum_q AS BIGINT) AS cum_q, n.total_q,
+          CAST(CAST(r.cum_q AS HUGEINT) * 1000000 // n.total_q AS BIGINT) AS share_ppm
+        FROM r CROSS JOIN n
+        JOIN range(1, 11) d(decile) ON r.rank = n.n_cust * d.decile // 10""",
+
+    "text_vocab_growth" -> (sqlToks +
+      """, vfirst AS (SELECT tok, min(doc_id) AS first_doc FROM dtoks GROUP BY 1),
+        nt AS (SELECT count(*) AS n_total FROM documents),
+        steps AS (SELECT 50 * (1 << i) AS n_docs_prefix FROM range(12) t(i))
+        SELECT s.n_docs_prefix, CAST(count(*) AS BIGINT) AS vocab
+        FROM vfirst f CROSS JOIN nt
+        JOIN steps s ON s.n_docs_prefix <= nt.n_total
+        WHERE f.first_doc < s.n_docs_prefix
+        GROUP BY 1"""),
 
     "orders_ltv" ->
       """WITH o AS (SELECT o_custkey,

@@ -561,6 +561,33 @@ object Relational {
         countDistinct(col("o_custkey")).as("n_customers"))
   }
 
+  /** Revenue-concentration (Pareto) curve: customers ranked by q4
+    * revenue descending, reporting at each decile boundary the exact
+    * cumulative revenue share in truncating ppm — the 80/20 report.
+    * Customer-grain global window (dim ≪ facts, the rfm note applies);
+    * every number integer, ties broken by custkey.
+    */
+  def paretoCurve(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = orders.groupBy("o_custkey")
+      .agg(sum(q4(col("o_totalprice"))).as("rev_q"))
+    val n = per.agg(count(lit(1)).as("n_cust"), sum(col("rev_q")).as("total_q"))
+    val w = Window.orderBy(col("rev_q").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val deciles = orders.sparkSession.range(1, 11).toDF("decile")
+    per
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rev_q").desc, col("o_custkey"))))
+      .withColumn("cum_q", sum(col("rev_q")).over(w))
+      .crossJoin(broadcast(n))
+      .join(broadcast(deciles),
+        col("rank") === expr("n_cust * decile DIV 10")) // boundary ranks
+      .withColumn("share_ppm",
+        expr("CAST(CAST(cum_q AS DECIMAL(38,0)) * 1000000 DIV total_q AS BIGINT)"))
+      .select(col("decile"), col("rank").cast("long").as("n_top"),
+        col("cum_q"), col("total_q"), col("share_ppm"))
+  }
+
   /** Market-basket co-occurrence with lift (the a-priori pair pass):
     * distinct (order, brand) items self-join on the order key — output
     * bounded by Σ basket², never all-pairs across orders — with the

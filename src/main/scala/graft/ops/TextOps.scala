@@ -253,6 +253,31 @@ object TextOps {
     withCounts.select(col("doc_id"), col("lang"), best._1.as("pred_lang"), best._2.as("n_markers"))
   }
 
+  /** Vocabulary-growth (Heaps) curve: distinct vocabulary size after
+    * the corpus' first N documents, at doubling prefix sizes — the
+    * corpus statistic behind tokenizer sizing and dedup-rate sanity
+    * checks. EXACT without any ordered scan: a token's first occurrence
+    * is min(doc_id) (one map-side-combined agg over distinct
+    * (doc_id, tok) pairs), and each prefix size then counts tokens with
+    * first_doc < N via a broadcast step join — never a sequential pass.
+    */
+  def vocabGrowth(docs: DataFrame, maxSteps: Int = 12): DataFrame = {
+    require(maxSteps >= 1 && maxSteps <= 31, s"maxSteps in [1,31], got $maxSteps")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val first = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+    val steps = (0 until maxSteps).map(i => 50L << i).toDF("n_docs_prefix")
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    first.crossJoin(broadcast(steps))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_docs_prefix") <= col("n_total")) // only realized prefixes
+      .filter(col("first_doc") < col("n_docs_prefix"))
+      .groupBy("n_docs_prefix")
+      .agg(count(lit(1)).as("vocab"))
+  }
+
   /** χ² feature selection per class — the classic discriminative-token
     * selector feeding bag-of-words classifiers: for each (token, class)
     * the 2×2 presence table (a = class docs containing the token,
