@@ -1661,6 +1661,10 @@ object SparkEntry {
       // revenue-concentration curve at exact decile boundaries
       Relational.paretoCurve(s.read.parquet(s"$dir/orders.parquet"))
     },
+    "text_burstiness" -> { (s, dir) =>
+      // Church-Gale VMR: exact integer second moments, top-20 bursty
+      TextOps.burstiness(documentsOf(s, dir))
+    },
     "text_vocab_growth" -> { (s, dir) =>
       // Heaps curve at doubling prefixes via first-occurrence min —
       // exact with no ordered scan
@@ -5871,6 +5875,24 @@ object SparkEntry {
           CAST(CAST(r.cum_q AS HUGEINT) * 1000000 // n.total_q AS BIGINT) AS share_ppm
         FROM r CROSS JOIN n
         JOIN range(1, 11) d(decile) ON r.rank = n.n_cust * d.decile // 10""",
+
+    "text_burstiness" -> (sqlToks +
+      """, pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        pt AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+            CAST(sum(c) AS BIGINT) AS sum_c,
+            CAST(sum(c * c) AS BIGINT) AS sum_c2
+          FROM pd GROUP BY 1 HAVING count(*) >= 3),
+        sc AS (SELECT pt.*, nt.n_docs,
+            CAST((1000000 * (CAST(nt.n_docs AS HUGEINT) * pt.sum_c2
+                             - CAST(pt.sum_c AS HUGEINT) * pt.sum_c))
+                 // (CAST(nt.n_docs AS HUGEINT) * pt.sum_c) AS BIGINT) AS vmr_ppm
+          FROM pt CROSS JOIN nt)
+        SELECT tok, df, sum_c, sum_c2, vmr_ppm, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, row_number() OVER
+            (ORDER BY vmr_ppm DESC, tok) AS rnk FROM sc)
+        WHERE rnk <= 20"""),
 
     "text_vocab_growth" -> (sqlToks +
       """, vfirst AS (SELECT tok, min(doc_id) AS first_doc FROM dtoks GROUP BY 1),

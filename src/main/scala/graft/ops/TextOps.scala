@@ -278,6 +278,37 @@ object TextOps {
       .agg(count(lit(1)).as("vocab"))
   }
 
+  /** Token burstiness (Church & Gale's variance-to-mean ratio): VMR > 1
+    * marks content words that clump in few documents, VMR ≈ 1 the
+    * Poisson-like function words — the statistic behind stopword
+    * induction and topical-term mining. Exact integer certificate over
+    * per-doc counts c_d (absent docs count 0):
+    * `vmr_ppm = 10⁶·(N·Σc² − (Σc)²) div (N·Σc)` — the scaled
+    * (variance/mean) with both moments exact sums. One (doc, tok) count
+    * agg then one per-token agg (both map-side combined); `minDf` bounds
+    * the reported set, top `k` on (vmr DESC, tok).
+    */
+  def burstiness(docs: DataFrame, minDf: Long = 3, k: Int = 20): DataFrame = {
+    require(k >= 1, s"burstiness: k must be >= 1, got $k")
+    val perDoc = tokenTable(docs).groupBy("tok", "doc_id")
+      .agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perTok = perDoc.groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("sum_c"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .filter(col("df") >= minDf)
+    val w = Window.orderBy(col("vmr_ppm").desc, col("tok"))
+    perTok.crossJoin(broadcast(nDocs))
+      .withColumn("vmr_ppm", expr("""CAST(
+          (1000000 * (CAST(n_docs AS DECIMAL(38,0)) * sum_c2
+                      - CAST(sum_c AS DECIMAL(38,0)) * sum_c))
+          DIV (CAST(n_docs AS DECIMAL(38,0)) * sum_c) AS BIGINT)"""))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("tok"), col("df"), col("sum_c"), col("sum_c2"),
+        col("vmr_ppm"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** χ² feature selection per class — the classic discriminative-token
     * selector feeding bag-of-words classifiers: for each (token, class)
     * the 2×2 presence table (a = class docs containing the token,
