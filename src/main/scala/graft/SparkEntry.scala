@@ -2369,6 +2369,11 @@ object SparkEntry {
       // weigh zero without gap-filling)
       Events.hourlyAnomaly(eventsOf(s, dir), windowHours = 24)
     },
+    "events_bots" -> { (s, dir) =>
+      // bot cadence: exact inter-event gap VMR per user; regular
+      // (scheduler-like) verdict below the threshold
+      Events.botCadence(eventsOf(s, dir))
+    },
     "events_forecast" -> { (s, dir) =>
       // seasonal-naive baseline error: period shift as a self-join (a
       // window lag would read across sparse-hour gaps), exact |err| sums
@@ -2928,6 +2933,10 @@ object SparkEntry {
       // RFM segmentation: recency vs the corpus max date (1-row
       // broadcast), quintiles via deterministic total-ordered ntile
       Relational.rfm(s.read.parquet(s"$dir/orders.parquet"))
+    },
+    "emb_outliers" -> { (s, dir) =>
+      // exact distance-to-centroid ranking via the centered_n identity
+      Similarity.centroidOutliers(embeddingsOf(s, dir))
     },
     "emb_center" -> { (s, dir) =>
       // exact mean-centering scaled by n: centered_n = q*n − Σq stays
@@ -3891,6 +3900,41 @@ object SparkEntry {
           b.b_value AS asof_value
         FROM probe p ASOF LEFT JOIN build b
           ON p.user_id = b.user_id AND p.ts >= b.ts""",
+    "events_bots" ->
+      """WITH g AS (SELECT user_id,
+           CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+             // 1000000 AS BIGINT) AS g
+         FROM events),
+        pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+            CAST(sum(g) AS BIGINT) AS sum_g, CAST(sum(g * g) AS BIGINT) AS sum_g2
+          FROM g WHERE g IS NOT NULL GROUP BY 1
+          HAVING count(*) >= 4 AND sum(g) > 0)
+        SELECT user_id, n_gaps, sum_g, sum_g2,
+          CAST((1000 * (CAST(n_gaps AS HUGEINT) * sum_g2
+                        - CAST(sum_g AS HUGEINT) * sum_g))
+               // (CAST(n_gaps AS HUGEINT) * sum_g) AS BIGINT) AS vmr_milli,
+          (1000 * (CAST(n_gaps AS HUGEINT) * sum_g2
+                   - CAST(sum_g AS HUGEINT) * sum_g))
+            // (CAST(n_gaps AS HUGEINT) * sum_g) < 200 AS regular
+        FROM pu""",
+
+    "emb_outliers" ->
+      """WITH q AS (SELECT e.vec_id, CAST(gs.i AS INT) AS pos,
+           CAST(round(CAST(e.embedding[gs.i + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS v
+         FROM embeddings e, generate_series(0, 63) gs(i)),
+        s AS (SELECT pos, CAST(sum(v) AS BIGINT) AS dim_sum,
+            CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+        d AS (SELECT q.vec_id,
+            CAST(sum(CAST(q.v * s.n - s.dim_sum AS HUGEINT)
+                   * (q.v * s.n - s.dim_sum)) AS DECIMAL(38,0)) AS dist2_n2,
+            max(s.n) AS n
+          FROM q JOIN s ON q.pos = s.pos GROUP BY 1)
+        SELECT vec_id, dist2_n2, n, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, row_number() OVER
+            (ORDER BY dist2_n2 DESC, vec_id) AS rnk FROM d)
+        WHERE rnk <= 20""",
+
     "events_forecast" ->
       """WITH h AS (SELECT event_type,
            CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour,

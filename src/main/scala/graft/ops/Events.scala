@@ -194,6 +194,34 @@ object Events {
           .as("spike_ppm"))
   }
 
+  /** Bot-cadence detection: humans are bursty, schedulers are regular —
+    * so the variance-to-mean ratio of a user's inter-event gaps (in
+    * seconds) is the classic signal. Both moments are exact integer
+    * sums (`vmr_milli = 10³·(n·Σg² − (Σg)²) div (n·Σg)`, Decimal(38)
+    * products), users under `minEvents` are skipped, and the verdict
+    * `regular` fires below `maxVmrMilli`. One user-ordered window (lag)
+    * sharing its exchange with the per-user agg.
+    */
+  def botCadence(events: DataFrame, minEvents: Long = 5,
+                 maxVmrMilli: Long = 200): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"),
+        expr("CAST((us - prev_us) DIV 1000000 AS BIGINT)").as("g"))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sum_g"),
+        sum(col("g") * col("g")).as("sum_g2"))
+      .filter(col("n_gaps") >= minEvents - 1 && col("sum_g") > 0)
+      .withColumn("vmr_milli", expr("""CAST(
+          (1000 * (CAST(n_gaps AS DECIMAL(38,0)) * sum_g2
+                   - CAST(sum_g AS DECIMAL(38,0)) * sum_g))
+          DIV (CAST(n_gaps AS DECIMAL(38,0)) * sum_g) AS BIGINT)"""))
+      .withColumn("regular", col("vmr_milli") < lit(maxVmrMilli))
+  }
+
   /** Seasonal-naive forecast evaluation — the baseline every real
     * forecasting pipeline is judged against: predict each hour's count
     * with the count one period earlier and report the exact absolute

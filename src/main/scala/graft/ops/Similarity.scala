@@ -595,6 +595,29 @@ object Similarity {
         (col("v") * col("n") - col("dim_sum")).as("centered_n"), col("n"))
   }
 
+  /** Embedding outliers by EXACT distance to the corpus centroid: with
+    * [[centerScaled]]'s identity centered_n = q·n − Σq, the squared
+    * distance to the mean scaled by n² is Σ_d centered_n² — an exact
+    * integer per vector, so the outlier ranking (the embedding-QA /
+    * mislabel-screening step before dedup trusts cosine geometry) is
+    * order-free and oracle-exact. Top `k` on (score DESC, vec_id).
+    * Decimal(38): d·(q·n)² ⇒ exact to n ≈ 10⁶ vectors per partition of
+    * the certificate; beyond, widen.
+    */
+  def centroidOutliers(embeddings: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"centroidOutliers: k must be >= 1, got $k")
+    val w = Window.orderBy(col("dist2_n2").desc, col("vec_id"))
+    centerScaled(embeddings)
+      .groupBy("vec_id")
+      .agg(sum(expr("CAST(centered_n AS DECIMAL(38,0)) * centered_n"))
+        .cast("decimal(38,0)").as("dist2_n2"),
+        max(col("n")).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("dist2_n2"), col("n"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Johnson–Lindenstrauss sketch via a deterministic ±1 sign matrix
     * (Achlioptas 2003: Rademacher entries preserve pairwise distances
     * with the same JL bound as Gaussians, and ±1·integer arithmetic is
