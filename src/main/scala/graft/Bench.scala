@@ -120,7 +120,11 @@ object Bench {
     "web_pagerank_weighted", "basket_pairs", "dedup_fuzzy_pairs",
     "orders_ltv", "select_reservoir",
     // GeoTIFF container: codec throughput + per-tile round trip
-    "mm_tiff_decode", "raster_tiff_roundtrip")
+    "mm_tiff_decode", "raster_tiff_roundtrip",
+    // corpus statistics + QA: chi2 features, burstiness, bot cadence,
+    // centroid outliers, vocab growth
+    "text_chi2_features", "text_burstiness", "events_bots",
+    "emb_outliers", "text_vocab_growth")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;

@@ -253,6 +253,38 @@ class MixedOpsR5Spec extends AnyFunSuite {
     assert(filler.forall(_._3 === 0L))
   }
 
+  test("botCadence: metronome user regular, bursty user not, short skipped") {
+    import spark.implicits._
+    val rows =
+      (0 until 10).map(i => (1L, 1000L + i * 60L, i.toLong)) ++   // exact 60s
+      Seq(2L -> 0L, 2L -> 5L, 2L -> 400L, 2L -> 401L, 2L -> 2000L, 2L -> 2004L)
+        .zipWithIndex.map { case ((u, s), i) => (u, 5000L + s, 100L + i) } ++
+      (0 until 3).map(i => (3L, 9000L + i * 10L, 200L + i))       // too short
+    val df = rows.map { case (u, s, id) =>
+      (u, new java.sql.Timestamp(s * 1000L), id) }
+      .toDF("user_id", "ts", "event_id")
+    val out = Events.botCadence(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(1L) === ((0L, true)))  // identical gaps -> VMR exactly 0
+    assert(!out(2L)._2 && out(2L)._1 > 200L)
+    assert(!out.contains(3L))
+  }
+
+  test("centroidOutliers: planted far vector ranks first, score exact") {
+    import spark.implicits._
+    val base = (1L to 9L).map(i => (i, Array.fill(3)(0.1f), 0))
+    val far = Seq((10L, Array(5.0f, -5.0f, 5.0f), 0))
+    val out = Similarity.centroidOutliers((base ++ far)
+        .toDF("vec_id", "embedding", "label"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDecimal(1), r.getLong(3)))
+    assert(out.head._1 === 10L && out.head._3 === 1L)
+    // exact score: centered_n for the far vector, dims (5000-100 grid):
+    // sums = 9*100 + 5000 = 5900 (dims 0,2), 9*100 - 5000 = -4100 (dim 1)
+    // centered = 5000*10 - 5900 = 44100 ; -5000*10 + 4100 = -45900
+    val want = BigInt(44100) * 44100 * 2 + BigInt(45900) * 45900
+    assert(BigInt(out.head._2.toBigInteger) === want)
+  }
+
   test("abTest chi-square certificate matches the FP formula and verdicts") {
     import spark.implicits._
     // variant 0: 30 users, 12 convert; variant 1: 30 users, 3 convert
