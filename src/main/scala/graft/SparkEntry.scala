@@ -537,6 +537,32 @@ object SparkEntry {
   /** Deterministic 60-image PNG fixture shared by the mm_phash_* queries:
     * 12 pattern families × 5 sparse-noise variants, 48×32 RGB.
     */
+  /** Deterministic 8-doc corpus for the block-codec roundtrip queries:
+    * literal-dominated prose, short-period RLE, pseudo-random noise, a
+    * pure run, token cycles, html-ish markup, a 1-byte doc, and repeated
+    * boilerplate — one payload shape per codec element kind.
+    */
+  private def lzFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val noise = {
+      var st = 7; val sb = new StringBuilder
+      while (sb.length < 500) { st = st * 1103515245 + 12345; sb.append(('a' + ((st >>> 16) % 26 + 26) % 26).toChar) }
+      sb.toString
+    }
+    val html = (0 until 40).map(i =>
+      s"""<div class="row"><a href="https://host$i.example/p/$i">page $i</a></div>""").mkString("\n")
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "ab" * 300),
+      (2L, noise),
+      (3L, "x" * 5000),
+      (4L, (0 until 80).map(i => s"token${i % 7}").mkString(" ")),
+      (5L, html),
+      (6L, "z"),
+      (7L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed do " * 8))
+      .toDF("doc_id", "text")
+  }
+
   private def phashImageFixture(s: SparkSession): DataFrame = {
     import s.implicits._
     s.range(60).map { id =>
@@ -1371,6 +1397,19 @@ object SparkEntry {
         (5L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed do " * 4))
         .toDF("doc_id", "text")
       TextOps.compressionRatio(docs)
+    },
+    "mm_snappy_roundtrip" -> { (s, _) =>
+      // from-scratch Snappy block codec (cross-validated both directions
+      // against org.xerial.snappy in LzSpec); pinned-constant oracle —
+      // the fixture is deterministic so comp_len is a constant, the
+      // text_comp_ratio class
+      graft.ops.Lz.roundtripTable(lzFixture(s), "doc_id", "text", "snappy")
+    },
+    "mm_lz4_roundtrip" -> { (s, _) =>
+      // from-scratch LZ4 block codec (cross-validated both directions
+      // against net.jpountz.lz4 incl. its HC encoder in LzSpec);
+      // pinned-constant oracle, same class as mm_snappy_roundtrip
+      graft.ops.Lz.roundtripTable(lzFixture(s), "doc_id", "text", "lz4")
     },
     "events_paths" -> { (s, dir) =>
       // top-20 session flows: 30-min sessions, first 5 steps, '>'-joined
@@ -5579,6 +5618,26 @@ object SparkEntry {
       (4, 419, 32, 76372),
       (5, 256, 63, 246093))
       AS t("doc_id", "raw_len", "comp_len", "ratio_ppm")""",
+    "mm_snappy_roundtrip" -> """SELECT * FROM (VALUES
+      (0, 63, 60, 952380, TRUE, 'the quick brown '),
+      (1, 600, 35, 58333, TRUE, 'abababababababab'),
+      (2, 500, 505, 1010000, TRUE, 'ueacftcsdbhvqmdk'),
+      (3, 5000, 240, 48000, TRUE, 'xxxxxxxxxxxxxxxx'),
+      (4, 559, 60, 107334, TRUE, 'token0 token1 to'),
+      (5, 2889, 607, 210107, TRUE, '<div class="row"'),
+      (6, 1, 3, 3000000, TRUE, 'z'),
+      (7, 512, 89, 173828, TRUE, 'Lorem ipsum dolo'))
+      AS t("doc_id", "raw_len", "comp_len", "ratio_ppm", "ok", "head")""",
+    "mm_lz4_roundtrip" -> """SELECT * FROM (VALUES
+      (0, 63, 61, 968253, TRUE, 'the quick brown '),
+      (1, 600, 14, 23333, TRUE, 'abababababababab'),
+      (2, 500, 503, 1006000, TRUE, 'ueacftcsdbhvqmdk'),
+      (3, 5000, 30, 6000, TRUE, 'xxxxxxxxxxxxxxxx'),
+      (4, 559, 45, 80500, TRUE, 'token0 token1 to'),
+      (5, 2889, 587, 203184, TRUE, '<div class="row"'),
+      (6, 1, 2, 2000000, TRUE, 'z'),
+      (7, 512, 76, 148437, TRUE, 'Lorem ipsum dolo'))
+      AS t("doc_id", "raw_len", "comp_len", "ratio_ppm", "ok", "head")""",
     // occurrence-level signed bucket counts, md5prefix mirror
     "text_hashing" -> (sqlToks +
       """ SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(SUM(sgn) AS BIGINT) AS val

@@ -1,0 +1,330 @@
+package graft.ops
+
+import java.util.Arrays
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** From-scratch Snappy and LZ4 **block-format** codecs — the two frame
+  * payload codecs a 100-TB lakehouse actually touches on every byte
+  * (parquet pages default to snappy; shuffle/event-log/broadcast blocks
+  * default to lz4). Implemented byte-level from the PUBLIC format
+  * documents only:
+  *
+  *  - Snappy: `google/snappy format_description.txt` — varint preamble
+  *    (uncompressed length), then tagged elements: 2-bit type in the tag
+  *    byte (00 literal, 01 copy/1-byte offset, 10 copy/2-byte offset,
+  *    11 copy/4-byte offset).
+  *  - LZ4: `lz4/lz4 doc/lz4_Block_format.md` — token byte with 4-bit
+  *    literal length / 4-bit match length (15 ⇒ 255-run extension
+  *    bytes), 2-byte little-endian offset, minimum match 4, and the
+  *    end-of-block rules (last sequence literal-only; an encoder never
+  *    starts a match within the last 12 bytes).
+  *
+  * Both decoders are strict (malformed input raises a diagnostic
+  * `IllegalArgumentException`, per the Mp4/Warc strictness adjudication)
+  * and overlap-correct (offset < length copies replicate byte-at-a-time,
+  * the RLE trick both formats rely on). Both encoders are greedy
+  * hash-chain-free matchers (one 4-byte rolling hash table, the shape of
+  * the reference implementations' fast paths) — any spec-valid encoding
+  * is acceptable because LzSpec cross-validates BOTH directions against
+  * the independent reference implementations shipped with Spark
+  * (org.xerial.snappy / net.jpountz.lz4, test classpath only; production
+  * code here depends on neither).
+  *
+  * Reference anchor: buteo resolves opaque compressed containers to
+  * typed arrays (`core_raster/core_raster_read.py`); these are the
+  * web-corpus payload analogs, same strict-container discipline as
+  * [[Warc]] gzip members (RFC 1952 there, snappy/lz4 block here).
+  */
+object Lz {
+
+  // ---------------------------------------------------------------- Snappy
+
+  /** Snappy block-format compress. Emits the varint preamble, then greedy
+    * literal/copy elements (copy-2 with 64-byte match cap — always valid;
+    * copy-1 is used when offset < 2048 and 4 <= len <= 11, mirroring the
+    * reference encoder's preference and exercising both copy shapes).
+    */
+  def snappyCompress(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length / 2 + 16)
+    // varint preamble: uncompressed length
+    var v = src.length
+    while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+    out.write(v)
+    val n = src.length
+    val shift = 18
+    val table = new Array[Int](1 << (32 - shift))
+    Arrays.fill(table, -1)
+    @inline def hash4(i: Int): Int = {
+      val x = ((src(i) & 0xff)) | ((src(i + 1) & 0xff) << 8) |
+        ((src(i + 2) & 0xff) << 16) | ((src(i + 3) & 0xff) << 24)
+      (x * 0x1e35a7bd) >>> shift
+    }
+    def emitLiteral(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val len = math.min(until - i, 0x10000)
+        val lm1 = len - 1
+        if (lm1 < 60) out.write(lm1 << 2)
+        else if (lm1 < 0x100) { out.write(60 << 2); out.write(lm1) }
+        else { out.write(61 << 2); out.write(lm1 & 0xff); out.write((lm1 >>> 8) & 0xff) }
+        out.write(src, i, len)
+        i += len
+      }
+    }
+    def emitCopy(offset: Int, length: Int): Unit = {
+      var len = length
+      while (len > 0) {
+        if (len >= 4 && len <= 11 && offset < 2048) {
+          out.write(1 | ((len - 4) << 2) | ((offset >>> 8) << 5))
+          out.write(offset & 0xff)
+          len = 0
+        } else {
+          val l = math.min(len, 64)
+          if (len - l < 4 && len - l > 0) {
+            // don't strand a tail shorter than the copy-1 minimum
+            val l2 = len - 4
+            out.write(2 | ((l2 - 1) << 2)); out.write(offset & 0xff); out.write((offset >>> 8) & 0xff)
+            len -= l2
+          } else {
+            out.write(2 | ((l - 1) << 2)); out.write(offset & 0xff); out.write((offset >>> 8) & 0xff)
+            len -= l
+          }
+        }
+      }
+    }
+    var i = 0
+    var litStart = 0
+    while (i + 4 <= n) {
+      val h = hash4(i)
+      val cand = table(h)
+      table(h) = i
+      if (cand >= 0 && i - cand <= 0xffff &&
+        src(cand) == src(i) && src(cand + 1) == src(i + 1) &&
+        src(cand + 2) == src(i + 2) && src(cand + 3) == src(i + 3)) {
+        emitLiteral(litStart, i)
+        var len = 4
+        while (i + len < n && src(cand + len) == src(i + len)) len += 1
+        emitCopy(i - cand, len)
+        // index a few positions inside the match so RLE runs keep matching
+        var j = i + 1
+        val stop = math.min(i + len, n - 4)
+        while (j < stop) { table(hash4(j)) = j; j += math.max(1, len / 8) }
+        i += len
+        litStart = i
+      } else i += 1
+    }
+    emitLiteral(litStart, n)
+    out.toByteArray
+  }
+
+  /** Snappy block-format decompress (strict). */
+  def snappyDecompress(src: Array[Byte]): Array[Byte] = {
+    var p = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"snappy: $msg at input offset $p")
+    // varint preamble
+    var total = 0L; var sh = 0; var more = true
+    while (more) {
+      if (p >= src.length) fail("truncated length varint")
+      val b = src(p) & 0xff; p += 1
+      total |= (b & 0x7fL) << sh; sh += 7
+      more = (b & 0x80) != 0
+      if (sh > 35) fail("length varint too long")
+    }
+    if (total > Int.MaxValue - 8) fail(s"unreasonable uncompressed length $total")
+    val out = new Array[Byte](total.toInt)
+    var o = 0
+    while (p < src.length) {
+      val tag = src(p) & 0xff; p += 1
+      (tag & 3) match {
+        case 0 =>
+          var len = (tag >>> 2) + 1
+          if (len > 60) {
+            val extra = len - 60
+            if (p + extra > src.length) fail("truncated literal length")
+            var l = 0; var k = 0
+            while (k < extra) { l |= (src(p + k) & 0xff) << (8 * k); k += 1 }
+            p += extra; len = l + 1
+            if (len < 0) fail("negative literal length")
+          }
+          if (p + len > src.length) fail("literal overruns input")
+          if (o + len > out.length) fail("literal overruns output")
+          System.arraycopy(src, p, out, o, len)
+          p += len; o += len
+        case tpe =>
+          var len = 0; var off = 0
+          tpe match {
+            case 1 =>
+              if (p >= src.length) fail("truncated copy-1")
+              len = 4 + ((tag >>> 2) & 7)
+              off = ((tag >>> 5) << 8) | (src(p) & 0xff); p += 1
+            case 2 =>
+              if (p + 2 > src.length) fail("truncated copy-2")
+              len = (tag >>> 2) + 1
+              off = (src(p) & 0xff) | ((src(p + 1) & 0xff) << 8); p += 2
+            case _ =>
+              if (p + 4 > src.length) fail("truncated copy-4")
+              len = (tag >>> 2) + 1
+              off = (src(p) & 0xff) | ((src(p + 1) & 0xff) << 8) |
+                ((src(p + 2) & 0xff) << 16) | ((src(p + 3) & 0xff) << 24)
+              p += 4
+              if (off < 0) fail("copy-4 offset overflow")
+          }
+          if (off <= 0 || off > o) fail(s"copy offset $off outside window ($o decoded)")
+          if (o + len > out.length) fail("copy overruns output")
+          var k = 0
+          while (k < len) { out(o + k) = out(o - off + k); k += 1 }
+          o += len
+      }
+    }
+    if (o != out.length) fail(s"decoded $o bytes, preamble promised ${out.length}")
+    out
+  }
+
+  // ------------------------------------------------------------------ LZ4
+
+  /** LZ4 block-format compress (greedy, end-of-block rules honored:
+    * no match starts within the last 12 bytes, last 5 bytes literal).
+    */
+  def lz4Compress(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length / 2 + 16)
+    val n = src.length
+    def writeLen(first: Int): Unit = {
+      var rest = first
+      while (rest >= 255) { out.write(255); rest -= 255 }
+      out.write(rest)
+    }
+    def emitSeq(litFrom: Int, litUntil: Int, off: Int, matchLen: Int): Unit = {
+      val litLen = litUntil - litFrom
+      val tokenLit = math.min(litLen, 15)
+      val tokenMatch = if (matchLen == 0) 0 else math.min(matchLen - 4, 15)
+      out.write((tokenLit << 4) | tokenMatch)
+      if (tokenLit == 15) writeLen(litLen - 15)
+      out.write(src, litFrom, litLen)
+      if (matchLen > 0) {
+        out.write(off & 0xff); out.write((off >>> 8) & 0xff)
+        if (tokenMatch == 15) writeLen(matchLen - 4 - 15)
+      }
+    }
+    val shift = 18
+    val table = new Array[Int](1 << (32 - shift))
+    Arrays.fill(table, -1)
+    @inline def hash4(i: Int): Int = {
+      val x = ((src(i) & 0xff)) | ((src(i + 1) & 0xff) << 8) |
+        ((src(i + 2) & 0xff) << 16) | ((src(i + 3) & 0xff) << 24)
+      (x * 0x1e35a7bd) >>> shift
+    }
+    val matchLimit = n - 12 // no match may START here or later (block rules)
+    var i = 0
+    var litStart = 0
+    while (i < matchLimit) {
+      val h = hash4(i)
+      val cand = table(h)
+      table(h) = i
+      if (cand >= 0 && i - cand <= 0xffff &&
+        src(cand) == src(i) && src(cand + 1) == src(i + 1) &&
+        src(cand + 2) == src(i + 2) && src(cand + 3) == src(i + 3)) {
+        var len = 4
+        // match may not cover the last 5 bytes
+        val end = n - 5
+        while (i + len < end && src(cand + len) == src(i + len)) len += 1
+        emitSeq(litStart, i, i - cand, len)
+        var j = i + 1
+        val stop = math.min(i + len, matchLimit)
+        while (j < stop) { table(hash4(j)) = j; j += math.max(1, len / 8) }
+        i += len
+        litStart = i
+      } else i += 1
+    }
+    emitSeq(litStart, n, 0, 0) // final literal-only sequence
+    out.toByteArray
+  }
+
+  /** LZ4 block-format decompress (strict; output grows as needed since
+    * the block format carries no length preamble).
+    */
+  def lz4Decompress(src: Array[Byte]): Array[Byte] = {
+    var p = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"lz4: $msg at input offset $p")
+    var out = new Array[Byte](math.max(64, src.length * 3))
+    var o = 0
+    def ensure(extra: Int): Unit =
+      if (o + extra > out.length) {
+        var cap = out.length
+        while (cap < o + extra) cap = cap * 2
+        out = Arrays.copyOf(out, cap)
+      }
+    def readLen(base: Int): Int = {
+      var len = base
+      if (base == 15) {
+        var b = 255
+        while (b == 255) {
+          if (p >= src.length) fail("truncated length run")
+          b = src(p) & 0xff; p += 1
+          len += b
+          if (len < 0) fail("length overflow")
+        }
+      }
+      len
+    }
+    if (src.length == 0) fail("empty block")
+    var done = false
+    while (!done) {
+      if (p >= src.length) fail("missing end-of-block literal sequence")
+      val token = src(p) & 0xff; p += 1
+      val litLen = readLen(token >>> 4)
+      if (p + litLen > src.length) fail("literals overrun input")
+      ensure(litLen)
+      System.arraycopy(src, p, out, o, litLen)
+      p += litLen; o += litLen
+      if (p == src.length) done = true // literal-only final sequence
+      else {
+        if (p + 2 > src.length) fail("truncated match offset")
+        val off = (src(p) & 0xff) | ((src(p + 1) & 0xff) << 8); p += 2
+        if (off == 0) fail("zero match offset is invalid")
+        if (off > o) fail(s"match offset $off outside window ($o decoded)")
+        val matchLen = readLen(token & 0xf) + 4
+        ensure(matchLen)
+        var k = 0
+        while (k < matchLen) { out(o + k) = out(o - off + k); k += 1 }
+        o += matchLen
+      }
+    }
+    Arrays.copyOf(out, o)
+  }
+
+  // ------------------------------------------------------------- table op
+
+  /** Partition-batched roundtrip audit over a text column: encode with
+    * the from-scratch codec, decode back, report exact byte accounting
+    * (`ratio_ppm` truncating, the [[TextOps.compressionRatio]]
+    * convention) plus a decoded-prefix witness. The per-row work is pure
+    * JVM byte crunching — at 10^12 rows this is a map-only stage with
+    * zero exchanges, the same shape as the WARC/gzip payload path.
+    */
+  def roundtripTable(df: DataFrame, idCol: String, textCol: String,
+                     codec: String): DataFrame = {
+    require(codec == "snappy" || codec == "lz4", s"unknown codec $codec")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val enc = if (codec == "snappy") snappyCompress(raw) else lz4Compress(raw)
+          val dec = if (codec == "snappy") snappyDecompress(enc) else lz4Decompress(enc)
+          val ok = Arrays.equals(raw, dec)
+          val headLen = math.min(16, dec.length)
+          val head = new String(dec, 0, headLen, "UTF-8")
+          (id, raw.length.toLong, enc.length.toLong,
+            enc.length.toLong * 1000000L / math.max(1L, raw.length.toLong),
+            ok, head)
+        }
+      }
+      .toDF(idCol, "raw_len", "comp_len", "ratio_ppm", "ok", "head")
+  }
+}
