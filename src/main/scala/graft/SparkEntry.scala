@@ -2171,6 +2171,23 @@ object SparkEntry {
       val d = documentsOf(s, dir)
       TextOps.lmScore(d, d.filter(col("doc_id") % 10 === 0))
     },
+    "text_heavy_mg" -> { (s, dir) =>
+      // Misra–Gries heavy hitters, k=30: bounded-state candidate
+      // prefilter (the merged-summary guarantee of Agarwal et al. 2012
+      // keeps every token with count·31 > N) + exact recount where all
+      // non-candidates collapse into ONE combiner cell — output is
+      // exactly the true heavy set with exact counts, deterministic at
+      // any parallelism. Sketch-prefilter + exact-verify, the
+      // geo_cover_pip adjudication applied to frequency.
+      Sketches.heavyHitters(TextOps.tokenTable(documentsOf(s, dir)), "tok", 30)
+    },
+    "url_shards" -> { (s, dir) =>
+      // rendezvous (HRW) re-sharding audit 10 → 11 shards: per-shard
+      // stay/move accounting; moved keys can ONLY land on the new shard
+      // (HRW minimal-movement invariant, spec-pinned). md5prefix oracle
+      // family; production default is xxhash64 on the identical plan.
+      graft.ops.Scalers.shardMoveAudit(Pages.pages(s, dir), "url", 10, 11, "md5prefix")
+    },
     "text_cms" -> { (s, dir) =>
       // Count-Min registers (width 256 × depth 4, md5prefix oracle
       // family) over the global token stream — the mergeable frequency
@@ -6785,6 +6802,32 @@ object SparkEntry {
            CAST(COALESCE(a.score, 0) AS BIGINT) AS score
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
+    "text_heavy_mg" ->
+      """WITH l AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         f AS (SELECT tok FROM l WHERE tok <> ''),
+         tot AS (SELECT count(*) AS total FROM f)
+        SELECT tok AS key, CAST(count(*) AS BIGINT) AS cnt,
+          (SELECT total FROM tot) AS total
+        FROM f GROUP BY tok
+        HAVING count(*) * 31 > (SELECT total FROM tot)""",
+
+    "url_shards" -> Pages.sqlWith(
+      """, sh AS (SELECT unnest(range(11)) AS s),
+         h AS (SELECT p.url, sh.s,
+             CAST('0x' || substr(md5(p.url || '#' || CAST(sh.s AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+           FROM pages p CROSS JOIN sh),
+         a10 AS (SELECT url, s FROM (SELECT url, s,
+             row_number() OVER (PARTITION BY url ORDER BY h DESC, s DESC) AS rn
+           FROM h WHERE s < 10) WHERE rn = 1),
+         a11 AS (SELECT url, s AS s_to FROM (SELECT url, s,
+             row_number() OVER (PARTITION BY url ORDER BY h DESC, s DESC) AS rn
+           FROM h) WHERE rn = 1)
+        SELECT CAST(a10.s AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(sum(CASE WHEN a11.s_to <> a10.s THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+          min(a10.url) AS min_key
+        FROM a10 JOIN a11 USING (url) GROUP BY a10.s"""),
 
     "text_cms" ->
       // one UNION ALL branch per depth row, each replaying the seeded

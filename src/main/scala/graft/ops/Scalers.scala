@@ -170,4 +170,54 @@ object Scalers {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: each key goes
+    * to `argmax over s of hash(key # s)` — the sharding rule whose
+    * defining property is MINIMAL MOVEMENT: growing n → n+1 shards moves
+    * exactly the keys whose new argmax is the new shard (expected 1/(n+1)
+    * of them), versus `hash % n` which reassigns ~all keys. That is the
+    * property a 10¹²-row bucketed table cares about on re-sharding: a
+    * COW rewrite touches 1/(n+1) of the buckets, not the whole table.
+    *
+    * Pure codegen: the n candidate hashes are an array of (hash, shard)
+    * structs and the argmax is `array_max`'s lexicographic struct order —
+    * map-only, no join, no UDF. Hash families per the shared convention:
+    * "xxhash64" (production) or "md5prefix" (oracle mirror, ties
+    * impossible in practice but broken deterministically by shard id).
+    */
+  def rendezvousShard(key: Column, nShards: Int,
+                      family: String = "xxhash64"): Column = {
+    require(nShards >= 1, s"rendezvous: nShards must be >= 1, got $nShards")
+    val cands = (0 until nShards).map { s =>
+      val tagged = concat(key.cast("string"), lit("#"), lit(s.toString))
+      val h = family match {
+        case "xxhash64" => xxhash64(tagged)
+        case "md5prefix" =>
+          conv(substring(md5(encode(tagged, "UTF-8")), 1, 15), 16, 10)
+            .cast("long")
+        case f => throw new IllegalArgumentException(s"unknown hash family: $f")
+      }
+      struct(h.as("h"), lit(s).as("s"))
+    }
+    array_max(array(cands: _*)).getField("s")
+  }
+
+  /** Re-sharding audit: assign every key under `nFrom` and `nTo` shards
+    * and report, per source shard, how many keys stay vs move. The HRW
+    * invariant this certifies: every moved key lands on a NEW shard id
+    * (>= nFrom) when growing — existing shards never trade keys among
+    * themselves.
+    */
+  def shardMoveAudit(df: DataFrame, keyCol: String, nFrom: Int, nTo: Int,
+                     family: String = "xxhash64"): DataFrame = {
+    val k = col(keyCol)
+    df.select(
+        rendezvousShard(k, nFrom, family).as("shard"),
+        rendezvousShard(k, nTo, family).as("shard_to"),
+        k.as("__k"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("shard_to") =!= col("shard"), 1L).otherwise(0L)).as("n_moved"),
+        min(col("__k")).as("min_key"))
+  }
 }

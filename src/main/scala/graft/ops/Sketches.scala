@@ -219,4 +219,78 @@ object Sketches {
       .otherwise(raw)
     summary.withColumn("est", est)
   }
+
+  // ------------------------------------------------- Misra–Gries heavy hitters
+
+  /** Misra–Gries candidate summary over `keyCol`: a typed Aggregator with
+    * a k-slot counter map, per-partition partials merged with the
+    * count-sum + (k+1)-th-largest-subtraction rule of Agarwal et al. 2012
+    * ("Mergeable summaries"), which preserves the MG guarantee: every key
+    * with true count f satisfying f·(k+1) > N survives the merged summary
+    * (undercount ≤ N/(k+1)). State is ≤ k counters regardless of key
+    * cardinality — the property that matters when the key universe is
+    * 10¹² tokens and an exact groupBy would shuffle all of it.
+    *
+    * The candidate SET depends on merge order (only the guarantee is
+    * order-free), so this is never a gate artifact by itself —
+    * [[heavyHitters]] recounts candidates exactly and filters on the
+    * exact threshold, making the final output deterministic at any
+    * parallelism. Sketch-prefilter + exact-verify, the geo_cover_pip
+    * adjudication applied to frequency.
+    */
+  def mgCandidates(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"mg: k must be >= 1, got $k")
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.Encoder
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Map[String, Long]] {
+      def zero: Map[String, Long] = Map.empty
+      def reduce(b: Map[String, Long], key: String): Map[String, Long] =
+        b.get(key) match {
+          case Some(c) => b.updated(key, c + 1)
+          case None if b.size < k => b.updated(key, 1L)
+          case None => // decrement-all; drop zeros (classic MG step)
+            b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+        }
+      def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+        val sum = b.foldLeft(a) { case (m, (key, c)) =>
+          m.updated(key, m.getOrElse(key, 0L) + c)
+        }
+        if (sum.size <= k) sum
+        else {
+          val kth = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          sum.view.mapValues(_ - kth).filter(_._2 > 0).toMap
+        }
+      }
+      def finish(r: Map[String, Long]): Map[String, Long] = r
+      def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+      def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string")).na.drop().as[String]
+      .select(agg.toColumn).toDF("summary")
+      .select(explode(col("summary")).as(Seq("key", "est")))
+  }
+
+  /** Exact heavy hitters via the MG prefilter: keys with
+    * count·(k+1) > N, strict. One MG pass (bounded state, map-side
+    * combined) finds ≤ k candidates; one recount pass groups every row
+    * under its candidate key or a single `null` bucket, so the exact
+    * threshold and the exact counts come out of the same aggregate.
+    * Non-candidates collapse into one combiner cell per task — no key
+    * explosion, no skew, and the MG guarantee makes the prefilter
+    * lossless, so the result is exactly the true heavy-hitter set.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val cands = mgCandidates(df, keyCol, k).collect().map(_.getString(0)).toSeq
+    val ck = when(col(keyCol).isin(cands: _*), col(keyCol))
+    val counts = df.na.drop(Seq(keyCol))
+      .groupBy(ck.as("key")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    counts.where(col("key").isNotNull)
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * (k + 1) > col("total"))
+      .select(col("key"), col("cnt"), col("total"))
+  }
 }
