@@ -2346,6 +2346,14 @@ object SparkEntry {
 
     // --- similarity search ---
     "ann_topk" -> { (s, dir) => Similarity.annTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5) },
+    "ml_knn" -> { (s, dir) =>
+      // kNN classifier eval: vec_id % 10 = 0 held out, exact integer
+      // squared-L2 on milli-quantized vectors, 5-NN majority vote with
+      // total-order ties ((dist, id) then (votes desc, label asc)) —
+      // bit-stable at any parallelism; test side broadcast, train side
+      // never shuffles (the annTopK probe pattern)
+      Similarity.knnClassifyEval(embeddingsOf(s, dir), k = 5, testMod = 10)
+    },
     "emb_quantize" -> { (s, dir) =>
       // SQ8 codes + per-vector scale, exploded to (vec_id, dim, code)
       // rows so every code byte is hash-checked
@@ -7247,6 +7255,7 @@ object SparkEntry {
         SELECT doc_id, n_set = 5 AS maybe_seen FROM probe""",
 
     "ann_topk" -> annTopKOracle,
+    "ml_knn" -> mlKnnOracle,
     "ann_ivf" -> annTopKOracle,
     "emb_quantize" ->
       // identical pinned op order: exact max, 127/maxabs division, one
@@ -9997,6 +10006,33 @@ object SparkEntry {
          FROM scored)
         SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5"""
+
+  private def mlKnnOracle: String = {
+    val dist = (1 to 64)
+      .map(i => s"(a.q[$i] - b.q[$i]) * (a.q[$i] - b.q[$i])").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       FROM embeddings),
+       scored AS (SELECT a.vec_id AS query_id, a.label AS label_true,
+           b.label AS nlabel, b.vec_id AS neighbor_id,
+           CAST($dist AS BIGINT) AS dist
+         FROM q a JOIN q b ON b.vec_id % 10 <> 0
+         WHERE a.vec_id % 10 = 0),
+       nearest AS (SELECT * FROM (SELECT query_id, label_true, nlabel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rank
+         FROM scored) WHERE rank <= 5),
+       votes AS (SELECT query_id, label_true, nlabel,
+           CAST(count(*) AS BIGINT) AS votes
+         FROM nearest GROUP BY query_id, label_true, nlabel),
+       best AS (SELECT * FROM (SELECT query_id, label_true, nlabel, votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, nlabel ASC) AS vrank
+         FROM votes) WHERE vrank = 1)
+       SELECT query_id AS vec_id, label_true, nlabel AS label_pred, votes,
+         (nlabel = label_true) AS correct
+       FROM best"""
+  }
 
   private def annTopKOracle: String = {
     val dot = (1 to 64).map(i => s"a.q[$i] * b.q[$i]").mkString(" + ")

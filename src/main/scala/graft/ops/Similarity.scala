@@ -37,6 +37,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact integer squared-L2 distance of two quantized vectors. */
+  def distQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** kNN classifier evaluation over the embedding table: held-out test
+    * vectors (`vec_id % testMod = 0`) are classified by majority vote of
+    * their k nearest TRAIN vectors under exact integer squared-L2 on the
+    * milli-quantized embeddings. Every step carries a total order —
+    * neighbor rank breaks ties by (dist asc, neighbor_id asc), the vote
+    * by (count desc, label asc) — so predictions are bit-stable at any
+    * parallelism and SQL-mirrorable.
+    *
+    * Scale shape: the test side (1/testMod of the corpus) broadcasts;
+    * the train side is scanned map-only and never shuffles — the
+    * [[annTopK]] probe pattern. The vote is two WindowGroupLimit passes
+    * over probe-bounded rows. At 10¹² train vectors the same code rides
+    * the IVF/LSH candidate pruning upstream; exactness of the vote given
+    * candidates is what this op pins.
+    */
+  def knnClassifyEval(embeddings: DataFrame, k: Int = 5,
+                      testMod: Long = 10): DataFrame = {
+    val q = embeddings.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("q"))
+    val test = q.filter(pmod(col("vec_id"), lit(testMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("label_true"),
+        col("q").as("pq"))
+    val train = q.filter(pmod(col("vec_id"), lit(testMod)) =!= 0)
+    val scored = train.join(broadcast(test))
+      .select(col("query_id"), col("label_true"),
+        col("label").as("nlabel"), col("vec_id").as("neighbor_id"),
+        distQ(col("pq"), col("q")).as("dist"))
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    val nearest = scored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+    val votes = nearest.groupBy("query_id", "label_true", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("nlabel").asc)
+    votes.withColumn("vrank", row_number().over(wv))
+      .filter(col("vrank") === 1)
+      .select(col("query_id").as("vec_id"), col("label_true"),
+        col("nlabel").as("label_pred"), col("votes"),
+        (col("nlabel") === col("label_true")).as("correct"))
+  }
+
   /** Per-vector symmetric int8 scalar quantization (the FAISS "SQ8"
     * recipe): code_i = ⌊x_i·(127/maxabs) + ½⌋ with the per-vector
     * dequantization scale maxabs/127 — the 4× memory/bandwidth cut that
