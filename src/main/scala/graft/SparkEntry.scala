@@ -1660,6 +1660,18 @@ object SparkEntry {
         lit("\nDisallow:")).as("robots_txt"))
       WebOps.robotsFilter(p.select("doc_id", "url"), WebOps.parseRobots(robots))
     },
+    "web_adjacency" -> { (s, dir) =>
+      // WebGraph/BV gap compression accounting over the host link graph
+      // (zigzag first successor + LEB128 gaps): ONE exchange on src
+      // (dedup + lag window + sum share it); AdjacencySpec proves the
+      // real byte codec produces exactly these lengths
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      WebOps.adjacencyCompress(e1.unionByName(e2))
+    },
     "web_pagerank" -> { (s, dir) =>
       // host-graph PageRank on a deterministic synthetic link graph
       // (each page emits two host→host links keyed on doc_id); exact
@@ -5970,6 +5982,29 @@ object SparkEntry {
           GROUP BY 1, 2, 3)
         SELECT doc_id, host, path, COALESCE(s % 2 = 1, true) AS allowed FROM sc""",
 
+    "web_adjacency" ->
+      """WITH e AS (SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
+             FROM documents
+           UNION ALL
+           SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents),
+         de AS (SELECT DISTINCT src, dst FROM e),
+         g AS (SELECT src, dst,
+             lag(dst) OVER (PARTITION BY src ORDER BY dst) AS prev FROM de),
+         enc AS (SELECT src,
+             CASE WHEN prev IS NULL THEN
+               CASE WHEN dst - src >= 0 THEN (dst - src) * 2
+                    ELSE (src - dst) * 2 - 1 END
+             ELSE dst - prev END AS enc FROM g)
+        SELECT src, CAST(count(*) AS BIGINT) AS degree,
+          CAST(sum(CASE WHEN enc < 128 THEN 1 WHEN enc < 16384 THEN 2
+                        WHEN enc < 2097152 THEN 3 WHEN enc < 268435456 THEN 4
+                        ELSE 5 END) AS BIGINT) AS bytes,
+          CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+          CAST(sum(CASE WHEN enc < 128 THEN 1 WHEN enc < 16384 THEN 2
+                        WHEN enc < 2097152 THEN 3 WHEN enc < 268435456 THEN 4
+                        ELSE 5 END) * 1000000
+               // (count(*) * 8) AS BIGINT) AS ratio_ppm
+        FROM enc GROUP BY src""",
     "web_pagerank" -> webPagerankOracle,
 
     "web_hyperball" -> webHyperballOracle,

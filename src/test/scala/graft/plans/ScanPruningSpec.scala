@@ -494,4 +494,45 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("web_adjacency: dedup, gap windows, and sum share ONE src exchange") {
+    // the in-window dedup exists precisely so no (src, dst)-keyed
+    // distinct shuffle precedes the src-keyed window
+    val p = physical("web_adjacency")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "web_adjacency grew a second shuffle:\n" + p.take(1500))
+  }
+
+  test("text_heavy_mg: exact recount keeps map-side partial aggregation") {
+    val p = physical("text_heavy_mg")
+    assert(p.contains("partial_"), "no map-side combine:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("url_shards: HRW assignment is map-only up to the final aggregate") {
+    val p = physical("url_shards")
+    // one exchange for the groupBy(shard); the argmax itself is a pure
+    // projection (array_max over structs), never a join or a window
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "url_shards grew a shuffle beyond the final agg:\n" + p.take(1500))
+    assert(!p.contains("Join"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("ml_knn: one query-keyed exchange, partial top-k below it, train map-only") {
+    val p = physical("ml_knn")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    // the single hash exchange is the k-NN window on query_id; the train
+    // scan feeds the broadcast probe join directly
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "ml_knn grew a shuffle beyond the probe window:\n" + p.take(1500))
+    // partial WindowGroupLimit below the exchange: only <=k rows per
+    // (partition, query) ever shuffle
+    assert(p.contains("row_number(), 5, Partial"),
+      "lost the partial top-k pushdown:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
 }
