@@ -537,6 +537,35 @@ object SparkEntry {
   /** Deterministic 60-image PNG fixture shared by the mm_phash_* queries:
     * 12 pattern families × 5 sparse-noise variants, 48×32 RGB.
     */
+  /** Name fixture for the Soundex queries: the NARA published vectors
+    * (Ashcraft, Tymczak, Pfister, Washington, ...) plus Knuth's classic
+    * equivalence families (Euler≡Ellery, Gauss≡Ghosh, Hilbert≡Heilbronn,
+    * Knuth≡Kant, Lukasiewicz≡Lissajous) so the blocked-pairs query has a
+    * nontrivial live block structure.
+    */
+  private val soundexNames: Seq[(Long, String)] = Seq(
+    (0L, "Robert"), (1L, "Rupert"), (2L, "Rubin"),
+    (3L, "Ashcraft"), (4L, "Ashcroft"),
+    (5L, "Tymczak"), (6L, "Pfister"),
+    (7L, "Washington"), (8L, "Lee"), (9L, "Gutierrez"),
+    (10L, "Jackson"), (11L, "Honeyman"),
+    (12L, "Smith"), (13L, "Smyth"), (14L, "Schmidt"),
+    (15L, "Johnson"), (16L, "Jonson"), (17L, "Jansen"),
+    (18L, "Williams"), (19L, "Wylliams"),
+    (20L, "Knuth"), (21L, "Kant"),
+    (22L, "Euler"), (23L, "Ellery"),
+    (24L, "Gauss"), (25L, "Ghosh"),
+    (26L, "Hilbert"), (27L, "Heilbronn"),
+    (28L, "Lukasiewicz"), (29L, "Lissajous"))
+
+  private def soundexNamesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    soundexNames.toDF("name_id", "name")
+  }
+
+  private def soundexNamesSql: String =
+    soundexNames.map { case (id, n) => s"($id, '$n')" }.mkString(", ")
+
   /** Deterministic 8-doc corpus for the block-codec roundtrip queries:
     * literal-dominated prose, short-period RLE, pseudo-random noise, a
     * pure run, token cycles, html-ish markup, a 1-byte doc, and repeated
@@ -2182,6 +2211,19 @@ object SparkEntry {
       // the backoff + OOV paths are exercised by the rest)
       val d = documentsOf(s, dir)
       TextOps.lmScore(d, d.filter(col("doc_id") % 10 === 0))
+    },
+    "text_soundex" -> { (s, _) =>
+      // American Soundex (NARA H/W rule) as ONE generated SQL expression
+      // shared verbatim with the oracle — translate + chained replace,
+      // no regex, no UDF, map-only codegen; published vectors pinned in
+      // SoundexSpec
+      TextOps.soundexKey(soundexNamesDf(s), "name")
+    },
+    "text_soundex_pairs" -> { (s, _) =>
+      // phonetic-blocked linkage candidates: equi-join on the soundex
+      // key (never all-pairs), id-ordered — the record-linkage blocking
+      // pattern with exact verifiers composing downstream
+      TextOps.soundexPairs(soundexNamesDf(s), "name_id", "name")
     },
     "text_heavy_mg" -> { (s, dir) =>
       // Misra–Gries heavy hitters, k=30: bounded-state candidate
@@ -6845,6 +6887,17 @@ object SparkEntry {
            CAST(COALESCE(a.score, 0) AS BIGINT) AS score
          FROM (SELECT DISTINCT doc_id FROM documents) d
          LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
+    "text_soundex" ->
+      s"""WITH n AS (SELECT * FROM (VALUES $soundexNamesSql) AS t(name_id, name))
+        SELECT name_id, name, ${TextOps.soundexSql("name")} AS key FROM n""",
+
+    "text_soundex_pairs" ->
+      s"""WITH n AS (SELECT * FROM (VALUES $soundexNamesSql) AS t(name_id, name)),
+         k AS (SELECT name_id, name, ${TextOps.soundexSql("name")} AS key FROM n)
+        SELECT a.key, a.name_id AS id_a, a.name AS name_a,
+               b.name_id AS id_b, b.name AS name_b
+        FROM k a JOIN k b ON a.key = b.key AND a.name_id < b.name_id""",
 
     "text_heavy_mg" ->
       """WITH l AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

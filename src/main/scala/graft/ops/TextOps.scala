@@ -1403,4 +1403,70 @@ object TextOps {
       }
       .toDF("doc_id", "raw_len", "comp_len", "ratio_ppm")
   }
+
+  // ------------------------------------------------------ Soundex blocking
+
+  /** American Soundex (the NARA variant: letters with equal codes
+    * separated by H/W are coded ONCE, separated by a vowel twice) as one
+    * engine-portable SQL expression — translate + chained replace +
+    * substr only, no regex (DuckDB's RE2 has no backreferences) and no
+    * UDF, so the SAME generated string is the Spark column (codegen'd)
+    * and the DuckDB oracle. Recipe:
+    *
+    *  1. first letter saved verbatim; its code (H/W → a '8' marker that
+    *     never collapses with a real code) prepended to the body codes;
+    *  2. body letters translated to digit codes, vowels → '0'
+    *     (collapse blockers), H/W deleted by the translate (adjacent
+    *     equal codes then merge across them — exactly the NARA rule);
+    *  3. equal-adjacent runs collapsed by 5 replace passes per digit
+    *     (left-to-right non-overlapping replace halves a run per pass —
+    *     5 passes cover names up to 32 letters);
+    *  4. drop the leading code (it stands for the saved first letter),
+    *     strip the vowel markers, keep 3 digits zero-padded.
+    */
+  def soundexSql(c: String): String = {
+    def codeOf(ch: Char): Option[Char] = ch match {
+      case 'B' | 'F' | 'P' | 'V' => Some('1')
+      case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => Some('2')
+      case 'D' | 'T' => Some('3')
+      case 'L' => Some('4')
+      case 'M' | 'N' => Some('5')
+      case 'R' => Some('6')
+      case 'H' | 'W' => None
+      case _ => Some('0') // A E I O U Y
+    }
+    val letters = ('A' to 'Z').toSeq
+    val keep = letters.filter(l => codeOf(l).isDefined)
+    val bodyFrom = (keep ++ Seq('H', 'W')).mkString
+    val bodyTo = keep.flatMap(codeOf).mkString
+    val firstTo = letters.map(l => codeOf(l).getOrElse('8')).mkString
+    val up = s"upper($c)"
+    val first = s"substr($up, 1, 1)"
+    val fcode = s"translate($first, '${letters.mkString}', '$firstTo')"
+    val body = s"translate(substr($up, 2), '$bodyFrom', '$bodyTo')"
+    var collapsed = s"($fcode || $body)"
+    for (_ <- 0 until 5; d <- '0' to '6')
+      collapsed = s"replace($collapsed, '$d$d', '$d')"
+    val stripped = s"replace(substr($collapsed, 2), '0', '')"
+    s"($first || rpad(substr($stripped, 1, 3), 3, '0'))"
+  }
+
+  /** Soundex key column (map-only, codegen'd — the blocking key for
+    * phonetic record linkage at corpus scale).
+    */
+  def soundexKey(df: DataFrame, nameCol: String): DataFrame =
+    df.withColumn("key", expr(soundexSql(nameCol)))
+
+  /** Phonetic-blocked linkage pairs: equi-join on the Soundex key,
+    * id-ordered (a < b). The blocking pattern of every record-linkage
+    * pipeline: candidate pairs come from a key equi-join (shuffle on the
+    * key, AQE handles hot blocks), never from an all-pairs product; an
+    * exact verifier (edit distance, containment) composes downstream.
+    */
+  def soundexPairs(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val keyed = soundexKey(df, nameCol)
+    val a = keyed.select(col("key"), col(idCol).as("id_a"), col(nameCol).as("name_a"))
+    val b = keyed.select(col("key"), col(idCol).as("id_b"), col(nameCol).as("name_b"))
+    a.join(b, Seq("key")).where(col("id_a") < col("id_b"))
+  }
 }
