@@ -537,6 +537,31 @@ object SparkEntry {
   /** Deterministic 60-image PNG fixture shared by the mm_phash_* queries:
     * 12 pattern families × 5 sparse-noise variants, 48×32 RGB.
     */
+  /** Street-grid fixture for the map-matching snap join, laid over the
+    * hot-page microdegree cluster: horizontals, verticals, a diagonal
+    * that passes exactly through the point lattice (zero-distance snaps
+    * live), a short segment that every point clamps past (endpoint-b
+    * case), and a far offset segment (endpoint-a case).
+    */
+  private val roadSegs: Seq[(Long, Long, Long, Long, Long)] = Seq(
+    (0L, 2350000L, 48850000L, 2360000L, 48850000L),
+    (1L, 2350000L, 48853000L, 2360000L, 48853000L),
+    (2L, 2350000L, 48856000L, 2360000L, 48856000L),
+    (3L, 2352000L, 48848000L, 2352000L, 48860000L),
+    (4L, 2355000L, 48848000L, 2355000L, 48860000L),
+    (5L, 2350000L, 48850000L, 2360000L, 48860000L),
+    (6L, 2349000L, 48849000L, 2349500L, 48849500L),
+    (7L, 2360000L, 48861000L, 2365000L, 48866000L))
+
+  private def roadSegsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    roadSegs.toDF("seg_id", "ax", "ay", "bx", "by")
+  }
+
+  private def roadSegsSql: String = roadSegs
+    .map { case (i, ax, ay, bx, by) => s"($i, $ax, $ay, $bx, $by)" }
+    .mkString(", ")
+
   /** Name fixture for the Soundex queries: the NARA published vectors
     * (Ashcraft, Tymczak, Pfister, Washington, ...) plus Knuth's classic
     * equivalence families (Euler≡Ellery, Gauss≡Ghosh, Hilbert≡Heilbronn,
@@ -835,6 +860,15 @@ object SparkEntry {
       RangeJoin.selfJoinCells(pts, radiusUdeg = 2000000L, level = 6)
     },
 
+    "geo_snap_roads" -> { (s, dir) =>
+      // map-matching: hot-cluster pages snapped to the broadcast street
+      // grid with EXACT rational distance certificates (num/den, no
+      // sqrt/division ever) and a cross-multiplied Decimal dominance
+      // argmin — the trajectory-snapping primitive at crawl scale
+      val p = Pages.pages(s, dir).where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lon_udeg").as("x"), col("lat_udeg").as("y"))
+      graft.joins.SnapJoin.snapToSegments(p, roadSegsDf(s))
+    },
     "geo_range_join" -> { (s, dir) =>
       // distance-within join: pages within 3 degrees of each probe page,
       // via a broadcast cell-cover prefilter + exact integer verify. The
@@ -4367,6 +4401,33 @@ object SparkEntry {
             + (a.lat_udeg - b.lat_udeg) * (a.lat_udeg - b.lat_udeg)
             <= 4000000000000"""),
 
+    "geo_snap_roads" -> Pages.sqlWith(
+      s""", segs AS (SELECT * FROM (VALUES $roadSegsSql)
+             AS t(seg_id, ax, ay, bx, by)),
+         pts AS (SELECT doc_id, lon_udeg AS x, lat_udeg AS y
+           FROM pages WHERE doc_id % 10 = 0),
+         c2 AS (SELECT p.doc_id, s.seg_id, p.x, p.y, s.bx, s.by,
+             (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay) AS r,
+             (p.x - s.ax) * (s.bx - s.ax) + (p.y - s.ay) * (s.by - s.ay) AS dot,
+             (p.x - s.ax) * (p.x - s.ax) + (p.y - s.ay) * (p.y - s.ay) AS w2
+           FROM pts p CROSS JOIN segs s),
+         scored AS (SELECT doc_id, seg_id,
+             CASE WHEN dot <= 0 THEN 'a' WHEN dot >= r THEN 'b'
+                  ELSE 'mid' END AS snap_case,
+             CAST(CASE WHEN dot <= 0 THEN w2
+                  WHEN dot >= r THEN (x - bx) * (x - bx) + (y - by) * (y - by)
+                  ELSE w2 * r - dot * dot END AS BIGINT) AS dist_num,
+             CAST(CASE WHEN dot <= 0 OR dot >= r THEN 1 ELSE r END AS BIGINT)
+               AS dist_den
+           FROM c2)
+        SELECT c.doc_id, c.seg_id, c.snap_case, c.dist_num, c.dist_den
+        FROM scored c
+        WHERE NOT EXISTS (SELECT 1 FROM scored o WHERE o.doc_id = c.doc_id
+          AND (CAST(o.dist_num AS HUGEINT) * c.dist_den
+                 < CAST(c.dist_num AS HUGEINT) * o.dist_den
+               OR (CAST(o.dist_num AS HUGEINT) * c.dist_den
+                     = CAST(c.dist_num AS HUGEINT) * o.dist_den
+                   AND o.seg_id < c.seg_id)))"""),
     "geo_range_join" -> Pages.sqlWith(
       """SELECT pr.doc_id AS probe_id, t.doc_id AS target_id,
           (t.lon_udeg - pr.lon_udeg) * (t.lon_udeg - pr.lon_udeg)
