@@ -2317,6 +2317,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/events.parquet"),
         Seq("view", "click", "purchase"))
     },
+    "events_attribution" -> { (s, dir) =>
+      // last-touch (ever) + first-touch (7-day lookback) attribution per
+      // purchase: two window frames over ONE user exchange, never a
+      // conversions×touches self-join; revenue as exact integer cents
+      Events.attribution(s.read.parquet(s"$dir/events.parquet"))
+    },
+    "quality_drift" -> { (s, dir) =>
+      // exact total-variation drift between doc_id-parity cohorts over
+      // bucketed n_chars: per-bucket cross-multiplied imbalance (no
+      // per-bucket division — empty-on-one-side buckets need no
+      // epsilon), tv_ppm from the exact integer sum
+      Quality.drift(
+        documentsOf(s, dir).withColumn("cohort", col("doc_id") % 2),
+        "n_chars", "cohort", bucketWidth = 16)
+    },
     "text_pack" -> { (s, dir) =>
       // 512-token packing manifest; bucket=64 so the distributed
       // prefix-sum path (bucket offsets + local cumsum) actually
@@ -7053,6 +7068,45 @@ object SparkEntry {
            MIN(CASE WHEN cum * 100 >= n * 99 THEN n_toks END) AS p99,
            MAX(n_toks) AS max_toks
          FROM cum GROUP BY lang""",
+
+    "events_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (SELECT *,
+             max(CASE WHEN event_type = 'click' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_touch_us,
+             min(CASE WHEN event_type = 'click' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+               AS first_touch_us
+           FROM e)
+        SELECT event_id, user_id, us AS conv_us, value_cents, last_touch_us,
+          first_touch_us, last_touch_us IS NOT NULL AS attributed
+        FROM w WHERE event_type = 'purchase'""",
+
+    "quality_drift" ->
+      """WITH b AS (SELECT n_chars - (n_chars % 16) AS bucket,
+             doc_id % 2 AS cohort FROM documents),
+         g AS (SELECT bucket,
+             sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN cohort <> 0 THEN 1 ELSE 0 END) AS n_b
+           FROM b GROUP BY bucket),
+         t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM g),
+         c AS (SELECT g.bucket, g.n_a, g.n_b,
+             abs(CAST(g.n_a AS HUGEINT) * t.tot_b
+                 - CAST(g.n_b AS HUGEINT) * t.tot_a) AS imbalance,
+             t.tot_a, t.tot_b
+           FROM g CROSS JOIN t),
+         tv AS (SELECT CAST(sum(imbalance) * 1000000
+               // (2 * CAST(max(tot_a) AS HUGEINT) * max(tot_b)) AS BIGINT)
+             AS tv_ppm FROM c)
+        SELECT c.bucket, CAST(c.n_a AS BIGINT) AS n_a,
+          CAST(c.n_b AS BIGINT) AS n_b,
+          CAST(c.imbalance AS BIGINT) AS imbalance, tv.tv_ppm
+        FROM c CROSS JOIN tv""",
 
     "events_funnel" ->
       // the same per-step min-reach-time chain; epoch_us is DuckDB's

@@ -504,4 +504,35 @@ object Events {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
         sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
+
+  /** Marketing attribution per conversion: last-touch = the latest
+    * `touchType` by the same user at or before the conversion (ever);
+    * first-touch = the earliest touch inside the `lookbackUs` window.
+    * Both are single RANGE/ROWS frames over ONE user-keyed exchange —
+    * no self-join, no per-conversion scan: the window machinery carries
+    * the candidate touch with the running max/min, which is the shape
+    * that survives 10¹² events (a conversions×touches join would not).
+    * Revenue is carried as exact integer cents.
+    */
+  def attribution(events: DataFrame, touchType: String = "click",
+                  convType: String = "purchase",
+                  lookbackUs: Long = 7L * 24 * 3600 * 1000000): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val e = events.select(col("event_id"), col("user_id"), col("event_type"),
+      us.as("us"), round(col("value") * 100).cast("long").as("value_cents"))
+      .where(col("event_type").isin(touchType, convType))
+    val touchUs = when(col("event_type") === touchType, col("us"))
+    // ties (touch and conversion at the same microsecond) count: the
+    // frame upper bound is CURRENT ROW in RANGE terms, i.e. us <= conv_us
+    val wLast = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFirst = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-lookbackUs, Window.currentRow)
+    e.withColumn("last_touch_us", max(touchUs).over(wLast))
+      .withColumn("first_touch_us", min(touchUs).over(wFirst))
+      .where(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("us").as("conv_us"),
+        col("value_cents"), col("last_touch_us"), col("first_touch_us"),
+        col("last_touch_us").isNotNull.as("attributed"))
+  }
 }
