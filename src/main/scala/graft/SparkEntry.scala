@@ -1735,6 +1735,18 @@ object SparkEntry {
         ((col("doc_id") * 17 + 3) % 97).as("dst"))
       WebOps.adjacencyCompress(e1.unionByName(e2))
     },
+    "web_adjacency_rice" -> { (s, dir) =>
+      // Rice-coded posting accounting over the same gap frame:
+      // k = floor(log2(mean gap)) per source via the shared generated
+      // CASE recipe, exact bit totals, varint bytes alongside — the
+      // codec-selection table for a posting-list format
+      val d = documentsOf(s, dir)
+      val e1 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 31 + 7) % 97).as("dst"))
+      val e2 = d.select((col("doc_id") % 97).as("src"),
+        ((col("doc_id") * 17 + 3) % 97).as("dst"))
+      WebOps.adjacencyRice(e1.unionByName(e2))
+    },
     "web_pagerank" -> { (s, dir) =>
       // host-graph PageRank on a deterministic synthetic link graph
       // (each page emits two host→host links keyed on doc_id); exact
@@ -2449,6 +2461,12 @@ object SparkEntry {
 
     // --- similarity search ---
     "ann_topk" -> { (s, dir) => Similarity.annTopK(embeddingsOf(s, dir), probeMaxId = 50, k = 5) },
+    "ml_centroid" -> { (s, dir) =>
+      // nearest-centroid (Rocchio) eval: exact rational class centroids
+      // (coordinate sums + counts, never divided), cross-multiplied
+      // Decimal dominance argmin, ties to the lower label
+      Similarity.centroidClassifyEval(embeddingsOf(s, dir), testMod = 10)
+    },
     "ml_knn" -> { (s, dir) =>
       // kNN classifier eval: vec_id % 10 = 0 held out, exact integer
       // squared-L2 on milli-quantized vectors, 5-NN majority vote with
@@ -6123,6 +6141,31 @@ object SparkEntry {
                         ELSE 5 END) * 1000000
                // (count(*) * 8) AS BIGINT) AS ratio_ppm
         FROM enc GROUP BY src""",
+    "web_adjacency_rice" ->
+      s"""WITH e AS (SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
+             FROM documents
+           UNION ALL
+           SELECT doc_id % 97, (doc_id * 17 + 3) % 97 FROM documents),
+         de AS (SELECT DISTINCT src, dst FROM e),
+         g AS (SELECT src, dst,
+             lag(dst) OVER (PARTITION BY src ORDER BY dst) AS prev FROM de),
+         enc AS (SELECT src,
+             CASE WHEN prev IS NULL THEN
+               CASE WHEN dst - src >= 0 THEN (dst - src) * 2
+                    ELSE (src - dst) * 2 - 1 END
+             ELSE dst - prev END AS enc FROM g),
+         kk AS (SELECT src, enc,
+             (${WebOps.floorLog2Sql(
+                 "greatest(1, (sum(enc) OVER (PARTITION BY src)) // (count(*) OVER (PARTITION BY src)))")})
+               AS k FROM enc)
+        SELECT src, CAST(count(*) AS BIGINT) AS degree,
+          CAST(max(k) AS INT) AS k,
+          CAST(sum((enc >> k) + 1 + k) AS BIGINT) AS rice_bits,
+          CAST((sum((enc >> k) + 1 + k) + 7) // 8 AS BIGINT) AS rice_bytes,
+          CAST(sum(CASE WHEN enc < 128 THEN 1 WHEN enc < 16384 THEN 2
+                        WHEN enc < 2097152 THEN 3 WHEN enc < 268435456 THEN 4
+                        ELSE 5 END) AS BIGINT) AS varint_bytes
+        FROM kk GROUP BY src""",
     "web_pagerank" -> webPagerankOracle,
 
     "web_hyperball" -> webHyperballOracle,
@@ -7459,6 +7502,32 @@ object SparkEntry {
 
     "ann_topk" -> annTopKOracle,
     "ml_knn" -> mlKnnOracle,
+    "ml_centroid" ->
+      """WITH q AS (SELECT vec_id, label,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+         FROM embeddings),
+       tr AS (SELECT * FROM q WHERE vec_id % 10 <> 0),
+       cent AS (SELECT label, d.i AS dim, sum(q[d.i]) AS s,
+           CAST(count(*) AS BIGINT) AS n
+         FROM tr CROSS JOIN range(1, 65) d(i) GROUP BY label, d.i),
+       te AS (SELECT vec_id, label AS label_true, d.i AS dim, q[d.i] AS v
+         FROM q CROSS JOIN range(1, 65) d(i) WHERE vec_id % 10 = 0),
+       cand AS (SELECT te.vec_id, te.label_true, c.label,
+           sum(CAST(c.n * te.v - c.s AS HUGEINT) * (c.n * te.v - c.s)) AS d2n2,
+           max(c.n) AS n
+         FROM te JOIN cent c USING (dim)
+         GROUP BY te.vec_id, te.label_true, c.label)
+      SELECT c.vec_id, c.label_true, c.label AS label_pred,
+        CAST(c.d2n2 AS BIGINT) AS d2n2, c.n,
+        (c.label = c.label_true) AS correct
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM cand o WHERE o.vec_id = c.vec_id
+        AND (CAST(o.d2n2 AS HUGEINT) * c.n * c.n
+               < CAST(c.d2n2 AS HUGEINT) * o.n * o.n
+             OR (CAST(o.d2n2 AS HUGEINT) * c.n * c.n
+                   = CAST(c.d2n2 AS HUGEINT) * o.n * o.n
+                 AND o.label < c.label)))""",
     "ann_ivf" -> annTopKOracle,
     "emb_quantize" ->
       // identical pinned op order: exact max, 127/maxabs division, one

@@ -83,6 +83,55 @@ object Similarity {
         (col("nlabel") === col("label_true")).as("correct"))
   }
 
+  /** Nearest-centroid (Rocchio) classifier evaluation with EXACT
+    * RATIONAL centroids — the [[kMeans]] device applied to supervised
+    * labels: a class centroid is never divided out; it stays the pair
+    * (s⃗_l, n_l) of integer coordinate sums and member count, the
+    * test-side distance is the exact integer
+    * D_l = ‖n_l·p⃗ − s⃗_l‖² (= d²·n_l²), and the argmin over labels
+    * compares D_l/n_l² by cross-multiplication in Decimal(38) via a
+    * dominance anti join, ties to the lower label. Bit-stable at any
+    * parallelism, brute-force SQL-mirrorable.
+    *
+    * Scale shape: centroid estimation is one posexplode +
+    * map-side-combined (label, dim) aggregate (k·64 rows total); the
+    * candidate scoring joins the exploded test rows against the
+    * BROADCAST centroid table and re-aggregates per (vec, label); the
+    * dominance join is keyed on vec_id with label-count-bounded groups.
+    */
+  def centroidClassifyEval(embeddings: DataFrame,
+                           testMod: Long = 10): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = embeddings.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("q"))
+    val train = q.filter(pmod(col("vec_id"), lit(testMod)) =!= 0)
+    val cent = train
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "cv")))
+      .groupBy("label", "dim")
+      .agg(sum("cv").as("s"), count(lit(1)).as("n"))
+    val test = q.filter(pmod(col("vec_id"), lit(testMod)) === 0)
+      .select(col("vec_id"), col("label").as("label_true"),
+        posexplode(col("q")).as(Seq("dim", "v")))
+    val cand = test.join(broadcast(cent), Seq("dim"))
+      .groupBy("vec_id", "label_true", "label")
+      .agg(sum((col("n") * col("v") - col("s")) *
+          (col("n") * col("v") - col("s"))).as("d2n2"),
+        max("n").as("n"))
+    val c = cand.alias("c")
+    val o = cand.alias("o")
+    val better =
+      (col("o.vec_id") === col("c.vec_id")) && (
+        (col("o.d2n2").cast(dec) * col("c.n") * col("c.n") <
+          col("c.d2n2").cast(dec) * col("o.n") * col("o.n")) ||
+        (col("o.d2n2").cast(dec) * col("c.n") * col("c.n") ===
+          col("c.d2n2").cast(dec) * col("o.n") * col("o.n")) &&
+          col("o.label") < col("c.label"))
+    c.join(o, better, "left_anti")
+      .select(col("vec_id"), col("label_true"),
+        col("label").as("label_pred"), col("d2n2"), col("n"),
+        (col("label") === col("label_true")).as("correct"))
+  }
+
   /** Per-vector symmetric int8 scalar quantization (the FAISS "SQ8"
     * recipe): code_i = ⌊x_i·(127/maxabs) + ½⌋ with the per-vector
     * dequantization scale maxabs/127 — the 4× memory/bandwidth cut that

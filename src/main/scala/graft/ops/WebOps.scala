@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable.ArrayBuffer
+
 /** URL-level operators for web-corpus pipelines over the `pages` table
   * (Common-Crawl-style `(url, warc_ts, html, text, lang)` rows): URL
   * normalization for URL-keyed dedup, and per-host corpus statistics —
@@ -1573,12 +1575,14 @@ object WebOps {
     * are the real byte codec the accounting describes; AdjacencySpec
     * proves encoded length ≡ the query's arithmetic, row for row.
     */
-  def adjacencyCompress(edges: DataFrame): DataFrame = {
+  /** Shared gap frame: (src, dst, enc) with duplicate edges removed
+    * INSIDE the src partitioning (a row equal to its lag is a
+    * duplicate) instead of a .distinct() — that would cost a second
+    * exchange on (src, dst) before the window's exchange on src.
+    */
+  private def gapFrame(edges: DataFrame): DataFrame = {
     val w = Window.partitionBy("src").orderBy("dst")
-    // dedup INSIDE the src partitioning (a row equal to its lag is a
-    // duplicate edge) instead of a .distinct() — that would cost a
-    // second exchange on (src, dst) before the window's exchange on src
-    val gapped = edges.select(col("src").cast("long").as("src"),
+    edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .withColumn("dup", lag(col("dst"), 1).over(w) === col("dst"))
       .where(!coalesce(col("dup"), lit(false)))
@@ -1589,11 +1593,92 @@ object WebOps {
           when(col("dst") - col("src") >= 0, (col("dst") - col("src")) * 2)
             .otherwise((col("src") - col("dst")) * 2 - 1))
           .otherwise(col("dst") - col("prev")))
-    gapped.groupBy("src")
+  }
+
+  def adjacencyCompress(edges: DataFrame): DataFrame = {
+    gapFrame(edges).groupBy("src")
       .agg(count(lit(1)).as("degree"),
         sum(varintLen(col("enc")).cast("long")).as("bytes"))
       .withColumn("raw_bytes", col("degree") * 8L)
       .withColumn("ratio_ppm", expr("bytes * 1000000 div raw_bytes"))
+  }
+
+  /** Engine-portable floor(log2(v)) for 1 ≤ v < 2^35 as a generated
+    * CASE chain — shared verbatim by the Spark column and the DuckDB
+    * oracle (no float log, whose boundary values would diverge).
+    */
+  def floorLog2Sql(v: String): String =
+    (1 to 34).map(b => s"WHEN $v < ${1L << b} THEN ${b - 1}")
+      .mkString("CASE ", " ", " ELSE 34 END")
+
+  /** Rice/Golomb-coded adjacency accounting over the same gap frame as
+    * [[adjacencyCompress]]: per source the Rice parameter
+    * k = floor(log2(max(1, mean gap))) (the textbook near-optimal
+    * choice for geometric gaps), each value costing
+    * (v >> k) + 1 + k bits (unary quotient, stop bit, k remainder
+    * bits). Output per source: degree, k, exact total bits, bytes
+    * (ceil), and the varint bytes for comparison — the accounting a
+    * posting-list format chooses its codec by. Same ONE-exchange shape:
+    * the per-src mean rides an unordered window over the lag window's
+    * partitioning. [[riceEncode]]/[[riceDecode]] are the real bit codec;
+    * AdjacencySpec proves bit-length ≡ the accounting per source.
+    */
+  def adjacencyRice(edges: DataFrame): DataFrame = {
+    val wp = Window.partitionBy("src")
+    gapFrame(edges)
+      .withColumn("enc_sum", sum("enc").over(wp))
+      .withColumn("degree", count(lit(1)).over(wp))
+      .withColumn("mean_gap", greatest(lit(1L), expr("enc_sum div degree")))
+      .withColumn("k", expr(floorLog2Sql("mean_gap")))
+      .withColumn("bits", expr("shiftright(enc, k) + 1 + k"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("degree"), max("k").as("k"),
+        sum("bits").as("rice_bits"),
+        sum(varintLen(col("enc")).cast("long")).as("varint_bytes"))
+      .withColumn("rice_bytes", expr("(rice_bits + 7) div 8"))
+      .select(col("src"), col("degree"), col("k"), col("rice_bits"),
+        col("rice_bytes"), col("varint_bytes"))
+  }
+
+  /** Real Rice bit codec (JVM side): for each value, quotient v >> k in
+    * unary (q ones, a zero stop bit), then the k low bits MSB-first.
+    */
+  def riceEncode(values: Seq[Long], k: Int): Array[Byte] = {
+    require(k >= 0 && k < 35, s"rice: k out of range: $k")
+    val bits = new ArrayBuffer[Boolean]()
+    for (v <- values) {
+      require(v >= 0, s"rice: negative value $v")
+      val q = v >>> k
+      var i = 0L
+      while (i < q) { bits += true; i += 1 }
+      bits += false
+      var b = k - 1
+      while (b >= 0) { bits += ((v >>> b) & 1) == 1; b -= 1 }
+    }
+    val out = new Array[Byte]((bits.length + 7) / 8)
+    for (i <- bits.indices if bits(i))
+      out(i / 8) = (out(i / 8) | (0x80 >>> (i % 8))).toByte
+    out
+  }
+
+  /** Inverse of [[riceEncode]] given k and the value count. */
+  def riceDecode(bytes: Array[Byte], k: Int, n: Int): Seq[Long] = {
+    var pos = 0
+    val total = bytes.length * 8
+    def bit(): Boolean = {
+      require(pos < total, "rice: truncated stream")
+      val b = (bytes(pos / 8) & (0x80 >>> (pos % 8))) != 0
+      pos += 1
+      b
+    }
+    (0 until n).map { _ =>
+      var q = 0L
+      while (bit()) q += 1
+      var v = q << k
+      var b = k - 1
+      while (b >= 0) { if (bit()) v |= 1L << b; b -= 1 }
+      v
+    }
   }
 
   /** Real byte encoder for one adjacency list (JVM side, the artifact

@@ -63,6 +63,39 @@ class AdjacencySpec extends AnyFunSuite {
     assert(row.getLong(4) < 200000, s"ratio_ppm ${row.getLong(4)}")
   }
 
+  test("rice codec round-trips and its bit count matches the accounting") {
+    val values = Seq(0L, 1L, 5L, 127L, 128L, 1000L, 7L)
+    for (k <- Seq(0, 1, 3, 7)) {
+      val enc = WebOps.riceEncode(values, k)
+      assert(WebOps.riceDecode(enc, k, values.length) == values, s"k=$k")
+      val bits = values.map(v => (v >>> k) + 1 + k).sum
+      assert(enc.length == ((bits + 7) / 8), s"k=$k")
+    }
+  }
+
+  test("adjacencyRice accounting equals the real bit codec per source") {
+    val acc = WebOps.adjacencyRice(edges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    val byKey = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toSeq).toMap
+    for ((src, dsts) <- byKey) {
+      // rebuild the gap stream exactly as the query defines it
+      val encs = dsts.zipWithIndex.map { case (d, i) =>
+        if (i == 0) { val x = d - src; if (x >= 0) x * 2 else -x * 2 - 1 }
+        else d - dsts(i - 1)
+      }
+      val mean = math.max(1L, encs.sum / encs.length)
+      val k = 63 - java.lang.Long.numberOfLeadingZeros(mean)
+      val bytes = WebOps.riceEncode(encs, k)
+      val (deg, gotK, bits, rbytes) = acc(src)
+      assert(deg == dsts.length && gotK == k, s"src=$src")
+      assert(bits == encs.map(v => (v >>> k) + 1 + k).sum, s"src=$src")
+      assert(rbytes == bytes.length, s"src=$src")
+      assert(WebOps.riceDecode(bytes, k, encs.length) == encs, s"src=$src")
+    }
+  }
+
   test("decoder rejects truncated and trailing bytes") {
     val b = WebOps.adjacencyEncode(5L, Seq(2L, 9L, 300L))
     intercept[IllegalArgumentException] {

@@ -65,6 +65,36 @@ class KnnEvalSpec extends AnyFunSuite {
     assert(got.count(_._5) > got.size / 2, "and mostly hits")
   }
 
+  test("nearest-centroid matches an in-JVM exact-rational brute force") {
+    val df = fixture
+    val all = df.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(x => math.round(x * 1000.0)).toArray,
+        r.getInt(2))
+    }
+    val train = all.filter(_._1 % 10 != 0)
+    val cents = train.groupBy(_._3).map { case (l, g) =>
+      val n = g.size.toLong
+      val s = g.map(_._2).transpose.map(_.sum)
+      (l, s.toArray, n)
+    }.toSeq
+    val expected = all.filter(_._1 % 10 == 0).map { case (id, p, lt) =>
+      val scored = cents.map { case (l, s, n) =>
+        val d2n2 = p.zip(s).map { case (v, sv) => (n * v - sv) * (n * v - sv) }.sum
+        (l, BigInt(d2n2), BigInt(n * n))
+      }
+      // exact rational argmin, ties to lower label
+      val win = scored.reduceLeft { (a, b) =>
+        val cmp = a._2 * b._3 compare b._2 * a._3
+        if (cmp < 0 || (cmp == 0 && a._1 < b._1)) a else b
+      }
+      (id, lt, win._1)
+    }.toSet
+    val got = Similarity.centroidClassifyEval(df, 10)
+      .select("vec_id", "label_true", "label_pred")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
   test("predictions are bit-stable across parallelism") {
     val df = fixture
     val ref = Similarity.knnClassifyEval(df.repartition(1), 5, 10)
