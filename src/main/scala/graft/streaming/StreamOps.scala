@@ -472,6 +472,93 @@ object StreamOps {
         "version")
   }
 
+  /** Streaming marketing attribution — the incremental twin of
+    * [[graft.ops.Events.attribution]]: per user, conversions finalize
+    * when the watermark passes their event time (every touch at or
+    * before them must then have arrived), taking last-touch = the max
+    * touch time ≤ conv time (EVER — touches older than the lookback
+    * horizon fold into one scalar per user before eviction, so state
+    * stays bounded at lookback-window depth without weakening the
+    * semantics) and first-touch = the min touch time inside
+    * [conv − lookback, conv]. Same-microsecond touches count for both,
+    * matching the batch RANGE frames. Late-beyond-finalized rows drop
+    * (the cusumStream contract). Append-mode clean.
+    *
+    * Watermark note: the type filter is pushed below the watermark
+    * operator by Catalyst, so only touch/conversion rows advance event
+    * time — a stream of solely other event types holds conversions
+    * open (they finalize on the next touch/conv arrival).
+    */
+  def attributionStream(events: DataFrame, touchType: String = "click",
+                        convType: String = "purchase",
+                        lookbackUs: Long = 7L * 24 * 3600 * 1000000,
+                        watermark: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", watermark)
+      .where(col("event_type").isin(touchType, convType))
+      .select(col("user_id").cast("long").as("user_id"), col("ets"),
+        col("event_type").cast("string").as("tpe"),
+        col("event_id").cast("long").as("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, java.sql.Timestamp, String, Long, Long)]
+    // state: (buffered (us, event_id, cents, isTouch), maxTouchEvictedUs,
+    //         lastFinalizedUs)
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (List[(Long, Long, Long, Boolean)], Long, Long),
+        (Long, Long, Long, Long, Option[Long], Option[Long], Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (u: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long, Long)],
+         state: GroupState[(List[(Long, Long, Long, Boolean)], Long, Long)]) =>
+          var (buf, maxEvicted, lastFin) = state.getOption
+            .getOrElse((List.empty[(Long, Long, Long, Boolean)],
+              Long.MinValue, Long.MinValue))
+          rows.foreach { case (_, ts, tpe, id, cents) =>
+            val us = ts.getTime * 1000L
+            if (us > lastFin) buf = (us, id, cents, tpe == touchType) :: buf
+          }
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          val out = collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Option[Long], Option[Long], Boolean)]
+          buf.filter { case (us, _, _, isT) => !isT && us <= wm }
+            .sortBy(c => (c._1, c._2))
+            .foreach { case (cus, cid, cents, _) =>
+              val touches = buf.collect { case (us, _, _, true) if us <= cus => us }
+              val last = (maxEvicted +: touches).max match {
+                case Long.MinValue => None
+                case v => Some(v)
+              }
+              val first = touches.filter(_ >= cus - lookbackUs) match {
+                case Nil => None
+                case ts => Some(ts.min)
+              }
+              out += ((cid, u, cus, cents, last, first, last.isDefined))
+              lastFin = math.max(lastFin, cus)
+            }
+          // evict: finalized conversions; touches past the lookback
+          // horizon fold into the scalar
+          val horizon = wm - lookbackUs
+          val (old, keep) = buf.partition {
+            case (us, _, _, isT) => (isT && us < horizon) || (!isT && us <= wm)
+          }
+          old.foreach { case (us, _, _, isT) =>
+            if (isT) maxEvicted = math.max(maxEvicted, us)
+          }
+          buf = keep
+          state.update((buf, maxEvicted, lastFin))
+          if (buf.exists(!_._4))
+            state.setTimeoutTimestamp(
+              math.max(wm / 1000L + 1, buf.filter(!_._4).map(_._1 / 1000L).min))
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "conv_us", "value_cents",
+        "last_touch_us", "first_touch_us", "attributed")
+  }
+
   /** Streaming tiling: geocode each page record and count per hex cell —
     * the incremental form of Pipeline.tilePages. Works on any stream with
     * a `url` column.

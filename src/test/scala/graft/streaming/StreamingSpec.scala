@@ -483,4 +483,57 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.length == 60)
     } finally q.stop()
   }
+
+  test("streaming attribution equals the batch windows on closed conversions") {
+    val base = 1700000000000L // ms
+    val day = 24L * 3600 * 1000
+    // user 1: touch 8d before (outside lookback -> last only), touch 1d
+    // before (wins last + first), purchase; user 2: no touches; user 3:
+    // same-instant click+purchase (frame-peer tie)
+    val wave1 = Seq(
+      (1L, 1L, "click", base - 8 * day, 0.0),
+      (2L, 1L, "click", base - day, 0.0),
+      (3L, 1L, "purchase", base, 12.5),
+      (4L, 2L, "purchase", base, 20.0),
+      (5L, 3L, "click", base, 0.0),
+      (6L, 3L, "purchase", base, 40.0))
+    // wave 2 must be a touch/conv row: the type filter sits below the
+    // watermark after pushdown, so only those rows advance event time
+    val wave2 = Seq((99L, 7L, "click", base + 4L * 3600 * 1000, 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("attr_s").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/w"))
+    def mk(rows: Seq[(Long, Long, String, Long, Double)]) =
+      spark.createDataFrame(rows.map { case (id, u, t, ms, v) =>
+        (id, new java.sql.Timestamp(ms), u, t, v, "{}")
+      }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def stage(sub: String, rows: Seq[(Long, Long, String, Long, Double)]): Unit = {
+      mk(rows).coalesce(1).write.parquet(s"$dir/$sub")
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/w/$sub.parquet"))
+    }
+    stage("a", wave1)
+    val schema = spark.read.parquet(s"$dir/a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/w")
+    val q = StreamOps.attributionStream(stream, watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_s").start()
+    try {
+      q.processAllAvailable()
+      stage("b", wave2)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]), r.getBoolean(6)))
+      val got = spark.table("attr_s").collect().map(key).toMap
+      val batch = graft.ops.Events.attribution(mk(wave1))
+        .collect().map(key).toMap
+      assert(got === batch)
+      assert(got.size == 3)
+      // the same-instant touch counted (frame-peer semantics)
+      assert(got(6L)._4.contains(base * 1000))
+    } finally q.stop()
+  }
 }
