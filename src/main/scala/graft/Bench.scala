@@ -124,7 +124,17 @@ object Bench {
     // corpus statistics + QA: chi2 features, burstiness, bot cadence,
     // centroid outliers, vocab growth
     "text_chi2_features", "text_burstiness", "events_bots",
-    "emb_outliers", "text_vocab_growth")
+    "emb_outliers", "text_vocab_growth",
+    // fifth-session wave: block codecs (map-only byte crunching), MG
+    // heavy hitters (bounded-state prefilter + one recount agg), HRW
+    // re-sharding (map-only argmax), kNN/centroid eval (broadcast probe
+    // + partial top-k / dominance argmin), adjacency gap + Rice pricing
+    // (one src exchange), soundex blocking, road snap (broadcast
+    // network + id-keyed dominance), attribution windows, TV drift
+    "mm_snappy_roundtrip", "mm_lz4_roundtrip", "text_heavy_mg",
+    "url_shards", "ml_knn", "ml_centroid", "web_adjacency",
+    "web_adjacency_rice", "text_soundex_pairs", "geo_snap_roads",
+    "events_attribution", "quality_drift")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;
