@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.io.ByteArrayOutputStream
-import java.util.zip.{CRC32, Deflater, Inflater}
+import java.util.zip.{CRC32, Deflater}
 
 /** Dependency-free binary codecs for the multimodal column pipeline:
   * a real PNG decoder (signature + chunk walk, concatenated-IDAT zlib
@@ -138,14 +138,11 @@ object Codecs {
     }
     val channels = channelsOf(colorType)
     val stride = width * channels
-    val raw = new Array[Byte](height * (1 + stride))
-    val inflater = new Inflater()
-    inflater.setInput(idat.toByteArray)
-    var filled = 0
-    while (!inflater.finished() && filled < raw.length)
-      filled += inflater.inflate(raw, filled, raw.length - filled)
-    inflater.end()
-    require(filled == raw.length, s"short inflate: $filled of ${raw.length}")
+    // from-scratch zlib decoder (Inflate.scala, Adler-verified);
+    // java.util.zip remains the encode side only
+    val raw = Inflate.zlibDecompress(idat.toByteArray)
+    require(raw.length == height * (1 + stride),
+      s"short inflate: ${raw.length} of ${height * (1 + stride)}")
 
     val px = new Array[Byte](height * stride)
     var y = 0

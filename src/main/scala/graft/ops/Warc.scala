@@ -260,18 +260,16 @@ object Warc {
         pos += 2
         require(pos <= blob.length, s"truncated FHCRC in member at $start")
       }
-      val inf = new java.util.zip.Inflater(true)
-      inf.setInput(blob, pos, blob.length - pos)
-      val acc = new java.io.ByteArrayOutputStream(64 << 10)
-      val tmp = new Array[Byte](16384)
-      while (!inf.finished()) {
-        val n = inf.inflate(tmp)
-        require(n > 0 || inf.finished(), s"truncated deflate stream at member $start")
-        acc.write(tmp, 0, n)
-      }
-      pos += (blob.length - pos) - inf.getRemaining
-      inf.end()
-      val data = acc.toByteArray
+      // from-scratch RFC 1951 decoder (Inflate.scala); java.util.zip
+      // remains the encode side and the test-time cross-check only
+      val (data, used) =
+        try Inflate.inflate(blob, pos)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"truncated/invalid deflate stream at member $start: ${e.getMessage}")
+        }
+      pos += used
       require(pos + 8 <= blob.length, s"member at $start missing CRC/ISIZE trailer")
       val crc = new java.util.zip.CRC32(); crc.update(data)
       require(le32u(blob, pos) == crc.getValue,
