@@ -1474,6 +1474,13 @@ object SparkEntry {
       // pinned-constant oracle, same class as mm_snappy_roundtrip
       graft.ops.Lz.roundtripTable(lzFixture(s), "doc_id", "text", "lz4")
     },
+    "mm_zstd_roundtrip" -> { (s, _) =>
+      // from-scratch RFC 8878 decoder (ZstdSpec cross-validates it
+      // against zstd-jni across levels -5..19, checksummed and
+      // multi-block frames) + spec-valid store-mode encoder (raw+RLE
+      // blocks); pinned-constant oracle, the mm_snappy class
+      graft.ops.Lz.roundtripTable(lzFixture(s), "doc_id", "text", "zstd")
+    },
     "events_paths" -> { (s, dir) =>
       // top-20 session flows: 30-min sessions, first 5 steps, '>'-joined
       Events.sessionPaths(eventsOf(s, dir))
@@ -5800,6 +5807,16 @@ object SparkEntry {
       (5, 2889, 607, 210107, TRUE, '<div class="row"'),
       (6, 1, 3, 3000000, TRUE, 'z'),
       (7, 512, 89, 173828, TRUE, 'Lorem ipsum dolo'))
+      AS t("doc_id", "raw_len", "comp_len", "ratio_ppm", "ok", "head")""",
+    "mm_zstd_roundtrip" -> """SELECT * FROM (VALUES
+      (0, 63, 79, 1253968, TRUE, 'the quick brown '),
+      (1, 600, 616, 1026666, TRUE, 'abababababababab'),
+      (2, 500, 516, 1032000, TRUE, 'ueacftcsdbhvqmdk'),
+      (3, 5000, 17, 3400, TRUE, 'xxxxxxxxxxxxxxxx'),
+      (4, 559, 575, 1028622, TRUE, 'token0 token1 to'),
+      (5, 2889, 2905, 1005538, TRUE, '<div class="row"'),
+      (6, 1, 17, 17000000, TRUE, 'z'),
+      (7, 512, 528, 1031250, TRUE, 'Lorem ipsum dolo'))
       AS t("doc_id", "raw_len", "comp_len", "ratio_ppm", "ok", "head")""",
     "mm_lz4_roundtrip" -> """SELECT * FROM (VALUES
       (0, 63, 61, 968253, TRUE, 'the quick brown '),

@@ -307,7 +307,8 @@ object Lz {
     */
   def roundtripTable(df: DataFrame, idCol: String, textCol: String,
                      codec: String): DataFrame = {
-    require(codec == "snappy" || codec == "lz4", s"unknown codec $codec")
+    require(codec == "snappy" || codec == "lz4" || codec == "zstd",
+      s"unknown codec $codec")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
@@ -315,8 +316,16 @@ object Lz {
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val raw = text.getBytes("UTF-8")
-          val enc = if (codec == "snappy") snappyCompress(raw) else lz4Compress(raw)
-          val dec = if (codec == "snappy") snappyDecompress(enc) else lz4Decompress(enc)
+          val enc = codec match {
+            case "snappy" => snappyCompress(raw)
+            case "lz4" => lz4Compress(raw)
+            case "zstd" => Zstd.zstdCompressStore(raw)
+          }
+          val dec = codec match {
+            case "snappy" => snappyDecompress(enc)
+            case "lz4" => lz4Decompress(enc)
+            case "zstd" => Zstd.decompress(enc)
+          }
           val ok = Arrays.equals(raw, dec)
           val headLen = math.min(16, dec.length)
           val head = new String(dec, 0, headLen, "UTF-8")
