@@ -1351,6 +1351,22 @@ object SparkEntry {
           col("rec_len").cast("long").as("rec_len"),
           (col("warc_type") === "response" && col("member_offset") >= 0).as("ok"))
     },
+    "warc_zstd_roundtrip" -> { (s, dir) =>
+      // .warc.zst convention: ONE zstd frame per record, frames
+      // concatenated per segment; decode splits frames (from-scratch
+      // RFC 8878 decoder), parses the record inside. Same oracle as the
+      // gzip path — the container codec must be invisible to every
+      // parsed byte.
+      import graft.ops.Warc
+      val segs = Warc.segmentTableZstd(Pages.pages(s, dir), pmod(col("doc_id"), lit(64)))
+      Warc.parseZstdTable(segs, "seg_id", "blob")
+        .select(
+          regexp_extract(col("target_uri"), "/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("target_uri"), col("warc_date"),
+          md5(col("payload")).as("payload_md5"),
+          col("rec_len").cast("long").as("rec_len"),
+          (col("warc_type") === "response" && col("member_offset") >= 0).as("ok"))
+    },
     "warc_cdx_fetch" -> { (s, dir) =>
       // CDX random-access proof: index each .warc.gz segment, then
       // re-fetch EVERY record through the (offset, length) coordinate —
@@ -5026,6 +5042,18 @@ object SparkEntry {
          FROM pages"""),
 
     "warc_gz_roundtrip" -> Pages.sqlWith(
+      """SELECT doc_id, url AS target_uri,
+           strftime(make_timestamp(warc_sec * 1000000),
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+           md5(text) AS payload_md5,
+           CAST(176 + strlen(url)
+                    + length(CAST(strlen(text) AS VARCHAR))
+                    + strlen(text) AS BIGINT) AS rec_len,
+           TRUE AS ok
+         FROM pages"""),
+
+    // identical recomputation: the container codec must be invisible
+    "warc_zstd_roundtrip" -> Pages.sqlWith(
       """SELECT doc_id, url AS target_uri,
            strftime(make_timestamp(warc_sec * 1000000),
                     '%Y-%m-%dT%H:%M:%SZ') AS warc_date,

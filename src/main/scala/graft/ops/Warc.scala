@@ -393,6 +393,56 @@ object Warc {
     * independently, parse the record inside; `member_offset` is the
     * CDX-style fetch offset. Zero shuffle, like the uncompressed path.
     */
+  /** One zstd frame per record, frames concatenated per segment — the
+    * `.warc.zst` convention (record-per-frame keeps CDX-style random
+    * access: any record inflates alone given its frame offset). Frames
+    * come from the spec-valid store-mode encoder; [[parseZstdTable]]
+    * reads them back through the from-scratch RFC 8878 decoder, so any
+    * real `.warc.zst` (reference-encoder frames included, per ZstdSpec)
+    * parses identically.
+    */
+  def segmentTableZstd(pages: DataFrame, segExpr: Column): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(segExpr.cast("long").as("seg"), col("doc_id"),
+        recordCol(col("url"), col("warc_sec"), col("html")).as("rec"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (seg, it) =>
+        val recs = it.toArray.sortBy(_._2)
+        val members = recs.map(r => Zstd.zstdCompressStore(r._3))
+        val blob = new Array[Byte](members.iterator.map(_.length).sum)
+        var off = 0
+        members.foreach { m =>
+          System.arraycopy(m, 0, blob, off, m.length); off += m.length
+        }
+        (seg, blob)
+      }
+      .toDF("seg_id", "blob")
+  }
+
+  /** parseTable over `.warc.zst`-style segments: split frames, decode
+    * each with the from-scratch zstd decoder, parse the record inside.
+    */
+  def parseZstdTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (segId, blob) =>
+          Zstd.decodeFrames(blob).flatMap { case (memOff, bytes) =>
+            parse(bytes).map(r =>
+              (segId, memOff, r.warcType, r.targetUri, r.date, r.recordId,
+                r.payload, r.recLen))
+          }
+        }
+      }
+      .toDF("seg_id", "member_offset", "warc_type", "target_uri", "warc_date",
+        "record_id", "payload", "rec_len")
+  }
+
   def parseGzTable(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

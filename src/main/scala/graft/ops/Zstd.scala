@@ -327,8 +327,19 @@ object Zstd {
     * concatenating the content.
     */
   def decompress(src: Array[Byte]): Array[Byte] = {
-    var p = 0
     val out = new java.io.ByteArrayOutputStream(math.max(64, src.length * 3))
+    decodeFrames(src).foreach { case (_, bytes) => out.write(bytes) }
+    out.toByteArray
+  }
+
+  /** Decode concatenated zstd frames → (frameByteOffset, content) per
+    * data frame (skippable frames consume bytes but emit nothing) —
+    * the member splitter for `.warc.zst`-style record-per-frame blobs,
+    * the [[Warc.gunzipMembers]] twin.
+    */
+  def decodeFrames(src: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    var p = 0
+    val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
     while (p < src.length) {
       if (p + 4 > src.length) fail("truncated magic")
       val magic = le32(src, p)
@@ -338,10 +349,13 @@ object Zstd {
         p += 8 + sz
         if (p > src.length) fail("skippable frame overruns input")
       } else if (magic == 0xfd2fb528L) {
+        val start = p
+        val out = new java.io.ByteArrayOutputStream(64 << 10)
         p = decodeFrame(src, p + 4, out)
+        members += ((start.toLong, out.toByteArray))
       } else fail(f"bad magic $magic%08x")
     }
-    out.toByteArray
+    members.toSeq
   }
 
   private def le32(b: Array[Byte], off: Int): Long =

@@ -233,4 +233,30 @@ class WarcSpec extends AnyFunSuite {
     assert(got(4L) === "response") // "https://h/y" < "https://h/z"
     assert(got(5L) === "revisit")
   }
+
+  test("zstd members: frame offsets split exactly; reference-encoder frames interop") {
+    // three records: two through our store-mode encoder, the middle one
+    // through the REFERENCE encoder — a real .warc.zst mixes producers
+    // and the parser must not care
+    val recs = Seq(
+      Warc.encode("response", "https://h.example/1", "2024-01-01T00:00:00Z",
+        "<urn:uuid:1>", "payload one".getBytes("UTF-8")),
+      Warc.encode("response", "https://h.example/2", "2024-01-01T00:00:01Z",
+        "<urn:uuid:2>", ("x" * 5000).getBytes("UTF-8")),
+      Warc.encode("response", "https://h.example/3", "2024-01-01T00:00:02Z",
+        "<urn:uuid:3>", "tail".getBytes("UTF-8")))
+    val frames = Seq(
+      graft.ops.Zstd.zstdCompressStore(recs(0)),
+      com.github.luben.zstd.Zstd.compress(recs(1), 3),
+      graft.ops.Zstd.zstdCompressStore(recs(2)))
+    val blob = frames.flatten.toArray
+    val members = graft.ops.Zstd.decodeFrames(blob)
+    assert(members.map(_._1) ==
+      Seq(0L, frames(0).length.toLong, (frames(0).length + frames(1).length).toLong))
+    assert(members.map(_._2.toSeq) == recs.map(_.toSeq))
+    for ((off, bytes) <- members) {
+      val r = Warc.parse(bytes)
+      assert(r.length == 1 && r.head.warcType == "response", s"member at $off")
+    }
+  }
 }
