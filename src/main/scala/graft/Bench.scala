@@ -131,7 +131,8 @@ object Bench {
     // + partial top-k / dominance argmin), adjacency gap + Rice pricing
     // (one src exchange), soundex blocking, road snap (broadcast
     // network + id-keyed dominance), attribution windows, TV drift
-    "mm_snappy_roundtrip", "mm_lz4_roundtrip", "text_heavy_mg",
+    "mm_snappy_roundtrip", "mm_lz4_roundtrip", "mm_zstd_roundtrip",
+    "warc_zstd_roundtrip", "text_heavy_mg",
     "url_shards", "ml_knn", "ml_centroid", "web_adjacency",
     "web_adjacency_rice", "text_soundex_pairs", "geo_snap_roads",
     "events_attribution", "quality_drift")

@@ -115,7 +115,17 @@ object PlanAudit {
       // second wave: weighted PR round, basket self-join (capped),
       // edit-distance block join (capped), hash sample (WindowGroupLimit)
       "web_pagerank_weighted", "basket_pairs", "dedup_fuzzy_pairs",
-      "select_reservoir")
+      "select_reservoir",
+      // fifth session: MG exact recount (one agg + broadcast total), HRW
+      // (map-only argmax), kNN eval (broadcast probe + partial top-k),
+      // adjacency gap/Rice pricing (one src exchange), road snap
+      // (broadcast network + id-keyed dominance anti join), attribution
+      // (two frames on one user exchange), TV drift (bucket agg + tiny
+      // crossJoins), zstd WARC segments (groupByKey assembly, map-only
+      // parse)
+      "text_heavy_mg", "url_shards", "ml_knn", "web_adjacency_rice",
+      "geo_snap_roads", "events_attribution", "quality_drift",
+      "warc_zstd_roundtrip")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sf)

@@ -2304,6 +2304,21 @@ object SparkEntry {
       // geo_cover_pip adjudication applied to frequency.
       Sketches.heavyHitters(TextOps.tokenTable(documentsOf(s, dir)), "tok", 30)
     },
+    "url_idn" -> { (s, _) =>
+      // Punycode/IDNA host normalization (RFC 3492 from scratch,
+      // PunySpec cross-validates both directions against java.net.IDN):
+      // decode xn-- labels to the display form, re-encode to canonical
+      // ACE — map-only, the URL-dedup pre-join step. Pinned-constant
+      // oracle (deterministic fixture, the mm_snappy class).
+      import s.implicits._
+      val hosts = Seq(
+        (0L, "xn--mnchen-3ya.de"), (1L, "xn--bcher-kva.example"),
+        (2L, "xn--fiqs8s"), (3L, "www.example.com"),
+        (4L, "XN--MNCHEN-3YA.DE"), (5L, "xn--80akhbyknj4f.example"),
+        (6L, "mixed.xn--caf-dma.shop"), (7L, "xn--nxasmq6b.example"))
+        .toDF("host_id", "host")
+      graft.ops.Puny.idnTable(hosts, "host")
+    },
     "url_shards" -> { (s, dir) =>
       // rendezvous (HRW) re-sharding audit 10 → 11 shards: per-shard
       // stay/move accounting; moved keys can ONLY land on the new shard
@@ -7071,6 +7086,17 @@ object SparkEntry {
           (SELECT total FROM tot) AS total
         FROM f GROUP BY tok
         HAVING count(*) * 31 > (SELECT total FROM tot)""",
+
+    "url_idn" -> """SELECT * FROM (VALUES
+      (0, 'xn--mnchen-3ya.de', 'münchen.de', 'xn--mnchen-3ya.de'),
+      (1, 'xn--bcher-kva.example', 'bücher.example', 'xn--bcher-kva.example'),
+      (2, 'xn--fiqs8s', '中国', 'xn--fiqs8s'),
+      (3, 'www.example.com', 'www.example.com', 'www.example.com'),
+      (4, 'XN--MNCHEN-3YA.DE', 'münchen.de', 'xn--mnchen-3ya.de'),
+      (5, 'xn--80akhbyknj4f.example', 'испытание.example', 'xn--80akhbyknj4f.example'),
+      (6, 'mixed.xn--caf-dma.shop', 'mixed.café.shop', 'mixed.xn--caf-dma.shop'),
+      (7, 'xn--nxasmq6b.example', 'βόλοσ.example', 'xn--nxasmq6b.example'))
+      AS t("host_id", "host", "display", "ace")""",
 
     "url_shards" -> Pages.sqlWith(
       """, sh AS (SELECT unnest(range(11)) AS s),
