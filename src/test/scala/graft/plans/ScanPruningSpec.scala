@@ -520,6 +520,23 @@ class ScanPruningSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1200))
   }
 
+  test("events_attribution: both window frames ride one user exchange") {
+    val p = physical("events_attribution")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "attribution grew a second shuffle:\n" + p.take(1500))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("geo_snap_roads: candidates stay broadcast; no cartesian dominance") {
+    val p = physical("geo_snap_roads")
+    // the network is the broadcast side (twice: candidates + dominance);
+    // the dominance anti join must be a hash join keyed on the point id
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("LeftAnti"), "dominance argmin lost its anti join:\n" + p.take(1200))
+  }
+
   test("ml_knn: one query-keyed exchange, partial top-k below it, train map-only") {
     val p = physical("ml_knn")
     assert(p.contains("BroadcastExchange"), p.take(800))
