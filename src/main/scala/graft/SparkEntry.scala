@@ -2319,6 +2319,19 @@ object SparkEntry {
         .toDF("host_id", "host")
       graft.ops.Puny.idnTable(hosts, "host")
     },
+    "url_ring" -> { (s, dir) =>
+      // consistent-hash RING re-sharding audit 10 → 11 shards (8 virtual
+      // nodes per shard, plan-time literal ring, pure codegen
+      // array_min(filter) successor lookup): the rendezvous alternative;
+      // same minimal-movement invariant, spec-pinned
+      graft.ops.Scalers.ringMoveAudit(Pages.pages(s, dir), "url", 10, 11)
+    },
+    "events_gap_quantiles" -> { (s, dir) =>
+      // exact inter-event-gap quantiles per type (whole seconds,
+      // counting method — the percentile_approx exact counterpart on
+      // the gap domain)
+      Events.gapQuantiles(s.read.parquet(s"$dir/events.parquet"))
+    },
     "url_shards" -> { (s, dir) =>
       // rendezvous (HRW) re-sharding audit 10 → 11 shards: per-shard
       // stay/move accounting; moved keys can ONLY land on the new shard
@@ -7097,6 +7110,50 @@ object SparkEntry {
       (6, 'mixed.xn--caf-dma.shop', 'mixed.café.shop', 'mixed.xn--caf-dma.shop'),
       (7, 'xn--nxasmq6b.example', 'βόλοσ.example', 'xn--nxasmq6b.example'))
       AS t("host_id", "host", "display", "ace")""",
+
+    "url_ring" -> Pages.sqlWith(
+      """, ring AS (SELECT t.s, u.r,
+           CAST('0x' || substr(md5('ring:' || CAST(t.s AS VARCHAR) || ':'
+                || CAST(u.r AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM (SELECT unnest(range(11)) AS s) t
+         CROSS JOIN (SELECT unnest(range(8)) AS r) u),
+       kh AS (SELECT url, CAST('0x' || substr(md5(url), 1, 15) AS BIGINT) AS h
+         FROM pages),
+       a10 AS (SELECT k.url, coalesce(
+           (SELECT r2.s FROM ring r2 WHERE r2.s < 10 AND r2.h >= k.h
+            ORDER BY r2.h, r2.s LIMIT 1),
+           (SELECT r3.s FROM ring r3 WHERE r3.s < 10
+            ORDER BY r3.h, r3.s LIMIT 1)) AS shard FROM kh k),
+       a11 AS (SELECT k.url, coalesce(
+           (SELECT r2.s FROM ring r2 WHERE r2.h >= k.h
+            ORDER BY r2.h, r2.s LIMIT 1),
+           (SELECT r3.s FROM ring r3 ORDER BY r3.h, r3.s LIMIT 1)) AS s_to
+         FROM kh k)
+      SELECT CAST(a10.shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(sum(CASE WHEN a11.s_to <> a10.shard THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved,
+        min(a10.url) AS min_key
+      FROM a10 JOIN a11 USING (url) GROUP BY a10.shard"""),
+
+    "events_gap_quantiles" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+           FROM events),
+         g AS (SELECT event_type,
+             (us - lag(us) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY us, event_id)) // 1000000 AS gap_s
+           FROM e),
+         f AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+         h AS (SELECT event_type, gap_s, count(*) AS c FROM f GROUP BY 1, 2),
+         cum AS (SELECT event_type, gap_s, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n FROM h)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+          min(gap_s) AS min_gap,
+          min(CASE WHEN cum * 100 >= n * 50 THEN gap_s END) AS p50,
+          min(CASE WHEN cum * 100 >= n * 90 THEN gap_s END) AS p90,
+          min(CASE WHEN cum * 100 >= n * 99 THEN gap_s END) AS p99,
+          max(gap_s) AS max_gap
+        FROM cum GROUP BY event_type""",
 
     "url_shards" -> Pages.sqlWith(
       """, sh AS (SELECT unnest(range(11)) AS s),

@@ -505,6 +505,40 @@ object Events {
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
         sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
 
+  /** Exact inter-event-gap quantiles per event type via the
+    * bounded-domain counting method ([[TextOps.lengthQuantiles]]'s
+    * recipe on a different domain): per-user consecutive gaps in whole
+    * seconds, then a (type, gap) histogram with cumulative-count
+    * quantile reads — p_q = min gap with cum·100 ≥ n·q, exact, no
+    * sketch. Shape: one user-keyed window exchange for the gaps, one
+    * map-side-combined histogram aggregate; the quantile windows run on
+    * the tiny histogram.
+    */
+  def gapQuantiles(events: DataFrame,
+                   qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"gapQuantiles: percentiles must be in [1, 100], got $qs")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("event_id"), us.as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"), expr("(us - prev) div 1000000").as("gap_s"))
+    val hist = gaps.groupBy("event_type", "gap_s").agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("event_type").orderBy("gap_s")
+    val wAll = Window.partitionBy("event_type")
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val qCols = qs.map(q =>
+      min(when(col("cum") * 100 >= col("n") * q, col("gap_s"))).as(s"p$q"))
+    val aggs = max(col("n")).as("n_gaps") +: min(col("gap_s")).as("min_gap") +:
+      qCols :+ max(col("gap_s")).as("max_gap")
+    cum.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Marketing attribution per conversion: last-touch = the latest
     * `touchType` by the same user at or before the conversion (ever);
     * first-touch = the earliest touch inside the `lookbackUs` window.

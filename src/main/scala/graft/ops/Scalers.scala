@@ -202,6 +202,55 @@ object Scalers {
     array_max(array(cands: _*)).getField("s")
   }
 
+  /** First 15 hex chars of md5 as a Long — the driver-side twin of the
+    * md5prefix column family (`CAST('0x'||substr(md5(s),1,15) AS
+    * BIGINT)`), used to pin ring-point constants into the plan.
+    */
+  def md5Prefix15(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Consistent-hash RING shard assignment with virtual nodes: the ring
+    * holds `replicas` points per shard at md5prefix("ring:shard:replica");
+    * a key goes to the shard of the first ring point clockwise from its
+    * own hash (wrapping to the globally smallest point). The ring points
+    * are plan-time literal constants, so the lookup is a pure codegen
+    * `array_min(filter(...))` over a sorted literal array — map-only,
+    * no join, the [[rendezvousShard]] alternative with O(1) per-key cost
+    * independent of shard count (HRW pays O(n) hashes per key; the ring
+    * pays O(points) compares — pick by n). Same minimal-movement
+    * invariant: growing the ring moves keys ONLY to the new shard.
+    */
+  def ringShard(key: Column, nShards: Int, replicas: Int = 8): Column = {
+    require(nShards >= 1 && replicas >= 1, "ring: nShards/replicas >= 1")
+    val pts = for { s <- 0 until nShards; r <- 0 until replicas }
+      yield (md5Prefix15(s"ring:$s:$r"), s)
+    val sorted = pts.sortBy(p => (p._1, p._2))
+    val arr = array(sorted.map { case (h, s) =>
+      struct(lit(h).as("r"), lit(s).as("s"))
+    }: _*)
+    val h = conv(substring(md5(encode(key.cast("string"), "UTF-8")), 1, 15), 16, 10)
+      .cast("long")
+    val succ = array_min(filter(arr, p => p.getField("r") >= h))
+    coalesce(succ.getField("s"), lit(sorted.head._2))
+  }
+
+  /** Ring re-sharding audit — the [[shardMoveAudit]] twin for the ring. */
+  def ringMoveAudit(df: DataFrame, keyCol: String, nFrom: Int, nTo: Int,
+                    replicas: Int = 8): DataFrame = {
+    val k = col(keyCol)
+    df.select(
+        ringShard(k, nFrom, replicas).as("shard"),
+        ringShard(k, nTo, replicas).as("shard_to"),
+        k.as("__k"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("shard_to") =!= col("shard"), 1L).otherwise(0L)).as("n_moved"),
+        min(col("__k")).as("min_key"))
+  }
+
   /** Re-sharding audit: assign every key under `nFrom` and `nTo` shards
     * and report, per source shard, how many keys stay vs move. The HRW
     * invariant this certifies: every moved key lands on a NEW shard id

@@ -88,6 +88,53 @@ class MgShardSpec extends AnyFunSuite {
     assert(s.getInt(0) >= 0 && s.getInt(1) <= 6 && s.getLong(2) == 500)
   }
 
+  test("ring: growing n to n+1 moves keys ONLY to the new shard (virtual nodes)") {
+    import spark.implicits._
+    val keys = (0 until 2000).map(i => s"https://h$i.example/$i").toDF("k")
+    val a = keys.select(
+      Scalers.ringShard(col("k"), 10).as("s10"),
+      Scalers.ringShard(col("k"), 11).as("s11"))
+    val moved = a.where(col("s10") =!= col("s11"))
+    assert(moved.where(col("s11") =!= 10).count() == 0)
+    val nMoved = moved.count()
+    // expected ~1/11 with virtual-node variance; wide deterministic band
+    assert(nMoved > 2000 / 40 && nMoved < 2000 / 3, s"moved $nMoved")
+    assert(a.where(col("s11") === 10).count() == nMoved)
+  }
+
+  test("ring: assignment is total and matches a JVM successor lookup") {
+    import spark.implicits._
+    val pts = (for { s <- 0 until 5; r <- 0 until 8 }
+      yield (Scalers.md5Prefix15(s"ring:$s:$r"), s)).sortBy(p => (p._1, p._2))
+    val keys = (0 until 300).map(i => s"k$i")
+    val expected = keys.map { k =>
+      val h = Scalers.md5Prefix15(k)
+      // NOTE: the column family hashes md5(key) of the raw string
+      k -> pts.find(_._1 >= h).getOrElse(pts.head)._2
+    }.toMap
+    val got = keys.toDF("k")
+      .select(col("k"), Scalers.ringShard(col("k"), 5).as("s"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+  }
+
+  test("gap quantiles: hand-computed histogram case") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    // user 1, type "a": gaps 10s, 10s, 20s, 60s -> p50=10, p90=60, p99=60
+    val rows = Seq(0L, 10L, 20L, 40L, 100L).zipWithIndex.map { case (s, i) =>
+      (i.toLong, new Timestamp(base + s * 1000), 1L, "a", 0.0, "{}")
+    } ++ Seq((9L, new Timestamp(base), 2L, "a", 0.0, "{}")) // single event: no gap
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.gapQuantiles(df).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "a" && row.getLong(1) == 4)
+    assert((row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6)) == ((10L, 10L, 60L, 60L, 60L)))
+  }
+
   test("shardMoveAudit per-shard totals reconcile with the flat assignment") {
     import spark.implicits._
     val keys = (0 until 1000).map(i => s"url$i").toDF("k")
