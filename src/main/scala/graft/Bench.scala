@@ -135,7 +135,8 @@ object Bench {
     "warc_zstd_roundtrip", "text_heavy_mg",
     "url_shards", "ml_knn", "ml_centroid", "web_adjacency",
     "web_adjacency_rice", "text_soundex_pairs", "geo_snap_roads",
-    "events_attribution", "quality_drift")
+    "events_attribution", "quality_drift", "url_ring",
+    "events_gap_quantiles", "url_idn")
 
   /** Production-path overrides for the timed suite. `graft.Verify` (the
     * correctness gate) pins hash families the DuckDB oracle can mirror;
