@@ -33,6 +33,8 @@ object GraftFunctions {
       es => graft.plans.StDwithin(es(0), es(1), es(2), es(3), es(4)), "scala_udf")
     reg.createOrReplaceTempFunction("bloom_contains_all",
       es => BloomContainsAllExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_dot", es =>
+      SortedDotExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("erase_spans", es =>
       EraseSpansExpr(es(0), es(1),
         es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")

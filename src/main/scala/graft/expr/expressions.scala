@@ -382,3 +382,45 @@ case class BloomContainsAllExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Static shim for the sorted weighted-dot codegen path. */
+object DotFun {
+  /** Integer dot product of two token-weight vectors, each an
+    * array<struct<tok:string, w:long>> SORTED ascending by tok (binary
+    * UTF8 order — the same ordering `array_sort` applies to the struct's
+    * leading field): a two-pointer sorted merge, O(|a| + |b|). Replaces
+    * the exploded pair×token join + re-aggregation in the AllPairs
+    * cosine verify, whose intermediate was |pairs|·|avg doc| rows
+    * through a shuffle.
+    */
+  def sortedDot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var s = 0L
+    while (i < n && j < m) {
+      val ra = a.getStruct(i, 2)
+      val rb = b.getStruct(j, 2)
+      val c = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      if (c == 0) { s += ra.getLong(1) * rb.getLong(1); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    s
+  }
+}
+
+/** `sorted_dot(twa, twb)` — codegen'd O(n+m) integer dot product over two
+  * tok-sorted array<struct<tok,w>> vectors (see [[DotFun.sortedDot]]).
+  */
+case class SortedDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotFun.sortedDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.DotFun.sortedDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

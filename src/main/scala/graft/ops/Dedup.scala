@@ -209,19 +209,30 @@ object Dedup {
     verifyJaccardFrom(dtoks, sizes, pairs)
   }
 
-  /** Exact Jaccard verify from precomputed token artifacts. */
+  /** Exact Jaccard verify from precomputed token artifacts.
+    *
+    * The intersection is counted per pair with a codegen'd
+    * `array_intersect` over the two docs' distinct-token ARRAYS (each
+    * bounded by its own document length) instead of the former
+    * pair×token exploded join + re-aggregation: on a dup-heavy corpus
+    * the exploded intermediate was |pairs|·|avg doc| rows through a
+    * shuffle and hash aggregate (~75M rows for 1.5M pairs at sf0.1 —
+    * the dominant cost of every LSH/PPJoin verify), where the array
+    * form moves each doc's token set once per pair and never shuffles
+    * the expansion. `sizes` is retained in the signature for API
+    * stability; n_toks = size(array) by construction (`toks` is the
+    * distinct token table).
+    */
   def verifyJaccardFrom(toks: DataFrame, sizes: DataFrame, pairs: DataFrame): DataFrame = {
-    val inter = pairs
-      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(toks.as("tb"), col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val byDoc = toks.groupBy("doc_id").agg(collect_list(col("tok")).as("toks"))
     pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        (size(col("ta")) + size(col("tb"))).cast("long").as("sz_sum"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("na.n_toks") + col("nb.n_toks") - col("inter")).as("union_n"))
+        (col("sz_sum") - col("inter")).as("union_n"))
       .withColumn("jaccard", col("inter").cast("double") / col("union_n").cast("double"))
   }
 
@@ -325,16 +336,17 @@ object Dedup {
             lit(1) >= minOverlap)
       .select(col("p.doc_id").as("doc_a"), col("t.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(toks.as("tb"),
-        col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        col("na.n_toks").as("n_a"), col("nb.n_toks").as("n_b"))
+    // per-pair array_intersect over per-doc token arrays (bounded by doc
+    // length) instead of the exploded pair×token join — see
+    // [[verifyJaccardFrom]]; zero-intersection pairs fail the integer
+    // certificate for any tNum >= 1, matching the former inner join.
+    val byDoc = toks.groupBy("doc_id").agg(collect_list(col("tok")).as("toks"))
+    cand
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        size(col("ta")).cast("long").as("n_a"), size(col("tb")).cast("long").as("n_b"))
       .filter(col("inter") * lit(tDen) >= lit(tNum) * col("n_a"))
   }
 
@@ -397,11 +409,22 @@ object Dedup {
         col("p.tok") === col("t.tok") && col("p.doc_id") =!= col("t.doc_id"))
       .select(col("p.doc_id").as("doc_a"), col("t.doc_id").as("doc_b"))
       .distinct()
+    // per-pair sorted-merge dot over per-doc (tok, w) vectors instead of
+    // the exploded pair×token join + re-aggregation (the former dominant
+    // cost — |pairs|·|avg doc| rows through a shuffle). w = 0 tokens
+    // contribute nothing to the dot and are left out of the vectors;
+    // every cand pair shares at least one w > 0 token by construction
+    // (both join sides come from `ranked`), so the inner joins drop no
+    // pair the certificate could accept.
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val vecs = weighted.filter(col("w") > 0)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("tok"), col("w")))).as("tw"))
     val dot = cand
-      .join(weighted.as("wa"), col("doc_a") === col("wa.doc_id"))
-      .join(weighted.as("wb"),
-        col("doc_b") === col("wb.doc_id") && col("wa.tok") === col("wb.tok"))
-      .groupBy("doc_a", "doc_b").agg(sum(col("wa.w") * col("wb.w")).as("dot"))
+      .join(vecs.select(col("doc_id").as("doc_a"), col("tw").as("twa")), Seq("doc_a"))
+      .join(vecs.select(col("doc_id").as("doc_b"), col("tw").as("twb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("sorted_dot", col("twa"), col("twb")).as("dot"))
     dot
       .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
       .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
