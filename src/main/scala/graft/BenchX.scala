@@ -61,6 +61,9 @@ object BenchX {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
+    // experiment hook: SPARK_GRAFT_CONF="key=value;key=value"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.sparkContext.setLogLevel("ERROR")
     val prof = new Prof
     spark.sparkContext.addSparkListener(prof)

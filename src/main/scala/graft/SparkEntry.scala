@@ -498,12 +498,15 @@ object SparkEntry {
           FROM pts)
         WHERE x1 IS NOT NULL)"""
 
+  // small single-file scans read as ONE partition, serializing every
+  // narrow stage chained on them (tokenize/shingle/hash); spreadScan
+  // repartitions right after the read (no-op at scale — stats-driven)
   private def documentsOf(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.ops.Adapt.spreadScan(s.read.parquet(s"$dir/documents.parquet"))
   private def embeddingsOf(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.ops.Adapt.spreadScan(s.read.parquet(s"$dir/embeddings.parquet"))
   private def eventsOf(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
+    graft.ops.Adapt.spreadScan(s.read.parquet(s"$dir/events.parquet"))
 
   /** Shared HTML fixture for the anchor queries: two anchors per page at
     * COLLIDING host targets (no per-doc path suffix — ~97 hosts each

