@@ -40,8 +40,13 @@ object Adapt {
     * [1, spark.sql.shuffle.partitions]. Both inputs are cluster- or
     * data-derived — nothing here is a local-mode constant.
     */
-  def partitionsFor(df: DataFrame, rows: Long): Int = {
-    val sess = df.sparkSession
+  def partitionsFor(df: DataFrame, rows: Long): Int =
+    partitionsForRows(df.sparkSession, rows)
+
+  /** [[partitionsFor]] without a frame in hand — same conf- and
+    * data-derived count for RDD-held loop state.
+    */
+  def partitionsForRows(sess: org.apache.spark.sql.SparkSession, rows: Long): Int = {
     val cap = sess.sessionState.conf.numShufflePartitions
     val byBulk = (rows + rowsPerTask - 1) / rowsPerTask
     val byCompute = math.min(sess.sparkContext.defaultParallelism.toLong,

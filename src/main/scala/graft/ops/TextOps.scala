@@ -1049,47 +1049,80 @@ object TextOps {
   def bpeTrain(docs: DataFrame, nMerges: Int, minPairCount: Long = 2L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = tokenTable(docs)
+    // corpus-scale pass (the only one): word-frequency aggregate, map-side
+    // combined. Everything after runs on the vocabulary-bounded word table.
+    val wordsDf = tokenTable(docs)
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
+    // The merge loop holds its state as a plain RDD: each round is then one
+    // submitted job (reduceByKey + takeOrdered) with NO per-round Catalyst
+    // analysis/optimization/codegen — measured at ~0.25 s/round of pure
+    // driver planning in the DataFrame form, which dominated training end
+    // to end (the per-round WORK is vocab-bounded and milliseconds at any
+    // corpus size). Arithmetic is identical: exact Long pair-count sums
+    // (order-free), argmax on (count desc, left asc, right asc).
+    var words = wordsDf.rdd
       .map { case (w, c) => (bpeSymbols(w), c) }
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nWords = words.count() // materialize before the loop so unpersist is safe
-    // size the loop state once: every merge round scans this frame twice
-    // (pair count + re-persist), so a conf-partition or single-partition
-    // cache pays per round — compute-floor partitioning from the vocab size
-    val pW = Adapt.partitionsFor(words.toDF(), nWords)
-    if (words.rdd.getNumPartitions != pW) {
+    val pW = Adapt.partitionsForRows(spark, nWords)
+    if (words.getNumPartitions != pW) {
       val w0 = words
-      words = w0.repartition(pW).persist()
+      words = w0.repartition(pW)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       words.count()
-      w0.unpersist()
+      w0.unpersist(blocking = false)
+    }
+    // the former SQL orderBy(asc) compares UTF8String bytes (unsigned,
+    // UTF-8), which differs from java.lang.String order beyond ASCII —
+    // keep the exact total order so the merge sequence is unchanged
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val argmaxOrd: Ordering[((String, String), Long)] = new Ordering[((String, String), Long)] {
+      def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
+        val c = java.lang.Long.compare(y._2, x._2) // count desc
+        if (c != 0) c
+        else {
+          val ca = u8(x._1._1).compareTo(u8(y._1._1))
+          if (ca != 0) ca else u8(x._1._2).compareTo(u8(y._1._2))
+        }
+      }
     }
     val merges = new scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, String)]()
+    var prevRounds = new scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
     var rank = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
+      // this job also materializes the current round's persisted `words`
+      // (the former per-round count() job is gone); the previous round's
+      // cache is released right after, once its successor's blocks exist
       val top = words
         .flatMap { case (syms, c) =>
-          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
+          var i = 0
+          val out = new scala.collection.mutable.ArrayBuffer[((String, String), Long)](
+            math.max(0, syms.length - 1))
+          while (i < syms.length - 1) { out += (((syms(i), syms(i + 1)), c)); i += 1 }
+          out
         }
-        .toDF("a", "b", "c")
-        .groupBy("a", "b").agg(sum("c").as("cnt"))
-        .orderBy(desc("cnt"), asc("a"), asc("b"))
-        .head(1)
-      if (top.isEmpty || top(0).getLong(2) < minPairCount) exhausted = true
+        .reduceByKey(_ + _, pW)
+        .takeOrdered(1)(argmaxOrd)
+      prevRounds.foreach(_.unpersist(blocking = false))
+      prevRounds.clear()
+      if (top.isEmpty || top(0)._2 < minPairCount) exhausted = true
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val ((a, b), cnt) = top(0)
         merges += ((rank, a, b, cnt, a + b))
         val prev = words
         words = prev.map { case (syms, c) => (bpeApplyMerge(syms, a, b), c) }
-        words = (if ((rank + 1) % 8 == 0) words.localCheckpoint() else words).persist()
-        words.count()
-        prev.unpersist()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if ((rank + 1) % 32 == 0) { // bound lineage on long trainings
+          words.localCheckpoint()
+        }
+        prevRounds += prev
         rank += 1
       }
     }
-    words.unpersist()
+    prevRounds.foreach(_.unpersist(blocking = false))
+    words.unpersist(blocking = false)
     merges.toSeq.toDF("rank", "left", "right", "pair_count", "symbol")
   }
 
