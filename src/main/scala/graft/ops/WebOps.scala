@@ -442,19 +442,24 @@ object WebOps {
       .localCheckpoint(eager = false)
     var it = 0
     while (it < iters) {
-      // dangling mass of the CURRENT ranks — one Long; the collect is
-      // also the job that materializes this round's input checkpoint
-      val dangRow = ranks.filter(col("dang"))
-        .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0)
-      val dang = dangRow.getLong(0)
-      val dShare = (dang * dampNum) / (dampDen * n)
+      // dangling mass of the CURRENT ranks, kept LAZY: a one-row aggregate
+      // broadcast-cross-joined into the round instead of a per-round
+      // driver collect — the whole iters-round fixed point is then ONE
+      // submitted query cascade (the per-round collect cost a driver
+      // sync + a full plan/codegen pass per round, which dominated the
+      // op on host-scale graphs). Same exact integer arithmetic:
+      // dShare = (dang·dampNum) div (dampDen·n), all non-negative Longs.
+      val dangDf = ranks.filter(col("dang"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dangm"))
       val contrib = ranks.join(e2, ranks("host") === e2("src"))
         .select(col("dst"),
           expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
       ranks = nodesF.join(contrib, nodesF("host") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangDf))
         .select(col("host"),
-          (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("rank"),
+          (lit(base) + expr(s"(dangm * $dampNum) div ${dampDen * n}") +
+            coalesce(col("contrib"), lit(0L))).as("rank"),
           col("dang"))
         .coalesce(pN) // keep the checkpointed round state size-partitioned
         .localCheckpoint(eager = false)
@@ -513,18 +518,20 @@ object WebOps {
       .localCheckpoint(eager = false)
     var it = 0
     while (it < iters) {
-      val dangRow = ranks.filter(col("dang"))
-        .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0)
-      val dang = dangRow.getLong(0)
-      val dShare = (dang * dampNum) / (dampDen * n)
+      // lazy dangling mass (see [[pageRank]]): one-row aggregate
+      // broadcast into the round — no per-round driver sync
+      val dangDf = ranks.filter(col("dang"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dangm"))
       val contrib = ranks.join(e2, ranks("host") === e2("src"))
         .select(col("dst"),
           expr(s"CAST((CAST(rank AS DECIMAL(38,0)) * $dampNum * w) " +
             s"DIV ($dampDen * wsum) AS BIGINT)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
       ranks = nodesF.join(contrib, nodesF("host") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangDf))
         .select(col("host"),
-          (lit(base + dShare) + coalesce(col("contrib"), lit(0L))).as("rank"),
+          (lit(base) + expr(s"(dangm * $dampNum) div ${dampDen * n}") +
+            coalesce(col("contrib"), lit(0L))).as("rank"),
           col("dang"))
         .coalesce(pN)
         .localCheckpoint(eager = false)
@@ -696,7 +703,6 @@ object WebOps {
         col("has_out").isNull.as("dang"))
       .coalesce(pN)
       .persist()
-    flagged.count()
     var ranks = flagged
       .select(col("host"),
         when(col("seeded"), lit(scale / sN)).otherwise(lit(0L)).as("rank"),
@@ -704,18 +710,21 @@ object WebOps {
       .localCheckpoint(eager = false)
     var it = 0
     while (it < iters) {
-      val dangRow = ranks.filter(col("dang"))
-        .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0)
-      val dang = dangRow.getLong(0)
-      val dShare = (dang * dampNum) / (dampDen * sN)
+      // lazy dangling mass (see [[pageRank]]): one-row aggregate
+      // broadcast into the round — no per-round driver sync
+      val dangDf = ranks.filter(col("dang"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dangm"))
       val contrib = ranks.join(e2, ranks("host") === e2("src"))
         .select(col("dst"),
           expr(s"(rank * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
       ranks = flagged
         .join(contrib, col("host") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangDf))
         .select(col("host"),
-          (when(col("seeded"), lit(base + dShare)).otherwise(lit(0L)) +
+          (when(col("seeded"),
+            lit(base) + expr(s"(dangm * $dampNum) div ${dampDen * sN}"))
+            .otherwise(lit(0L)) +
             coalesce(col("contrib"), lit(0L))).as("rank"),
           col("dang"))
         .coalesce(pN)
