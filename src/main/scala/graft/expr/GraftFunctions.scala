@@ -35,6 +35,19 @@ object GraftFunctions {
       es => BloomContainsAllExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_dot", es =>
       SortedDotExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_long", es =>
+      DotLongExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dist2_long", es =>
+      Dist2LongExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_float", es =>
+      CosineFloatExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_band_keys", es =>
+      LshBandKeysExpr(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("rp_project", es =>
+      RpProjectExpr(es(0),
+        es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("erase_spans", es =>
       EraseSpansExpr(es(0), es(1),
         es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")

@@ -424,3 +424,181 @@ case class SortedDotExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Fused vector kernels for the ANN/embedding family. Each replaces an
+  * `aggregate(zip_with(...))` higher-order expression tree whose per-row
+  * cost (lambda dispatch + an intermediate array allocation per pair)
+  * dominated the candidate-scoring stages: the semantics are IDENTICAL —
+  * same fold order, same integer arithmetic (Math.*Exact mirrors ANSI
+  * overflow errors), same IEEE double sequence for the float cosine, and
+  * the LSH/JL sign family is the same Knuth multiplicative mix evaluated
+  * in the same operand order (the Column form's floor(double-div) equals
+  * integer division here: operands stay under 2^53).
+  */
+object VecFun {
+  private def checkLen(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector length mismatch: ${n} vs ${b.numElements()}")
+    n
+  }
+
+  /** Σ a_i·b_i over two equal-length array<long> vectors. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = checkLen(a, b)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    s
+  }
+
+  /** Σ (a_i−b_i)² over two equal-length array<long> vectors. */
+  def dist2Long(a: ArrayData, b: ArrayData): Long = {
+    val n = checkLen(a, b)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      s = Math.addExact(s, Math.multiplyExact(d, d))
+      i += 1
+    }
+    s
+  }
+
+  /** Float cosine with the exact IEEE accumulation order of the former
+    * three sequential folds (dot, ‖a‖², ‖b‖² each accumulate in index
+    * order; the interleaving below leaves each accumulator's own
+    * operation sequence unchanged).
+    */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = checkLen(a, b)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Signed sums against the deterministic ±1 plane family shared by the
+    * LSH hyperplanes and the JL projection: sign(i,p) = + iff
+    * ((i·2654435761 + p·40503 + 11) div 65536) mod 2 == 0 — bit 16 of
+    * the Knuth multiplicative mix, identical to the Column form.
+    */
+  def planeSums(q: ArrayData, planes: Int): Array[Long] = {
+    val n = q.numElements()
+    val sums = new Array[Long](planes)
+    var i = 0
+    while (i < n) {
+      val x = q.getLong(i)
+      val base = i * 2654435761L
+      var p = 0
+      while (p < planes) {
+        if (((base + p * 40503L + 11L) / 65536L) % 2L == 0L)
+          sums(p) = Math.addExact(sums(p), x)
+        else sums(p) = Math.subtractExact(sums(p), x)
+        p += 1
+      }
+      i += 1
+    }
+    sums
+  }
+
+  /** LSH band keys over the plane-sum signature: key_b = Σ_r bit·2^r with
+    * bit = (sum > 0), planes split contiguously into `bands` groups.
+    */
+  def lshBandKeys(q: ArrayData, numPlanes: Int, bands: Int): ArrayData = {
+    val sums = planeSums(q, numPlanes)
+    val rpb = numPlanes / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = 0L
+      var r = 0
+      while (r < rpb) {
+        if (sums(b * rpb + r) > 0L) k |= (1L << r)
+        r += 1
+      }
+      keys(b) = k
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  /** JL projection: the raw signed plane sums as array<long>. */
+  def rpProject(q: ArrayData, outDims: Int): ArrayData =
+    new GenericArrayData(planeSums(q, outDims))
+}
+
+/** `dot_long(a, b)` — fused integer dot product over array<long>. */
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecFun.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VecFun.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `dist2_long(a, b)` — fused integer squared-L2 over array<long>. */
+case class Dist2LongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecFun.dist2Long(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VecFun.dist2Long($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `cosine_float(a, b)` — fused float cosine (see [[VecFun.cosineFloat]]). */
+case class CosineFloatExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecFun.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VecFun.cosineFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `lsh_band_keys(q, numPlanes, bands)` — all band keys in one pass. */
+case class LshBandKeysExpr(child: Expression, numPlanes: Int, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override protected def nullSafeEval(q: Any): Any =
+    VecFun.lshBandKeys(q.asInstanceOf[ArrayData], numPlanes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.VecFun.lshBandKeys($c, $numPlanes, $bands)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `rp_project(q, outDims)` — JL signed-sum projection in one pass. */
+case class RpProjectExpr(child: Expression, outDims: Int)
+    extends UnaryExpression {
+  // containsNull stays true: the projection is a query OUTPUT column and
+  // the former array(...) form carried nullable elements in its schema
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override protected def nullSafeEval(q: Any): Any =
+    VecFun.rpProject(q.asInstanceOf[ArrayData], outDims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.VecFun.rpProject($c, $outDims)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

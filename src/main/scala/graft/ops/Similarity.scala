@@ -18,15 +18,25 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(1000.0)).cast("long"))
 
-  /** Integer dot product of two quantized vectors (codegen'd builtins). */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Ensure the fused vector kernels are registered on the session that
+    * owns `df` (idempotent; see graft.expr.VecFun — each kernel replaces
+    * an aggregate(zip_with(...)) tree with identical semantics).
+    */
+  private def reg(df: DataFrame): Unit =
+    graft.expr.GraftFunctions.register(df.sparkSession)
+
+  /** Integer dot product of two quantized vectors (fused codegen kernel —
+    * same fold order and ANSI overflow behavior as the former
+    * aggregate(zip_with) form, without the per-pair intermediate array).
+    */
+  def dotQ(a: Column, b: Column): Column = call_function("dot_long", a, b)
 
   /** Exact top-k by quantized dot product, probes broadcast (same scale
     * shape as KnnJoin: the big target side is never shuffled; the final
     * window runs on P×k×partitions rows).
     */
   def annTopK(embeddings: DataFrame, probeMaxId: Long, k: Int): DataFrame = {
+    reg(embeddings)
     val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
     val probes = q.filter(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("query_id"), col("q").as("pq"))
@@ -37,9 +47,10 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Exact integer squared-L2 distance of two quantized vectors. */
-  def distQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+  /** Exact integer squared-L2 distance of two quantized vectors (fused
+    * codegen kernel; semantics of the former aggregate(zip_with) form).
+    */
+  def distQ(a: Column, b: Column): Column = call_function("dist2_long", a, b)
 
   /** kNN classifier evaluation over the embedding table: held-out test
     * vectors (`vec_id % testMod = 0`) are classified by majority vote of
@@ -58,6 +69,7 @@ object Similarity {
     */
   def knnClassifyEval(embeddings: DataFrame, k: Int = 5,
                       testMod: Long = 10): DataFrame = {
+    reg(embeddings)
     val q = embeddings.select(col("vec_id"), col("label"),
       quantize(col("embedding")).as("q"))
     val test = q.filter(pmod(col("vec_id"), lit(testMod)) === 0)
@@ -163,6 +175,7 @@ object Similarity {
     * the corpus side never shuffles.
     */
   def annSq8(embeddings: DataFrame, probeMaxId: Long, k: Int): DataFrame = {
+    reg(embeddings)
     val q = sq8Quantize(embeddings)
     val probes = q.filter(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("query_id"), col("codes").as("pc"),
@@ -175,21 +188,16 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Float cosine similarity (real-workload path; not oracle-checked —
-    * trig-free but accumulation-order sensitive at the last ulp).
+  /** Float cosine similarity over array<float> vectors (real-workload
+    * path; not oracle-checked — trig-free but accumulation-order
+    * sensitive at the last ulp). Fused codegen kernel with the identical
+    * IEEE accumulation sequence of the former three folds.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column = call_function("cosine_float", a, b)
 
   /** Cosine brute-force top-k (baseline for the ANN variants). */
   def cosineTopK(embeddings: DataFrame, probeMaxId: Long, k: Int): DataFrame = {
+    reg(embeddings)
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val probes = e.filter(col("vec_id") < probeMaxId)
       .select(col("vec_id").as("query_id"), col("embedding").as("pe"))
@@ -283,6 +291,7 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, probeMaxId: Long, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
               seed: Int = 41): DataFrame = {
+    reg(embeddings)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val cents = ivfCentroids(embeddings, nlist, iters, seed)
@@ -341,31 +350,21 @@ object Similarity {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     require(capPerBucket > 0 || capPerBucket == -1,
       "capPerBucket must be positive, or -1 for adaptive")
-    val rowsPerBand = numPlanes / bands
+    reg(embeddings)
     // self-dot computed ONCE per vector here (carried through banding)
     // rather than once per candidate pair in the verify select
     val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotQ(col("q"), col("q")))
-    def planeBit(p: Int): Column = {
-      val signed = aggregate(
-        zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
-          (x, i) => when(
-            pmod(floor((i * lit(2654435761L) + lit(p * 40503L + 11L)) / lit(65536L)), lit(2)) === 0,
-            x).otherwise(-x)),
-        lit(0L), (acc, v) => acc + v)
-      when(signed > 0, lit(1L)).otherwise(lit(0L))
-    }
-    val bandKeys = (0 until bands).map { b =>
-      val bits = (0 until rowsPerBand).map(r => planeBit(b * rowsPerBand + r) * lit(1L << r))
-      struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
-    }
-    // the signature (numPlanes aggregate expressions over the quantized
-    // vector) is the expensive stage, and BOTH join sides read this
-    // frame: persist, or it is computed once per side
+    // all band keys in ONE pass over the vector (lsh_band_keys — the
+    // same sign family and bit assembly as the former numPlanes separate
+    // aggregate(zip_with) expressions, fused); posexplode's position IS
+    // the band index
+    // the signature is the expensive stage, and BOTH join sides read
+    // this frame: persist, or it is computed once per side
     val banded = q
-      .withColumn("bk", explode(array(bandKeys: _*)))
       .select(col("vec_id"), col("q"), col("nq"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+        posexplode(call_function("lsh_band_keys", col("q"),
+          lit(numPlanes), lit(bands))).as(Seq("band", "key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // index side: deterministic cap per (band, key). capPerBucket = -1
     // derives the cap from the bucket-size distribution (p95 of counts,
@@ -737,15 +736,12 @@ object Similarity {
     */
   def randomProjection(embeddings: DataFrame, outDims: Int): DataFrame = {
     require(outDims >= 1, s"outDims >= 1, got $outDims")
+    reg(embeddings)
     val q = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
-    val projs = (0 until outDims).map { j =>
-      aggregate(
-        zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
-          (x, i) => when(
-            pmod(floor((i * lit(2654435761L) + lit(j * 40503L + 11L)) / lit(65536L)), lit(2)) === 0,
-            x).otherwise(-x)),
-        lit(0L), (acc, v) => acc + v).as(s"p$j")
-    }
-    q.select(col("vec_id"), array(projs: _*).as("proj"))
+    // one fused pass over the vector for all outDims signed sums
+    // (rp_project) instead of outDims aggregate(zip_with) trees — same
+    // sign family, same Long arithmetic
+    q.select(col("vec_id"),
+      call_function("rp_project", col("q"), lit(outDims)).as("proj"))
   }
 }
