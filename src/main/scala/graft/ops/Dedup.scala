@@ -409,15 +409,19 @@ object Dedup {
       .select(col("doc_id"), col("tok"), col("df"),
         (col("tf") * expr(s"$idfScale div df")).as("w"))
       .withColumn("w2", col("w") * col("w"))
-      // consumed 4× (norms, ranked, both verify sides) — without the
-      // cache the tokenize+tf+df join recomputes each time
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val norms = weighted.groupBy("doc_id").agg(sum(col("w2")).as("na2"))
-    val sufW = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    // no persist here: `ranked` (cached below) is now the single consumer
+    // of the weighted table — vecs and both verify sides read `ranked`
+    // ‖a‖² rides the SAME doc-keyed window exchange as the suffix norm
+    // (w = 0 rows contribute 0 to Σw², so the full-partition sum over
+    // the w > 0 frame equals the former all-rows aggregate) — the
+    // separate norms aggregate + two joins it fed are gone: 3 exchanges
+    // fewer in the plan, same integers everywhere.
+    val byDoc = Window.partitionBy("doc_id")
+    val sufW = byDoc.orderBy(col("df"), col("tok"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val ranked = weighted.filter(col("w") > 0)
       .withColumn("suf2", sum(col("w2")).over(sufW))
-      .join(norms, "doc_id")
+      .withColumn("na2", sum(col("w2")).over(byDoc))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixes = ranked
       .filter(col("suf2").cast("decimal(38,0)") * lit(tDen * tDen) >=
@@ -433,21 +437,22 @@ object Dedup {
     // contribute nothing to the dot and are left out of the vectors;
     // every cand pair shares at least one w > 0 token by construction
     // (both join sides come from `ranked`), so the inner joins drop no
-    // pair the certificate could accept.
+    // pair the certificate could accept. ‖a‖² rides the same aggregate
+    // (max over the per-doc-constant na2), so the verify needs no extra
+    // norm joins.
     graft.expr.GraftFunctions.register(docs.sparkSession)
-    val vecs = weighted.filter(col("w") > 0)
+    val vecs = ranked
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("tok"), col("w")))).as("tw"))
-    val dot = cand
-      .join(vecs.select(col("doc_id").as("doc_a"), col("tw").as("twa")), Seq("doc_a"))
-      .join(vecs.select(col("doc_id").as("doc_b"), col("tw").as("twb")), Seq("doc_b"))
+      .agg(array_sort(collect_list(struct(col("tok"), col("w")))).as("tw"),
+        max(col("na2")).as("na2"))
+    cand
+      .join(vecs.select(col("doc_id").as("doc_a"), col("tw").as("twa"),
+        col("na2").as("na2")), Seq("doc_a"))
+      .join(vecs.select(col("doc_id").as("doc_b"), col("tw").as("twb"),
+        col("na2").as("nb2")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        call_function("sorted_dot", col("twa"), col("twb")).as("dot"))
-    dot
-      .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("dot"),
-        col("na.na2").as("na2"), col("nb.na2").as("nb2"))
+        call_function("sorted_dot", col("twa"), col("twb")).as("dot"),
+        col("na2"), col("nb2"))
       .filter(col("dot").cast("decimal(38,0)") * col("dot") * lit(tDen * tDen) >=
         col("na2").cast("decimal(38,0)") * col("nb2") * lit(tNum * tNum))
   }
@@ -580,47 +585,51 @@ object Dedup {
     var p = Adapt.partitionsFor(e, sig._1)
     e = e.coalesce(p).localCheckpoint(eager = false)
     while (!converged && it < maxIter) {
-      // large-star: for every node n of the SYMMETRIZED graph with
-      // m = min(n ∪ N(n)), connect every neighbor v > n to m. Emitted
-      // edges are canonical (m < v) by construction. No distinct here:
-      // duplicates ((n,v),(n',v) → same (m,v)) are swept by the round's
-      // final distinct — deduping early cost a full extra shuffle per
-      // round for nothing (measured 20-25% of round time on the
-      // 10^7-edge bench graph). Each phase REPARTITIONS ONCE on its key
-      // and lets both the min aggregate and the join consume that one
-      // exchange (the agg and the join otherwise each shuffle the raw
-      // edge set — 5 exchanges per round instead of 3; measured ~25%
-      // of round time on the same graph).
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .repartition(p, col("u"))
-      val minsL = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      val afterLarge = sym.join(minsL, "u")
-        .filter(col("v") > col("u"))
-        .select(col("m").as("u"), col("v"))
-        .repartition(p, col("v"))
-      // small-star: per larger endpoint v with low-neighbor set N (all
-      // < v), m = min(N); connect every node of N ∪ {v} except m to m.
-      val minsS = afterLarge.groupBy("v").agg(min(col("u")).as("m"))
-      val small = afterLarge.join(minsS, "v")
-        .select(col("m"), col("u"))
-        .union(minsS.select(col("m"), col("v").as("u")))
-        .filter(col("u") =!= col("m"))
-        .select(col("m").as("u"), col("u").as("v"))
-        .distinct()
-        .coalesce(p)
-        // LAZY checkpoint: the signature aggregate right below is the
-        // round's single job — it materializes the checkpoint blocks as
-        // it scans, where an eager checkpoint would spend a whole extra
-        // job (and a second pass over the cached round) per round
-        .localCheckpoint(eager = false)
+      val small = {
+        // large-star: for every node n of the SYMMETRIZED graph with
+        // m = min(n ∪ N(n)), connect every neighbor v > n to m. Emitted
+        // edges are canonical (m < v) by construction. No distinct here:
+        // duplicates ((n,v),(n',v) → same (m,v)) are swept by the round's
+        // final distinct — deduping early cost a full extra shuffle per
+        // round for nothing (measured 20-25% of round time on the
+        // 10^7-edge bench graph). Each phase REPARTITIONS ONCE on its key
+        // and lets both the min aggregate and the join consume that one
+        // exchange (the agg and the join otherwise each shuffle the raw
+        // edge set — 5 exchanges per round instead of 3; measured ~25%
+        // of round time on the same graph).
+        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+          .repartition(p, col("u"))
+        val minsL = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+        val afterLarge = sym.join(minsL, "u")
+          .filter(col("v") > col("u"))
+          .select(col("m").as("u"), col("v"))
+          .repartition(p, col("v"))
+        // small-star: per larger endpoint v with low-neighbor set N (all
+        // < v), m = min(N); connect every node of N ∪ {v} except m to m.
+        val minsS = afterLarge.groupBy("v").agg(min(col("u")).as("m"))
+        afterLarge.join(minsS, "v")
+          .select(col("m"), col("u"))
+          .union(minsS.select(col("m"), col("v").as("u")))
+          .filter(col("u") =!= col("m"))
+          .select(col("m").as("u"), col("u").as("v"))
+          .distinct()
+          .coalesce(p)
+          // LAZY checkpoint: the signature aggregate right below is the
+          // batch's single job — it materializes the checkpoint blocks as
+          // it scans, where an eager checkpoint would spend a whole extra
+          // job (and a second pass over the cached round) per round
+          .localCheckpoint(eager = false)
+      }
+      it += 1
       val sigNew = signature(small)
       p = Adapt.partitionsFor(small, sigNew._1)
       // a star forest is the unique fixed point of the (large ∘ small)
-      // round, so an unchanged edge-set signature IS convergence
+      // round, so an unchanged edge-set signature IS convergence (and
+      // the fixed point is idempotent, so a batched check that crosses
+      // convergence mid-batch still reads equal signatures)
       converged = sigNew == sig
       sig = sigNew
       e = small
-      it += 1
     }
     require(converged || sig._1 == 0L,
       s"connectedComponents did not converge in $maxIter rounds")
