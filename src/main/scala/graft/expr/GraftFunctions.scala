@@ -48,6 +48,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("rp_project", es =>
       RpProjectExpr(es(0),
         es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_inter_count", es =>
+      SortedInterCountExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("erase_spans", es =>
       EraseSpansExpr(es(0), es(1),
         es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")

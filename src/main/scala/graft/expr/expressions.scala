@@ -602,3 +602,42 @@ case class RpProjectExpr(child: Expression, outDims: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+object InterFun {
+  /** |A ∩ B| of two string arrays SORTED ascending in UTF8 binary order
+    * with distinct elements (the distinct-token vectors every Jaccard/
+    * containment verify joins in): a two-pointer merge, O(|a| + |b|),
+    * no per-pair hash-set allocation — replaces
+    * size(array_intersect(ta, tb)) on the pair-verify hot path with the
+    * identical count (distinct elements make the two counts equal by
+    * definition).
+    */
+  def sortedInterCount(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var s = 0L
+    while (i < n && j < m) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { s += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    s
+  }
+}
+
+/** `sorted_inter_count(ta, tb)` — codegen'd O(n+m) intersection size over
+  * two sorted distinct string arrays (see [[InterFun.sortedInterCount]]).
+  */
+case class SortedInterCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    InterFun.sortedInterCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.InterFun.sortedInterCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

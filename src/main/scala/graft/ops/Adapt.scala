@@ -133,6 +133,26 @@ object Adapt {
     }
   }
 
+  /** Spread a SMALL frame feeding a per-row-QUADRATIC stage (capped block
+    * self-joins: every row meets up to capPerBlock partners, so the work
+    * per row dwarfs the [[minRowsPerTask]] quota that [[computeSpread]]
+    * assumes) across the full cluster width. Stats-guarded like
+    * [[spreadScan]]: frames past 4× the advisory partition size keep
+    * their natural parallelism — at corpus scale this is a no-op.
+    */
+  def quadSpread(df: DataFrame, keys: Column*): DataFrame = {
+    val sess = df.sparkSession
+    val adv = math.max(1L, sess.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(adv) * 4) df
+    else {
+      val rows = df.count()
+      val p = math.max(1L,
+        math.min(sess.sparkContext.defaultParallelism.toLong, rows)).toInt
+      if (keys.isEmpty) df.repartition(p) else df.repartition(p, keys: _*)
+    }
+  }
+
   /** Re-persist an already-materialized cached frame at a size-derived
     * partition count (hash-keyed when `keys` are given, so keyed joins
     * against it still consume the one exchange). No-op when the derived

@@ -158,14 +158,16 @@ object Dedup {
     // estimate and exact verify are computed side by side — the former
     // est ⋈ ver equi-join re-shuffled the full candidate table against
     // itself (2× |cand| rows through one more exchange) for nothing.
-    val byDoc = dtoks.groupBy("doc_id").agg(collect_list(col("tok")).as("toks"))
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val byDoc = dtoks.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("tok"))).as("toks"))
     cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
       .join(byDoc.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
       .join(byDoc.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        call_function("sorted_inter_count", col("ta"), col("tb")).as("inter"),
         (size(col("ta")) + size(col("tb"))).cast("long").as("sz_sum"))
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         expr(s"CAST(n_match * 1000000 DIV $k AS BIGINT)").as("est_ppm"),
@@ -242,12 +244,18 @@ object Dedup {
     * distinct token table).
     */
   def verifyJaccardFrom(toks: DataFrame, sizes: DataFrame, pairs: DataFrame): DataFrame = {
-    val byDoc = toks.groupBy("doc_id").agg(collect_list(col("tok")).as("toks"))
+    // token vectors sorted ONCE per doc so the per-pair intersection is
+    // the codegen'd two-pointer sorted_inter_count — identical count to
+    // size(array_intersect(...)) on distinct-token arrays, without the
+    // per-pair hash-set build that dominated the verify stage
+    graft.expr.GraftFunctions.register(toks.sparkSession)
+    val byDoc = toks.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("tok"))).as("toks"))
     pairs
       .join(byDoc.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
       .join(byDoc.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        call_function("sorted_inter_count", col("ta"), col("tb")).as("inter"),
         (size(col("ta")) + size(col("tb"))).cast("long").as("sz_sum"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("sz_sum") - col("inter")).as("union_n"))
@@ -358,12 +366,14 @@ object Dedup {
     // length) instead of the exploded pair×token join — see
     // [[verifyJaccardFrom]]; zero-intersection pairs fail the integer
     // certificate for any tNum >= 1, matching the former inner join.
-    val byDoc = toks.groupBy("doc_id").agg(collect_list(col("tok")).as("toks"))
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val byDoc = toks.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("tok"))).as("toks"))
     cand
       .join(byDoc.select(col("doc_id").as("doc_a"), col("toks").as("ta")), Seq("doc_a"))
       .join(byDoc.select(col("doc_id").as("doc_b"), col("toks").as("tb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        call_function("sorted_inter_count", col("ta"), col("tb")).as("inter"),
         size(col("ta")).cast("long").as("n_a"), size(col("tb")).cast("long").as("n_b"))
       .filter(col("inter") * lit(tDen) >= lit(tNum) * col("n_a"))
   }
@@ -801,7 +811,13 @@ object Dedup {
         keyed.withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= capPerBlock).drop("rnk")
       }
-    val l = capped.select(col("blk"), col("id").as("id_a"), col("k").as("k_a"))
+    // spread the probe side before the block self-join: each row meets up
+    // to capPerBlock partners under a levenshtein each, so a bytes-tiny
+    // frame still carries seconds of CPU — AQE's byte-based coalescing
+    // serializes it onto one task otherwise (stats-guarded no-op at scale)
+    val l = Adapt.quadSpread(
+      capped.select(col("blk"), col("id").as("id_a"), col("k").as("k_a")),
+      col("blk"), col("id_a"))
     val r = capped.select(col("blk"), col("id").as("id_b"), col("k").as("k_b"))
     l.join(r, Seq("blk"))
       .filter(col("id_a") < col("id_b"))

@@ -606,7 +606,7 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
       .distinct()
-    val items =
+    val items1 =
       if (capPerBasket == -1) items0
       else {
         val w = org.apache.spark.sql.expressions.Window
@@ -614,6 +614,12 @@ object Relational {
         items0.withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= capPerBasket).drop("rnk")
       }
+    // consumed 4× (total, per-brand counts, both self-join sides): cache
+    // the deduped basket table once — the lineitem⋈part join + distinct
+    // + cap window otherwise re-run per consumer. The okey-keyed window
+    // exchange partitioning is pinned by the cache, so the self-join
+    // below consumes it without re-shuffling either side.
+    val items = items1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = items.agg(countDistinct(col("okey")).as("n_orders"))
     val counts = items.groupBy("brand").agg(count(lit(1)).as("n"))
     val pairs = items.select(col("okey"), col("brand").as("brand_a"))
