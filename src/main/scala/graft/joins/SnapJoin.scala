@@ -1,6 +1,6 @@
 package graft.joins
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Map-matching snap join: every point to its nearest segment of a
@@ -41,11 +41,24 @@ object SnapJoin {
                      idCol: String = "doc_id",
                      xCol: String = "x", yCol: String = "y"): DataFrame = {
     val dec = "decimal(38,0)"
+    // every raw span is range-checked BEFORE any product is formed:
+    // |s| < 2·10⁹ keeps each square ≤ 4·10¹⁸ and each two-term sum of
+    // squares / dot ≤ 8·10¹⁸ < 2⁶³, so no intermediate can wrap before
+    // the Decimal guard on w2·r below sees it (the guard otherwise
+    // compared already-corrupted values outside the microdegree envelope)
+    val spanCap = 2000000000L
+    def span(c: Column): Column =
+      when(abs(c) >= spanCap, raise_error(lit(
+        "snapToSegments: coordinate span exceeds the exact-Long envelope; " +
+          "reproject to a local frame")).cast("long"))
+        .otherwise(c)
     val cand = points.crossJoin(broadcast(segments))
-      .withColumn("dx", col("bx") - col("ax"))
-      .withColumn("dy", col("by") - col("ay"))
-      .withColumn("wx", col(xCol) - col("ax"))
-      .withColumn("wy", col(yCol) - col("ay"))
+      .withColumn("dx", span(col("bx") - col("ax")))
+      .withColumn("dy", span(col("by") - col("ay")))
+      .withColumn("wx", span(col(xCol) - col("ax")))
+      .withColumn("wy", span(col(yCol) - col("ay")))
+      .withColumn("vx", span(col(xCol) - col("bx")))
+      .withColumn("vy", span(col(yCol) - col("by")))
       .withColumn("r", col("dx") * col("dx") + col("dy") * col("dy"))
       .withColumn("dot", col("wx") * col("dx") + col("wy") * col("dy"))
       .withColumn("w2", col("wx") * col("wx") + col("wy") * col("wy"))
@@ -56,8 +69,7 @@ object SnapJoin {
       .withColumn("dist_num",
         when(col("dot") <= 0, col("w2"))
           .when(col("dot") >= col("r"),
-            (col(xCol) - col("bx")) * (col(xCol) - col("bx")) +
-              (col(yCol) - col("by")) * (col(yCol) - col("by")))
+            col("vx") * col("vx") + col("vy") * col("vy"))
           // |w|²·r must stay below 2⁶³: fail loudly, never silently wrap
           // (checked in Decimal BEFORE the Long product is formed)
           .when(col("w2").cast(dec) * col("r") >= lit(Long.MaxValue).cast(dec),

@@ -141,7 +141,10 @@ object Puny {
     * label lowercased.
     */
   def decodeHost(host: String): String =
-    host.split('.').map { label =>
+    // -1 limit: trailing empty labels survive (a root-dot host
+    // 'example.com.' must round-trip; plain split drops them and
+    // decode(encode(h)) stopped being identity)
+    host.split("\\.", -1).map { label =>
       val lower = label.toLowerCase
       if (lower.startsWith("xn--")) decodeLabel(lower.substring(4))
       else lower
@@ -151,7 +154,7 @@ object Puny {
     * punycode-encoded under the `xn--` prefix.
     */
   def encodeHost(host: String): String =
-    host.split('.').map { label =>
+    host.split("\\.", -1).map { label =>
       val lower = label.toLowerCase
       if (lower.forall(_ < 128)) lower else "xn--" + encodeLabel(lower)
     }.mkString(".")

@@ -345,9 +345,12 @@ object Zstd {
       val magic = le32(src, p)
       if ((magic & 0xfffffff0L) == 0x184d2a50L) { // skippable frame
         if (p + 8 > src.length) fail("truncated skippable frame")
-        val sz = le32(src, p + 4).toInt
-        p += 8 + sz
-        if (p > src.length) fail("skippable frame overruns input")
+        // size stays a Long until bounds-checked: a 32-bit size >= 2^31
+        // went negative as an Int and moved p BACKWARD (non-termination)
+        // or past the array (raw AIOOBE) instead of failing loud
+        val sz = le32(src, p + 4)
+        if (sz > src.length.toLong - p - 8) fail("skippable frame overruns input")
+        p += 8 + sz.toInt
       } else if (magic == 0xfd2fb528L) {
         val start = p
         val out = new java.io.ByteArrayOutputStream(64 << 10)
@@ -682,9 +685,15 @@ object Zstd {
       var runEnd = p
       while (runEnd < src.length && src(runEnd) == src(p)) runEnd += 1
       if (runEnd - p >= 16) {
-        blockHeader(runEnd == src.length, 1, runEnd - p)
-        out.write(src(p))
-        p = runEnd
+        // RFC 8878 Block_Maximum_Size: an RLE block's REGENERATED size is
+        // capped at 128 KiB (and the 21-bit header field silently
+        // truncated past 2^21) — long runs emit a chain of capped blocks
+        while (p < runEnd) {
+          val n = math.min(runEnd - p, 128 * 1024)
+          blockHeader(p + n == src.length, 1, n)
+          out.write(src(p))
+          p += n
+        }
       } else {
         // raw block up to the next long run (or 64 KiB)
         var q = p

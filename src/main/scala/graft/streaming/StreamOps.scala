@@ -518,7 +518,10 @@ object StreamOps {
             .getOrElse((List.empty[(Long, Long, Long, Boolean)],
               Long.MinValue, Long.MinValue))
           rows.foreach { case (_, ts, tpe, id, cents) =>
-            val us = ts.getTime * 1000L
+            // exact microseconds (getTime truncates to ms; the batch twin
+            // compares unix_micros, so sub-ms ties/lookback boundaries
+            // must resolve identically)
+            val us = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
             if (us > lastFin) buf = (us, id, cents, tpe == touchType) :: buf
           }
           val wm = state.getCurrentWatermarkMs() * 1000L

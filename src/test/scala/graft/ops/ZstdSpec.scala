@@ -79,6 +79,32 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.decompress(skip ++ enc).toSeq == b.toSeq)
   }
 
+  test("oversized skippable-frame sizes fail loud, never spin or overrun") {
+    // size 0xFFFFFFF8 went negative as an Int: p moved BACKWARD and
+    // decompress() spun forever before the Long-size fix
+    val spin = Array[Byte](0x50, 0x2a, 0x4d, 0x18,
+      0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+    intercept[IllegalArgumentException] { Zstd.decompress(spin) }
+    // size 0x80000010 overran the array with a raw AIOOBE
+    val over = Array[Byte](0x50, 0x2a, 0x4d, 0x18,
+      0x10, 0x00, 0x00, 0x80.toByte)
+    intercept[IllegalArgumentException] { Zstd.decompress(over) }
+    // a skippable frame whose (positive) size overruns the input
+    val short = Array[Byte](0x50, 0x2a, 0x4d, 0x18, 9, 0, 0, 0, 1, 2)
+    intercept[IllegalArgumentException] { Zstd.decompress(short) }
+  }
+
+  test("store-mode RLE blocks cap regenerated size at 128 KiB") {
+    // a >128 KiB single-byte run must chain capped RLE blocks (the
+    // 21-bit size field silently truncated past 2^21, and reference
+    // decoders reject any block regenerating > 128 KiB)
+    val run = Array.fill[Byte](400000)('z'.toByte)
+    val enc = Zstd.zstdCompressStore(run)
+    val got = com.github.luben.zstd.Zstd.decompress(enc, run.length)
+    assert(got.toSeq == run.toSeq)
+    assert(Zstd.decompress(enc).toSeq == run.toSeq)
+  }
+
   test("truncation and garbage fuzz reject cleanly within a deadline") {
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     val enc = com.github.luben.zstd.Zstd.compress(corpus(5), 3)
