@@ -50,6 +50,13 @@ object GraftFunctions {
         es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_inter_count", es =>
       SortedInterCountExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("kmeans_assign", es => {
+      val sd = es(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val sums = Array.tabulate(sd.numElements())(i => sd.getArray(i).toLongArray())
+      val counts = es(2).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      KMeansAssignExpr(es(0), sums, counts)
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("erase_spans", es =>
       EraseSpansExpr(es(0), es(1),
         es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")

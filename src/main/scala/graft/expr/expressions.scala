@@ -641,3 +641,69 @@ case class SortedInterCountExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Exact-rational Lloyd assignment kernel: given centers (s⃗_c, n_c) —
+  * integer coordinate sums and member counts, never divided out — pick
+  * argmin_c d²(p, c) = ‖n_c·p⃗ − s⃗_c‖² / n_c² by cross-multiplication,
+  * ties to the LOWER center index (the fold order of the former
+  * k-chained when(...) Column tree, reproduced exactly: center c beats
+  * the incumbent iff a_c·bestN² < bestA·n_c², strictly).
+  *
+  * Distances are exact Longs (Math.*Exact mirrors ANSI overflow errors);
+  * the cross-products run in BigInteger, the semantic twin of the
+  * Column form's Decimal(38,0) — both exact integer domains. The center
+  * table rides a codegen REFERENCE (not literals), so the generated
+  * source is identical across Lloyd iterations and the per-iteration
+  * whole-stage recompilation the literal tree caused is gone.
+  */
+object KMeansFun {
+  def assign(q: ArrayData, sums: Array[Array[Long]], counts: Array[Long]): Int = {
+    val dims = q.numElements()
+    var bestC = 0
+    var bestA = dist2Scaled(q, sums(0), counts(0), dims)
+    var bestN = counts(0)
+    var c = 1
+    while (c < sums.length) {
+      val a = dist2Scaled(q, sums(c), counts(c), dims)
+      val nc = counts(c)
+      // a·bestN² < bestA·nc² in exact integers
+      val lhs = java.math.BigInteger.valueOf(a)
+        .multiply(java.math.BigInteger.valueOf(bestN).pow(2))
+      val rhs = java.math.BigInteger.valueOf(bestA)
+        .multiply(java.math.BigInteger.valueOf(nc).pow(2))
+      if (lhs.compareTo(rhs) < 0) { bestC = c; bestA = a; bestN = nc }
+      c += 1
+    }
+    bestC
+  }
+
+  private def dist2Scaled(q: ArrayData, s: Array[Long], n: Long, dims: Int): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < dims) {
+      val d = Math.subtractExact(Math.multiplyExact(n, q.getLong(i)), s(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `KMeansAssignExpr(q)` — argmin cluster id against the (s⃗, n) center
+  * table carried as a codegen reference object (see [[KMeansFun]]).
+  */
+case class KMeansAssignExpr(child: Expression,
+                            sums: Array[Array[Long]],
+                            counts: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(q: Any): Any =
+    KMeansFun.assign(q.asInstanceOf[ArrayData], sums, counts)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sumsRef = ctx.addReferenceObj("kmSums", sums, "long[][]")
+    val countsRef = ctx.addReferenceObj("kmCounts", counts, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.KMeansFun.assign($c, $sumsRef, $countsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

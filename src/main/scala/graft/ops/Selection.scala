@@ -174,12 +174,17 @@ object Selection {
     require(k >= 1, s"k >= 1, got $k")
     val spark = embeddings.sparkSession
     import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
     val q = embeddings
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
       .persist()
+    // fused dist2 kernel: the round's center rides a literal that codegen
+    // carries as a reference object, so every Gonzalez round reuses the
+    // same compiled source (the aggregate(zip_with(.., lit(center), ..))
+    // form re-generated and re-compiled per round); same fold order and
+    // exact Long arithmetic
     def d2To(center: Array[Long]): Column =
-      aggregate(zip_with(col("q"), lit(center), (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, v) => a + v)
+      call_function("dist2_long", col("q"), typedlit(center.toSeq))
     try {
       val first = q.orderBy("vec_id").head()
       val out = collection.mutable.ArrayBuffer((0, first.getLong(0), 0L))

@@ -594,6 +594,7 @@ object Similarity {
     */
   def kMeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"k/iters >= 1, got $k/$iters")
+    reg(embeddings)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(20, 0)
@@ -609,34 +610,25 @@ object Similarity {
       var centers: Array[(Array[Long], Long)] =
         seedIds.map(id => (seedRows(id), 1L))
 
-      def assignCol(): (Column, Column) = {
-        val a = (0 until k).map { c =>
-          val (s, n) = centers(c)
-          aggregate(
-            zip_with(col("q"), lit(s),
-              (x, sc) => (lit(n) * x - sc) * (lit(n) * x - sc)),
-            lit(0L), (acc, v) => acc + v)
-        }
-        var bestC: Column = lit(0)
-        var bestA: Column = a(0)
-        var bestN: Column = lit(centers(0)._2)
-        for (c <- 1 until k) {
-          val nc = centers(c)._2
-          val cond = a(c).cast(dec) * (bestN * bestN).cast(dec) <
-            bestA.cast(dec) * lit(nc * nc).cast(dec)
-          bestA = when(cond, a(c)).otherwise(bestA)
-          bestN = when(cond, lit(nc)).otherwise(bestN)
-          bestC = when(cond, lit(c)).otherwise(bestC)
-        }
-        (bestC, bestA)
-      }
+      // fused assignment kernel: the former k-chained when(...) tree over
+      // k aggregate(zip_with(q, lit(s⃗_c), ...)) expressions embedded the
+      // center table as LITERALS, so every Lloyd iteration generated new
+      // whole-stage source and recompiled (~2 s/iteration of pure driver
+      // codegen at k=4). KMeansAssignExpr carries the centers as a
+      // codegen reference object — identical source across iterations,
+      // same exact arithmetic and strict-< lower-index tie fold
+      // (BigInteger ≡ the Decimal(38,0) cross-multiplication).
+      def assignCol(): Column =
+        call_function("kmeans_assign", col("q"),
+          typedlit(centers.map(_._1.toSeq).toSeq),
+          typedlit(centers.map(_._2).toSeq))
 
       // iters assignment rounds; centers update after each but the last
       // (the returned frame is assignment #iters against the centroids
       // of update #iters−1 — the contract the oracle unrolls)
       var assigned: DataFrame = null
       for (t <- 1 to iters) {
-        val (bc, _) = assignCol()
+        val bc = assignCol()
         assigned = q.select(col("vec_id"), col("q"), bc.as("cluster"))
         if (t < iters) {
           val sums = assigned

@@ -257,7 +257,13 @@ object VectorOps {
     * any layer size, no driver loop).
     */
   def splitByAttribute(df: DataFrame, attrCol: String, outRoot: String): Unit =
-    df.write.mode("overwrite").partitionBy(attrCol).parquet(outRoot)
+    // REBALANCE on the partition column before the dynamic-partition
+    // write (guide §6): without it every upstream task opens a file per
+    // value it touches — tasks×values tiny files and their commit
+    // overhead dominated the op; AQE's rebalance also splits a skewed
+    // hot value instead of serializing it onto one writer
+    df.hint("rebalance", attrCol)
+      .write.mode("overwrite").partitionBy(attrCol).parquet(outRoot)
 
   /** One output per feature — vector_split_by_feature (core_vector_split
     * .py:19): partition by the feature id.

@@ -802,14 +802,23 @@ object WebOps {
     * reversed edges) + one equi-join; inherits their scale shape.
     */
   def sccOfSeed(edges: DataFrame, seeds: DataFrame, maxHops: Int = 16): DataFrame = {
+    // materialize the cleaned edge list ONCE for both BFS directions
+    // (each reachable re-derived filter+distinct from the raw source —
+    // two full upstream passes; the spamMass pattern)
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    e0.count()
     // the two BFS directions are independent job chains: overlap them
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fwdF = Future(reachable(edges, seeds, maxHops)
+    val fwdF = Future(reachable(e0, seeds, maxHops)
       .select(col("host"), col("hops").as("hops_fwd")))
     val bwdF = Future(reachable(
-        edges.select(col("dst").as("src"), col("src").as("dst")), seeds, maxHops)
+        e0.select(col("dst").as("src"), col("src").as("dst")), seeds, maxHops)
       .select(col("host"), col("hops").as("hops_bwd")))
     Await.result(fwdF, Duration.Inf).join(Await.result(bwdF, Duration.Inf), Seq("host"))
   }
@@ -873,20 +882,24 @@ object WebOps {
     * against the node set; hop distances carried (null = unreached).
     */
   def bowtie(edges: DataFrame, seeds: DataFrame, maxHops: Int = 8): DataFrame = {
+    // one cleaned edge materialization shared by the node set and both
+    // BFS directions (each consumer re-derived filter+distinct before)
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint(eager = false)
+    e.count()
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
     // the two BFS directions are independent job chains: overlap them
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fwdF = Future(reachable(edges, seeds, maxHops)
+    val fwdF = Future(reachable(e, seeds, maxHops)
       .select(col("host"), col("hops").as("hops_fwd")))
     val bwdF = Future(reachable(
-        edges.select(col("dst").as("src"), col("src").as("dst")), seeds, maxHops)
+        e.select(col("dst").as("src"), col("src").as("dst")), seeds, maxHops)
       .select(col("host"), col("hops").as("hops_bwd")))
     val fwd = Await.result(fwdF, Duration.Inf)
     val bwd = Await.result(bwdF, Duration.Inf)
@@ -1091,8 +1104,13 @@ object WebOps {
           coalesce(col("jcur"), col("cur")).as("cur"),
           (col("hops") + coalesce(col("jhops"), lit(0L))).as("hops"))
         .coalesce(pN)
+        // lazy: the doubling sequence is FIXED (no per-round decision),
+        // so the whole chain submits as one cascade from the final
+        // count — the former per-round count() paid a driver sync and a
+        // plan pass per round; each round's checkpoint blocks still
+        // materialize exactly once inside the cascade, shared by the
+        // next round's two join legs
         .localCheckpoint(eager = false)
-      ptr.count() // materialize the round (fused-job pattern)
       r += 1
     }
     val out = ptr
@@ -1266,22 +1284,32 @@ object WebOps {
     cur = cur.coalesce(pE).localCheckpoint(eager = false)
     var done = false
     var r = 0
+    // the previous round's sub-threshold set stays cached until THIS
+    // round's degree count has materialized the edge frame built from it
+    // — the former explicit per-round cur.count() job is gone (one job
+    // per round instead of two; the bad.count() convergence probe is the
+    // round's single action and fused materializer)
+    var prevBad: DataFrame = null
     while (!done && r < maxRounds) {
       val bad = degrees(cur).filter(col("deg") < k).select("node").persist()
-      if (bad.count() == 0) done = true
+      val nBad = bad.count() // materializes the previous round's cur too
+      if (prevBad != null) { prevBad.unpersist(); prevBad = null }
+      if (nBad == 0) { done = true; bad.unpersist() }
       else {
         cur = cur
           .join(bad.select(col("node").as("u")), Seq("u"), "left_anti")
           .join(bad.select(col("node").as("v")), Seq("v"), "left_anti")
           .coalesce(pE)
           .localCheckpoint(eager = false)
-        cur.count() // materialize this round before bad is released
+        prevBad = bad
         r += 1
       }
-      bad.unpersist()
     }
     require(done, s"kCore: did not converge within $maxRounds peeling rounds")
-    degrees(cur)
+    val out = degrees(cur).localCheckpoint(eager = false)
+    out.count() // materialize before the last round's bad cache is released
+    if (prevBad != null) prevBad.unpersist()
+    out
   }
 
   /** Per-URL recrawl churn statistics — the crawl-scheduling signal
@@ -1584,7 +1612,7 @@ object WebOps {
         nodes.withColumn("ball_key", col("host").cast("string")),
         "ball_key", Seq("host"), p, family)
       .coalesce(pR)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     observe(regs, 0)
     var t = 1
     while (t <= rounds) {
@@ -1594,10 +1622,15 @@ object WebOps {
         .groupBy("host", "reg_no")
         .agg(max(col("reg")).cast("int").as("reg"))
         .coalesce(pR)
-        .localCheckpoint(eager = true)
+        // lazy: the round count is FIXED, so the chain submits as one
+        // cascade from the count below (one driver round trip total
+        // instead of one per round); every round's blocks still
+        // materialize once — round t+1 and any observer frame read them
+        .localCheckpoint(eager = false)
       observe(regs, t)
       t += 1
     }
+    regs.count() // materialize the whole cascade before the edges release
     e.unpersist()
     regs
   }
