@@ -72,6 +72,21 @@ object Adapt {
     ((bytes / adv) + 1).min(BigInt(cap)).max(BigInt(1)).toInt
   }
 
+  /** Partition count for a CACHED frame: a persisted plan pins its
+    * pre-AQE partitioning (canChangeCachedPlanOutputPartitioning is off
+    * by default), so an aggregate/distinct/window output caches at the
+    * full conf-partition width and every downstream consumer re-scans
+    * those near-empty tasks. Plan-stats-derived like [[partitionsForPlan]]
+    * but floored at the cluster's core count so compute-heavy consumers
+    * keep full width; saturates at the conf cap — a no-op at scale.
+    */
+  def cachePartitions(df: DataFrame): Int = {
+    val sess = df.sparkSession
+    val cap = sess.sessionState.conf.numShufflePartitions
+    math.min(cap,
+      math.max(partitionsForPlan(df), sess.sparkContext.defaultParallelism))
+  }
+
   /** `df.repartition(partitionsForPlan(df), keys).persist()` — the
     * standard initial materialization of iterative-loop state.
     */

@@ -55,7 +55,10 @@ object Dedup {
     * dtoks after consuming the query.
     */
   def tokenArtifacts(docs: DataFrame): (DataFrame, DataFrame) = {
+    // coalesce before the persist: the cached distinct otherwise pins
+    // the full conf-partition width (Adapt.cachePartitions)
     val dtoks = TextOps.tokenTable(docs).distinct()
+      .coalesce(Adapt.cachePartitions(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = dtoks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
     (dtoks, sizes)
@@ -118,6 +121,7 @@ object Dedup {
     // probe side + index side both read the banded table: persist, or
     // the k-hash signature pipeline runs once per join side
     val banded = bandTable(sig, k, bands, family)
+      .coalesce(Adapt.cachePartitions(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = banded.filter(probeFilter)
     val cand = probes.as("a").join(banded.as("b"),
@@ -143,8 +147,10 @@ object Dedup {
                         family: String = "xxhash64"): DataFrame = {
     val (dtoks, sizes) = tokenArtifacts(docs)
     val sig = minhashSignatureFrom(dtoks, k, family)
+      .coalesce(Adapt.cachePartitions(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandTable(sig, k, bands, family)
+      .coalesce(Adapt.cachePartitions(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -293,6 +299,7 @@ object Dedup {
       .withColumn("pos", row_number().over(byRarity))
       .join(sizes, "doc_id")
       .select("doc_id", "tok", "pos", "n_toks")
+      .coalesce(Adapt.cachePartitions(toks))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixes = ranked
       .filter(col("pos") <= col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1)
@@ -347,6 +354,7 @@ object Dedup {
       .withColumn("pos", row_number().over(byRarity))
       .join(sizes, "doc_id")
       .select("doc_id", "tok", "pos", "n_toks")
+      .coalesce(Adapt.cachePartitions(toks))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ⌈t·n⌉ exactly: floor((tNum·n + tDen−1)/tDen); the double division
     // is exact below 2^53, far above any real token count
@@ -432,6 +440,7 @@ object Dedup {
     val ranked = weighted.filter(col("w") > 0)
       .withColumn("suf2", sum(col("w2")).over(sufW))
       .withColumn("na2", sum(col("w2")).over(byDoc))
+      .coalesce(Adapt.cachePartitions(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixes = ranked
       .filter(col("suf2").cast("decimal(38,0)") * lit(tDen * tDen) >=
@@ -473,8 +482,9 @@ object Dedup {
     */
   def simhash16(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokenTable(docs) // duplicates kept
+      .withColumn("h", md5(col("tok"))) // hash once, not once per digit
     def hexDigit(p: Int): Column =
-      expr(s"instr('0123456789abcdef', substr(md5(tok), $p, 1)) - 1")
+      expr(s"instr('0123456789abcdef', substr(h, $p, 1)) - 1")
     val hv = hexDigit(1) * 4096 + hexDigit(2) * 256 + hexDigit(3) * 16 + hexDigit(4)
     val withH = toks.withColumn("hv", hv.cast("long"))
     val bitSums = (0 until 16).map { b =>
@@ -502,22 +512,35 @@ object Dedup {
     * HUGEINT-mod-2^64 mirror agree bitwise.
     */
   def simhash64(docs: DataFrame, family: String = "xxhash64"): DataFrame = {
-    val toks = TextOps.tokenTable(docs) // duplicates kept
-    val bitOf: Int => Column = family match {
+    // the token hash is PROJECTED once per token before the aggregate:
+    // the 64 per-bit aggregate expressions otherwise each re-evaluated
+    // their hash chain (md5 + two conv/substring, or xxhash64) per bit —
+    // 64 hashes per token instead of one; bit extraction over the
+    // projected columns is a shift+mask
+    val toksH: DataFrame = family match {
       case "xxhash64" =>
-        b => shiftrightunsigned(xxhash64(col("tok")), b).bitwiseAND(lit(1L))
+        TextOps.tokenTable(docs) // duplicates kept
+          .select(col("doc_id"), xxhash64(col("tok")).as("hlo"), lit(0L).as("hhi"))
       case "md5prefix" =>
-        val hi = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-        val lo = conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long")
-        b => if (b < 32) shiftrightunsigned(lo, b).bitwiseAND(lit(1L))
-             else shiftrightunsigned(hi, b - 32).bitwiseAND(lit(1L))
+        TextOps.tokenTable(docs)
+          .select(col("doc_id"), md5(col("tok")).as("h"))
+          .select(col("doc_id"),
+            conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("hlo"),
+            conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("hhi"))
       case other => throw new IllegalArgumentException(
         s"simhash64: unknown hash family '$other' (xxhash64 | md5prefix)")
+    }
+    val bitOf: Int => Column = family match {
+      case "xxhash64" =>
+        b => shiftrightunsigned(col("hlo"), b).bitwiseAND(lit(1L))
+      case _ =>
+        b => if (b < 32) shiftrightunsigned(col("hlo"), b).bitwiseAND(lit(1L))
+             else shiftrightunsigned(col("hhi"), b - 32).bitwiseAND(lit(1L))
     }
     val bitSums = (0 until 64).map { b =>
       sum(when(bitOf(b) === 1L, 1L).otherwise(-1L)).as(s"b$b")
     }
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    toksH.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         ((0 until 63).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))) :+
           when(col("b63") > 0, lit(Long.MinValue)).otherwise(lit(0L)))
@@ -666,6 +689,7 @@ object Dedup {
     // consumed twice (bucket minima + star edges): persist, or the whole
     // tokenize + k-hash signature pipeline runs once per consumer
     val banded = bandTable(minhashSignatureFrom(dtoks, k, family), k, bands, family)
+      .coalesce(Adapt.cachePartitions(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bmin = banded.groupBy("band", "key").agg(min("doc_id").as("root"))
     val edges = banded.join(bmin, Seq("band", "key"))

@@ -1291,7 +1291,13 @@ object WebOps {
     // round's single action and fused materializer)
     var prevBad: DataFrame = null
     while (!done && r < maxRounds) {
-      val bad = degrees(cur).filter(col("deg") < k).select("node").persist()
+      // coalesce BEFORE the persist: a cached plan pins its pre-AQE
+      // partitioning (canChangeCachedPlanOutputPartitioning is off), so
+      // the sub-threshold set otherwise materializes at the full
+      // conf-partition width and every round re-scans those near-empty
+      // tasks (measured 1.6k tasks over ~10 rounds on a 997-node graph)
+      val bad = degrees(cur).filter(col("deg") < k).select("node")
+        .coalesce(pE).persist()
       val nBad = bad.count() // materializes the previous round's cur too
       if (prevBad != null) { prevBad.unpersist(); prevBad = null }
       if (nBad == 0) { done = true; bad.unpersist() }
@@ -1306,7 +1312,7 @@ object WebOps {
       }
     }
     require(done, s"kCore: did not converge within $maxRounds peeling rounds")
-    val out = degrees(cur).localCheckpoint(eager = false)
+    val out = degrees(cur).coalesce(pE).localCheckpoint(eager = false)
     out.count() // materialize before the last round's bad cache is released
     if (prevBad != null) prevBad.unpersist()
     out
