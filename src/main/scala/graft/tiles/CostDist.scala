@@ -173,9 +173,14 @@ object CostDist {
             }
             Iterator.single((ct.copy(s = ns, d = nd), improved))
         }
-      }.localCheckpoint(eager = true)
+      }.localCheckpoint(eager = false)
+      // the convergence probe is the round's single job: it materializes
+      // the lazy checkpoint, whose cached blocks the next round's halo
+      // exchange then reads through the cheap map below — the former
+      // eager checkpoint + separate cur re-checkpoint cost two more full
+      // passes per round for the same lineage truncation
       changed = !ex.filter(_._2).isEmpty
-      cur = ex.map(_._1).localCheckpoint(eager = true)
+      cur = ex.map(_._1)
       round += 1
     }
     require(!changed, s"octileDistance: not converged after $maxRounds rounds")

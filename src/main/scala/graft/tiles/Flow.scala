@@ -200,23 +200,34 @@ object Flow {
         r += 1
       }
       out
-    }.persist()
+    }.coalesce(graft.ops.Adapt.cachePartitions(codeTiles.toDF())).persist()
     val cells = emits.filter(col("kind") === 0)
       .select(col("a").as("id"), col("n").as("local"))
     val paths = emits.filter(col("kind") === 2)
       .select(col("a").as("entry"), col("b").as("cell"))
+    // cached/checkpointed loop state coalesces to the adaptive cache
+    // width: the entry-transition table and per-round frontiers pinned
+    // the full conf-partition width otherwise (near-empty tasks per
+    // round; see Adapt.cachePartitions)
+    val pF = emits.rdd.getNumPartitions
     val nextE = emits.filter(col("kind") === 3)
-      .select(col("a").as("entry"), col("b").as("next_entry")).persist()
+      .select(col("a").as("entry"), col("b").as("next_entry"))
+      .coalesce(pF).persist()
     var frontier = emits.filter(col("kind") === 1)
       .groupBy(col("b").as("entry")).agg(sum("n").as("amt"))
       .select(col("entry"), col("amt"))
-      .localCheckpoint(eager = true)
+      .coalesce(pF)
+      // lazy: the loop's isEmpty probe (the real per-round decision)
+      // materializes each round's checkpoint; the eager form paid an
+      // extra full pass per round for the same lineage truncation
+      .localCheckpoint(eager = false)
     val totals = scala.collection.mutable.ListBuffer(frontier)
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       frontier = frontier.join(nextE, "entry")
         .groupBy(col("next_entry").as("entry")).agg(sum("amt").as("amt"))
-        .localCheckpoint(eager = true)
+        .coalesce(pF)
+        .localCheckpoint(eager = false)
       totals += frontier
       round += 1
     }
