@@ -118,6 +118,9 @@ object Vectorize {
       comps ++ bounds.iterator
     }.toDF("kind", "label", "band", "v", "n_px", "x_min", "x_max", "y_min", "y_max",
       "edge_key", "pos")
+      // cached at the tile plane's own width (floored at the core count)
+      .coalesce(math.max(tiles.sparkSession.sparkContext.defaultParallelism,
+        tiles.rdd.getNumPartitions))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val comps = perTile.filter(col("kind") === 0)
@@ -264,6 +267,11 @@ object Vectorize {
       }
       out.iterator
     }.toDF("kind", "label", "band", "v", "n_px", "edge_key", "pos", "vx", "vy", "dir")
+      // cached at the tile plane's own width (floored at the core count):
+      // the halo-exchange upstream otherwise pins the conf partition
+      // count and all three consumers re-scan those near-empty tasks
+      .coalesce(math.max(tiles.sparkSession.sparkContext.defaultParallelism,
+        tiles.rdd.getNumPartitions))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val comps = rows.filter(col("kind") === 0).select("label", "band", "v", "n_px")
@@ -512,6 +520,9 @@ object Vectorize {
       }
       out.iterator
     }.toDF("kind", "label", "label2", "band", "v", "n", "x1", "ek", "pos")
+      // cached at the tile plane's own width (floored at the core count)
+      .coalesce(math.max(tiles.sparkSession.sparkContext.defaultParallelism,
+        tiles.rdd.getNumPartitions))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val comps = perTile.filter(col("kind") === 0)
