@@ -717,7 +717,11 @@ object Dedup {
                        family: String = "xxhash64"): DataFrame = {
     val clusters = lshClusters(docs, k, bands, family)
     val q = TextOps.qualityScore(docs).select(col("doc_id"), col("density"))
+    // consumed twice (argmax + the join back): cache once, or the
+    // cluster pipeline and the quality scan re-run per consumer
     val joined = clusters.join(q, "doc_id")
+      .coalesce(Adapt.cachePartitions(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = joined.groupBy("cluster")
       .agg(max(struct(col("density"), (-col("doc_id")).as("neg_id"))).as("b"))
       .select(col("cluster"), col("b.neg_id").as("best_neg_id"))
