@@ -87,14 +87,25 @@ object RangeJoin {
   }
 
   def rangeJoinCells(targets: DataFrame, probes: DataFrame,
-                     radiusUdeg: Long, level: Int): DataFrame = {
+                     radiusUdeg: Long, level: Int,
+                     maxProbes: Long = 1000000L): DataFrame = {
     require(radiusUdeg >= 0, s"rangeJoinCells: negative radius $radiusUdeg")
     require(level >= 0 && level <= GridCell.MaxLevel,
       s"rangeJoinCells: level out of range: $level")
+    require(maxProbes >= 1, s"rangeJoinCells: maxProbes must be >= 1")
     val spark = targets.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
 
+    // the probe set is a BROADCAST side by contract (it is collected and
+    // its radius covers exploded on the driver): fail loudly before the
+    // collect when it exceeds the declared bound, instead of an implicit
+    // driver OOM (VERDICT r5 #7 — the KnnJoin bounded-probe contract)
+    val nProbes = probes.count()
+    require(nProbes <= maxProbes,
+      s"rangeJoinCells: $nProbes probes exceed the broadcast bound " +
+        s"$maxProbes; raise maxProbes only if the driver can hold the " +
+        s"probe covers, or flip the sides")
     val probeArr = probes.select("id", "x", "y")
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     val n = 1L << level

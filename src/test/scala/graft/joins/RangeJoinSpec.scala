@@ -107,4 +107,15 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"theta join leaked into:\n$plan")
   }
+
+  test("a probe set past the broadcast bound fails loudly before the collect") {
+    val p = pts(100)
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoinCells(p, p, 1000000L, 6, maxProbes = 10L)
+    }
+    assert(err.getMessage.contains("broadcast bound"))
+    // at the bound it still runs
+    assert(RangeJoin.rangeJoinCells(p, p.filter(col("id") < 10), 1000000L, 6,
+      maxProbes = 10L).count() >= 0)
+  }
 }
