@@ -614,6 +614,31 @@ class MixedOpsR5Spec extends AnyFunSuite {
       s"mapping not monotone: $m")
   }
 
+  test("histogram match: continuous-valued rasters take the bounded binned path") {
+    import graft.tiles.TileOps3
+    val spec = RasterSpec(0.0, 16.0, 1.0, -1.0, 16, 16, 8, 1)
+    // 256 distinct continuous source values; reference on a 10-step grid
+    val a = TileOps.createRaster(spark, spec)((x, y, _) => x + y / 16.0 + 0.125)
+    val b = TileOps.createRaster(spark, spec)((x, y, _) => ((3 * x + y) % 5 * 10).toDouble)
+    // maxBins below the source cardinality forces the binned CDF path:
+    // driver state is bounded at 2*maxBins rows by construction
+    val m = TileOps.toPixels(TileOps3.histogramMatch(a, b, maxBins = 16), 8).collect()
+      .map(r => (r.getInt(0) + r.getInt(1) / 16.0 + 0.125) -> r.getDouble(3))
+      .distinct.sortBy(_._1)
+    // every output is an actual reference value, and the mapping is
+    // monotone in the source value (CDF matching at bin granularity)
+    assert(m.map(_._2).forall(v => v % 10 == 0 && v >= 0 && v <= 40), s"$m")
+    assert(m.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      s"binned mapping not monotone: $m")
+    // the bounded-cardinality exact path is untouched by the knob when
+    // cardinality fits (same output as the default)
+    val exact = TileOps.toPixels(TileOps3.histogramMatch(a, b), 8).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val exact2 = TileOps.toPixels(TileOps3.histogramMatch(a, b, maxBins = 1 << 20), 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(exact == exact2)
+  }
+
   test("ann recall: exact-vs-exact is 10^6; lsh recall bounded and sane") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val r = Similarity.recallEval(emb, probeMaxId = 20, numPlanes = 16, k = 5)
