@@ -221,6 +221,10 @@ object TileOps3 {
     def histDf(ts: Dataset[Tile]): Dataset[(Double, Long)] = ts
       .flatMap(t => t.pixels.iterator.filter(v => !v.isNaN && v != t.nodata))
       .groupByKey(identity).count()
+      // coalesced cache: the count probe and the collect/binning both
+      // re-scan this cache — at the conf width that was hundreds of
+      // near-empty tasks per scan
+      .coalesce(spark.sparkContext.defaultParallelism)
     val srcDf = histDf(source).persist()
     val refDf = histDf(reference).persist()
     try {
